@@ -1,0 +1,90 @@
+"""Checkpoint manifest + atomic segment writes (SURVEY.md §2.1 S8, §4).
+
+The reference has no checkpointing (a crash = rerun the script — SURVEY.md
+§4).  The north_rule makes resume a first-class requirement: each index
+partition (segment) is written atomically (tmp dir + ``os.rename``,
+ray_guide.md:180-184) and records a lineage line in ``manifest.jsonl``:
+segment id, covered doc range, row/term/posting counts, total token count,
+codec + tokenizer versions.  Resume = read the manifest, skip finished
+segment ids (tested in tests/test_resume.py).
+
+Writes happen inside Ray tasks on a shared filesystem in production; the
+append is a single O_APPEND write of one line (atomic for line-sized writes
+on POSIX), and replay dedupes by segment id keeping the LAST line, so a
+retried task that re-appends after a crash is harmless (idempotent replay).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+
+MANIFEST_NAME = "manifest.jsonl"
+
+
+def segment_dir(index_dir: str, sid: int) -> str:
+    return os.path.join(index_dir, "segments", f"seg={sid:06d}")
+
+
+def atomic_write_dir(final_dir: str):
+    """Context manager: yields a tmp dir; renames to ``final_dir`` on
+    success; removes the tmp dir on failure.  A concurrent/retried writer
+    losing the rename race just discards its tmp copy."""
+    return _AtomicDir(final_dir)
+
+
+class _AtomicDir:
+    def __init__(self, final_dir: str):
+        self.final_dir = final_dir
+        parent = os.path.dirname(final_dir)
+        os.makedirs(parent, exist_ok=True)
+        self.tmp = os.path.join(parent, f".tmp-{os.path.basename(final_dir)}-{uuid.uuid4().hex[:8]}")
+
+    def __enter__(self) -> str:
+        os.makedirs(self.tmp, exist_ok=True)
+        return self.tmp
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            try:
+                os.rename(self.tmp, self.final_dir)
+            except OSError:
+                # lost the race to a concurrent retry that already finished
+                shutil.rmtree(self.tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(self.tmp, ignore_errors=True)
+        return False
+
+
+def append_manifest(index_dir: str, record: dict) -> None:
+    line = json.dumps(record, sort_keys=True) + "\n"
+    path = os.path.join(index_dir, MANIFEST_NAME)
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+    try:
+        os.write(fd, line.encode("utf-8"))
+    finally:
+        os.close(fd)
+
+
+def read_manifest(index_dir: str) -> dict[int, dict]:
+    """Segment id -> last manifest record; only records whose segment dir
+    actually exists count as done (rename is the commit point)."""
+    path = os.path.join(index_dir, MANIFEST_NAME)
+    out: dict[int, dict] = {}
+    if not os.path.exists(path):
+        return out
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            out[int(rec["sid"])] = rec
+    return {
+        sid: rec
+        for sid, rec in out.items()
+        if os.path.isdir(segment_dir(index_dir, sid))
+    }

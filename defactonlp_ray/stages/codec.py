@@ -1,0 +1,249 @@
+"""Posting-list compression codecs (SURVEY.md §2.6 C1-C3).
+
+The reference "index" is an uncompressed scipy CSR matrix in one ``.npz``
+(fever-baselines ``drqa/retriever/utils.py save_sparse_csr``, unverified —
+SURVEY.md §0).  Per the north_rule this engine stores postings delta-gap +
+varint/PForDelta compressed with block-max skip metadata:
+
+* C1 delta-gap: docid-ascending posting lists -> first id + gaps (np.diff).
+* C2 varint (LEB128-style) — vectorized numpy encode AND decode; and a
+  PForDelta-style codec (Zukowski et al., ICDE 2006): fixed-width bit-packed
+  128-int blocks with patched exceptions, varint-encoded exception tail.
+* C3 block metadata per ``BLOCK`` postings: last docid (skip pointer),
+  max tf and min doc-length — enough to compute an exact BM25 upper bound
+  at query time (block-max WAND, Ding & Suel SIGIR 2011) without a second
+  pass over the corpus at build time.
+
+All functions are pure numpy (no Ray); property-tested for roundtrip
+identity in tests/test_codec.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CODEC_VERSION = "varint+pfor-v1"
+BLOCK = 128  # postings per skip/bit-packing block
+
+
+# ---------------------------------------------------------------- varint (C2)
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 encode a uint64 array, vectorized.
+
+    Layout: little-endian base-128, high bit = continuation.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits // 7, 1)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # fill byte position p of every value that has > p bytes
+    maxb = int(nbytes.max())
+    rem = v.copy()
+    for p in range(maxb):
+        mask = nbytes > p
+        pos = starts[mask] + p
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > p + 1).astype(np.uint8) << 7
+        out[pos] = byte | cont
+        rem[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode a varint byte string back to uint64, vectorized.
+
+    ``count`` (when known) is a consistency check only.
+    """
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = arr < 128
+    n = int(is_last.sum())
+    if count is not None and n != count:
+        raise ValueError(f"varint stream has {n} values, expected {count}")
+    # group id of each byte = index of the value it belongs to
+    group = np.empty(arr.size, dtype=np.int64)
+    group[0] = 0
+    np.cumsum(is_last[:-1], out=group[1:])
+    # position of each byte within its group
+    starts = np.zeros(n, dtype=np.int64)
+    ends = np.flatnonzero(is_last)
+    starts[1:] = ends[:-1] + 1
+    pos = np.arange(arr.size, dtype=np.int64) - starts[group]
+    vals = np.zeros(n, dtype=np.uint64)
+    contrib = (arr & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    np.add.at(vals, group, contrib)
+    return vals
+
+
+# ------------------------------------------------------------- delta-gap (C1)
+
+def delta_encode(docids: np.ndarray) -> np.ndarray:
+    """Strictly-ascending int64 docids -> uint64 gaps (first kept absolute)."""
+    d = np.ascontiguousarray(docids, dtype=np.int64)
+    if d.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    gaps = np.empty(d.size, dtype=np.int64)
+    gaps[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=gaps[1:])
+    if d.size > 1 and gaps[1:].min() <= 0:
+        raise ValueError("docids must be strictly ascending")
+    return gaps.astype(np.uint64)
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.int64), dtype=np.int64)
+
+
+# ------------------------------------------------- PForDelta-style codec (C2)
+
+def _bit_width(values: np.ndarray) -> int:
+    m = int(values.max()) if values.size else 0
+    return max(int(m).bit_length(), 1)
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """PForDelta-style encode of a uint64 array.
+
+    Per 128-value block: choose bit width ``b`` covering >=90% of values;
+    bit-pack ``value & ((1<<b)-1)``; values whose high bits overflow become
+    exceptions stored as varint ``(position, value >> b)`` pairs.
+
+    Header (little-endian): u32 n_values, then per block
+    u8 b | u16 n_exceptions | packed bits | varint exception tail.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    out = bytearray()
+    out += np.uint32(v.size).tobytes()
+    for s in range(0, v.size, BLOCK):
+        blk = v[s : s + BLOCK]
+        widths = np.zeros(blk.shape, dtype=np.int64)
+        tmp = blk.copy()
+        while (tmp > 0).any():
+            widths[tmp > 0] += 1
+            tmp >>= np.uint64(1)
+        widths = np.maximum(widths, 1)
+        b = int(np.percentile(widths, 90))
+        b = max(min(b, 64), 1)
+        exc_mask = widths > b
+        # if exceptions would exceed 1/8 of the block, fall back to max width
+        if int(exc_mask.sum()) > max(1, blk.size // 8):
+            b = int(widths.max())
+            exc_mask = widths > b
+        exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
+        exc_high = blk[exc_mask] >> np.uint64(b)
+        low = blk & ((np.uint64(1) << np.uint64(b)) - np.uint64(1)) if b < 64 else blk
+        packed = _pack_bits(low, b)
+        tail = varint_encode(np.concatenate([exc_pos, exc_high]))
+        out += np.uint8(b).tobytes()
+        out += np.uint16(exc_pos.size).tobytes()
+        out += np.uint16(len(packed)).tobytes()
+        out += packed
+        out += np.uint32(len(tail)).tobytes()
+        out += tail
+    return bytes(out)
+
+
+def pfor_decode(buf: bytes) -> np.ndarray:
+    mv = memoryview(buf)
+    n = int(np.frombuffer(mv[:4], dtype=np.uint32)[0])
+    off = 4
+    out = np.empty(n, dtype=np.uint64)
+    done = 0
+    while done < n:
+        blk_n = min(BLOCK, n - done)
+        b = int(np.frombuffer(mv[off : off + 1], dtype=np.uint8)[0]); off += 1
+        n_exc = int(np.frombuffer(mv[off : off + 2], dtype=np.uint16)[0]); off += 2
+        plen = int(np.frombuffer(mv[off : off + 2], dtype=np.uint16)[0]); off += 2
+        low = _unpack_bits(bytes(mv[off : off + plen]), b, blk_n); off += plen
+        tlen = int(np.frombuffer(mv[off : off + 4], dtype=np.uint32)[0]); off += 4
+        if tlen:
+            tail = varint_decode(bytes(mv[off : off + tlen]), 2 * n_exc); off += tlen
+            pos = tail[:n_exc].astype(np.int64)
+            high = tail[n_exc:]
+            low[pos] |= high << np.uint64(b)
+        out[done : done + blk_n] = low
+        done += blk_n
+    return out
+
+
+def _pack_bits(values: np.ndarray, b: int) -> bytes:
+    """Pack uint64 values (< 2**b) into b-bit little-endian fields."""
+    n = values.size
+    total_bits = n * b
+    nbytes = (total_bits + 7) // 8
+    # expand to a bit matrix then packbits (fine for 128-value blocks)
+    bitpos = np.arange(b, dtype=np.uint64)
+    bits = ((values[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.uint8)
+    flat = bits.reshape(-1)  # little-endian within field
+    packed = np.packbits(flat, bitorder="little")
+    return packed[:nbytes].tobytes()
+
+
+def _unpack_bits(buf: bytes, b: int, n: int) -> np.ndarray:
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    bits = np.unpackbits(arr, bitorder="little")[: n * b]
+    bits = bits.reshape(n, b).astype(np.uint64)
+    bitpos = np.arange(b, dtype=np.uint64)
+    return (bits << bitpos[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+# ------------------------------------------------------- posting blobs + C3
+
+def encode_postings(
+    docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, codec: str = "varint"
+) -> dict:
+    """Encode one term's posting list (docid-ascending) into blobs + C3 block
+    metadata.  Returns a dict of plain-Python/bytes values ready to become
+    one Arrow row.
+
+    Block metadata per BLOCK postings: ``blk_last_doc`` (skip pointer),
+    ``blk_max_tf`` and ``blk_min_dl`` (exact BM25 upper-bound inputs: the
+    Okapi term score is increasing in tf and decreasing in dl, so
+    score(max_tf, min_dl) bounds every posting in the block).
+    """
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    gaps = delta_encode(docids)
+    enc = varint_encode if codec == "varint" else pfor_encode
+    n = docids.size
+    nblocks = (n + BLOCK - 1) // BLOCK
+    blk_last = [int(docids[min((i + 1) * BLOCK, n) - 1]) for i in range(nblocks)]
+    blk_max_tf = [int(tfs[i * BLOCK : (i + 1) * BLOCK].max()) for i in range(nblocks)]
+    blk_min_dl = [int(dls[i * BLOCK : (i + 1) * BLOCK].min()) for i in range(nblocks)]
+    return {
+        "n": n,
+        "codec": codec,
+        "doc_blob": enc(gaps),
+        "tf_blob": enc(tfs.astype(np.uint64)),
+        "dl_blob": enc(dls.astype(np.uint64)),
+        "blk_last_doc": blk_last,
+        "blk_max_tf": blk_max_tf,
+        "blk_min_dl": blk_min_dl,
+    }
+
+
+def decode_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_postings` -> (docids, tfs, dls)."""
+    codec = row.get("codec", "varint")
+    dec = (lambda b: varint_decode(b, row["n"])) if codec == "varint" else pfor_decode
+    gaps = dec(row["doc_blob"])
+    docids = delta_decode(gaps)
+    tfs = dec(row["tf_blob"]).astype(np.int64)
+    dls = dec(row["dl_blob"]).astype(np.int64)
+    return docids, tfs, dls

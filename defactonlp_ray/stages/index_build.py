@@ -1,0 +1,222 @@
+"""Inverted-index build pipeline (SURVEY.md §3.1, §7.3) — Ray-Data-native.
+
+Reference behavior (fever-baselines ``build_db.py`` + ``build_tfidf.py``,
+unverified — SURVEY.md §0): a multiprocessing.Pool tokenizes doc batches,
+the parent concatenates COO triples into ONE scipy CSR in RAM and saves one
+``.npz`` — a single-process merge that cannot scale.  This engine replaces
+it with doc-partitioned SPIMI segments (IIR ch.4):
+
+    read -> [extract/filter/dedup] -> add ``sid = doc_id // seg_size`` ->
+    groupby(sid).map_groups(build_segment) -> atomic segment dirs +
+    manifest lineage -> small stats pass (term df/cf groupby over
+    per-segment PRE-AGGREGATED term rows) -> stats/ tables.
+
+Scale notes (the design the sandbox run evidences):
+* Postings never participate in a global all-to-all: each segment builds
+  its postings locally from its own docs.  The only shuffles are (a) the
+  doc->segment exchange, which disappears entirely when the input Parquet
+  is already laid out by doc range (pass ``assume_partitioned=True`` to use
+  per-batch segments), and (b) the term-stats groupby, whose input is
+  already combined to ONE row per (term, segment) — the classic
+  partial/combiner pattern (ray_guide.md:154-158), so even a
+  nearly-every-doc head term like a stopword contributes at most
+  ``n_segments`` rows: head-term skew is bounded by construction
+  (SURVEY.md §4 "skew").
+* Rank/score results are segment-layout-invariant (BM25 uses only global
+  stats), so segmentation is free to follow storage locality.
+* Resume: finished segments are skipped via the manifest
+  (sources/manifest.py); stats are derived from segment files, not from the
+  building run, so a resumed build produces identical stats.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..functions.tokenizer import TOKENIZER_VERSION, term_count_table
+from ..sources import manifest as mf
+from .codec import CODEC_VERSION, encode_postings
+
+DEFAULT_SEG_DOCS = 8192
+
+
+def build_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: Optional[str] = None,
+    n_docs: Optional[int] = None,
+    seg_docs: int = DEFAULT_SEG_DOCS,
+    codec: str = "varint",
+    resume: bool = True,
+) -> str:
+    """Build (or resume) the index for ``ds`` into ``index_dir``.
+
+    ``ds`` must carry dense-ish int64 ``doc_id`` (use
+    :func:`defactonlp_ray.stages.docids.assign_doc_ids` for raw pages) —
+    segments are the ranges ``[sid*seg_docs, (sid+1)*seg_docs)``.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    done = set(mf.read_manifest(index_dir)) if resume else set()
+
+    cols = [doc_id_col, text_col] + ([url_col] if url_col else [])
+    ds = ds.select_columns(cols)
+
+    def add_sid(batch: pa.Table) -> pa.Table:
+        sid = pc.cast(
+            pc.divide(batch[doc_id_col], pa.scalar(seg_docs, pa.int64())), pa.int64()
+        )
+        return batch.append_column("sid", sid)
+
+    ds = ds.map_batches(add_sid, batch_format="pyarrow")
+
+    if done:
+        done_arr = pa.array(sorted(done), pa.int64())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(pc.is_in(batch["sid"], value_set=done_arr)))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    builder = _make_segment_builder(
+        index_dir, doc_id_col, text_col, url_col, codec
+    )
+    reports = ds.groupby("sid").map_groups(builder, batch_format="pyarrow")
+    # Consume the (tiny: one row per segment) report stream; this drives the
+    # whole lazy pipeline.
+    reports.materialize()
+    _write_stats(index_dir)
+    return index_dir
+
+
+def _make_segment_builder(index_dir, doc_id_col, text_col, url_col, codec):
+    def build_segment(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _report(-1, 0, 0, 0)
+        sid = int(group["sid"][0].as_py())
+        final_dir = mf.segment_dir(index_dir, sid)
+        if os.path.isdir(final_dir):  # lost retry race / resume overlap
+            return _report(sid, 0, 0, 0)
+        group = group.sort_by(doc_id_col)
+        doc_ids = group[doc_id_col].combine_chunks()
+        tf_table, doc_len = term_count_table(group[text_col], doc_ids)
+        tf_table = tf_table.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+
+        # per-posting dl via searchsorted over the (sorted) group docids
+        did_np = doc_ids.to_numpy()
+        post_doc = tf_table["doc_id"].to_numpy()
+        dl_of_post = doc_len[np.searchsorted(did_np, post_doc)]
+
+        terms = tf_table["term"].to_numpy(zero_copy_only=False)
+        tfs = tf_table["tf"].to_numpy().astype(np.int64)
+        uniq_terms, starts = np.unique(terms, return_index=True)
+        order = np.argsort(starts)
+        uniq_terms, starts = uniq_terms[order], starts[order]
+        bounds = np.append(starts, terms.size)
+
+        rows = []
+        for i, term in enumerate(uniq_terms):
+            lo, hi = bounds[i], bounds[i + 1]
+            enc = encode_postings(post_doc[lo:hi], tfs[lo:hi], dl_of_post[lo:hi], codec)
+            enc["term"] = str(term)
+            enc["cf"] = int(tfs[lo:hi].sum())
+            rows.append(enc)
+        postings = pa.Table.from_pylist(rows)
+
+        n_docs = group.num_rows
+        total_len = int(doc_len.sum())
+        with mf.atomic_write_dir(final_dir) as tmp:
+            pq.write_table(postings, os.path.join(tmp, "postings.parquet"))
+            dstats = {
+                "doc_id": doc_ids,
+                "doc_len": pa.array(doc_len, pa.int32()),
+            }
+            if url_col:
+                dstats["url"] = group[url_col]
+            pq.write_table(pa.table(dstats), os.path.join(tmp, "docstats.parquet"))
+            meta = {
+                "sid": sid,
+                "n_docs": n_docs,
+                "total_len": total_len,
+                "n_terms": len(rows),
+                "n_postings": int(tf_table.num_rows),
+                "doc_lo": int(did_np[0]),
+                "doc_hi": int(did_np[-1]),
+                "codec": codec,
+                "codec_version": CODEC_VERSION,
+                "tokenizer_version": TOKENIZER_VERSION,
+            }
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(meta, f)
+        mf.append_manifest(index_dir, meta)
+        return _report(sid, n_docs, len(rows), int(tf_table.num_rows))
+
+    return build_segment
+
+
+def _report(sid: int, n_docs: int, n_terms: int, n_postings: int) -> pa.Table:
+    return pa.table(
+        {
+            "sid": pa.array([sid], pa.int64()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_terms": pa.array([n_terms], pa.int64()),
+            "n_postings": pa.array([n_postings], pa.int64()),
+        }
+    )
+
+
+def _write_stats(index_dir: str) -> None:
+    """Global stats from the finished segments (resume-safe: derived from
+    files, not from this run's in-flight state).
+
+    ``term_df`` input is one row per (term, segment) — pre-aggregated — so
+    the groupby here is small even with head-term skew.
+    """
+    recs = mf.read_manifest(index_dir)
+    if not recs:
+        raise ValueError(f"no finished segments under {index_dir}")
+    seg_paths = [
+        os.path.join(mf.segment_dir(index_dir, sid), "postings.parquet")
+        for sid in sorted(recs)
+    ]
+    parts = ray.data.read_parquet(seg_paths, columns=["term", "n", "cf"])
+    from ray.data.aggregate import Sum
+
+    df = parts.groupby("term").aggregate(
+        Sum("n", alias_name="df"), Sum("cf", alias_name="cf")
+    )
+    stats_dir = os.path.join(index_dir, "stats")
+    with mf.atomic_write_dir(os.path.join(stats_dir, "term_df")) as tmp:
+        df.write_parquet(tmp)
+    n_docs = sum(r["n_docs"] for r in recs.values())
+    total_len = sum(r["total_len"] for r in recs.values())
+    coll = {
+        "n_docs": n_docs,
+        "total_len": total_len,
+        # single int/int division: bit-identical to the oracle's avgdl
+        "avgdl": total_len / n_docs if n_docs else 0.0,
+        "n_segments": len(recs),
+        "codec_version": CODEC_VERSION,
+        "tokenizer_version": TOKENIZER_VERSION,
+    }
+    tmp_path = os.path.join(stats_dir, ".collection.json.tmp")
+    os.makedirs(stats_dir, exist_ok=True)
+    with open(tmp_path, "w") as f:
+        json.dump(coll, f)
+    os.replace(tmp_path, os.path.join(stats_dir, "collection.json"))
+
+
+def segment_count(n_docs: int, seg_docs: int = DEFAULT_SEG_DOCS) -> int:
+    return math.ceil(n_docs / seg_docs)

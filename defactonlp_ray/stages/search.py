@@ -1,0 +1,404 @@
+"""BM25 top-k query path (SURVEY.md §2.6 Q1-Q4, §3.2).
+
+Reference behavior: DrQA's ``TfidfDocRanker.closest_docs`` — the whole CSR
+matrix resident in one process, sparse dot + argpartition (fever-baselines
+``drqa/retriever/tfidf_doc_ranker.py``, unverified — SURVEY.md §0).  Here:
+
+* Q1 exact term-at-a-time Okapi BM25 (k1=1.2, b=0.75) over decoded posting
+  blobs, dense per-segment accumulator, float64, ascending-term
+  accumulation order — bit-identical to oracle.OracleIndex.bm25_topk.
+* Q2 block-max WAND (Ding & Suel, SIGIR 2011): document-at-a-time with
+  per-block upper bounds from the C3 metadata; PRUNING-ONLY, so its
+  (doc_id, score) output is asserted identical to Q1.
+* Q3 bounded min-heap with (score, -doc_id) keys (deterministic ties).
+* Q4 multi-segment merge: per-segment top-k -> global top-k; exact because
+  BM25 uses only global stats, so a doc's score is segment-invariant.
+
+Execution shape: queries are a Dataset; ``map_batches(SearcherActor,
+concurrency=N)`` is an actor pool whose state (collection stats, term->df,
+decoded-posting cache) loads once per actor (ray_guide.md:109-131).
+Postings and term stats are read per-batch with Parquet ``term IN (...)``
+filters — row-group pruning over term-sorted files — NOT by loading whole
+segments, so an actor touches only the terms its queries need (the trait
+that survives 10^12 docs).  ``search_fanout`` is the cluster-shape variant:
+(query x segment) pairs fan out across the pool and a small
+``groupby(query_id).map_groups`` merges per-segment top-k.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..functions.tokenizer import tokenize_column
+from ..sources import manifest as mf
+
+K1 = 1.2
+B = 0.75
+
+
+# ------------------------------------------------------------- index access
+
+class IndexReader:
+    """Lazy, cached reads of one on-disk index (per-actor state)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats", "collection.json")) as f:
+            coll = json.load(f)
+        self.n_docs: int = coll["n_docs"]
+        self.avgdl: float = coll["avgdl"]
+        self.seg_ids: list[int] = sorted(mf.read_manifest(index_dir))
+        self._df: dict[str, int] = {}
+        self._df_loaded_all = False
+        self._postings: dict[tuple[int, str], Optional[dict]] = {}
+
+    # -- term -> global df (stats/term_df), filtered point reads
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df]
+        if missing and not self._df_loaded_all:
+            tbl = pq.read_table(
+                os.path.join(self.index_dir, "stats", "term_df"),
+                columns=["term", "df"],
+                filters=[("term", "in", missing)],
+            )
+            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            for t in missing:
+                self._df[t] = int(found.get(t, 0))
+        return {t: self._df.get(t, 0) for t in terms}
+
+    def idf(self, term: str) -> float:
+        df = self._df.get(term, 0)
+        # math.log, not np.log: they can differ by 1 ulp, and the oracle
+        # identity is bit-for-bit (SURVEY.md §7.6.2)
+        import math
+
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    # -- postings, batched filtered reads with per-(segment, term) cache
+    def load_postings(self, sid: int, terms: list[str]) -> None:
+        missing = [t for t in terms if (sid, t) not in self._postings]
+        if not missing:
+            return
+        path = os.path.join(mf.segment_dir(self.index_dir, sid), "postings.parquet")
+        tbl = pq.read_table(path, filters=[("term", "in", missing)])
+        rows = {r["term"]: r for r in tbl.to_pylist()}
+        for t in missing:
+            self._postings[(sid, t)] = rows.get(t)
+
+    def postings(self, sid: int, term: str) -> Optional[dict]:
+        if (sid, term) not in self._postings:
+            self.load_postings(sid, [term])
+        row = self._postings[(sid, term)]
+        if row is not None and "decoded" not in row:
+            from .codec import decode_postings
+
+            row["decoded"] = decode_postings(row)
+        return row
+
+
+# ----------------------------------------------------------------- scoring
+
+def _contrib_vec(idf: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    # Expression shape mirrors oracle.OracleIndex.bm25_topk exactly
+    # (left-assoc B*dl/avgdl), so each float64 op rounds identically.
+    tfs = tfs.astype(np.float64)
+    dls = dls.astype(np.float64)
+    return idf * (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+
+
+def score_segment_taat(
+    reader: IndexReader, sid: int, terms_sorted: list[str], idfs: dict[str, float], k: int
+) -> list[tuple[float, int]]:
+    """Q1: exact TAAT over one segment -> top-k [(score, doc_id)]."""
+    rows = []
+    for t in terms_sorted:
+        row = reader.postings(sid, t)
+        if row is not None:
+            rows.append((t, row))
+    if not rows:
+        return []
+    doc_lo = min(int(r["decoded"][0][0]) for _, r in rows)
+    doc_hi = max(int(r["decoded"][0][-1]) for _, r in rows)
+    width = doc_hi - doc_lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for t, row in rows:  # ascending-term accumulation order (pinned)
+        docids, tfs, dls = row["decoded"]
+        idx = docids - doc_lo
+        scores[idx] += _contrib_vec(idfs[t], tfs, dls, reader.avgdl)
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    cscores = scores[cand]
+    cdocs = cand + doc_lo
+    if cand.size > k:
+        # exact top-k by (-score, doc_id)
+        order = np.lexsort((cdocs, -cscores))[:k]
+    else:
+        order = np.lexsort((cdocs, -cscores))
+    return [(float(cscores[i]), int(cdocs[i])) for i in order]
+
+
+def _block_ub(idf: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+    # BM25 is increasing in tf, decreasing in dl -> f(max_tf, min_dl) bounds
+    # every posting in the block (stages/codec.py C3).
+    return idf * (max_tf * (K1 + 1.0)) / (max_tf + K1 * (1.0 - B + B * min_dl / avgdl))
+
+
+class _TermIter:
+    __slots__ = ("term", "idf", "avgdl", "docids", "tfs", "dls", "blk_ub", "ptr", "ub")
+
+    def __init__(self, term: str, idf: float, row: dict, avgdl: float):
+        self.term = term
+        self.idf = idf
+        self.avgdl = avgdl
+        self.docids, self.tfs, self.dls = row["decoded"]
+        self.blk_ub = [
+            _block_ub(idf, mt, md, avgdl)
+            for mt, md in zip(row["blk_max_tf"], row["blk_min_dl"])
+        ]
+        self.ptr = 0
+        self.ub = max(self.blk_ub)
+
+    def cur(self) -> int:
+        return int(self.docids[self.ptr]) if self.ptr < self.docids.size else 2**62
+
+    def cur_block_ub(self) -> float:
+        from .codec import BLOCK
+
+        return self.blk_ub[self.ptr // BLOCK] if self.ptr < self.docids.size else 0.0
+
+    def advance_to(self, target: int) -> None:
+        if self.ptr >= self.docids.size:
+            return
+        self.ptr += int(np.searchsorted(self.docids[self.ptr:], target))
+
+    def contrib(self) -> float:
+        tf = float(self.tfs[self.ptr])
+        dl = float(self.dls[self.ptr])
+        return self.idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+
+
+def score_segment_wand(
+    reader: IndexReader, sid: int, terms_sorted: list[str], idfs: dict[str, float], k: int
+) -> list[tuple[float, int]]:
+    """Q2: block-max WAND over one segment; identical output to
+    :func:`score_segment_taat` (pruning-only; asserted in tests)."""
+    avgdl = reader.avgdl
+    iters: list[_TermIter] = []
+    for t in terms_sorted:
+        row = reader.postings(sid, t)
+        if row is not None:
+            iters.append(_TermIter(t, idfs[t], row, avgdl))
+    if not iters:
+        return []
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of k best
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) == k else -1.0
+
+    while True:
+        live = [it for it in iters if it.ptr < it.docids.size]
+        if not live:
+            break
+        live.sort(key=lambda it: it.cur())
+        # pivot: first prefix whose summed term upper bounds can beat theta
+        # pivot condition uses >= so exact score ties (broken by doc_id) are
+        # never pruned — WAND stays pruning-only vs Q1 (SURVEY.md §7.6.2)
+        theta = threshold()
+        acc = 0.0
+        pivot = -1
+        for i, it in enumerate(live):
+            acc += it.ub
+            if acc >= theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = live[pivot].cur()
+        if live[0].cur() == pivot_doc:
+            # block-max refinement: sum of current-block UBs of the matching
+            # prefix; if it cannot reach theta, skip this doc without scoring
+            matching = [it for it in live if it.cur() == pivot_doc]
+            blk_acc = sum(it.cur_block_ub() for it in matching)
+            if blk_acc >= theta:
+                matching.sort(key=lambda it: it.term)  # ascending-term order
+                s = 0.0
+                for it in matching:
+                    s += it.contrib()
+                key = (s, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, key)
+                elif key > heap[0]:
+                    heapq.heapreplace(heap, key)
+            for it in matching:
+                it.ptr += 1
+        else:
+            for it in live[:pivot]:
+                it.advance_to(pivot_doc)
+    out = sorted(heap, key=lambda kv: (-kv[0], -kv[1]))
+    return [(s, -nd) for s, nd in out]
+
+
+def merge_topk(parts: list[list[tuple[float, int]]], k: int) -> list[tuple[float, int]]:
+    """Q4: per-segment top-k -> global top-k, ties (-score, doc_id)."""
+    allp = [p for part in parts for p in part]
+    allp.sort(key=lambda kv: (-kv[0], kv[1]))
+    return allp[:k]
+
+
+# ------------------------------------------------------------ Ray stages
+
+class SearcherActor:
+    """Actor-pool stage: batch of queries -> top-k results rows.
+
+    State (index reader + caches) loads once per actor in ``__init__``.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10, mode: str = "taat",
+                 seg_ids: Optional[list[int]] = None):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.mode = mode
+        self.seg_ids = seg_ids if seg_ids is not None else self.reader.seg_ids
+
+    def _score_query(self, terms: list[str], idfs: dict[str, float],
+                     seg_ids: list[int]) -> list[tuple[float, int]]:
+        uniq = sorted(set(terms))
+        fn = score_segment_taat if self.mode == "taat" else score_segment_wand
+        parts = [fn(self.reader, sid, uniq, idfs, self.k) for sid in seg_ids]
+        return merge_topk(parts, self.k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        terms_col = batch["terms"].to_pylist()
+        all_terms = sorted({t for ts in terms_col for t in ts})
+        dfs = self.reader.dfs(all_terms)
+        idfs = {t: self.reader.idf(t) for t in all_terms}
+        present = [t for t in all_terms if dfs[t] > 0]
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, present)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, terms in zip(qids, terms_col):
+            top = self._score_query(terms, idfs, self.seg_ids)
+            for rank, (score, doc_id) in enumerate(top, 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def tokenize_queries(ds: "ray.data.Dataset", text_col: str = "claim") -> "ray.data.Dataset":
+    """(query_id, <text_col>) -> (query_id, terms:list<string>)."""
+
+    def tok(batch: pa.Table) -> pa.Table:
+        terms = tokenize_column(batch[text_col])
+        return pa.table({"query_id": batch["query_id"], "terms": terms})
+
+    return ds.map_batches(tok, batch_format="pyarrow")
+
+
+def search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    mode: str = "taat",
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Main query pipeline: queries (query_id, terms) -> results
+    (query_id, rank, doc_id, score)."""
+    return queries.map_batches(
+        SearcherActor,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def search_fanout(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    mode: str = "taat",
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Cluster-shape variant (Q4 explicit): expand to (query x segment)
+    pairs, score per pair on the actor pool, merge per query with a small
+    groupby.  Result-identical to :func:`search` (tested)."""
+    seg_ids = sorted(mf.read_manifest(index_dir))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        reps = pa.array(np.repeat(np.arange(n), len(seg_ids)))
+        sids = pa.array(np.tile(np.array(seg_ids, dtype=np.int64), n))
+        taken = batch.take(reps)
+        return taken.append_column("sid", sids)
+
+    pairs = queries.map_batches(expand, batch_format="pyarrow")
+
+    class SegSearcher(SearcherActor):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            all_terms = sorted({t for ts in batch["terms"].to_pylist() for t in ts})
+            dfs = self.reader.dfs(all_terms)
+            idfs = {t: self.reader.idf(t) for t in all_terms}
+            out_q, out_d, out_s = [], [], []
+            for qid, terms, sid in zip(
+                batch["query_id"].to_pylist(),
+                batch["terms"].to_pylist(),
+                batch["sid"].to_pylist(),
+            ):
+                top = self._score_query(terms, idfs, [int(sid)])
+                for score, doc_id in top:
+                    out_q.append(qid)
+                    out_d.append(doc_id)
+                    out_s.append(score)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "doc_id": pa.array(out_d, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    per_seg = pairs.map_batches(
+        SegSearcher,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = np.lexsort(
+            (group["doc_id"].to_numpy(), -group["score"].to_numpy())
+        )[:k]
+        g = group.take(pa.array(idx))
+        return g.append_column(
+            "rank", pa.array(np.arange(1, len(idx) + 1, dtype=np.int32))
+        )
+
+    return per_seg.groupby("query_id").map_groups(merge, batch_format="pyarrow")
