@@ -1,0 +1,84 @@
+"""Text-analysis functions for training-data pipelines (task brief):
+language-ID (n-gram heuristic), quality scoring, token counting, document
+fingerprinting.  Pure + vectorized; the Ray stages wrap them in
+``map_batches``.
+
+Quality ratios are single divisions of integer counts, so they are
+bit-identical between numpy float64 and the DuckDB double oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .tokenizer import flatten_tokens
+
+TEXTSTATS_VERSION = "textstats-v1"
+
+# Pinned stopword list (quality scoring + SQL oracle share it).
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that",
+)
+
+# Tiny per-language character/bigram cues for the heuristic language ID.
+# Deterministic, self-contained (no model deps); scores are additive counts.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the ", " and ", " of ", " is ", " to "),
+    "de": (" der ", " die ", " und ", " ist ", " das ", "sch"),
+    "es": (" el ", " la ", " de ", " que ", " los ", "ción"),
+    "fr": (" le ", " la ", " les ", " des ", " est ", " une "),
+    "zh": tuple(chr(c) for c in range(0x4E00, 0x4E0A)),
+}
+
+
+def lang_id(text: str) -> str:
+    """Heuristic n-gram language ID.  Returns the language with the highest
+    marker-hit count, 'und' when nothing matches.  Ties break by language
+    code order (deterministic)."""
+    if any("一" <= ch <= "鿿" for ch in text):
+        return "zh"
+    hay = f" {text.lower()} "
+    best_lang, best_score = "und", 0
+    for lang in sorted(_LANG_MARKERS):
+        score = sum(hay.count(m) for m in _LANG_MARKERS[lang])
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang
+
+
+def quality_batch(texts: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Per-row quality metrics, vectorized:
+
+    n_tokens, n_stopwords, stop_ratio = n_stopwords/n_tokens,
+    mean_token_len = sum(len(token))/n_tokens, alnum_ratio =
+    alnum_chars/len(text).  Ratios are 0.0 for empty rows.
+    """
+    terms, row_idx, doc_len = flatten_tokens(texts)
+    n = len(texts)
+    tok_lens = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+    is_stop = pc.is_in(terms, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = np.bincount(row_idx, weights=is_stop.astype(np.float64), minlength=n)
+    sum_len = np.bincount(row_idx, weights=tok_lens.astype(np.float64), minlength=n)
+    n_tok = doc_len.astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stop_ratio = np.where(n_tok > 0, n_stop / n_tok, 0.0)
+        mean_tok_len = np.where(n_tok > 0, sum_len / n_tok, 0.0)
+    text_len = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    # alnum char count via tokenizer tokens (tokens are exactly the alnum runs)
+    alnum = sum_len.astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alnum_ratio = np.where(text_len > 0, alnum / text_len, 0.0)
+    return pa.table(
+        {
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_stopwords": pa.array(n_stop.astype(np.int64), pa.int64()),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "mean_token_len": pa.array(mean_tok_len, pa.float64()),
+            "alnum_ratio": pa.array(alnum_ratio, pa.float64()),
+        }
+    )

@@ -1,0 +1,162 @@
+"""Flagship end-to-end pipelines (SURVEY.md §3.1-§3.2).
+
+``build_pages_index``: pages parquet -> url as-of dedup -> lang filter ->
+extraction validation -> deterministic doc ids -> segment index build.
+
+``retrieve``: claims -> NER entity route (exact title match, J1) UNION
+BM25 route (K1) -> per-claim dedup (U1/D1) -> results — the DeFactoNLP
+document-retrieval stage shape (arXiv:1809.00509 §2.1) on Ray Data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.extract import extract_text
+from ..functions.ner import NerStage
+from ..functions.textnorm import norm_match_key, norm_match_key_column
+from ..functions.tokenizer import tokenize
+from ..stages import search as S
+from ..stages.dedup import url_dedup_latest
+from ..stages.docids import assign_doc_ids
+from ..stages.index_build import build_index
+
+
+def prepare_docs(
+    pages: "ray.data.Dataset", *, lang: str | None = "en", validate_extraction: bool = True
+) -> "ray.data.Dataset":
+    """pages(url, warc_ts, html, text, lang) -> docs(doc_id, url, text,
+    title_norm).  Drops ``html`` immediately after the extraction check
+    (wide binary rows — SURVEY.md §7.6.5)."""
+
+    def extract_check(batch: pa.Table) -> pa.Table:
+        if validate_extraction:
+            for h, t in zip(batch["html"].to_pylist(), batch["text"].to_pylist()):
+                got = extract_text(h)
+                if got != t:
+                    raise ValueError(
+                        "extraction invariant violated (BASELINE.json "
+                        f"input_hint): extractor produced {got[:80]!r}... "
+                        f"but text column holds {t[:80]!r}..."
+                    )
+        batch = batch.drop_columns(["html"])
+        title = pc.list_element(pc.split_pattern(batch["text"], "\n"), 0)
+        return batch.append_column("title_norm", norm_match_key_column(title))
+
+    ds = pages
+    if lang:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"
+        )
+    ds = url_dedup_latest(ds)
+    ds = ds.map_batches(extract_check, batch_format="pyarrow")
+    ds = assign_doc_ids(ds, key="url")
+    return ds.select_columns(["doc_id", "url", "text", "title_norm"])
+
+
+def build_pages_index(
+    pages: "ray.data.Dataset", index_dir: str, *, seg_docs: int = 8192,
+    lang: str | None = "en", resume: bool = True,
+) -> tuple[str, "ray.data.Dataset"]:
+    """Full build entry point A (SURVEY.md §3.1). Returns (index_dir, docs)."""
+    docs = prepare_docs(pages, lang=lang)
+    build_index(
+        docs, index_dir, url_col="url", seg_docs=seg_docs, resume=resume
+    )
+    return index_dir, docs
+
+
+def ner_title_route(
+    claims: "ray.data.Dataset", docs: "ray.data.Dataset", *, concurrency: int = 2
+) -> "ray.data.Dataset":
+    """J1: claim -> entities (A1 actor pool) -> normalized exact match
+    against page titles -> (query_id, doc_id) hits.
+
+    The title->doc_id map is broadcast once (ray.put): page-title
+    dictionaries are tiny next to the corpus (one short string per doc).
+    At 10^12 docs swap in Dataset.join on title_norm (API verified in this
+    env) — route logic is unchanged.
+    """
+    tdf = docs.select_columns(["title_norm", "doc_id"]).to_pandas()
+    tdf = tdf.sort_values("doc_id").drop_duplicates("title_norm", keep="first")
+    title_map = dict(zip(tdf["title_norm"], tdf["doc_id"]))
+    ref = ray.put(title_map)
+
+    with_ents = claims.map_batches(
+        NerStage, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"text_col": "claim"},
+    )
+
+    class TitleMatch:
+        def __init__(self):
+            self.titles = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_q, out_d = [], []
+            for qid, ents in zip(
+                batch["query_id"].to_pylist(), batch["entities"].to_pylist()
+            ):
+                seen = set()
+                for e in ents:
+                    did = self.titles.get(norm_match_key(e))
+                    if did is not None and did not in seen:
+                        seen.add(did)
+                        out_q.append(qid)
+                        out_d.append(did)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "doc_id": pa.array(out_d, pa.int64()),
+                }
+            )
+
+    return with_ents.map_batches(TitleMatch, batch_format="pyarrow", concurrency=concurrency)
+
+
+def retrieve(
+    index_dir: str,
+    claims: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 2,
+) -> "ray.data.Dataset":
+    """Entry point B (SURVEY.md §3.2): NER route UNION BM25 route, deduped
+    per claim; BM25-route docs keep rank/score, NER-route docs get
+    rank 0 / score +inf-like marker column ``route``."""
+    qterms = S.tokenize_queries(claims, text_col="claim")
+    bm25 = S.search(index_dir, qterms, k=k, concurrency=concurrency)
+
+    def tag_bm25(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "route", pa.array(["bm25"] * batch.num_rows, pa.string())
+        )
+
+    bm25 = bm25.map_batches(tag_bm25, batch_format="pyarrow")
+
+    ner_hits = ner_title_route(claims, docs, concurrency=concurrency)
+
+    def tag_ner(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return (
+            batch.append_column("rank", pa.array([0] * n, pa.int32()))
+            .append_column("score", pa.array([float("inf")] * n, pa.float64()))
+            .append_column("route", pa.array(["ner"] * n, pa.string()))
+        )
+
+    ner_hits = ner_hits.map_batches(tag_ner, batch_format="pyarrow")
+
+    both = bm25.union(ner_hits)
+
+    def dedup_claim(group: pd.DataFrame) -> pd.DataFrame:
+        # NER hits (rank 0) win; otherwise keep best BM25 rank (U1/D1)
+        g = group.sort_values(["doc_id", "rank"], kind="mergesort")
+        return g.drop_duplicates("doc_id", keep="first")
+
+    return both.groupby("query_id").map_groups(dedup_claim, batch_format="pandas")
