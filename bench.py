@@ -1,0 +1,188 @@
+"""Benchmark driver (BASELINE.md protocol).
+
+Plain run: one JSON line
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {phase: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+Headline pipeline: build the segment inverted index over a deterministic
+50k-page web corpus (extraction -> dedup -> doc ids -> SPIMI segments ->
+stats), then BM25 top-10 for 200 queries through the searcher actor pool;
+plus per-query p95 latency on a warm single-process reader (online-serving
+shape) and a few registry ops at $GRAFT_SF_DIR.
+
+``--scaling``: same job, same input, fresh processes at num_cpus=8 and 32
+(sandbox proxy for the N vs 4N-node criterion — BASELINE.json north_rule);
+prints both times + efficiency = (t_8 / t_32) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_PAGES = int(os.environ.get("DFR_BENCH_PAGES", "50000"))
+BENCH_QUERIES = 200
+
+
+def _pages_path(n: int) -> str:
+    """Deterministic bench corpus, generated once and cached (untimed —
+    fixture synthesis is not part of the measured pipeline)."""
+    path = f"/tmp/dfr_bench_pages_{n}.parquet"
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    from defactonlp_ray import fixtures
+
+    tmp = path + ".tmp"
+    pq.write_table(fixtures.make_pages(n), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.pipelines import flagship
+    from defactonlp_ray.pipelines import queries as Q
+    from defactonlp_ray.stages import search as S
+
+    pages_path = _pages_path(BENCH_PAGES)
+    # one untimed warm-up read (page cache) per the protocol
+    ray.data.read_parquet(pages_path).count()
+
+    timings: dict[str, float] = {}
+    idx = f"/tmp/dfr_bench_idx_{BENCH_PAGES}_{num_cpus}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    pages = ray.data.read_parquet(pages_path)
+    index_dir, docs = flagship.build_pages_index(
+        pages, idx, seg_docs=4096, lang="en", resume=False
+    )
+    build_sec = time.perf_counter() - t0
+    timings["index_build"] = build_sec
+    from defactonlp_ray.sources import manifest as mf
+
+    n_docs = sum(r["n_docs"] for r in mf.read_manifest(index_dir).values())
+
+    queries = fixtures.make_query_terms(BENCH_QUERIES)
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in queries], pa.int64()),
+            "terms": pa.array([t for _, t in queries], pa.list_(pa.string())),
+        }
+    )
+    t0 = time.perf_counter()
+    qds = ray.data.from_arrow(qtbl).repartition(num_cpus)
+    res = S.search(
+        index_dir, qds, k=10, concurrency=min(8, num_cpus), batch_size=32
+    )
+    n_results = res.count()
+    query_sec = time.perf_counter() - t0
+    timings["bm25_batch"] = query_sec
+
+    # online-serving p95: warm single-process reader, one query at a time
+    reader = S.IndexReader(index_dir)
+    lat = []
+    warm = queries[:10]
+    for qid, terms in warm:  # warm caches, untimed
+        uniq = sorted(set(terms))
+        reader.dfs(uniq)
+        idfs = {t: reader.idf(t) for t in uniq}
+        for sid in reader.seg_ids:
+            S.score_segment_taat(reader, sid, uniq, idfs, 10)
+    for qid, terms in queries:
+        uniq = sorted(set(terms))
+        t0 = time.perf_counter()
+        reader.dfs(uniq)
+        idfs = {t: reader.idf(t) for t in uniq}
+        parts = [
+            S.score_segment_taat(reader, sid, uniq, idfs, 10)
+            for sid in reader.seg_ids
+        ]
+        S.merge_topk(parts, 10)
+        lat.append(time.perf_counter() - t0)
+    p95_ms = float(np.percentile(np.array(lat) * 1000.0, 95))
+    timings["bm25_p95_ms"] = p95_ms
+
+    # a few registry ops at the driver's sf dir
+    for name in ("term_stats", "dedup_docs", "tpch_q1", "events_hourly"):
+        t0 = time.perf_counter()
+        out = Q.QUERIES[name](sf_dir)
+        if hasattr(out, "count"):
+            out.count()
+        timings[name] = time.perf_counter() - t0
+
+    ray.shutdown()
+
+    total = timings["index_build"] + timings["bm25_batch"]
+    return {
+        "metric": "index-build + BM25 batch query wall time (headline); "
+        "build docs/sec + query p95 ms in fields",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "bench_pages": BENCH_PAGES,
+        "n_docs_indexed": n_docs,
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "query_throughput_qps": round(BENCH_QUERIES / query_sec, 1),
+        "n_results": n_results,
+    }
+
+
+def run_scaling() -> dict:
+    _pages_path(BENCH_PAGES)  # generate once so both levels share the input
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": lo["build_docs_per_sec"],
+        "docs_per_sec_32": hi["build_docs_per_sec"],
+        "qps_8": lo["query_throughput_qps"],
+        "qps_32": hi["query_throughput_qps"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

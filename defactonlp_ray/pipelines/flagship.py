@@ -26,6 +26,7 @@ from ..stages import search as S
 from ..stages.dedup import url_dedup_latest
 from ..stages.docids import assign_doc_ids
 from ..stages.index_build import build_index
+from ..stages.util import pool_size
 
 
 def prepare_docs(
@@ -89,7 +90,7 @@ def ner_title_route(
     ref = ray.put(title_map)
 
     with_ents = claims.map_batches(
-        NerStage, batch_format="pyarrow", concurrency=concurrency,
+        NerStage, batch_format="pyarrow", concurrency=pool_size(concurrency),
         fn_constructor_kwargs={"text_col": "claim"},
     )
 
@@ -116,7 +117,7 @@ def ner_title_route(
                 }
             )
 
-    return with_ents.map_batches(TitleMatch, batch_format="pyarrow", concurrency=concurrency)
+    return with_ents.map_batches(TitleMatch, batch_format="pyarrow", concurrency=pool_size(concurrency))
 
 
 def retrieve(

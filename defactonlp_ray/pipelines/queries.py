@@ -1,0 +1,712 @@
+"""Driver-contract query registry (SURVEY.md §2 coverage -> queries() /
+oracle_sql() pairs in /root/repo/__ray_entry__.py).
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / DataFrame /
+Table; ``ORACLES[name]`` is the equivalent DuckDB SQL over the driver's
+pre-registered views.  Column names and types match the SQL exactly (the
+driver hash-compares after sorting columns by name).
+
+Float policy for cross-engine checks: sums of doubles are rounded to a
+fixed precision ON BOTH SIDES (the underlying values are exact to ~1e-10,
+so rounding is stable); BM25 scores are ranked by (round(score,6) DESC,
+doc_id) on both sides.  Bit-exact float checking lives in pytest against
+the pure-Python oracle instead (tests/test_index_search.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..functions.textstats import STOPWORDS, lang_id, quality_batch
+from ..functions.tokenizer import flatten_tokens, term_count_table
+from ..sources.readers import read_table
+from ..stages import ann, dedup, multimodal
+from ..stages.index_build import build_index
+from ..stages.search import SearcherActor, search
+
+# ---------------------------------------------------------------- helpers
+
+_TOKS_SQL = (
+    "SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS term FROM documents"
+)
+
+
+def _docs(sf_dir, columns=None):
+    return read_table(sf_dir, "documents", columns)
+
+
+# ------------------------------------------------------- M6/G5 lang counts
+
+def q_lang_counts(sf_dir: str):
+    """Vectorized groupby count over the pruned (lang) column."""
+    return (
+        _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+# ------------------------------------------------------ G2 doc length stats
+
+def q_doc_length_stats(sf_dir: str):
+    ds = _docs(sf_dir, ["n_chars"])
+    agg = ds.aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    n, total = int(agg["n_docs"]), int(agg["total_chars"])
+    return pd.DataFrame(
+        {"n_docs": [n], "total_chars": [total], "avg_chars": [total / n]}
+    )
+
+
+SQL_DOC_LENGTH_STATS = (
+    "SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+    "sum(n_chars)::DOUBLE / count(*) AS avg_chars FROM documents"
+)
+
+
+# ------------------------------------------------- G1/G4 term df + cf stats
+
+def _term_partials(sf_dir):
+    """Per-batch (term, df=1-per-doc, cf=tf) partials — the combiner before
+    the groupby shuffle (ray_guide.md:154-158)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        return pa.table(
+            {
+                "term": tf["term"],
+                "df_p": pa.array(np.ones(tf.num_rows, dtype=np.int64)),
+                "cf_p": pc.cast(tf["tf"], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+
+def q_term_stats(sf_dir: str):
+    return (
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
+    )
+
+
+SQL_TERM_STATS = (
+    f"WITH toks AS ({_TOKS_SQL}) "
+    "SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
+    "FROM toks GROUP BY term"
+)
+
+
+def q_top20_terms(sf_dir: str):
+    df = q_term_stats(sf_dir).to_pandas()
+    out = df.sort_values(["df", "term"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+SQL_TOP20_TERMS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "s AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
+    "FROM toks GROUP BY term) "
+    "SELECT term, df, cf FROM s ORDER BY df DESC, term LIMIT 20"
+)
+
+
+def q_distinct_terms(sf_dir: str):
+    n = q_term_stats(sf_dir).count()
+    return pd.DataFrame({"n_terms": [n]})
+
+
+SQL_DISTINCT_TERMS = (
+    f"WITH toks AS ({_TOKS_SQL}) SELECT count(DISTINCT term) AS n_terms FROM toks"
+)
+
+
+# ------------------------------------------------------ G2' collection stats
+
+def q_collection_stats(sf_dir: str):
+    def tok_len(batch: pa.Table) -> pa.Table:
+        _, _, doc_len = flatten_tokens(batch["text"])
+        return pa.table({"dl": pa.array(doc_len.astype(np.int64))})
+
+    ds = _docs(sf_dir, ["text"]).map_batches(tok_len, batch_format="pyarrow")
+    agg = ds.aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="total_tokens"))
+    n, total = int(agg["n_docs"]), int(agg["total_tokens"])
+    return pd.DataFrame(
+        {"n_docs": [n], "total_tokens": [total], "avgdl": [total / n]}
+    )
+
+
+SQL_COLLECTION_STATS = (
+    f"WITH toks AS ({_TOKS_SQL}), dl AS "
+    "(SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) "
+    "SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens, "
+    "sum(dl)::DOUBLE / count(*) AS avgdl FROM dl"
+)
+
+
+# ----------------------------------------------------------- D1 exact dedup
+
+def q_dedup_docs(sf_dir: str):
+    out = dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(["doc_id"])
+
+
+SQL_DEDUP_DOCS = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+# --------------------------------------------------------- G5 source stats
+
+def q_source_stats(sf_dir: str):
+    return (
+        _docs(sf_dir, ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+SQL_SOURCE_STATS = (
+    "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY source"
+)
+
+
+# ------------------------------------------------- K2 per-group top-n (window)
+
+def q_top5_longest_per_lang(sf_dir: str):
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(5)
+        g = g.reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        _docs(sf_dir, ["lang", "doc_id", "n_chars"])
+        .groupby("lang")
+        .map_groups(topn, batch_format="pandas")
+    )
+
+
+SQL_TOP5_LONGEST_PER_LANG = (
+    "SELECT lang, doc_id, n_chars, rn FROM ("
+    "SELECT lang, doc_id, n_chars, row_number() OVER "
+    "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+    "WHERE rn <= 5"
+)
+
+
+# ------------------------------------------------- J1-shape term-match join
+
+_MATCH_TERMS = ["data", "spark", "query", "merge", "window"]
+
+
+def q_term_match_join(sf_dir: str):
+    """Broadcast small side (the term list) + vectorized containment —
+    the broadcast-join pattern (ray_guide.md:135-139)."""
+    terms = pa.array(_MATCH_TERMS)
+
+    def match(batch: pa.Table) -> pa.Table:
+        toks = flatten_tokens(batch["text"])
+        flat_terms, row_idx, _ = toks
+        hit = pc.is_in(flat_terms, value_set=terms)
+        hit_terms = pc.filter(flat_terms, hit).to_pylist()
+        hit_rows = row_idx[hit.to_numpy(zero_copy_only=False)]
+        # distinct (term, doc) within batch
+        doc_ids = batch["doc_id"].to_numpy()
+        seen = {(t, int(doc_ids[r])) for t, r in zip(hit_terms, hit_rows)}
+        if not seen:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "one": pa.array([], pa.int64())})
+        tt, _dd = zip(*seen)
+        return pa.table(
+            {"term": pa.array(list(tt), pa.string()),
+             "one": pa.array(np.ones(len(tt), dtype=np.int64))}
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        match, batch_format="pyarrow"
+    )
+    return partials.groupby("term").aggregate(Sum("one", alias_name="n_docs"))
+
+
+SQL_TERM_MATCH_JOIN = (
+    "WITH v(term) AS (VALUES "
+    + ", ".join(f"('{t}')" for t in _MATCH_TERMS)
+    + ") SELECT v.term, count(*) AS n_docs FROM documents d "
+    "JOIN v ON list_contains(string_split(d.text, ' '), v.term) GROUP BY v.term"
+)
+
+
+def q_docs_without_terms(sf_dir: str):
+    """J4 anti-join shape: docs containing NONE of the terms."""
+    terms = pa.array(_MATCH_TERMS)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        flat_terms, row_idx, _ = flatten_tokens(batch["text"])
+        hit = pc.is_in(flat_terms, value_set=terms).to_numpy(zero_copy_only=False)
+        bad_rows = np.unique(row_idx[hit])
+        mask = np.ones(batch.num_rows, dtype=bool)
+        mask[bad_rows] = False
+        return pa.table({"n_p": pa.array([int(mask.sum())], pa.int64())})
+
+    partials = _docs(sf_dir, ["text"]).map_batches(anti, batch_format="pyarrow")
+    return pd.DataFrame({"n": [int(partials.aggregate(Sum("n_p", alias_name="s"))["s"])]})
+
+
+SQL_DOCS_WITHOUT_TERMS = (
+    "SELECT count(*) AS n FROM documents WHERE NOT list_has_any("
+    "string_split(text, ' '), ["
+    + ", ".join(f"'{t}'" for t in _MATCH_TERMS)
+    + "])"
+)
+
+
+# ----------------------------------------------------- events: window + agg
+
+def q_events_hourly(sf_dir: str):
+    def bucket(batch: pa.Table) -> pa.Table:
+        win = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="hour"), pa.timestamp("us")
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": win,
+                "value": batch["value"],
+            }
+        )
+
+    ds = read_table(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        bucket, batch_format="pyarrow"
+    )
+    out = (
+        ds.groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sv"))
+        .to_pandas()
+    )
+    out["sum_value"] = np.round(out["sv"], 2)
+    return out[["event_type", "window_start", "n", "sum_value"]]
+
+
+SQL_EVENTS_HOURLY = (
+    "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+    "count(*) AS n, round(sum(value), 2) AS sum_value "
+    "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+)
+
+
+def q_events_sessions(sf_dir: str):
+    """Streaming-shaped sessionization (SURVEY.md §2.9 pattern): 30-min
+    inactivity gap, per-user counts via sorted map_groups."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    return (
+        read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_SESSIONS = (
+    "SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM ("
+    "SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR "
+    "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "GROUP BY user_id"
+)
+
+
+# ------------------------------------------------------------ TPC-H shapes
+
+def q_tpch_q1(sf_dir: str):
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("rev", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sq"),
+            Sum("rev", alias_name="sr"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = np.round(out["sq"], 2)
+    out["sum_revenue"] = np.round(out["sr"], 2)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "n"]]
+
+
+SQL_TPCH_Q1 = (
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, "
+    "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_nation_revenue(sf_dir: str):
+    """orders |><| customer via Dataset.join (hash-partitioned), then the
+    tiny nation table broadcast — both join patterns in one pipeline."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # join aggregator actors need CPU slots alongside the map stages: size
+    # num_partitions to the cluster or the pipeline deadlocks on tiny CPUs
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    joined = orders.join(
+        cust,
+        "inner",
+        num_partitions=max(2, min(8, n_cpu // 2)),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_table(sf_dir, "nation").take_all()
+    }
+    ref = ray.put(nation)
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(ref)
+        names = [nmap[k] for k in batch["c_nationkey"].to_pylist()]
+        return batch.append_column("n_name", pa.array(names, pa.string()))
+
+    out = (
+        joined.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="rev"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = np.round(out["rev"], 2)
+    return out[["n_name", "revenue", "n_orders"]]
+
+
+SQL_NATION_REVENUE = (
+    "SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+)
+
+
+# ----------------------------------------------------- text analysis suite
+
+def q_token_counts(sf_dir: str):
+    def counts(batch: pa.Table) -> pa.Table:
+        _, _, doc_len = flatten_tokens(batch["text"])
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(doc_len.astype(np.int64))}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(counts, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = (
+    f"WITH toks AS ({_TOKS_SQL}) "
+    "SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id"
+)
+
+
+def q_quality(sf_dir: str):
+    def qual(batch: pa.Table) -> pa.Table:
+        stats = quality_batch(batch["text"])
+        t = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": stats["n_tokens"],
+                "n_stopwords": stats["n_stopwords"],
+                "stop_ratio": stats["stop_ratio"],
+                "mean_token_len": stats["mean_token_len"],
+            }
+        )
+        return t.filter(pc.greater(t["n_tokens"], 0))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(qual, batch_format="pyarrow")
+
+
+SQL_QUALITY = (
+    f"WITH toks AS ({_TOKS_SQL}), agg AS ("
+    "SELECT doc_id, count(*) AS n_tokens, "
+    "CAST(sum(CASE WHEN term IN ("
+    + ", ".join(f"'{w}'" for w in STOPWORDS)
+    + ") THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords, "
+    "sum(length(term)) AS sum_len FROM toks GROUP BY doc_id) "
+    "SELECT doc_id, n_tokens, n_stopwords, "
+    "n_stopwords::DOUBLE / n_tokens AS stop_ratio, "
+    "sum_len::DOUBLE / n_tokens AS mean_token_len FROM agg"
+)
+
+
+def q_fingerprints(sf_dir: str):
+    ds = dedup.add_content_hash(_docs(sf_dir, ["doc_id", "text"]), out_col="fp")
+    return ds.select_columns(["doc_id", "fp"])
+
+
+SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_langid_predictions(sf_dir: str):
+    """Heuristic language-ID counts (no SQL oracle — model op)."""
+
+    def pred(batch: pa.Table) -> pa.Table:
+        preds = [lang_id(t) for t in batch["text"].to_pylist()]
+        return pa.table({"pred_lang": pa.array(preds, pa.string())})
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(pred, batch_format="pyarrow")
+        .groupby("pred_lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# -------------------------------------------------------------- embeddings
+
+def _query_vectors(sf_dir, n=3):
+    t = read_table(sf_dir, "embeddings", ["vec_id", "embedding"]).take(n)
+    rows = sorted(t, key=lambda r: r["vec_id"])[:n]
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    q = _query_vectors(sf_dir, 3)
+    res = ann.knn_brute(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=10
+    )
+    res["rank"] = res["rank"].astype(np.int64)
+    return res
+
+
+SQL_ANN_TOPK = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+    "FROM embeddings WHERE vec_id < 3) "
+    "SELECT query_id, rank, vec_id, score FROM ("
+    "SELECT q.query_id, e.vec_id, "
+    "round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS score, "
+    "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+    "round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) DESC, e.vec_id"
+    ") AS rank FROM q CROSS JOIN embeddings e) WHERE rank <= 10"
+)
+
+
+def q_embedding_neardup(sf_dir: str):
+    return dedup.embedding_neardup_pairs(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+    )
+
+
+SQL_EMBEDDING_NEARDUP = (
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+    "b.embedding::DOUBLE[]), 6) AS cosine "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], "
+    "b.embedding::DOUBLE[]), 6) >= 0.4"
+)
+
+
+def q_ann_lsh(sf_dir: str):
+    """Approximate ANN (no SQL oracle — rows-only driver check; recall is
+    pytest-verified against brute force)."""
+    q = _query_vectors(sf_dir, 3)
+    return ann.knn_lsh(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        q, k=10, n_bits=4, n_tables=8,
+    )
+
+
+# ---------------------------------------------------- BM25 flagship (Q1-Q4)
+
+_BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["data", "query", "fast"]),
+    (1, ["merge", "sort"]),
+    (2, ["window", "stream", "batch"]),
+    (3, ["hash", "join", "table"]),
+    (4, ["slow", "scan"]),
+    (5, ["spark", "row", "group"]),
+    (6, ["filter", "value"]),
+    (7, ["customer", "line", "agg"]),
+]
+
+
+def _bm25_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_BM25_TOPK = _bm25_sql(_BM25_QUERIES)
+
+
+def q_bm25_topk(sf_dir: str):
+    """Build the real segment index over ``documents`` and run the real
+    searcher actors; output ranked on (round(score,6) DESC, doc_id) to
+    match the cross-engine float policy (bit-exact checks are in pytest)."""
+    idx = os.path.join(
+        tempfile.gettempdir(), f"dfr_idx_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    build_index(docs, idx, seg_docs=max(256, n // 8), resume=True)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _ in _BM25_QUERIES], pa.int64()),
+                "terms": pa.array(
+                    [t for _, t in _BM25_QUERIES], pa.list_(pa.string())
+                ),
+            }
+        )
+    )
+    # over-fetch then re-rank on the rounded score (cross-engine tie policy)
+    res = search(idx, qds, k=20, concurrency=2).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    out = []
+    for qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)[["query_id", "rank", "doc_id", "score"]]
+
+
+# --------------------------------------------- rows-only (non-SQL) entries
+
+def q_minhash_neardup(sf_dir: str):
+    cand = dedup.minhash_lsh_candidates(_docs(sf_dir, ["doc_id", "text"]))
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in _docs(sf_dir, ["doc_id", "text"]).take_all()
+    }
+    return dedup.verify_jaccard_pairs(cand, docs, threshold=0.8)
+
+
+def q_simhash_neardup(sf_dir: str):
+    return dedup.simhash_neardup_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_multimodal_decode(sf_dir: str):
+    base = _docs(sf_dir, ["doc_id"])
+    return multimodal.decode_images(
+        multimodal.add_fake_images(base), strict=False
+    )
+
+
+def q_pages_retrieval(sf_dir: str):
+    """Full web pipeline over the generated pages fixture (rows-only):
+    dedup -> extract-validate -> doc ids -> index -> NER+BM25 retrieval."""
+    from .. import fixtures
+    from . import flagship
+
+    n = 2000 if "0.1" in sf_dir else 500
+    pages = ray.data.from_arrow(fixtures.make_pages(n))
+    idx = os.path.join(tempfile.gettempdir(), f"dfr_pages_idx_{n}")
+    index_dir, docs = flagship.build_pages_index(
+        pages, idx, seg_docs=512, lang="en", resume=True
+    )
+    claims = ray.data.from_arrow(fixtures.make_claims(50, n_pages=n))
+    return flagship.retrieve(index_dir, claims, docs.materialize(), k=5)
+
+
+# ------------------------------------------------------------- registries
+
+QUERIES = {
+    "lang_counts": q_lang_counts,
+    "doc_length_stats": q_doc_length_stats,
+    "term_stats": q_term_stats,
+    "top20_terms": q_top20_terms,
+    "distinct_terms": q_distinct_terms,
+    "collection_stats": q_collection_stats,
+    "dedup_docs": q_dedup_docs,
+    "source_stats": q_source_stats,
+    "top5_longest_per_lang": q_top5_longest_per_lang,
+    "term_match_join": q_term_match_join,
+    "docs_without_terms": q_docs_without_terms,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "tpch_q1": q_tpch_q1,
+    "nation_revenue": q_nation_revenue,
+    "token_counts": q_token_counts,
+    "quality": q_quality,
+    "fingerprints": q_fingerprints,
+    "langid_predictions": q_langid_predictions,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "embedding_neardup": q_embedding_neardup,
+    "bm25_topk": q_bm25_topk,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "multimodal_decode": q_multimodal_decode,
+    "pages_retrieval": q_pages_retrieval,
+}
+
+ORACLES = {
+    "lang_counts": SQL_LANG_COUNTS,
+    "doc_length_stats": SQL_DOC_LENGTH_STATS,
+    "term_stats": SQL_TERM_STATS,
+    "top20_terms": SQL_TOP20_TERMS,
+    "distinct_terms": SQL_DISTINCT_TERMS,
+    "collection_stats": SQL_COLLECTION_STATS,
+    "dedup_docs": SQL_DEDUP_DOCS,
+    "source_stats": SQL_SOURCE_STATS,
+    "top5_longest_per_lang": SQL_TOP5_LONGEST_PER_LANG,
+    "term_match_join": SQL_TERM_MATCH_JOIN,
+    "docs_without_terms": SQL_DOCS_WITHOUT_TERMS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "tpch_q1": SQL_TPCH_Q1,
+    "nation_revenue": SQL_NATION_REVENUE,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality": SQL_QUALITY,
+    "fingerprints": SQL_FINGERPRINTS,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "bm25_topk": SQL_BM25_TOPK,
+    # langid_predictions, ann_lsh, minhash_neardup, simhash_neardup,
+    # multimodal_decode, pages_retrieval: non-SQL-expressible -> rows-only
+}

@@ -19,6 +19,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import splitmix64
+from .util import pool_size
 
 
 def _as_matrix(rows: list[list[float]]) -> np.ndarray:
@@ -71,7 +72,7 @@ def knn_brute(
             )
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        Score, batch_format="pyarrow", concurrency=2
+        Score, batch_format="pyarrow", concurrency=pool_size(2)
     )
     pdf = partials.to_pandas()  # k rows per (query, batch): tiny
     out = []
@@ -167,7 +168,7 @@ def knn_lsh(
             )
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        BucketScore, batch_format="pyarrow", concurrency=2
+        BucketScore, batch_format="pyarrow", concurrency=pool_size(2)
     )
     pdf = partials.to_pandas()
     if pdf.empty:

@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import hash_str_array, splitmix64
+from .util import pool_size
 from ..functions.tokenizer import tokenize
 
 
@@ -155,7 +156,7 @@ def minhash_lsh_candidates(
             "text_col": text_col, "n_perms": n_perms, "shingle_k": shingle_k,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
     rows_per_band = n_perms // bands
 
@@ -208,27 +209,31 @@ def verify_jaccard_pairs(
 ) -> "ray.data.Dataset":
     """Verify candidate pairs by true shingle Jaccard; ``docs_by_id`` is
     broadcast via ray.put by callers (small candidate universes) — at scale
-    replace with a join against the docs table on id_a/id_b."""
+    replace with a join against the docs table on id_a/id_b.
+
+    Stateless TASKS, not an actor pool: this stage usually sits downstream
+    of the MinHash actor pool, and two pools would together reserve every
+    CPU on a small cluster and deadlock the streaming executor
+    (ray_guide.md:128-131).  Tasks are elastic; ``ray.get`` of the
+    broadcast ref inside the task is an object-store read, not a re-ship.
+    """
     import ray as _ray
 
     ref = docs_by_id if isinstance(docs_by_id, _ray.ObjectRef) else _ray.put(docs_by_id)
 
-    class Verify:
-        def __init__(self):
-            self.docs = _ray.get(ref)
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        docs = _ray.get(ref)
+        sims = []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            sa = set(_shingles(docs[int(a)], shingle_k))
+            sb = set(_shingles(docs[int(b)], shingle_k))
+            union = len(sa | sb)
+            sims.append(len(sa & sb) / union if union else 0.0)
+        batch = batch.copy()
+        batch["jaccard"] = sims
+        return batch[batch["jaccard"] >= threshold]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sims = []
-            for a, b in zip(batch["id_a"], batch["id_b"]):
-                sa = set(_shingles(self.docs[int(a)], shingle_k))
-                sb = set(_shingles(self.docs[int(b)], shingle_k))
-                union = len(sa | sb)
-                sims.append(len(sa & sb) / union if union else 0.0)
-            batch = batch.copy()
-            batch["jaccard"] = sims
-            return batch[batch["jaccard"] >= threshold]
-
-    return pairs.map_batches(Verify, batch_format="pandas", concurrency=2)
+    return pairs.map_batches(verify, batch_format="pandas")
 
 
 # ------------------------------------------------------------------ SimHash
@@ -273,7 +278,7 @@ def simhash_neardup_pairs(
         )
 
     sims = ds.select_columns([id_col, text_col]).map_batches(
-        add_sim, batch_format="pyarrow", concurrency=concurrency
+        add_sim, batch_format="pyarrow", concurrency=pool_size(concurrency)
     )
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
@@ -369,7 +374,7 @@ def embedding_neardup_pairs(
             )
 
     return ds.select_columns([id_col, vec_col]).map_batches(
-        PairFinder, batch_format="pyarrow", concurrency=2
+        PairFinder, batch_format="pyarrow", concurrency=pool_size(2)
     )
 
 

@@ -25,6 +25,8 @@ import pyarrow as pa
 
 import ray.data
 
+from .util import pool_size
+
 MAGIC = b"FAKEIMG1"  # 8-byte header: magic | u16 width | u16 height | u8 ch
 
 
@@ -105,6 +107,6 @@ def decode_images(
         fn_constructor_kwargs={"strict": strict},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
         num_cpus=1,
     )

@@ -41,6 +41,7 @@ import ray.data
 
 from ..functions.tokenizer import tokenize_column
 from ..sources import manifest as mf
+from .util import pool_size
 
 K1 = 1.2
 B = 0.75
@@ -331,7 +332,7 @@ def search(
         fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
         num_cpus=1,
     )
 
@@ -388,7 +389,7 @@ def search_fanout(
         fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
         num_cpus=1,
     )
 

@@ -26,6 +26,7 @@ import ray
 import ray.data
 
 from ..functions.tokenizer import tokenize
+from .util import pool_size
 
 SPLITTER_VERSION = "sentsplit-v1"
 
@@ -135,7 +136,7 @@ def score_sentences_vs_claims(
                 }
             )
 
-    scored = sentences.map_batches(ScoreStage, batch_format="pyarrow", concurrency=2)
+    scored = sentences.map_batches(ScoreStage, batch_format="pyarrow", concurrency=pool_size(2))
 
     def topn(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(
