@@ -30,17 +30,45 @@ BENCH_QUERIES = 200
 
 def _pages_path(n: int) -> str:
     """Deterministic bench corpus, generated once and cached (untimed —
-    fixture synthesis is not part of the measured pipeline)."""
-    path = f"/tmp/dfr_bench_pages_{n}.parquet"
+    fixture synthesis is not part of the measured pipeline).
+
+    Rows are pure functions of (seed, i) (fixtures.py), so generation
+    parallelizes over row ranges with identical output: one parquet part
+    per 12.5k-row chunk, written to a temp dir and atomically renamed.
+    """
+    path = f"/tmp/dfr_bench_pages_{n}"
     if os.path.exists(path):
         return path
-    import pyarrow.parquet as pq
+    import ray
 
-    from defactonlp_ray import fixtures
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(
+            address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+    @ray.remote
+    def gen_chunk(start: int, end: int, out: str) -> str:
+        import pyarrow.parquet as pq
+
+        from defactonlp_ray import fixtures
+
+        pq.write_table(fixtures.make_pages_range(start, end), out)
+        return out
 
     tmp = path + ".tmp"
-    pq.write_table(fixtures.make_pages(n), tmp)
+    os.makedirs(tmp, exist_ok=True)
+    chunk = 12500
+    refs = [
+        gen_chunk.remote(s, min(s + chunk, n), os.path.join(tmp, f"part-{s:09d}.parquet"))
+        for s in range(0, n, chunk)
+    ]
+    ray.get(refs)
     os.replace(tmp, path)
+    if owns_ray:
+        ray.shutdown()
     return path
 
 
@@ -80,9 +108,12 @@ def run_bench() -> dict:
     shutil.rmtree(idx, ignore_errors=True)
 
     t0 = time.perf_counter()
-    pages = ray.data.read_parquet(pages_path)
+    from defactonlp_ray.sources.readers import read_pages
+
+    # lang filter pushed into the parquet read (row-group predicate)
+    pages = read_pages(pages_path, lang="en")
     index_dir, docs = flagship.build_pages_index(
-        pages, idx, seg_docs=4096, lang="en", resume=False
+        pages, idx, seg_docs=4096, lang=None, resume=False
     )
     build_sec = time.perf_counter() - t0
     timings["index_build"] = build_sec
@@ -100,14 +131,15 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     qds = ray.data.from_arrow(qtbl).repartition(num_cpus)
     res = S.search(
-        index_dir, qds, k=10, concurrency=min(8, num_cpus), batch_size=32
+        index_dir, qds, k=10, concurrency=min(8, num_cpus), batch_size=32,
+        preload=True,
     )
     n_results = res.count()
     query_sec = time.perf_counter() - t0
     timings["bm25_batch"] = query_sec
 
     # online-serving p95: warm single-process reader, one query at a time
-    reader = S.IndexReader(index_dir)
+    reader = S.IndexReader(index_dir, preload=True)
     lat = []
     warm = queries[:10]
     for qid, terms in warm:  # warm caches, untimed
@@ -158,10 +190,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    _pages_path(BENCH_PAGES)  # generate once so both levels share the input
+    # scaling needs parallel compute to dominate fixed per-stage overheads,
+    # so default to a 4x corpus unless the caller pinned one
+    n = int(os.environ.get("DFR_BENCH_PAGES", str(4 * BENCH_PAGES)))
+    _pages_path(n)  # generate once so both levels share the input
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), DFR_BENCH_PAGES=str(n)
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -74,9 +74,16 @@ def make_pages(n: int, seed: int = SEED) -> pa.Table:
     (content-dedup D1 targets); ~1% duplicate an earlier url with a later
     warc_ts (url-dedup / as-of pick F5 targets).
     """
+    return make_pages_range(0, n, seed)
+
+
+def make_pages_range(start: int, end: int, seed: int = SEED) -> pa.Table:
+    """Rows [start, end) of the pinned corpus — every cell is a pure
+    function of (seed, i), so chunked parallel generation concatenates to
+    exactly ``make_pages(end)`` sliced (used by bench.py)."""
     assert seed == SEED, "fixtures are pinned to seed 42 (FIXTURES.md)"
     urls, tss, htmls, texts, langs = [], [], [], [], []
-    for i in range(n):
+    for i in range(start, end):
         rng = _rng(i, tag=0)
         url = f"https://example.org/d/{i:08d}"
         r = rng.random()

