@@ -1,0 +1,82 @@
+"""Mergeable sketches (SURVEY.md §2.5 G7 — optional telemetry ops).
+
+HyperLogLog for distinct-count estimation: one sketch per batch inside
+``map_batches``, merged in a tiny second stage — the mergeable-sketch
+aggregation pattern (ray_guide.md:158-160).  Plain numpy, 2^p registers,
+standard bias-corrected estimator (Flajolet et al. 2007).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import hash_str_array
+
+
+class HLL:
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hs: np.ndarray) -> "HLL":
+        idx = (hs >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = hs << np.uint64(self.p)
+        # rank = leading zeros of remaining bits + 1 (capped)
+        nz = rest != 0
+        lz = np.full(hs.shape, 64 - self.p + 1, dtype=np.uint8)
+        if nz.any():
+            r = rest[nz]
+            bits = 63 - np.floor(np.log2(r.astype(np.float64))).astype(np.int64)
+            lz[nz] = (bits + 1).clip(1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, lz)
+        return self
+
+    def add_strings(self, strs) -> "HLL":
+        return self.add_hashes(hash_str_array(list(strs)))
+
+    def merge(self, other: "HLL") -> "HLL":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        s = np.sum(2.0 ** (-self.registers.astype(np.float64)))
+        e = alpha * m * m / s
+        if e <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                e = m * np.log(m / zeros)
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HLL":
+        h = cls(b[0])
+        h.registers = np.frombuffer(b[1:], dtype=np.uint8).copy()
+        return h
+
+
+def hll_distinct_terms(ds, text_col: str = "text", p: int = 12) -> float:
+    """Distinct-term estimate over a text column: per-batch HLL sketches
+    (one serialized sketch row per batch) merged driver-side."""
+    import pyarrow as pa
+
+    from .tokenizer import flatten_tokens
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        terms, _, _ = flatten_tokens(batch[text_col])
+        h = HLL(p).add_strings(terms.to_pylist())
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    acc = HLL(p)
+    for r in parts:
+        acc.merge(HLL.from_bytes(r["sketch"]))
+    return acc.estimate()

@@ -84,6 +84,23 @@ def flatten_tokens(
     return terms, row_idx, doc_len
 
 
+def ngrams(tokens: list[str], n: int = 2) -> list[str]:
+    """Word n-grams joined with a space — DrQA builds hashed uni+bigram
+    features (fever-baselines retriever/utils.py ngrams, unverified);
+    exposed for feature-parity consumers.  The BM25 engine itself is
+    pinned to unigrams (SURVEY.md §2.2 M4: exact-term engine keeps terms
+    as strings)."""
+    if n <= 1:
+        return list(tokens)
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def uni_bigrams(text: str) -> list[str]:
+    """DrQA-shaped feature stream: unigrams followed by bigrams."""
+    toks = tokenize(text)
+    return toks + ngrams(toks, 2)
+
+
 def term_count_table(
     texts: pa.Array | pa.ChunkedArray, doc_ids: pa.Array | pa.ChunkedArray
 ) -> tuple[pa.Table, np.ndarray]:

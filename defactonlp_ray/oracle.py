@@ -27,7 +27,11 @@ from .functions.tokenizer import tokenize
 
 K1 = 1.2
 B = 0.75
-ORACLE_VERSION = "oracle-v1"
+# v2: score expression pinned as idf * (weight) with
+# weight = (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)) — the weight is
+# idf-independent so engines may precompute it per posting; the extra
+# parentheses change float rounding vs v1, so goldens were regenerated.
+ORACLE_VERSION = "oracle-v2"
 
 
 class OracleIndex:
@@ -64,8 +68,8 @@ class OracleIndex:
             idf = self.idf(term)
             for doc_id, tf in plist:
                 dl = self.doc_len[doc_id]
-                s = idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
-                scores[doc_id] = scores.get(doc_id, 0.0) + s
+                w = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                scores[doc_id] = scores.get(doc_id, 0.0) + idf * w
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 

@@ -23,7 +23,6 @@ from ..functions.ner import NerStage
 from ..functions.textnorm import norm_match_key, norm_match_key_column
 from ..functions.tokenizer import tokenize
 from ..stages import search as S
-from ..stages.dedup import url_dedup_latest
 from ..stages.docids import assign_doc_ids
 from ..stages.index_build import build_index
 from ..stages.util import pool_size
@@ -50,18 +49,20 @@ def prepare_docs(
         title = pc.list_element(pc.split_pattern(batch["text"], "\n"), 0)
         return batch.append_column("title_norm", norm_match_key_column(title))
 
-    # url dedup FIRST: its winners pass projects (url, warc_ts) straight
-    # off the source read (projection pushdown), before any opaque
-    # map_batches blocks pruning.  When possible push the lang filter into
-    # the read itself (sources.readers.read_pages(lang=...)) and pass
-    # lang=None here.
-    ds = url_dedup_latest(pages)
+    # Order: lang filter (prefer pushing it into the read —
+    # sources.readers.read_pages(lang=...) — and passing lang=None) ->
+    # extraction (drops the wide html column EARLY, before any exchange)
+    # -> id assignment with the url as-of dedup FUSED into its sort
+    # (duplicate urls are adjacent under the (url, warc_ts) order, so
+    # keep-latest is a per-block dedup + boundary rule; no separate
+    # winners pass over the corpus).
+    ds = pages
     if lang:
         ds = ds.map_batches(
             lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"
         )
     ds = ds.map_batches(extract_check, batch_format="pyarrow")
-    ds = assign_doc_ids(ds, key="url")
+    ds = assign_doc_ids(ds, key="url", latest_by="warc_ts")
     return ds.select_columns(["doc_id", "url", "text", "title_norm"])
 
 
@@ -71,8 +72,11 @@ def build_pages_index(
 ) -> tuple[str, "ray.data.Dataset"]:
     """Full build entry point A (SURVEY.md §3.1). Returns (index_dir, docs)."""
     docs = prepare_docs(pages, lang=lang)
+    # assign_doc_ids leaves docs materialized in doc_id order with dense
+    # ids -> the zero-shuffle sorted build layout applies
     build_index(
-        docs, index_dir, url_col="url", seg_docs=seg_docs, resume=resume
+        docs, index_dir, url_col="url", seg_docs=seg_docs, resume=resume,
+        layout="sorted",
     )
     return index_dir, docs
 

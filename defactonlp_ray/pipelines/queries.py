@@ -637,6 +637,43 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_hll_distinct_terms(sf_dir: str):
+    """Approximate distinct-term count via mergeable per-batch HLL
+    sketches (G7; rows-only — approximate by design, exact twin is
+    ``distinct_terms``)."""
+    from ..functions.sketches import hll_distinct_terms
+
+    est = hll_distinct_terms(_docs(sf_dir, ["text"]))
+    return pd.DataFrame({"n_terms_estimate": [est]})
+
+
+def q_retrieval_eval(sf_dir: str):
+    """Entry point C (rows-only): flagship retrieval over the pages
+    fixture scored against its own nested gold evidence (J3+G5)."""
+    from .. import fixtures
+    from ..stages.evaluate import evaluate_retrieval
+    from . import flagship
+
+    n = 500
+    pages = ray.data.from_arrow(fixtures.make_pages(n))
+    idx = os.path.join(tempfile.gettempdir(), f"dfr_eval_idx_{n}")
+    index_dir, docs = flagship.build_pages_index(
+        pages, idx, seg_docs=256, lang=None, resume=True
+    )
+    docs = docs.materialize()
+    claims_tbl = fixtures.make_claims(60, n_pages=n)
+    claims = ray.data.from_arrow(claims_tbl)
+    res = flagship.retrieve(index_dir, claims, docs, k=10)
+    url_of_doc = {
+        r["doc_id"]: r["url"]
+        for r in docs.select_columns(["doc_id", "url"]).take_all()
+    }
+    return evaluate_retrieval(
+        res.select_columns(["query_id", "rank", "doc_id", "score"]),
+        claims, url_of_doc=url_of_doc, k=10,
+    )
+
+
 def q_pages_retrieval(sf_dir: str):
     """Full web pipeline over the generated pages fixture (rows-only):
     dedup -> extract-validate -> doc ids -> index -> NER+BM25 retrieval."""
@@ -683,6 +720,8 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "multimodal_decode": q_multimodal_decode,
     "pages_retrieval": q_pages_retrieval,
+    "hll_distinct_terms": q_hll_distinct_terms,
+    "retrieval_eval": q_retrieval_eval,
 }
 
 ORACLES = {

@@ -66,7 +66,11 @@ def varint_encode(values: np.ndarray) -> bytes:
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     """Decode a varint byte string back to uint64, vectorized.
 
-    ``count`` (when known) is a consistency check only.
+    ``count`` (when known) is a consistency check only.  Fast path: a
+    stream with no continuation bytes is just the byte array (common for
+    tf/dl and dense-posting gap streams).  General path assembles values
+    per byte-position with plain fancy indexing — each value has at most
+    one byte per position, so no scatter-add (np.add.at is ~100x slower).
     """
     arr = np.frombuffer(buf, dtype=np.uint8)
     if arr.size == 0:
@@ -75,6 +79,8 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     n = int(is_last.sum())
     if count is not None and n != count:
         raise ValueError(f"varint stream has {n} values, expected {count}")
+    if n == arr.size:  # no continuation bytes at all
+        return arr.astype(np.uint64)
     # group id of each byte = index of the value it belongs to
     group = np.empty(arr.size, dtype=np.int64)
     group[0] = 0
@@ -83,10 +89,13 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     starts = np.zeros(n, dtype=np.int64)
     ends = np.flatnonzero(is_last)
     starts[1:] = ends[:-1] + 1
-    pos = np.arange(arr.size, dtype=np.int64) - starts[group]
+    pos = (np.arange(arr.size, dtype=np.int64) - starts[group]).astype(np.uint64)
+    payload = (arr & 0x7F).astype(np.uint64)
     vals = np.zeros(n, dtype=np.uint64)
-    contrib = (arr & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
-    np.add.at(vals, group, contrib)
+    maxpos = int(pos.max())
+    for p in range(maxpos + 1):
+        sel = pos == p
+        vals[group[sel]] |= payload[sel] << np.uint64(7 * p)
     return vals
 
 

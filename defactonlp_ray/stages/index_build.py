@@ -14,9 +14,9 @@ it with doc-partitioned SPIMI segments (IIR ch.4):
 Scale notes (the design the sandbox run evidences):
 * Postings never participate in a global all-to-all: each segment builds
   its postings locally from its own docs.  The only shuffles are (a) the
-  doc->segment exchange, which disappears entirely when the input Parquet
-  is already laid out by doc range (pass ``assume_partitioned=True`` to use
-  per-batch segments), and (b) the term-stats groupby, whose input is
+  doc->segment exchange, which disappears entirely when the input is
+  already doc-ordered (``layout="sorted"``), and (b) the term-stats
+  groupby, whose input is
   already combined to ONE row per (term, segment) — the classic
   partial/combiner pattern (ray_guide.md:154-158), so even a
   nearly-every-doc head term like a stopword contributes at most
@@ -61,18 +61,36 @@ def build_index(
     seg_docs: int = DEFAULT_SEG_DOCS,
     codec: str = "varint",
     resume: bool = True,
+    layout: str = "grouped",
 ) -> str:
     """Build (or resume) the index for ``ds`` into ``index_dir``.
 
     ``ds`` must carry dense-ish int64 ``doc_id`` (use
     :func:`defactonlp_ray.stages.docids.assign_doc_ids` for raw pages) —
     segments are the ranges ``[sid*seg_docs, (sid+1)*seg_docs)``.
+
+    ``layout``:
+    * ``"grouped"`` — general path: ``groupby(sid).map_groups`` (one
+      doc->segment exchange, any input layout).
+    * ``"sorted"`` — zero-shuffle fast path when ``ds`` is already
+      doc_id-ordered across blocks with dense ids starting at 0 (exactly
+      what assign_doc_ids yields): segment tasks slice the ordered block
+      refs directly (each block feeds <=2 segments), no exchange at all.
+      The groupby's shuffle machinery was measured as a ~5s CPU-count-
+      independent cost — this path removes it and is what makes build
+      throughput scale with cluster size.
     """
     os.makedirs(index_dir, exist_ok=True)
     done = set(mf.read_manifest(index_dir)) if resume else set()
 
     cols = [doc_id_col, text_col] + ([url_col] if url_col else [])
     ds = ds.select_columns(cols)
+
+    if layout == "sorted":
+        _build_sorted(ds, index_dir, doc_id_col, text_col, url_col,
+                      seg_docs, codec, done)
+        _write_stats(index_dir)
+        return index_dir
 
     def add_sid(batch: pa.Table) -> pa.Table:
         sid = pc.cast(
@@ -101,67 +119,139 @@ def build_index(
     return index_dir
 
 
+@ray.remote
+def _block_count(blk: pa.Table) -> int:
+    return blk.num_rows
+
+
+@ray.remote
+def _sorted_segment_task(index_dir, sid, slices, doc_id_col, text_col,
+                         url_col, codec):
+    """Build one segment from (block, offset, length) slices of the
+    ordered materialized blocks — refs resolve zero-copy from plasma."""
+    from .docids import _as_arrow
+
+    blocks = [_as_arrow(b) for b in ray.get([r for r, _, _ in slices])]
+    parts = [b.slice(off, ln) for b, (_, off, ln) in zip(blocks, slices)]
+    group = pa.concat_tables(parts)
+    return _build_segment_table(group, sid, index_dir, doc_id_col,
+                                text_col, url_col, codec)
+
+
+def _build_sorted(ds, index_dir, doc_id_col, text_col, url_col, seg_docs,
+                  codec, done):
+    from .docids import _block_refs, _probed_order
+
+    ds = ds.materialize()
+    # blocks explicitly ordered by first doc_id — bundle iteration order
+    # follows execution completion, not logical order
+    refs, probes = _probed_order(_block_refs(ds), doc_id_col, None)
+    counts = [p["n"] for p in probes]
+    # sorted layout precondition: dense contiguous ids from 0
+    ok = bool(probes) and probes[0]["first"] == 0 and all(
+        probes[i + 1]["first"] == probes[i]["last"] + 1
+        for i in range(len(probes) - 1)
+    ) and all(p["last"] - p["first"] + 1 == p["n"] for p in probes)
+    if not ok:
+        raise ValueError(
+            "layout='sorted' requires dense doc_ids starting at 0 in "
+            "block order (assign_doc_ids output); use layout='grouped'"
+        )
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    total = int(starts[-1])
+    tasks = []
+    for seg_start in range(0, total, seg_docs):
+        sid = seg_start // seg_docs
+        if sid in done:
+            continue
+        seg_end = min(seg_start + seg_docs, total)
+        slices = []
+        for bi, ref in enumerate(refs):
+            b0, b1 = int(starts[bi]), int(starts[bi + 1])
+            lo, hi = max(seg_start, b0), min(seg_end, b1)
+            if lo < hi:
+                slices.append((ref, lo - b0, hi - lo))
+        tasks.append(
+            _sorted_segment_task.remote(
+                index_dir, sid, slices, doc_id_col, text_col, url_col, codec
+            )
+        )
+    ray.get(tasks)
+
+
+def _build_segment_table(group: pa.Table, sid: int, index_dir, doc_id_col,
+                         text_col, url_col, codec) -> dict:
+    """Shared segment-build kernel (both layouts): tokenize, sort, encode,
+    write atomically, append manifest.  ``group`` must hold exactly the
+    segment's docs."""
+    final_dir = mf.segment_dir(index_dir, sid)
+    if os.path.isdir(final_dir):  # lost retry race / resume overlap
+        return {"sid": sid, "skipped": True}
+    group = group.sort_by(doc_id_col)
+    doc_ids = group[doc_id_col].combine_chunks()
+    tf_table, doc_len = term_count_table(group[text_col], doc_ids)
+    tf_table = tf_table.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+
+    # per-posting dl via searchsorted over the (sorted) group docids
+    did_np = doc_ids.to_numpy()
+    post_doc = tf_table["doc_id"].to_numpy()
+    dl_of_post = doc_len[np.searchsorted(did_np, post_doc)]
+
+    terms = tf_table["term"].to_numpy(zero_copy_only=False)
+    tfs = tf_table["tf"].to_numpy().astype(np.int64)
+    uniq_terms, starts = np.unique(terms, return_index=True)
+    bounds = np.append(starts, terms.size)
+
+    rows = []
+    for i, term in enumerate(uniq_terms):
+        lo, hi = bounds[i], bounds[i + 1]
+        enc = encode_postings(post_doc[lo:hi], tfs[lo:hi], dl_of_post[lo:hi], codec)
+        enc["term"] = str(term)
+        enc["cf"] = int(tfs[lo:hi].sum())
+        rows.append(enc)
+    postings = pa.Table.from_pylist(rows)
+
+    n_docs = group.num_rows
+    total_len = int(doc_len.sum())
+    with mf.atomic_write_dir(final_dir) as tmp:
+        pq.write_table(postings, os.path.join(tmp, "postings.parquet"))
+        dstats = {
+            "doc_id": doc_ids,
+            "doc_len": pa.array(doc_len, pa.int32()),
+        }
+        if url_col:
+            dstats["url"] = group[url_col]
+        pq.write_table(pa.table(dstats), os.path.join(tmp, "docstats.parquet"))
+        meta = {
+            "sid": sid,
+            "n_docs": n_docs,
+            "total_len": total_len,
+            "n_terms": len(rows),
+            "n_postings": int(tf_table.num_rows),
+            "doc_lo": int(did_np[0]),
+            "doc_hi": int(did_np[-1]),
+            "codec": codec,
+            "codec_version": CODEC_VERSION,
+            "tokenizer_version": TOKENIZER_VERSION,
+        }
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    mf.append_manifest(index_dir, meta)
+    return meta
+
+
 def _make_segment_builder(index_dir, doc_id_col, text_col, url_col, codec):
     def build_segment(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _report(-1, 0, 0, 0)
         sid = int(group["sid"][0].as_py())
-        final_dir = mf.segment_dir(index_dir, sid)
-        if os.path.isdir(final_dir):  # lost retry race / resume overlap
+        out = _build_segment_table(
+            group.drop_columns(["sid"]), sid, index_dir, doc_id_col,
+            text_col, url_col, codec,
+        )
+        if out.get("skipped"):
             return _report(sid, 0, 0, 0)
-        group = group.sort_by(doc_id_col)
-        doc_ids = group[doc_id_col].combine_chunks()
-        tf_table, doc_len = term_count_table(group[text_col], doc_ids)
-        tf_table = tf_table.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-
-        # per-posting dl via searchsorted over the (sorted) group docids
-        did_np = doc_ids.to_numpy()
-        post_doc = tf_table["doc_id"].to_numpy()
-        dl_of_post = doc_len[np.searchsorted(did_np, post_doc)]
-
-        terms = tf_table["term"].to_numpy(zero_copy_only=False)
-        tfs = tf_table["tf"].to_numpy().astype(np.int64)
-        uniq_terms, starts = np.unique(terms, return_index=True)
-        order = np.argsort(starts)
-        uniq_terms, starts = uniq_terms[order], starts[order]
-        bounds = np.append(starts, terms.size)
-
-        rows = []
-        for i, term in enumerate(uniq_terms):
-            lo, hi = bounds[i], bounds[i + 1]
-            enc = encode_postings(post_doc[lo:hi], tfs[lo:hi], dl_of_post[lo:hi], codec)
-            enc["term"] = str(term)
-            enc["cf"] = int(tfs[lo:hi].sum())
-            rows.append(enc)
-        postings = pa.Table.from_pylist(rows)
-
-        n_docs = group.num_rows
-        total_len = int(doc_len.sum())
-        with mf.atomic_write_dir(final_dir) as tmp:
-            pq.write_table(postings, os.path.join(tmp, "postings.parquet"))
-            dstats = {
-                "doc_id": doc_ids,
-                "doc_len": pa.array(doc_len, pa.int32()),
-            }
-            if url_col:
-                dstats["url"] = group[url_col]
-            pq.write_table(pa.table(dstats), os.path.join(tmp, "docstats.parquet"))
-            meta = {
-                "sid": sid,
-                "n_docs": n_docs,
-                "total_len": total_len,
-                "n_terms": len(rows),
-                "n_postings": int(tf_table.num_rows),
-                "doc_lo": int(did_np[0]),
-                "doc_hi": int(did_np[-1]),
-                "codec": codec,
-                "codec_version": CODEC_VERSION,
-                "tokenizer_version": TOKENIZER_VERSION,
-            }
-            with open(os.path.join(tmp, "meta.json"), "w") as f:
-                json.dump(meta, f)
-        mf.append_manifest(index_dir, meta)
-        return _report(sid, n_docs, len(rows), int(tf_table.num_rows))
+        return _report(sid, out["n_docs"], out["n_terms"], out["n_postings"])
 
     return build_segment
 
@@ -191,15 +281,27 @@ def _write_stats(index_dir: str) -> None:
         os.path.join(mf.segment_dir(index_dir, sid), "postings.parquet")
         for sid in sorted(recs)
     ]
-    parts = ray.data.read_parquet(seg_paths, columns=["term", "n", "cf"])
-    from ray.data.aggregate import Sum
-
-    df = parts.groupby("term").aggregate(
-        Sum("n", alias_name="df"), Sum("cf", alias_name="cf")
-    )
     stats_dir = os.path.join(index_dir, "stats")
-    with mf.atomic_write_dir(os.path.join(stats_dir, "term_df")) as tmp:
-        df.write_parquet(tmp)
+    total_term_rows = sum(r["n_terms"] for r in recs.values())
+    if total_term_rows <= 5_000_000:
+        # vocab fits comfortably on the driver: a direct pyarrow read +
+        # group_by beats a distributed groupby's task orchestration
+        tbl = pa.concat_tables(
+            pq.read_table(p, columns=["term", "n", "cf"]) for p in seg_paths
+        )
+        agg = tbl.group_by("term").aggregate([("n", "sum"), ("cf", "sum")])
+        agg = agg.rename_columns(["term", "df", "cf"])
+        with mf.atomic_write_dir(os.path.join(stats_dir, "term_df")) as tmp:
+            pq.write_table(agg.sort_by("term"), os.path.join(tmp, "part-0.parquet"))
+    else:
+        parts = ray.data.read_parquet(seg_paths, columns=["term", "n", "cf"])
+        from ray.data.aggregate import Sum
+
+        df = parts.groupby("term").aggregate(
+            Sum("n", alias_name="df"), Sum("cf", alias_name="cf")
+        )
+        with mf.atomic_write_dir(os.path.join(stats_dir, "term_df")) as tmp:
+            df.write_parquet(tmp)
     n_docs = sum(r["n_docs"] for r in recs.values())
     total_len = sum(r["total_len"] for r in recs.values())
     coll = {

@@ -68,6 +68,7 @@ class IndexReader:
         self._df: dict[str, int] = {}
         self._df_loaded_all = False
         self._postings: dict[tuple[int, str], Optional[dict]] = {}
+        self._term_arrays: dict = {}
         self._preloaded: set[int] = set()
         if preload:
             tbl = pq.read_table(
@@ -82,9 +83,44 @@ class IndexReader:
                 path = os.path.join(
                     mf.segment_dir(self.index_dir, sid), "postings.parquet"
                 )
-                for r in pq.read_table(path).to_pylist():
+                rows = pq.read_table(path).to_pylist()
+                self._decode_segment(rows)
+                for r in rows:
                     self._postings[(sid, r["term"])] = r
                 self._preloaded.add(sid)
+
+    def _decode_segment(self, rows: list[dict]) -> None:
+        """Bulk-decode a whole segment: varint streams are self-terminating
+        and byte-aligned, so the concatenation of every term's blob decodes
+        in ONE vectorized pass and slices by per-term counts — ~100x fewer
+        Python/numpy round-trips than per-term decode (measured dominant in
+        serving p95).  Also attaches the idf-independent weight array."""
+        from .codec import delta_decode, varint_decode
+
+        vrows = [r for r in rows if r.get("codec", "varint") == "varint"]
+        if vrows:
+            counts = np.array([r["n"] for r in vrows], dtype=np.int64)
+            bounds = np.concatenate([[0], np.cumsum(counts)])
+            total = int(bounds[-1])
+            gaps = varint_decode(b"".join(r["doc_blob"] for r in vrows), total)
+            tfs_all = varint_decode(b"".join(r["tf_blob"] for r in vrows), total)
+            dls_all = varint_decode(b"".join(r["dl_blob"] for r in vrows), total)
+            for i, r in enumerate(vrows):
+                lo, hi = bounds[i], bounds[i + 1]
+                docids = delta_decode(gaps[lo:hi])
+                tfs = tfs_all[lo:hi].astype(np.int64)
+                dls = dls_all[lo:hi].astype(np.int64)
+                r["decoded"] = (docids, tfs, dls)
+        for r in rows:
+            if "decoded" not in r:
+                from .codec import decode_postings
+
+                r["decoded"] = decode_postings(r)
+            tfs_f = r["decoded"][1].astype(np.float64)
+            dls_f = r["decoded"][2].astype(np.float64)
+            r["w"] = (tfs_f * (K1 + 1.0)) / (
+                tfs_f + K1 * (1.0 - B + B * dls_f / self.avgdl)
+            )
 
     # -- term -> global df (stats/term_df), filtered point reads
     def dfs(self, terms: list[str]) -> dict[str, int]:
@@ -131,17 +167,195 @@ class IndexReader:
             from .codec import decode_postings
 
             row["decoded"] = decode_postings(row)
+            docids, tfs, dls = row["decoded"]
+            # idf-independent per-posting BM25 weight, cached at decode:
+            # score(t, d) = idf(t) * w  (expression pinned in oracle v2)
+            tfs_f = tfs.astype(np.float64)
+            dls_f = dls.astype(np.float64)
+            row["w"] = (tfs_f * (K1 + 1.0)) / (
+                tfs_f + K1 * (1.0 - B + B * dls_f / self.avgdl)
+            )
         return row
+
+    def term_arrays(self, seg_ids: list[int], term: str):
+        """(docids, w) concatenated across ``seg_ids`` (ascending sid =
+        ascending docids), cached — the serving hot path."""
+        key = (tuple(seg_ids), term)
+        hit = self._term_arrays.get(key)
+        if hit is not None or key in self._term_arrays:
+            return hit
+        parts_d, parts_w = [], []
+        for sid in seg_ids:
+            row = self.postings(sid, term)
+            if row is not None:
+                parts_d.append(row["decoded"][0])
+                parts_w.append(row["w"])
+        if not parts_d:
+            self._term_arrays[key] = None
+            return None
+        out = (np.concatenate(parts_d), np.concatenate(parts_w))
+        self._term_arrays[key] = out
+        return out
+
+
+def build_shared_index(index_dir: str) -> dict:
+    """Decode the whole index ONCE into plain numpy arrays keyed by term,
+    merged across segments (docid-ascending) — made to be ``ray.put`` once
+    and read zero-copy by every searcher actor on the node, instead of
+    each actor re-reading and re-decoding the segments (ray_guide.md:135).
+
+    Block-max metadata is recomputed over the merged lists (valid bounds —
+    same construction as the per-segment C3 stats)."""
+    from .codec import BLOCK, decode_postings, delta_decode, varint_decode
+
+    with open(os.path.join(index_dir, "stats", "collection.json")) as f:
+        coll = json.load(f)
+    n_docs, avgdl = coll["n_docs"], coll["avgdl"]
+    df_tbl = pq.read_table(
+        os.path.join(index_dir, "stats", "term_df"), columns=["term", "df"]
+    )
+    df_map = dict(
+        zip(df_tbl["term"].to_pylist(), (int(x) for x in df_tbl["df"].to_pylist()))
+    )
+    terms: dict[str, list] = {}
+    for sid in sorted(mf.read_manifest(index_dir)):
+        path = os.path.join(mf.segment_dir(index_dir, sid), "postings.parquet")
+        tbl = pq.read_table(
+            path, columns=["term", "n", "codec", "doc_blob", "tf_blob", "dl_blob"]
+        )
+        tnames = tbl["term"].to_pylist()
+        counts = np.asarray(tbl["n"].to_pylist(), dtype=np.int64)
+        codecs = tbl["codec"].to_pylist()
+        if all(c == "varint" for c in codecs):
+            bounds = np.concatenate([[0], np.cumsum(counts)])
+            total = int(bounds[-1])
+            gaps = varint_decode(b"".join(tbl["doc_blob"].to_pylist()), total)
+            tfs_all = varint_decode(b"".join(tbl["tf_blob"].to_pylist()), total)
+            dls_all = varint_decode(b"".join(tbl["dl_blob"].to_pylist()), total)
+            tfs_f = tfs_all.astype(np.float64)
+            dls_f = dls_all.astype(np.float64)
+            w_all = (tfs_f * (K1 + 1.0)) / (
+                tfs_f + K1 * (1.0 - B + B * dls_f / avgdl)
+            )
+            for i, t in enumerate(tnames):
+                lo, hi = bounds[i], bounds[i + 1]
+                terms.setdefault(t, []).append(
+                    (
+                        delta_decode(gaps[lo:hi]),
+                        tfs_all[lo:hi].astype(np.int64),
+                        dls_all[lo:hi].astype(np.int64),
+                        w_all[lo:hi],
+                    )
+                )
+        else:
+            for r in tbl.to_pylist():
+                docids, tfs, dls = decode_postings(r)
+                tfs_f = tfs.astype(np.float64)
+                dls_f = dls.astype(np.float64)
+                w = (tfs_f * (K1 + 1.0)) / (
+                    tfs_f + K1 * (1.0 - B + B * dls_f / avgdl)
+                )
+                terms.setdefault(r["term"], []).append((docids, tfs, dls, w))
+    merged: dict[str, dict] = {}
+    for term, rows in terms.items():
+        docids = np.concatenate([r[0] for r in rows])
+        tfs = np.concatenate([r[1] for r in rows])
+        dls = np.concatenate([r[2] for r in rows])
+        w = np.concatenate([r[3] for r in rows])
+        n = docids.size
+        nb = (n + BLOCK - 1) // BLOCK
+        pad = nb * BLOCK - n
+        if pad:
+            tf_m = np.concatenate([tfs, np.zeros(pad, np.int64)])
+            dl_m = np.concatenate([dls, np.full(pad, 2**31, np.int64)])
+        else:
+            tf_m, dl_m = tfs, dls
+        merged[term] = {
+            "n": n,
+            "docids": docids,
+            "tfs": tfs,
+            "dls": dls,
+            "w": w,
+            "blk_last_doc": [int(docids[min((i + 1) * BLOCK, n) - 1]) for i in range(nb)],
+            "blk_max_tf": tf_m.reshape(nb, BLOCK).max(axis=1).tolist(),
+            "blk_min_dl": dl_m.reshape(nb, BLOCK).min(axis=1).tolist(),
+        }
+    return {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "df": df_map,
+        "terms": merged,
+    }
+
+
+class SharedIndexReader:
+    """IndexReader-compatible facade over a ``build_shared_index`` dict
+    (typically resolved from a ray.put ref, zero-copy for the arrays).
+    One logical segment (sid 0) spanning the whole doc range."""
+
+    def __init__(self, shared: dict):
+        self.n_docs = shared["n_docs"]
+        self.avgdl = shared["avgdl"]
+        self._df = shared["df"]
+        self._terms = shared["terms"]
+        self.seg_ids = [0]
+
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        return {t: self._df.get(t, 0) for t in terms}
+
+    def idf(self, term: str) -> float:
+        import math
+
+        df = self._df.get(term, 0)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def load_postings(self, sid: int, terms: list[str]) -> None:
+        pass
+
+    def postings(self, sid: int, term: str):
+        e = self._terms.get(term)
+        if e is None:
+            return None
+        return {
+            "decoded": (e["docids"], e["tfs"], e["dls"]),
+            "w": e["w"],
+            "n": e["n"],
+            "blk_last_doc": e["blk_last_doc"],
+            "blk_max_tf": e["blk_max_tf"],
+            "blk_min_dl": e["blk_min_dl"],
+        }
+
+    def term_arrays(self, seg_ids, term):
+        e = self._terms.get(term)
+        if e is None:
+            return None
+        return (e["docids"], e["w"])
 
 
 # ----------------------------------------------------------------- scoring
 
-def _contrib_vec(idf: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
-    # Expression shape mirrors oracle.OracleIndex.bm25_topk exactly
-    # (left-assoc B*dl/avgdl), so each float64 op rounds identically.
-    tfs = tfs.astype(np.float64)
-    dls = dls.astype(np.float64)
-    return idf * (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+def _topk_exact(cscores: np.ndarray, cdocs: np.ndarray, k: int) -> list[tuple[float, int]]:
+    """Exact top-k by (-score, doc_id) in O(n): argpartition to find the
+    k-th score, then resolve the tie boundary by doc_id — avoids a full
+    lexsort over every candidate (head-term queries touch ~all docs)."""
+    n = cscores.size
+    if n <= k:
+        order = np.lexsort((cdocs, -cscores))
+        return [(float(cscores[i]), int(cdocs[i])) for i in order]
+    part = np.argpartition(-cscores, k - 1)[:k]
+    thresh = cscores[part].min()
+    gt = np.flatnonzero(cscores > thresh)
+    eq = np.flatnonzero(cscores == thresh)
+    need = k - gt.size
+    if need > 0:
+        eq_docs = cdocs[eq]
+        take = eq[np.argpartition(eq_docs, need - 1)[:need]] if eq.size > need else eq
+        sel = np.concatenate([gt, take])
+    else:
+        sel = gt[:k]  # cannot happen (gt < k by construction), defensive
+    order = np.lexsort((cdocs[sel], -cscores[sel]))
+    sel = sel[order]
+    return [(float(cscores[i]), int(cdocs[i])) for i in sel]
 
 
 def score_segment_taat(
@@ -161,25 +375,69 @@ def score_segment_taat(
     scores = np.zeros(width, dtype=np.float64)
     touched = np.zeros(width, dtype=bool)
     for t, row in rows:  # ascending-term accumulation order (pinned)
-        docids, tfs, dls = row["decoded"]
+        docids = row["decoded"][0]
         idx = docids - doc_lo
-        scores[idx] += _contrib_vec(idfs[t], tfs, dls, reader.avgdl)
+        scores[idx] += idfs[t] * row["w"]
         touched[idx] = True
     cand = np.flatnonzero(touched)
-    cscores = scores[cand]
-    cdocs = cand + doc_lo
-    if cand.size > k:
-        # exact top-k by (-score, doc_id)
-        order = np.lexsort((cdocs, -cscores))[:k]
-    else:
-        order = np.lexsort((cdocs, -cscores))
-    return [(float(cscores[i]), int(cdocs[i])) for i in order]
+    return _topk_exact(scores[cand], cand + doc_lo, k)
+
+
+def score_all_taat(
+    reader: IndexReader,
+    seg_ids: list[int],
+    terms_sorted: list[str],
+    idfs: dict[str, float],
+    k: int,
+) -> list[tuple[float, int]]:
+    """Q1+Q4 fused: exact TAAT over MANY segments with ONE dense
+    accumulator spanning the global doc range.
+
+    Valid because doc_ids are global and dense and BM25 uses only global
+    stats; per-(doc, term) contributions and the per-doc accumulation
+    order (ascending term) are identical to per-segment scoring + merge,
+    so results stay bit-for-bit equal to the oracle (tested).  Removes the
+    per-segment Python overhead that dominates p95 when one process serves
+    many segments."""
+    per_term: list[tuple[str, np.ndarray, np.ndarray]] = []
+    lo = None
+    hi = None
+    for t in terms_sorted:
+        arrs = reader.term_arrays(seg_ids, t)
+        if arrs is None:
+            continue
+        docids, w = arrs
+        per_term.append((t, docids, w))
+        tlo, thi = int(docids[0]), int(docids[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if not per_term:
+        return []
+    width = hi - lo + 1
+    if width > 100_000_000:
+        # dense accumulator would not fit; fall back to per-segment + merge
+        # (one process only faces this when serving far more doc range than
+        # a node would own in a real deployment)
+        parts = [
+            score_segment_taat(reader, sid, terms_sorted, idfs, k)
+            for sid in seg_ids
+        ]
+        return merge_topk(parts, k)
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for t, docids, w in per_term:  # ascending-term order (pinned)
+        idx = docids - lo
+        scores[idx] += idfs[t] * w
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    return _topk_exact(scores[cand], cand + lo, k)
 
 
 def _block_ub(idf: float, max_tf: int, min_dl: int, avgdl: float) -> float:
     # BM25 is increasing in tf, decreasing in dl -> f(max_tf, min_dl) bounds
-    # every posting in the block (stages/codec.py C3).
-    return idf * (max_tf * (K1 + 1.0)) / (max_tf + K1 * (1.0 - B + B * min_dl / avgdl))
+    # every posting in the block (stages/codec.py C3).  Same expression
+    # shape as the pinned scorer so equality cases round identically.
+    return idf * ((max_tf * (K1 + 1.0)) / (max_tf + K1 * (1.0 - B + B * min_dl / avgdl)))
 
 
 class _TermIter:
@@ -213,7 +471,7 @@ class _TermIter:
     def contrib(self) -> float:
         tf = float(self.tfs[self.ptr])
         dl = float(self.dls[self.ptr])
-        return self.idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+        return self.idf * ((tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl)))
 
 
 def score_segment_wand(
@@ -292,9 +550,16 @@ class SearcherActor:
     State (index reader + caches) loads once per actor in ``__init__``.
     """
 
-    def __init__(self, index_dir: str, k: int = 10, mode: str = "taat",
-                 seg_ids: Optional[list[int]] = None, preload: bool = False):
-        self.reader = IndexReader(index_dir, preload=preload)
+    def __init__(self, index_dir: str = "", k: int = 10, mode: str = "taat",
+                 seg_ids: Optional[list[int]] = None, preload: bool = False,
+                 index_ref=None):
+        if index_ref is not None:
+            import ray as _ray
+
+            shared = _ray.get(index_ref) if isinstance(index_ref, _ray.ObjectRef) else index_ref
+            self.reader = SharedIndexReader(shared)
+        else:
+            self.reader = IndexReader(index_dir, preload=preload)
         self.k = k
         self.mode = mode
         self.seg_ids = seg_ids if seg_ids is not None else self.reader.seg_ids
@@ -302,8 +567,12 @@ class SearcherActor:
     def _score_query(self, terms: list[str], idfs: dict[str, float],
                      seg_ids: list[int]) -> list[tuple[float, int]]:
         uniq = sorted(set(terms))
-        fn = score_segment_taat if self.mode == "taat" else score_segment_wand
-        parts = [fn(self.reader, sid, uniq, idfs, self.k) for sid in seg_ids]
+        if self.mode == "taat":
+            return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k)
+        parts = [
+            score_segment_wand(self.reader, sid, uniq, idfs, self.k)
+            for sid in seg_ids
+        ]
         return merge_topk(parts, self.k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -352,14 +621,24 @@ def search(
     concurrency: int = 4,
     batch_size: int = 256,
     preload: bool = False,
+    shared: bool = False,
 ) -> "ray.data.Dataset":
     """Main query pipeline: queries (query_id, terms) -> results
-    (query_id, rank, doc_id, score)."""
+    (query_id, rank, doc_id, score).
+
+    ``shared=True``: decode the index once on the driver, ``ray.put`` the
+    arrays, actors read them zero-copy — per-actor startup drops from a
+    full segment decode to an object-store get."""
+    import ray as _ray
+
+    ctor: dict = {"k": k, "mode": mode}
+    if shared:
+        ctor["index_ref"] = _ray.put(build_shared_index(index_dir))
+    else:
+        ctor.update({"index_dir": index_dir, "preload": preload})
     return queries.map_batches(
         SearcherActor,
-        fn_constructor_kwargs={
-            "index_dir": index_dir, "k": k, "mode": mode, "preload": preload,
-        },
+        fn_constructor_kwargs=ctor,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool_size(concurrency),

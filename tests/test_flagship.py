@@ -35,6 +35,13 @@ def test_prepare_docs_contract(built):
     assert sorted(pdf["doc_id"]) == list(range(len(pdf)))
     # doc_id is url-rank (pinned §7.6.1)
     assert list(pdf.sort_values("doc_id")["url"]) == sorted(pdf["url"])
+    # fused as-of dedup keeps the LATEST crawl per url (F5 semantics)
+    raw = fixtures.make_pages(800).to_pandas()
+    raw = raw[raw["lang"] == "en"]
+    want = raw.sort_values(["url", "warc_ts"]).drop_duplicates("url", keep="last")
+    merged = pdf.merge(want[["url", "text"]], on="url", suffixes=("", "_want"))
+    assert (merged["text"] == merged["text_want"]).all()
+    assert len(pdf) == len(want)
 
 
 def test_retrieval_routes(built):
