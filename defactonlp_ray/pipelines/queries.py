@@ -31,8 +31,14 @@ from ..functions.textstats import STOPWORDS, lang_id, quality_batch
 from ..functions.tokenizer import flatten_tokens, term_count_table
 from ..sources.readers import read_table
 from ..stages import ann, dedup, multimodal
+from ..stages.codec import CODEC_VERSION
 from ..stages.index_build import build_index
 from ..stages.search import SearcherActor, search
+from ..functions.tokenizer import TOKENIZER_VERSION
+
+# temp index dirs are tagged with the engine versions so indexes built by
+# older code are never resumed into (driver runs span code revisions)
+_VTAG = f"{TOKENIZER_VERSION}-{CODEC_VERSION}".replace("+", "_")
 
 # ---------------------------------------------------------------- helpers
 
@@ -588,7 +594,8 @@ def q_bm25_topk(sf_dir: str):
     searcher actors; output ranked on (round(score,6) DESC, doc_id) to
     match the cross-engine float policy (bit-exact checks are in pytest)."""
     idx = os.path.join(
-        tempfile.gettempdir(), f"dfr_idx_{os.path.basename(os.path.normpath(sf_dir))}"
+        tempfile.gettempdir(),
+        f"dfr_idx_{os.path.basename(os.path.normpath(sf_dir))}_{_VTAG}",
     )
     docs = _docs(sf_dir, ["doc_id", "text"])
     n = docs.count()
@@ -656,7 +663,7 @@ def q_retrieval_eval(sf_dir: str):
 
     n = 500
     pages = ray.data.from_arrow(fixtures.make_pages(n))
-    idx = os.path.join(tempfile.gettempdir(), f"dfr_eval_idx_{n}")
+    idx = os.path.join(tempfile.gettempdir(), f"dfr_eval_idx_{n}_{_VTAG}")
     index_dir, docs = flagship.build_pages_index(
         pages, idx, seg_docs=256, lang=None, resume=True
     )
@@ -674,6 +681,32 @@ def q_retrieval_eval(sf_dir: str):
     )
 
 
+def q_sentence_topn(sf_dir: str):
+    """K2 per-claim sentence top-n over the pages fixture (rows-only;
+    semantics pytest-verified in tests/test_flagship.py)."""
+    from .. import fixtures
+    from ..functions.tokenizer import tokenize
+    from ..stages import sentences as sent
+
+    n = 300
+    pages = ray.data.from_arrow(fixtures.make_pages(n))
+    docs = pages.map_batches(
+        lambda t: pa.table({
+            "doc_id": pa.array(range(t.num_rows), pa.int64()),
+            "text": t["text"],
+        }),
+        batch_format="pyarrow",
+    )
+    claims_tbl = fixtures.make_claims(20, n_pages=n)
+    triples = [
+        (r["query_id"], list(range(10)), tokenize(r["claim"]))
+        for r in claims_tbl.to_pylist()
+    ]
+    sents = sent.explode_sentences(docs)
+    sents = sent.semi_join_docs(sents, set(range(10)))
+    return sent.score_sentences_vs_claims(sents, triples, top_n=5)
+
+
 def q_pages_retrieval(sf_dir: str):
     """Full web pipeline over the generated pages fixture (rows-only):
     dedup -> extract-validate -> doc ids -> index -> NER+BM25 retrieval."""
@@ -682,7 +715,7 @@ def q_pages_retrieval(sf_dir: str):
 
     n = 2000 if "0.1" in sf_dir else 500
     pages = ray.data.from_arrow(fixtures.make_pages(n))
-    idx = os.path.join(tempfile.gettempdir(), f"dfr_pages_idx_{n}")
+    idx = os.path.join(tempfile.gettempdir(), f"dfr_pages_idx_{n}_{_VTAG}")
     index_dir, docs = flagship.build_pages_index(
         pages, idx, seg_docs=512, lang="en", resume=True
     )
@@ -722,6 +755,7 @@ QUERIES = {
     "pages_retrieval": q_pages_retrieval,
     "hll_distinct_terms": q_hll_distinct_terms,
     "retrieval_eval": q_retrieval_eval,
+    "sentence_topn": q_sentence_topn,
 }
 
 ORACLES = {
