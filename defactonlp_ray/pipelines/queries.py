@@ -341,6 +341,41 @@ SQL_EVENTS_SESSIONS = (
 )
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join (ray_guide.md:147-148 pattern): for each 'error' event,
+    the latest STRICTLY-earlier 'click' event of the same user —
+    pd.merge_asof inside per-user map_groups over ts-sorted groups."""
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        err = g[g["event_type"] == "error"].sort_values("ts")
+        clk = g[g["event_type"] == "click"].sort_values("ts")
+        if err.empty or clk.empty:
+            return pd.DataFrame({"event_id": [], "prior_event_id": []}).astype(np.int64)
+        m = pd.merge_asof(
+            err[["event_id", "ts"]],
+            clk[["event_id", "ts"]].rename(columns={"event_id": "prior_event_id"}),
+            on="ts", direction="backward", allow_exact_matches=False,
+        )
+        m = m.dropna(subset=["prior_event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype(np.int64),
+                "prior_event_id": m["prior_event_id"].astype(np.int64),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+SQL_EVENTS_ASOF = (
+    "SELECT e.event_id, p.event_id AS prior_event_id "
+    "FROM (SELECT * FROM events WHERE event_type = 'error') e "
+    "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') p "
+    "ON e.user_id = p.user_id AND e.ts > p.ts"
+)
+
+
 # ------------------------------------------------------------ TPC-H shapes
 
 def q_tpch_q1(sf_dir: str):
@@ -739,6 +774,7 @@ QUERIES = {
     "docs_without_terms": q_docs_without_terms,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "events_asof": q_events_asof,
     "tpch_q1": q_tpch_q1,
     "nation_revenue": q_nation_revenue,
     "token_counts": q_token_counts,
@@ -772,6 +808,7 @@ ORACLES = {
     "docs_without_terms": SQL_DOCS_WITHOUT_TERMS,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_asof": SQL_EVENTS_ASOF,
     "tpch_q1": SQL_TPCH_Q1,
     "nation_revenue": SQL_NATION_REVENUE,
     "token_counts": SQL_TOKEN_COUNTS,

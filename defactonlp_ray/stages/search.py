@@ -433,6 +433,67 @@ def score_all_taat(
     return _topk_exact(scores[cand], cand + lo, k)
 
 
+def score_all_tfidf(
+    reader,
+    seg_ids: list[int],
+    terms: list[str],
+    k: int,
+) -> list[tuple[float, int]]:
+    """DrQA-style TF-IDF scorer (fever-baselines/DrQA ranker formula,
+    arXiv:1704.00051): w(t, d) = log1p(tf) * idf_clip, query weight
+    log1p(query-tf) * idf_clip, idf_clip = max(0, ln((N-df+.5)/(df+.5)));
+    score = q . d.  Duplicate query terms raise the query weight (unlike
+    the BM25 path, which dedups).
+
+    Bit-identical to oracle.OracleIndex.tfidf_topk: log1p values come
+    from a math.log1p lookup over the (small-int) tf values, so numpy's
+    log1p rounding never diverges from the oracle's scalar math.
+    """
+    import math
+    from collections import Counter
+
+    qtf = Counter(terms)
+    uniq = sorted(qtf)
+    dfs = reader.dfs(uniq)
+    per_term = []
+    lo = hi = None
+    for t in uniq:
+        arrs_rows = []
+        for sid in seg_ids:
+            row = reader.postings(sid, t)
+            if row is not None:
+                arrs_rows.append(row["decoded"])
+        if not arrs_rows:
+            continue
+        df = dfs[t]
+        idf = math.log((reader.n_docs - df + 0.5) / (df + 0.5))
+        idf = max(idf, 0.0)
+        qw = math.log1p(qtf[t]) * idf
+        if qw == 0.0:
+            continue
+        docids = np.concatenate([a[0] for a in arrs_rows])
+        tfs = np.concatenate([a[1] for a in arrs_rows])
+        # math.log1p LUT over the distinct tf ints -> oracle-identical
+        vals = np.unique(tfs)
+        lut = np.array([math.log1p(float(v)) for v in vals])
+        dw = lut[np.searchsorted(vals, tfs)] * idf
+        per_term.append((t, docids, qw * dw))
+        tlo, thi = int(docids[0]), int(docids[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if not per_term:
+        return []
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for t, docids, contrib in per_term:  # ascending-term order (pinned)
+        idx = docids - lo
+        scores[idx] += contrib
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    return _topk_exact(scores[cand], cand + lo, k)
+
+
 def _block_ub(idf: float, max_tf: int, min_dl: int, avgdl: float) -> float:
     # BM25 is increasing in tf, decreasing in dl -> f(max_tf, min_dl) bounds
     # every posting in the block (stages/codec.py C3).  Same expression
@@ -566,6 +627,9 @@ class SearcherActor:
 
     def _score_query(self, terms: list[str], idfs: dict[str, float],
                      seg_ids: list[int]) -> list[tuple[float, int]]:
+        if self.mode == "tfidf":
+            # DrQA diagnostic route: duplicate query terms matter
+            return score_all_tfidf(self.reader, seg_ids, terms, self.k)
         uniq = sorted(set(terms))
         if self.mode == "taat":
             return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k)

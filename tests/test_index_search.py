@@ -108,6 +108,27 @@ def test_rank_and_score_identity_vs_oracle(index_dir, oracle_index, queries):
         assert got.get(qid, []) == want, f"query {qid} {terms}"
 
 
+def test_tfidf_route_matches_oracle(index_dir, oracle_index, queries):
+    """DrQA-style tf-idf diagnostic scorer: rank AND float64 score
+    identity vs oracle.tfidf_topk (duplicate query terms weighted)."""
+    dup_queries = [(qid, terms + terms[:1]) for qid, terms in queries[:15]]
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _ in dup_queries], pa.int64()),
+                "terms": pa.array([t for _, t in dup_queries], pa.list_(pa.string())),
+            }
+        )
+    )
+    res = S.search(index_dir, qds, k=K, mode="tfidf").take_all()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in dup_queries:
+        want = oracle_index.tfidf_topk(terms, K)
+        assert got.get(qid, []) == want, f"query {qid} {terms}"
+
+
 def test_wand_equals_exact(index_dir, queries):
     exact = S.search(index_dir, _qds(queries), k=K).take_all()
     wand = S.search(index_dir, _qds(queries), k=K, mode="wand").take_all()
