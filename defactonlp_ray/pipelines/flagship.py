@@ -29,7 +29,8 @@ from ..stages.util import pool_size
 
 
 def prepare_docs(
-    pages: "ray.data.Dataset", *, lang: str | None = "en", validate_extraction: bool = True
+    pages: "ray.data.Dataset", *, lang: str | None = "en",
+    validate_extraction: bool = True, content_dedup: bool = False,
 ) -> "ray.data.Dataset":
     """pages(url, warc_ts, html, text, lang) -> docs(doc_id, url, text,
     title_norm).  Drops ``html`` immediately after the extraction check
@@ -62,6 +63,13 @@ def prepare_docs(
             lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"
         )
     ds = ds.map_batches(extract_check, batch_format="pyarrow")
+    if content_dedup:
+        # D1 exact content dedup before tokenize (SURVEY.md §7.3): keep
+        # the min-url row per identical text (hash-partitioned groupby
+        # with per-batch combiner — stages/dedup.exact_dedup)
+        from ..stages.dedup import exact_dedup
+
+        ds = exact_dedup(ds, text_col="text", id_col="url")
     ds = assign_doc_ids(ds, key="url", latest_by="warc_ts")
     return ds.select_columns(["doc_id", "url", "text", "title_norm"])
 

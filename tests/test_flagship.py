@@ -44,6 +44,16 @@ def test_prepare_docs_contract(built):
     assert len(pdf) == len(want)
 
 
+def test_prepare_docs_content_dedup():
+    pages = ray.data.from_arrow(fixtures.make_pages(600))
+    with_dup = flagship.prepare_docs(pages, lang=None).to_pandas()
+    deduped = flagship.prepare_docs(pages, lang=None, content_dedup=True).to_pandas()
+    assert len(deduped) < len(with_dup)  # fixtures plant ~2% content dups
+    assert deduped["text"].is_unique
+    # ids stay dense ranks after dedup
+    assert sorted(deduped["doc_id"]) == list(range(len(deduped)))
+
+
 def test_retrieval_routes(built):
     index_dir, docs = built
     claims = ray.data.from_arrow(fixtures.make_claims(30, n_pages=800))
