@@ -1,0 +1,107 @@
+"""CLI entry points — the ``ray job submit`` surface of the engine.
+
+On a real cluster (north_rule):
+
+    ray job submit --working-dir . -- python -m defactonlp_ray.cli \\
+        build --pages s3://crawl/pages/ --index s3://idx/run1 --seg-docs 1000000
+    ray job submit --working-dir . -- python -m defactonlp_ray.cli \\
+        search --index s3://idx/run1 --claims claims.parquet --out results/
+
+In this sandbox the same commands run locally (``ray.init`` is guarded —
+the driver contract forbids library code from initializing Ray, so the
+guard lives here, in the only process that owns a session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_build(args) -> int:
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.flagship import build_pages_index
+    from .sources import manifest as mf
+    from .sources.readers import read_pages
+
+    pages = read_pages(args.pages, lang=args.lang or None)
+    index_dir, _docs = build_pages_index(
+        pages, args.index, seg_docs=args.seg_docs,
+        lang=None, resume=not args.no_resume,
+    )
+    recs = mf.read_manifest(index_dir)
+    print(json.dumps({
+        "index": index_dir,
+        "segments": len(recs),
+        "docs": sum(r["n_docs"] for r in recs.values()),
+        "postings": sum(r["n_postings"] for r in recs.values()),
+    }))
+    return 0
+
+
+def cmd_search(args) -> int:
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .sources.readers import read_claims
+    from .stages.evaluate import write_results
+    from .stages.search import search, tokenize_queries
+
+    claims = read_claims(args.claims)
+    qds = tokenize_queries(claims, text_col=args.text_col)
+    res = search(args.index, qds, k=args.k, mode=args.mode)
+    if args.out:
+        write_results(res, args.out)
+        print(json.dumps({"out": args.out, "rows": res.count()}))
+    else:
+        for r in res.take(args.limit):
+            print(json.dumps(r, default=str))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="defactonlp_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index from pages parquet")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--seg-docs", type=int, default=8192)
+    b.add_argument("--lang", default="en")
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="BM25 top-k over a built index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--claims", required=True)
+    s.add_argument("--text-col", default="claim")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--mode", default="taat", choices=["taat", "wand", "tfidf"])
+    s.add_argument("--out", default=None)
+    s.add_argument("--limit", type=int, default=20)
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_search)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

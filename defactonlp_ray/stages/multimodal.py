@@ -110,3 +110,94 @@ def decode_images(
         concurrency=pool_size(concurrency),
         num_cpus=1,
     )
+
+
+AUDIO_MAGIC = b"FAKEAUD1"  # magic | u32 sample_rate | u32 n_samples
+
+
+def make_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    rng = np.random.default_rng([43, seed])
+    body = rng.integers(-(2**15), 2**15, size=min(n_samples, 2048),
+                        dtype=np.int16).tobytes()
+    return AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples) + body
+
+
+def add_fake_audio(ds: "ray.data.Dataset", id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Attach an audio binary column + typed metadata (sample rate,
+    duration) — the audio flavor of the opaque-binary contract."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        blobs, rates, secs = [], [], []
+        for i in ids:
+            sr = 16000 if i % 2 == 0 else 44100
+            n = 1000 + (i % 10) * 500
+            blobs.append(make_fake_audio(sr, n, int(i)))
+            rates.append(sr)
+            secs.append(n / sr)
+        return (
+            batch.append_column("audio", pa.array(blobs, pa.binary()))
+            .append_column("sample_rate", pa.array(rates, pa.int32()))
+            .append_column("duration_s", pa.array(secs, pa.float64()))
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+class DecodeAudioStage:
+    """Audio feature-extract stage: stubbed like DecodeImageStage
+    (real codecs absent); strict=False parses the fixture header and
+    emits rms/sample stats so the plumbing is exercised end-to-end."""
+
+    def __init__(self, strict: bool = False, audio_col: str = "audio"):
+        self.strict = strict
+        self.audio_col = audio_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "audio decode requires soundfile/ffmpeg — not available; "
+                "run with strict=False for the deterministic stub"
+            )
+        rates, counts, rms = [], [], []
+        for blob in batch[self.audio_col].to_pylist():
+            if blob[:8] != AUDIO_MAGIC:
+                raise ValueError("unknown audio format (stub decoder)")
+            sr, n = struct.unpack("<II", blob[8:16])
+            body = np.frombuffer(blob[16:], dtype=np.int16).astype(np.float64)
+            rates.append(sr)
+            counts.append(n)
+            rms.append(float(np.sqrt(np.mean(body**2))) if body.size else 0.0)
+        return (
+            batch.drop_columns([self.audio_col])
+            .append_column("dec_sample_rate", pa.array(rates, pa.int32()))
+            .append_column("dec_n_samples", pa.array(counts, pa.int64()))
+            .append_column("rms", pa.array(rms, pa.float64()))
+        )
+
+
+def frame_sample(
+    ds: "ray.data.Dataset", *, every_n: int = 10, id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Video-shaped frame sampling over a 'frames' list column: keep every
+    n-th element — the vectorized explode/downsample pattern a real video
+    pipeline uses between decode and per-frame inference."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        frames = batch["frames"].to_pylist()
+        out_id, out_fi, out_val = [], [], []
+        for i, fr in zip(ids, frames):
+            for j in range(0, len(fr), every_n):
+                out_id.append(i)
+                out_fi.append(j)
+                out_val.append(fr[j])
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_fi, pa.int32()),
+                "frame": pa.array(out_val),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow")
