@@ -657,6 +657,30 @@ def q_bm25_topk(sf_dir: str):
     return pd.concat(out, ignore_index=True)[["query_id", "rank", "doc_id", "score"]]
 
 
+def q_bm25_topk_wand(sf_dir: str):
+    """Q2 under the driver (rows-only): block-max WAND over the same index
+    and query set as bm25_topk; equality with the exhaustive scorer is
+    pytest-asserted (test_wand_equals_exact + hypothesis corpora)."""
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"dfr_idx_{os.path.basename(os.path.normpath(sf_dir))}_{_VTAG}",
+    )
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    build_index(docs, idx, seg_docs=max(256, n // 8), resume=True)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _ in _BM25_QUERIES], pa.int64()),
+                "terms": pa.array(
+                    [t for _, t in _BM25_QUERIES], pa.list_(pa.string())
+                ),
+            }
+        )
+    )
+    return search(idx, qds, k=10, mode="wand", concurrency=2)
+
+
 # --------------------------------------------- rows-only (non-SQL) entries
 
 def q_minhash_neardup(sf_dir: str):
@@ -792,6 +816,7 @@ QUERIES = {
     "hll_distinct_terms": q_hll_distinct_terms,
     "retrieval_eval": q_retrieval_eval,
     "sentence_topn": q_sentence_topn,
+    "bm25_topk_wand": q_bm25_topk_wand,
 }
 
 ORACLES = {

@@ -198,15 +198,55 @@ class IndexReader:
         return out
 
 
+def _decode_segment_arrays(path: str, avgdl: float):
+    """One segment's postings file -> (terms, bounds, docids, tfs, dls, w)
+    as FEW LARGE arrays (bounds slice per term) via a single bulk varint
+    pass — a handful of plasma objects per task instead of thousands of
+    tiny per-term arrays (runs as a Ray task in build_shared_index)."""
+    from .codec import decode_postings, delta_decode, varint_decode
+
+    tbl = pq.read_table(
+        path, columns=["term", "n", "codec", "doc_blob", "tf_blob", "dl_blob"]
+    )
+    tnames = tbl["term"].to_pylist()
+    counts = np.asarray(tbl["n"].to_pylist(), dtype=np.int64)
+    codecs = tbl["codec"].to_pylist()
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    total = int(bounds[-1])
+    if all(c == "varint" for c in codecs):
+        gaps = varint_decode(b"".join(tbl["doc_blob"].to_pylist()), total)
+        tfs_all = varint_decode(b"".join(tbl["tf_blob"].to_pylist()), total).astype(np.int64)
+        dls_all = varint_decode(b"".join(tbl["dl_blob"].to_pylist()), total).astype(np.int64)
+        docids_all = np.empty(total, dtype=np.int64)
+        for i in range(len(tnames)):
+            lo, hi = bounds[i], bounds[i + 1]
+            docids_all[lo:hi] = delta_decode(gaps[lo:hi])
+    else:
+        docids_all = np.empty(total, dtype=np.int64)
+        tfs_all = np.empty(total, dtype=np.int64)
+        dls_all = np.empty(total, dtype=np.int64)
+        for i, r in enumerate(tbl.to_pylist()):
+            lo, hi = bounds[i], bounds[i + 1]
+            docids_all[lo:hi], tfs_all[lo:hi], dls_all[lo:hi] = decode_postings(r)
+    tfs_f = tfs_all.astype(np.float64)
+    dls_f = dls_all.astype(np.float64)
+    w_all = (tfs_f * (K1 + 1.0)) / (tfs_f + K1 * (1.0 - B + B * dls_f / avgdl))
+    return tnames, bounds, docids_all, tfs_all, dls_all, w_all
+
+
 def build_shared_index(index_dir: str) -> dict:
     """Decode the whole index ONCE into plain numpy arrays keyed by term,
     merged across segments (docid-ascending) — made to be ``ray.put`` once
     and read zero-copy by every searcher actor on the node, instead of
     each actor re-reading and re-decoding the segments (ray_guide.md:135).
 
-    Block-max metadata is recomputed over the merged lists (valid bounds —
-    same construction as the per-segment C3 stats)."""
-    from .codec import BLOCK, decode_postings, delta_decode, varint_decode
+    Per-segment decode fans out as Ray tasks when a session is live (the
+    serial decode was the query phase's startup bottleneck); block-max
+    metadata is recomputed over the merged lists (valid bounds — same
+    construction as the per-segment C3 stats)."""
+    import ray as _ray
+
+    from .codec import BLOCK
 
     with open(os.path.join(index_dir, "stats", "collection.json")) as f:
         coll = json.load(f)
@@ -217,45 +257,24 @@ def build_shared_index(index_dir: str) -> dict:
     df_map = dict(
         zip(df_tbl["term"].to_pylist(), (int(x) for x in df_tbl["df"].to_pylist()))
     )
+    sids = sorted(mf.read_manifest(index_dir))
+    paths = [
+        os.path.join(mf.segment_dir(index_dir, sid), "postings.parquet")
+        for sid in sids
+    ]
+    if _ray.is_initialized() and len(paths) > 1:
+        task = _ray.remote(_decode_segment_arrays)
+        seg_packs = _ray.get([task.remote(p, avgdl) for p in paths])
+    else:
+        seg_packs = [_decode_segment_arrays(p, avgdl) for p in paths]
     terms: dict[str, list] = {}
-    for sid in sorted(mf.read_manifest(index_dir)):
-        path = os.path.join(mf.segment_dir(index_dir, sid), "postings.parquet")
-        tbl = pq.read_table(
-            path, columns=["term", "n", "codec", "doc_blob", "tf_blob", "dl_blob"]
-        )
-        tnames = tbl["term"].to_pylist()
-        counts = np.asarray(tbl["n"].to_pylist(), dtype=np.int64)
-        codecs = tbl["codec"].to_pylist()
-        if all(c == "varint" for c in codecs):
-            bounds = np.concatenate([[0], np.cumsum(counts)])
-            total = int(bounds[-1])
-            gaps = varint_decode(b"".join(tbl["doc_blob"].to_pylist()), total)
-            tfs_all = varint_decode(b"".join(tbl["tf_blob"].to_pylist()), total)
-            dls_all = varint_decode(b"".join(tbl["dl_blob"].to_pylist()), total)
-            tfs_f = tfs_all.astype(np.float64)
-            dls_f = dls_all.astype(np.float64)
-            w_all = (tfs_f * (K1 + 1.0)) / (
-                tfs_f + K1 * (1.0 - B + B * dls_f / avgdl)
+    for tnames, bounds, docids_all, tfs_all, dls_all, w_all in seg_packs:
+        # ascending sid order -> ascending docids; slices are views
+        for i, t in enumerate(tnames):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            terms.setdefault(t, []).append(
+                (docids_all[lo:hi], tfs_all[lo:hi], dls_all[lo:hi], w_all[lo:hi])
             )
-            for i, t in enumerate(tnames):
-                lo, hi = bounds[i], bounds[i + 1]
-                terms.setdefault(t, []).append(
-                    (
-                        delta_decode(gaps[lo:hi]),
-                        tfs_all[lo:hi].astype(np.int64),
-                        dls_all[lo:hi].astype(np.int64),
-                        w_all[lo:hi],
-                    )
-                )
-        else:
-            for r in tbl.to_pylist():
-                docids, tfs, dls = decode_postings(r)
-                tfs_f = tfs.astype(np.float64)
-                dls_f = dls.astype(np.float64)
-                w = (tfs_f * (K1 + 1.0)) / (
-                    tfs_f + K1 * (1.0 - B + B * dls_f / avgdl)
-                )
-                terms.setdefault(r["term"], []).append((docids, tfs, dls, w))
     merged: dict[str, dict] = {}
     for term, rows in terms.items():
         docids = np.concatenate([r[0] for r in rows])
