@@ -6,7 +6,7 @@ Plain run: one JSON line
 
 Headline pipeline: build the segment inverted index over a deterministic
 50k-page web corpus (extraction -> dedup -> doc ids -> SPIMI segments ->
-stats), then BM25 top-10 for 200 queries through the searcher actor pool;
+stats), then BM25 top-10 for 2000 queries through the searcher actor pool;
 plus per-query p95 latency on a warm single-process reader (online-serving
 shape) and a few registry ops at $GRAFT_SF_DIR.
 

@@ -33,7 +33,7 @@ from ..sources.readers import read_table
 from ..stages import ann, dedup, multimodal
 from ..stages.codec import CODEC_VERSION
 from ..stages.index_build import build_index
-from ..stages.search import SearcherActor, search
+from ..stages.search import search
 from ..functions.tokenizer import TOKENIZER_VERSION
 
 # temp index dirs are tagged with the engine versions so indexes built by
