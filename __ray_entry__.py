@@ -30,6 +30,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible entry; rows-only
-    ops (codecs/WAND/resume/model-ish ops) are intentionally absent."""
-    return dict(_Q.ORACLES)
+    """DuckDB-equivalent SQL per entry.  Directly-expressible ops carry
+    handwritten SQL; fixture-pipeline / custom-hash ops carry the pinned
+    output of the single-process pure-Python reference implementation
+    (defactonlp_ray/pipelines/pinned.py) inlined as VALUES — committed
+    goldens, fingerprint-checked against the live tables."""
+    out = dict(_Q.ORACLES)
+    out.update(_Q.pinned_oracles())
+    return out

@@ -89,17 +89,86 @@ def build_pages_index(
     return index_dir, docs
 
 
+# above this many docs the title->doc_id dict no longer belongs on the
+# driver/in one broadcast object: use the distributed hash join instead
+BROADCAST_TITLE_LIMIT = 5_000_000
+
+
+def _claim_entities(claims: "ray.data.Dataset", concurrency: int) -> "ray.data.Dataset":
+    """A1 actor pool + explode: claims -> (query_id, entity_norm) rows
+    (one row per distinct normalized entity per claim)."""
+    with_ents = claims.map_batches(
+        NerStage, batch_format="pyarrow", concurrency=pool_size(concurrency),
+        fn_constructor_kwargs={"text_col": "claim"},
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_q, out_e = [], []
+        for qid, ents in zip(
+            batch["query_id"].to_pylist(), batch["entities"].to_pylist()
+        ):
+            seen = set()
+            for e in ents:
+                key = norm_match_key(e)
+                if key not in seen:
+                    seen.add(key)
+                    out_q.append(qid)
+                    out_e.append(key)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "entity_norm": pa.array(out_e, pa.string()),
+            }
+        )
+
+    return with_ents.map_batches(explode, batch_format="pyarrow")
+
+
 def ner_title_route(
-    claims: "ray.data.Dataset", docs: "ray.data.Dataset", *, concurrency: int = 2
+    claims: "ray.data.Dataset", docs: "ray.data.Dataset", *,
+    concurrency: int = 2, route: str = "auto",
 ) -> "ray.data.Dataset":
     """J1: claim -> entities (A1 actor pool) -> normalized exact match
-    against page titles -> (query_id, doc_id) hits.
+    against page titles -> (query_id, doc_id) hits (min doc_id per title,
+    deduped per claim).
 
-    The title->doc_id map is broadcast once (ray.put): page-title
-    dictionaries are tiny next to the corpus (one short string per doc).
-    At 10^12 docs swap in Dataset.join on title_norm (API verified in this
-    env) — route logic is unchanged.
+    Two physical routes with identical output (pytest-asserted equal):
+
+    * ``broadcast`` — title->doc_id dict built from a 2-column projection
+      and ``ray.put`` once; right for corpora whose title dictionary fits
+      an object-store object.
+    * ``join`` — distributed ``Dataset.join`` of the exploded
+      (query_id, entity_norm) rows against the (title_norm, min doc_id)
+      table: NO driver-side materialization of the corpus projection, the
+      at-10^12-docs shape.  ``auto`` picks by ``docs.count()``.
     """
+    if route == "auto":
+        route = "broadcast" if docs.count() <= BROADCAST_TITLE_LIMIT else "join"
+
+    if route == "join":
+        from ray.data.aggregate import Min
+
+        ents = _claim_entities(claims, concurrency)
+        titles = (
+            docs.select_columns(["title_norm", "doc_id"])
+            .groupby("title_norm")
+            .aggregate(Min("doc_id", alias_name="doc_id"))
+        )
+        n_cpu = int(ray.cluster_resources().get("CPU", 4))
+        joined = ents.join(
+            titles,
+            "inner",
+            num_partitions=max(2, min(8, n_cpu // 2)),
+            on=("entity_norm",),
+            right_on=("title_norm",),
+        )
+
+        return (
+            joined.select_columns(["query_id", "doc_id"])
+            .groupby(["query_id", "doc_id"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas")
+        )
+
     tdf = docs.select_columns(["title_norm", "doc_id"]).to_pandas()
     tdf = tdf.sort_values("doc_id").drop_duplicates("title_norm", keep="first")
     title_map = dict(zip(tdf["title_norm"], tdf["doc_id"]))

@@ -1,0 +1,427 @@
+"""Pinned-golden VALUES oracles (SURVEY.md §5.3 family).
+
+``/root/reference`` is empty (SURVEY.md §0), so the reference for ops whose
+semantics DuckDB SQL cannot express directly (custom 64-bit hashes, HLL
+register math, the full fixture retrieval pipeline) is a SINGLE-PROCESS
+pure-Python implementation in this module: no Ray, no shared kernels with
+the distributed stages beyond the pinned leaf functions (tokenizer, NER,
+title normalization) that define the spec itself.  Its output is inlined
+as a DuckDB ``VALUES`` table and registered in ``oracle_sql()`` — the
+driver then verifies DISTRIBUTED == SERIAL-REFERENCE row-for-row.
+
+Caching: computed SQL is committed under ``goldens/pinned/`` keyed by a
+content fingerprint (md5 of the live parquet for table-dependent entries,
+version strings for fixture-only entries); a stale fingerprint triggers a
+live recompute, so a regenerated test table can never be checked against
+stale goldens.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from .. import fixtures
+from ..functions.ner import NER_VERSION, extract_entities
+from ..functions.textnorm import norm_match_key
+from ..functions.tokenizer import TOKENIZER_VERSION, tokenize
+from ..oracle import ORACLE_VERSION, OracleIndex
+
+PINNED_VERSION = "pinned-v1"
+
+_M64 = (1 << 64) - 1
+
+# sf dir the driver's DuckDB correctness harness runs against
+ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "goldens", "pinned")
+
+
+# ----------------------------------------------------- scalar hash reference
+# Plain-int transcriptions of the pinned hash spec (FNV-1a 64 -> splitmix64
+# finalizer) — deliberately NOT the numpy kernels in functions/hashing.py.
+
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & _M64
+    return h
+
+
+def _sm64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def _hash_str(s: str) -> int:
+    return _sm64(_fnv1a(s))
+
+
+def _shingles(text: str, k: int) -> list[str]:
+    toks = tokenize(text)
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+# -------------------------------------------------------------- serial ops
+
+def serial_simhash_pairs(
+    docs: dict[int, str], *, shingle_k: int = 2, max_hamming: int = 3
+) -> pd.DataFrame:
+    """All-pairs SimHash Hamming <= max_hamming (Charikar construction),
+    O(N^2) scalar reference.  The engine's 4x16-bit pigeonhole bucketing
+    finds EXACTLY this set (<=3 differing bits leave >=1 of 4 chunks
+    equal), so equality here proves the bucketed route lost nothing."""
+    sims: dict[int, int] = {}
+    for did in sorted(docs):
+        sh = _shingles(docs[did], shingle_k)
+        if not sh:
+            sims[did] = 0
+            continue
+        votes = [0] * 64
+        for s in sh:
+            h = _hash_str(s)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(64):
+            if votes[b] > 0:
+                out |= 1 << b
+        sims[did] = out
+    ids = sorted(sims)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(sims[a] ^ sims[b]).count("1")
+            if ham <= max_hamming:
+                rows.append((a, b, ham))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(np.int64)
+
+
+def serial_hll_estimate(strings: list[str], p: int = 12) -> float:
+    """Scalar HLL (Flajolet 2007, same p / estimator / hash spec as
+    functions/sketches.HLL, including its float64-log2 rank derivation so
+    the estimate is bit-identical to the distributed merge)."""
+    m = 1 << p
+    regs = [0] * m
+    for s in strings:
+        h = _hash_str(s)
+        idx = h >> (64 - p)
+        rest = (h << p) & _M64
+        if rest == 0:
+            lz = 64 - p + 1
+        else:
+            bits = 63 - math.floor(math.log2(float(rest)))
+            lz = min(max(bits + 1, 1), 64 - p + 1)
+        if lz > regs[idx]:
+            regs[idx] = lz
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = sum(2.0 ** (-r) for r in regs)
+    e = alpha * m * m / s
+    if e <= 2.5 * m:
+        zeros = regs.count(0)
+        if zeros:
+            e = m * math.log(m / zeros)
+    return float(e)
+
+
+def _serial_docs(n: int, lang: str | None):
+    """Serial mirror of prepare_docs + assign_doc_ids over the fixture
+    corpus: lang filter, url keep-latest, doc_id = rank of url."""
+    pages = fixtures.make_pages(n).to_pylist()
+    if lang:
+        pages = [p for p in pages if p["lang"] == lang]
+    best: dict[str, dict] = {}
+    for p in pages:
+        cur = best.get(p["url"])
+        if cur is None or p["warc_ts"] > cur["warc_ts"]:
+            best[p["url"]] = p
+    rows = [best[u] for u in sorted(best)]
+    texts = {i: r["text"] for i, r in enumerate(rows)}
+    urls = {i: r["url"] for i, r in enumerate(rows)}
+    titles = {i: norm_match_key(r["text"].split("\n")[0]) for i, r in enumerate(rows)}
+    return texts, urls, titles
+
+
+def _serial_retrieve(n: int, n_claims: int, k: int, lang: str | None):
+    """Serial mirror of flagship.retrieve: BM25 route (OracleIndex) UNION
+    NER entity->title route, per-claim dedup with NER (rank 0) winning."""
+    texts, urls, titles = _serial_docs(n, lang)
+    title_map: dict[str, int] = {}
+    for did in sorted(titles):
+        title_map.setdefault(titles[did], did)
+    idx = OracleIndex(texts)
+    claims = fixtures.make_claims(n_claims, n_pages=n).to_pylist()
+    out = []
+    for c in claims:
+        qid = int(c["query_id"])
+        top = idx.bm25_topk(tokenize(c["claim"]), k)
+        rows = [
+            (qid, rank, did, score, "bm25")
+            for rank, (did, score) in enumerate(top, 1)
+        ]
+        seen_ner = set()
+        for e in extract_entities(c["claim"]):
+            did = title_map.get(norm_match_key(e))
+            if did is not None and did not in seen_ner:
+                seen_ner.add(did)
+                rows.append((qid, 0, did, float("inf"), "ner"))
+        # dedup per claim: stable sort by (doc_id, rank), keep first per doc
+        rows.sort(key=lambda r: (r[2], r[1]))
+        kept, seen = [], set()
+        for r in rows:
+            if r[2] not in seen:
+                seen.add(r[2])
+                kept.append(r)
+        out.extend(kept)
+    df = pd.DataFrame(out, columns=["query_id", "rank", "doc_id", "score", "route"])
+    df["rank"] = df["rank"].astype(np.int32)
+    return df, urls, claims
+
+
+def serial_pages_retrieval(
+    n: int = 500, n_claims: int = 50, k: int = 5
+) -> pd.DataFrame:
+    df, _urls, _claims = _serial_retrieve(n, n_claims, k, lang="en")
+    df["score"] = np.round(df["score"], 6)
+    return df.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
+def serial_retrieval_eval(
+    n: int = 500, n_claims: int = 60, k: int = 10
+) -> pd.DataFrame:
+    """Serial mirror of stages/evaluate.evaluate_retrieval over the serial
+    retrieval (lang=None, as in q_retrieval_eval)."""
+    df, urls, claims = _serial_retrieve(n, n_claims, k, lang=None)
+    gold_pages: dict[int, set[str]] = {}
+    for c in claims:
+        pages = {
+            item["page"] for es in (c["evidence"] or []) for item in es
+        }
+        if pages:
+            gold_pages[int(c["query_id"])] = pages
+    marked = []
+    for r in df.itertuples(index=False):
+        pages = gold_pages.get(int(r.query_id))
+        if pages is None:
+            continue
+        marked.append((int(r.query_id), int(r.rank), urls.get(int(r.doc_id)) in pages))
+    n_scorable = len(gold_pages)
+    if not marked or n_scorable == 0:
+        return pd.DataFrame(
+            {"n_queries": [0], "n_scorable": [n_scorable],
+             "recall_at_k": [0.0], "mrr": [0.0]}
+        )
+    per_q: dict[int, list[int]] = {}
+    qids = set()
+    for qid, rank, hit in marked:
+        qids.add(qid)
+        if hit and rank <= k:
+            per_q.setdefault(qid, []).append(max(rank, 1))
+    recalled = len(per_q)
+    mrr = sum(1.0 / min(rs) for rs in per_q.values())
+    return pd.DataFrame(
+        {
+            "n_queries": [len(qids)],
+            "n_scorable": [n_scorable],
+            "recall_at_k": [round(recalled / n_scorable, 6)],
+            "mrr": [round(mrr / n_scorable, 6)],
+        }
+    )
+
+
+def serial_ann_lsh(
+    sf_dir: str, *, n_queries: int = 3, k: int = 10, n_bits: int = 4,
+    n_tables: int = 8,
+) -> pd.DataFrame:
+    """Serial full-scan reference for the bucket-partitioned ANN route:
+    same hyperplane/bucket spec (stages/ann._hyperplanes + lsh_bucket ARE
+    the spec, like tokenize is for text ops), candidates = vectors sharing
+    >= 1 bucket with the query across tables, cosine rounded to 6, top-k
+    by (score DESC, vec_id).  No Ray, no index, no partition pruning —
+    equality proves the pruned-read route reads everything it should."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import _hyperplanes, lsh_bucket
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    q = m[order][:n_queries]
+    dim = m.shape[1]
+    cand_mask = np.zeros((n_queries, ids.size), dtype=bool)
+    for tbl in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed=42 + tbl)
+        vb = lsh_bucket(m, planes)
+        qb = lsh_bucket(q, planes)
+        cand_mask |= qb[:, None] == vb[None, :]
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    mn = np.linalg.norm(m, axis=1)
+    mn[mn == 0] = 1.0
+    rows = []
+    for qi in range(n_queries):
+        cols = np.flatnonzero(cand_mask[qi])
+        cos = np.round((m[cols] @ q[qi]) / mn[cols] / qn[qi], 6)
+        sel = np.lexsort((ids[cols], -cos))[:k]
+        for rank, j in enumerate(sel, 1):
+            rows.append((qi, rank, int(ids[cols][j]), float(cos[j])))
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "score"])
+    df["rank"] = df["rank"].astype(np.int32)
+    return df
+
+
+# ------------------------------------------------------------- SQL plumbing
+
+_SQL_TYPES = {
+    "int64": "BIGINT",
+    "int32": "INTEGER",
+    "int8": "TINYINT",
+    "float64": "DOUBLE",
+    "bool": "BOOLEAN",
+    "object": "VARCHAR",
+}
+
+
+def values_sql(df: pd.DataFrame) -> str:
+    """Inline a small DataFrame as a typed DuckDB VALUES select."""
+    cols = list(df.columns)
+    types = {c: _SQL_TYPES.get(str(df[c].dtype), "VARCHAR") for c in cols}
+    sel = ", ".join(f'CAST("{c}" AS {types[c]}) AS "{c}"' for c in cols)
+    if df.empty:
+        nulls = ", ".join(f'NULL AS "{c}"' for c in cols)
+        return f"SELECT {sel} FROM (SELECT {nulls}) WHERE 1 = 0"
+
+    def lit(v) -> str:
+        if isinstance(v, (bool, np.bool_)):
+            return "true" if v else "false"
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        if isinstance(v, (float, np.floating)):
+            f = float(v)
+            if math.isinf(f):
+                sign = "" if f > 0 else "-"
+                return f"CAST('{sign}Infinity' AS DOUBLE)"
+            if math.isnan(f):
+                return "CAST('NaN' AS DOUBLE)"
+            s = repr(f)
+            # exponent marker forces DOUBLE inference (a bare decimal
+            # literal infers DECIMAL and then rejects the Infinity rows)
+            return s if ("e" in s or "E" in s) else s + "e0"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    rows = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")"
+        for row in df.itertuples(index=False)
+    )
+    names = ", ".join(f'"{c}"' for c in cols)
+    return f"SELECT {sel} FROM (VALUES {rows}) AS t({names})"
+
+
+def _file_fingerprint(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _cached(name: str, fingerprint: str, compute) -> str:
+    """goldens/pinned/{name}.json cache: {fingerprint, sql}; recompute on
+    mismatch (regenerated tables / bumped versions) and rewrite if the
+    repo is writable."""
+    path = os.path.join(_GOLDEN_DIR, f"{name}.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        if rec.get("fingerprint") == fingerprint:
+            return rec["sql"]
+    except (OSError, ValueError):
+        pass
+    sql = compute()
+    try:
+        os.makedirs(_GOLDEN_DIR, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"fingerprint": fingerprint, "sql": sql}, f)
+    except OSError:
+        pass
+    return sql
+
+
+def _fixture_fp() -> str:
+    return "|".join(
+        [fixtures.FIXTURES_VERSION, TOKENIZER_VERSION, NER_VERSION,
+         ORACLE_VERSION, PINNED_VERSION]
+    )
+
+
+def _sf_docs() -> dict[int, str]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def oracle_values_sql() -> dict[str, str]:
+    """The pinned-golden oracle entries for __ray_entry__.oracle_sql()."""
+    docs_path = os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    try:
+        sf_fp = _file_fingerprint(docs_path) + "|" + PINNED_VERSION
+    except OSError:
+        sf_fp = None
+
+    out: dict[str, str] = {}
+
+    if sf_fp is not None:
+        out["simhash_neardup"] = _cached(
+            "simhash_neardup", sf_fp,
+            lambda: values_sql(serial_simhash_pairs(_sf_docs())),
+        )
+
+        def _hll() -> str:
+            toks: list[str] = []
+            docs = _sf_docs()
+            for did in sorted(docs):
+                toks.extend(tokenize(docs[did]))
+            est = round(serial_hll_estimate(toks), 6)
+            return values_sql(pd.DataFrame({"n_terms_estimate": [est]}))
+
+        out["hll_distinct_terms"] = _cached("hll_distinct_terms", sf_fp, _hll)
+
+    emb_path = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
+    try:
+        emb_fp = _file_fingerprint(emb_path) + "|" + PINNED_VERSION
+    except OSError:
+        emb_fp = None
+    if emb_fp is not None:
+        out["ann_lsh"] = _cached(
+            "ann_lsh", emb_fp,
+            lambda: values_sql(serial_ann_lsh(ORACLE_SF_DIR)),
+        )
+
+    fx_fp = _fixture_fp()
+    out["pages_retrieval"] = _cached(
+        "pages_retrieval", fx_fp, lambda: values_sql(serial_pages_retrieval())
+    )
+    out["retrieval_eval"] = _cached(
+        "retrieval_eval", fx_fp, lambda: values_sql(serial_retrieval_eval())
+    )
+    return out

@@ -52,6 +52,66 @@ def _docs(sf_dir, columns=None):
     return read_table(sf_dir, "documents", columns)
 
 
+def _data_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Cheap content fingerprint (size + mtime of the parquet file) baked
+    into resumable temp-index dir names: a regenerated table at the same
+    path must never resume into segments built from the old data."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        return f"{st.st_size}-{st.st_mtime_ns}"
+    except OSError:
+        return "na"
+
+
+def _tmp_index_dir(sf_dir: str, tag: str = "idx", table: str = "documents") -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        "dfr_{}_{}_{}_{}".format(
+            tag,
+            os.path.basename(os.path.normpath(sf_dir)),
+            _data_fingerprint(sf_dir, table),
+            _VTAG,
+        ),
+    )
+
+
+def _build_docs_index(sf_dir: str, *, codec: str = "varint") -> str:
+    """Build (or resume) the shared segment index over ``documents`` used
+    by the BM25/WAND/tf-idf registry entries."""
+    tag = "idx" if codec == "varint" else f"idx{codec}"
+    idx = _tmp_index_dir(sf_dir, tag)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    build_index(docs, idx, seg_docs=max(256, n // 8), codec=codec, resume=True)
+    return idx
+
+
+def _query_terms_ds(queries: list[tuple[int, list[str]]]):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _ in queries], pa.int64()),
+                "terms": pa.array([t for _, t in queries], pa.list_(pa.string())),
+            }
+        )
+    )
+
+
+def _rerank_rounded(res: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """Cross-engine float policy: re-rank on (round(score,6) DESC, doc_id)
+    — identical to the SQL oracles' row_number ordering."""
+    res = res.copy()
+    res["score"] = np.round(res["score"], 6)
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)[["query_id", "rank", "doc_id", "score"]]
+
+
 # ------------------------------------------------------- M6/G5 lang counts
 
 def q_lang_counts(sf_dir: str):
@@ -118,9 +178,13 @@ SQL_TERM_STATS = (
 
 
 def q_top20_terms(sf_dir: str):
-    df = q_term_stats(sf_dir).to_pandas()
-    out = df.sort_values(["df", "term"], ascending=[False, True]).head(20)
-    return out.reset_index(drop=True)
+    """Distributed top-k: Ray sort (range-partitioned shuffle) + limit —
+    the vocabulary never materializes on the driver."""
+    return (
+        q_term_stats(sf_dir)
+        .sort(["df", "term"], descending=[True, False])
+        .limit(20)
+    )
 
 
 SQL_TOP20_TERMS = (
@@ -513,7 +577,10 @@ SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
 def q_langid_predictions(sf_dir: str):
-    """Heuristic language-ID counts (no SQL oracle — model op)."""
+    """Heuristic language-ID counts.  The heuristic is a pinned, pure
+    marker-count rule (functions/textstats.lang_id), so it IS
+    SQL-expressible — the oracle re-derives the same counts with
+    replace-based substring counting."""
 
     def pred(batch: pa.Table) -> pa.Table:
         preds = [lang_id(t) for t in batch["text"].to_pylist()]
@@ -525,6 +592,40 @@ def q_langid_predictions(sf_dir: str):
         .groupby("pred_lang")
         .aggregate(Count(alias_name="n"))
     )
+
+
+def _marker_count_sql(markers: tuple[str, ...]) -> str:
+    """Sum of non-overlapping occurrence counts of each marker in ``h``
+    (same left-to-right non-overlap semantics as Python str.count)."""
+    terms = [
+        f"(length(h) - length(replace(h, '{m}', ''))) // {len(m)}"
+        for m in markers
+    ]
+    return " + ".join(terms)
+
+
+def _langid_sql() -> str:
+    from ..functions.textstats import _LANG_MARKERS
+
+    score_cols = ", ".join(
+        f"{_marker_count_sql(_LANG_MARKERS[lang])} AS s_{lang}"
+        for lang in ("de", "en", "es", "fr")
+    )
+    best = "greatest(s_de, s_en, s_es, s_fr)"
+    return (
+        "WITH sc AS (SELECT text, " + score_cols + " FROM "
+        "(SELECT text, ' ' || lower(text) || ' ' AS h FROM documents)) "
+        "SELECT pred_lang, count(*) AS n FROM ("
+        "SELECT CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+        f"WHEN {best} = 0 THEN 'und' "
+        f"WHEN s_de = {best} THEN 'de' "
+        f"WHEN s_en = {best} THEN 'en' "
+        f"WHEN s_es = {best} THEN 'es' "
+        "ELSE 'fr' END AS pred_lang FROM sc) GROUP BY pred_lang"
+    )
+
+
+SQL_LANGID_PREDICTIONS = _langid_sql()
 
 
 # -------------------------------------------------------------- embeddings
@@ -573,13 +674,20 @@ SQL_EMBEDDING_NEARDUP = (
 
 
 def q_ann_lsh(sf_dir: str):
-    """Approximate ANN (no SQL oracle — rows-only driver check; recall is
-    pytest-verified against brute force)."""
+    """Approximate ANN over a bucket-PARTITIONED persisted index: queries
+    read only their matching bucket partitions (path-pruned parquet read),
+    not the whole vector table.  Approximate vs ``ann_topk`` by design
+    (recall vs brute is pytest-measured); its oracle is the pinned serial
+    full-scan reference of the SAME bucket spec (pipelines/pinned.py) —
+    the check proves the partitioned pruned-read route returns exactly
+    what a serial scan of those buckets returns."""
     q = _query_vectors(sf_dir, 3)
-    return ann.knn_lsh(
+    idx = _tmp_index_dir(sf_dir, "annlsh", table="embeddings")
+    ann.build_lsh_index(
         read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        q, k=10, n_bits=4, n_tables=8,
+        idx, n_bits=4, n_tables=8,
     )
+    return ann.knn_lsh_indexed(idx, q, k=10, n_bits=4, n_tables=8)
 
 
 # ---------------------------------------------------- BM25 flagship (Q1-Q4)
@@ -628,68 +736,122 @@ def q_bm25_topk(sf_dir: str):
     """Build the real segment index over ``documents`` and run the real
     searcher actors; output ranked on (round(score,6) DESC, doc_id) to
     match the cross-engine float policy (bit-exact checks are in pytest)."""
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"dfr_idx_{os.path.basename(os.path.normpath(sf_dir))}_{_VTAG}",
-    )
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    n = docs.count()
-    build_index(docs, idx, seg_docs=max(256, n // 8), resume=True)
-    qds = ray.data.from_arrow(
-        pa.table(
-            {
-                "query_id": pa.array([q for q, _ in _BM25_QUERIES], pa.int64()),
-                "terms": pa.array(
-                    [t for _, t in _BM25_QUERIES], pa.list_(pa.string())
-                ),
-            }
-        )
-    )
+    idx = _build_docs_index(sf_dir)
     # over-fetch then re-rank on the rounded score (cross-engine tie policy)
-    res = search(idx, qds, k=20, concurrency=2).to_pandas()
-    res["score"] = np.round(res["score"], 6)
-    out = []
-    for qid, g in res.groupby("query_id"):
-        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        out.append(g)
-    return pd.concat(out, ignore_index=True)[["query_id", "rank", "doc_id", "score"]]
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
 
 
 def q_bm25_topk_wand(sf_dir: str):
-    """Q2 under the driver (rows-only): block-max WAND over the same index
-    and query set as bm25_topk; equality with the exhaustive scorer is
-    pytest-asserted (test_wand_equals_exact + hypothesis corpora)."""
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"dfr_idx_{os.path.basename(os.path.normpath(sf_dir))}_{_VTAG}",
-    )
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    n = docs.count()
-    build_index(docs, idx, seg_docs=max(256, n // 8), resume=True)
-    qds = ray.data.from_arrow(
-        pa.table(
+    """Q2 under the driver: block-max WAND over the same index and query
+    set as ``bm25_topk``.  WAND is pruning-only (its (doc, score) output
+    is pytest-asserted identical to the exhaustive scorer, incl. hypothesis
+    corpora), so ``SQL_BM25_TOPK`` is a valid oracle once the same
+    round(score,6) re-rank policy is applied."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="wand",
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def q_bm25_topk_pfor(sf_dir: str):
+    """Q1 over a PForDelta-coded index (C2 upgrade path under the driver):
+    same scorer, same query set, segments stored with ``codec='pfor'`` —
+    the codec is invisible to scores, so ``SQL_BM25_TOPK`` is the oracle."""
+    idx = _build_docs_index(sf_dir, codec="pfor")
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+# tf-idf query set: DrQA's CLIPPED idf zeroes terms with df > N/2, and the
+# test corpus vocabulary is mostly head terms — these queries mix the rare
+# term (positive idf), duplicates (qtf=2 exercises log1p(qtf)) and
+# clipped-to-zero terms (must contribute nothing / yield empty results)
+_TFIDF_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["dup", "data"]),
+    (1, ["dup", "dup", "merge"]),
+    (2, ["dup", "key", "value"]),
+    (3, ["scan", "slow"]),
+]
+
+
+def q_tfidf_topk(sf_dir: str):
+    """DrQA-style tf-idf route (A2 diagnostic scorer, arXiv:1704.00051):
+    w(t,d) = log1p(tf) * idf_clip with idf_clip = max(0, ln((N-df+.5)/(df+.5))),
+    query weight log1p(qtf) * idf_clip, score = q . d."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_TFIDF_QUERIES), k=20, mode="tfidf",
+                 concurrency=2).to_pandas()
+    if res.empty:
+        return pd.DataFrame(
             {
-                "query_id": pa.array([q for q, _ in _BM25_QUERIES], pa.int64()),
-                "terms": pa.array(
-                    [t for _, t in _BM25_QUERIES], pa.list_(pa.string())
-                ),
+                "query_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int32),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
             }
         )
+    return _rerank_rounded(res, k=10)
+
+
+def _tfidf_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, terms in queries for t in terms)
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qt AS (SELECT query_id, term, count(*) AS qtf FROM q GROUP BY query_id, term), "
+        "idf AS (SELECT term, greatest(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5)), 0) "
+        "AS idfc FROM df CROSS JOIN stats s), "
+        "scored AS (SELECT qt.query_id, tf.doc_id, "
+        "sum(ln(1 + qt.qtf) * idf.idfc * ln(1 + tf.tf) * idf.idfc) AS score "
+        "FROM qt JOIN tf ON qt.term = tf.term JOIN idf ON idf.term = qt.term "
+        "GROUP BY qt.query_id, tf.doc_id HAVING score > 0) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
     )
-    return search(idx, qds, k=10, mode="wand", concurrency=2)
+
+
+SQL_TFIDF_TOPK = _tfidf_sql(_TFIDF_QUERIES)
 
 
 # --------------------------------------------- rows-only (non-SQL) entries
 
 def q_minhash_neardup(sf_dir: str):
-    cand = dedup.minhash_lsh_candidates(_docs(sf_dir, ["doc_id", "text"]))
-    docs = {
-        r["doc_id"]: r["text"]
-        for r in _docs(sf_dir, ["doc_id", "text"]).take_all()
-    }
+    """MinHash+LSH candidates -> exact shingle-Jaccard verification
+    (candidates-then-verify).  The DuckDB oracle computes TRUE all-pairs
+    Jaccard >= threshold — a genuinely independent check: it passes only
+    when LSH recall is 1.0 on this corpus (verified; 32 bands x 4 rows at
+    j >= 0.8 gives miss probability ~5e-8 per pair) AND the verify stage
+    filters every false positive."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(docs)
     return dedup.verify_jaccard_pairs(cand, docs, threshold=0.8)
+
+
+_SHINGLE_SQL = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(ts) = 0 THEN [] "
+    "WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')] "
+    "ELSE list_distinct(list_transform(range(1, len(ts) - 3), "
+    "i -> array_to_string(ts[i : i + 4], ' '))) END AS s FROM d)"
+)
+
+SQL_MINHASH_NEARDUP = (
+    _SHINGLE_SQL + " "
+    "SELECT id_a, id_b, jaccard FROM ("
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(len(list_intersect(a.s, b.s))::DOUBLE / "
+    "len(list_distinct(a.s || b.s)), 6) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE len(a.s) > 0 AND len(b.s) > 0) WHERE jaccard >= 0.8"
+)
 
 
 def q_simhash_neardup(sf_dir: str):
@@ -697,25 +859,42 @@ def q_simhash_neardup(sf_dir: str):
 
 
 def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing under the driver: attach fake image binaries,
+    run the real actor-pool decode stage, emit the decoded metadata.  The
+    fixture generator writes header dims as a pure function of doc_id, so
+    the decoded metadata IS SQL-expressible — the oracle recomputes the
+    expected dims arithmetically and the check verifies the distributed
+    decode round-trip (pixel stats stay pytest-only: seeded-RNG bytes)."""
     base = _docs(sf_dir, ["doc_id"])
-    return multimodal.decode_images(
-        multimodal.add_fake_images(base), strict=False
-    )
+    decoded = multimodal.decode_images(multimodal.add_fake_images(base), strict=False)
+    return decoded.select_columns(["doc_id", "dec_width", "dec_height", "dec_channels"])
+
+
+SQL_MULTIMODAL_DECODE = (
+    "SELECT doc_id, CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS dec_width, "
+    "CAST(64 + (doc_id % 5) * 32 AS INTEGER) AS dec_height, "
+    "CAST(3 AS TINYINT) AS dec_channels FROM documents"
+)
 
 
 def q_hll_distinct_terms(sf_dir: str):
     """Approximate distinct-term count via mergeable per-batch HLL
-    sketches (G7; rows-only — approximate by design, exact twin is
-    ``distinct_terms``)."""
+    sketches (G7).  Approximate vs ``distinct_terms`` but DETERMINISTIC:
+    register max-merge is batch-invariant, so the estimate equals the
+    single-process scalar HLL reference (pipelines/pinned.py), which is
+    the pinned VALUES oracle — the check proves the distributed sketch
+    merge is lossless."""
     from ..functions.sketches import hll_distinct_terms
 
     est = hll_distinct_terms(_docs(sf_dir, ["text"]))
-    return pd.DataFrame({"n_terms_estimate": [est]})
+    return pd.DataFrame({"n_terms_estimate": [round(est, 6)]})
 
 
 def q_retrieval_eval(sf_dir: str):
-    """Entry point C (rows-only): flagship retrieval over the pages
-    fixture scored against its own nested gold evidence (J3+G5)."""
+    """Entry point C over the pinned fixture: flagship retrieval scored
+    against its own nested gold evidence (J3+G5).  Deterministic, fixture-
+    sized input -> oracle is the single-process reference pipeline's
+    summary row (pipelines/pinned.py) as SQL VALUES."""
     from .. import fixtures
     from ..stages.evaluate import evaluate_retrieval
     from . import flagship
@@ -734,52 +913,124 @@ def q_retrieval_eval(sf_dir: str):
         r["doc_id"]: r["url"]
         for r in docs.select_columns(["doc_id", "url"]).take_all()
     }
-    return evaluate_retrieval(
+    out = evaluate_retrieval(
         res.select_columns(["query_id", "rank", "doc_id", "score"]),
         claims, url_of_doc=url_of_doc, k=10,
     )
+    out["recall_at_k"] = np.round(out["recall_at_k"], 6)
+    out["mrr"] = np.round(out["mrr"], 6)
+    return out
+
+
+_SENT_WINDOW = 8
+_SENT_NDOCS = 20
 
 
 def q_sentence_topn(sf_dir: str):
-    """K2 per-claim sentence top-n over the pages fixture (rows-only;
-    semantics pytest-verified in tests/test_flagship.py)."""
-    from .. import fixtures
-    from ..functions.tokenizer import tokenize
+    """K2 per-claim sentence top-n over the ``documents`` table, driver-
+    checkable: documents are re-rendered as multi-sentence text ('. '
+    between 8-token windows), run through the REAL pinned splitter
+    (M2 explode), the broadcast-keyset semi-join (J2) and the per-claim
+    overlap-idf scorer + top-n (K2); the oracle recomputes everything from
+    token positions in SQL.  Cut policy: over-fetch, then re-rank on
+    (round(score,6) DESC, doc_id, sent_id)."""
     from ..stages import sentences as sent
 
-    n = 300
-    pages = ray.data.from_arrow(fixtures.make_pages(n))
-    docs = pages.map_batches(
-        lambda t: pa.table({
-            "doc_id": pa.array(range(t.num_rows), pa.int64()),
-            "text": t["text"],
-        }),
-        batch_format="pyarrow",
-    )
-    claims_tbl = fixtures.make_claims(20, n_pages=n)
-    triples = [
-        (r["query_id"], list(range(10)), tokenize(r["claim"]))
-        for r in claims_tbl.to_pylist()
-    ]
+    def derive(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch["doc_id"], _SENT_NDOCS))
+        texts = []
+        for t in keep["text"].to_pylist():
+            toks = [x for x in t.split(" ") if x]
+            texts.append(
+                ". ".join(
+                    " ".join(toks[i : i + _SENT_WINDOW])
+                    for i in range(0, len(toks), _SENT_WINDOW)
+                )
+            )
+        return pa.table({"doc_id": keep["doc_id"], "text": pa.array(texts, pa.string())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(derive, batch_format="pyarrow")
     sents = sent.explode_sentences(docs)
-    sents = sent.semi_join_docs(sents, set(range(10)))
-    return sent.score_sentences_vs_claims(sents, triples, top_n=5)
+    sents = sent.semi_join_docs(sents, set(range(_SENT_NDOCS)))
+    triples = [
+        (qid, list(range(_SENT_NDOCS)), terms) for qid, terms in _BM25_QUERIES
+    ]
+    res = sent.score_sentences_vs_claims(sents, triples, top_n=8).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(
+            ["score", "doc_id", "sent_id"], ascending=[False, True, True]
+        ).head(5)
+        g = g.reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)[
+        ["query_id", "doc_id", "sent_id", "score", "text", "rn"]
+    ]
+
+
+def _sentence_topn_sql(queries: list[tuple[int, list[str]]], *, window: int,
+                       n_docs: int, top_n: int = 5) -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, terms in queries for t in terms)
+    w = window
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        f"x -> x <> '') AS ts FROM documents WHERE doc_id < {n_docs}), "
+        "tok AS (SELECT doc_id, unnest(ts) AS term, "
+        f"CAST((unnest(range(1, len(ts) + 1)) - 1) // {w} AS INTEGER) AS sent_id FROM d), "
+        "sl AS (SELECT doc_id, sent_id, count(*) AS n FROM tok GROUP BY doc_id, sent_id), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "qk AS (SELECT query_id, count(*) AS k FROM qd GROUP BY query_id), "
+        "ov AS (SELECT qd.query_id, tok.doc_id, tok.sent_id, count(*) AS overlap "
+        "FROM tok JOIN qd ON tok.term = qd.term GROUP BY 1, 2, 3), "
+        "stext AS (SELECT doc_id, unnest(list_transform("
+        f"range(0, (len(ts) + {w - 1}) // {w}), "
+        "s -> struct_pack(sent_id := CAST(s AS INTEGER), "
+        f"text := array_to_string(ts[s * {w} + 1 : s * {w} + {w}], ' '))), "
+        "recursive := true) FROM d), "
+        "scored AS (SELECT ov.query_id, ov.doc_id, ov.sent_id, "
+        "round(ov.overlap::DOUBLE / sl.n * ln(1 + qk.k), 6) AS score "
+        "FROM ov JOIN sl ON ov.doc_id = sl.doc_id AND ov.sent_id = sl.sent_id "
+        "JOIN qk ON qk.query_id = ov.query_id) "
+        "SELECT s.query_id, s.doc_id, s.sent_id, s.score, stext.text, s.rn FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "score DESC, doc_id, sent_id) AS INTEGER) AS rn FROM scored) s "
+        "JOIN stext ON stext.doc_id = s.doc_id AND stext.sent_id = s.sent_id "
+        f"WHERE s.rn <= {top_n}"
+    )
+
+
+SQL_SENTENCE_TOPN = _sentence_topn_sql(
+    _BM25_QUERIES, window=_SENT_WINDOW, n_docs=_SENT_NDOCS
+)
+
+
+_PAGES_N = 500
+_PAGES_CLAIMS = 50
 
 
 def q_pages_retrieval(sf_dir: str):
-    """Full web pipeline over the generated pages fixture (rows-only):
-    dedup -> extract-validate -> doc ids -> index -> NER+BM25 retrieval."""
+    """Full web pipeline over the pinned pages fixture: dedup ->
+    extract-validate -> doc ids -> index -> NER+BM25 retrieval.  Input is
+    the deterministic fixture corpus (size fixed, independent of sf_dir),
+    so the oracle is the committed output of the single-process pure-Python
+    reference pipeline (pipelines/pinned.py) inlined as SQL VALUES."""
     from .. import fixtures
     from . import flagship
 
-    n = 2000 if "0.1" in sf_dir else 500
+    n = _PAGES_N
     pages = ray.data.from_arrow(fixtures.make_pages(n))
     idx = os.path.join(tempfile.gettempdir(), f"dfr_pages_idx_{n}_{_VTAG}")
     index_dir, docs = flagship.build_pages_index(
         pages, idx, seg_docs=512, lang="en", resume=True
     )
-    claims = ray.data.from_arrow(fixtures.make_claims(50, n_pages=n))
-    return flagship.retrieve(index_dir, claims, docs.materialize(), k=5)
+    claims = ray.data.from_arrow(fixtures.make_claims(_PAGES_CLAIMS, n_pages=n))
+    res = flagship.retrieve(index_dir, claims, docs.materialize(), k=5).to_pandas()
+    # cross-engine float policy on the BM25-route scores (NER route is +inf)
+    res["score"] = np.round(res["score"], 6)
+    return res.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------- registries
@@ -817,6 +1068,8 @@ QUERIES = {
     "retrieval_eval": q_retrieval_eval,
     "sentence_topn": q_sentence_topn,
     "bm25_topk_wand": q_bm25_topk_wand,
+    "bm25_topk_pfor": q_bm25_topk_pfor,
+    "tfidf_topk": q_tfidf_topk,
 }
 
 ORACLES = {
@@ -842,6 +1095,26 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "bm25_topk": SQL_BM25_TOPK,
-    # langid_predictions, ann_lsh, minhash_neardup, simhash_neardup,
-    # multimodal_decode, pages_retrieval: non-SQL-expressible -> rows-only
+    # WAND is pruning-only (pytest: ≡ exhaustive) and pfor is a storage
+    # codec (scores invariant), so the exact-BM25 SQL is their oracle too
+    "bm25_topk_wand": SQL_BM25_TOPK,
+    "bm25_topk_pfor": SQL_BM25_TOPK,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "langid_predictions": SQL_LANGID_PREDICTIONS,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "sentence_topn": SQL_SENTENCE_TOPN,
+    # simhash_neardup, pages_retrieval, retrieval_eval, hll_distinct_terms:
+    # pinned-golden VALUES oracles from the single-process reference
+    # implementation (pipelines/pinned.py), attached in ORACLES_PINNED
 }
+
+
+def pinned_oracles() -> dict[str, str]:
+    """Oracles whose SQL is the committed output of the single-process
+    pure-Python reference implementation (SURVEY.md §5.3 family) inlined
+    as VALUES — used for ops whose semantics are not expressible in
+    DuckDB SQL (custom 64-bit hashes, HLL, the full fixture pipeline)."""
+    from . import pinned
+
+    return pinned.oracle_values_sql()

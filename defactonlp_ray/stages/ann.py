@@ -100,6 +100,159 @@ def lsh_bucket(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     )
 
 
+def build_lsh_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Persist a bucket-PARTITIONED ANN index: each vector is written once
+    per table under ``tbl=<t>/bucket=<b>/`` (hive partitioning).  Queries
+    then read ONLY their matching bucket directories (partition pruning in
+    the parquet read) instead of scanning every vector per batch — the
+    sublinear-scan path that matters when the vector table outgrows a
+    full scan per query batch."""
+    import os
+
+    done = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return index_dir
+
+    def tag(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        out = []
+        for t in range(n_tables):
+            planes = _hyperplanes(vecs.shape[1], n_bits, seed=42 + t)
+            out.append(
+                pa.table(
+                    {
+                        id_col: batch[id_col],
+                        vec_col: batch[vec_col],
+                        "tbl": pa.array(np.full(len(vecs), t, dtype=np.int64)),
+                        "bucket": pa.array(lsh_bucket(vecs, planes)),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    tagged = ds.select_columns([id_col, vec_col]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+    tagged.write_parquet(index_dir, partition_cols=["tbl", "bucket"])
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def knn_lsh_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate cosine top-k over a :func:`build_lsh_index` directory:
+    compute the query buckets, read ONLY those partitions (pruned read),
+    dedup candidates that match in several tables, score + merge.
+
+    Same bucket semantics as :func:`knn_lsh` (identical results); the
+    difference is WHAT IS READ — matching bucket PARTITION DIRECTORIES
+    only (path-level pruning via ``partition_filter``: non-matching files
+    are never opened), not the table.
+    """
+    import ray.data as rd
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    q = np.asarray(queries, dtype=np.float64)
+    dim = q.shape[1]
+    wanted: set[tuple[int, int]] = set()
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed=42 + t)
+        for b in lsh_bucket(q, planes).tolist():
+            wanted.add((t, int(b)))
+
+    def keep(partitions: dict) -> bool:
+        # non-partition paths (the _SUCCESS marker) carry no partition kv
+        if "tbl" not in partitions or "bucket" not in partitions:
+            return False
+        return (int(partitions["tbl"]), int(partitions["bucket"])) in wanted
+
+    cand = rd.read_parquet(
+        index_dir,
+        partition_filter=PathPartitionFilter.of(keep),
+        file_extensions=["parquet"],
+    )
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    # qb[t, qi] = query qi's bucket in table t — rows are per-(table,
+    # bucket) partitions, so the per-row candidate mask is a direct compare
+    qb = np.stack(
+        [lsh_bucket(q, _hyperplanes(dim, n_bits, seed=42 + t)) for t in range(n_tables)]
+    )
+    qref = ray.put((q, qn, qb))
+
+    class Score:
+        def __init__(self):
+            self.q, self.qn, self.qb = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy()
+            m = _as_matrix(batch[vec_col].to_pylist())
+            mn = np.linalg.norm(m, axis=1)
+            mn[mn == 0] = 1.0
+            # partition cols may read back dictionary/string-typed
+            trow = np.array([int(x) for x in batch["tbl"].to_pylist()], dtype=np.int64)
+            brow = np.array([int(x) for x in batch["bucket"].to_pylist()], dtype=np.int64)
+            # mask[qi, r]: row r's (tbl, bucket) is query qi's bucket there
+            mask = self.qb[trow, :].T == brow[None, :]
+            cos = (self.q @ m.T) / self.qn[:, None] / mn[None, :]
+            cos = np.round(cos, 6)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                cols = np.flatnonzero(mask[qi])
+                if cols.size == 0:
+                    continue
+                out_q.append(np.full(cols.size, qi, dtype=np.int64))
+                out_id.append(ids[cols])
+                out_s.append(cos[qi][cols])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                    "score": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    partials = cand.map_batches(Score, batch_format="pyarrow", concurrency=pool_size(2))
+    pdf = partials.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "score"])
+    # a vector matching a query in several tables appears once per table:
+    # dedup before the final top-k (scores identical across copies)
+    pdf = pdf.drop_duplicates(["query_id", "vec_id"])
+    out = []
+    for qi, g in pdf.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)[["query_id", "rank", "vec_id", "score"]]
+
+
 def knn_lsh(
     ds: "ray.data.Dataset",
     queries: np.ndarray,

@@ -12,6 +12,7 @@ the shuffle where possible.
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Optional
 
 import numpy as np
@@ -24,6 +25,8 @@ import ray.data
 from ..functions.hashing import hash_str_array, splitmix64
 from .util import pool_size
 from ..functions.tokenizer import tokenize
+
+_log = logging.getLogger(__name__)
 
 
 # ------------------------------------------------------------ D1 exact dedup
@@ -67,41 +70,87 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
 # ------------------------------------------------- F5 url dedup (as-of pick)
 
-def url_dedup_latest(ds: "ray.data.Dataset", url_col: str = "url",
-                     ts_col: str = "warc_ts") -> "ray.data.Dataset":
-    """Duplicate urls across crawls -> keep the row with the latest
-    ``warc_ts`` (deterministic as-of pick).
+def url_dedup_latest(
+    ds: "ray.data.Dataset", url_col: str = "url", ts_col: str = "warc_ts",
+    tiebreak_col: Optional[str] = "text",
+) -> "ray.data.Dataset":
+    """Duplicate urls across crawls -> keep exactly ONE row per url: the
+    latest ``warc_ts``, ties broken by MAX md5 digest of ``tiebreak_col``
+    (deterministic single pick even when a url is crawled twice in the
+    same microsecond).
 
-    Shape chosen for wide rows: the heavy side (with ``html``) NEVER
-    shuffles.  A 2-column ``groupby(url).aggregate(Max(ts))`` (vectorized,
-    no per-group Python — a per-url map_groups was measured 10x slower)
-    finds the winning (url, ts) pairs; the winner set is broadcast once and
-    the full rows stream through a vectorized semi-join filter
-    (ray_guide.md:148-150).  At 10^12 urls the winner set outgrows a
-    broadcast: swap the filter for a hash join on (url, ts) — the heavy
-    side then shuffles once, which is unavoidable at that shape.
+    Fully distributed; the heavy side (with ``html``) NEVER shuffles:
+
+    1. per-batch combiner: local winner per url by (ts, digest) — bounds
+       shuffle volume at #distinct-urls per batch (ray_guide.md:154-158);
+    2. ``groupby(url).map_groups`` over the tiny (url, micros, digest)
+       projection picks the global winner;
+    3. the winner keyset is broadcast once (``ray.put``) and the full rows
+       stream through a vectorized semi-join filter (ray_guide.md:148-150).
+
+    At 10^12 urls the winner keyset outgrows a broadcast: swap step 3 for
+    a hash join on (url, micros, digest) — the heavy side then shuffles
+    once, which is unavoidable at that shape.
+
+    Byte-identical rows (same url, ts AND tiebreak content) are
+    indistinguishable and all pass the filter; exact content dedup (D1)
+    downstream collapses them.
     """
     import ray as _ray
 
-    # 2-column projection -> driver pandas groupby.max: the projection is
-    # tiny next to the html payload and a distributed groupby's task
-    # orchestration costs more than the aggregate itself at this width
-    two = ds.select_columns([url_col, ts_col]).to_pandas()
+    tb = tiebreak_col if tiebreak_col and tiebreak_col in ds.columns() else None
+
+    def project(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        if tb is not None:
+            dig = [
+                hashlib.md5(t.encode("utf-8") if isinstance(t, str) else bytes(t)).hexdigest()
+                for t in batch[tb].to_pylist()
+            ]
+        else:
+            dig = [""] * batch.num_rows
+        t = pa.table(
+            {
+                url_col: batch[url_col],
+                "micros": micros,
+                "digest": pa.array(dig, pa.string()),
+            }
+        )
+        # local combiner: keep the per-batch winner per url
+        df = t.to_pandas()
+        df = df.sort_values([url_col, "micros", "digest"]).drop_duplicates(
+            url_col, keep="last"
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["micros", "digest"]).tail(1)
+
     winners = (
-        two.groupby(url_col, sort=False)[ts_col].max().reset_index()
-        .rename(columns={ts_col: "max_ts"})
+        ds.select_columns([url_col, ts_col] + ([tb] if tb else []))
+        .map_batches(project, batch_format="pyarrow")
+        .groupby(url_col)
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
     )
-    # composite key as url + epoch-micros string (identical derivation on
-    # both sides; \x1f separator — numpy string paths silently drop \x00)
-    micros = winners["max_ts"].astype("datetime64[us]").astype("int64").astype(str)
-    key = winners[url_col] + "\x1f" + micros
+    key = winners[url_col] + "\x1f" + winners["micros"].astype(str) + "\x1f" + winners["digest"]
     ref = _ray.put(pa.array(key.to_numpy(), pa.string()))
 
     def keep_latest(batch: pa.Table) -> pa.Table:
         keys = _ray.get(ref)
         ts_i64 = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        if tb is not None:
+            dig = pa.array(
+                [
+                    hashlib.md5(t.encode("utf-8") if isinstance(t, str) else bytes(t)).hexdigest()
+                    for t in batch[tb].to_pylist()
+                ],
+                pa.string(),
+            )
+        else:
+            dig = pa.array([""] * batch.num_rows, pa.string())
         bkey = pc.binary_join_element_wise(
-            batch[url_col], pc.cast(ts_i64, pa.string()), "\x1f"
+            batch[url_col], pc.cast(ts_i64, pa.string()), dig, "\x1f"
         )
         return batch.filter(pc.is_in(bkey, value_set=keys))
 
@@ -206,8 +255,22 @@ def minhash_lsh_candidates(
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(group[id_col].to_numpy())
-        if ids.size < 2 or ids.size > 1000:  # skip degenerate mega-buckets
+        if ids.size < 2:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        if ids.size > 1000:
+            # Mega-bucket (N near-identical docs is exactly the heavy-dup
+            # case): all-pairs would be O(N^2), but DROPPING the bucket
+            # would silently miss the most-duplicated content.  Emit star
+            # pairs against the min-id canonical instead — O(N) rows that
+            # still link every member to one cluster representative.
+            _log.warning(
+                "LSH bucket with %d members: emitting %d star pairs "
+                "against canonical id %d instead of all-pairs",
+                ids.size, ids.size - 1, int(ids[0]),
+            )
+            return pd.DataFrame(
+                {"id_a": np.full(ids.size - 1, ids[0]), "id_b": ids[1:]}
+            )
         ia, ib = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
@@ -221,16 +284,60 @@ def minhash_lsh_candidates(
     return cand.groupby(["id_a", "id_b"]).map_groups(pair_dedup, batch_format="pandas")
 
 
+def candidate_texts(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[int, str]:
+    """Texts of ONLY the documents named by candidate pairs, without ever
+    materializing the corpus: the candidate id set (small by construction —
+    it is LSH output) is broadcast once, the corpus STREAMS through a
+    vectorized semi-join filter, and only the matching rows (bounded by the
+    candidate count, not the corpus) are collected.
+
+    At a candidate volume too large for one broadcast/collect, swap for
+    two hash joins of pairs against docs on id_a / id_b — same semantics,
+    one corpus shuffle.
+    """
+    import ray as _ray
+
+    idtbl = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    cand_ids = np.unique(
+        np.concatenate([idtbl["id_a"].to_numpy(), idtbl["id_b"].to_numpy()])
+    ).astype(np.int64) if len(idtbl) else np.empty(0, dtype=np.int64)
+    ref = _ray.put(pa.array(cand_ids, pa.int64()))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keys = _ray.get(ref)
+        return batch.filter(pc.is_in(batch[id_col], value_set=keys))
+
+    rows = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(filt, batch_format="pyarrow")
+        .take_all()
+    )
+    return {int(r[id_col]): r[text_col] for r in rows}
+
+
 def verify_jaccard_pairs(
     pairs: "ray.data.Dataset",
-    docs_by_id: dict[int, str],
+    docs: "ray.data.Dataset | dict[int, str]",
     *,
     threshold: float = 0.8,
     shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: Optional[int] = 6,
 ) -> "ray.data.Dataset":
-    """Verify candidate pairs by true shingle Jaccard; ``docs_by_id`` is
-    broadcast via ray.put by callers (small candidate universes) — at scale
-    replace with a join against the docs table on id_a/id_b.
+    """Verify candidate pairs by true shingle Jaccard.  ``docs`` is the
+    corpus Dataset (preferred: only candidate texts are fetched via
+    :func:`candidate_texts` — no whole-corpus materialization) or a small
+    pre-built dict for tests.
+
+    ``round_to`` rounds the reported jaccard BEFORE thresholding so
+    cross-engine comparisons (DuckDB exact-Jaccard oracle) are stable.
 
     Stateless TASKS, not an actor pool: this stage usually sits downstream
     of the MinHash actor pool, and two pools would together reserve every
@@ -240,16 +347,21 @@ def verify_jaccard_pairs(
     """
     import ray as _ray
 
-    ref = docs_by_id if isinstance(docs_by_id, _ray.ObjectRef) else _ray.put(docs_by_id)
+    if isinstance(docs, dict):
+        docs_by_id = docs
+    else:
+        docs_by_id = candidate_texts(pairs, docs, id_col=id_col, text_col=text_col)
+    ref = _ray.put(docs_by_id)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        docs = _ray.get(ref)
+        dmap = _ray.get(ref)
         sims = []
         for a, b in zip(batch["id_a"], batch["id_b"]):
-            sa = set(_shingles(docs[int(a)], shingle_k))
-            sb = set(_shingles(docs[int(b)], shingle_k))
+            sa = set(_shingles(dmap[int(a)], shingle_k))
+            sb = set(_shingles(dmap[int(b)], shingle_k))
             union = len(sa | sb)
-            sims.append(len(sa & sb) / union if union else 0.0)
+            j = len(sa & sb) / union if union else 0.0
+            sims.append(round(j, round_to) if round_to is not None else j)
         batch = batch.copy()
         batch["jaccard"] = sims
         return batch[batch["jaccard"] >= threshold]
@@ -326,9 +438,19 @@ def simhash_neardup_pairs(
         g = group.sort_values(id_col).drop_duplicates(id_col)
         ids = g[id_col].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        if ids.size < 2 or ids.size > 2000:
+        if ids.size < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(np.int64)
-        ia, ib = np.triu_indices(ids.size, k=1)
+        if ids.size > 2000:
+            # star pairs vs the min-id canonical (see minhash pairs note):
+            # O(N) rows, Hamming computed and filtered as usual
+            _log.warning(
+                "simhash bucket with %d members: star pairs vs id %d",
+                ids.size, int(ids[0]),
+            )
+            ia = np.zeros(ids.size - 1, dtype=np.int64)
+            ib = np.arange(1, ids.size, dtype=np.int64)
+        else:
+            ia, ib = np.triu_indices(ids.size, k=1)
         ham = np.array(
             [bin(int(hs[a] ^ hs[b])).count("1") for a, b in zip(ia, ib)],
             dtype=np.int64,
@@ -348,6 +470,44 @@ def simhash_neardup_pairs(
 
 # ------------------------------------------------ embedding-cosine near-dup
 
+@ray.remote
+def _prep_vec_block(block, id_col: str, vec_col: str):
+    """(ids, unit-normalized matrix) of one block — stays in the object
+    store; pair tasks read it zero-copy."""
+    from .docids import _as_arrow
+
+    tbl = _as_arrow(block)
+    ids = tbl[id_col].to_numpy().astype(np.int64)
+    m = np.array(tbl[vec_col].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, m / norms[:, None]
+
+
+@ray.remote
+def _vec_block_pair(
+    pack_a, pack_b, threshold: float, round_to: Optional[int], same: bool
+) -> pa.Table:
+    ids_a, ma = pack_a
+    ids_b, mb = pack_b
+    cos = ma @ mb.T
+    if round_to is not None:
+        cos = np.round(cos, round_to)
+    keep = cos >= threshold
+    if same:
+        keep &= ids_a[:, None] < ids_b[None, :]
+    ri, cj = np.nonzero(keep)
+    a, b = ids_a[ri], ids_b[cj]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table(
+        {
+            "id_a": pa.array(lo, pa.int64()),
+            "id_b": pa.array(hi, pa.int64()),
+            "cosine": pa.array(cos[ri, cj], pa.float64()),
+        }
+    )
+
+
 def embedding_neardup_pairs(
     ds: "ray.data.Dataset",
     *,
@@ -355,47 +515,104 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_to: Optional[int] = 6,
+    num_blocks: Optional[int] = None,
 ) -> "ray.data.Dataset":
-    """All pairs with cosine >= threshold, id_a < id_b.
+    """All pairs with cosine >= threshold, id_a < id_b — EXACT, fully
+    distributed block-pair kernel: the matrix never materializes on the
+    driver.
 
-    Sandbox implementation broadcasts the (small) full matrix once via
-    ray.put and block-multiplies per batch — O(N/blocks) matmuls, numpy
-    float64.  Scale path: LSH-bucket the vectors (random hyperplanes) and
-    run this same kernel within buckets.  ``round_to`` rounds the reported
-    cosine so cross-engine comparisons (DuckDB oracle) are stable.
+    Each block of the (id, vec) projection is unit-normalized once by a
+    prep task; every unordered block pair (i <= j) is an independent Ray
+    task doing one float64 matmul; results stream back as a Dataset via
+    ``from_arrow_refs``.  Every doc pair lives in exactly one block-pair
+    task (same-block pairs deduped by the upper-triangle mask), so output
+    pairs are unique by construction.  O(N^2 / B) work per task — size
+    ``num_blocks`` so a block fits worker memory; task count grows as
+    B^2/2, so at very large N switch to the approximate hyperplane-LSH
+    candidate route (:func:`embedding_neardup_lsh`) instead of exact
+    all-pairs.
+
+    ``round_to`` rounds the cosine BEFORE thresholding so cross-engine
+    comparisons (DuckDB oracle) are stable.
     """
-    import ray as _ray
+    from .docids import _block_refs
 
-    mat_tbl = ds.select_columns([id_col, vec_col]).take_all()
-    ids_all = np.array([r[id_col] for r in mat_tbl], dtype=np.int64)
-    m = np.array([r[vec_col] for r in mat_tbl], dtype=np.float64)
-    norms = np.linalg.norm(m, axis=1)
-    norms[norms == 0] = 1.0
-    ref = _ray.put((ids_all, m, norms))
+    proj = ds.select_columns([id_col, vec_col])
+    if num_blocks is not None:
+        proj = proj.repartition(num_blocks)
+    mat = proj.materialize()
+    refs = _block_refs(mat)
+    packs = [_prep_vec_block.remote(r, id_col, vec_col) for r in refs]
+    outs = [
+        _vec_block_pair.remote(packs[i], packs[j], threshold, round_to, i == j)
+        for i in range(len(packs))
+        for j in range(i, len(packs))
+    ]
+    return ray.data.from_arrow_refs(outs)
 
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.m, self.norms = _ray.get(ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch[id_col].to_numpy()
-            bv = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-            bn = np.linalg.norm(bv, axis=1)
-            bn[bn == 0] = 1.0
-            cos = (bv @ self.m.T) / bn[:, None] / self.norms[None, :]
-            if round_to is not None:
-                cos = np.round(cos, round_to)
-            bi, gj = np.nonzero((cos >= threshold) & (bids[:, None] < self.ids[None, :]))
-            return pa.table(
-                {
-                    "id_a": pa.array(bids[bi], pa.int64()),
-                    "id_b": pa.array(self.ids[gj], pa.int64()),
-                    "cosine": pa.array(cos[bi, gj], pa.float64()),
-                }
+def embedding_neardup_lsh(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: Optional[int] = 6,
+    n_bits: int = 8,
+    n_tables: int = 8,
+) -> "ray.data.Dataset":
+    """Approximate near-dup pairs at cluster scale: hyperplane-LSH bucket
+    the vectors (groupby on (table, bucket) — the only all-to-all, keyed
+    on the small bucket id), run the exact pair kernel WITHIN buckets,
+    dedup pairs found by multiple tables.  Recall < 1 by construction
+    (it is the standard trade for dropping the B^2/2 exact task grid);
+    recall vs the exact kernel is measured in pytest."""
+    from ..stages.ann import _hyperplanes, lsh_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        out = []
+        for t in range(n_tables):
+            planes = _hyperplanes(vecs.shape[1], n_bits, seed=142 + t)
+            out.append(
+                pa.table(
+                    {
+                        id_col: batch[id_col],
+                        vec_col: batch[vec_col],
+                        "tbl": pa.array(np.full(len(vecs), t, dtype=np.int64)),
+                        "bucket": pa.array(lsh_bucket(vecs, planes)),
+                    }
+                )
             )
+        return pa.concat_tables(out)
 
-    return ds.select_columns([id_col, vec_col]).map_batches(
-        PairFinder, batch_format="pyarrow", concurrency=pool_size(2)
+    tagged = ds.select_columns([id_col, vec_col]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(id_col)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        m = np.array(g[vec_col].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        cos = m @ m.T
+        if round_to is not None:
+            cos = np.round(cos, round_to)
+        keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ri, cj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ids[ri], "id_b": ids[cj], "cosine": cos[ri, cj]}
+        )
+
+    cand = tagged.groupby(["tbl", "bucket"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
     )
 
 
@@ -417,8 +634,7 @@ def ngram_jaccard_pairs(
         ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
         concurrency=concurrency,
     )
-    docs = {
-        r[id_col]: r[text_col]
-        for r in ds.select_columns([id_col, text_col]).take_all()
-    }
-    return verify_jaccard_pairs(cand, docs, threshold=threshold, shingle_k=shingle_k)
+    return verify_jaccard_pairs(
+        cand, ds, threshold=threshold, shingle_k=shingle_k,
+        id_col=id_col, text_col=text_col,
+    )

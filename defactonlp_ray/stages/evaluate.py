@@ -72,7 +72,11 @@ def evaluate_retrieval(
     per_q = []
     for qid, g in marked.groupby("query_id"):
         hits = g[g["hit"] & (g["rank"] <= k)]
-        first = int(hits["rank"].min()) if not hits.empty else 0
+        # NER-route hits carry the rank-0 marker: they are top hits, so map
+        # them to rank 1 before 1/first (a raw min() of 0 would zero the
+        # query's MRR even when real hits exist).
+        ranks = np.maximum(hits["rank"].to_numpy(), 1)
+        first = int(ranks.min()) if ranks.size else 0
         per_q.append((qid, bool(len(hits)), 1.0 / first if first else 0.0))
     pq = pd.DataFrame(per_q, columns=["query_id", "recalled", "rr"])
     return pd.DataFrame(

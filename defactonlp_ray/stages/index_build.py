@@ -186,6 +186,15 @@ def _build_segment_table(group: pa.Table, sid: int, index_dir, doc_id_col,
     segment's docs."""
     final_dir = mf.segment_dir(index_dir, sid)
     if os.path.isdir(final_dir):  # lost retry race / resume overlap
+        # Self-healing commit point: a crash BETWEEN the segment-dir rename
+        # and append_manifest leaves a finished dir with no manifest line;
+        # without this re-append the segment would be orphaned forever
+        # (read_manifest only counts dir+line, so resume would skip the
+        # rebuild here yet stats/search would never see the docs).
+        if sid not in mf.read_manifest(index_dir):
+            with open(os.path.join(final_dir, "meta.json")) as f:
+                meta = json.load(f)
+            mf.append_manifest(index_dir, meta)
         return {"sid": sid, "skipped": True}
     group = group.sort_by(doc_id_col)
     doc_ids = group[doc_id_col].combine_chunks()

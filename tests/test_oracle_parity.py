@@ -54,14 +54,16 @@ def _duck(sql: str) -> pd.DataFrame:
         con.close()
 
 
-SQL_CHECKED = sorted(Q.ORACLES)
-ROWS_ONLY = sorted(set(Q.QUERIES) - set(Q.ORACLES))
+ALL_ORACLES = dict(Q.ORACLES)
+ALL_ORACLES.update(Q.pinned_oracles())
+SQL_CHECKED = sorted(ALL_ORACLES)
+ROWS_ONLY = sorted(set(Q.QUERIES) - set(ALL_ORACLES))
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_duckdb_oracle(name):
     got = _normalize(_to_pandas(Q.QUERIES[name](SF_DIR)))
-    want = _normalize(_duck(Q.ORACLES[name]))
+    want = _normalize(_duck(ALL_ORACLES[name]))
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
