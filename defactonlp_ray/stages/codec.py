@@ -211,6 +211,71 @@ def _unpack_bits(buf: bytes, b: int, n: int) -> np.ndarray:
     return (bits << bitpos[None, :]).sum(axis=1, dtype=np.uint64)
 
 
+def pfor_decode_many(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Bulk-decode MANY pfor blobs in one pass -> (concatenated values,
+    per-blob counts).
+
+    The per-blob/per-block Python walk only parses headers; the bit
+    unpacking — the actual work — is batched by (bit width, block length):
+    all same-shaped packed blocks across every blob unpack in ONE
+    ``np.unpackbits`` + reshape + dot, instead of one numpy round-trip per
+    128-value block.  This is what makes a pfor segment's bulk decode
+    competitive with the varint fast path (measured in BENCH_NOTES.md).
+    """
+    counts = np.empty(len(bufs), dtype=np.int64)
+    descs = []  # (group_key, packed_bytes, out_off, blk_n)
+    excs = []   # (out_off, b, n_exc, tail_bytes)
+    out_total = 0
+    for bi, buf in enumerate(bufs):
+        mv = memoryview(buf)
+        n = int(np.frombuffer(mv[:4], dtype=np.uint32)[0])
+        counts[bi] = n
+        off = 4
+        done = 0
+        while done < n:
+            blk_n = min(BLOCK, n - done)
+            b = mv[off]; off += 1
+            n_exc = int(np.frombuffer(mv[off : off + 2], dtype=np.uint16)[0]); off += 2
+            plen = int(np.frombuffer(mv[off : off + 2], dtype=np.uint16)[0]); off += 2
+            packed = mv[off : off + plen]; off += plen
+            tlen = int(np.frombuffer(mv[off : off + 4], dtype=np.uint32)[0]); off += 4
+            if tlen:
+                excs.append((out_total + done, b, n_exc, bytes(mv[off : off + tlen])))
+                off += tlen
+            descs.append(((int(b), blk_n), packed, out_total + done, blk_n))
+            done += blk_n
+        out_total += n
+    out = np.empty(out_total, dtype=np.uint64)
+    # group same-shaped blocks -> one vectorized unpack per group
+    by_group: dict[tuple[int, int], list[int]] = {}
+    for i, (key, _p, _o, _n) in enumerate(descs):
+        by_group.setdefault(key, []).append(i)
+    for (b, blk_n), idxs in by_group.items():
+        nbytes = (blk_n * b + 7) // 8
+        stack = np.empty((len(idxs), nbytes), dtype=np.uint8)
+        for row, i in enumerate(idxs):
+            stack[row] = np.frombuffer(descs[i][1], dtype=np.uint8, count=nbytes)
+        bits = np.unpackbits(stack, axis=1, bitorder="little")[:, : blk_n * b]
+        # b vectorized or-shift passes over the flat value stream (a 3D
+        # shift+sum allocates len*blk_n*b uint64 — orders of magnitude
+        # more memory traffic for the same result)
+        flat = bits.reshape(-1, b)
+        vals_flat = np.zeros(flat.shape[0], dtype=np.uint64)
+        for p in range(b):
+            col = flat[:, p]
+            if col.any():
+                vals_flat |= col.astype(np.uint64) << np.uint64(p)
+        vals = vals_flat.reshape(len(idxs), blk_n)
+        for row, i in enumerate(idxs):
+            off0 = descs[i][2]
+            out[off0 : off0 + blk_n] = vals[row]
+    for off0, b, n_exc, tail in excs:
+        t = varint_decode(tail, 2 * n_exc)
+        pos = t[:n_exc].astype(np.int64)
+        out[off0 + pos] |= t[n_exc:] << np.uint64(b)
+    return out, counts
+
+
 # ------------------------------------------------------- posting blobs + C3
 
 def encode_postings(

@@ -1,0 +1,227 @@
+"""Round-2 behaviors: distributed NER-route join, deterministic url-dedup
+tie-break, manifest self-healing, LSH mega-bucket star pairs, distributed
+embedding block-pair kernel, indexed ANN-LSH equivalence, MRR rank-0 rule,
+bulk pfor decode."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from defactonlp_ray import fixtures
+from defactonlp_ray.pipelines import flagship
+from defactonlp_ray.sources import manifest as mf
+from defactonlp_ray.stages import ann, dedup
+from defactonlp_ray.stages.index_build import build_index
+
+
+# --------------------------------------------------- J1 join ≡ broadcast
+
+def test_ner_route_join_equals_broadcast(tmp_path):
+    pages = fixtures.make_pages(400)
+    docs = flagship.prepare_docs(
+        ray.data.from_arrow(pages), lang="en"
+    ).materialize()
+    claims = ray.data.from_arrow(fixtures.make_claims(30, n_pages=400))
+    a = (
+        flagship.ner_title_route(claims, docs, route="broadcast")
+        .to_pandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    )
+    b = (
+        flagship.ner_title_route(claims, docs, route="join")
+        .to_pandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    )
+    assert len(a) > 0  # fixtures guarantee entity-titled pages
+    assert a[["query_id", "doc_id"]].equals(b[["query_id", "doc_id"]])
+
+
+# -------------------------------------------- F5 url dedup deterministic
+
+def test_url_dedup_tie_break_single_pick():
+    ts = pd.Timestamp("2024-01-01")
+    t = pa.table(
+        {
+            "url": ["u", "u", "u", "v"],
+            "warc_ts": pa.array([ts, ts, ts, ts], pa.timestamp("us")),
+            "text": ["aaa", "bbb", "ccc", "zzz"],
+        }
+    )
+    out = dedup.url_dedup_latest(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 2  # exactly one row per url even with ts ties
+    # deterministic pick: max md5 digest among tied rows
+    import hashlib
+
+    digs = {x: hashlib.md5(x.encode()).hexdigest() for x in ["aaa", "bbb", "ccc"]}
+    want = max(digs, key=digs.get)
+    assert set(out["text"]) == {want, "zzz"}
+
+
+# --------------------------------------------------- manifest self-heal
+
+def test_manifest_self_heals_orphaned_segment(tmp_path):
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": fixtures.make_pages(200)["text"],
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(docs), idx, seg_docs=64, resume=False)
+    recs = mf.read_manifest(idx)
+    assert len(recs) >= 3
+    victim = sorted(recs)[1]
+    # simulate a crash between dir-rename and manifest append: drop the line
+    path = os.path.join(idx, mf.MANIFEST_NAME)
+    with open(path) as f:
+        lines = [l for l in f if json.loads(l)["sid"] != victim]
+    with open(path, "w") as f:
+        f.writelines(lines)
+    assert victim not in mf.read_manifest(idx)
+    build_index(ray.data.from_arrow(docs), idx, seg_docs=64, resume=True)
+    healed = mf.read_manifest(idx)
+    assert victim in healed  # re-appended from the segment's meta.json
+    assert healed[victim]["n_docs"] == recs[victim]["n_docs"]
+
+
+# ------------------------------------------------ LSH mega-bucket stars
+
+def test_minhash_mega_bucket_emits_star_pairs():
+    n = 1100  # > the 1000 all-pairs cap -> star-pair route
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["identical content " * 10] * n),
+        }
+    )
+    cand = dedup.minhash_lsh_candidates(
+        ray.data.from_arrow(t), concurrency=2
+    ).to_pandas()
+    # every member linked to the min-id canonical, O(n) not O(n^2)
+    assert len(cand) == n - 1
+    assert set(cand["id_a"]) == {0}
+    assert set(cand["id_b"]) == set(range(1, n))
+
+
+# ------------------------------------- embedding block-pair distributed
+
+def test_embedding_blockpair_partition_invariant(sf_dir):
+    from defactonlp_ray.sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    one = (
+        dedup.embedding_neardup_pairs(ds, threshold=0.4)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    many = (
+        dedup.embedding_neardup_pairs(ds, threshold=0.4, num_blocks=5)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(one) > 0
+    assert one.equals(many)
+
+
+def test_embedding_lsh_recall(sf_dir):
+    from defactonlp_ray.sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = dedup.embedding_neardup_pairs(ds, threshold=0.4).to_pandas()
+    approx = dedup.embedding_neardup_lsh(
+        ds, threshold=0.4, n_bits=4, n_tables=8
+    ).to_pandas()
+    exact_set = set(zip(exact["id_a"], exact["id_b"]))
+    approx_set = set(zip(approx["id_a"], approx["id_b"]))
+    assert approx_set <= exact_set  # no false positives (exact verify in-bucket)
+    assert len(approx_set) >= 0.5 * len(exact_set)  # usable recall
+
+
+# ----------------------------------------------- indexed ANN-LSH ≡ scan
+
+def test_knn_lsh_indexed_matches_unindexed(tmp_path, sf_dir):
+    from defactonlp_ray.sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = sorted(ds.take(3), key=lambda r: r["vec_id"])
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    plain = ann.knn_lsh(ds, q, k=10, n_bits=4, n_tables=8).reset_index(drop=True)
+    idx = str(tmp_path / "annidx")
+    ann.build_lsh_index(ds, idx, n_bits=4, n_tables=8)
+    indexed = ann.knn_lsh_indexed(idx, q, k=10, n_bits=4, n_tables=8).reset_index(drop=True)
+    assert plain[["query_id", "rank", "vec_id"]].equals(
+        indexed[["query_id", "rank", "vec_id"]]
+    )
+
+
+# ------------------------------------------------------ MRR rank-0 rule
+
+def test_mrr_counts_ner_rank0_as_rank1():
+    from defactonlp_ray.stages.evaluate import evaluate_retrieval
+
+    claims = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([0, 1], pa.int64()),
+                "claim": ["c0", "c1"],
+                "label": ["SUPPORTS", "SUPPORTS"],
+                "evidence": pa.array(
+                    [[[{"page": "p0", "sent": 0}]], [[{"page": "p1", "sent": 0}]]],
+                    pa.list_(pa.list_(pa.struct([("page", pa.string()), ("sent", pa.int32())]))),
+                ),
+            }
+        )
+    )
+    # q0: only a NER rank-0 hit; q1: miss at rank 1, hit at rank 2
+    results = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([0, 1, 1], pa.int64()),
+                "rank": pa.array([0, 1, 2], pa.int32()),
+                "doc_id": pa.array([10, 98, 11], pa.int64()),
+                "score": pa.array([float("inf"), 2.0, 1.0], pa.float64()),
+            }
+        )
+    )
+    out = evaluate_retrieval(
+        results, claims, url_of_doc={10: "p0", 11: "p1", 98: "x"}, k=10
+    )
+    assert out["recall_at_k"].iloc[0] == 1.0
+    assert abs(out["mrr"].iloc[0] - (1.0 + 0.5) / 2) < 1e-12
+
+
+# ------------------------------------------------------- bulk pfor decode
+
+def test_pfor_decode_many_matches_single():
+    from defactonlp_ray.stages.codec import pfor_decode, pfor_decode_many, pfor_encode
+
+    rng = np.random.default_rng(11)
+    vals = [
+        rng.integers(0, 1 << int(rng.integers(1, 50)),
+                     size=int(rng.integers(0, 400)), dtype=np.uint64)
+        for _ in range(80)
+    ]
+    bufs = [pfor_encode(v) for v in vals]
+    out, counts = pfor_decode_many(bufs)
+    assert np.array_equal(counts, np.array([v.size for v in vals]))
+    assert np.array_equal(out, np.concatenate(vals))
+    for b, v in zip(bufs, vals):
+        assert np.array_equal(pfor_decode(b), v)
+
+
+# ----------------------------------------- jaccard verify: ds == dict path
+
+def test_verify_jaccard_dataset_path_equals_dict(sf_dir):
+    from defactonlp_ray.sources.readers import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(docs)
+    via_ds = dedup.verify_jaccard_pairs(cand, docs, threshold=0.5).to_pandas()
+    dmap = {r["doc_id"]: r["text"] for r in docs.take_all()}
+    via_dict = dedup.verify_jaccard_pairs(cand, dmap, threshold=0.5).to_pandas()
+    key = ["id_a", "id_b", "jaccard"]
+    assert (
+        via_ds[key].sort_values(key).reset_index(drop=True)
+        .equals(via_dict[key].sort_values(key).reset_index(drop=True))
+    )
