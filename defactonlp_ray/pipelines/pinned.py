@@ -240,6 +240,62 @@ def serial_retrieval_eval(
     )
 
 
+def serial_claim_verdicts(
+    n: int = 500, n_claims: int = 60, k: int = 5
+) -> pd.DataFrame:
+    """Serial mirror of q_claim_verdicts: retrieval (serial BM25 + NER
+    route) -> evidence sentences (pinned splitter) -> overlap-idf top-5
+    -> entailment features -> label rule."""
+    from ..stages.sentences import split_sentences
+    from ..stages.verify_claims import (
+        LABEL_NEI, LABEL_REFUTES, LABEL_SUPPORTS, SUPPORT_THRESHOLD,
+        entail_score, entailment_features,
+    )
+
+    df, _urls, claims = _serial_retrieve(n, n_claims, k, lang=None)
+    texts, _u, _t = _serial_docs(n, lang=None)
+    doc_lists = {
+        int(qid): sorted(set(g["doc_id"])) for qid, g in df.groupby("query_id")
+    }
+    out_rows = []
+    for c in claims:
+        qid = int(c["query_id"])
+        ctoks = tokenize(c["claim"])
+        tset = frozenset(ctoks)
+        scored = []
+        for did in doc_lists.get(qid, []):
+            for sid, stext in enumerate(split_sentences(texts[did])):
+                stoks = Counter(tokenize(stext))
+                ntok = sum(stoks.values())
+                overlap = sum(cnt for t, cnt in stoks.items() if t in tset)
+                if overlap == 0 or ntok == 0:
+                    continue
+                score = overlap / ntok * math.log1p(len(tset))
+                scored.append((score, did, sid, stext))
+        scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+        top = scored[:5]
+        if not top:
+            out_rows.append((qid, LABEL_NEI, 0.0, 0))
+            continue
+        ent = []
+        for _score, did, sid, stext in top:
+            overlap, neg, len_ratio = entailment_features(ctoks, tokenize(stext))
+            ent.append((entail_score(overlap, len_ratio), did, sid, neg))
+        ent.sort(key=lambda r: (-r[0], r[1], r[2]))
+        best = ent[0]
+        if best[0] >= SUPPORT_THRESHOLD:
+            label = LABEL_REFUTES if best[3] else LABEL_SUPPORTS
+        else:
+            label = LABEL_NEI
+        out_rows.append((qid, label, round(best[0], 6), len(ent)))
+    out = pd.DataFrame(
+        out_rows, columns=["query_id", "label", "entail_score", "n_evidence"]
+    )
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["n_evidence"] = out["n_evidence"].astype(np.int64)
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 def serial_ann_lsh(
     sf_dir: str, *, n_queries: int = 3, k: int = 10, n_bits: int = 4,
     n_tables: int = 8,
@@ -365,9 +421,12 @@ def _cached(name: str, fingerprint: str, compute) -> str:
 
 
 def _fixture_fp() -> str:
+    from ..stages.sentences import SPLITTER_VERSION
+    from ..stages.verify_claims import ENTAIL_VERSION
+
     return "|".join(
         [fixtures.FIXTURES_VERSION, TOKENIZER_VERSION, NER_VERSION,
-         ORACLE_VERSION, PINNED_VERSION]
+         ORACLE_VERSION, SPLITTER_VERSION, ENTAIL_VERSION, PINNED_VERSION]
     )
 
 
@@ -423,5 +482,8 @@ def oracle_values_sql() -> dict[str, str]:
     )
     out["retrieval_eval"] = _cached(
         "retrieval_eval", fx_fp, lambda: values_sql(serial_retrieval_eval())
+    )
+    out["claim_verdicts"] = _cached(
+        "claim_verdicts", fx_fp, lambda: values_sql(serial_claim_verdicts())
     )
     return out

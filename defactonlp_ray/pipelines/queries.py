@@ -1033,6 +1033,52 @@ def q_pages_retrieval(sf_dir: str):
     return res.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
 
 
+def q_claim_verdicts(sf_dir: str):
+    """Entry point C end-to-end (A3/A4 stand-ins): retrieval -> evidence
+    sentence top-n -> deterministic entailment actor pool -> label
+    classifier -> one verdict row per claim.  Fixture-pinned input; oracle
+    is the serial reference pipeline (pipelines/pinned.py) as VALUES."""
+    from .. import fixtures
+    from ..functions.tokenizer import tokenize
+    from ..stages import sentences as sent
+    from ..stages import verify_claims as vc
+    from . import flagship
+
+    n, n_claims, k = 500, 60, 5
+    pages = ray.data.from_arrow(fixtures.make_pages(n))
+    idx = os.path.join(tempfile.gettempdir(), f"dfr_eval_idx_{n}_{_VTAG}")
+    index_dir, docs = flagship.build_pages_index(
+        pages, idx, seg_docs=256, lang=None, resume=True
+    )
+    docs = docs.materialize()
+    claims_tbl = fixtures.make_claims(n_claims, n_pages=n)
+    claims = ray.data.from_arrow(claims_tbl)
+    res = flagship.retrieve(index_dir, claims, docs, k=k)
+
+    res_pd = res.select_columns(["query_id", "doc_id"]).to_pandas()
+    doc_lists = {
+        int(qid): sorted(set(g["doc_id"]))
+        for qid, g in res_pd.groupby("query_id")
+    }
+    claim_rows = claims.select_columns(["query_id", "claim"]).take_all()
+    claim_text = {int(r["query_id"]): r["claim"] for r in claim_rows}
+    triples = [
+        (qid, doc_lists.get(qid, []), tokenize(text))
+        for qid, text in sorted(claim_text.items())
+    ]
+    all_docs = sorted({d for dl in doc_lists.values() for d in dl})
+    sents = sent.explode_sentences(docs.select_columns(["doc_id", "text"]))
+    sents = sent.semi_join_docs(sents, set(all_docs))
+    topn = sent.score_sentences_vs_claims(sents, triples, top_n=5)
+    entailed = vc.score_entailment(
+        topn.select_columns(["query_id", "doc_id", "sent_id", "text"]),
+        claim_text,
+    )
+    out = vc.classify_labels(entailed, sorted(claim_text))
+    out["entail_score"] = np.round(out["entail_score"], 6)
+    return out
+
+
 # ------------------------------------------------------------- registries
 
 QUERIES = {
@@ -1070,6 +1116,7 @@ QUERIES = {
     "bm25_topk_wand": q_bm25_topk_wand,
     "bm25_topk_pfor": q_bm25_topk_pfor,
     "tfidf_topk": q_tfidf_topk,
+    "claim_verdicts": q_claim_verdicts,
 }
 
 ORACLES = {

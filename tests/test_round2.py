@@ -225,3 +225,39 @@ def test_verify_jaccard_dataset_path_equals_dict(sf_dir):
         via_ds[key].sort_values(key).reset_index(drop=True)
         .equals(via_dict[key].sort_values(key).reset_index(drop=True))
     )
+
+
+# ------------------------------------------- entry point C stand-in (A3/A4)
+
+def test_entailment_and_label_rule_paths():
+    from defactonlp_ray.stages import verify_claims as vc
+
+    claims = {0: "alice never visited paris", 1: "bob wrote books", 2: "carol x"}
+    sents = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([0, 1], pa.int64()),
+                "doc_id": pa.array([7, 8], pa.int64()),
+                "sent_id": pa.array([0, 0], pa.int32()),
+                # q0: high overlap, claim has negation but sentence none
+                # -> REFUTES; q1: high overlap, no negation -> SUPPORTS
+                "text": ["alice visited paris", "bob wrote books"],
+            }
+        )
+    )
+    entailed = vc.score_entailment(sents, claims)
+    out = vc.classify_labels(entailed, [0, 1, 2])
+    by_q = dict(zip(out["query_id"], out["label"]))
+    assert by_q[0] == vc.LABEL_REFUTES
+    assert by_q[1] == vc.LABEL_SUPPORTS
+    assert by_q[2] == vc.LABEL_NEI  # no evidence -> J4 anti-join route
+    assert out[out["query_id"] == 2]["n_evidence"].iloc[0] == 0
+
+
+def test_entailment_features_pinned_values():
+    from defactonlp_ray.stages.verify_claims import entailment_features
+
+    ov, neg, lr = entailment_features(["a", "b", "not"], ["a", "b", "c", "d"])
+    assert ov == 2 / 3 and neg is True and lr == 3 / 4
+    ov2, neg2, _ = entailment_features(["x"], ["x"])
+    assert ov2 == 1.0 and neg2 is False
