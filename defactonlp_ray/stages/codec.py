@@ -28,15 +28,12 @@ BLOCK = 128  # postings per skip/bit-packing block
 
 # ---------------------------------------------------------------- varint (C2)
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128 encode a uint64 array, vectorized.
-
-    Layout: little-endian base-128, high bit = continuation.
-    """
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 encode + per-value byte counts (enables slicing the stream
+    into per-term blobs after ONE vectorized encode of a whole segment)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bitlen/7), min 1
+        return b"", np.empty(0, dtype=np.int64)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     while True:
@@ -50,7 +47,6 @@ def varint_encode(values: np.ndarray) -> bytes:
     out = np.empty(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
-    # fill byte position p of every value that has > p bytes
     maxb = int(nbytes.max())
     rem = v.copy()
     for p in range(maxb):
@@ -60,7 +56,15 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = (nbytes[mask] > p + 1).astype(np.uint8) << 7
         out[pos] = byte | cont
         rem[mask] >>= np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 encode a uint64 array, vectorized.
+
+    Layout: little-endian base-128, high bit = continuation.
+    """
+    return varint_encode_with_sizes(values)[0]
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -277,6 +281,91 @@ def pfor_decode_many(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ------------------------------------------------------- posting blobs + C3
+
+def encode_postings_batch(
+    post_doc: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    bounds: np.ndarray,
+    codec: str = "varint",
+):
+    """Encode EVERY term's posting list of a segment in vectorized batch
+    form; ``bounds[i]:bounds[i+1]`` delimits term i's postings in the
+    (term, doc_id)-sorted arrays.
+
+    Replaces the per-term ``encode_postings`` loop that dominated segment
+    build CPU (one Python/numpy round-trip per term, ~10^3 per segment):
+    gaps and varint streams are computed in ONE pass with per-value byte
+    sizes, per-term blobs are byte-slices, and the C3 block metadata comes
+    from ``np.maximum/minimum.reduceat`` over the global block-start index
+    (term boundaries are block starts, so reduceat segments never cross
+    terms).  Returns a dict of per-term python lists/arrays ready to
+    become postings-table columns; output is byte-identical to the
+    per-term path (tested).
+    """
+    post_doc = np.ascontiguousarray(post_doc, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    n_terms = bounds.size - 1
+    n = post_doc.size
+    starts = bounds[:-1]
+    counts = np.diff(bounds)
+    if n == 0 or n_terms == 0:
+        return {
+            "n": [], "doc_blob": [], "tf_blob": [], "dl_blob": [],
+            "blk_last_doc": [], "blk_max_tf": [], "blk_min_dl": [], "cf": [],
+        }
+    # per-term delta-gap in one pass: first posting absolute, rest diffs
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = post_doc[1:] - post_doc[:-1]
+    gaps[starts] = post_doc[starts]
+    interior = np.ones(n, dtype=bool)
+    interior[starts] = False
+    if n > n_terms and gaps[interior].min() <= 0:
+        raise ValueError("docids must be strictly ascending within a term")
+
+    def blobs_of(vals: np.ndarray) -> list[bytes]:
+        if codec == "varint":
+            stream, sizes = varint_encode_with_sizes(vals.astype(np.uint64))
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(sizes, out=offs[1:])
+            return [
+                stream[offs[bounds[i]] : offs[bounds[i + 1]]]
+                for i in range(n_terms)
+            ]
+        return [
+            pfor_encode(vals[bounds[i] : bounds[i + 1]].astype(np.uint64))
+            for i in range(n_terms)
+        ]
+
+    doc_blobs = blobs_of(gaps)
+    tf_blobs = blobs_of(tfs)
+    dl_blobs = blobs_of(dls)
+
+    nblocks = (counts + BLOCK - 1) // BLOCK
+    blk_starts = np.concatenate(
+        [np.arange(bounds[i], bounds[i + 1], BLOCK) for i in range(n_terms)]
+    )
+    blk_ends = np.minimum(blk_starts + BLOCK, np.repeat(bounds[1:], nblocks))
+    blk_last = post_doc[blk_ends - 1]
+    blk_max_tf = np.maximum.reduceat(tfs, blk_starts)
+    blk_min_dl = np.minimum.reduceat(dls, blk_starts)
+    blk_offs = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(nblocks, out=blk_offs[1:])
+    cf = np.add.reduceat(tfs, starts)
+    return {
+        "n": counts,
+        "doc_blob": doc_blobs,
+        "tf_blob": tf_blobs,
+        "dl_blob": dl_blobs,
+        "blk_last_doc": blk_last,
+        "blk_max_tf": blk_max_tf,
+        "blk_min_dl": blk_min_dl,
+        "blk_offsets": blk_offs,
+        "cf": cf,
+    }
+
 
 def encode_postings(
     docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, codec: str = "varint"

@@ -350,6 +350,10 @@ def verify_jaccard_pairs(
     if isinstance(docs, dict):
         docs_by_id = docs
     else:
+        # materialize the (small) candidate set once — candidate_texts and
+        # the verify map below both consume it, and leaving it lazy would
+        # re-execute the whole LSH pipeline twice
+        pairs = pairs.materialize()
         docs_by_id = candidate_texts(pairs, docs, id_col=id_col, text_col=text_col)
     ref = _ray.put(docs_by_id)
 

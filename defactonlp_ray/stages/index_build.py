@@ -45,7 +45,7 @@ import ray.data
 
 from ..functions.tokenizer import TOKENIZER_VERSION, term_count_table
 from ..sources import manifest as mf
-from .codec import CODEC_VERSION, encode_postings
+from .codec import CODEC_VERSION, encode_postings_batch
 
 DEFAULT_SEG_DOCS = 8192
 
@@ -211,14 +211,33 @@ def _build_segment_table(group: pa.Table, sid: int, index_dir, doc_id_col,
     uniq_terms, starts = np.unique(terms, return_index=True)
     bounds = np.append(starts, terms.size)
 
-    rows = []
-    for i, term in enumerate(uniq_terms):
-        lo, hi = bounds[i], bounds[i + 1]
-        enc = encode_postings(post_doc[lo:hi], tfs[lo:hi], dl_of_post[lo:hi], codec)
-        enc["term"] = str(term)
-        enc["cf"] = int(tfs[lo:hi].sum())
-        rows.append(enc)
-    postings = pa.Table.from_pylist(rows)
+    # whole-segment batched encode (ONE varint pass + reduceat block
+    # stats) — byte-identical to the per-term encode_postings loop it
+    # replaced, which cost one Python/numpy round-trip per term and
+    # dominated segment-build CPU (tests assert blob equality)
+    enc = encode_postings_batch(post_doc, tfs, dl_of_post, bounds, codec)
+    n_terms = int(uniq_terms.size)
+    blk_offs = pa.array(enc["blk_offsets"], pa.int32())
+    postings = pa.table(
+        {
+            "n": pa.array(np.asarray(enc["n"], dtype=np.int64)),
+            "codec": pa.array([codec] * n_terms, pa.string()),
+            "doc_blob": pa.array(enc["doc_blob"], pa.binary()),
+            "tf_blob": pa.array(enc["tf_blob"], pa.binary()),
+            "dl_blob": pa.array(enc["dl_blob"], pa.binary()),
+            "blk_last_doc": pa.ListArray.from_arrays(
+                blk_offs, pa.array(enc["blk_last_doc"], pa.int64())
+            ),
+            "blk_max_tf": pa.ListArray.from_arrays(
+                blk_offs, pa.array(enc["blk_max_tf"], pa.int64())
+            ),
+            "blk_min_dl": pa.ListArray.from_arrays(
+                blk_offs, pa.array(enc["blk_min_dl"], pa.int64())
+            ),
+            "term": pa.array([str(t) for t in uniq_terms], pa.string()),
+            "cf": pa.array(enc["cf"], pa.int64()),
+        }
+    )
 
     n_docs = group.num_rows
     total_len = int(doc_len.sum())
@@ -235,7 +254,7 @@ def _build_segment_table(group: pa.Table, sid: int, index_dir, doc_id_col,
             "sid": sid,
             "n_docs": n_docs,
             "total_len": total_len,
-            "n_terms": len(rows),
+            "n_terms": n_terms,
             "n_postings": int(tf_table.num_rows),
             "doc_lo": int(did_np[0]),
             "doc_hi": int(did_np[-1]),

@@ -153,6 +153,12 @@ def classify_labels(
         entailed.groupby("query_id").map_groups(verdict, batch_format="pandas")
         .to_pandas()
     )
+    if got.empty:  # no evidence anywhere -> every claim takes the NEI route
+        got = pd.DataFrame(
+            {"query_id": pd.Series([], dtype=np.int64), "label": [],
+             "entail_score": pd.Series([], dtype=np.float64),
+             "n_evidence": pd.Series([], dtype=np.int64)}
+        )
     have = set(got["query_id"])
     missing = [q for q in all_query_ids if q not in have]
     if missing:

@@ -72,6 +72,13 @@ def main() -> None:
         json.dump(meta, f, indent=1, sort_keys=True)
     print(f"wrote {tbl.num_rows} golden rows to {OUT}")
 
+    # refresh the pinned VALUES oracles too (goldens/pinned/*.json);
+    # oracle_values_sql() recomputes any entry whose fingerprint is stale
+    from defactonlp_ray.pipelines import pinned  # noqa: E402
+
+    refreshed = pinned.oracle_values_sql()
+    print(f"pinned VALUES oracles current: {sorted(refreshed)}")
+
 
 if __name__ == "__main__":
     main()

@@ -66,3 +66,37 @@ def test_compression_actually_compresses():
     gaps = codec.delta_encode(docids)
     assert len(codec.varint_encode(gaps)) < docids.nbytes / 3
     assert len(codec.pfor_encode(gaps)) < docids.nbytes / 3
+
+
+def test_encode_postings_batch_matches_per_term():
+    from defactonlp_ray.stages.codec import encode_postings, encode_postings_batch
+
+    rng = np.random.default_rng(5)
+    # build a (term, doc)-sorted synthetic segment: 40 terms, ragged lists
+    bounds = [0]
+    post_doc, tfs, dls = [], [], []
+    for _t in range(40):
+        n = int(rng.integers(1, 400))
+        docs = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+        post_doc.append(docs)
+        tfs.append(rng.integers(1, 30, size=n, dtype=np.int64))
+        dls.append(rng.integers(5, 500, size=n, dtype=np.int64))
+        bounds.append(bounds[-1] + n)
+    post_doc = np.concatenate(post_doc)
+    tfs = np.concatenate(tfs)
+    dls = np.concatenate(dls)
+    bounds = np.array(bounds, dtype=np.int64)
+    for codec in ("varint", "pfor"):
+        batch = encode_postings_batch(post_doc, tfs, dls, bounds, codec)
+        for i in range(40):
+            lo, hi = bounds[i], bounds[i + 1]
+            single = encode_postings(post_doc[lo:hi], tfs[lo:hi], dls[lo:hi], codec)
+            assert batch["doc_blob"][i] == single["doc_blob"], (codec, i)
+            assert batch["tf_blob"][i] == single["tf_blob"]
+            assert batch["dl_blob"][i] == single["dl_blob"]
+            o0, o1 = batch["blk_offsets"][i], batch["blk_offsets"][i + 1]
+            assert list(batch["blk_last_doc"][o0:o1]) == single["blk_last_doc"]
+            assert list(batch["blk_max_tf"][o0:o1]) == single["blk_max_tf"]
+            assert list(batch["blk_min_dl"][o0:o1]) == single["blk_min_dl"]
+            assert int(batch["n"][i]) == single["n"]
+            assert int(batch["cf"][i]) == int(tfs[lo:hi].sum())
