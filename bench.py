@@ -178,6 +178,20 @@ def run_bench() -> dict:
     query_sec = time.perf_counter() - t0
     timings["bm25_batch"] = query_sec
 
+    # block-max WAND sample (Q2; pruning-only, result-identical to the
+    # exhaustive scorer).  200 queries, not 2000: WAND is an inherently
+    # per-document loop (Python-level here) and the fused vectorized TAAT
+    # beats it ~30x on this Zipf query mix — TAAT is the serving path,
+    # WAND exists for rank-identity parity + selective-query workloads
+    # (see BENCH_NOTES.md).
+    wand_q = ray.data.from_arrow(qtbl.slice(0, 200)).repartition(min(8, num_cpus))
+    t0 = time.perf_counter()
+    S.search(
+        index_dir, wand_q, k=10, mode="wand", concurrency=min(8, num_cpus),
+        batch_size=32, shared=True,
+    ).count()
+    timings["bm25_wand_200q"] = time.perf_counter() - t0
+
     # online-serving p95: warm single-process reader, one query at a time
     reader = S.IndexReader(index_dir, preload=True)
     lat = []

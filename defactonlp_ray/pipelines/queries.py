@@ -1033,6 +1033,45 @@ def q_pages_retrieval(sf_dir: str):
     return res.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
 
 
+def q_bm25_topk_fanout(sf_dir: str):
+    """Q4 cluster-shape variant under the driver: (query x segment) pairs
+    fan out across the actor pool, per-segment top-k merge via a small
+    groupby — result-identical to the fused path (pytest: fanout ==
+    single), so the exact-BM25 SQL is its oracle."""
+    from ..stages.search import search_fanout
+
+    idx = _build_docs_index(sf_dir)
+    res = search_fanout(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def q_docs_sample_hash(sf_dir: str):
+    """K4 at scale: SEEDED sampling as a deterministic hash filter
+    (md5(doc_id) prefix) — reproducible and parallelism/partitioning-
+    invariant, unlike per-block RNG sampling; the form a 10^12-row
+    pipeline uses to carve fixed eval slices."""
+    import hashlib
+
+    def samp(batch: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5(str(d).encode()).hexdigest()[:2] <= "33"
+            for d in batch["doc_id"].to_pylist()
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        samp, batch_format="pyarrow"
+    )
+
+
+SQL_DOCS_SAMPLE_HASH = (
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '33'"
+)
+
+
 def q_claim_verdicts(sf_dir: str):
     """Entry point C end-to-end (A3/A4 stand-ins): retrieval -> evidence
     sentence top-n -> deterministic entailment actor pool -> label
@@ -1117,6 +1156,8 @@ QUERIES = {
     "bm25_topk_pfor": q_bm25_topk_pfor,
     "tfidf_topk": q_tfidf_topk,
     "claim_verdicts": q_claim_verdicts,
+    "bm25_topk_fanout": q_bm25_topk_fanout,
+    "docs_sample_hash": q_docs_sample_hash,
 }
 
 ORACLES = {
@@ -1146,6 +1187,8 @@ ORACLES = {
     # codec (scores invariant), so the exact-BM25 SQL is their oracle too
     "bm25_topk_wand": SQL_BM25_TOPK,
     "bm25_topk_pfor": SQL_BM25_TOPK,
+    "bm25_topk_fanout": SQL_BM25_TOPK,
+    "docs_sample_hash": SQL_DOCS_SAMPLE_HASH,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,

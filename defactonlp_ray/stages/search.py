@@ -544,7 +544,8 @@ def _block_ub(idf: float, max_tf: int, min_dl: int, avgdl: float) -> float:
 
 
 class _TermIter:
-    __slots__ = ("term", "idf", "avgdl", "docids", "tfs", "dls", "blk_ub", "ptr", "ub")
+    __slots__ = ("term", "idf", "avgdl", "docids", "tfs", "dls", "blk_ub",
+                 "blk_last", "ptr", "ub")
 
     def __init__(self, term: str, idf: float, row: dict, avgdl: float):
         self.term = term
@@ -555,6 +556,7 @@ class _TermIter:
             _block_ub(idf, mt, md, avgdl)
             for mt, md in zip(row["blk_max_tf"], row["blk_min_dl"])
         ]
+        self.blk_last = row["blk_last_doc"]
         self.ptr = 0
         self.ub = max(self.blk_ub)
 
@@ -565,6 +567,14 @@ class _TermIter:
         from .codec import BLOCK
 
         return self.blk_ub[self.ptr // BLOCK] if self.ptr < self.docids.size else 0.0
+
+    def cur_block_last(self) -> int:
+        """Skip pointer: last docid of the current C3 block."""
+        from .codec import BLOCK
+
+        if self.ptr >= self.docids.size:
+            return 2**62
+        return int(self.blk_last[self.ptr // BLOCK])
 
     def advance_to(self, target: int) -> None:
         if self.ptr >= self.docids.size:
@@ -616,7 +626,10 @@ def score_segment_wand(
         pivot_doc = live[pivot].cur()
         if live[0].cur() == pivot_doc:
             # block-max refinement: sum of current-block UBs of the matching
-            # prefix; if it cannot reach theta, skip this doc without scoring
+            # prefix; if it cannot reach theta, DEEP-SKIP (Ding & Suel's
+            # block-max move): every doc up to the nearest matching block
+            # boundary shares these block UBs, so the whole span is provably
+            # below theta — jump there instead of advancing one doc
             matching = [it for it in live if it.cur() == pivot_doc]
             blk_acc = sum(it.cur_block_ub() for it in matching)
             if blk_acc >= theta:
@@ -629,8 +642,17 @@ def score_segment_wand(
                     heapq.heappush(heap, key)
                 elif key > heap[0]:
                     heapq.heapreplace(heap, key)
-            for it in matching:
-                it.ptr += 1
+                for it in matching:
+                    it.ptr += 1
+            else:
+                # exact skip bound: docs below the first NON-matching
+                # iterator's cur() are matched only by `matching` terms,
+                # whose block UBs hold up to their block boundaries
+                others = [it.cur() for it in live if it.cur() != pivot_doc]
+                cap = min(others) if others else 2**62
+                nd = min(min(it.cur_block_last() for it in matching) + 1, cap)
+                for it in matching:
+                    it.advance_to(nd)
         else:
             for it in live[:pivot]:
                 it.advance_to(pivot_doc)
