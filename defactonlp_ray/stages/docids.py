@@ -48,17 +48,28 @@ def _block_refs(ds) -> list:
 
 @ray.remote
 def _block_key_probe(block, key: str, sub: str | None):
+    import pyarrow.compute as pc
+
     tbl = _as_arrow(block)
-    arr = tbl[key].to_pylist()
+    arr = tbl[key].combine_chunks() if tbl.num_rows else tbl[key]
     n = len(arr)
-    is_sorted = all(arr[i] <= arr[i + 1] for i in range(n - 1))
-    is_strict = is_sorted and all(arr[i] != arr[i + 1] for i in range(n - 1))
-    subs = tbl[sub].to_pylist() if sub and n else None
+    if n > 1:
+        # vectorized adjacent compares (a Python loop here cost ~1 core-s
+        # per million keys across probe tasks)
+        le = pc.less_equal(arr.slice(0, n - 1), arr.slice(1))
+        is_sorted = bool(pc.all(le).as_py())
+        if is_sorted:
+            lt = pc.less(arr.slice(0, n - 1), arr.slice(1))
+            is_strict = bool(pc.all(lt).as_py())
+        else:
+            is_strict = False
+    else:
+        is_sorted = is_strict = True
     return {
         "n": n,
-        "first": arr[0] if arr else None,
-        "last": arr[-1] if arr else None,
-        "first_sub": subs[0] if subs else None,
+        "first": arr[0].as_py() if n else None,
+        "last": arr[n - 1].as_py() if n else None,
+        "first_sub": tbl[sub][0].as_py() if sub and n else None,
         "sorted": is_sorted,
         "strict": is_strict,
     }
@@ -76,14 +87,25 @@ def _dedup_adjacent(block, key: str, next_first_key):
     """Keep-last per ``key`` within a (key, ts)-sorted block; if the next
     block starts with this block's trailing key, the key's global last
     occurrence lives later — drop it here too (chain-safe: every
-    non-final block containing the key drops its copy)."""
+    non-final block containing the key drops its copy).  Vectorized
+    adjacent-compare (was a Python loop over every key)."""
+    import pyarrow.compute as pc
+
     tbl = _as_arrow(block)
-    keys = tbl[key].to_pylist()
-    n = len(keys)
-    keep = [i for i in range(n) if i == n - 1 or keys[i] != keys[i + 1]]
-    if next_first_key is not None and keep and keys[keep[-1]] == next_first_key:
-        keep.pop()
-    out = tbl.take(pa.array(keep, pa.int64()))
+    n = tbl.num_rows
+    if n == 0:
+        return tbl, 0
+    keys = tbl[key].combine_chunks()
+    if n > 1:
+        neq = pc.invert(pc.equal(keys.slice(0, n - 1), keys.slice(1)))
+        mask = np.concatenate(
+            [neq.to_numpy(zero_copy_only=False), [True]]
+        ).astype(bool)
+    else:
+        mask = np.array([True])
+    if next_first_key is not None and keys[n - 1].as_py() == next_first_key:
+        mask[n - 1] = False
+    out = tbl.filter(pa.array(mask))
     return out, out.num_rows
 
 

@@ -206,17 +206,28 @@ def _build_segment_table(group: pa.Table, sid: int, index_dir, doc_id_col,
     post_doc = tf_table["doc_id"].to_numpy()
     dl_of_post = doc_len[np.searchsorted(did_np, post_doc)]
 
-    terms = tf_table["term"].to_numpy(zero_copy_only=False)
+    # term-run boundaries on the ALREADY (term, doc_id)-sorted table via
+    # Arrow compares — np.unique on an object-string array re-sorts with
+    # Python comparisons and was a measurable slice of segment CPU
+    tcol = tf_table["term"].combine_chunks()
     tfs = tf_table["tf"].to_numpy().astype(np.int64)
-    uniq_terms, starts = np.unique(terms, return_index=True)
-    bounds = np.append(starts, terms.size)
+    n_rows = len(tcol)
+    if n_rows > 1:
+        neq = pc.invert(pc.equal(tcol.slice(1), tcol.slice(0, n_rows - 1)))
+        starts = np.concatenate(
+            [[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1]
+        ).astype(np.int64)
+    else:
+        starts = np.zeros(min(n_rows, 1), dtype=np.int64)
+    uniq_terms = tcol.take(pa.array(starts))
+    bounds = np.append(starts, n_rows)
 
     # whole-segment batched encode (ONE varint pass + reduceat block
     # stats) — byte-identical to the per-term encode_postings loop it
     # replaced, which cost one Python/numpy round-trip per term and
     # dominated segment-build CPU (tests assert blob equality)
     enc = encode_postings_batch(post_doc, tfs, dl_of_post, bounds, codec)
-    n_terms = int(uniq_terms.size)
+    n_terms = len(uniq_terms)
     blk_offs = pa.array(enc["blk_offsets"], pa.int32())
     postings = pa.table(
         {
@@ -234,7 +245,7 @@ def _build_segment_table(group: pa.Table, sid: int, index_dir, doc_id_col,
             "blk_min_dl": pa.ListArray.from_arrays(
                 blk_offs, pa.array(enc["blk_min_dl"], pa.int64())
             ),
-            "term": pa.array([str(t) for t in uniq_terms], pa.string()),
+            "term": uniq_terms,
             "cf": pa.array(enc["cf"], pa.int64()),
         }
     )
