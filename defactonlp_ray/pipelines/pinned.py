@@ -340,6 +340,48 @@ def serial_ann_lsh(
     return df
 
 
+def serial_ann_ivf(
+    sf_dir: str, *, n_queries: int = 3, k: int = 10, n_lists: int = 16,
+    n_probe: int = 4, sample_size: int = 2048,
+) -> pd.DataFrame:
+    """Serial full-scan reference for the IVF route: same coarse
+    quantizer spec (stages/ann.kmeans_centroids + ivf_assign ARE the
+    spec), same probe rule, no Ray / no partition pruning — equality
+    proves the partitioned pruned-read route reads every probed list."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import ivf_assign, kmeans_centroids
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    # sample = first sample_size rows in FILE order, sorted by id (the
+    # exact rule build_ivf_index uses via ds.take)
+    sel = np.argsort(ids[:sample_size], kind="stable")
+    cent = kmeans_centroids(m[:sample_size][sel], n_lists)
+    assign = ivf_assign(m, cent)
+    qsel = np.argsort(ids[:n_queries], kind="stable")
+    q = m[:n_queries][qsel]
+    d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    mn = np.linalg.norm(m, axis=1)
+    mn[mn == 0] = 1.0
+    rows = []
+    for qi in range(q.shape[0]):
+        cols = np.flatnonzero(np.isin(assign, probes[qi]))
+        cos = np.round((m[cols] @ q[qi]) / mn[cols] / qn[qi], 6)
+        sel_k = np.lexsort((ids[cols], -cos))[:k]
+        for rank, j in enumerate(sel_k, 1):
+            rows.append((qi, rank, int(ids[cols][j]), float(cos[j])))
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "score"])
+    df["rank"] = df["rank"].astype(np.int32)
+    return df
+
+
 # ------------------------------------------------------------- SQL plumbing
 
 _SQL_TYPES = {
@@ -474,6 +516,10 @@ def oracle_values_sql() -> dict[str, str]:
         out["ann_lsh"] = _cached(
             "ann_lsh", emb_fp,
             lambda: values_sql(serial_ann_lsh(ORACLE_SF_DIR)),
+        )
+        out["ann_ivf"] = _cached(
+            "ann_ivf", emb_fp,
+            lambda: values_sql(serial_ann_ivf(ORACLE_SF_DIR)),
         )
 
     fx_fp = _fixture_fp()

@@ -440,6 +440,96 @@ SQL_EVENTS_ASOF = (
 )
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding window (SURVEY.md §2.9 pattern beyond the tumbling hourly):
+    1-hour windows advancing every 30 minutes — each event lands in two
+    windows, expressed as a vectorized 2-way explode before the groupby
+    (the standard sliding = k-fold-tumbling decomposition)."""
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        half = 1_800_000_000  # 30 min in us
+        out = []
+        for k in (0, 1):
+            start = pc.multiply(
+                pc.subtract(
+                    pc.cast(pc.divide(ts_us, pa.scalar(half, pa.int64())), pa.int64()),
+                    pa.scalar(k, pa.int64()),
+                ),
+                pa.scalar(half, pa.int64()),
+            )
+            out.append(
+                pa.table(
+                    {
+                        "event_type": batch["event_type"],
+                        "window_start": pc.cast(start, pa.timestamp("us")),
+                        "value": batch["value"],
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    got = (
+        read_table(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sv"))
+        .to_pandas()
+    )
+    got["sum_value"] = np.round(got["sv"], 2)
+    return got[["event_type", "window_start", "n", "sum_value"]]
+
+
+SQL_EVENTS_SLIDING = (
+    "WITH w AS (SELECT event_type, value, "
+    "make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000) "
+    "AS window_start "
+    "FROM events CROSS JOIN (VALUES (0), (1)) AS g(k)) "
+    "SELECT event_type, window_start, count(*) AS n, "
+    "round(sum(value), 2) AS sum_value FROM w "
+    "GROUP BY event_type, window_start"
+)
+
+
+def q_events_quantiles(sf_dir: str):
+    """Exact per-group quantiles (G-family breadth): p50/p95 of ``value``
+    per event_type with a PINNED discrete definition — sorted_values[
+    floor(q * (n-1))] — identical on both engines (no interpolation
+    ambiguity)."""
+
+    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = v.size
+        pick = lambda q: float(v[int(np.floor(q * (n - 1)))])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [np.int64(n)],
+                "p50": [round(pick(0.5), 6)],
+                "p95": [round(pick(0.95), 6)],
+            }
+        )
+
+    return (
+        read_table(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(qtile, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_QUANTILES = (
+    "WITH r AS (SELECT event_type, value, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, "
+    "count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+    "SELECT event_type, CAST(max(n) AS BIGINT) AS n, "
+    "round(max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 "
+    "THEN value END), 6) AS p50, "
+    "round(max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 "
+    "THEN value END), 6) AS p95 "
+    "FROM r GROUP BY event_type"
+)
+
+
 # ------------------------------------------------------------ TPC-H shapes
 
 def q_tpch_q1(sf_dir: str):
@@ -655,6 +745,21 @@ SQL_ANN_TOPK = (
     "round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) DESC, e.vec_id"
     ") AS rank FROM q CROSS JOIN embeddings e) WHERE rank <= 10"
 )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF similarity search (the k-means-bucketed scale path beside the
+    LSH one): coarse-quantized, list-PARTITIONED persisted index; each
+    query probes only its n_probe nearest lists' partitions.  Oracle =
+    the pinned serial full-scan reference of the same quantizer spec
+    (pipelines/pinned.py); recall vs brute is pytest-measured."""
+    q = _query_vectors(sf_dir, 3)
+    idx = _tmp_index_dir(sf_dir, "annivf", table="embeddings")
+    ann.build_ivf_index(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        idx, n_lists=16,
+    )
+    return ann.knn_ivf(idx, q, k=10, n_probe=4)
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1135,6 +1240,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
+    "events_sliding": q_events_sliding,
+    "events_quantiles": q_events_quantiles,
     "tpch_q1": q_tpch_q1,
     "nation_revenue": q_nation_revenue,
     "token_counts": q_token_counts,
@@ -1143,6 +1250,7 @@ QUERIES = {
     "langid_predictions": q_langid_predictions,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "bm25_topk": q_bm25_topk,
     "minhash_neardup": q_minhash_neardup,
@@ -1175,6 +1283,8 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_sliding": SQL_EVENTS_SLIDING,
+    "events_quantiles": SQL_EVENTS_QUANTILES,
     "tpch_q1": SQL_TPCH_Q1,
     "nation_revenue": SQL_NATION_REVENUE,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -253,6 +253,169 @@ def knn_lsh_indexed(
     return pd.concat(out, ignore_index=True)[["query_id", "rank", "vec_id", "score"]]
 
 
+def kmeans_centroids(
+    sample: np.ndarray, n_lists: int, *, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd k-means over a (small, driver-side) sample —
+    the IVF coarse quantizer.  Seeded init, fixed iteration count, empty
+    clusters keep their previous centroid: a pure function of (sample,
+    n_lists, seed), so the serial oracle recomputes identical lists."""
+    sample = np.asarray(sample, dtype=np.float64)
+    rng = np.random.default_rng([seed, n_lists, sample.shape[1]])
+    init = rng.choice(sample.shape[0], size=min(n_lists, sample.shape[0]), replace=False)
+    cent = sample[np.sort(init)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(cent.shape[0]):
+            members = sample[assign == c]
+            if members.size:
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(vecs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid list id per vector (ties -> lowest id)."""
+    d2 = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1).astype(np.int64)
+
+
+def build_ivf_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """IVF index: k-means coarse quantizer over a sample, then every
+    vector written ONCE under its nearest list's partition dir
+    (``list_id=<c>/``).  Queries probe only the ``n_probe`` nearest
+    lists' partitions — the classic inverted-file ANN layout, here as
+    hive-partitioned parquet + path-pruned reads.  Centroids persist
+    beside the data so query time recomputes nothing."""
+    import os
+
+    done = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return index_dir
+    sample_rows = ds.select_columns([id_col, vec_col]).take(sample_size)
+    sample_rows.sort(key=lambda r: r[id_col])
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = kmeans_centroids(sample, n_lists)
+    cref = ray.put(cent)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "list_id": pa.array(ivf_assign(vecs, c)),
+            }
+        )
+
+    tagged = ds.select_columns([id_col, vec_col]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+    tagged.write_parquet(index_dir, partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def knn_ivf(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate cosine top-k over a :func:`build_ivf_index` directory:
+    per query pick the ``n_probe`` nearest lists (by centroid L2), read
+    ONLY those partitions (path-pruned), score candidates whose list is
+    probed by that query, merge."""
+    import os
+
+    import ray.data as rd
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    q = np.asarray(queries, dtype=np.float64)
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    # n_probe nearest lists per query, deterministic ties by list id
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    wanted = {int(c) for row in probes for c in row}
+
+    def keep(partitions: dict) -> bool:
+        return "list_id" in partitions and int(partitions["list_id"]) in wanted
+
+    cand = rd.read_parquet(
+        index_dir,
+        partition_filter=PathPartitionFilter.of(keep),
+        file_extensions=["parquet"],
+    )
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    probe_sets = [set(int(c) for c in row) for row in probes]
+    qref = ray.put((q, qn, probe_sets))
+
+    class Score:
+        def __init__(self):
+            self.q, self.qn, self.probes = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy()
+            m = _as_matrix(batch[vec_col].to_pylist())
+            mn = np.linalg.norm(m, axis=1)
+            mn[mn == 0] = 1.0
+            lrow = np.array([int(x) for x in batch["list_id"].to_pylist()])
+            cos = (self.q @ m.T) / self.qn[:, None] / mn[None, :]
+            cos = np.round(cos, 6)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                cols = np.flatnonzero(
+                    np.isin(lrow, np.array(sorted(self.probes[qi]), dtype=np.int64))
+                )
+                if cols.size == 0:
+                    continue
+                out_q.append(np.full(cols.size, qi, dtype=np.int64))
+                out_id.append(ids[cols])
+                out_s.append(cos[qi][cols])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                    "score": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    partials = cand.map_batches(Score, batch_format="pyarrow", concurrency=pool_size(2))
+    pdf = partials.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "score"])
+    out = []
+    for qi, g in pdf.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)[["query_id", "rank", "vec_id", "score"]]
+
+
 def knn_lsh(
     ds: "ray.data.Dataset",
     queries: np.ndarray,

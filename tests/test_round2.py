@@ -261,3 +261,25 @@ def test_entailment_features_pinned_values():
     assert ov == 2 / 3 and neg is True and lr == 3 / 4
     ov2, neg2, _ = entailment_features(["x"], ["x"])
     assert ov2 == 1.0 and neg2 is False
+
+
+# ----------------------------------------------------------- IVF ANN route
+
+def test_knn_ivf_recall_vs_brute(tmp_path, sf_dir):
+    from defactonlp_ray.sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = sorted(ds.take(3), key=lambda r: r["vec_id"])
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    brute = ann.knn_brute(ds, q, k=10)
+    idx = str(tmp_path / "ivf")
+    ann.build_ivf_index(ds, idx, n_lists=8)
+    got = ann.knn_ivf(idx, q, k=10, n_probe=4)
+    bset = set(zip(brute["query_id"], brute["vec_id"]))
+    gset = set(zip(got["query_id"], got["vec_id"]))
+    assert len(gset & bset) >= 0.5 * len(bset)  # usable recall at 4/8 probes
+    # probing ALL lists must recover brute exactly (pruning-only check)
+    full = ann.knn_ivf(idx, q, k=10, n_probe=8).reset_index(drop=True)
+    assert full[["query_id", "rank", "vec_id"]].equals(
+        brute.reset_index(drop=True)[["query_id", "rank", "vec_id"]]
+    )
