@@ -218,9 +218,14 @@ def knn_lsh_indexed(
                 cols = np.flatnonzero(mask[qi])
                 if cols.size == 0:
                     continue
-                out_q.append(np.full(cols.size, qi, dtype=np.int64))
-                out_id.append(ids[cols])
-                out_s.append(cos[qi][cols])
+                # per-batch top-k partial (combiner): the driver merge sees
+                # k rows per (query, batch), never the full candidate set
+                kk = min(k, cols.size)
+                order = np.lexsort((ids[cols], -cos[qi][cols]))[:kk]
+                sel = cols[order]
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_id.append(ids[sel])
+                out_s.append(cos[qi][sel])
             if not out_q:
                 return pa.table(
                     {
@@ -384,9 +389,13 @@ def knn_ivf(
                 )
                 if cols.size == 0:
                     continue
-                out_q.append(np.full(cols.size, qi, dtype=np.int64))
-                out_id.append(ids[cols])
-                out_s.append(cos[qi][cols])
+                # per-batch top-k partial (combiner) — see knn_lsh_indexed
+                kk = min(k, cols.size)
+                order = np.lexsort((ids[cols], -cos[qi][cols]))[:kk]
+                sel = cols[order]
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_id.append(ids[sel])
+                out_s.append(cos[qi][sel])
             if not out_q:
                 return pa.table(
                     {
