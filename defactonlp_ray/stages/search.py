@@ -629,8 +629,13 @@ def score_segment_wand(
             # prefix; if it cannot reach theta, DEEP-SKIP (Ding & Suel's
             # block-max move): every doc up to the nearest matching block
             # boundary shares these block UBs, so the whole span is provably
-            # below theta — jump there instead of advancing one doc
-            matching = [it for it in live if it.cur() == pivot_doc]
+            # below theta — jump there instead of advancing one doc.
+            # live is cur()-sorted, so matching is exactly the equal prefix
+            matching = []
+            for it in live:
+                if it.cur() != pivot_doc:
+                    break
+                matching.append(it)
             blk_acc = sum(it.cur_block_ub() for it in matching)
             if blk_acc >= theta:
                 matching.sort(key=lambda it: it.term)  # ascending-term order
@@ -647,9 +652,10 @@ def score_segment_wand(
             else:
                 # exact skip bound: docs below the first NON-matching
                 # iterator's cur() are matched only by `matching` terms,
-                # whose block UBs hold up to their block boundaries
-                others = [it.cur() for it in live if it.cur() != pivot_doc]
-                cap = min(others) if others else 2**62
+                # whose block UBs hold up to their block boundaries; the
+                # sorted live list makes that iterator live[len(matching)]
+                m = len(matching)
+                cap = live[m].cur() if m < len(live) else 2**62
                 nd = min(min(it.cur_block_last() for it in matching) + 1, cap)
                 for it in matching:
                     it.advance_to(nd)
