@@ -982,6 +982,32 @@ SQL_MULTIMODAL_DECODE = (
 )
 
 
+def q_multimodal_audio(sf_dir: str):
+    """Audio flavor of the opaque-binary contract: attach fake audio
+    payloads, run the real actor-pool decode stage, emit the decoded
+    metadata (deterministic functions of doc_id -> SQL-expressible; the
+    rms stat stays pytest-only: seeded-RNG samples)."""
+    base = _docs(sf_dir, ["doc_id"])
+    decoded = multimodal.DecodeAudioStage  # actor class used below
+    ds = multimodal.add_fake_audio(base).map_batches(
+        decoded,
+        fn_constructor_kwargs={"strict": False},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+    return ds.select_columns(["doc_id", "dec_sample_rate", "dec_n_samples"])
+
+
+SQL_MULTIMODAL_AUDIO = (
+    "SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END "
+    "AS INTEGER) AS dec_sample_rate, "
+    "CAST(1000 + (doc_id % 10) * 500 AS BIGINT) AS dec_n_samples "
+    "FROM documents"
+)
+
+
 def q_hll_distinct_terms(sf_dir: str):
     """Approximate distinct-term count via mergeable per-batch HLL
     sketches (G7).  Approximate vs ``distinct_terms`` but DETERMINISTIC:
@@ -1256,6 +1282,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
     "pages_retrieval": q_pages_retrieval,
     "hll_distinct_terms": q_hll_distinct_terms,
     "retrieval_eval": q_retrieval_eval,
@@ -1302,6 +1329,7 @@ ORACLES = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "sentence_topn": SQL_SENTENCE_TOPN,
     # simhash_neardup, pages_retrieval, retrieval_eval, hll_distinct_terms:

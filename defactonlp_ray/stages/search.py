@@ -312,15 +312,18 @@ def build_shared_index(index_dir: str) -> dict:
             dl_m = np.concatenate([dls, np.full(pad, 2**31, np.int64)])
         else:
             tf_m, dl_m = tfs, dls
+        # block metadata as numpy arrays: the whole shared dict then ships
+        # through plasma with zero-copy array payloads (python lists would
+        # re-pickle per reading actor)
         merged[term] = {
             "n": n,
             "docids": docids,
             "tfs": tfs,
             "dls": dls,
             "w": w,
-            "blk_last_doc": [int(docids[min((i + 1) * BLOCK, n) - 1]) for i in range(nb)],
-            "blk_max_tf": tf_m.reshape(nb, BLOCK).max(axis=1).tolist(),
-            "blk_min_dl": dl_m.reshape(nb, BLOCK).min(axis=1).tolist(),
+            "blk_last_doc": docids[np.minimum(np.arange(1, nb + 1) * BLOCK, n) - 1],
+            "blk_max_tf": tf_m.reshape(nb, BLOCK).max(axis=1),
+            "blk_min_dl": dl_m.reshape(nb, BLOCK).min(axis=1),
         }
     return {
         "n_docs": n_docs,
