@@ -959,6 +959,38 @@ SQL_MINHASH_NEARDUP = (
 )
 
 
+def q_ngram_jaccard_neardup(sf_dir: str):
+    """Exact n-gram (3-token-shingle) Jaccard near-dup: permissive LSH
+    candidates, then exact shingle-set verification (candidates-then-
+    verify).  Oracle = TRUE all-pairs 3-shingle Jaccard in SQL — passes
+    only when candidate recall is 1.0 (all true pairs on this corpus sit
+    at j >= 0.90, where the 32x4 banding misses with p ~ 1e-15) and the
+    verify stage kills every false positive."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), shingle_k=3, threshold=0.5
+    )
+
+
+_SHINGLE3_SQL = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(ts) = 0 THEN [] "
+    "WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] "
+    "ELSE list_distinct(list_transform(range(1, len(ts) - 1), "
+    "i -> array_to_string(ts[i : i + 2], ' '))) END AS s FROM d)"
+)
+
+SQL_NGRAM_JACCARD_NEARDUP = (
+    _SHINGLE3_SQL + " "
+    "SELECT id_a, id_b, jaccard FROM ("
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(len(list_intersect(a.s, b.s))::DOUBLE / "
+    "len(list_distinct(a.s || b.s)), 6) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE len(a.s) > 0 AND len(b.s) > 0) WHERE jaccard >= 0.5"
+)
+
+
 def q_simhash_neardup(sf_dir: str):
     return dedup.simhash_neardup_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -1280,6 +1312,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "bm25_topk": q_bm25_topk,
     "minhash_neardup": q_minhash_neardup,
+    "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "simhash_neardup": q_simhash_neardup,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
@@ -1331,6 +1364,7 @@ ORACLES = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "ngram_jaccard_neardup": SQL_NGRAM_JACCARD_NEARDUP,
     "sentence_topn": SQL_SENTENCE_TOPN,
     # simhash_neardup, pages_retrieval, retrieval_eval, hll_distinct_terms:
     # pinned-golden VALUES oracles from the single-process reference
