@@ -100,3 +100,19 @@ def test_encode_postings_batch_matches_per_term():
             assert list(batch["blk_min_dl"][o0:o1]) == single["blk_min_dl"]
             assert int(batch["n"][i]) == single["n"]
             assert int(batch["cf"][i]) == int(tfs[lo:hi].sum())
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_pfor_decode_many_property(blobs):
+    from defactonlp_ray.stages.codec import pfor_decode_many, pfor_encode
+
+    vals = [np.array(v, dtype=np.uint64) for v in blobs]
+    out, counts = pfor_decode_many([pfor_encode(v) for v in vals])
+    assert list(counts) == [v.size for v in vals]
+    assert np.array_equal(out, np.concatenate(vals) if vals else out)
