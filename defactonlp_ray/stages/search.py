@@ -290,59 +290,75 @@ def build_shared_index(index_dir: str) -> dict:
         seg_packs = _ray.get([task.remote(p, avgdl) for p in paths])
     else:
         seg_packs = [_decode_segment_arrays(p, avgdl) for p in paths]
-    terms: dict[str, list] = {}
-    for tnames, bounds, docids_all, tfs_all, dls_all, w_all in seg_packs:
-        # ascending sid order -> ascending docids; slices are views
+
+    # COLUMNAR merged layout: one str->index dict + a handful of big
+    # arrays sliced by per-term offsets.  Readers deserialize a few
+    # zero-copy plasma arrays instead of re-pickling one dict-of-dicts
+    # per term per actor (measured dominant in actor startup).
+    counts: dict[str, int] = {}
+    for tnames, bounds, _d, _t, _l, _w in seg_packs:
+        for i, t in enumerate(tnames):
+            counts[t] = counts.get(t, 0) + int(bounds[i + 1] - bounds[i])
+    term_list = sorted(counts)
+    tindex = {t: i for i, t in enumerate(term_list)}
+    n_terms = len(term_list)
+    offsets = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum([counts[t] for t in term_list], out=offsets[1:])
+    total = int(offsets[-1])
+    docids_all = np.empty(total, dtype=np.int64)
+    tfs_all = np.empty(total, dtype=np.int64)
+    dls_all = np.empty(total, dtype=np.int64)
+    w_all = np.empty(total, dtype=np.float64)
+    cursor = offsets[:-1].copy()
+    # ascending sid order -> ascending docids within each term
+    for tnames, bounds, d, tf, dl, w in seg_packs:
         for i, t in enumerate(tnames):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
-            terms.setdefault(t, []).append(
-                (docids_all[lo:hi], tfs_all[lo:hi], dls_all[lo:hi], w_all[lo:hi])
-            )
-    merged: dict[str, dict] = {}
-    for term, rows in terms.items():
-        docids = np.concatenate([r[0] for r in rows])
-        tfs = np.concatenate([r[1] for r in rows])
-        dls = np.concatenate([r[2] for r in rows])
-        w = np.concatenate([r[3] for r in rows])
-        n = docids.size
-        nb = (n + BLOCK - 1) // BLOCK
-        pad = nb * BLOCK - n
-        if pad:
-            tf_m = np.concatenate([tfs, np.zeros(pad, np.int64)])
-            dl_m = np.concatenate([dls, np.full(pad, 2**31, np.int64)])
-        else:
-            tf_m, dl_m = tfs, dls
-        # block metadata as numpy arrays: the whole shared dict then ships
-        # through plasma with zero-copy array payloads (python lists would
-        # re-pickle per reading actor)
-        merged[term] = {
-            "n": n,
-            "docids": docids,
-            "tfs": tfs,
-            "dls": dls,
-            "w": w,
-            "blk_last_doc": docids[np.minimum(np.arange(1, nb + 1) * BLOCK, n) - 1],
-            "blk_max_tf": tf_m.reshape(nb, BLOCK).max(axis=1),
-            "blk_min_dl": dl_m.reshape(nb, BLOCK).min(axis=1),
-        }
+            ti = tindex[t]
+            c = cursor[ti]
+            docids_all[c : c + hi - lo] = d[lo:hi]
+            tfs_all[c : c + hi - lo] = tf[lo:hi]
+            dls_all[c : c + hi - lo] = dl[lo:hi]
+            w_all[c : c + hi - lo] = w[lo:hi]
+            cursor[ti] = c + hi - lo
+    # C3 block metadata over the merged lists, vectorized with reduceat
+    # (term starts are block starts, so segments never cross terms)
+    term_counts = np.diff(offsets)
+    nblocks = (term_counts + BLOCK - 1) // BLOCK
+    blk_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(nblocks, out=blk_offsets[1:])
+    blk_starts = np.concatenate(
+        [np.arange(offsets[i], offsets[i + 1], BLOCK) for i in range(n_terms)]
+    ) if n_terms else np.empty(0, dtype=np.int64)
+    blk_ends = np.minimum(blk_starts + BLOCK, np.repeat(offsets[1:], nblocks))
     return {
         "n_docs": n_docs,
         "avgdl": avgdl,
         "df": df_map,
-        "terms": merged,
+        "tindex": tindex,
+        "offsets": offsets,
+        "docids": docids_all,
+        "tfs": tfs_all,
+        "dls": dls_all,
+        "w": w_all,
+        "blk_offsets": blk_offsets,
+        "blk_last_doc": docids_all[blk_ends - 1] if blk_starts.size else np.empty(0, np.int64),
+        "blk_max_tf": np.maximum.reduceat(tfs_all, blk_starts) if blk_starts.size else np.empty(0, np.int64),
+        "blk_min_dl": np.minimum.reduceat(dls_all, blk_starts) if blk_starts.size else np.empty(0, np.int64),
     }
 
 
 class SharedIndexReader:
     """IndexReader-compatible facade over a ``build_shared_index`` dict
-    (typically resolved from a ray.put ref, zero-copy for the arrays).
-    One logical segment (sid 0) spanning the whole doc range."""
+    (typically resolved from a ray.put ref; the big arrays come out of
+    plasma zero-copy, and per-term access is offset slicing — views, not
+    copies).  One logical segment (sid 0) spanning the whole doc range."""
 
     def __init__(self, shared: dict):
         self.n_docs = shared["n_docs"]
         self.avgdl = shared["avgdl"]
         self._df = shared["df"]
-        self._terms = shared["terms"]
+        self._s = shared
         self.seg_ids = [0]
 
     def dfs(self, terms: list[str]) -> dict[str, int]:
@@ -358,23 +374,28 @@ class SharedIndexReader:
         pass
 
     def postings(self, sid: int, term: str):
-        e = self._terms.get(term)
-        if e is None:
+        s = self._s
+        ti = s["tindex"].get(term)
+        if ti is None:
             return None
+        lo, hi = int(s["offsets"][ti]), int(s["offsets"][ti + 1])
+        b0, b1 = int(s["blk_offsets"][ti]), int(s["blk_offsets"][ti + 1])
         return {
-            "decoded": (e["docids"], e["tfs"], e["dls"]),
-            "w": e["w"],
-            "n": e["n"],
-            "blk_last_doc": e["blk_last_doc"],
-            "blk_max_tf": e["blk_max_tf"],
-            "blk_min_dl": e["blk_min_dl"],
+            "decoded": (s["docids"][lo:hi], s["tfs"][lo:hi], s["dls"][lo:hi]),
+            "w": s["w"][lo:hi],
+            "n": hi - lo,
+            "blk_last_doc": s["blk_last_doc"][b0:b1],
+            "blk_max_tf": s["blk_max_tf"][b0:b1],
+            "blk_min_dl": s["blk_min_dl"][b0:b1],
         }
 
     def term_arrays(self, seg_ids, term):
-        e = self._terms.get(term)
-        if e is None:
+        s = self._s
+        ti = s["tindex"].get(term)
+        if ti is None:
             return None
-        return (e["docids"], e["w"])
+        lo, hi = int(s["offsets"][ti]), int(s["offsets"][ti + 1])
+        return (s["docids"][lo:hi], s["w"][lo:hi])
 
 
 # ----------------------------------------------------------------- scoring

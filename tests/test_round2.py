@@ -283,3 +283,41 @@ def test_knn_ivf_recall_vs_brute(tmp_path, sf_dir):
     assert full[["query_id", "rank", "vec_id"]].equals(
         brute.reset_index(drop=True)[["query_id", "rank", "vec_id"]]
     )
+
+
+# -------------------------------------------- shared-index route equality
+
+def test_shared_index_equals_default_search(tmp_path):
+    import pyarrow.parquet as pq
+
+    from defactonlp_ray.stages import search as S
+    from defactonlp_ray.stages.index_build import build_index
+
+    work = str(tmp_path)
+    pages = fixtures.make_pages(1200)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(1200), pa.int64()), "text": pages["text"]}),
+        f"{work}/docs.parquet",
+    )
+    idx = f"{work}/index"
+    build_index(ray.data.read_parquet(f"{work}/docs.parquet"), idx, seg_docs=256)
+    queries = fixtures.make_query_terms(30)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _ in queries], pa.int64()),
+                "terms": pa.array([t for _, t in queries], pa.list_(pa.string())),
+            }
+        )
+    )
+    key = ["query_id", "rank", "doc_id", "score"]
+    base = (
+        S.search(idx, qds, k=10, concurrency=2).to_pandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    for mode in ("taat", "wand"):
+        got = (
+            S.search(idx, qds, k=10, mode=mode, concurrency=2, shared=True)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert got[key].equals(base[key]), f"shared {mode} != default"
