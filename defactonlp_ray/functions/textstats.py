@@ -49,6 +49,26 @@ def lang_id(text: str) -> str:
     return best_lang
 
 
+def lang_id_batch(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized :func:`lang_id` over a string column — identical output
+    (property-tested), no per-row Python: one ``pc.count_substring`` pass
+    per marker over the padded lowered column, argmax in numpy with the
+    same sorted-language tie rule."""
+    langs = sorted(k for k in _LANG_MARKERS if k != "zh")
+    hay = pc.binary_join_element_wise(" ", pc.utf8_lower(texts), " ", "")
+    scores = np.zeros((len(langs), len(hay)), dtype=np.int64)
+    for i, lang in enumerate(langs):
+        for m in _LANG_MARKERS[lang]:
+            scores[i] += pc.count_substring(hay, m).to_numpy(zero_copy_only=False)
+    # argmax over the sorted-language axis == "strict > in sorted order"
+    best = np.asarray(langs, dtype=object)[scores.argmax(axis=0)]
+    best = np.where(scores.max(axis=0) > 0, best, "und")
+    is_zh = pc.match_substring_regex(texts, "[一-鿿]").to_numpy(
+        zero_copy_only=False
+    )
+    return pa.array(np.where(is_zh, "zh", best), pa.string())
+
+
 def quality_batch(texts: pa.Array | pa.ChunkedArray) -> pa.Table:
     """Per-row quality metrics, vectorized:
 

@@ -315,8 +315,11 @@ def serial_ann_lsh(
     )
     ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
     m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    order = np.argsort(ids)
-    q = m[order][:n_queries]
+    # query rule = take-first-n-in-file-order, then sort by id — the SAME
+    # single rule _query_vectors and serial_ann_ivf use, so the pinned
+    # spec stays one rule even if the table's row order changes
+    qsel = np.argsort(ids[:n_queries], kind="stable")
+    q = m[:n_queries][qsel]
     dim = m.shape[1]
     cand_mask = np.zeros((n_queries, ids.size), dtype=bool)
     for tbl in range(n_tables):
@@ -507,9 +510,11 @@ def oracle_values_sql() -> dict[str, str]:
 
         out["hll_distinct_terms"] = _cached("hll_distinct_terms", sf_fp, _hll)
 
+    from ..stages.ann import ANN_VERSION
+
     emb_path = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
     try:
-        emb_fp = _file_fingerprint(emb_path) + "|" + PINNED_VERSION
+        emb_fp = "|".join([_file_fingerprint(emb_path), PINNED_VERSION, ANN_VERSION])
     except OSError:
         emb_fp = None
     if emb_fp is not None:

@@ -27,7 +27,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from ..functions.textstats import STOPWORDS, lang_id, quality_batch
+from ..functions.textstats import STOPWORDS, lang_id_batch, quality_batch
 from ..functions.tokenizer import flatten_tokens, term_count_table
 from ..sources.readers import read_table
 from ..stages import ann, dedup, multimodal
@@ -673,8 +673,7 @@ def q_langid_predictions(sf_dir: str):
     replace-based substring counting."""
 
     def pred(batch: pa.Table) -> pa.Table:
-        preds = [lang_id(t) for t in batch["text"].to_pylist()]
-        return pa.table({"pred_lang": pa.array(preds, pa.string())})
+        return pa.table({"pred_lang": lang_id_batch(batch["text"])})
 
     return (
         _docs(sf_dir, ["text"])
@@ -754,7 +753,7 @@ def q_ann_ivf(sf_dir: str):
     the pinned serial full-scan reference of the same quantizer spec
     (pipelines/pinned.py); recall vs brute is pytest-measured."""
     q = _query_vectors(sf_dir, 3)
-    idx = _tmp_index_dir(sf_dir, "annivf", table="embeddings")
+    idx = _tmp_index_dir(sf_dir, f"annivf-{ann.ANN_VERSION}", table="embeddings")
     ann.build_ivf_index(
         read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
         idx, n_lists=16,
@@ -787,7 +786,7 @@ def q_ann_lsh(sf_dir: str):
     the check proves the partitioned pruned-read route returns exactly
     what a serial scan of those buckets returns."""
     q = _query_vectors(sf_dir, 3)
-    idx = _tmp_index_dir(sf_dir, "annlsh", table="embeddings")
+    idx = _tmp_index_dir(sf_dir, f"annlsh-{ann.ANN_VERSION}", table="embeddings")
     ann.build_lsh_index(
         read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
         idx, n_bits=4, n_tables=8,

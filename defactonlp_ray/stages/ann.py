@@ -21,9 +21,23 @@ import ray.data
 from ..functions.hashing import splitmix64
 from .util import pool_size
 
+# bumped when the quantizer/bucket spec changes (pinned ANN goldens carry
+# it in their fingerprint so a spec change forces a golden recompute)
+ANN_VERSION = "ann-v2"
+
 
 def _as_matrix(rows: list[list[float]]) -> np.ndarray:
     return np.array(rows, dtype=np.float64)
+
+
+def _empty_partial() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
 
 
 def knn_brute(
@@ -48,6 +62,8 @@ def knn_brute(
             self.q, self.qn = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:  # Ray Data can deliver empty batches
+                return _empty_partial()
             ids = batch[id_col].to_numpy()
             m = _as_matrix(batch[vec_col].to_pylist())
             mn = np.linalg.norm(m, axis=1)
@@ -122,6 +138,9 @@ def build_lsh_index(
         return index_dir
 
     def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty batch: keep schema, skip the matrix
+            empty = pa.array([], pa.int64())
+            return batch.append_column("tbl", empty).append_column("bucket", empty)
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
         out = []
         for t in range(n_tables):
@@ -156,6 +175,7 @@ def knn_lsh_indexed(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    override_num_blocks: int | None = None,
 ) -> pd.DataFrame:
     """Approximate cosine top-k over a :func:`build_lsh_index` directory:
     compute the query buckets, read ONLY those partitions (pruned read),
@@ -187,6 +207,7 @@ def knn_lsh_indexed(
         index_dir,
         partition_filter=PathPartitionFilter.of(keep),
         file_extensions=["parquet"],
+        override_num_blocks=override_num_blocks,
     )
     qn = np.linalg.norm(q, axis=1)
     qn[qn == 0] = 1.0
@@ -202,6 +223,8 @@ def knn_lsh_indexed(
             self.q, self.qn, self.qb = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_partial()
             ids = batch[id_col].to_numpy()
             m = _as_matrix(batch[vec_col].to_pylist())
             mn = np.linalg.norm(m, axis=1)
@@ -218,6 +241,14 @@ def knn_lsh_indexed(
                 cols = np.flatnonzero(mask[qi])
                 if cols.size == 0:
                     continue
+                # a vector matching this query in several tables appears once
+                # per tbl= partition; when Ray bundles those partitions into
+                # one batch the copies (identical id+score) would otherwise
+                # occupy several of the kk slots and evict a distinct
+                # candidate the driver dedup can't recover — keep one copy
+                # per vec_id BEFORE the partial top-k
+                _, first = np.unique(ids[cols], return_index=True)
+                cols = cols[first]
                 # per-batch top-k partial (combiner): the driver merge sees
                 # k rows per (query, batch), never the full candidate set
                 kk = min(k, cols.size)
@@ -227,13 +258,7 @@ def knn_lsh_indexed(
                 out_id.append(ids[sel])
                 out_s.append(cos[qi][sel])
             if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "vec_id": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                    }
-                )
+                return _empty_partial()
             return pa.table(
                 {
                     "query_id": pa.array(np.concatenate(out_q), pa.int64()),
@@ -280,8 +305,19 @@ def kmeans_centroids(
 
 
 def ivf_assign(vecs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
-    """Nearest-centroid list id per vector (ties -> lowest id)."""
-    d2 = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    """Nearest-centroid list id per vector (ties -> lowest id).
+
+    Matmul distance form ‖x‖² − 2x·cᵀ + ‖c‖²: O(n·k) memory instead of the
+    (n, k, d) broadcast intermediate, so raising ``n_lists`` doesn't blow
+    up per-batch memory.  argmin over the constant-per-row ‖x‖² term is
+    unaffected, but the spec value is the full distance."""
+    vecs = np.asarray(vecs, dtype=np.float64)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    d2 = (
+        (vecs * vecs).sum(axis=1)[:, None]
+        - 2.0 * (vecs @ centroids.T)
+        + (centroids * centroids).sum(axis=1)[None, :]
+    )
     return d2.argmin(axis=1).astype(np.int64)
 
 
@@ -312,6 +348,8 @@ def build_ivf_index(
     cref = ray.put(cent)
 
     def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("list_id", pa.array([], pa.int64()))
         c = ray.get(cref)
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
         return pa.table(
@@ -375,6 +413,8 @@ def knn_ivf(
             self.q, self.qn, self.probes = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_partial()
             ids = batch[id_col].to_numpy()
             m = _as_matrix(batch[vec_col].to_pylist())
             mn = np.linalg.norm(m, axis=1)
@@ -397,13 +437,7 @@ def knn_ivf(
                 out_id.append(ids[sel])
                 out_s.append(cos[qi][sel])
             if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "vec_id": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                    }
-                )
+                return _empty_partial()
             return pa.table(
                 {
                     "query_id": pa.array(np.concatenate(out_q), pa.int64()),
@@ -456,6 +490,8 @@ def knn_lsh(
             (self.q, self.qn, self.planes, self.qb, self.wanted) = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_partial()
             ids = batch[id_col].to_numpy()
             m = _as_matrix(batch[vec_col].to_pylist())
             mn = np.linalg.norm(m, axis=1)
@@ -477,13 +513,7 @@ def knn_lsh(
                 out_id.append(ids[cols][order])
                 out_s.append(cos[order])
             if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "vec_id": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                    }
-                )
+                return _empty_partial()
             return pa.table(
                 {
                     "query_id": pa.array(np.concatenate(out_q), pa.int64()),

@@ -311,6 +311,14 @@ def encode_postings_batch(
     n = post_doc.size
     starts = bounds[:-1]
     counts = np.diff(bounds)
+    # empty terms (bounds[i] == bounds[i+1]) would silently corrupt the
+    # reduceat block stats (a repeated index returns the element, not an
+    # empty-segment identity) and double-write gaps[starts]; index_build
+    # never produces them, but this is public API — fail loudly instead
+    if n_terms and counts.size and counts.min() <= 0:
+        raise ValueError(
+            "bounds must be strictly increasing (empty terms unsupported)"
+        )
     if n == 0 or n_terms == 0:
         return {
             "n": [], "doc_blob": [], "tf_blob": [], "dl_blob": [],

@@ -574,6 +574,9 @@ def embedding_neardup_lsh(
     from ..stages.ann import _hyperplanes, lsh_bucket
 
     def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty batch: keep schema, skip the matrix
+            empty = pa.array([], pa.int64())
+            return batch.append_column("tbl", empty).append_column("bucket", empty)
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
         out = []
         for t in range(n_tables):

@@ -1,0 +1,99 @@
+"""Round-3 regression tests: ADVICE fixes (ANN dup-candidate eviction,
+empty-batch guards, codec bounds guard) + vectorized lang-id parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from defactonlp_ray.functions.textstats import lang_id, lang_id_batch
+from defactonlp_ray.stages import ann
+from defactonlp_ray.stages.codec import encode_postings_batch
+
+
+def test_lang_id_batch_equals_scalar(sf_dir):
+    import os
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )["text"].to_pylist()
+    texts += [
+        "", " der der der ", "schschsch", "the the der und ist das",
+        "a one 一 mixed", "xyzzy", "le la les des est une",
+    ]
+    arr = pa.array(texts, pa.string())
+    assert lang_id_batch(arr).to_pylist() == [lang_id(t) for t in texts]
+
+
+def test_encode_postings_batch_rejects_empty_term():
+    docs = np.array([1, 3, 7], dtype=np.int64)
+    tfs = np.array([1, 2, 1], dtype=np.int64)
+    dls = np.array([5, 5, 5], dtype=np.int64)
+    # bounds with a repeated index = an empty term
+    with pytest.raises(ValueError, match="strictly increasing"):
+        encode_postings_batch(docs, tfs, dls, np.array([0, 2, 2, 3]))
+
+
+def test_ivf_assign_matmul_matches_broadcast_form():
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((500, 24))
+    cent = rng.standard_normal((32, 24))
+    naive = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert np.array_equal(ann.ivf_assign(vecs, cent), naive.astype(np.int64))
+
+
+def _vec_table(vecs: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+
+
+def test_knn_lsh_indexed_dedups_multitable_copies(tmp_path):
+    # 16 near-identical vectors: every vector lands in the query's bucket
+    # in EVERY table, so one batch bundling all tbl= partitions
+    # (override_num_blocks=1) holds n_tables copies of each candidate.
+    # Pre-fix, the per-batch top-k filled its slots with copies of the
+    # lowest ids and the driver dedup could not recover the evicted
+    # distinct candidates.
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    vecs = base[None, :] + 1e-6 * rng.standard_normal((16, 16))
+    ann.build_lsh_index(
+        ray.data.from_arrow(_vec_table(vecs)), str(tmp_path / "idx"),
+        n_bits=2, n_tables=8,
+    )
+    res = ann.knn_lsh_indexed(
+        str(tmp_path / "idx"), vecs[:1], k=4, n_bits=2, n_tables=8,
+        override_num_blocks=1,
+    )
+    got = res[res["query_id"] == 0]
+    assert len(got) == 4
+    assert got["vec_id"].is_unique
+    # all cosines round to 1.0 -> tie order is by vec_id
+    assert got["vec_id"].tolist() == [0, 1, 2, 3]
+
+
+def test_lsh_and_ivf_builders_tolerate_empty_blocks(tmp_path):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((6, 8))
+    ds = (
+        ray.data.from_arrow(_vec_table(vecs))
+        .repartition(6)
+        .filter(lambda r: r["vec_id"] < 2)
+    )
+    ann.build_lsh_index(ds, str(tmp_path / "lsh"), n_bits=2, n_tables=2)
+    ann.build_ivf_index(ds, str(tmp_path / "ivf"), n_lists=2, sample_size=4)
+    res = ann.knn_lsh_indexed(
+        str(tmp_path / "lsh"), vecs[:1], k=2, n_bits=2, n_tables=2
+    )
+    assert set(res["vec_id"]) <= {0, 1}
