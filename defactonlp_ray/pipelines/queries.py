@@ -994,6 +994,74 @@ def q_simhash_neardup(sf_dir: str):
     return dedup.simhash_neardup_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+# ------------------------------------------- F5 url as-of dedup (standalone)
+
+_URL_MOD = 150
+_TS_BASE = 1_700_000_000_000_000  # micros
+
+
+def _crawl_ds(sf_dir: str):
+    """Synthetic multi-crawl table derived deterministically from
+    ``documents`` (it has no url/ts columns — same derive trick as
+    sentence_topn's re-rendered text): urls collide across doc_ids mod
+    150, crawl timestamps collide within a url (so the digest tie-break
+    is exercised), and the payload md5 is unique per row (so exactly one
+    winner exists per url)."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        url = pc.binary_join_element_wise(
+            "https://site-",
+            pc.cast(pa.array(did % _URL_MOD), pa.string()),
+            ".example/page",
+            "",
+        )
+        micros = _TS_BASE + ((did // _URL_MOD) % 2) * 3_600_000_000
+        ts = pa.array(micros.astype(np.int64)).cast(pa.timestamp("us"))
+        payload = pc.binary_join_element_wise(
+            batch["text"], pc.cast(batch["doc_id"], pa.string()), ":"
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": url, "warc_ts": ts,
+             "payload": payload}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+
+
+def q_url_dedup(sf_dir: str):
+    """Standalone url as-of dedup (keep-latest crawl, md5 tie-break) over
+    the derived crawl table — runs BOTH physical routes (broadcast
+    semi-filter AND distributed hash join) and asserts they agree before
+    returning, so the driver entry exercises route parity every run."""
+    ds = _crawl_ds(sf_dir)
+    outs = {}
+    for route in ("broadcast", "join"):
+        res = dedup.url_dedup_latest(
+            ds, url_col="url", ts_col="warc_ts", tiebreak_col="payload",
+            route=route,
+        )
+        pdf = res.select_columns(["url", "doc_id"]).to_pandas()
+        outs[route] = pdf.sort_values(["url", "doc_id"]).reset_index(drop=True)
+    if not outs["broadcast"].equals(outs["join"]):
+        raise AssertionError("url_dedup broadcast and join routes disagree")
+    return outs["join"]
+
+
+SQL_URL_DEDUP = (
+    "WITH crawl AS (SELECT doc_id, "
+    f"'https://site-' || CAST(doc_id % {_URL_MOD} AS VARCHAR) || "
+    "'.example/page' AS url, "
+    f"{_TS_BASE} + ((doc_id // {_URL_MOD}) % 2) * 3600000000 AS ts_micros, "
+    "md5(text || ':' || CAST(doc_id AS VARCHAR)) AS digest FROM documents) "
+    "SELECT url, doc_id FROM ("
+    "SELECT url, doc_id, row_number() OVER (PARTITION BY url "
+    "ORDER BY ts_micros DESC, digest DESC) AS rn FROM crawl) WHERE rn = 1"
+)
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing under the driver: attach fake image binaries,
     run the real actor-pool decode stage, emit the decoded metadata.  The
@@ -1313,6 +1381,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "simhash_neardup": q_simhash_neardup,
+    "url_dedup": q_url_dedup,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "pages_retrieval": q_pages_retrieval,
@@ -1364,6 +1433,7 @@ ORACLES = {
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "ngram_jaccard_neardup": SQL_NGRAM_JACCARD_NEARDUP,
+    "url_dedup": SQL_URL_DEDUP,
     "sentence_topn": SQL_SENTENCE_TOPN,
     # simhash_neardup, pages_retrieval, retrieval_eval, hll_distinct_terms:
     # pinned-golden VALUES oracles from the single-process reference

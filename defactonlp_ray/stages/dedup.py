@@ -70,51 +70,66 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
 # ------------------------------------------------- F5 url dedup (as-of pick)
 
+# above this many input rows the winner keyset no longer belongs in one
+# broadcast object / on the driver: use the distributed hash join instead
+BROADCAST_URL_LIMIT = 5_000_000
+
+
+def _md5_digest_array(vals: list) -> pa.Array:
+    return pa.array(
+        [
+            hashlib.md5(t.encode("utf-8") if isinstance(t, str) else bytes(t)).hexdigest()
+            for t in vals
+        ],
+        pa.string(),
+    )
+
+
 def url_dedup_latest(
     ds: "ray.data.Dataset", url_col: str = "url", ts_col: str = "warc_ts",
-    tiebreak_col: Optional[str] = "text",
+    tiebreak_col: Optional[str] = "text", route: str = "auto",
 ) -> "ray.data.Dataset":
     """Duplicate urls across crawls -> keep exactly ONE row per url: the
     latest ``warc_ts``, ties broken by MAX md5 digest of ``tiebreak_col``
     (deterministic single pick even when a url is crawled twice in the
     same microsecond).
 
-    Fully distributed; the heavy side (with ``html``) NEVER shuffles:
+    Winner selection is shared: per-batch combiner (local winner per url
+    by (ts, digest) — bounds shuffle volume at #distinct-urls per batch,
+    ray_guide.md:154-158), then ``groupby(url).map_groups`` over the tiny
+    (url, micros, digest) projection picks the global winner.
 
-    1. per-batch combiner: local winner per url by (ts, digest) — bounds
-       shuffle volume at #distinct-urls per batch (ray_guide.md:154-158);
-    2. ``groupby(url).map_groups`` over the tiny (url, micros, digest)
-       projection picks the global winner;
-    3. the winner keyset is broadcast once (``ray.put``) and the full rows
-       stream through a vectorized semi-join filter (ray_guide.md:148-150).
+    Two physical routes for re-attaching winners to the full rows, with
+    identical output (pytest-asserted equal):
 
-    At 10^12 urls the winner keyset outgrows a broadcast: swap step 3 for
-    a hash join on (url, micros, digest) — the heavy side then shuffles
-    once, which is unavoidable at that shape.
+    * ``broadcast`` — winner keyset ``ray.put`` once, full rows stream
+      through a vectorized semi-join filter; the heavy side NEVER
+      shuffles.  Right while the distinct-url keyset fits one
+      object-store object.
+    * ``join`` — distributed hash join of the full rows against the
+      winner table on (url, micros, digest): no driver-side winner
+      materialization, the at-10^12-urls shape; the heavy side shuffles
+      once, which is unavoidable there.  ``auto`` picks by row count.
 
     Byte-identical rows (same url, ts AND tiebreak content) are
-    indistinguishable and all pass the filter; exact content dedup (D1)
-    downstream collapses them.
+    indistinguishable and all survive on BOTH routes; exact content
+    dedup (D1) downstream collapses them.
     """
     import ray as _ray
+
+    if route == "auto":
+        route = "broadcast" if ds.count() <= BROADCAST_URL_LIMIT else "join"
 
     tb = tiebreak_col if tiebreak_col and tiebreak_col in ds.columns() else None
 
     def project(batch: pa.Table) -> pa.Table:
         micros = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
         if tb is not None:
-            dig = [
-                hashlib.md5(t.encode("utf-8") if isinstance(t, str) else bytes(t)).hexdigest()
-                for t in batch[tb].to_pylist()
-            ]
+            dig = _md5_digest_array(batch[tb].to_pylist())
         else:
-            dig = [""] * batch.num_rows
+            dig = pa.array([""] * batch.num_rows, pa.string())
         t = pa.table(
-            {
-                url_col: batch[url_col],
-                "micros": micros,
-                "digest": pa.array(dig, pa.string()),
-            }
+            {url_col: batch[url_col], "micros": micros, "digest": dig}
         )
         # local combiner: keep the per-batch winner per url
         df = t.to_pandas()
@@ -131,22 +146,40 @@ def url_dedup_latest(
         .map_batches(project, batch_format="pyarrow")
         .groupby(url_col)
         .map_groups(pick, batch_format="pandas")
-        .to_pandas()
     )
-    key = winners[url_col] + "\x1f" + winners["micros"].astype(str) + "\x1f" + winners["digest"]
+
+    if route == "join":
+        orig_cols = ds.columns()
+
+        def add_key(batch: pa.Table) -> pa.Table:
+            micros = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+            if tb is not None:
+                dig = _md5_digest_array(batch[tb].to_pylist())
+            else:
+                dig = pa.array([""] * batch.num_rows, pa.string())
+            return batch.append_column("__micros", micros).append_column(
+                "__digest", dig
+            )
+
+        n_cpu = int(_ray.cluster_resources().get("CPU", 4))
+        joined = ds.map_batches(add_key, batch_format="pyarrow").join(
+            winners,
+            "left_semi",  # keep matching left rows, left columns only
+            num_partitions=max(2, min(16, n_cpu // 2)),
+            on=(url_col, "__micros", "__digest"),
+            right_on=(url_col, "micros", "digest"),
+        )
+        return joined.select_columns(orig_cols)
+
+    key = winners.to_pandas()
+    key = key[url_col] + "\x1f" + key["micros"].astype(str) + "\x1f" + key["digest"]
     ref = _ray.put(pa.array(key.to_numpy(), pa.string()))
 
     def keep_latest(batch: pa.Table) -> pa.Table:
         keys = _ray.get(ref)
         ts_i64 = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
         if tb is not None:
-            dig = pa.array(
-                [
-                    hashlib.md5(t.encode("utf-8") if isinstance(t, str) else bytes(t)).hexdigest()
-                    for t in batch[tb].to_pylist()
-                ],
-                pa.string(),
-            )
+            dig = _md5_digest_array(batch[tb].to_pylist())
         else:
             dig = pa.array([""] * batch.num_rows, pa.string())
         bkey = pc.binary_join_element_wise(
@@ -284,6 +317,46 @@ def minhash_lsh_candidates(
     return cand.groupby(["id_a", "id_b"]).map_groups(pair_dedup, batch_format="pandas")
 
 
+# above this many candidate pairs the id set / text dict no longer
+# belongs on the driver or in one broadcast object: attach texts with
+# two distributed hash joins instead
+BROADCAST_PAIR_LIMIT = 2_000_000
+
+
+def attach_pair_texts(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Candidate pairs (id_a, id_b, ...) -> same rows + ``__text_a`` /
+    ``__text_b`` columns via TWO distributed hash joins against the
+    corpus (pairs ⋈ docs on id_a, then on id_b): no driver-side text
+    dict, no whole-dict broadcast — the at-scale route.  The corpus side
+    is a 2-column projection; each join shuffles it once on the id key.
+    """
+    import ray as _ray
+
+    proj = docs.select_columns([id_col, text_col])
+    n_cpu = int(_ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(16, n_cpu // 2))
+
+    def _join_text(left: "ray.data.Dataset", key: str, out: str):
+        j = left.join(
+            proj, "inner", num_partitions=nparts,
+            on=(key,), right_on=(id_col,),
+        )
+        j = j.rename_columns({text_col: out})
+        # drop the right-side key column if the join kept it
+        if id_col in j.columns() and id_col not in left.columns():
+            j = j.drop_columns([id_col])
+        return j
+
+    withA = _join_text(pairs, "id_a", "__text_a")
+    return _join_text(withA, "id_b", "__text_b")
+
+
 def candidate_texts(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset",
@@ -297,9 +370,9 @@ def candidate_texts(
     vectorized semi-join filter, and only the matching rows (bounded by the
     candidate count, not the corpus) are collected.
 
-    At a candidate volume too large for one broadcast/collect, swap for
-    two hash joins of pairs against docs on id_a / id_b — same semantics,
-    one corpus shuffle.
+    This is the broadcast route of :func:`verify_jaccard_pairs`; past
+    ``BROADCAST_PAIR_LIMIT`` candidates use :func:`attach_pair_texts`
+    (two hash joins) instead — same semantics, one corpus shuffle.
     """
     import ray as _ray
 
@@ -321,6 +394,19 @@ def candidate_texts(
     return {int(r[id_col]): r[text_col] for r in rows}
 
 
+def _pair_jaccard(
+    ta: list, tb: list, shingle_k: int, round_to: Optional[int]
+) -> list[float]:
+    sims = []
+    for a, b in zip(ta, tb):
+        sa = set(_shingles(a, shingle_k))
+        sb = set(_shingles(b, shingle_k))
+        union = len(sa | sb)
+        j = len(sa & sb) / union if union else 0.0
+        sims.append(round(j, round_to) if round_to is not None else j)
+    return sims
+
+
 def verify_jaccard_pairs(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset | dict[int, str]",
@@ -330,11 +416,21 @@ def verify_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: Optional[int] = 6,
+    route: str = "auto",
 ) -> "ray.data.Dataset":
     """Verify candidate pairs by true shingle Jaccard.  ``docs`` is the
-    corpus Dataset (preferred: only candidate texts are fetched via
-    :func:`candidate_texts` — no whole-corpus materialization) or a small
-    pre-built dict for tests.
+    corpus Dataset or a small pre-built dict for tests.
+
+    Two physical routes for fetching pair texts, identical output
+    (pytest-asserted equal):
+
+    * ``broadcast`` — :func:`candidate_texts` collects ONLY the texts
+      named by pairs and ``ray.put``s the dict once; right while the
+      candidate set fits one object-store object.
+    * ``join`` — :func:`attach_pair_texts` ships each pair its own two
+      texts via two distributed hash joins; nothing candidate-shaped
+      ever lands on the driver — the at-scale shape.  ``auto`` picks by
+      pair count.
 
     ``round_to`` rounds the reported jaccard BEFORE thresholding so
     cross-engine comparisons (DuckDB exact-Jaccard oracle) are stable.
@@ -350,22 +446,37 @@ def verify_jaccard_pairs(
     if isinstance(docs, dict):
         docs_by_id = docs
     else:
-        # materialize the (small) candidate set once — candidate_texts and
-        # the verify map below both consume it, and leaving it lazy would
-        # re-execute the whole LSH pipeline twice
+        # materialize the (small) candidate set once — both routes (and
+        # route picking) consume it, and leaving it lazy would re-execute
+        # the whole LSH pipeline per consumer
         pairs = pairs.materialize()
+        if route == "auto":
+            route = "broadcast" if pairs.count() <= BROADCAST_PAIR_LIMIT else "join"
+        if route == "join":
+            withtexts = attach_pair_texts(
+                pairs, docs, id_col=id_col, text_col=text_col
+            )
+
+            def verify_join(batch: pd.DataFrame) -> pd.DataFrame:
+                sims = _pair_jaccard(
+                    batch["__text_a"].tolist(), batch["__text_b"].tolist(),
+                    shingle_k, round_to,
+                )
+                batch = batch.drop(columns=["__text_a", "__text_b"])
+                batch["jaccard"] = sims
+                return batch[batch["jaccard"] >= threshold]
+
+            return withtexts.map_batches(verify_join, batch_format="pandas")
         docs_by_id = candidate_texts(pairs, docs, id_col=id_col, text_col=text_col)
     ref = _ray.put(docs_by_id)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         dmap = _ray.get(ref)
-        sims = []
-        for a, b in zip(batch["id_a"], batch["id_b"]):
-            sa = set(_shingles(dmap[int(a)], shingle_k))
-            sb = set(_shingles(dmap[int(b)], shingle_k))
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
-            sims.append(round(j, round_to) if round_to is not None else j)
+        sims = _pair_jaccard(
+            [dmap[int(a)] for a in batch["id_a"]],
+            [dmap[int(b)] for b in batch["id_b"]],
+            shingle_k, round_to,
+        )
         batch = batch.copy()
         batch["jaccard"] = sims
         return batch[batch["jaccard"] >= threshold]
@@ -633,6 +744,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     concurrency: int = 4,
+    route: str = "auto",
 ) -> "ray.data.Dataset":
     """Exact n-gram Jaccard near-dup: LSH candidates at a permissive band
     setting, then exact shingle-set verification — the
@@ -643,5 +755,5 @@ def ngram_jaccard_pairs(
     )
     return verify_jaccard_pairs(
         cand, ds, threshold=threshold, shingle_k=shingle_k,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, route=route,
     )

@@ -83,6 +83,48 @@ def test_knn_lsh_indexed_dedups_multitable_copies(tmp_path):
     assert got["vec_id"].tolist() == [0, 1, 2, 3]
 
 
+def test_url_dedup_join_route_equals_broadcast():
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.stages import dedup
+
+    pages = ray.data.from_arrow(fixtures.make_pages(600)).drop_columns(["html"])
+
+    def norm(df):
+        return (
+            df.sort_values(["url", "warc_ts", "text"])
+            .reset_index(drop=True)[sorted(df.columns)]
+        )
+
+    rb = norm(dedup.url_dedup_latest(pages, route="broadcast").to_pandas())
+    rj = norm(dedup.url_dedup_latest(pages, route="join").to_pandas())
+    assert len(rb) > 0
+    assert rb.equals(rj)
+
+
+def test_verify_jaccard_join_route_equals_broadcast(sf_dir):
+    from defactonlp_ray.sources.readers import read_table
+    from defactonlp_ray.stages import dedup
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(docs).materialize()
+
+    def norm(df):
+        return (
+            df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            [["id_a", "id_b", "jaccard"]]
+            .astype({"id_a": np.int64, "id_b": np.int64})
+        )
+
+    b = dedup.verify_jaccard_pairs(
+        cand, docs, threshold=0.5, route="broadcast"
+    ).to_pandas()
+    j = dedup.verify_jaccard_pairs(
+        cand, docs, threshold=0.5, route="join"
+    ).to_pandas()
+    assert len(b) > 0
+    assert norm(b).equals(norm(j))
+
+
 def test_lsh_and_ivf_builders_tolerate_empty_blocks(tmp_path):
     rng = np.random.default_rng(5)
     vecs = rng.standard_normal((6, 8))
