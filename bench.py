@@ -168,29 +168,45 @@ def run_bench() -> dict:
             "terms": pa.array([t for _, t in queries], pa.list_(pa.string())),
         }
     )
+    # decode timed SEPARATELY from serving (bench protocol r03): the
+    # one-time shared-index decode used to smear ~1.4 s into the 2000-
+    # query number and hid round-over-round serve improvements
+    t0 = time.perf_counter()
+    shared_ref = ray.put(S.build_shared_index(index_dir))
+    decode_sec = time.perf_counter() - t0
+    timings["bm25_batch_decode"] = decode_sec
+
     t0 = time.perf_counter()
     qds = ray.data.from_arrow(qtbl).repartition(num_cpus)
     res = S.search(
         index_dir, qds, k=10, concurrency=min(8, num_cpus), batch_size=64,
-        shared=True,
+        shared_ref=shared_ref,
     )
     n_results = res.count()
-    query_sec = time.perf_counter() - t0
+    serve_sec = time.perf_counter() - t0
+    timings["bm25_batch_serve"] = serve_sec
+    # decode+serve: comparable to the r01/r02 bm25_batch field
+    query_sec = decode_sec + serve_sec
     timings["bm25_batch"] = query_sec
 
-    # block-max WAND sample (Q2; pruning-only, result-identical to the
-    # exhaustive scorer).  200 queries, not 2000: WAND is an inherently
-    # per-document loop (Python-level here) and the fused vectorized TAAT
-    # beats it ~30x on this Zipf query mix — TAAT is the serving path,
-    # WAND exists for rank-identity parity + selective-query workloads
-    # (see BENCH_NOTES.md).
+    # block-max WAND (Q2; pruning-only, result-identical to the exhaustive
+    # scorer).  r03 vectorized it (interval sweep + MaxScore split): the
+    # full 2000-query mix now runs beside the 200-query field kept for
+    # round-over-round comparability.
     wand_q = ray.data.from_arrow(qtbl.slice(0, 200)).repartition(min(8, num_cpus))
     t0 = time.perf_counter()
     S.search(
         index_dir, wand_q, k=10, mode="wand", concurrency=min(8, num_cpus),
-        batch_size=32, shared=True,
+        batch_size=32, shared_ref=shared_ref,
     ).count()
     timings["bm25_wand_200q"] = time.perf_counter() - t0
+    wand_all = ray.data.from_arrow(qtbl).repartition(num_cpus)
+    t0 = time.perf_counter()
+    S.search(
+        index_dir, wand_all, k=10, mode="wand", concurrency=min(8, num_cpus),
+        batch_size=64, shared_ref=shared_ref,
+    ).count()
+    timings["bm25_wand_2000q"] = time.perf_counter() - t0
 
     # online-serving p95: warm single-process reader, one query at a time
     reader = S.IndexReader(index_dir, preload=True)
@@ -209,6 +225,39 @@ def run_bench() -> dict:
         lat.append(time.perf_counter() - t0)
     p95_ms = float(np.percentile(np.array(lat) * 1000.0, 95))
     timings["bm25_p95_ms"] = p95_ms
+
+    # WAND vs TAAT on a selective (rare+head) query mix — the workload
+    # block-max skipping exists for.  At this 50k-page corpus TAAT's
+    # dense scatter is near-free so WAND sits within ~2x; at 1.4M docs
+    # WAND is ~3x FASTER (BENCH_NOTES.md r03 table).
+    import pyarrow.parquet as _pq
+
+    dftbl = _pq.read_table(
+        os.path.join(index_dir, "stats", "term_df"), columns=["term", "df"]
+    ).to_pandas()
+    rare = dftbl[dftbl["df"] <= dftbl["df"].quantile(0.25)]["term"].tolist()
+    headt = dftbl.nlargest(100, "df")["term"].tolist()
+    rng = np.random.default_rng(42)
+    selq = [
+        [rare[rng.integers(len(rare))], rare[rng.integers(len(rare))],
+         headt[rng.integers(len(headt))]]
+        for _ in range(500)
+    ]
+
+    def _run_serial(mode: str) -> float:
+        fn = S.score_all_wand if mode == "wand" else S.score_all_taat
+        t0 = time.perf_counter()
+        for terms in selq:
+            uniq = sorted(set(terms))
+            reader.dfs(uniq)
+            idfs = {t: reader.idf(t) for t in uniq}
+            fn(reader, reader.seg_ids, uniq, idfs, 10)
+        return time.perf_counter() - t0
+
+    _run_serial("taat")  # warm
+    _run_serial("wand")
+    timings["taat_selective_500q"] = _run_serial("taat")
+    timings["wand_selective_500q"] = _run_serial("wand")
 
     # a few registry ops at the driver's sf dir
     for name in ("term_stats", "dedup_docs", "tpch_q1", "events_hourly"):

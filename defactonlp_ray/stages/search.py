@@ -27,7 +27,6 @@ that survives 10^12 docs).  ``search_fanout`` is the cluster-shape variant:
 
 from __future__ import annotations
 
-import heapq
 import json
 import os
 from typing import Optional
@@ -567,127 +566,313 @@ def _block_ub(idf: float, max_tf: int, min_dl: int, avgdl: float) -> float:
     return idf * ((max_tf * (K1 + 1.0)) / (max_tf + K1 * (1.0 - B + B * min_dl / avgdl)))
 
 
-class _TermIter:
-    __slots__ = ("term", "idf", "avgdl", "docids", "tfs", "dls", "blk_ub",
-                 "blk_last", "ptr", "ub")
+def _ranges_to_indices(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Concatenate ``arange(s, e)`` for every (s, e) run, vectorized."""
+    lens = ends - starts
+    keep = lens > 0
+    starts, lens = starts[keep], lens[keep]
+    if starts.size == 0:
+        return np.empty(0, dtype=np.int64)
+    total = int(lens.sum())
+    idx = np.ones(total, dtype=np.int64)
+    idx[0] = starts[0]
+    cum = np.cumsum(lens[:-1])
+    idx[cum] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(idx)
 
-    def __init__(self, term: str, idf: float, row: dict, avgdl: float):
-        self.term = term
-        self.idf = idf
-        self.avgdl = avgdl
-        self.docids, self.tfs, self.dls = row["decoded"]
-        self.blk_ub = [
-            _block_ub(idf, mt, md, avgdl)
-            for mt, md in zip(row["blk_max_tf"], row["blk_min_dl"])
-        ]
-        self.blk_last = row["blk_last_doc"]
-        self.ptr = 0
-        self.ub = max(self.blk_ub)
 
-    def cur(self) -> int:
-        return int(self.docids[self.ptr]) if self.ptr < self.docids.size else 2**62
+# postings scored in the first pruning round; subsequent rounds grow
+# geometrically (x4, capped) — a small first chunk establishes theta
+# cheaply for selective queries, big later chunks keep the per-round
+# numpy overhead negligible for head-term queries pruning can't help
+_WAND_CHUNK_POSTINGS = 4096
+_WAND_CHUNK_MAX = 65536
 
-    def cur_block_ub(self) -> float:
-        from .codec import BLOCK
 
-        return self.blk_ub[self.ptr // BLOCK] if self.ptr < self.docids.size else 0.0
+def _wand_term_pack(
+    reader, sids: list[int], term: str, idf: float, avgdl: float
+):
+    """Per-term WAND inputs concatenated across ``sids`` (ascending sid =
+    ascending docids, and C3 blocks never cross segments, so block arrays
+    concatenate validly): (docids, idf*w, blk_first, blk_last, blk_ub) or
+    None when the term is absent."""
+    from .codec import BLOCK
 
-    def cur_block_last(self) -> int:
-        """Skip pointer: last docid of the current C3 block."""
-        from .codec import BLOCK
+    p_doc, p_con, p_first, p_last, p_ub = [], [], [], [], []
+    for sid in sids:
+        row = reader.postings(sid, term)
+        if row is None:
+            continue
+        docids = row["decoded"][0]
+        bl = np.asarray(row["blk_last_doc"], dtype=np.int64)
+        mt = np.asarray(row["blk_max_tf"], dtype=np.float64)
+        md = np.asarray(row["blk_min_dl"], dtype=np.float64)
+        # identical expression shape to _block_ub / the cached row["w"]
+        ub = idf * ((mt * (K1 + 1.0)) / (mt + K1 * (1.0 - B + B * md / avgdl)))
+        w = row.get("w")
+        if w is None:  # readers cache this at decode; compute if absent
+            tfs_f = row["decoded"][1].astype(np.float64)
+            dls_f = row["decoded"][2].astype(np.float64)
+            w = (tfs_f * (K1 + 1.0)) / (
+                tfs_f + K1 * (1.0 - B + B * dls_f / avgdl)
+            )
+        p_doc.append(docids)
+        p_con.append(idf * w)
+        p_first.append(docids[::BLOCK].astype(np.int64))
+        p_last.append(bl)
+        p_ub.append(ub)
+    if not p_doc:
+        return None
+    if len(p_doc) == 1:
+        return p_doc[0], p_con[0], p_first[0], p_last[0], p_ub[0]
+    return (
+        np.concatenate(p_doc), np.concatenate(p_con),
+        np.concatenate(p_first), np.concatenate(p_last), np.concatenate(p_ub),
+    )
 
-        if self.ptr >= self.docids.size:
-            return 2**62
-        return int(self.blk_last[self.ptr // BLOCK])
 
-    def advance_to(self, target: int) -> None:
-        if self.ptr >= self.docids.size:
-            return
-        self.ptr += int(np.searchsorted(self.docids[self.ptr:], target))
+def _wand_sweep(
+    term_docids: list[np.ndarray],
+    term_contrib: list[np.ndarray],
+    blk_first: list[np.ndarray],
+    blk_last: list[np.ndarray],
+    blk_ub: list[np.ndarray],
+    k: int,
+) -> list[tuple[float, int]]:
+    """Q2 core: block-max WAND as a VECTORIZED interval sweep — identical
+    output to the exhaustive TAAT scorer (pruning-only; asserted in
+    tests, including hypothesis corpora).
 
-    def contrib(self) -> float:
-        tf = float(self.tfs[self.ptr])
-        dl = float(self.dls[self.ptr])
-        return self.idf * ((tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl)))
+    The per-doc pivot/advance loop of classic BMW (Ding & Suel, SIGIR
+    2011) is re-expressed in candidate-interval form so every step is a
+    numpy kernel over block metadata, never a Python loop over docs:
+
+    1. each term's C3 blocks define docid spans with an exact BM25 upper
+       bound (``_block_ub``); the union of span boundaries cuts the doc
+       range into elementary intervals whose per-term active block — and
+       therefore summed upper bound — is constant;
+    2. intervals are processed in DESCENDING upper-bound order in chunks;
+       each chunk's postings are gathered by vectorized range-slicing and
+       scored exactly (per-term scatter-add in ascending-term order — the
+       same per-doc addition order as TAAT, so scores stay bit-identical);
+    3. after each chunk the running top-k raises theta, and every
+       remaining interval with ub < theta is dropped WHOLESALE — the
+       block-skip, applied to interval batches instead of single docs.
+
+    Pruning safety: per-term ub >= per-posting contribution holds in
+    float64 (same expression shape, monotone FP ops), and interval ubs
+    accumulate in the same ascending-term order as doc scores, so
+    fl(sum ub) >= fl(sum contrib) — an interval is dropped only when no
+    doc in it can reach theta; ties at theta survive (strict <)."""
+    nterms = len(term_docids)
+    if nterms == 0:
+        return []
+
+    # elementary intervals: between consecutive block-span boundaries the
+    # active block per term (hence the summed upper bound) is constant
+    bounds = np.unique(
+        np.concatenate(blk_first + [bl + 1 for bl in blk_last])
+    )
+    int_start = bounds[:-1]
+    int_end = bounds[1:]
+    n_int = int_start.size
+    ub_int = np.zeros(n_int, dtype=np.float64)
+    counts = np.zeros(n_int, dtype=np.int64)
+    term_runs: list[tuple[np.ndarray, np.ndarray]] = []
+    term_int_ub: list[np.ndarray] = []
+    for ti in range(nterms):
+        bi = np.searchsorted(blk_last[ti], int_start)
+        act = bi < blk_last[ti].size
+        act[act] &= blk_first[ti][bi[act]] <= int_start[act]
+        contrib = np.zeros(n_int, dtype=np.float64)
+        contrib[act] = blk_ub[ti][bi[act]]
+        ub_int += contrib  # ascending-term accumulation, like doc scores
+        term_int_ub.append(contrib)
+        ss = np.searchsorted(term_docids[ti], int_start)
+        ee = np.searchsorted(term_docids[ti], int_end)
+        term_runs.append((ss, ee))
+        counts += ee - ss
+
+    live = np.flatnonzero(counts > 0)
+    order = np.argsort(-ub_int[live], kind="stable")  # desc ub, deterministic
+    perm = live[order]
+    ubs = ub_int[perm]
+    cnts = counts[perm]
+    csum = np.cumsum(cnts)
+
+    best_docs = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+    pos = 0
+    chunk_postings = _WAND_CHUNK_POSTINGS
+    while pos < perm.size:
+        # remaining intervals are ub-descending: everything past the first
+        # ub < theta can never contribute (strict <: ties at theta survive)
+        end = pos + int(np.searchsorted(-ubs[pos:], -theta, side="right"))
+        if end == pos:
+            break
+        base = csum[pos - 1] if pos else 0
+        take = int(np.searchsorted(csum[pos:end] - base, chunk_postings)) + 1
+        take = min(take, end - pos)
+        chunk_postings = min(chunk_postings * 4, _WAND_CHUNK_MAX)
+        sel = perm[pos : pos + take]
+        pos += take
+        sel_start = int_start[sel]
+        spans = int_end[sel] - sel_start
+        width = int(spans.sum())
+        n_chunk = int(csum[pos - 1] - base)
+
+        # MaxScore-style split (Turtle & Flood 1995) once theta is live:
+        # terms whose chunk-max upper bounds fold to < theta (ascending-
+        # term fold, FP-monotone vs any doc's score) are NON-ESSENTIAL —
+        # a doc with no essential posting cannot reach theta, so
+        # candidates come from essential postings only and non-essential
+        # contributions are point lookups per candidate.  This is what
+        # skips the head-term posting mass when rare-term blocks span the
+        # whole docid range and interval pruning alone cannot fire.
+        essential = np.ones(nterms, dtype=bool)
+        if np.isfinite(theta):
+            cmax = np.array(
+                [float(term_int_ub[ti][sel].max()) for ti in range(nterms)]
+            )
+            for ti in np.argsort(cmax, kind="stable"):
+                trial = essential.copy()
+                trial[ti] = False
+                bound = 0.0
+                for tj in range(nterms):  # ascending-term fold
+                    if not trial[tj]:
+                        bound += cmax[tj]
+                if bound < theta:
+                    essential = trial
+                else:
+                    break
+        if not essential.all():
+            parts = []
+            for ti in range(nterms):
+                if not essential[ti]:
+                    continue
+                ss, ee = term_runs[ti]
+                gi = _ranges_to_indices(ss[sel], ee[sel])
+                if gi.size:
+                    parts.append(term_docids[ti][gi])
+            if not parts:
+                continue
+            docs_u = np.unique(np.concatenate(parts))
+            scores_u = np.zeros(docs_u.size, dtype=np.float64)
+            for ti in range(nterms):  # ascending-term scatter-add order
+                td = term_docids[ti]
+                if essential[ti]:
+                    ss, ee = term_runs[ti]
+                    gi = _ranges_to_indices(ss[sel], ee[sel])
+                    if gi.size:
+                        scores_u[np.searchsorted(docs_u, td[gi])] += (
+                            term_contrib[ti][gi]
+                        )
+                else:
+                    p = np.searchsorted(td, docs_u)
+                    ok = p < td.size
+                    ok[ok] &= td[p[ok]] == docs_u[ok]
+                    scores_u[ok] += term_contrib[ti][p[ok]]
+        elif width <= 8 * n_chunk + 1024:
+            # dense path: pack the chunk's intervals side by side and
+            # scatter-add per term in ascending-term order — the exact
+            # per-doc addition order (and kernel) of TAAT
+            offs = np.concatenate([[0], np.cumsum(spans)[:-1]])
+            shift = offs - sel_start
+            scores_d = np.zeros(width, dtype=np.float64)
+            touched = np.zeros(width, dtype=bool)
+            for ti in range(nterms):
+                ss, ee = term_runs[ti]
+                s_sel, e_sel = ss[sel], ee[sel]
+                gi = _ranges_to_indices(s_sel, e_sel)
+                if gi.size == 0:
+                    continue
+                p = term_docids[ti][gi] + np.repeat(shift, e_sel - s_sel)
+                scores_d[p] += term_contrib[ti][gi]
+                touched[p] = True
+            cand = np.flatnonzero(touched)
+            if cand.size == 0:
+                continue
+            iv = np.searchsorted(offs, cand, side="right") - 1
+            docs_u = cand - shift[iv]
+            scores_u = scores_d[cand]
+        else:
+            # sparse fallback (intervals with huge doc spans but few
+            # postings — tail-term blocks spanning wide docid ranges):
+            # map candidates through a sorted unique-doc universe
+            parts_d, parts_c = [], []
+            for ti in range(nterms):
+                ss, ee = term_runs[ti]
+                gi = _ranges_to_indices(ss[sel], ee[sel])
+                if gi.size:
+                    parts_d.append(term_docids[ti][gi])
+                    parts_c.append(term_contrib[ti][gi])
+            if not parts_d:
+                continue
+            docs_u = np.unique(np.concatenate(parts_d))
+            scores_u = np.zeros(docs_u.size, dtype=np.float64)
+            # same ascending-term scatter-add order (reduceat would
+            # pairwise-sum docs with >= 8 terms and drift by an ulp)
+            for pd_, pc_ in zip(parts_d, parts_c):
+                scores_u[np.searchsorted(docs_u, pd_)] += pc_
+        top = _topk_exact(
+            np.concatenate([best_scores, scores_u]),
+            np.concatenate([best_docs, docs_u]),
+            k,
+        )
+        best_scores = np.array([s for s, _ in top], dtype=np.float64)
+        best_docs = np.array([dd for _, dd in top], dtype=np.int64)
+        if best_scores.size == k:
+            theta = float(best_scores[-1])
+    return [(float(s), int(dd)) for s, dd in zip(best_scores, best_docs)]
+
+
+def _wand_collect(reader, sids, terms_sorted, idfs):
+    # per-reader pack cache: idf is a global-stats constant per term, so
+    # (docids, idf*w, block arrays) are query-invariant — rebuild once per
+    # (reader, sids, term), not once per query (same precedent as the
+    # reader's _term_arrays cache; actors are single-threaded)
+    cache = getattr(reader, "_wand_packs", None)
+    if cache is None:
+        cache = reader._wand_packs = {}
+    packs = []
+    key_sids = tuple(sids)
+    for t in terms_sorted:  # ascending-term order everywhere (pinned)
+        key = (key_sids, t)
+        if key in cache:
+            p = cache[key]
+        else:
+            p = _wand_term_pack(reader, sids, t, idfs[t], reader.avgdl)
+            cache[key] = p
+        if p is not None:
+            packs.append(p)
+    if not packs:
+        return [], [], [], [], []
+    return tuple(list(x) for x in zip(*packs))
 
 
 def score_segment_wand(
     reader: IndexReader, sid: int, terms_sorted: list[str], idfs: dict[str, float], k: int
 ) -> list[tuple[float, int]]:
-    """Q2: block-max WAND over one segment; identical output to
-    :func:`score_segment_taat` (pruning-only; asserted in tests)."""
-    avgdl = reader.avgdl
-    iters: list[_TermIter] = []
-    for t in terms_sorted:
-        row = reader.postings(sid, t)
-        if row is not None:
-            iters.append(_TermIter(t, idfs[t], row, avgdl))
-    if not iters:
-        return []
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of k best
+    """Q2: vectorized block-max WAND over ONE segment (the fan-out /
+    parity unit) — identical output to :func:`score_segment_taat`."""
+    return _wand_sweep(*_wand_collect(reader, [sid], terms_sorted, idfs), k)
 
-    def threshold() -> float:
-        return heap[0][0] if len(heap) == k else -1.0
 
-    while True:
-        live = [it for it in iters if it.ptr < it.docids.size]
-        if not live:
-            break
-        live.sort(key=lambda it: it.cur())
-        # pivot: first prefix whose summed term upper bounds can beat theta
-        # pivot condition uses >= so exact score ties (broken by doc_id) are
-        # never pruned — WAND stays pruning-only vs Q1 (SURVEY.md §7.6.2)
-        theta = threshold()
-        acc = 0.0
-        pivot = -1
-        for i, it in enumerate(live):
-            acc += it.ub
-            if acc >= theta:
-                pivot = i
-                break
-        if pivot < 0:
-            break
-        pivot_doc = live[pivot].cur()
-        if live[0].cur() == pivot_doc:
-            # block-max refinement: sum of current-block UBs of the matching
-            # prefix; if it cannot reach theta, DEEP-SKIP (Ding & Suel's
-            # block-max move): every doc up to the nearest matching block
-            # boundary shares these block UBs, so the whole span is provably
-            # below theta — jump there instead of advancing one doc.
-            # live is cur()-sorted, so matching is exactly the equal prefix
-            matching = []
-            for it in live:
-                if it.cur() != pivot_doc:
-                    break
-                matching.append(it)
-            blk_acc = sum(it.cur_block_ub() for it in matching)
-            if blk_acc >= theta:
-                matching.sort(key=lambda it: it.term)  # ascending-term order
-                s = 0.0
-                for it in matching:
-                    s += it.contrib()
-                key = (s, -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, key)
-                elif key > heap[0]:
-                    heapq.heapreplace(heap, key)
-                for it in matching:
-                    it.ptr += 1
-            else:
-                # exact skip bound: docs below the first NON-matching
-                # iterator's cur() are matched only by `matching` terms,
-                # whose block UBs hold up to their block boundaries; the
-                # sorted live list makes that iterator live[len(matching)]
-                m = len(matching)
-                cap = live[m].cur() if m < len(live) else 2**62
-                nd = min(min(it.cur_block_last() for it in matching) + 1, cap)
-                for it in matching:
-                    it.advance_to(nd)
-        else:
-            for it in live[:pivot]:
-                it.advance_to(pivot_doc)
-    out = sorted(heap, key=lambda kv: (-kv[0], -kv[1]))
-    return [(s, -nd) for s, nd in out]
+def score_all_wand(
+    reader,
+    seg_ids: list[int],
+    terms_sorted: list[str],
+    idfs: dict[str, float],
+    k: int,
+) -> list[tuple[float, int]]:
+    """Q2+Q4 fused: block-max WAND over MANY segments in ONE interval
+    sweep (per-term arrays and C3 block metadata concatenate validly in
+    ascending-sid order — the same merge :func:`build_shared_index`
+    performs).  Identical output to :func:`score_all_taat`; this is the
+    serving-shape WAND — per-query cost is one sweep, not one per
+    segment."""
+    return _wand_sweep(*_wand_collect(reader, seg_ids, terms_sorted, idfs), k)
 
 
 def merge_topk(parts: list[list[tuple[float, int]]], k: int) -> list[tuple[float, int]]:
@@ -727,11 +912,7 @@ class SearcherActor:
         uniq = sorted(set(terms))
         if self.mode == "taat":
             return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k)
-        parts = [
-            score_segment_wand(self.reader, sid, uniq, idfs, self.k)
-            for sid in seg_ids
-        ]
-        return merge_topk(parts, self.k)
+        return score_all_wand(self.reader, seg_ids, uniq, idfs, self.k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()
@@ -780,17 +961,23 @@ def search(
     batch_size: int = 256,
     preload: bool = False,
     shared: bool = False,
+    shared_ref=None,
 ) -> "ray.data.Dataset":
     """Main query pipeline: queries (query_id, terms) -> results
     (query_id, rank, doc_id, score).
 
     ``shared=True``: decode the index once on the driver, ``ray.put`` the
     arrays, actors read them zero-copy — per-actor startup drops from a
-    full segment decode to an object-store get."""
+    full segment decode to an object-store get.  Pass ``shared_ref`` (a
+    ``ray.put`` ref of :func:`build_shared_index` output) to reuse one
+    decoded index across several search calls (and to time decode and
+    serve separately — bench protocol)."""
     import ray as _ray
 
     ctor: dict = {"k": k, "mode": mode}
-    if shared:
+    if shared_ref is not None:
+        ctor["index_ref"] = shared_ref
+    elif shared:
         ctor["index_ref"] = _ray.put(build_shared_index(index_dir))
     else:
         ctor.update({"index_dir": index_dir, "preload": preload})

@@ -83,6 +83,48 @@ def test_knn_lsh_indexed_dedups_multitable_copies(tmp_path):
     assert got["vec_id"].tolist() == [0, 1, 2, 3]
 
 
+def test_wand_maxscore_split_on_rare_plus_head_query():
+    # 3000 docs: a head term everywhere, a rare term in 20 docs — theta
+    # fills from rare-term docs and the head list goes NON-essential
+    # (the MaxScore split inside the interval sweep), so this exercises
+    # the candidate-lookup scoring path against the exhaustive oracle.
+    from defactonlp_ray import oracle
+    from defactonlp_ray.stages import search as S
+    from defactonlp_ray.stages.codec import encode_postings
+
+    rng = np.random.default_rng(11)
+    docs = {}
+    rare_ids = set(rng.choice(3000, size=20, replace=False).tolist())
+    for i in range(3000):
+        body = "head " * int(rng.integers(1, 4))
+        if i in rare_ids:
+            body += "rareterm " * int(rng.integers(1, 6))
+        docs[i] = body.strip()
+    oidx = oracle.OracleIndex(docs)
+
+    class FakeReader:
+        n_docs = oidx.n_docs
+        avgdl = oidx.avgdl
+
+        def postings(self, sid, term):
+            plist = oidx.postings.get(term)
+            if not plist:
+                return None
+            dids = np.array([d for d, _ in plist], dtype=np.int64)
+            tfs = np.array([c for _, c in plist], dtype=np.int64)
+            dls = np.array([oidx.doc_len[d] for d, _ in plist], dtype=np.int64)
+            row = encode_postings(dids, tfs, dls)
+            row["decoded"] = (dids, tfs, dls)
+            return row
+
+    reader = FakeReader()
+    for q in (["rareterm", "head"], ["rareterm"], ["head"]):
+        uniq = sorted(set(q))
+        idfs = {t: oidx.idf(t) for t in uniq}
+        got = S.score_segment_wand(reader, 0, uniq, idfs, 5)
+        assert [(d, s) for s, d in got] == oidx.bm25_topk(q, 5)
+
+
 def test_url_dedup_join_route_equals_broadcast():
     from defactonlp_ray import fixtures
     from defactonlp_ray.stages import dedup
