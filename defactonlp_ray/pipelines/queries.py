@@ -1277,6 +1277,42 @@ def q_bm25_topk_fanout(sf_dir: str):
     return _rerank_rounded(res, k=10)
 
 
+def q_bm25_append_compact(sf_dir: str):
+    """Incremental ingest + compaction under the driver: index the first
+    half of ``documents``, APPEND the second half (new segments only, no
+    rebuild), COMPACT the small segments into merged ones, then run the
+    standard BM25 query set.  Scores and ranks must equal a from-scratch
+    index of the full table — ``SQL_BM25_TOPK`` is the oracle, so the
+    driver check proves index(A) + append(B) + compact == index(A∪B)."""
+    import shutil
+
+    from ..stages.index_build import append_index, compact_index
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    half = n // 2
+    seg = max(64, n // 8)
+    idx = _tmp_index_dir(sf_dir, "idxac")
+    marker = os.path.join(idx, "_APPEND_COMPACT_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(idx, ignore_errors=True)
+        A = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], half)),
+            batch_format="pyarrow",
+        )
+        Bd = docs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["doc_id"], half)),
+            batch_format="pyarrow",
+        )
+        build_index(A, idx, seg_docs=seg, resume=True)
+        append_index(Bd, idx, seg_docs=seg)
+        compact_index(idx, target_seg_docs=2 * seg)
+        with open(marker, "w") as f:
+            f.write("ok")
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
 def q_docs_sample_hash(sf_dir: str):
     """K4 at scale: SEEDED sampling as a deterministic hash filter
     (md5(doc_id) prefix) — reproducible and parallelism/partitioning-
@@ -1393,6 +1429,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "claim_verdicts": q_claim_verdicts,
     "bm25_topk_fanout": q_bm25_topk_fanout,
+    "bm25_append_compact": q_bm25_append_compact,
     "docs_sample_hash": q_docs_sample_hash,
 }
 
@@ -1426,6 +1463,8 @@ ORACLES = {
     "bm25_topk_wand": SQL_BM25_TOPK,
     "bm25_topk_pfor": SQL_BM25_TOPK,
     "bm25_topk_fanout": SQL_BM25_TOPK,
+    # append+compact must be rank/score-identical to a from-scratch build
+    "bm25_append_compact": SQL_BM25_TOPK,
     "docs_sample_hash": SQL_DOCS_SAMPLE_HASH,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "langid_predictions": SQL_LANGID_PREDICTIONS,

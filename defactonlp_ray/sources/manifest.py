@@ -60,18 +60,28 @@ class _AtomicDir:
 
 
 def append_manifest(index_dir: str, record: dict) -> None:
-    line = json.dumps(record, sort_keys=True) + "\n"
+    append_manifest_many(index_dir, [record])
+
+
+def append_manifest_many(index_dir: str, records: list[dict]) -> None:
+    """Append several records in ONE write: the single O_APPEND write is
+    the atomic commit point for multi-record transitions (compaction
+    publishes the merged segment AND retires its inputs in one buffer, so
+    a crash can never leave both old and merged segments live)."""
+    buf = "".join(json.dumps(r, sort_keys=True) + "\n" for r in records)
     path = os.path.join(index_dir, MANIFEST_NAME)
     fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
     try:
-        os.write(fd, line.encode("utf-8"))
+        os.write(fd, buf.encode("utf-8"))
     finally:
         os.close(fd)
 
 
 def read_manifest(index_dir: str) -> dict[int, dict]:
     """Segment id -> last manifest record; only records whose segment dir
-    actually exists count as done (rename is the commit point)."""
+    actually exists count as done (rename is the commit point), and a
+    last record with ``retired: true`` (compaction tombstone) excludes
+    the segment even while its dir awaits garbage collection."""
     path = os.path.join(index_dir, MANIFEST_NAME)
     out: dict[int, dict] = {}
     if not os.path.exists(path):
@@ -86,5 +96,13 @@ def read_manifest(index_dir: str) -> dict[int, dict]:
     return {
         sid: rec
         for sid, rec in out.items()
-        if os.path.isdir(segment_dir(index_dir, sid))
+        if not rec.get("retired") and os.path.isdir(segment_dir(index_dir, sid))
     }
+
+
+def live_segment_order(recs: dict[int, dict]) -> list[int]:
+    """Segment ids in ascending DOC order (doc_lo, then sid).  Readers
+    must use this — not plain sid order — because compaction assigns
+    merged segments fresh (higher) sids while they cover low doc ranges,
+    and per-term posting concatenation relies on doc-ascending segments."""
+    return sorted(recs, key=lambda sid: (recs[sid].get("doc_lo", sid), sid))

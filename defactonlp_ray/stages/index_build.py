@@ -306,6 +306,30 @@ def _report(sid: int, n_docs: int, n_terms: int, n_postings: int) -> pa.Table:
     )
 
 
+def _swap_in(tmp: str, final: str) -> None:
+    """Replace ``final`` (file or dir, possibly absent) with ``tmp``.
+    File-over-file is a fully atomic ``os.replace``; replacing a dir
+    needs a move-away + move-in pair (POSIX has no atomic dir swap) —
+    the window is two renames, and a crash inside it is repaired by the
+    next stats write."""
+    import shutil
+    import uuid
+
+    if not os.path.exists(final):
+        os.rename(tmp, final)
+        return
+    if not os.path.isdir(final) and not os.path.isdir(tmp):
+        os.replace(tmp, final)
+        return
+    old = final + ".old-" + uuid.uuid4().hex[:8]
+    os.rename(final, old)
+    os.rename(tmp, final)
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.remove(old)
+
+
 def _write_stats(index_dir: str) -> None:
     """Global stats from the finished segments (resume-safe: derived from
     files, not from this run's in-flight state).
@@ -321,17 +345,24 @@ def _write_stats(index_dir: str) -> None:
         for sid in sorted(recs)
     ]
     stats_dir = os.path.join(index_dir, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    final = os.path.join(stats_dir, "term_df")
     total_term_rows = sum(r["n_terms"] for r in recs.values())
+    # NOTE: stats must REPLACE any prior term_df (append/compact rewrite
+    # them); atomic_write_dir's rename silently keeps the old dir when
+    # the target exists, so the swap happens through _swap_in instead
     if total_term_rows <= 5_000_000:
         # vocab fits comfortably on the driver: a direct pyarrow read +
-        # group_by beats a distributed groupby's task orchestration
+        # group_by beats a distributed groupby's task orchestration.
+        # Single parquet FILE -> os.replace is a fully atomic update.
         tbl = pa.concat_tables(
             pq.read_table(p, columns=["term", "n", "cf"]) for p in seg_paths
         )
         agg = tbl.group_by("term").aggregate([("n", "sum"), ("cf", "sum")])
         agg = agg.rename_columns(["term", "df", "cf"])
-        with mf.atomic_write_dir(os.path.join(stats_dir, "term_df")) as tmp:
-            pq.write_table(agg.sort_by("term"), os.path.join(tmp, "part-0.parquet"))
+        tmp = os.path.join(stats_dir, f".term_df.tmp-{os.getpid()}")
+        pq.write_table(agg.sort_by("term"), tmp)
+        _swap_in(tmp, final)
     else:
         parts = ray.data.read_parquet(seg_paths, columns=["term", "n", "cf"])
         from ray.data.aggregate import Sum
@@ -339,8 +370,9 @@ def _write_stats(index_dir: str) -> None:
         df = parts.groupby("term").aggregate(
             Sum("n", alias_name="df"), Sum("cf", alias_name="cf")
         )
-        with mf.atomic_write_dir(os.path.join(stats_dir, "term_df")) as tmp:
-            df.write_parquet(tmp)
+        tmp = os.path.join(stats_dir, f".term_df.tmpd-{os.getpid()}")
+        df.write_parquet(tmp)
+        _swap_in(tmp, final)
     n_docs = sum(r["n_docs"] for r in recs.values())
     total_len = sum(r["total_len"] for r in recs.values())
     coll = {
@@ -361,3 +393,277 @@ def _write_stats(index_dir: str) -> None:
 
 def segment_count(n_docs: int, seg_docs: int = DEFAULT_SEG_DOCS) -> int:
     return math.ceil(n_docs / seg_docs)
+
+
+# -------------------------------------------- incremental append + compaction
+
+# appended segments live in their own sid namespace so their ids never
+# collide with build-time sids (sid = doc_id // seg_docs) and re-running
+# the same append resumes deterministically; compacted merges live in a
+# third namespace above any reachable append sid (append ids would need
+# doc_id ~ 2^63 to reach it).  Readers order segments by doc_lo
+# (manifest.live_segment_order), so sid numbering is free.
+APPEND_SID_BASE = 1 << 40
+COMPACT_SID_BASE = 1 << 50
+
+
+def append_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: Optional[str] = None,
+    seg_docs: int = DEFAULT_SEG_DOCS,
+    codec: str = "varint",
+) -> str:
+    """Append new docs to a finished index WITHOUT rebuilding it: new
+    segments are built only from ``ds`` and global stats are re-derived
+    from all live segments (the manifest lineage already supports this —
+    stats come from files, not the building run).
+
+    Requirements: ``ds`` doc_ids must all be GREATER than every indexed
+    doc_id (posting lists concatenate docid-ascending across doc-ordered
+    segments; interleaving would corrupt them) — validated against the
+    BUILD-namespace segments.  Re-running the same append is an
+    idempotent resume no-op (finished appended segments are skipped, and
+    their sids are deterministic functions of doc_id); appending ids
+    that fall inside already-indexed build segments raises.
+    """
+    recs = mf.read_manifest(index_dir)
+    if not recs:
+        raise ValueError(f"append_index: no finished index at {index_dir}")
+    from ray.data.aggregate import Max, Min
+
+    bounds = ds.aggregate(Min(doc_id_col), Max(doc_id_col))
+    mn = int(bounds[f"min({doc_id_col})"])
+    mx = int(bounds[f"max({doc_id_col})"])
+    # this batch's own (deterministic) sid window — segments already
+    # built by a crashed prior run of the SAME append are exempt from
+    # the overlap check, everything else (build segments, compacted
+    # merges of an earlier append) counts
+    planned_lo = APPEND_SID_BASE + mn // seg_docs
+    planned_hi = APPEND_SID_BASE + mx // seg_docs
+    overlap = [
+        sid for sid, r in recs.items()
+        if r["doc_hi"] >= mn and not (planned_lo <= sid <= planned_hi)
+    ]
+    if overlap:
+        raise ValueError(
+            f"append_index: doc_ids from {mn} overlap live segments "
+            f"{sorted(overlap)[:5]} — appended ids must exceed every "
+            "indexed doc_id (re-appending already-compacted docs is "
+            "not resumable; they are indexed)"
+        )
+    done = set(recs)
+
+    cols = [doc_id_col, text_col] + ([url_col] if url_col else [])
+    ds = ds.select_columns(cols)
+
+    def add_sid(batch: pa.Table) -> pa.Table:
+        if batch.num_rows and pc.min(batch[doc_id_col]).as_py() < mn:
+            raise ValueError("append_index: doc_id below validated minimum")
+        sid = pc.add(
+            pc.cast(
+                pc.divide(batch[doc_id_col], pa.scalar(seg_docs, pa.int64())),
+                pa.int64(),
+            ),
+            pa.scalar(APPEND_SID_BASE, pa.int64()),
+        )
+        return batch.append_column("sid", sid)
+
+    dss = ds.map_batches(add_sid, batch_format="pyarrow")
+    if done:
+        done_arr = pa.array(sorted(done), pa.int64())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(pc.is_in(batch["sid"], value_set=done_arr))
+            )
+
+        dss = dss.map_batches(drop_done, batch_format="pyarrow")
+    builder = _make_segment_builder(index_dir, doc_id_col, text_col, url_col, codec)
+    dss.groupby("sid").map_groups(builder, batch_format="pyarrow").materialize()
+    _write_stats(index_dir)
+    return index_dir
+
+
+def _all_sid_numbers(index_dir: str) -> set[int]:
+    """Every sid ever seen — manifest lines (including retired) AND
+    segment dirs on disk (including orphans) — so fresh sids never
+    collide with anything, even mid-crash leftovers."""
+    out: set[int] = set()
+    path = os.path.join(index_dir, mf.MANIFEST_NAME)
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.add(int(json.loads(line)["sid"]))
+    seg_root = os.path.join(index_dir, "segments")
+    if os.path.isdir(seg_root):
+        for name in os.listdir(seg_root):
+            if name.startswith("seg="):
+                try:
+                    out.add(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+    return out
+
+
+def _merge_group(
+    index_dir: str, sids: list[int], new_sid: int, codec: str
+) -> dict:
+    """Merge adjacent (doc-ordered) segments into ONE new segment dir
+    under ``new_sid`` — WITHOUT publishing it: the caller appends the
+    manifest transition.  An unpublished merged dir is invisible to
+    readers (read_manifest requires dir AND line), so a crash here
+    leaves the index fully intact.
+
+    Per-term posting lists concatenate docid-ascending because ``sids``
+    is doc-ordered and segments cover disjoint doc ranges; the merged
+    lists re-encode through the same batched codec path as a fresh
+    build, so a compacted index is byte-compatible with a built one."""
+    import shutil
+
+    from .search import _decode_segment_arrays
+
+    paths = [
+        os.path.join(mf.segment_dir(index_dir, sid), "postings.parquet")
+        for sid in sids
+    ]
+    metas = []
+    for sid in sids:
+        with open(os.path.join(mf.segment_dir(index_dir, sid), "meta.json")) as f:
+            metas.append(json.load(f))
+    packs = [_decode_segment_arrays(p, 1.0) for p in paths]  # avgdl unused
+
+    term_list = sorted({t for p in packs for t in p[0]})
+    gindex = {t: i for i, t in enumerate(term_list)}
+    n_terms = len(term_list)
+    counts = np.zeros(n_terms, dtype=np.int64)
+    for tnames, bounds, _d, _t, _l, _w in packs:
+        for i, t in enumerate(tnames):
+            counts[gindex[t]] += int(bounds[i + 1] - bounds[i])
+    g_bounds = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(counts, out=g_bounds[1:])
+    total = int(g_bounds[-1])
+    post_doc = np.empty(total, dtype=np.int64)
+    tfs = np.empty(total, dtype=np.int64)
+    dls = np.empty(total, dtype=np.int64)
+    cursor = g_bounds[:-1].copy()
+    for tnames, bounds, d, tf, dl, _w in packs:  # doc order across packs
+        for i, t in enumerate(tnames):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            ti = gindex[t]
+            c = cursor[ti]
+            post_doc[c : c + hi - lo] = d[lo:hi]
+            tfs[c : c + hi - lo] = tf[lo:hi]
+            dls[c : c + hi - lo] = dl[lo:hi]
+            cursor[ti] = c + hi - lo
+
+    enc = encode_postings_batch(post_doc, tfs, dls, g_bounds, codec)
+    blk_offs = pa.array(enc["blk_offsets"], pa.int32())
+    postings = pa.table(
+        {
+            "n": pa.array(np.asarray(enc["n"], dtype=np.int64)),
+            "codec": pa.array([codec] * n_terms, pa.string()),
+            "doc_blob": pa.array(enc["doc_blob"], pa.binary()),
+            "tf_blob": pa.array(enc["tf_blob"], pa.binary()),
+            "dl_blob": pa.array(enc["dl_blob"], pa.binary()),
+            "blk_last_doc": pa.ListArray.from_arrays(
+                blk_offs, pa.array(enc["blk_last_doc"], pa.int64())
+            ),
+            "blk_max_tf": pa.ListArray.from_arrays(
+                blk_offs, pa.array(enc["blk_max_tf"], pa.int64())
+            ),
+            "blk_min_dl": pa.ListArray.from_arrays(
+                blk_offs, pa.array(enc["blk_min_dl"], pa.int64())
+            ),
+            "term": pa.array(term_list, pa.string()),
+            "cf": pa.array(enc["cf"], pa.int64()),
+        }
+    )
+    dstats = pa.concat_tables(
+        pq.read_table(
+            os.path.join(mf.segment_dir(index_dir, sid), "docstats.parquet")
+        )
+        for sid in sids
+    )
+    meta = {
+        "sid": new_sid,
+        "n_docs": sum(m["n_docs"] for m in metas),
+        "total_len": sum(m["total_len"] for m in metas),
+        "n_terms": n_terms,
+        "n_postings": total,
+        "doc_lo": min(m["doc_lo"] for m in metas),
+        "doc_hi": max(m["doc_hi"] for m in metas),
+        "codec": codec,
+        "codec_version": CODEC_VERSION,
+        "tokenizer_version": TOKENIZER_VERSION,
+        "merged_from": sids,
+    }
+    final_dir = mf.segment_dir(index_dir, new_sid)
+    if os.path.isdir(final_dir) and new_sid not in mf.read_manifest(index_dir):
+        shutil.rmtree(final_dir)  # orphan from a crashed prior attempt
+    with mf.atomic_write_dir(final_dir) as tmp:
+        pq.write_table(postings, os.path.join(tmp, "postings.parquet"))
+        pq.write_table(dstats, os.path.join(tmp, "docstats.parquet"))
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    return meta
+
+
+def compact_index(
+    index_dir: str,
+    *,
+    target_seg_docs: int = 4 * DEFAULT_SEG_DOCS,
+    codec: Optional[str] = None,
+    gc: bool = True,
+) -> int:
+    """Merge runs of adjacent small segments so each merged segment holds
+    up to ``target_seg_docs`` docs.  Returns the number of merges.
+
+    Crash-safe by construction: (1) the merged dir is written atomically
+    but stays INVISIBLE until (2) one single-write manifest append
+    publishes it and tombstones its inputs in the same buffer — readers
+    see either the old segments or the merged one, never both; (3) old
+    dirs are deleted afterwards (pure GC — tombstoned dirs are already
+    dead, and re-running compaction re-collects them).  Search results
+    are invariant across every window (tested)."""
+    import shutil
+
+    recs = mf.read_manifest(index_dir)
+    order = mf.live_segment_order(recs)
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_docs = 0
+    for sid in order:
+        nd = recs[sid]["n_docs"]
+        if cur and cur_docs + nd > target_seg_docs:
+            groups.append(cur)
+            cur, cur_docs = [], 0
+        cur.append(sid)
+        cur_docs += nd
+    if cur:
+        groups.append(cur)
+    merge_groups = [g for g in groups if len(g) >= 2]
+    if not merge_groups:
+        return 0
+    next_sid = max(
+        [COMPACT_SID_BASE - 1]
+        + [s for s in _all_sid_numbers(index_dir) if s >= COMPACT_SID_BASE]
+    ) + 1
+    for g in merge_groups:
+        cdc = codec or recs[g[0]].get("codec", "varint")
+        meta = _merge_group(index_dir, g, next_sid, cdc)
+        mf.append_manifest_many(
+            index_dir,
+            [meta] + [{"sid": s, "retired": True} for s in g],
+        )
+        if gc:
+            for s in g:
+                shutil.rmtree(mf.segment_dir(index_dir, s), ignore_errors=True)
+        next_sid += 1
+    _write_stats(index_dir)
+    return len(merge_groups)

@@ -63,7 +63,8 @@ class IndexReader:
             coll = json.load(f)
         self.n_docs: int = coll["n_docs"]
         self.avgdl: float = coll["avgdl"]
-        self.seg_ids: list[int] = sorted(mf.read_manifest(index_dir))
+        # DOC order, not sid order: compacted segments carry fresh sids
+        self.seg_ids: list[int] = mf.live_segment_order(mf.read_manifest(index_dir))
         self._df: dict[str, int] = {}
         self._df_loaded_all = False
         self._postings: dict[tuple[int, str], Optional[dict]] = {}
@@ -279,7 +280,7 @@ def build_shared_index(index_dir: str) -> dict:
     df_map = dict(
         zip(df_tbl["term"].to_pylist(), (int(x) for x in df_tbl["df"].to_pylist()))
     )
-    sids = sorted(mf.read_manifest(index_dir))
+    sids = mf.live_segment_order(mf.read_manifest(index_dir))
     paths = [
         os.path.join(mf.segment_dir(index_dir, sid), "postings.parquet")
         for sid in sids
@@ -1003,7 +1004,7 @@ def search_fanout(
     """Cluster-shape variant (Q4 explicit): expand to (query x segment)
     pairs, score per pair on the actor pool, merge per query with a small
     groupby.  Result-identical to :func:`search` (tested)."""
-    seg_ids = sorted(mf.read_manifest(index_dir))
+    seg_ids = mf.live_segment_order(mf.read_manifest(index_dir))
 
     def expand(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -167,6 +167,114 @@ def test_verify_jaccard_join_route_equals_broadcast(sf_dir):
     assert norm(b).equals(norm(j))
 
 
+def _mk_doc_table(n):
+    from defactonlp_ray import fixtures
+
+    pages = fixtures.make_pages(n)
+    return pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "text": pages["text"]}
+    )
+
+
+def _search_key(idx, n_queries=20, k=10, **kw):
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.stages import search as S
+
+    queries = fixtures.make_query_terms(n_queries)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _ in queries], pa.int64()),
+                "terms": pa.array([t for _, t in queries], pa.list_(pa.string())),
+            }
+        )
+    )
+    return sorted(tuple(r.values()) for r in S.search(idx, qds, k=k, **kw).take_all())
+
+
+def test_append_compact_equals_full_build(tmp_path):
+    from defactonlp_ray.stages.index_build import (
+        append_index, build_index, compact_index,
+    )
+
+    tbl = _mk_doc_table(1200)
+    idx_full = str(tmp_path / "full")
+    idx_ac = str(tmp_path / "ac")
+    build_index(ray.data.from_arrow(tbl), idx_full, seg_docs=256)
+    build_index(ray.data.from_arrow(tbl.slice(0, 700)), idx_ac, seg_docs=256)
+    append_index(ray.data.from_arrow(tbl.slice(700)), idx_ac, seg_docs=256)
+    want = _search_key(idx_full)
+    assert _search_key(idx_ac) == want  # append alone
+    n = compact_index(idx_ac, target_seg_docs=512)
+    assert n >= 1
+    assert _search_key(idx_ac) == want  # compacted
+    assert _search_key(idx_ac, mode="wand") == want
+    # appending ids that are already indexed (post-compaction) must raise
+    with pytest.raises(ValueError, match="overlap"):
+        append_index(ray.data.from_arrow(tbl.slice(700)), idx_ac, seg_docs=256)
+
+
+def test_compaction_crash_windows_and_resume(tmp_path):
+    from defactonlp_ray.sources import manifest as mf
+    from defactonlp_ray.stages.index_build import (
+        COMPACT_SID_BASE, _merge_group, build_index, compact_index,
+    )
+
+    tbl = _mk_doc_table(1000)
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl), idx, seg_docs=200)
+    want = _search_key(idx)
+    before = dict(mf.read_manifest(idx))
+
+    # crash window A: merged dir written but never published — invisible
+    group = mf.live_segment_order(before)[:2]
+    _merge_group(idx, group, COMPACT_SID_BASE, "varint")
+    assert mf.read_manifest(idx).keys() == before.keys()
+    assert _search_key(idx) == want
+    # resume: a full compaction over the same index still succeeds and
+    # stays result-identical (the orphan dir is reclaimed or ignored)
+    n = compact_index(idx, target_seg_docs=400)
+    assert n >= 1
+    assert _search_key(idx) == want
+
+    # crash window B: published transition but old dirs not yet GC'd —
+    # tombstones hide them even though the dirs exist
+    idx2 = str(tmp_path / "idx2")
+    build_index(ray.data.from_arrow(tbl), idx2, seg_docs=200)
+    n = compact_index(idx2, target_seg_docs=400, gc=False)
+    assert n >= 1
+    recs = mf.read_manifest(idx2)
+    import os
+
+    for sid in recs:
+        assert recs[sid].get("merged_from") or True
+    # some retired dirs still on disk, none live
+    seg_root = os.path.join(idx2, "segments")
+    on_disk = {int(d.split("=")[1]) for d in os.listdir(seg_root) if d.startswith("seg=")}
+    assert on_disk - set(recs), "expected tombstoned dirs awaiting GC"
+    assert _search_key(idx2) == want
+
+
+def test_append_resumes_after_partial_crash(tmp_path):
+    import shutil
+
+    from defactonlp_ray.sources import manifest as mf
+    from defactonlp_ray.stages.index_build import append_index, build_index
+
+    tbl = _mk_doc_table(900)
+    idx_full = str(tmp_path / "full")
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl), idx_full, seg_docs=200)
+    build_index(ray.data.from_arrow(tbl.slice(0, 500)), idx, seg_docs=200)
+    append_index(ray.data.from_arrow(tbl.slice(500)), idx, seg_docs=200)
+    # simulate a crash that lost one appended segment dir
+    appended = [s for s in mf.read_manifest(idx) if s >= (1 << 40)]
+    shutil.rmtree(mf.segment_dir(idx, appended[0]))
+    # re-running the SAME append rebuilds only the missing segment
+    append_index(ray.data.from_arrow(tbl.slice(500)), idx, seg_docs=200)
+    assert _search_key(idx) == _search_key(idx_full)
+
+
 def test_lsh_and_ivf_builders_tolerate_empty_blocks(tmp_path):
     rng = np.random.default_rng(5)
     vecs = rng.standard_normal((6, 8))
