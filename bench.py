@@ -346,8 +346,90 @@ def run_scaling() -> dict:
     }
 
 
+def run_codec_probe() -> dict:
+    """Compute-bound scaling probe: a fixed bag of codec tasks (varint +
+    PForDelta encode/decode over L2-resident arrays) with NO data
+    movement — isolates the engine/task-scheduling scaling from this
+    box's shared-memory-bandwidth wall, which the string-heavy index
+    build does hit past ~16 workers (BASELINE.md)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "16"))
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+
+    @ray.remote
+    def codec_task(seed: int, rounds: int) -> int:
+        import numpy as np
+
+        from defactonlp_ray.stages.codec import (
+            pfor_decode, pfor_encode, varint_decode, varint_encode,
+        )
+
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, 1 << 20, size=1 << 15).astype(np.uint64)
+        acc = 0
+        for _ in range(rounds):
+            b = varint_encode(vals)
+            acc += varint_decode(b, vals.size)[-1]
+            p = pfor_encode(vals)
+            acc += pfor_decode(p)[-1]
+        return int(acc)
+
+    n_tasks, rounds = 128, 12
+    ray.get([codec_task.remote(i, 1) for i in range(num_cpus)])  # warm
+    t0 = time.perf_counter()
+    ray.get([codec_task.remote(i, rounds) for i in range(n_tasks)])
+    sec = time.perf_counter() - t0
+    ray.shutdown()
+    return {"sec": round(sec, 3), "num_cpus": num_cpus,
+            "n_tasks": n_tasks, "rounds": rounds}
+
+
+def run_scaling_codec() -> dict:
+    repeats = int(os.environ.get("DFR_SCALING_REPEATS", "3"))
+    cpus = os.environ.get("DFR_SCALING_CPUS", "4,16").split(",")
+    n_lo, n_hi = int(cpus[0]), int(cpus[1])
+
+    def run(ncpu: int) -> float:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--codec-probe"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])["sec"]
+
+    lo, hi = [], []
+    for _ in range(repeats):
+        lo.append(run(n_lo))
+        hi.append(run(n_hi))
+
+    def med(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else 0.5 * (xs[m - 1] + xs[m])
+
+    ratio = n_hi / n_lo
+    return {
+        "probe": "codec (compute-bound, no data movement)",
+        "cpus": [n_lo, n_hi],
+        "sec_lo_runs": lo,
+        "sec_hi_runs": hi,
+        "scaling_efficiency": round((med(lo) / med(hi)) / ratio, 3),
+        "pair_efficiencies": [
+            round((a / b) / ratio, 3) for a, b in zip(lo, hi)
+        ],
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-codec" in sys.argv:
+        print(json.dumps(run_scaling_codec()))
+    elif "--codec-probe" in sys.argv:
+        print(json.dumps(run_codec_probe()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

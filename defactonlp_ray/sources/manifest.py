@@ -77,11 +77,9 @@ def append_manifest_many(index_dir: str, records: list[dict]) -> None:
         os.close(fd)
 
 
-def read_manifest(index_dir: str) -> dict[int, dict]:
-    """Segment id -> last manifest record; only records whose segment dir
-    actually exists count as done (rename is the commit point), and a
-    last record with ``retired: true`` (compaction tombstone) excludes
-    the segment even while its dir awaits garbage collection."""
+def read_manifest_raw(index_dir: str) -> dict[int, dict]:
+    """Segment id -> last manifest record, unfiltered (tombstones and
+    records whose dirs are gone included) — replay is last-line-wins."""
     path = os.path.join(index_dir, MANIFEST_NAME)
     out: dict[int, dict] = {}
     if not os.path.exists(path):
@@ -93,11 +91,31 @@ def read_manifest(index_dir: str) -> dict[int, dict]:
                 continue
             rec = json.loads(line)
             out[int(rec["sid"])] = rec
+    return out
+
+
+def read_manifest(index_dir: str) -> dict[int, dict]:
+    """Segment id -> last manifest record; only records whose segment dir
+    actually exists count as done (rename is the commit point), and a
+    last record with ``retired: true`` (compaction tombstone) excludes
+    the segment even while its dir awaits garbage collection."""
     return {
         sid: rec
-        for sid, rec in out.items()
+        for sid, rec in read_manifest_raw(index_dir).items()
         if not rec.get("retired") and os.path.isdir(segment_dir(index_dir, sid))
     }
+
+
+def gc_retired(index_dir: str) -> int:
+    """Delete segment dirs whose LAST manifest record is a tombstone —
+    pure garbage collection (the tombstone is the committed retirement),
+    idempotent, safe to run any time.  Returns dirs removed."""
+    removed = 0
+    for sid, rec in read_manifest_raw(index_dir).items():
+        if rec.get("retired") and os.path.isdir(segment_dir(index_dir, sid)):
+            shutil.rmtree(segment_dir(index_dir, sid), ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def live_segment_order(recs: dict[int, dict]) -> list[int]:

@@ -348,10 +348,12 @@ def _write_stats(index_dir: str) -> None:
     os.makedirs(stats_dir, exist_ok=True)
     final = os.path.join(stats_dir, "term_df")
     total_term_rows = sum(r["n_terms"] for r in recs.values())
+    # overridable so tests can force the distributed branch on small data
+    driver_limit = int(os.environ.get("DFR_STATS_DRIVER_LIMIT", 5_000_000))
     # NOTE: stats must REPLACE any prior term_df (append/compact rewrite
     # them); atomic_write_dir's rename silently keeps the old dir when
     # the target exists, so the swap happens through _swap_in instead
-    if total_term_rows <= 5_000_000:
+    if total_term_rows <= driver_limit:
         # vocab fits comfortably on the driver: a direct pyarrow read +
         # group_by beats a distributed groupby's task orchestration.
         # Single parquet FILE -> os.replace is a fully atomic update.
@@ -633,6 +635,7 @@ def compact_index(
     are invariant across every window (tested)."""
     import shutil
 
+    mf.gc_retired(index_dir)  # collect dirs a crashed prior run left behind
     recs = mf.read_manifest(index_dir)
     order = mf.live_segment_order(recs)
     groups: list[list[int]] = []

@@ -253,6 +253,12 @@ def test_compaction_crash_windows_and_resume(tmp_path):
     on_disk = {int(d.split("=")[1]) for d in os.listdir(seg_root) if d.startswith("seg=")}
     assert on_disk - set(recs), "expected tombstoned dirs awaiting GC"
     assert _search_key(idx2) == want
+    # GC collects exactly the tombstoned dirs; results unchanged
+    n_gc = mf.gc_retired(idx2)
+    assert n_gc == len(on_disk - set(recs))
+    left = {int(d.split("=")[1]) for d in os.listdir(seg_root) if d.startswith("seg=")}
+    assert left == set(recs)
+    assert _search_key(idx2) == want
 
 
 def test_append_resumes_after_partial_crash(tmp_path):
@@ -273,6 +279,28 @@ def test_append_resumes_after_partial_crash(tmp_path):
     # re-running the SAME append rebuilds only the missing segment
     append_index(ray.data.from_arrow(tbl.slice(500)), idx, seg_docs=200)
     assert _search_key(idx) == _search_key(idx_full)
+
+
+def test_write_stats_distributed_branch_equals_driver(tmp_path, monkeypatch):
+    # force the >limit distributed groupby branch on a small corpus and
+    # assert it produces the same term_df + search results as the
+    # driver-side pyarrow branch
+    import pyarrow.parquet as pq
+
+    from defactonlp_ray.stages.index_build import build_index
+
+    tbl = _mk_doc_table(600)
+    idx_a = str(tmp_path / "driver")
+    idx_b = str(tmp_path / "dist")
+    build_index(ray.data.from_arrow(tbl), idx_a, seg_docs=200)
+    monkeypatch.setenv("DFR_STATS_DRIVER_LIMIT", "0")
+    build_index(ray.data.from_arrow(tbl), idx_b, seg_docs=200)
+    monkeypatch.delenv("DFR_STATS_DRIVER_LIMIT")
+    ta = pq.read_table(f"{idx_a}/stats/term_df").to_pandas()
+    tb = pq.read_table(f"{idx_b}/stats/term_df").to_pandas()
+    norm = lambda d: d.sort_values("term").reset_index(drop=True)[["term", "df", "cf"]]
+    assert norm(ta).equals(norm(tb))
+    assert _search_key(idx_a) == _search_key(idx_b)
 
 
 def test_lsh_and_ivf_builders_tolerate_empty_blocks(tmp_path):
