@@ -30,19 +30,46 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def hash_str_array(strs: np.ndarray | list[str]) -> np.ndarray:
-    """Stable uint64 hash per string (FNV-1a over utf-8, then splitmix64).
+def hash_str_array(strs) -> np.ndarray:
+    """Stable uint64 hash per string (FNV-1a over utf-8, then splitmix64),
+    VECTORIZED: the byte chain is sequential per string, so the loop runs
+    over byte POSITIONS (max string length, ~tens for shingles/terms)
+    with one numpy step across every still-active string — not over
+    strings × chars in Python.  Accepts list[str] / numpy object array /
+    pyarrow string array; bit-identical to the scalar FNV-1a definition
+    (property-tested)."""
+    import pyarrow as pa
 
-    Python-loop FNV is fine: callers hash *shingles/terms*, already the
-    reduced representation, not raw documents.
-    """
-    out = np.empty(len(strs), dtype=np.uint64)
-    for i, s in enumerate(strs):
-        h = 0xCBF29CE484222325
-        for b in s.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return splitmix64(out)
+    if isinstance(strs, pa.ChunkedArray):
+        arr = strs.combine_chunks()
+    elif isinstance(strs, pa.Array):
+        arr = strs
+    else:
+        arr = pa.array(list(strs), pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if arr.type == pa.large_string():
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lens = np.diff(offsets)
+    starts = offsets[:-1]
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    max_len = int(lens.max()) if n else 0
+    active_idx = np.arange(n, dtype=np.int64)
+    for i in range(max_len):
+        keep = lens[active_idx] > i
+        active_idx = active_idx[keep]
+        b = data[starts[active_idx] + i].astype(np.uint64)
+        h[active_idx] = (h[active_idx] ^ b) * prime  # uint64 wraps mod 2^64
+    return splitmix64(h)
 
 
 def rolling_fingerprint(text: str, window: int = 8, base: int = 257,

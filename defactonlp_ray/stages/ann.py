@@ -26,8 +26,23 @@ from .util import pool_size
 ANN_VERSION = "ann-v2"
 
 
-def _as_matrix(rows: list[list[float]]) -> np.ndarray:
-    return np.array(rows, dtype=np.float64)
+def _as_matrix(col) -> np.ndarray:
+    """Embedding column -> (n, d) float64 matrix.  Arrow list columns
+    flatten through the values buffer (no Python list round-trip);
+    plain Python lists (tests) still convert."""
+    if isinstance(col, (list, np.ndarray)):
+        return np.array(col, dtype=np.float64)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    if n == 0:
+        return flat.reshape(0, 0)
+    if flat.size % n:
+        raise ValueError("ragged embedding column")
+    return flat.reshape(n, flat.size // n)
 
 
 def _empty_partial() -> pa.Table:
@@ -65,7 +80,7 @@ def knn_brute(
             if batch.num_rows == 0:  # Ray Data can deliver empty batches
                 return _empty_partial()
             ids = batch[id_col].to_numpy()
-            m = _as_matrix(batch[vec_col].to_pylist())
+            m = _as_matrix(batch[vec_col])
             mn = np.linalg.norm(m, axis=1)
             mn[mn == 0] = 1.0
             cos = (self.q @ m.T) / self.qn[:, None] / mn[None, :]
@@ -141,7 +156,7 @@ def build_lsh_index(
         if batch.num_rows == 0:  # empty batch: keep schema, skip the matrix
             empty = pa.array([], pa.int64())
             return batch.append_column("tbl", empty).append_column("bucket", empty)
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = _as_matrix(batch[vec_col])
         out = []
         for t in range(n_tables):
             planes = _hyperplanes(vecs.shape[1], n_bits, seed=42 + t)
@@ -226,7 +241,7 @@ def knn_lsh_indexed(
             if batch.num_rows == 0:
                 return _empty_partial()
             ids = batch[id_col].to_numpy()
-            m = _as_matrix(batch[vec_col].to_pylist())
+            m = _as_matrix(batch[vec_col])
             mn = np.linalg.norm(m, axis=1)
             mn[mn == 0] = 1.0
             # partition cols may read back dictionary/string-typed
@@ -351,7 +366,7 @@ def build_ivf_index(
         if batch.num_rows == 0:
             return batch.append_column("list_id", pa.array([], pa.int64()))
         c = ray.get(cref)
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = _as_matrix(batch[vec_col])
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -416,7 +431,7 @@ def knn_ivf(
             if batch.num_rows == 0:
                 return _empty_partial()
             ids = batch[id_col].to_numpy()
-            m = _as_matrix(batch[vec_col].to_pylist())
+            m = _as_matrix(batch[vec_col])
             mn = np.linalg.norm(m, axis=1)
             mn[mn == 0] = 1.0
             lrow = np.array([int(x) for x in batch["list_id"].to_pylist()])
@@ -493,7 +508,7 @@ def knn_lsh(
             if batch.num_rows == 0:
                 return _empty_partial()
             ids = batch[id_col].to_numpy()
-            m = _as_matrix(batch[vec_col].to_pylist())
+            m = _as_matrix(batch[vec_col])
             mn = np.linalg.norm(m, axis=1)
             mn[mn == 0] = 1.0
             cand_mask = np.zeros((self.q.shape[0], ids.size), dtype=bool)

@@ -591,9 +591,11 @@ def _prep_vec_block(block, id_col: str, vec_col: str):
     store; pair tasks read it zero-copy."""
     from .docids import _as_arrow
 
+    from .ann import _as_matrix
+
     tbl = _as_arrow(block)
     ids = tbl[id_col].to_numpy().astype(np.int64)
-    m = np.array(tbl[vec_col].to_pylist(), dtype=np.float64)
+    m = _as_matrix(tbl[vec_col])
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
     return ids, m / norms[:, None]
@@ -682,13 +684,13 @@ def embedding_neardup_lsh(
     dedup pairs found by multiple tables.  Recall < 1 by construction
     (it is the standard trade for dropping the B^2/2 exact task grid);
     recall vs the exact kernel is measured in pytest."""
-    from ..stages.ann import _hyperplanes, lsh_bucket
+    from ..stages.ann import _as_matrix, _hyperplanes, lsh_bucket
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:  # empty batch: keep schema, skip the matrix
             empty = pa.array([], pa.int64())
             return batch.append_column("tbl", empty).append_column("bucket", empty)
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = _as_matrix(batch[vec_col])
         out = []
         for t in range(n_tables):
             planes = _hyperplanes(vecs.shape[1], n_bits, seed=142 + t)

@@ -657,9 +657,25 @@ def compact_index(
         [COMPACT_SID_BASE - 1]
         + [s for s in _all_sid_numbers(index_dir) if s >= COMPACT_SID_BASE]
     ) + 1
-    for g in merge_groups:
-        cdc = codec or recs[g[0]].get("codec", "varint")
-        meta = _merge_group(index_dir, g, next_sid, cdc)
+    codecs = [codec or recs[g[0]].get("codec", "varint") for g in merge_groups]
+    import ray as _ray
+
+    if _ray.is_initialized() and len(merge_groups) > 1:
+        # merges are independent (distinct inputs, distinct fresh sids)
+        # and unpublished until the manifest append below — fan out
+        task = _ray.remote(_merge_group)
+        metas = _ray.get(
+            [
+                task.remote(index_dir, g, next_sid + i, cdc)
+                for i, (g, cdc) in enumerate(zip(merge_groups, codecs))
+            ]
+        )
+    else:
+        metas = [
+            _merge_group(index_dir, g, next_sid + i, cdc)
+            for i, (g, cdc) in enumerate(zip(merge_groups, codecs))
+        ]
+    for g, meta in zip(merge_groups, metas):
         mf.append_manifest_many(
             index_dir,
             [meta] + [{"sid": s, "retired": True} for s in g],
@@ -667,6 +683,5 @@ def compact_index(
         if gc:
             for s in g:
                 shutil.rmtree(mf.segment_dir(index_dir, s), ignore_errors=True)
-        next_sid += 1
     _write_stats(index_dir)
     return len(merge_groups)

@@ -30,6 +30,33 @@ def test_lang_id_batch_equals_scalar(sf_dir):
     assert lang_id_batch(arr).to_pylist() == [lang_id(t) for t in texts]
 
 
+def test_hash_str_array_vectorized_matches_scalar_fnv():
+    from defactonlp_ray.functions.hashing import hash_str_array, splitmix64
+
+    def scalar(strs):
+        out = np.empty(len(strs), dtype=np.uint64)
+        for i, s in enumerate(strs):
+            h = 0xCBF29CE484222325
+            for b in s.encode("utf-8"):
+                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            out[i] = h
+        return splitmix64(out)
+
+    import random
+    import string
+
+    rng = random.Random(11)
+    cases = ["", "a", "héllo wörld 中文", "x" * 300] + [
+        "".join(rng.choice(string.printable) for _ in range(rng.randint(0, 60)))
+        for _ in range(300)
+    ]
+    assert np.array_equal(hash_str_array(cases), scalar(cases))
+    # sliced arrow input (non-zero buffer offset)
+    arr = pa.array(cases, pa.string()).slice(5, 200)
+    assert np.array_equal(hash_str_array(arr), scalar(cases[5:205]))
+    assert hash_str_array([]).size == 0
+
+
 def test_encode_postings_batch_rejects_empty_term():
     docs = np.array([1, 3, 7], dtype=np.int64)
     tfs = np.array([1, 2, 1], dtype=np.int64)
