@@ -218,8 +218,130 @@ def minhash_signature(text: str, n_perms: int = MINHASH_PERMS,
     return mat.min(axis=1)
 
 
+def _shingle_hashes_column(
+    texts: pa.Array | pa.ChunkedArray, shingle_k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized shingle hashing for a string column: returns
+    ``(hashes, row_starts)`` where ``hashes`` holds every row's shingle
+    hashes contiguously in row order and ``row_starts`` (len n+1) slices
+    them per row (empty rows have zero-width slices).  Shingle strings,
+    hash values and per-row multisets are identical to the scalar
+    :func:`_shingles` + ``hash_str_array`` path (property-tested)."""
+    from ..functions.tokenizer import tokenize_column
+
+    toks = tokenize_column(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = len(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+
+    long_mask = lens >= shingle_k
+    short_mask = (lens > 0) & ~long_mask
+    n_long = np.where(long_mask, lens - shingle_k + 1, 0)
+
+    # long rows: shingle i of row r starts at flat position offsets[r]+i —
+    # expand the per-row ranges into one index vector, then join k shifted
+    # takes of the flat token array with a single Arrow kernel
+    parts_h, parts_r = [], []
+    if n_long.sum():
+        s_starts = np.repeat(offsets[:-1], n_long) + _ranges_offsets(n_long)
+        cols = [
+            flat.take(pa.array(s_starts + j, pa.int64()))
+            for j in range(shingle_k)
+        ]
+        joined = pc.binary_join_element_wise(*cols, " ")
+        parts_h.append(hash_str_array(joined))
+        parts_r.append(np.repeat(np.arange(n, dtype=np.int64), n_long))
+    if short_mask.any():
+        short_lists = toks.filter(pa.array(short_mask))
+        joined = pc.binary_join(short_lists, " ")
+        parts_h.append(hash_str_array(joined))
+        parts_r.append(np.flatnonzero(short_mask).astype(np.int64))
+    if not parts_h:
+        return np.empty(0, np.uint64), np.zeros(n + 1, dtype=np.int64)
+    all_h = np.concatenate(parts_h)
+    all_rows = np.concatenate(parts_r)
+    order = np.argsort(all_rows, kind="stable")
+    all_h = all_h[order]
+    counts = n_long + short_mask.astype(np.int64)
+    row_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_starts[1:])
+    return all_h, row_starts
+
+
+def _ranges_offsets(lengths: np.ndarray) -> np.ndarray:
+    """arange(l0) ++ arange(l1) ++ ... (zero lengths contribute nothing)."""
+    l = lengths[lengths > 0]
+    total = int(l.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    if l.size > 1:
+        out[np.cumsum(l[:-1])] = 1 - l[:-1]
+    return np.cumsum(out)
+
+
+def minhash_signatures_column(
+    texts: pa.Array | pa.ChunkedArray,
+    n_perms: int = MINHASH_PERMS,
+    shingle_k: int = 5,
+) -> np.ndarray:
+    """Vectorized :func:`minhash_signature` over a whole column ->
+    (n, n_perms) uint64.  Per-row output is bit-identical to the scalar
+    path (min over the same shingle-hash multiset under the same perm
+    streams); the perm matrix is evaluated in shingle chunks so memory
+    stays bounded at ~n_perms x 64k x 8B."""
+    hashes, row_starts = _shingle_hashes_column(texts, shingle_k)
+    n = row_starts.size - 1
+    perm_seeds = splitmix64(np.arange(1, n_perms + 1, dtype=np.uint64))
+    sig = np.full((n, n_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if hashes.size == 0:
+        return sig
+    counts = np.diff(row_starts)
+    nonempty = np.flatnonzero(counts > 0)
+    # chunk nonempty rows so each (n_perms x CH) perm slab stays
+    # cache-resident — at 128 perms, 4096 shingles is a 4 MB slab; bigger
+    # slabs thrash L3 through splitmix64's temporaries (measured 2x worse)
+    CH = 1 << 12
+    lo = 0
+    while lo < nonempty.size:
+        hi = lo
+        tot = 0
+        while hi < nonempty.size and (tot == 0 or tot + counts[nonempty[hi]] <= CH):
+            tot += counts[nonempty[hi]]
+            hi += 1
+        rows = nonempty[lo:hi]
+        gi = _ranges_to_flat(row_starts[rows], row_starts[rows + 1])
+        h = hashes[gi]
+        mat = splitmix64(h[None, :] ^ perm_seeds[:, None])  # (P, tot)
+        local_starts = np.zeros(rows.size, dtype=np.int64)
+        np.cumsum(counts[rows][:-1], out=local_starts[1:])
+        sig[rows] = np.minimum.reduceat(mat, local_starts, axis=1).T
+        lo = hi
+    return sig
+
+
+def _ranges_to_flat(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    lens = ends - starts
+    keep = lens > 0
+    starts, lens = starts[keep], lens[keep]
+    if starts.size == 0:
+        return np.empty(0, dtype=np.int64)
+    total = int(lens.sum())
+    idx = np.ones(total, dtype=np.int64)
+    idx[0] = starts[0]
+    cum = np.cumsum(lens[:-1])
+    idx[cum] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(idx)
+
+
 class MinHashStage:
-    """Actor-pool stage: text -> minhash signature (state = perm seeds)."""
+    """Actor-pool stage: text -> minhash signature (state = perm seeds);
+    fully vectorized across the batch (no per-row Python)."""
 
     def __init__(self, text_col: str = "text", n_perms: int = MINHASH_PERMS,
                  shingle_k: int = 5):
@@ -228,11 +350,15 @@ class MinHashStage:
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            minhash_signature(t, self.n_perms, self.shingle_k)
-            for t in batch[self.text_col].to_pylist()
-        ]
-        arr = pa.array([s.astype(np.int64) for s in sigs], pa.list_(pa.int64()))
+        sigs = minhash_signatures_column(
+            batch[self.text_col], self.n_perms, self.shingle_k
+        )
+        flat = pa.array(sigs.reshape(-1).astype(np.int64), pa.int64())
+        offs = pa.array(
+            np.arange(0, (len(sigs) + 1) * self.n_perms, self.n_perms,
+                      dtype=np.int32)
+        )
+        arr = pa.ListArray.from_arrays(offs, flat)
         return batch.append_column("minhash", arr)
 
 

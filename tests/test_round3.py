@@ -57,6 +57,20 @@ def test_hash_str_array_vectorized_matches_scalar_fnv():
     assert hash_str_array([]).size == 0
 
 
+def test_minhash_batch_matches_scalar():
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.stages.dedup import (
+        minhash_signature, minhash_signatures_column,
+    )
+
+    texts = fixtures.make_pages(150)["text"].to_pylist()
+    texts += ["", "one two", "a b c d e", "x " * 40, "单 字", "   ", "a"]
+    arr = pa.array(texts, pa.string())
+    batch = minhash_signatures_column(arr)
+    scal = np.stack([minhash_signature(t) for t in texts])
+    assert np.array_equal(batch, scal)
+
+
 def test_encode_postings_batch_rejects_empty_term():
     docs = np.array([1, 3, 7], dtype=np.int64)
     tfs = np.array([1, 2, 1], dtype=np.int64)
