@@ -627,6 +627,46 @@ def simhash64(text: str, shingle_k: int = 2) -> int:
     return int(out)
 
 
+def simhash_column(
+    texts: pa.Array | pa.ChunkedArray, shingle_k: int = 2
+) -> np.ndarray:
+    """Vectorized :func:`simhash64` over a whole column -> uint64[n],
+    bit-identical per row (same shingle-hash multiset, same vote rule;
+    property-tested).  Bit votes accumulate via one ``add.reduceat`` over
+    the (shingles, 64) bit matrix, chunked to stay cache-resident."""
+    hashes, row_starts = _shingle_hashes_column(texts, shingle_k)
+    n = row_starts.size - 1
+    out = np.zeros(n, dtype=np.uint64)
+    if hashes.size == 0:
+        return out
+    counts = np.diff(row_starts)
+    nonempty = np.flatnonzero(counts > 0)
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+    CH = 1 << 15
+    lo = 0
+    while lo < nonempty.size:
+        hi = lo
+        tot = 0
+        while hi < nonempty.size and (tot == 0 or tot + counts[nonempty[hi]] <= CH):
+            tot += counts[nonempty[hi]]
+            hi += 1
+        rows = nonempty[lo:hi]
+        gi = _ranges_to_flat(row_starts[rows], row_starts[rows + 1])
+        bits = ((hashes[gi][:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        local_starts = np.zeros(rows.size, dtype=np.int64)
+        np.cumsum(counts[rows][:-1], out=local_starts[1:])
+        ones = np.add.reduceat(bits, local_starts, axis=0)  # (rows, 64)
+        votes = 2 * ones - counts[rows][:, None]
+        out[rows] = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        lo = hi
+    return out
+
+
 def simhash_neardup_pairs(
     ds: "ray.data.Dataset",
     *,
@@ -643,11 +683,11 @@ def simhash_neardup_pairs(
     """
 
     def add_sim(batch: pa.Table) -> pa.Table:
-        vals = [simhash64(t) for t in batch[text_col].to_pylist()]
+        vals = simhash_column(batch[text_col])
         return pa.table(
             {
                 id_col: batch[id_col],
-                "simhash": pa.array(np.array(vals, dtype=np.uint64).astype(np.int64)),
+                "simhash": pa.array(vals.astype(np.int64)),
             }
         )
 

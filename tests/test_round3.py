@@ -71,6 +71,18 @@ def test_minhash_batch_matches_scalar():
     assert np.array_equal(batch, scal)
 
 
+def test_simhash_batch_matches_scalar():
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.stages.dedup import simhash64, simhash_column
+
+    texts = fixtures.make_pages(150)["text"].to_pylist()
+    texts += ["", "one two", "a b c d e", "x " * 40, "单 字", "   "]
+    arr = pa.array(texts, pa.string())
+    batch = simhash_column(arr)
+    scal = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    assert np.array_equal(batch, scal)
+
+
 def test_encode_postings_batch_rejects_empty_term():
     docs = np.array([1, 3, 7], dtype=np.int64)
     tfs = np.array([1, 2, 1], dtype=np.int64)
