@@ -643,7 +643,9 @@ def simhash_column(
     nonempty = np.flatnonzero(counts > 0)
     shifts = np.arange(64, dtype=np.uint64)
     weights = np.uint64(1) << shifts
-    CH = 1 << 15
+    # (CH, 64) int32 bit slab = 1 MB: stays cache-resident (bigger slabs
+    # thrash L3 and run 2x slower than the per-row scalar path)
+    CH = 1 << 12
     lo = 0
     while lo < nonempty.size:
         hi = lo
@@ -654,7 +656,7 @@ def simhash_column(
         rows = nonempty[lo:hi]
         gi = _ranges_to_flat(row_starts[rows], row_starts[rows + 1])
         bits = ((hashes[gi][:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-            np.int64
+            np.int32
         )
         local_starts = np.zeros(rows.size, dtype=np.int64)
         np.cumsum(counts[rows][:-1], out=local_starts[1:])
