@@ -267,6 +267,30 @@ def test_append_compact_equals_full_build(tmp_path):
         append_index(ray.data.from_arrow(tbl.slice(700)), idx_ac, seg_docs=256)
 
 
+def test_compaction_recodes_to_pfor(tmp_path):
+    # compaction doubles as codec migration: merged segments re-encode
+    # through encode_postings_batch with the requested codec
+    import json
+    import os
+
+    from defactonlp_ray.sources import manifest as mf
+    from defactonlp_ray.stages.index_build import build_index, compact_index
+
+    tbl = _mk_doc_table(800)
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl), idx, seg_docs=200, codec="varint")
+    want = _search_key(idx)
+    n = compact_index(idx, target_seg_docs=400, codec="pfor")
+    assert n >= 1
+    recs = mf.read_manifest(idx)
+    for sid, rec in recs.items():
+        if rec.get("merged_from"):
+            with open(os.path.join(mf.segment_dir(idx, sid), "meta.json")) as f:
+                assert json.load(f)["codec"] == "pfor"
+    assert _search_key(idx) == want
+    assert _search_key(idx, mode="wand") == want
+
+
 def test_compaction_crash_windows_and_resume(tmp_path):
     from defactonlp_ray.sources import manifest as mf
     from defactonlp_ray.stages.index_build import (
