@@ -55,6 +55,40 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .sources import manifest as mf
+    from .stages.index_build import append_index
+
+    docs = ray.data.read_parquet(args.docs)
+    append_index(docs, args.index, seg_docs=args.seg_docs, codec=args.codec)
+    recs = mf.read_manifest(args.index)
+    print(json.dumps({
+        "index": args.index,
+        "segments": len(recs),
+        "docs": sum(r["n_docs"] for r in recs.values()),
+    }))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .sources import manifest as mf
+    from .stages.index_build import compact_index
+
+    merges = compact_index(
+        args.index, target_seg_docs=args.target_seg_docs,
+        codec=args.codec or None,
+    )
+    recs = mf.read_manifest(args.index)
+    print(json.dumps({
+        "index": args.index, "merges": merges, "segments": len(recs),
+    }))
+    return 0
+
+
 def cmd_search(args) -> int:
     _ensure_ray(args.num_cpus)
     import ray.data
@@ -87,6 +121,29 @@ def main(argv=None) -> int:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--num-cpus", type=int, default=None)
     b.set_defaults(fn=cmd_build)
+
+    a = sub.add_parser(
+        "append",
+        help="append a docs parquet (doc_id, text) to a finished index "
+             "— new segments only, ids must exceed every indexed doc_id",
+    )
+    a.add_argument("--docs", required=True)
+    a.add_argument("--index", required=True)
+    a.add_argument("--seg-docs", type=int, default=8192)
+    a.add_argument("--codec", default="varint", choices=["varint", "pfor"])
+    a.add_argument("--num-cpus", type=int, default=None)
+    a.set_defaults(fn=cmd_append)
+
+    c = sub.add_parser(
+        "compact",
+        help="merge adjacent small segments (crash-safe; optional codec "
+             "migration)",
+    )
+    c.add_argument("--index", required=True)
+    c.add_argument("--target-seg-docs", type=int, default=32768)
+    c.add_argument("--codec", default=None, choices=[None, "varint", "pfor"])
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("search", help="BM25 top-k over a built index")
     s.add_argument("--index", required=True)
