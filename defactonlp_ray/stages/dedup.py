@@ -43,28 +43,57 @@ def add_content_hash(ds: "ray.data.Dataset", text_col: str = "text",
     return ds.map_batches(h, batch_format="pyarrow")
 
 
+# above this many surviving rows the winner id set no longer belongs in
+# one broadcast object: re-attach through the distributed hash join
+BROADCAST_WINNER_LIMIT = 5_000_000
+
+
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
-                id_col: str = "doc_id") -> "ray.data.Dataset":
+                id_col: str = "doc_id", route: str = "auto") -> "ray.data.Dataset":
     """Keep the min-``id_col`` row per identical ``text_col``.
 
-    Per-batch pre-reduction (keep local min per hash) before the groupby
-    bounds shuffle volume at #distinct-hashes per batch — the combiner
-    pattern (ray_guide.md:154-164).
+    Per-batch pre-reduction (keep local min per hash) before the keyed
+    aggregate bounds shuffle volume at #distinct-hashes per batch — the
+    combiner pattern (ray_guide.md:154-164).  The global pick is a
+    VECTORIZED ``aggregate(Min)`` over the tiny (hash, id) projection —
+    never a per-group Python call, which would mean one call per
+    distinct document at corpus scale.  Winners (unique ids) re-attach
+    via a broadcast ``is_in`` filter while the id set fits one
+    object-store object, else a left_semi hash join (``route`` mirrors
+    url_dedup_latest; both pytest-asserted equal).
     """
+    import ray as _ray
+    from ray.data.aggregate import Min
+
     hashed = add_content_hash(ds, text_col)
 
     def local_min(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.sort_values(id_col).drop_duplicates("content_hash", keep="first")
 
-    pre = hashed.map_batches(local_min, batch_format="pandas")
+    pre = hashed.map_batches(local_min, batch_format="pandas").materialize()
+    winners = (
+        pre.select_columns(["content_hash", id_col])
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
+    if route == "auto":
+        route = "broadcast" if pre.count() <= BROADCAST_WINNER_LIMIT else "join"
+    if route == "join":
+        n_cpu = int(_ray.cluster_resources().get("CPU", 4))
+        return pre.join(
+            winners, "left_semi",
+            num_partitions=max(2, min(16, n_cpu // 2)),
+            on=(id_col,),
+        ).drop_columns(["content_hash"])
+    # id dtype follows the column (int doc ids or string urls)
+    ref = _ray.put(pa.array(winners.to_pandas()[id_col]))
 
-    def pick(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col], value_set=_ray.get(ref)))
 
-    return (
-        pre.groupby("content_hash")
-        .map_groups(pick, batch_format="pandas")
-        .drop_columns(["content_hash"])
+    return pre.map_batches(keep, batch_format="pyarrow").drop_columns(
+        ["content_hash"]
     )
 
 
@@ -122,68 +151,63 @@ def url_dedup_latest(
 
     tb = tiebreak_col if tiebreak_col and tiebreak_col in ds.columns() else None
 
-    def project(batch: pa.Table) -> pa.Table:
+    # the (micros, digest) winner order packs into ONE lexicographically
+    # ordered string key (offset-shifted zero-padded micros ++ digest) so
+    # the global per-url pick is a vectorized Max aggregate — never a
+    # per-group Python call, which would run once per distinct url
+    _MK_OFFSET = 1 << 62
+
+    def _pack_key(batch: pa.Table) -> pa.Array:
         micros = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        shifted = pc.add(micros, pa.scalar(_MK_OFFSET, pa.int64()))
+        mk = pc.utf8_lpad(pc.cast(shifted, pa.string()), 20, "0")
         if tb is not None:
             dig = _md5_digest_array(batch[tb].to_pylist())
         else:
             dig = pa.array([""] * batch.num_rows, pa.string())
-        t = pa.table(
-            {url_col: batch[url_col], "micros": micros, "digest": dig}
-        )
+        return pc.binary_join_element_wise(mk, dig, "")
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = pa.table({url_col: batch[url_col], "__mk": _pack_key(batch)})
         # local combiner: keep the per-batch winner per url
         df = t.to_pandas()
-        df = df.sort_values([url_col, "micros", "digest"]).drop_duplicates(
+        df = df.sort_values([url_col, "__mk"]).drop_duplicates(
             url_col, keep="last"
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def pick(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["micros", "digest"]).tail(1)
+    from ray.data.aggregate import Max
 
     winners = (
         ds.select_columns([url_col, ts_col] + ([tb] if tb else []))
         .map_batches(project, batch_format="pyarrow")
         .groupby(url_col)
-        .map_groups(pick, batch_format="pandas")
+        .aggregate(Max("__mk", alias_name="__mk"))
     )
 
     if route == "join":
         orig_cols = ds.columns()
 
         def add_key(batch: pa.Table) -> pa.Table:
-            micros = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
-            if tb is not None:
-                dig = _md5_digest_array(batch[tb].to_pylist())
-            else:
-                dig = pa.array([""] * batch.num_rows, pa.string())
-            return batch.append_column("__micros", micros).append_column(
-                "__digest", dig
-            )
+            return batch.append_column("__mk", _pack_key(batch))
 
         n_cpu = int(_ray.cluster_resources().get("CPU", 4))
         joined = ds.map_batches(add_key, batch_format="pyarrow").join(
             winners,
             "left_semi",  # keep matching left rows, left columns only
             num_partitions=max(2, min(16, n_cpu // 2)),
-            on=(url_col, "__micros", "__digest"),
-            right_on=(url_col, "micros", "digest"),
+            on=(url_col, "__mk"),
         )
         return joined.select_columns(orig_cols)
 
     key = winners.to_pandas()
-    key = key[url_col] + "\x1f" + key["micros"].astype(str) + "\x1f" + key["digest"]
+    key = key[url_col] + "\x1f" + key["__mk"]
     ref = _ray.put(pa.array(key.to_numpy(), pa.string()))
 
     def keep_latest(batch: pa.Table) -> pa.Table:
         keys = _ray.get(ref)
-        ts_i64 = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
-        if tb is not None:
-            dig = _md5_digest_array(batch[tb].to_pylist())
-        else:
-            dig = pa.array([""] * batch.num_rows, pa.string())
         bkey = pc.binary_join_element_wise(
-            batch[url_col], pc.cast(ts_i64, pa.string()), dig, "\x1f"
+            batch[url_col], _pack_key(batch), "\x1f"
         )
         return batch.filter(pc.is_in(bkey, value_set=keys))
 
@@ -437,10 +461,15 @@ def minhash_lsh_candidates(
         pairs, batch_format="pandas"
     )
 
-    def pair_dedup(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    # global pair dedup as a vectorized keyed aggregate (a per-group
+    # Python call here would run once per candidate pair at scale)
+    from ray.data.aggregate import Count
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(pair_dedup, batch_format="pandas")
+    return (
+        cand.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
 
 
 # above this many candidate pairs the id set / text dict no longer
@@ -746,8 +775,12 @@ def simhash_neardup_pairs(
     cand = chunked.groupby(["chunk_id", "chunk_val"]).map_groups(
         pairs, batch_format="pandas"
     )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # duplicate pairs across chunk tables carry the same hamming value:
+    # Min is a vectorized "keep one" (no per-group Python)
+    from ray.data.aggregate import Min
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 
@@ -899,8 +932,12 @@ def embedding_neardup_lsh(
         )
 
     cand = tagged.groupby(["tbl", "bucket"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # duplicate pairs across tables carry the same cosine: Min is a
+    # vectorized "keep one" (no per-group Python)
+    from ray.data.aggregate import Min
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Min("cosine", alias_name="cosine")
     )
 
 

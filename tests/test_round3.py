@@ -196,6 +196,23 @@ def test_url_dedup_join_route_equals_broadcast():
     assert rb.equals(rj)
 
 
+def test_exact_dedup_join_route_equals_broadcast(sf_dir):
+    from defactonlp_ray.sources.readers import read_table
+    from defactonlp_ray.stages import dedup
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(df):
+        return df.sort_values("doc_id").reset_index(drop=True)[
+            ["doc_id", "text"]
+        ]
+
+    b = norm(dedup.exact_dedup(docs, route="broadcast").to_pandas())
+    j = norm(dedup.exact_dedup(docs, route="join").to_pandas())
+    assert len(b) > 0
+    assert b.equals(j)
+
+
 def test_verify_jaccard_join_route_equals_broadcast(sf_dir):
     from defactonlp_ray.sources.readers import read_table
     from defactonlp_ray.stages import dedup
