@@ -146,7 +146,7 @@ def ner_title_route(
         route = "broadcast" if docs.count() <= BROADCAST_TITLE_LIMIT else "join"
 
     if route == "join":
-        from ray.data.aggregate import Min
+        from ray.data.aggregate import Count, Min
 
         ents = _claim_entities(claims, concurrency)
         titles = (
@@ -166,7 +166,8 @@ def ner_title_route(
         return (
             joined.select_columns(["query_id", "doc_id"])
             .groupby(["query_id", "doc_id"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas")
+            .aggregate(Count(alias_name="__n"))
+            .drop_columns(["__n"])
         )
 
     tdf = docs.select_columns(["title_norm", "doc_id"]).to_pandas()
