@@ -108,6 +108,27 @@ def serial_simhash_pairs(
     return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(np.int64)
 
 
+def serial_rolling_fingerprint(
+    text: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1
+) -> int:
+    """Scalar Rabin-Karp min-window fingerprint (the pinned rolling-hash
+    spec; deliberately NOT the vectorized closed-form kernel in
+    functions/hashing.rolling_fingerprint_column)."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return 0
+    h = 0
+    power = pow(base, window - 1, mod)
+    best = None
+    for i, b in enumerate(data):
+        h = (h * base + b) % mod
+        if i >= window:
+            h = (h - data[i - window] * power * base) % mod
+        if i >= window - 1:
+            best = h if best is None else min(best, h)
+    return best
+
+
 def serial_hll_estimate(strings: list[str], p: int = 12) -> float:
     """Scalar HLL (Flajolet 2007, same p / estimator / hash spec as
     functions/sketches.HLL, including its float64-log2 rank derivation so
@@ -509,6 +530,22 @@ def oracle_values_sql() -> dict[str, str]:
             return values_sql(pd.DataFrame({"n_terms_estimate": [est]}))
 
         out["hll_distinct_terms"] = _cached("hll_distinct_terms", sf_fp, _hll)
+
+        def _rfp() -> str:
+            docs = _sf_docs()
+            ids = sorted(docs)
+            df = pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "rfp": np.asarray(
+                        [serial_rolling_fingerprint(docs[d]) for d in ids],
+                        dtype=np.int64,
+                    ),
+                }
+            )
+            return values_sql(df)
+
+        out["rolling_fingerprints"] = _cached("rolling_fingerprints", sf_fp, _rfp)
 
     from ..stages.ann import ANN_VERSION
 

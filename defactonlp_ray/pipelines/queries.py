@@ -666,6 +666,26 @@ def q_fingerprints(sf_dir: str):
 SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+def q_rolling_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprint (Rabin-Karp min-window sketch —
+    a shift-tolerant content signature): vectorized closed-form kernel
+    over the flat utf-8 buffer; the oracle is the pinned scalar rolling
+    implementation (pipelines/pinned.py) inlined as VALUES."""
+    from ..functions.hashing import rolling_fingerprint_column
+
+    def rfp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "rfp": pa.array(
+                    rolling_fingerprint_column(batch["text"]), pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(rfp, batch_format="pyarrow")
+
+
 def q_langid_predictions(sf_dir: str):
     """Heuristic language-ID counts.  The heuristic is a pinned, pure
     marker-count rule (functions/textstats.lang_id), so it IS
@@ -1408,6 +1428,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "quality": q_quality,
     "fingerprints": q_fingerprints,
+    "rolling_fingerprints": q_rolling_fingerprints,
     "langid_predictions": q_langid_predictions,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,

@@ -57,6 +57,25 @@ def test_hash_str_array_vectorized_matches_scalar_fnv():
     assert hash_str_array([]).size == 0
 
 
+def test_rolling_fingerprint_column_matches_scalar():
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.functions.hashing import (
+        rolling_fingerprint, rolling_fingerprint_column,
+    )
+
+    texts = fixtures.make_pages(100)["text"].to_pylist()
+    texts += ["", "short", "exactly8", "ninebytes", "中文字符串测试一下", "x" * 7]
+    vec = rolling_fingerprint_column(pa.array(texts, pa.string()))
+    scal = np.array([rolling_fingerprint(t) for t in texts], dtype=np.int64)
+    assert np.array_equal(vec, scal)
+    # scalar engine kernel == pinned serial spec
+    from defactonlp_ray.pipelines.pinned import serial_rolling_fingerprint
+
+    assert all(
+        rolling_fingerprint(t) == serial_rolling_fingerprint(t) for t in texts
+    )
+
+
 def test_minhash_batch_matches_scalar():
     from defactonlp_ray import fixtures
     from defactonlp_ray.stages.dedup import (
