@@ -23,7 +23,18 @@ from .util import pool_size
 
 # bumped when the quantizer/bucket spec changes (pinned ANN goldens carry
 # it in their fingerprint so a spec change forces a golden recompute)
-ANN_VERSION = "ann-v2"
+# v3: k-means inner distances moved to the matmul form
+ANN_VERSION = "ann-v3"
+
+
+def _pairwise_d2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared L2 distances (n, k) in matmul form ‖a‖² − 2a·bᵀ + ‖b‖²:
+    O(n·k) memory, never an (n, k, d) broadcast intermediate."""
+    return (
+        (a * a).sum(axis=1)[:, None]
+        - 2.0 * (a @ b.T)
+        + (b * b).sum(axis=1)[None, :]
+    )
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -310,8 +321,7 @@ def kmeans_centroids(
     init = rng.choice(sample.shape[0], size=min(n_lists, sample.shape[0]), replace=False)
     cent = sample[np.sort(init)].copy()
     for _ in range(iters):
-        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = _pairwise_d2(sample, cent).argmin(axis=1)
         for c in range(cent.shape[0]):
             members = sample[assign == c]
             if members.size:
@@ -328,12 +338,7 @@ def ivf_assign(vecs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     unaffected, but the spec value is the full distance."""
     vecs = np.asarray(vecs, dtype=np.float64)
     centroids = np.asarray(centroids, dtype=np.float64)
-    d2 = (
-        (vecs * vecs).sum(axis=1)[:, None]
-        - 2.0 * (vecs @ centroids.T)
-        + (centroids * centroids).sum(axis=1)[None, :]
-    )
-    return d2.argmin(axis=1).astype(np.int64)
+    return _pairwise_d2(vecs, centroids).argmin(axis=1).astype(np.int64)
 
 
 def build_ivf_index(
