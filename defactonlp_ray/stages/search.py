@@ -836,6 +836,8 @@ def _wand_collect(reader, sids, terms_sorted, idfs):
     cache = getattr(reader, "_wand_packs", None)
     if cache is None:
         cache = reader._wand_packs = {}
+    elif len(cache) > 200_000:  # bound long-running serving actors
+        cache.clear()
     packs = []
     key_sids = tuple(sids)
     for t in terms_sorted:  # ascending-term order everywhere (pinned)
