@@ -1127,6 +1127,43 @@ SQL_MULTIMODAL_AUDIO = (
 )
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling plumbing under the driver: attach a
+    deterministic fake frames list (len = 5 + doc_id % 7, frame value =
+    doc_id*100 + idx), run the real explode/downsample stage (every 3rd
+    frame).  The generator is a pure function of doc_id, so the oracle
+    recomputes the kept (doc_id, frame_idx, frame) rows arithmetically —
+    the check verifies the distributed list-column sampling round-trip."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        lens = 5 + (did % 7)
+        total = int(lens.sum())
+        pos = np.ones(total, dtype=np.int64)
+        pos[0] = 0
+        if lens.size > 1:
+            pos[np.cumsum(lens[:-1])] = 1 - lens[:-1]
+        pos = np.cumsum(pos)
+        flat = np.repeat(did * 100, lens) + pos
+        offs = np.zeros(lens.size + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        frames = pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(flat, pa.int64())
+        )
+        return pa.table({"doc_id": batch["doc_id"], "frames": frames})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(attach, batch_format="pyarrow")
+    return multimodal.frame_sample(ds, every_n=3)
+
+
+SQL_VIDEO_FRAMES = (
+    "SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, "
+    "doc_id * 100 + fi AS frame FROM ("
+    "SELECT doc_id, unnest(generate_series(0, (5 + doc_id % 7) - 1, 3)) "
+    "AS fi FROM documents)"
+)
+
+
 def q_hll_distinct_terms(sf_dir: str):
     """Approximate distinct-term count via mergeable per-batch HLL
     sketches (G7).  Approximate vs ``distinct_terms`` but DETERMINISTIC:
@@ -1441,6 +1478,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
+    "video_frames": q_video_frames,
     "pages_retrieval": q_pages_retrieval,
     "hll_distinct_terms": q_hll_distinct_terms,
     "retrieval_eval": q_retrieval_eval,
@@ -1491,6 +1529,7 @@ ORACLES = {
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+    "video_frames": SQL_VIDEO_FRAMES,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "ngram_jaccard_neardup": SQL_NGRAM_JACCARD_NEARDUP,
     "url_dedup": SQL_URL_DEDUP,

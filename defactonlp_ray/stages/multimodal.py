@@ -183,20 +183,46 @@ def frame_sample(
     n-th element — the vectorized explode/downsample pattern a real video
     pipeline uses between decode and per-frame inference."""
 
+    import numpy as np
+    import pyarrow.compute as pc
+
     def sample(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        frames = batch["frames"].to_pylist()
-        out_id, out_fi, out_val = [], [], []
-        for i, fr in zip(ids, frames):
-            for j in range(0, len(fr), every_n):
-                out_id.append(i)
-                out_fi.append(j)
-                out_val.append(fr[j])
+        frames = batch["frames"]
+        if isinstance(frames, pa.ChunkedArray):
+            frames = frames.combine_chunks()
+        n = len(frames)
+        lens = pc.list_value_length(frames).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        flat = frames.flatten()
+        n_keep = (lens + every_n - 1) // every_n
+        total = int(n_keep.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "frame_idx": pa.array([], pa.int32()),
+                    "frame": pa.array([], flat.type),
+                }
+            )
+        # within-row sampled offsets 0, n, 2n, ... (vectorized ranges)
+        step = np.ones(total, dtype=np.int64)
+        step[0] = 0
+        keep = n_keep > 0
+        if n_keep[keep].size > 1:
+            step[np.cumsum(n_keep[keep][:-1])] = 1 - n_keep[keep][:-1]
+        fi = np.cumsum(step) * every_n
+        flat_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=flat_starts[1:])
+        gather = np.repeat(flat_starts, n_keep) + fi
+        rows = np.repeat(np.arange(n, dtype=np.int64), n_keep)
+        ids_col = batch[id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
         return pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
-                "frame_idx": pa.array(out_fi, pa.int32()),
-                "frame": pa.array(out_val),
+                id_col: ids_col.take(pa.array(rows)),
+                "frame_idx": pa.array(fi.astype(np.int32), pa.int32()),
+                "frame": flat.take(pa.array(gather)),
             }
         )
 
