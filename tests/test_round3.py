@@ -57,6 +57,58 @@ def test_hash_str_array_vectorized_matches_scalar_fnv():
     assert hash_str_array([]).size == 0
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.text(max_size=48), max_size=80))
+    @settings(max_examples=50, deadline=None)
+    def test_hash_str_array_property(strs):
+        from defactonlp_ray.functions.hashing import hash_str_array, splitmix64
+
+        out = np.empty(len(strs), dtype=np.uint64)
+        for i, s in enumerate(strs):
+            h = 0xCBF29CE484222325
+            for b in s.encode("utf-8"):
+                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            out[i] = h
+        assert np.array_equal(hash_str_array(strs), splitmix64(out))
+
+    @given(st.lists(st.text(max_size=64), max_size=40))
+    @settings(max_examples=50, deadline=None)
+    def test_rolling_fingerprint_property(strs):
+        from defactonlp_ray.functions.hashing import (
+            rolling_fingerprint, rolling_fingerprint_column,
+        )
+
+        vec = rolling_fingerprint_column(pa.array(strs, pa.string()))
+        scal = np.array([rolling_fingerprint(t) for t in strs], dtype=np.int64)
+        assert np.array_equal(vec, scal)
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "x1"]),
+                     max_size=12).map(" ".join),
+            max_size=25,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_minhash_batch_property(texts):
+        from defactonlp_ray.stages.dedup import (
+            minhash_signature, minhash_signatures_column,
+        )
+
+        batch = minhash_signatures_column(pa.array(texts, pa.string()))
+        scal = (
+            np.stack([minhash_signature(t) for t in texts])
+            if texts
+            else np.empty((0, 128), np.uint64)
+        )
+        assert np.array_equal(batch, scal)
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_rolling_fingerprint_column_matches_scalar():
     from defactonlp_ray import fixtures
     from defactonlp_ray.functions.hashing import (
