@@ -109,6 +109,24 @@ except ImportError:  # pragma: no cover
     pass
 
 
+def test_split_sentences_column_matches_scalar():
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.stages.sentences import (
+        split_sentences, split_sentences_column,
+    )
+
+    texts = fixtures.make_pages(120)["text"].to_pylist()
+    texts += ["", "a. b. c", "line\nline2. x", ".", ". ", "\n\n",
+              "  padded . ok ", "e f. g", "tail. "]
+    sents, rows, sids = split_sentences_column(pa.array(texts, pa.string()))
+    per_row: dict[int, list] = {}
+    for s, r, i in zip(sents.to_pylist(), rows.tolist(), sids.tolist()):
+        per_row.setdefault(int(r), []).append((i, s))
+    for r, t in enumerate(texts):
+        have = [s for _, s in sorted(per_row.get(r, []))]
+        assert have == split_sentences(t), (r, t)
+
+
 def test_rolling_fingerprint_column_matches_scalar():
     from defactonlp_ray import fixtures
     from defactonlp_ray.functions.hashing import (
