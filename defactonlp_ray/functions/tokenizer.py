@@ -84,6 +84,36 @@ def flatten_tokens(
     return terms, row_idx, doc_len
 
 
+def term_position_table(
+    texts: pa.Array | pa.ChunkedArray, doc_ids: pa.Array | pa.ChunkedArray
+) -> tuple[pa.Table, np.ndarray]:
+    """Occurrence-level (term, doc_id, pos) for a batch — the
+    positional-index build kernel (phrase/proximity queries).
+
+    Returns ``(occ_table, doc_len)``: one row per token OCCURRENCE with
+    columns ``term:string, doc_id:int64, pos:int32`` (``pos`` = 0-based
+    token position within the doc, ascending within each doc), plus the
+    per-input-row token counts.  Fully vectorized: position is
+    ``arange(n_tokens) - row_start_offset`` over the flat token stream.
+    """
+    terms, row_idx, doc_len = flatten_tokens(texts)
+    n = len(terms)
+    offsets = np.zeros(doc_len.size + 1, dtype=np.int64)
+    np.cumsum(doc_len, out=offsets[1:])
+    pos = np.arange(n, dtype=np.int64) - offsets[row_idx]
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    occ_doc = doc_ids.take(pa.array(row_idx))
+    occ = pa.table(
+        {
+            "term": terms,
+            "doc_id": occ_doc,
+            "pos": pa.array(pos.astype(np.int32), pa.int32()),
+        }
+    )
+    return occ, doc_len
+
+
 def ngrams(tokens: list[str], n: int = 2) -> list[str]:
     """Word n-grams joined with a space — DrQA builds hashed uni+bigram
     features (fever-baselines retriever/utils.py ngrams, unverified);

@@ -1441,6 +1441,195 @@ def q_claim_verdicts(sf_dir: str):
     return out
 
 
+# --------------------------------- phrase + boolean (positional index)
+
+_PHRASE_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["batch", "batch"]),         # overlapping occurrences
+    (1, ["table", "scan"]),
+    (2, ["hash", "join"]),
+    (3, ["merge", "sort", "fast"]),  # rare 3-gram
+    (4, ["the", "fast"]),
+    (5, ["zzz", "table"]),           # absent term -> no rows
+]
+
+
+def _build_docs_index_pos(sf_dir: str) -> str:
+    """Build (or resume) the POSITIONAL segment index over ``documents``
+    (pos_blob streams; own temp-dir tag so a non-positional index is
+    never resumed into)."""
+    idx = _tmp_index_dir(sf_dir, "idxpos")
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    build_index(
+        docs, idx, seg_docs=max(256, n // 8), positions=True, resume=True
+    )
+    return idx
+
+
+def q_phrase_topk(sf_dir: str):
+    """Exact phrase top-k over the positional index (stages/phrase.py):
+    consecutive-token match, overlapping occurrences counted, BM25 over
+    the phrase-as-pseudo-term (tf = per-doc count, df = matching docs),
+    round-6 re-rank at the edge (cross-engine float policy)."""
+    from ..stages.phrase import phrase_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    res = phrase_search(
+        idx, _query_terms_ds(_PHRASE_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    cols = ["query_id", "rank", "doc_id", "n_occ", "score"]
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
+def _phrase_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    """Independent positional oracle: probe every token index ``i`` of
+    every doc against the phrase words (``ts[i+j] = w_j``; DuckDB list
+    indexing is 1-based and NULL out of range), count matches per doc,
+    then score/rank with the same BM25 + round-6 policy as the engine."""
+    mx = max(len(t) for _, t in queries)
+    cols = [f"w{i}" for i in range(mx)]
+    vals = ", ".join(
+        "("
+        + ", ".join(
+            [str(qid)]
+            + [
+                f"'{terms[i]}'" if i < len(terms) else "NULL"
+                for i in range(mx)
+            ]
+        )
+        + ")"
+        for qid, terms in queries
+    )
+    conds = ["tok.ts[i] = ph.w0"] + [
+        f"(ph.w{j} IS NULL OR tok.ts[i+{j}] = ph.w{j})" for j in range(1, mx)
+    ]
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tok AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        f"ph(query_id, {', '.join(cols)}) AS (VALUES {vals}), "
+        "hits AS (SELECT ph.query_id, tok.doc_id, count(*) AS n_occ "
+        "FROM tok, ph WHERE " + " AND ".join(conds) + " "
+        "GROUP BY ph.query_id, tok.doc_id), "
+        "dl AS (SELECT doc_id, len(ts) AS dl FROM d), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "pdf AS (SELECT query_id, count(*) AS df FROM hits GROUP BY query_id), "
+        "scored AS (SELECT h.query_id, h.doc_id, h.n_occ, "
+        "ln(1 + (s.n_docs - pdf.df + 0.5) / (pdf.df + 0.5)) * "
+        "(h.n_occ * 2.2) / (h.n_occ + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+        "(s.total::DOUBLE / s.n_docs))) AS score "
+        "FROM hits h JOIN pdf USING (query_id) "
+        "JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN stats s) "
+        "SELECT query_id, rank, doc_id, n_occ, score FROM ("
+        "SELECT query_id, doc_id, n_occ, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_PHRASE_TOPK = _phrase_sql(_PHRASE_QUERIES)
+
+
+_BOOL_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
+    # (query_id, must, should, must_not)
+    (0, ["hash", "join"], ["fast"], ["slow"]),
+    (1, [], ["scan", "merge"], ["the"]),
+    (2, ["customer", "line"], [], ["agg"]),
+    (3, ["data"], ["query", "window"], []),
+    (4, ["zzz"], ["fast"], []),      # absent must -> empty result
+]
+
+
+def q_boolean_topk(sf_dir: str):
+    """Boolean retrieval (must/should/must_not) ranked by BM25 over
+    must+should restricted to the filtered candidates (stages/phrase.py
+    score_boolean; per-(doc, term) contributions identical to the plain
+    BM25 scorer).  Reuses the positional index (boolean needs no
+    positions; sharing the temp index avoids a second build)."""
+    from ..stages.phrase import boolean_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q[0] for q in _BOOL_QUERIES], pa.int64()),
+                "must": pa.array(
+                    [q[1] for q in _BOOL_QUERIES], pa.list_(pa.string())
+                ),
+                "should": pa.array(
+                    [q[2] for q in _BOOL_QUERIES], pa.list_(pa.string())
+                ),
+                "must_not": pa.array(
+                    [q[3] for q in _BOOL_QUERIES], pa.list_(pa.string())
+                ),
+            }
+        )
+    )
+    res = boolean_search(idx, qds, k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _boolean_sql(
+    queries: list[tuple[int, list[str], list[str], list[str]]], k: int = 10
+) -> str:
+    """Boolean oracle: per-query candidate filter via ``list_contains``
+    (AND / OR / NOT), scoring CTEs identical to ``_bm25_sql`` restricted
+    to the candidates."""
+    cand_parts = []
+    qvals = []
+    for qid, must, should, must_not in queries:
+        conds = [f"list_contains(ts, '{t}')" for t in sorted(set(must))]
+        sh = sorted(set(should))
+        if not must and sh:
+            conds.append(
+                "(" + " OR ".join(f"list_contains(ts, '{t}')" for t in sh) + ")"
+            )
+        conds += [f"NOT list_contains(ts, '{t}')" for t in sorted(set(must_not))]
+        where = " AND ".join(conds) if conds else "TRUE"
+        cand_parts.append(
+            f"SELECT {qid} AS query_id, doc_id FROM d WHERE {where}"
+        )
+        for t in sorted(set(must) | set(should)):
+            qvals.append(f"({qid}, '{t}')")
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "cand AS (" + " UNION ALL ".join(cand_parts) + "), "
+        f"q(query_id, term) AS (VALUES {', '.join(qvals)}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "JOIN cand ON cand.query_id = q.query_id AND cand.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_BOOLEAN_TOPK = _boolean_sql(_BOOL_QUERIES)
+
+
 # ------------------------------------------------------------- registries
 
 QUERIES = {
@@ -1490,6 +1679,8 @@ QUERIES = {
     "bm25_topk_fanout": q_bm25_topk_fanout,
     "bm25_append_compact": q_bm25_append_compact,
     "docs_sample_hash": q_docs_sample_hash,
+    "phrase_topk": q_phrase_topk,
+    "boolean_topk": q_boolean_topk,
 }
 
 ORACLES = {
@@ -1525,6 +1716,8 @@ ORACLES = {
     # append+compact must be rank/score-identical to a from-scratch build
     "bm25_append_compact": SQL_BM25_TOPK,
     "docs_sample_hash": SQL_DOCS_SAMPLE_HASH,
+    "phrase_topk": SQL_PHRASE_TOPK,
+    "boolean_topk": SQL_BOOLEAN_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,

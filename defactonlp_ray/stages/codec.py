@@ -375,6 +375,77 @@ def encode_postings_batch(
     }
 
 
+def encode_positions_batch(
+    positions: np.ndarray,
+    posting_starts: np.ndarray,
+    term_occ_bounds: np.ndarray,
+) -> list[bytes]:
+    """Encode every term's position stream of a segment in ONE vectorized
+    varint pass (positional-index build kernel, SURVEY.md §2.6 C1/C2
+    applied to within-doc token positions).
+
+    Inputs are OCCURRENCE-level arrays over the (term, doc_id, pos)-sorted
+    occurrence table: ``positions[i]`` is the token position of occurrence
+    ``i`` in its doc, ``posting_starts`` marks the first occurrence of each
+    (term, doc) posting, and ``term_occ_bounds[t]:term_occ_bounds[t+1]``
+    delimits term ``t``'s occurrences.  Per posting the stream is
+    first-absolute + deltas (positions are strictly ascending within a
+    posting), varint-coded; per-term blobs are byte-slices of the single
+    encoded stream.  Posting boundaries are NOT stored — tf (the posting's
+    occurrence count) recovers them at decode (:func:`decode_positions`).
+
+    Position streams reset per POSTING, so per-term blobs concatenate
+    byte-identically across doc-disjoint segments — segment merge/compact
+    joins raw bytes without re-encoding (unlike doc blobs, whose first gap
+    is absolute per segment).
+    """
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    n = positions.size
+    n_terms = term_occ_bounds.size - 1
+    if n == 0 or n_terms == 0:
+        return [b""] * max(n_terms, 0)
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = positions[1:] - positions[:-1]
+    gaps[posting_starts] = positions[posting_starts]
+    interior = np.ones(n, dtype=bool)
+    interior[posting_starts] = False
+    if n > posting_starts.size and gaps[interior].min() <= 0:
+        raise ValueError("positions must be strictly ascending within a posting")
+    stream, sizes = varint_encode_with_sizes(gaps.astype(np.uint64))
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    return [
+        stream[offs[term_occ_bounds[i]] : offs[term_occ_bounds[i + 1]]]
+        for i in range(n_terms)
+    ]
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_positions_batch` for ONE term.
+
+    ``tfs`` are the term's per-posting occurrence counts (the tf array
+    decoded from ``tf_blob``), which delimit the per-posting delta streams.
+    Returns ``(positions, occ_bounds)``: flat int64 positions and the
+    occurrence-level posting boundaries (``occ_bounds[j]:occ_bounds[j+1]``
+    is posting ``j``'s sorted position list).  Vectorized segmented cumsum —
+    no per-posting Python loop.
+    """
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    occ_bounds = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(tfs, out=occ_bounds[1:])
+    if total == 0:
+        return np.empty(0, dtype=np.int64), occ_bounds
+    gaps = varint_decode(blob, total).astype(np.int64)
+    c = np.cumsum(gaps)
+    starts = occ_bounds[:-1]
+    # pos[j] = c[j] - c[posting_start - 1]  (c[-1] := 0): subtracting the
+    # running total before each posting turns the global cumsum into
+    # per-posting cumsums in one vectorized pass
+    base = np.where(starts > 0, c[starts - 1], 0)
+    return c - np.repeat(base, tfs), occ_bounds
+
+
 def encode_postings(
     docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, codec: str = "varint"
 ) -> dict:

@@ -43,9 +43,13 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..functions.tokenizer import TOKENIZER_VERSION, term_count_table
+from ..functions.tokenizer import (
+    TOKENIZER_VERSION,
+    term_count_table,
+    term_position_table,
+)
 from ..sources import manifest as mf
-from .codec import CODEC_VERSION, encode_postings_batch
+from .codec import CODEC_VERSION, encode_positions_batch, encode_postings_batch
 
 DEFAULT_SEG_DOCS = 8192
 
@@ -62,8 +66,15 @@ def build_index(
     codec: str = "varint",
     resume: bool = True,
     layout: str = "grouped",
+    positions: bool = False,
 ) -> str:
     """Build (or resume) the index for ``ds`` into ``index_dir``.
+
+    ``positions=True`` additionally stores per-posting token-position
+    streams (``pos_blob``, delta+varint — stages/codec.py) enabling
+    phrase/proximity queries (stages/phrase.py).  Costs one occurrence-
+    level sort per segment instead of a hash groupby, plus ~cf varints of
+    storage; leave off when only bag-of-words ranking is needed.
 
     ``ds`` must carry dense-ish int64 ``doc_id`` (use
     :func:`defactonlp_ray.stages.docids.assign_doc_ids` for raw pages) —
@@ -88,7 +99,7 @@ def build_index(
 
     if layout == "sorted":
         _build_sorted(ds, index_dir, doc_id_col, text_col, url_col,
-                      seg_docs, codec, done)
+                      seg_docs, codec, done, positions)
         _write_stats(index_dir)
         return index_dir
 
@@ -109,7 +120,7 @@ def build_index(
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
     builder = _make_segment_builder(
-        index_dir, doc_id_col, text_col, url_col, codec
+        index_dir, doc_id_col, text_col, url_col, codec, positions
     )
     reports = ds.groupby("sid").map_groups(builder, batch_format="pyarrow")
     # Consume the (tiny: one row per segment) report stream; this drives the
@@ -126,7 +137,7 @@ def _block_count(blk: pa.Table) -> int:
 
 @ray.remote
 def _sorted_segment_task(index_dir, sid, slices, doc_id_col, text_col,
-                         url_col, codec):
+                         url_col, codec, positions=False):
     """Build one segment from (block, offset, length) slices of the
     ordered materialized blocks — refs resolve zero-copy from plasma."""
     from .docids import _as_arrow
@@ -135,11 +146,11 @@ def _sorted_segment_task(index_dir, sid, slices, doc_id_col, text_col,
     parts = [b.slice(off, ln) for b, (_, off, ln) in zip(blocks, slices)]
     group = pa.concat_tables(parts)
     return _build_segment_table(group, sid, index_dir, doc_id_col,
-                                text_col, url_col, codec)
+                                text_col, url_col, codec, positions)
 
 
 def _build_sorted(ds, index_dir, doc_id_col, text_col, url_col, seg_docs,
-                  codec, done):
+                  codec, done, positions=False):
     from .docids import _block_refs, _probed_order
 
     ds = ds.materialize()
@@ -173,14 +184,15 @@ def _build_sorted(ds, index_dir, doc_id_col, text_col, url_col, seg_docs,
                 slices.append((ref, lo - b0, hi - lo))
         tasks.append(
             _sorted_segment_task.remote(
-                index_dir, sid, slices, doc_id_col, text_col, url_col, codec
+                index_dir, sid, slices, doc_id_col, text_col, url_col,
+                codec, positions,
             )
         )
     ray.get(tasks)
 
 
 def _build_segment_table(group: pa.Table, sid: int, index_dir, doc_id_col,
-                         text_col, url_col, codec) -> dict:
+                         text_col, url_col, codec, positions=False) -> dict:
     """Shared segment-build kernel (both layouts): tokenize, sort, encode,
     write atomically, append manifest.  ``group`` must hold exactly the
     segment's docs."""
@@ -198,29 +210,70 @@ def _build_segment_table(group: pa.Table, sid: int, index_dir, doc_id_col,
         return {"sid": sid, "skipped": True}
     group = group.sort_by(doc_id_col)
     doc_ids = group[doc_id_col].combine_chunks()
-    tf_table, doc_len = term_count_table(group[text_col], doc_ids)
-    tf_table = tf_table.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-
-    # per-posting dl via searchsorted over the (sorted) group docids
     did_np = doc_ids.to_numpy()
-    post_doc = tf_table["doc_id"].to_numpy()
-    dl_of_post = doc_len[np.searchsorted(did_np, post_doc)]
-
-    # term-run boundaries on the ALREADY (term, doc_id)-sorted table via
-    # Arrow compares — np.unique on an object-string array re-sorts with
-    # Python comparisons and was a measurable slice of segment CPU
-    tcol = tf_table["term"].combine_chunks()
-    tfs = tf_table["tf"].to_numpy().astype(np.int64)
-    n_rows = len(tcol)
-    if n_rows > 1:
-        neq = pc.invert(pc.equal(tcol.slice(1), tcol.slice(0, n_rows - 1)))
-        starts = np.concatenate(
-            [[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1]
-        ).astype(np.int64)
+    pos_blobs = None
+    if positions:
+        # occurrence-level path: ONE (term, doc_id, pos) sort yields both
+        # the postings (run boundaries) and the per-posting position
+        # streams; tf comes from run lengths instead of a hash groupby
+        occ, doc_len = term_position_table(group[text_col], doc_ids)
+        occ = occ.sort_by(
+            [("term", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
+        )
+        tcol_occ = occ["term"].combine_chunks()
+        occ_doc = occ["doc_id"].to_numpy()
+        occ_pos = occ["pos"].to_numpy().astype(np.int64)
+        n_occ = len(tcol_occ)
+        if n_occ > 1:
+            term_neq = pc.invert(
+                pc.equal(tcol_occ.slice(1), tcol_occ.slice(0, n_occ - 1))
+            ).to_numpy(zero_copy_only=False)
+            new_post = term_neq | (occ_doc[1:] != occ_doc[:-1])
+            posting_starts = np.concatenate(
+                [[0], np.flatnonzero(new_post) + 1]
+            ).astype(np.int64)
+            term_starts_occ = np.concatenate(
+                [[0], np.flatnonzero(term_neq) + 1]
+            ).astype(np.int64)
+        else:
+            posting_starts = np.zeros(min(n_occ, 1), dtype=np.int64)
+            term_starts_occ = posting_starts.copy()
+        post_doc = occ_doc[posting_starts]
+        tfs = np.diff(np.append(posting_starts, n_occ)).astype(np.int64)
+        # term boundaries at the POSTING level: a term change always
+        # starts a new posting, so term_starts_occ ⊆ posting_starts
+        starts = np.searchsorted(posting_starts, term_starts_occ)
+        uniq_terms = tcol_occ.take(pa.array(term_starts_occ))
+        bounds = np.append(starts, post_doc.size)
+        dl_of_post = doc_len[np.searchsorted(did_np, post_doc)]
+        pos_blobs = encode_positions_batch(
+            occ_pos, posting_starts, np.append(term_starts_occ, n_occ)
+        )
     else:
-        starts = np.zeros(min(n_rows, 1), dtype=np.int64)
-    uniq_terms = tcol.take(pa.array(starts))
-    bounds = np.append(starts, n_rows)
+        tf_table, doc_len = term_count_table(group[text_col], doc_ids)
+        tf_table = tf_table.sort_by(
+            [("term", "ascending"), ("doc_id", "ascending")]
+        )
+
+        # per-posting dl via searchsorted over the (sorted) group docids
+        post_doc = tf_table["doc_id"].to_numpy()
+        dl_of_post = doc_len[np.searchsorted(did_np, post_doc)]
+
+        # term-run boundaries on the ALREADY (term, doc_id)-sorted table via
+        # Arrow compares — np.unique on an object-string array re-sorts with
+        # Python comparisons and was a measurable slice of segment CPU
+        tcol = tf_table["term"].combine_chunks()
+        tfs = tf_table["tf"].to_numpy().astype(np.int64)
+        n_rows = len(tcol)
+        if n_rows > 1:
+            neq = pc.invert(pc.equal(tcol.slice(1), tcol.slice(0, n_rows - 1)))
+            starts = np.concatenate(
+                [[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1]
+            ).astype(np.int64)
+        else:
+            starts = np.zeros(min(n_rows, 1), dtype=np.int64)
+        uniq_terms = tcol.take(pa.array(starts))
+        bounds = np.append(starts, n_rows)
 
     # whole-segment batched encode (ONE varint pass + reduceat block
     # stats) — byte-identical to the per-term encode_postings loop it
@@ -249,6 +302,10 @@ def _build_segment_table(group: pa.Table, sid: int, index_dir, doc_id_col,
             "cf": pa.array(enc["cf"], pa.int64()),
         }
     )
+    if pos_blobs is not None:
+        postings = postings.append_column(
+            "pos_blob", pa.array(pos_blobs, pa.binary())
+        )
 
     n_docs = group.num_rows
     total_len = int(doc_len.sum())
@@ -266,12 +323,13 @@ def _build_segment_table(group: pa.Table, sid: int, index_dir, doc_id_col,
             "n_docs": n_docs,
             "total_len": total_len,
             "n_terms": n_terms,
-            "n_postings": int(tf_table.num_rows),
+            "n_postings": int(post_doc.size),
             "doc_lo": int(did_np[0]),
             "doc_hi": int(did_np[-1]),
             "codec": codec,
             "codec_version": CODEC_VERSION,
             "tokenizer_version": TOKENIZER_VERSION,
+            "positions": bool(positions),
         }
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -279,14 +337,15 @@ def _build_segment_table(group: pa.Table, sid: int, index_dir, doc_id_col,
     return meta
 
 
-def _make_segment_builder(index_dir, doc_id_col, text_col, url_col, codec):
+def _make_segment_builder(index_dir, doc_id_col, text_col, url_col, codec,
+                          positions=False):
     def build_segment(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _report(-1, 0, 0, 0)
         sid = int(group["sid"][0].as_py())
         out = _build_segment_table(
             group.drop_columns(["sid"]), sid, index_dir, doc_id_col,
-            text_col, url_col, codec,
+            text_col, url_col, codec, positions,
         )
         if out.get("skipped"):
             return _report(sid, 0, 0, 0)
@@ -418,6 +477,7 @@ def append_index(
     url_col: Optional[str] = None,
     seg_docs: int = DEFAULT_SEG_DOCS,
     codec: str = "varint",
+    positions: bool = False,
 ) -> str:
     """Append new docs to a finished index WITHOUT rebuilding it: new
     segments are built only from ``ds`` and global stats are re-derived
@@ -435,6 +495,14 @@ def append_index(
     recs = mf.read_manifest(index_dir)
     if not recs:
         raise ValueError(f"append_index: no finished index at {index_dir}")
+    # phrase search needs EVERY segment positional — a mixed index would
+    # answer phrase queries from some doc ranges and error on others
+    have_pos = {bool(r.get("positions")) for r in recs.values()}
+    if have_pos != {bool(positions)}:
+        raise ValueError(
+            "append_index: positions=%s does not match the existing "
+            "index's segments (positions=%s)" % (positions, sorted(have_pos))
+        )
     from ray.data.aggregate import Max, Min
 
     bounds = ds.aggregate(Min(doc_id_col), Max(doc_id_col))
@@ -484,7 +552,9 @@ def append_index(
             )
 
         dss = dss.map_batches(drop_done, batch_format="pyarrow")
-    builder = _make_segment_builder(index_dir, doc_id_col, text_col, url_col, codec)
+    builder = _make_segment_builder(
+        index_dir, doc_id_col, text_col, url_col, codec, positions
+    )
     dss.groupby("sid").map_groups(builder, batch_format="pyarrow").materialize()
     _write_stats(index_dir)
     return index_dir
@@ -586,6 +656,29 @@ def _merge_group(
             "cf": pa.array(enc["cf"], pa.int64()),
         }
     )
+    has_pos = [bool(m.get("positions")) for m in metas]
+    if any(has_pos):
+        if not all(has_pos):
+            raise ValueError(
+                "compact: cannot merge positional and non-positional "
+                f"segments {sids} (rebuild with a single positions setting)"
+            )
+        # position streams reset per POSTING and postings are doc-disjoint
+        # across the merged segments, so per-term blobs concatenate in doc
+        # order byte-identically to a fresh positional build — no
+        # decode/re-encode (unlike doc blobs, whose first gap is absolute)
+        pos_maps = []
+        for p in paths:
+            t = pq.read_table(p, columns=["term", "pos_blob"])
+            pos_maps.append(
+                dict(zip(t["term"].to_pylist(), t["pos_blob"].to_pylist()))
+            )
+        pos_blobs = [
+            b"".join(pm[t] for pm in pos_maps if t in pm) for t in term_list
+        ]
+        postings = postings.append_column(
+            "pos_blob", pa.array(pos_blobs, pa.binary())
+        )
     dstats = pa.concat_tables(
         pq.read_table(
             os.path.join(mf.segment_dir(index_dir, sid), "docstats.parquet")
@@ -603,6 +696,7 @@ def _merge_group(
         "codec": codec,
         "codec_version": CODEC_VERSION,
         "tokenizer_version": TOKENIZER_VERSION,
+        "positions": bool(any(has_pos)),
         "merged_from": sids,
     }
     final_dir = mf.segment_dir(index_dir, new_sid)

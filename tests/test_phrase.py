@@ -1,0 +1,346 @@
+"""Positional index + phrase/boolean query tests (stages/phrase.py).
+
+Reference check model: a pure-Python sliding-window phrase counter and a
+scalar BM25 over the pinned tokenizer — same policy as the other search
+oracles (bit-exact float expressions, deterministic ties)."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from defactonlp_ray.functions.tokenizer import tokenize
+from defactonlp_ray.stages.codec import decode_positions, encode_positions_batch
+from defactonlp_ray.stages.index_build import (
+    append_index,
+    build_index,
+    compact_index,
+)
+from defactonlp_ray.stages.phrase import (
+    boolean_search,
+    match_phrase,
+    phrase_search,
+    score_boolean,
+)
+from defactonlp_ray.stages.search import IndexReader
+
+K1, B = 1.2, 0.75
+
+
+# ------------------------------------------------------------ codec unit
+
+def test_positions_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    # 3 terms, ragged postings with ragged ascending position lists
+    pos_lists = [
+        [0, 3, 9], [2], [1, 2, 3, 50],   # term 0: 3 postings
+        [7, 8],                           # term 1: 1 posting
+        [0], [1000], [5, 6],              # term 2: 3 postings
+    ]
+    positions = np.concatenate([np.array(p) for p in pos_lists])
+    tf = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    occ_bounds = np.concatenate([[0], np.cumsum(tf)])
+    posting_starts = occ_bounds[:-1]
+    term_occ_bounds = np.array([0, 8, 10, 14], dtype=np.int64)
+    blobs = encode_positions_batch(positions, posting_starts, term_occ_bounds)
+    assert len(blobs) == 3
+    tfs_per_term = [tf[:3], tf[3:4], tf[4:]]
+    got = []
+    for blob, tfs in zip(blobs, tfs_per_term):
+        vals, ob = decode_positions(blob, tfs)
+        got.append(vals)
+        assert ob.tolist() == np.concatenate([[0], np.cumsum(tfs)]).tolist()
+    assert np.array_equal(np.concatenate(got), positions)
+    # randomized roundtrip
+    for _ in range(20):
+        n_post = int(rng.integers(1, 30))
+        tfs = rng.integers(1, 8, n_post).astype(np.int64)
+        pos = np.concatenate(
+            [np.sort(rng.choice(5000, size=t, replace=False)) for t in tfs]
+        )
+        ob = np.concatenate([[0], np.cumsum(tfs)])
+        blobs = encode_positions_batch(pos, ob[:-1], np.array([0, int(tfs.sum())]))
+        vals, _ = decode_positions(blobs[0], tfs)
+        assert np.array_equal(vals, pos)
+
+
+def test_positions_codec_rejects_descending():
+    pos = np.array([5, 3], dtype=np.int64)
+    with pytest.raises(ValueError):
+        encode_positions_batch(
+            pos, np.array([0]), np.array([0, 2])
+        )
+
+
+# --------------------------------------------------- engine vs reference
+
+def _py_phrase_counts(docs: dict[int, list[str]], phrase: list[str]):
+    m = len(phrase)
+    out = {}
+    for did, toks in docs.items():
+        c = sum(1 for i in range(len(toks) - m + 1) if toks[i : i + m] == phrase)
+        if c:
+            out[did] = c
+    return out
+
+
+@pytest.fixture(scope="module")
+def pos_index(sf_dir, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("posidx"))
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    build_index(docs, idx, seg_docs=128, positions=True, resume=False)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(sf_dir):
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return {
+        int(d): tokenize(t)
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    }
+
+
+PHRASES = [
+    ["batch", "batch"],          # overlapping occurrences
+    ["table", "scan"],
+    ["hash", "join", "table"],   # 3-gram (rare)
+    ["the"],                     # single term == tf
+    ["zzz", "table"],            # absent term
+]
+
+
+def test_match_phrase_counts_equal_python(pos_index, doc_tokens):
+    reader = IndexReader(pos_index)
+    for phrase in PHRASES:
+        ref = _py_phrase_counts(doc_tokens, phrase)
+        docs, counts, dls = match_phrase(reader, reader.seg_ids, phrase)
+        got = dict(zip(docs.tolist(), counts.tolist()))
+        assert got == ref, phrase
+        # dls are the true doc token counts
+        for d, dl in zip(docs.tolist(), dls.tolist()):
+            assert dl == len(doc_tokens[d])
+
+
+def test_phrase_score_matches_scalar_bm25(pos_index, doc_tokens):
+    reader = IndexReader(pos_index)
+    n_docs = len(doc_tokens)
+    total = sum(len(t) for t in doc_tokens.values())
+    avgdl = total / n_docs
+    phrase = ["table", "scan"]
+    ref = _py_phrase_counts(doc_tokens, phrase)
+    df = len(ref)
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    expected = {}
+    for d, c in ref.items():
+        dl = float(len(doc_tokens[d]))
+        expected[d] = idf * (c * (K1 + 1.0)) / (
+            c + K1 * (1.0 - B + B * dl / avgdl)
+        )
+    from defactonlp_ray.stages.phrase import score_phrase
+
+    top = score_phrase(reader, reader.seg_ids, phrase, k=len(ref))
+    assert len(top) == len(ref)
+    for score, doc_id, n_occ in top:
+        assert score == expected[doc_id]  # bit-exact: same expression shape
+        assert n_occ == ref[doc_id]
+    # ranked by (-score, doc_id)
+    keys = [(-s, d) for s, d, _ in top]
+    assert keys == sorted(keys)
+
+
+def test_phrase_results_invariant_across_seg_docs(sf_dir, pos_index):
+    idx2 = tempfile.mkdtemp(prefix="dfr_posidx2_")
+    try:
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        build_index(docs, idx2, seg_docs=97, positions=True, resume=False)
+        r1, r2 = IndexReader(pos_index), IndexReader(idx2)
+        for phrase in PHRASES:
+            a = match_phrase(r1, r1.seg_ids, phrase)
+            b = match_phrase(r2, r2.seg_ids, phrase)
+            for x, y in zip(a, b):
+                assert np.array_equal(x, y)
+    finally:
+        shutil.rmtree(idx2, ignore_errors=True)
+
+
+def test_phrase_append_compact_preserves_positions(sf_dir, pos_index):
+    """index(A) + append(B) + compact must answer phrases identically to
+    the full positional build (pos_blob byte-concat through the merge)."""
+    idx = tempfile.mkdtemp(prefix="dfr_posappend_")
+    try:
+        full = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        a = full.filter(expr="doc_id < 300")
+        b = full.filter(expr="doc_id >= 300")
+        build_index(a, idx, seg_docs=128, positions=True, resume=False)
+        append_index(b, idx, seg_docs=128, positions=True)
+        assert compact_index(idx, target_seg_docs=1024) >= 1
+        r_full = IndexReader(pos_index)
+        r_inc = IndexReader(idx)
+        for phrase in PHRASES:
+            a_res = match_phrase(r_full, r_full.seg_ids, phrase)
+            b_res = match_phrase(r_inc, r_inc.seg_ids, phrase)
+            for x, y in zip(a_res, b_res):
+                assert np.array_equal(x, y)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_append_positions_mismatch_raises(sf_dir, pos_index):
+    b = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).filter(expr="doc_id >= 490")
+    with pytest.raises(ValueError, match="positions"):
+        append_index(b, pos_index, seg_docs=128, positions=False)
+
+
+def test_phrase_requires_positional_index(sf_dir):
+    idx = tempfile.mkdtemp(prefix="dfr_nopos_")
+    try:
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        build_index(docs, idx, seg_docs=256, resume=False)
+        reader = IndexReader(idx)
+        with pytest.raises(ValueError, match="positions=True"):
+            match_phrase(reader, reader.seg_ids, ["table", "scan"])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_phrase_search_dataset_pipeline(pos_index, doc_tokens):
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([0, 1], pa.int64()),
+                "terms": pa.array(
+                    [["batch", "batch"], ["zzz", "qqq"]], pa.list_(pa.string())
+                ),
+            }
+        )
+    )
+    res = phrase_search(pos_index, qds, k=5, concurrency=2).to_pandas()
+    ref = _py_phrase_counts(doc_tokens, ["batch", "batch"])
+    got = res[res.query_id == 0]
+    assert len(got) == 5
+    assert (res.query_id == 1).sum() == 0
+    for d, c in zip(got.doc_id, got.n_occ):
+        assert ref[int(d)] == int(c)
+
+
+# --------------------------------------------------------------- boolean
+
+def _py_bm25_parts(doc_tokens):
+    n_docs = len(doc_tokens)
+    total = sum(len(t) for t in doc_tokens.values())
+    avgdl = total / n_docs
+    df: dict[str, int] = {}
+    for toks in doc_tokens.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    return n_docs, avgdl, df
+
+
+def _py_boolean(doc_tokens, must, should, must_not, k):
+    n_docs, avgdl, df = _py_bm25_parts(doc_tokens)
+    must, should, must_not = (
+        sorted(set(must)),
+        sorted(set(should)),
+        sorted(set(must_not)),
+    )
+    scoring = sorted(set(must) | set(should))
+    out = []
+    for did, toks in doc_tokens.items():
+        ts = set(toks)
+        if must and not all(t in ts for t in must):
+            continue
+        if not must and not any(t in ts for t in should):
+            continue
+        if any(t in ts for t in must_not):
+            continue
+        score = 0.0
+        hit = False
+        for t in scoring:  # ascending-term order, like the engine
+            tf = toks.count(t)
+            if tf == 0 or df.get(t, 0) == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            dl = float(len(toks))
+            # engine order: w = num/den first, then idf*w (ulp-relevant)
+            w = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            score += idf * w
+            hit = True
+        if hit:
+            out.append((score, did))
+    out.sort(key=lambda sd: (-sd[0], sd[1]))
+    return out[:k]
+
+
+BOOL_CASES = [
+    (["hash", "join"], ["fast"], ["slow"]),
+    ([], ["scan", "merge"], ["the"]),
+    (["the"], [], []),
+    (["zzz"], ["fast"], []),            # absent must -> empty
+    ([], ["zzz", "qqq"], []),           # absent should -> empty
+    (["batch"], ["batch"], ["batch"]),  # self-contradictory -> empty
+]
+
+
+def test_boolean_matches_python(pos_index, doc_tokens):
+    reader = IndexReader(pos_index)
+    for must, should, must_not in BOOL_CASES:
+        ref = _py_boolean(doc_tokens, must, should, must_not, k=10)
+        got = score_boolean(
+            reader, reader.seg_ids, must, should, must_not, k=10
+        )
+        assert [(d) for _, d in got] == [d for _, d in ref], (must, should, must_not)
+        for (gs, _), (rs, _) in zip(got, ref):
+            assert gs == rs  # bit-exact
+
+
+def test_boolean_no_filters_equals_plain_bm25(pos_index):
+    """must=[] + should=terms + must_not=[] ranks exactly like search()."""
+    from defactonlp_ray.stages.search import score_all_taat
+
+    reader = IndexReader(pos_index)
+    terms = sorted({"data", "query", "fast"})
+    idfs = {t: reader.idf(t) for t in (reader.dfs(terms) and terms)}
+    plain = score_all_taat(reader, reader.seg_ids, terms, idfs, 10)
+    boolean = score_boolean(reader, reader.seg_ids, [], terms, [], 10)
+    assert plain == boolean
+
+
+def test_boolean_search_dataset_pipeline(pos_index, doc_tokens):
+    bq = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "must": pa.array([["hash", "join"], []], pa.list_(pa.string())),
+            "should": pa.array([["fast"], ["scan"]], pa.list_(pa.string())),
+            "must_not": pa.array([["slow"], []], pa.list_(pa.string())),
+        }
+    )
+    res = boolean_search(
+        pos_index, ray.data.from_arrow(bq), k=5, concurrency=2
+    ).to_pandas()
+    for qid, (mu, sh, mn) in [(0, (["hash", "join"], ["fast"], ["slow"])),
+                              (1, ([], ["scan"], []))]:
+        ref = _py_boolean(doc_tokens, mu, sh, mn, k=5)
+        got = res[res.query_id == qid].sort_values("rank")
+        assert got.doc_id.tolist() == [d for _, d in ref]
