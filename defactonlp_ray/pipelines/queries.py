@@ -1579,32 +1579,16 @@ def q_boolean_topk(sf_dir: str):
     return _rerank_rounded(res, k=10)
 
 
-def _boolean_sql(
-    queries: list[tuple[int, list[str], list[str], list[str]]], k: int = 10
-) -> str:
-    """Boolean oracle: per-query candidate filter via ``list_contains``
-    (AND / OR / NOT), scoring CTEs identical to ``_bm25_sql`` restricted
-    to the candidates."""
-    cand_parts = []
-    qvals = []
-    for qid, must, should, must_not in queries:
-        conds = [f"list_contains(ts, '{t}')" for t in sorted(set(must))]
-        sh = sorted(set(should))
-        if not must and sh:
-            conds.append(
-                "(" + " OR ".join(f"list_contains(ts, '{t}')" for t in sh) + ")"
-            )
-        conds += [f"NOT list_contains(ts, '{t}')" for t in sorted(set(must_not))]
-        where = " AND ".join(conds) if conds else "TRUE"
-        cand_parts.append(
-            f"SELECT {qid} AS query_id, doc_id FROM d WHERE {where}"
-        )
-        for t in sorted(set(must) | set(should)):
-            qvals.append(f"({qid}, '{t}')")
+def _filtered_bm25_sql(cand_parts: list[str], qvals: list[str], k: int = 10) -> str:
+    """Shared oracle skeleton: per-query candidate doc sets (UNION ALL of
+    ``SELECT qid AS query_id, doc_id ...``) scored with the exact-BM25
+    CTEs of ``_bm25_sql`` restricted to the candidates."""
     return (
         f"WITH toks AS ({_TOKS_SQL}), "
         "d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
         "x -> x <> '') AS ts FROM documents), "
+        "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
         "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
         "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
@@ -1627,7 +1611,100 @@ def _boolean_sql(
     )
 
 
+def _boolean_sql(
+    queries: list[tuple[int, list[str], list[str], list[str]]], k: int = 10
+) -> str:
+    """Boolean oracle: per-query candidate filter via ``list_contains``
+    (AND / OR / NOT), scoring identical to ``_bm25_sql`` restricted to
+    the candidates."""
+    cand_parts = []
+    qvals = []
+    for qid, must, should, must_not in queries:
+        conds = [f"list_contains(ts, '{t}')" for t in sorted(set(must))]
+        sh = sorted(set(should))
+        if not must and sh:
+            conds.append(
+                "(" + " OR ".join(f"list_contains(ts, '{t}')" for t in sh) + ")"
+            )
+        conds += [f"NOT list_contains(ts, '{t}')" for t in sorted(set(must_not))]
+        where = " AND ".join(conds) if conds else "TRUE"
+        cand_parts.append(
+            f"SELECT {qid} AS query_id, doc_id FROM d WHERE {where}"
+        )
+        for t in sorted(set(must) | set(should)):
+            qvals.append(f"({qid}, '{t}')")
+    return _filtered_bm25_sql(cand_parts, qvals, k)
+
+
 SQL_BOOLEAN_TOPK = _boolean_sql(_BOOL_QUERIES)
+
+
+_WINDOW_QUERIES: list[tuple[int, list[str], int]] = [
+    # (query_id, terms, window): all terms within a window-token span
+    (0, ["hash", "join"], 3),
+    (1, ["table", "scan"], 1),       # window 1: impossible for 2 terms
+    (2, ["customer", "line", "agg"], 12),
+    (3, ["data", "query"], 6),
+    (4, ["zzz", "table"], 8),        # absent term -> empty
+]
+
+
+def q_proximity_topk(sf_dir: str):
+    """Proximity (within-window) retrieval over the positional index
+    (stages/phrase.py match_window/score_window): docs where one
+    occurrence of every term fits in a ``window``-token span, ranked by
+    the plain BM25 sum over the terms."""
+    from ..stages.phrase import window_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q[0] for q in _WINDOW_QUERIES], pa.int64()),
+                "terms": pa.array(
+                    [q[1] for q in _WINDOW_QUERIES], pa.list_(pa.string())
+                ),
+                "window": pa.array(
+                    [q[2] for q in _WINDOW_QUERIES], pa.int64()
+                ),
+            }
+        )
+    )
+    res = window_search(idx, qds, k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _window_sql(
+    queries: list[tuple[int, list[str], int]], k: int = 10
+) -> str:
+    """Independent proximity oracle: m-way self-join of the per-term
+    (doc, position) sets with ``greatest(...) - least(...) <= window-1``,
+    then the shared candidate-filtered BM25 scoring."""
+    cand_parts, qvals = [], []
+    for qid, terms, w in queries:
+        uniq = sorted(set(terms))
+        aliases = [f"o{i}" for i in range(len(uniq))]
+        froms = [
+            f"(SELECT doc_id, i FROM tokpos WHERE term = '{t}') {a}"
+            for t, a in zip(uniq, aliases)
+        ]
+        join = froms[0]
+        for f in froms[1:]:
+            join += f" JOIN {f} USING (doc_id)"
+        cols = ", ".join(f"{a}.i" for a in aliases)
+        span = (
+            f"greatest({cols}) - least({cols})" if len(uniq) > 1 else "0"
+        )
+        cand_parts.append(
+            f"SELECT DISTINCT {qid} AS query_id, {aliases[0]}.doc_id "
+            f"FROM {join} WHERE {span} <= {w - 1}"
+        )
+        for t in uniq:
+            qvals.append(f"({qid}, '{t}')")
+    return _filtered_bm25_sql(cand_parts, qvals, k)
+
+
+SQL_PROXIMITY_TOPK = _window_sql(_WINDOW_QUERIES)
 
 
 # ------------------------------------------------------------- registries
@@ -1681,6 +1758,7 @@ QUERIES = {
     "docs_sample_hash": q_docs_sample_hash,
     "phrase_topk": q_phrase_topk,
     "boolean_topk": q_boolean_topk,
+    "proximity_topk": q_proximity_topk,
 }
 
 ORACLES = {
@@ -1718,6 +1796,7 @@ ORACLES = {
     "docs_sample_hash": SQL_DOCS_SAMPLE_HASH,
     "phrase_topk": SQL_PHRASE_TOPK,
     "boolean_topk": SQL_BOOLEAN_TOPK,
+    "proximity_topk": SQL_PROXIMITY_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,

@@ -227,6 +227,154 @@ def phrase_search(
     )
 
 
+# ------------------------------------------------------------- proximity
+
+def match_window(
+    reader: IndexReader, seg_ids: list[int], terms: list[str], window: int
+) -> np.ndarray:
+    """Docs where ONE occurrence of EVERY term fits inside a ``window``-
+    token span (max(pos) - min(pos) <= window - 1; unordered — the
+    proximity/within operator).  Returns matching doc_ids ascending.
+
+    Vectorized anchor sweep: any satisfying assignment has a minimum
+    position, and that minimum is an occurrence of one of the terms — so
+    for each anchor term j, test every occurrence p of j (restricted to
+    the docid-intersection candidates) for "every term has an occurrence
+    in [p, p + window - 1]" with two searchsorteds per term over the
+    doc*M+pos key arrays, then OR-reduce per doc.  O(m^2 · occ) numpy
+    kernels, no per-doc Python loop."""
+    uniq = sorted(set(terms))
+    if not uniq or window < 1:
+        return np.empty(0, dtype=np.int64)
+    packs = []
+    for t in uniq:
+        p = _pos_pack(reader, seg_ids, t)
+        if p is None:
+            return np.empty(0, dtype=np.int64)
+        packs.append(p)
+    order = np.argsort([p[0].size for p in packs], kind="stable")
+    cand = packs[order[0]][0]
+    for oi in order[1:]:
+        cand = cand[np.isin(cand, packs[oi][0], assume_unique=True)]
+        if cand.size == 0:
+            return cand
+    if len(uniq) == 1:
+        return cand
+    M = int(max(int(p[1].max()) for p in packs)) + window + 1
+    # per-term sorted key arrays restricted to candidate docs
+    keys = []
+    occ_docs = []
+    for docids, _dls, pos, occ_bounds in packs:
+        idx = np.searchsorted(docids, cand)
+        starts, ends = occ_bounds[idx], occ_bounds[idx + 1]
+        gi = _ranges_to_indices(starts, ends)
+        doc_of_occ = np.repeat(cand, ends - starts)
+        keys.append(doc_of_occ * M + pos[gi])
+        occ_docs.append(doc_of_occ)
+    hit = np.zeros(cand.size, dtype=bool)
+    for j in range(len(packs)):
+        anchors = keys[j]
+        ok = np.ones(anchors.size, dtype=bool)
+        for i in range(len(packs)):
+            if i == j:
+                continue
+            lo = np.searchsorted(keys[i], anchors)
+            hi = np.searchsorted(keys[i], anchors + window, side="left")
+            # the window must stay inside the anchor's doc: keys are
+            # doc*M+pos with pos+window < M, so cross-doc bleed is
+            # impossible by construction of M
+            ok &= hi > lo
+        di = np.searchsorted(cand, occ_docs[j][ok])
+        hit[di] = True
+    return cand[hit]
+
+
+def score_window(
+    reader: IndexReader,
+    seg_ids: list[int],
+    terms: list[str],
+    window: int,
+    k: int,
+) -> list[tuple[float, int]]:
+    """Proximity top-k: docs passing :func:`match_window`, ranked by the
+    plain BM25 sum over the (distinct) terms — per-(doc, term)
+    contributions identical to the exact scorer, so this is the must-AND
+    boolean query further filtered by the positional window."""
+    docs = match_window(reader, seg_ids, terms, window)
+    if docs.size == 0:
+        return []
+    uniq = sorted(set(terms))
+    reader.dfs(uniq)
+    scores = np.zeros(docs.size, dtype=np.float64)
+    for t in uniq:  # ascending-term accumulation order (pinned)
+        arrs = reader.term_arrays(seg_ids, t)
+        if arrs is None:
+            continue
+        docids, w = arrs
+        p = np.searchsorted(docids, docs)
+        ok = p < docids.size
+        ok[ok] &= docids[p[ok]] == docs[ok]
+        scores[ok] += reader.idf(t) * w[p[ok]]
+    return _topk_exact(scores, docs, k)
+
+
+class WindowSearcherActor:
+    """Actor-pool stage: batch of (query_id, terms, window) ->
+    (query_id, rank, doc_id, score)."""
+
+    def __init__(self, index_dir: str, k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted({t for ts in batch["terms"].to_pylist() for t in ts})
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, terms, win in zip(
+            batch["query_id"].to_pylist(),
+            batch["terms"].to_pylist(),
+            batch["window"].to_pylist(),
+        ):
+            top = score_window(
+                self.reader, self.seg_ids, list(terms), int(win), self.k
+            )
+            for rank, (score, doc_id) in enumerate(top, 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def window_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Proximity query pipeline: (query_id, terms, window) -> (query_id,
+    rank, doc_id, score) over a ``positions=True`` index."""
+    return queries.map_batches(
+        WindowSearcherActor,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
 # -------------------------------------------------------------- boolean
 
 def score_boolean(

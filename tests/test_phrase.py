@@ -245,6 +245,80 @@ def test_phrase_search_dataset_pipeline(pos_index, doc_tokens):
         assert ref[int(d)] == int(c)
 
 
+# ------------------------------------------------------------- proximity
+
+def _py_window(doc_tokens, terms, w):
+    import itertools
+
+    uniq = sorted(set(terms))
+    out = []
+    for did, toks in doc_tokens.items():
+        poss = [
+            [i for i, x in enumerate(toks) if x == t] for t in uniq
+        ]
+        if any(not p for p in poss):
+            continue
+        if len(uniq) == 1:
+            out.append(did)
+            continue
+        if any(
+            max(c) - min(c) <= w - 1 for c in itertools.product(*poss)
+        ):
+            out.append(did)
+    return sorted(out)
+
+
+WINDOW_CASES = [
+    (["hash", "join"], 2),      # == unordered adjacency
+    (["hash", "join"], 5),
+    (["table", "scan"], 1),     # impossible for 2 distinct terms
+    (["customer", "line", "agg"], 10),
+    (["the"], 4),               # single term: any doc containing it
+    (["zzz", "table"], 6),      # absent term
+]
+
+
+def test_match_window_equals_python(pos_index, doc_tokens):
+    from defactonlp_ray.stages.phrase import match_window
+
+    reader = IndexReader(pos_index)
+    for terms, w in WINDOW_CASES:
+        ref = _py_window(doc_tokens, terms, w)
+        got = match_window(reader, reader.seg_ids, terms, w)
+        assert got.tolist() == ref, (terms, w)
+
+
+def test_window_subsumes_phrase(pos_index):
+    """Any phrase match is a window match at w = len(phrase)."""
+    from defactonlp_ray.stages.phrase import match_window
+
+    reader = IndexReader(pos_index)
+    phrase = ["table", "scan"]
+    p_docs, _, _ = match_phrase(reader, reader.seg_ids, phrase)
+    w_docs = match_window(reader, reader.seg_ids, phrase, len(phrase))
+    assert np.isin(p_docs, w_docs).all()
+
+
+def test_window_search_pipeline_scores_match_boolean_must(pos_index):
+    """score_window == score_boolean(must=terms) restricted to the
+    window-passing docs (identical per-(doc, term) contributions)."""
+    from defactonlp_ray.stages.phrase import match_window, score_window
+
+    reader = IndexReader(pos_index)
+    terms = ["hash", "join"]
+    win = match_window(reader, reader.seg_ids, terms, 5)
+    top = score_window(reader, reader.seg_ids, terms, 5, k=len(win))
+    boolean = dict(
+        (d, s)
+        for s, d in score_boolean(
+            reader, reader.seg_ids, terms, [], [], k=10**6
+        )
+    )
+    assert len(top) == win.size
+    for s, d in top:
+        assert s == boolean[d]
+
+
 # --------------------------------------------------------------- boolean
 
 def _py_bm25_parts(doc_tokens):
