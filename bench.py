@@ -259,6 +259,57 @@ def run_bench() -> dict:
     timings["taat_selective_500q"] = _run_serial("taat")
     timings["wand_selective_500q"] = _run_serial("wand")
 
+    # positional index + phrase/proximity serving (r03 operators): the
+    # build overhead of positions (occurrence sort + pos_blob encode) and
+    # the serving cost of the positional operators, reported as separate
+    # fields — the headline value stays index_build + bm25_batch
+    from defactonlp_ray.functions.tokenizer import tokenize as _tok
+    from defactonlp_ray.stages import phrase as P
+
+    idxp = f"/tmp/dfr_bench_idxpos_{BENCH_PAGES}_{num_cpus}"
+    shutil.rmtree(idxp, ignore_errors=True)
+    t0 = time.perf_counter()
+    pages_p = ray.data.read_parquet(
+        pages_path, filter=(_pc.field("lang") == "en"),
+        override_num_blocks=4 * num_cpus,
+    )
+    flagship.build_pages_index(
+        pages_p, idxp, seg_docs=4096, lang=None, resume=False, positions=True
+    )
+    timings["pos_index_build"] = time.perf_counter() - t0
+
+    # deterministic 2-word phrases sampled from the corpus itself (pure
+    # function of (seed, i)), so every phrase has at least one match
+    seed_pages = fixtures.make_pages_range(0, 600)
+    phrases = []
+    for i, txt in enumerate(seed_pages["text"].to_pylist()):
+        toks = _tok(txt)
+        if len(toks) > 12:
+            j = 3 + (i % 5)
+            phrases.append(toks[j : j + 2])
+    phrases = phrases[:500]
+    ptbl = pa.table(
+        {
+            "query_id": pa.array(range(len(phrases)), pa.int64()),
+            "terms": pa.array(phrases, pa.list_(pa.string())),
+        }
+    )
+    t0 = time.perf_counter()
+    P.phrase_search(
+        idxp, ray.data.from_arrow(ptbl).repartition(min(8, num_cpus)),
+        k=10, concurrency=min(8, num_cpus), batch_size=64,
+    ).count()
+    timings["phrase_batch_500q"] = time.perf_counter() - t0
+    wtbl = ptbl.append_column(
+        "window", pa.array([8] * len(phrases), pa.int64())
+    )
+    t0 = time.perf_counter()
+    P.window_search(
+        idxp, ray.data.from_arrow(wtbl).repartition(min(8, num_cpus)),
+        k=10, concurrency=min(8, num_cpus), batch_size=64,
+    ).count()
+    timings["proximity_batch_500q"] = time.perf_counter() - t0
+
     # a few registry ops at the driver's sf dir
     for name in ("term_stats", "dedup_docs", "tpch_q1", "events_hourly"):
         t0 = time.perf_counter()

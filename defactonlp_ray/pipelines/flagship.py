@@ -76,7 +76,7 @@ def prepare_docs(
 
 def build_pages_index(
     pages: "ray.data.Dataset", index_dir: str, *, seg_docs: int = 8192,
-    lang: str | None = "en", resume: bool = True,
+    lang: str | None = "en", resume: bool = True, positions: bool = False,
 ) -> tuple[str, "ray.data.Dataset"]:
     """Full build entry point A (SURVEY.md §3.1). Returns (index_dir, docs)."""
     docs = prepare_docs(pages, lang=lang)
@@ -84,7 +84,7 @@ def build_pages_index(
     # ids -> the zero-shuffle sorted build layout applies
     build_index(
         docs, index_dir, url_col="url", seg_docs=seg_docs, resume=resume,
-        layout="sorted",
+        layout="sorted", positions=positions,
     )
     return index_dir, docs
 

@@ -1707,6 +1707,75 @@ def _window_sql(
 SQL_PROXIMITY_TOPK = _window_sql(_WINDOW_QUERIES)
 
 
+# --------------------------------------------- snippets (serving stage)
+
+_SNIPPET_WIDTH = 8
+
+
+def q_snippets_topk(sf_dir: str):
+    """Query-biased snippets for the BM25 top-k (stages/snippets.py):
+    per (query, doc) pair the 8-token window covering the most distinct
+    query terms (earliest on ties).  Pairs broadcast once; the corpus
+    streams through one map_batches pass — no shuffle."""
+    from ..stages.snippets import extract_snippets
+
+    idx = _build_docs_index(sf_dir)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    topk = _rerank_rounded(res, k=10)
+    qterms = {qid: sorted(set(ts)) for qid, ts in _BM25_QUERIES}
+    pairs = pa.table(
+        {
+            "query_id": pa.array(topk["query_id"].to_numpy(), pa.int64()),
+            "doc_id": pa.array(topk["doc_id"].to_numpy(), pa.int64()),
+        }
+    )
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    out = extract_snippets(
+        docs, pairs, qterms, width=_SNIPPET_WIDTH, concurrency=2
+    ).to_pandas()
+    return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
+def _snippets_sql(queries: list[tuple[int, list[str]]], width: int) -> str:
+    """Independent snippet oracle: recompute the BM25 top-k pairs with
+    the exact-BM25 SQL, enumerate candidate starts (query-term positions
+    in the doc), count distinct query terms per window with a positional
+    self-join, pick (max count, min start) per pair, and render the
+    snippet via ``list_slice`` — byte-equal to the engine's token join
+    on the canonical corpus."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in sorted(set(terms))
+    )
+    w1 = width - 1
+    return (
+        "WITH topk AS (SELECT query_id, doc_id FROM (" + SQL_BM25_TOPK + ")), "
+        "d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        f"q(query_id, term) AS (VALUES {qvals}), "
+        "starts AS (SELECT DISTINCT tk.query_id, tk.doc_id, tp.i AS s "
+        "FROM topk tk JOIN q ON q.query_id = tk.query_id "
+        "JOIN tokpos tp ON tp.doc_id = tk.doc_id AND tp.term = q.term), "
+        "wins AS (SELECT s.query_id, s.doc_id, s.s, "
+        "count(DISTINCT q2.term) AS nt FROM starts s "
+        "JOIN q q2 ON q2.query_id = s.query_id "
+        "JOIN tokpos tp2 ON tp2.doc_id = s.doc_id AND tp2.term = q2.term "
+        f"AND tp2.i BETWEEN s.s AND s.s + {w1} "
+        "GROUP BY s.query_id, s.doc_id, s.s), "
+        "best AS (SELECT query_id, doc_id, s, nt, row_number() OVER ("
+        "PARTITION BY query_id, doc_id ORDER BY nt DESC, s) AS rn FROM wins) "
+        "SELECT b.query_id, b.doc_id, b.s - 1 AS start, b.nt AS n_terms, "
+        f"array_to_string(list_slice(d.ts, b.s, b.s + {w1}), ' ') AS snippet "
+        "FROM best b JOIN d ON d.doc_id = b.doc_id WHERE b.rn = 1"
+    )
+
+
+SQL_SNIPPETS_TOPK = _snippets_sql(_BM25_QUERIES, _SNIPPET_WIDTH)
+
+
 # ------------------------------------------------------------- registries
 
 QUERIES = {
@@ -1759,6 +1828,7 @@ QUERIES = {
     "phrase_topk": q_phrase_topk,
     "boolean_topk": q_boolean_topk,
     "proximity_topk": q_proximity_topk,
+    "snippets_topk": q_snippets_topk,
 }
 
 ORACLES = {
@@ -1797,6 +1867,7 @@ ORACLES = {
     "phrase_topk": SQL_PHRASE_TOPK,
     "boolean_topk": SQL_BOOLEAN_TOPK,
     "proximity_topk": SQL_PROXIMITY_TOPK,
+    "snippets_topk": SQL_SNIPPETS_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,

@@ -53,12 +53,25 @@ from .search import (
 from .util import pool_size
 
 
+# fixed per-index occurrence-key radix: key = doc_id * _POS_M + pos.
+# pos < _POS_M - _POS_SLACK is validated at pack build, so a window/phrase
+# probe of up to _POS_SLACK tokens can never cross a doc boundary in key
+# space; doc_id must stay below 2^63 / _POS_M ≈ 4.4e12 (comfortably above
+# the 10^12-doc design point).  A fixed radix (vs per-query max-dl) is
+# what lets the key arrays be built ONCE per term and probed by every
+# query with constant shifts.
+_POS_M = 1 << 21
+_POS_SLACK = 1024
+
+
 def _pos_pack(reader: IndexReader, seg_ids: list[int], term: str):
     """Per-term positional arrays concatenated across ``seg_ids``
     (ascending sid = ascending docids; position streams reset per posting
     so per-segment decodes concatenate validly): ``(docids, dls,
-    positions, occ_bounds)`` or None when the term is absent.  Cached per
-    reader — positions are query-invariant, like the WAND packs."""
+    positions, occ_bounds, keys)`` where ``keys`` is the sorted
+    occurrence-key array ``doc*_POS_M + pos`` — or None when the term is
+    absent.  Cached per reader — positions are query-invariant, like the
+    WAND packs, so every query probes the same arrays."""
     cache = getattr(reader, "_pos_packs", None)
     if cache is None:
         cache = reader._pos_packs = {}
@@ -89,14 +102,25 @@ def _pos_pack(reader: IndexReader, seg_ids: list[int], term: str):
     tfs_all = np.concatenate(p_tf)
     occ_bounds = np.zeros(tfs_all.size + 1, dtype=np.int64)
     np.cumsum(tfs_all, out=occ_bounds[1:])
-    out = (
-        np.concatenate(p_doc),
-        np.concatenate(p_dl),
-        np.concatenate(p_pos),
-        occ_bounds,
-    )
+    docids = np.concatenate(p_doc)
+    pos = np.concatenate(p_pos)
+    if pos.size and int(pos.max()) >= _POS_M - _POS_SLACK:
+        raise ValueError(
+            f"document position {int(pos.max())} exceeds the positional "
+            f"key radix ({_POS_M - _POS_SLACK}); raise _POS_M"
+        )
+    keys = np.repeat(docids, tfs_all) * _POS_M + pos
+    out = (docids, np.concatenate(p_dl), pos, occ_bounds, keys)
     cache[key] = out
     return out
+
+
+def _member(sorted_arr: np.ndarray, probes: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``probes`` in sorted ``sorted_arr``."""
+    idx = np.searchsorted(sorted_arr, probes)
+    ok = idx < sorted_arr.size
+    ok[ok] &= sorted_arr[idx[ok]] == probes[ok]
+    return ok
 
 
 def match_phrase(
@@ -110,7 +134,7 @@ def match_phrase(
         np.empty(0, dtype=np.int64),
         np.empty(0, dtype=np.int64),
     )
-    if not terms:
+    if not terms or len(terms) > _POS_SLACK:
         return empty
     packs = []
     for t in terms:
@@ -118,32 +142,25 @@ def match_phrase(
         if p is None:
             return empty
         packs.append(p)
-    m = len(terms)
-    # candidate docs: intersect docid sets, rarest first (cheapest chain)
-    order = np.argsort([p[0].size for p in packs], kind="stable")
-    cand = packs[order[0]][0]
+    # a phrase occurrence anchored at token position p contributes, for
+    # term i, the occurrence key doc*M + (p + i); relative to the anchor
+    # that is the CONSTANT shift +i of the term's cached key array — so
+    # the phrase's anchor set is X = ∩_i (keys_i - i), computed by
+    # starting from the SMALLEST key array (rarest term) and probing the
+    # others with searchsorted.  Per-query cost is O(|rarest| · m · log),
+    # never a gather of a head term's full occurrence list.
+    order = np.argsort([p[4].size for p in packs], kind="stable")
+    j = int(order[0])
+    pj = packs[j]
+    X = pj[4] - j
+    if j > 0:  # anchor position p = pos_j - j must be >= 0
+        X = X[pj[2] >= j]
     for oi in order[1:]:
-        cand = cand[np.isin(cand, packs[oi][0], assume_unique=True)]
-        if cand.size == 0:
+        i = int(oi)
+        X = X[_member(packs[i][4], X + i)]
+        if X.size == 0:
             return empty
-    # key space: doc * M + shifted position; M bounds any position+m so
-    # keys never collide across docs (int64 holds doc ~1e12 at M ~1e6)
-    M = int(max(int(p[1].max()) for p in packs)) + m + 1
-    inter: Optional[np.ndarray] = None
-    for i, (docids, _dls, pos, occ_bounds) in enumerate(packs):
-        idx = np.searchsorted(docids, cand)
-        starts, ends = occ_bounds[idx], occ_bounds[idx + 1]
-        gi = _ranges_to_indices(starts, ends)
-        doc_of_occ = np.repeat(cand, ends - starts)
-        shifted = pos[gi] - i
-        keep = shifted >= 0
-        keys = doc_of_occ[keep] * M + shifted[keep]
-        inter = keys if inter is None else np.intersect1d(
-            inter, keys, assume_unique=True
-        )
-        if inter.size == 0:
-            return empty
-    docs, counts = np.unique(inter // M, return_counts=True)
+    docs, counts = np.unique(X // _POS_M, return_counts=True)
     d0, dl0 = packs[0][0], packs[0][1]
     dls = dl0[np.searchsorted(d0, docs)]
     return docs, counts.astype(np.int64), dls
@@ -236,16 +253,24 @@ def match_window(
     token span (max(pos) - min(pos) <= window - 1; unordered — the
     proximity/within operator).  Returns matching doc_ids ascending.
 
-    Vectorized anchor sweep: any satisfying assignment has a minimum
-    position, and that minimum is an occurrence of one of the terms — so
-    for each anchor term j, test every occurrence p of j (restricted to
-    the docid-intersection candidates) for "every term has an occurrence
-    in [p, p + window - 1]" with two searchsorteds per term over the
-    doc*M+pos key arrays, then OR-reduce per doc.  O(m^2 · occ) numpy
-    kernels, no per-doc Python loop."""
+    Vectorized anchor sweep over the CACHED fixed-radix key arrays
+    (doc*_POS_M + pos, built once per term in :func:`_pos_pack`): any
+    satisfying assignment has a minimum position, and that minimum is an
+    occurrence of one of the terms — so for each anchor term j, test
+    every occurrence p of j (restricted to the docid-intersection
+    candidates) for "every term has an occurrence in
+    [p, p + window - 1]" with two searchsorteds per term, then OR-reduce
+    per doc.  O(m^2 · occ) numpy kernels, no per-doc Python loop and no
+    per-query key rebuild.  ``window`` is capped at ``_POS_SLACK`` (the
+    radix headroom that makes cross-doc key bleed impossible)."""
     uniq = sorted(set(terms))
     if not uniq or window < 1:
         return np.empty(0, dtype=np.int64)
+    if window > _POS_SLACK:
+        raise ValueError(
+            f"window {window} exceeds the positional key radix headroom "
+            f"({_POS_SLACK}); raise _POS_SLACK/_POS_M"
+        )
     packs = []
     for t in uniq:
         p = _pos_pack(reader, seg_ids, t)
@@ -260,32 +285,26 @@ def match_window(
             return cand
     if len(uniq) == 1:
         return cand
-    M = int(max(int(p[1].max()) for p in packs)) + window + 1
-    # per-term sorted key arrays restricted to candidate docs
-    keys = []
-    occ_docs = []
-    for docids, _dls, pos, occ_bounds in packs:
-        idx = np.searchsorted(docids, cand)
-        starts, ends = occ_bounds[idx], occ_bounds[idx + 1]
-        gi = _ranges_to_indices(starts, ends)
-        doc_of_occ = np.repeat(cand, ends - starts)
-        keys.append(doc_of_occ * M + pos[gi])
-        occ_docs.append(doc_of_occ)
     hit = np.zeros(cand.size, dtype=bool)
     for j in range(len(packs)):
-        anchors = keys[j]
+        docids_j, _dls, _pos, occ_bounds_j, keys_j = packs[j]
+        # anchor occurrences of term j inside candidate docs: gather the
+        # cached keys by posting ranges
+        idx = np.searchsorted(docids_j, cand)
+        starts, ends = occ_bounds_j[idx], occ_bounds_j[idx + 1]
+        anchors = keys_j[_ranges_to_indices(starts, ends)]
+        anchor_ci = np.repeat(np.arange(cand.size), ends - starts)
         ok = np.ones(anchors.size, dtype=bool)
         for i in range(len(packs)):
             if i == j:
                 continue
-            lo = np.searchsorted(keys[i], anchors)
-            hi = np.searchsorted(keys[i], anchors + window, side="left")
-            # the window must stay inside the anchor's doc: keys are
-            # doc*M+pos with pos+window < M, so cross-doc bleed is
-            # impossible by construction of M
+            ki = packs[i][4]
+            lo = np.searchsorted(ki, anchors)
+            hi = np.searchsorted(ki, anchors + window, side="left")
+            # pos < _POS_M - _POS_SLACK and window <= _POS_SLACK, so the
+            # probe interval can never cross into the next doc's keys
             ok &= hi > lo
-        di = np.searchsorted(cand, occ_docs[j][ok])
-        hit[di] = True
+        hit[anchor_ci[ok]] = True
     return cand[hit]
 
 
