@@ -39,6 +39,7 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data
 
 from ..sources import manifest as mf
@@ -113,6 +114,87 @@ def _pos_pack(reader: IndexReader, seg_ids: list[int], term: str):
     out = (docids, np.concatenate(p_dl), pos, occ_bounds, keys)
     cache[key] = out
     return out
+
+
+def _decode_pos_packs(index_dir: str, terms: list[str]) -> dict:
+    """Decode the positional packs for ``terms`` with a fresh reader
+    (one filtered point-read per segment) — the per-chunk unit of
+    :func:`build_pos_packs`, runnable as a Ray task."""
+    reader = IndexReader(index_dir)
+    seg_ids = list(reader.seg_ids)
+    for sid in seg_ids:
+        reader.load_postings(sid, terms)
+    return {t: _pos_pack(reader, seg_ids, t) for t in terms}
+
+
+def build_pos_packs(index_dir: str, terms, *, chunk: int = 64) -> dict:
+    """Decode the positional packs for a workload's term union ONCE —
+    made to be ``ray.put`` once and read zero-copy by every phrase/window
+    actor, instead of each actor re-reading and re-decoding ``pos_blob``
+    for the same head terms (the same broadcast-small-side pattern as
+    :func:`search.build_shared_index`).  Fans out per-term-chunk Ray
+    tasks when a session is live.  The term set is the QUERY vocabulary,
+    not the index vocabulary, so the blob stays O(workload) at any
+    corpus size."""
+    terms = sorted(set(terms))
+    seg_ids = list(IndexReader(index_dir).seg_ids)
+    chunks = [terms[i : i + chunk] for i in range(0, len(terms), chunk)]
+    if ray.is_initialized() and len(chunks) > 1:
+        task = ray.remote(_decode_pos_packs)
+        parts = ray.get([task.remote(index_dir, c) for c in chunks])
+    else:
+        parts = [_decode_pos_packs(index_dir, c) for c in chunks]
+    packs: dict = {}
+    for p in parts:
+        packs.update(p)
+    return {"seg_ids": seg_ids, "packs": packs}
+
+
+def _seed_shared_packs(reader: IndexReader, blob: dict) -> set:
+    """Install a :func:`build_pos_packs` blob into a reader's caches:
+    positional packs directly, and the BM25 ``term_arrays`` recomputed
+    from the pack (tf = per-posting occurrence-count diff, dl from the
+    pack) — elementwise the SAME float64 expression ``postings()``
+    caches, so shared and unshared scoring are bit-identical (tested).
+    Returns the seeded term set."""
+    if list(blob["seg_ids"]) != list(reader.seg_ids):
+        raise ValueError(
+            "shared pos packs were built for a different segment set"
+        )
+    seg_key = tuple(blob["seg_ids"])
+    cache = getattr(reader, "_pos_packs", None)
+    if cache is None:
+        cache = reader._pos_packs = {}
+    for t, p in blob["packs"].items():
+        cache[(seg_key, t)] = p
+        if p is None:
+            reader._term_arrays[(seg_key, t)] = None
+        else:
+            docids, dls, _pos, occ_bounds, _keys = p
+            tfs_f = np.diff(occ_bounds).astype(np.float64)
+            dls_f = dls.astype(np.float64)
+            w = (tfs_f * (K1 + 1.0)) / (
+                tfs_f + K1 * (1.0 - B + B * dls_f / reader.avgdl)
+            )
+            reader._term_arrays[(seg_key, t)] = (docids, w)
+    return set(blob["packs"])
+
+
+def _get_and_seed(reader: IndexReader, packs_ref) -> set:
+    """Actor-side half of the shared-packs route: resolve ``packs_ref``
+    (an ``ObjectRef`` of a :func:`build_pos_packs` blob, or the blob
+    itself) and seed the reader.  Returns the seeded term set (empty
+    when no ref was given) — ``__call__`` subtracts it from the batch's
+    term union so point-reads only fetch terms OUTSIDE the workload
+    vocabulary the driver pre-decoded."""
+    if packs_ref is None:
+        return set()
+    blob = (
+        ray.get(packs_ref)
+        if isinstance(packs_ref, ray.ObjectRef)
+        else packs_ref
+    )
+    return _seed_shared_packs(reader, blob)
 
 
 def _member(sorted_arr: np.ndarray, probes: np.ndarray) -> np.ndarray:
@@ -191,14 +273,17 @@ class PhraseSearcherActor:
     (query_id, rank, doc_id, n_occ, score).  Reader state loads once per
     actor; per-term positional packs are cached across queries."""
 
-    def __init__(self, index_dir: str, k: int = 10):
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
         self.reader = IndexReader(index_dir)
         self.k = k
         self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # one filtered point-read per segment for the whole batch
-        all_terms = sorted({t for ts in batch["terms"].to_pylist() for t in ts})
+        all_terms = sorted(
+            {t for ts in batch["terms"].to_pylist() for t in ts} - self.seeded
+        )
         for sid in self.seg_ids:
             self.reader.load_postings(sid, all_terms)
         out_q, out_r, out_d, out_c, out_s = [], [], [], [], []
@@ -231,12 +316,20 @@ def phrase_search(
     k: int = 10,
     concurrency: int = 4,
     batch_size: int = 256,
+    packs_ref=None,
 ) -> "ray.data.Dataset":
     """Phrase query pipeline: (query_id, terms) -> (query_id, rank,
-    doc_id, n_occ, score) over a ``positions=True`` index."""
+    doc_id, n_occ, score) over a ``positions=True`` index.
+
+    ``packs_ref``: ``ray.put`` ref of a :func:`build_pos_packs` blob for
+    the workload's term union — every actor then seeds its caches from
+    one zero-copy object-store read instead of re-reading and re-decoding
+    ``pos_blob`` per actor (serving route; results are bit-identical)."""
     return queries.map_batches(
         PhraseSearcherActor,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool_size(concurrency),
@@ -341,13 +434,16 @@ class WindowSearcherActor:
     """Actor-pool stage: batch of (query_id, terms, window) ->
     (query_id, rank, doc_id, score)."""
 
-    def __init__(self, index_dir: str, k: int = 10):
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
         self.reader = IndexReader(index_dir)
         self.k = k
         self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        all_terms = sorted({t for ts in batch["terms"].to_pylist() for t in ts})
+        all_terms = sorted(
+            {t for ts in batch["terms"].to_pylist() for t in ts} - self.seeded
+        )
         for sid in self.seg_ids:
             self.reader.load_postings(sid, all_terms)
         out_q, out_r, out_d, out_s = [], [], [], []
@@ -381,12 +477,16 @@ def window_search(
     k: int = 10,
     concurrency: int = 4,
     batch_size: int = 256,
+    packs_ref=None,
 ) -> "ray.data.Dataset":
     """Proximity query pipeline: (query_id, terms, window) -> (query_id,
-    rank, doc_id, score) over a ``positions=True`` index."""
+    rank, doc_id, score) over a ``positions=True`` index.  ``packs_ref``
+    as in :func:`phrase_search`."""
     return queries.map_batches(
         WindowSearcherActor,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool_size(concurrency),
@@ -465,10 +565,11 @@ class BooleanSearcherActor:
     """Actor-pool stage: batch of (query_id, must, should, must_not) ->
     (query_id, rank, doc_id, score)."""
 
-    def __init__(self, index_dir: str, k: int = 10):
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
         self.reader = IndexReader(index_dir)
         self.k = k
         self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         all_terms = sorted(
@@ -478,6 +579,7 @@ class BooleanSearcherActor:
                 for ts in batch[col].to_pylist()
                 for t in ts
             }
+            - self.seeded
         )
         for sid in self.seg_ids:
             self.reader.load_postings(sid, all_terms)
@@ -513,12 +615,17 @@ def boolean_search(
     k: int = 10,
     concurrency: int = 4,
     batch_size: int = 256,
+    packs_ref=None,
 ) -> "ray.data.Dataset":
     """Boolean query pipeline: (query_id, must, should, must_not) ->
-    (query_id, rank, doc_id, score)."""
+    (query_id, rank, doc_id, score).  ``packs_ref`` as in
+    :func:`phrase_search` (boolean scoring only touches the pack-derived
+    BM25 term arrays; positions ride along unused)."""
     return queries.map_batches(
         BooleanSearcherActor,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool_size(concurrency),

@@ -418,3 +418,103 @@ def test_boolean_search_dataset_pipeline(pos_index, doc_tokens):
         ref = _py_boolean(doc_tokens, mu, sh, mn, k=5)
         got = res[res.query_id == qid].sort_values("rank")
         assert got.doc_id.tolist() == [d for _, d in ref]
+
+
+# ---------------------------------------------------- shared packs route
+
+def test_shared_packs_routes_bit_identical(pos_index):
+    """phrase/window/boolean through a ray.put build_pos_packs blob ==
+    the per-actor point-read route, bit-identical (the seeded term_arrays
+    recompute the same float64 expression postings() caches)."""
+    from defactonlp_ray.stages.phrase import (
+        build_pos_packs,
+        window_search,
+    )
+
+    terms_union = ["batch", "hash", "join", "fast", "scan", "slow", "zzz"]
+    ref = ray.put(build_pos_packs(pos_index, terms_union, chunk=2))
+
+    pq_t = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "terms": pa.array(
+                [["batch", "batch"], ["hash", "join"]], pa.list_(pa.string())
+            ),
+        }
+    )
+    a = phrase_search(pos_index, ray.data.from_arrow(pq_t), k=5).to_pandas()
+    b = phrase_search(
+        pos_index, ray.data.from_arrow(pq_t), k=5, packs_ref=ref
+    ).to_pandas()
+    sort = ["query_id", "rank"]
+    assert a.sort_values(sort).reset_index(drop=True).equals(
+        b.sort_values(sort).reset_index(drop=True)
+    )
+
+    wq = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "terms": pa.array([["hash", "join"]], pa.list_(pa.string())),
+            "window": pa.array([5], pa.int64()),
+        }
+    )
+    a = window_search(pos_index, ray.data.from_arrow(wq), k=5).to_pandas()
+    b = window_search(
+        pos_index, ray.data.from_arrow(wq), k=5, packs_ref=ref
+    ).to_pandas()
+    assert a.equals(b)
+
+    bq = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "must": pa.array([["hash", "join"], []], pa.list_(pa.string())),
+            "should": pa.array([["fast"], ["scan"]], pa.list_(pa.string())),
+            "must_not": pa.array([["slow"], ["zzz"]], pa.list_(pa.string())),
+        }
+    )
+    a = boolean_search(pos_index, ray.data.from_arrow(bq), k=5).to_pandas()
+    b = boolean_search(
+        pos_index, ray.data.from_arrow(bq), k=5, packs_ref=ref
+    ).to_pandas()
+    assert a.sort_values(sort).reset_index(drop=True).equals(
+        b.sort_values(sort).reset_index(drop=True)
+    )
+
+
+def test_shared_packs_mixed_vocabulary(pos_index, doc_tokens):
+    """Query terms OUTSIDE the seeded union fall back to point reads in
+    the same run (seeded and unseeded terms mix within one query)."""
+    from defactonlp_ray.stages.phrase import build_pos_packs
+
+    ref = ray.put(build_pos_packs(pos_index, ["table"]))
+    qt = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "terms": pa.array([["table", "scan"]], pa.list_(pa.string())),
+        }
+    )
+    got = phrase_search(
+        pos_index, ray.data.from_arrow(qt), k=10, packs_ref=ref
+    ).to_pandas()
+    refc = _py_phrase_counts(doc_tokens, ["table", "scan"])
+    assert len(got) == min(10, len(refc))
+    for d, c in zip(got.doc_id, got.n_occ):
+        assert refc[int(d)] == int(c)
+
+
+def test_shared_packs_wrong_segment_set_raises(pos_index, sf_dir, tmp_path):
+    """A blob built for a different segment layout is rejected, not
+    silently mis-seeded."""
+    from defactonlp_ray.stages.phrase import (
+        _seed_shared_packs,
+        build_pos_packs,
+    )
+
+    other = str(tmp_path / "otherseg")
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    build_index(docs, other, seg_docs=64, positions=True, resume=False)
+    blob = build_pos_packs(other, ["table"])
+    with pytest.raises(ValueError, match="different segment set"):
+        _seed_shared_packs(IndexReader(pos_index), blob)
