@@ -294,10 +294,19 @@ def run_bench() -> dict:
             "terms": pa.array(phrases, pa.list_(pa.string())),
         }
     )
+    # workload-union positional packs decoded ONCE and broadcast (the
+    # shared-packs serving route) — decode reported separately, like
+    # bm25_batch_decode/serve
+    t0 = time.perf_counter()
+    packs_ref = ray.put(
+        P.build_pos_packs(idxp, {t for ts in phrases for t in ts})
+    )
+    timings["pos_packs_decode"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     P.phrase_search(
         idxp, ray.data.from_arrow(ptbl).repartition(min(8, num_cpus)),
-        k=10, concurrency=min(8, num_cpus), batch_size=64,
+        k=10, concurrency=min(8, num_cpus), batch_size=16,
+        packs_ref=packs_ref,
     ).count()
     timings["phrase_batch_500q"] = time.perf_counter() - t0
     wtbl = ptbl.append_column(
@@ -306,7 +315,8 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     P.window_search(
         idxp, ray.data.from_arrow(wtbl).repartition(min(8, num_cpus)),
-        k=10, concurrency=min(8, num_cpus), batch_size=64,
+        k=10, concurrency=min(8, num_cpus), batch_size=16,
+        packs_ref=packs_ref,
     ).count()
     timings["proximity_batch_500q"] = time.perf_counter() - t0
 

@@ -370,6 +370,23 @@ def match_window(
         if p is None:
             return np.empty(0, dtype=np.int64)
         packs.append(p)
+    if len(uniq) == 2:
+        # exact 2-term fast path: a doc matches iff SOME cross-pair of
+        # occurrences sits within w-1 — one searchsorted of the smaller
+        # key array into the larger (nearest neighbour above and below),
+        # instead of the general anchor sweep's four full-array probes
+        # plus candidate-set gathers.  Key radix guarantees a pair within
+        # w-1 (<= _POS_SLACK) never spans two docs.
+        a, b = packs[0][4], packs[1][4]
+        if a.size > b.size:
+            a, b = b, a
+        pos = np.searchsorted(b, a)
+        ok = np.zeros(a.size, dtype=bool)
+        hasup = pos < b.size
+        ok[hasup] = b[pos[hasup]] - a[hasup] <= window - 1
+        hasdn = pos > 0
+        ok[hasdn] |= a[hasdn] - b[pos[hasdn] - 1] <= window - 1
+        return np.unique(a[ok] // _POS_M)
     order = np.argsort([p[0].size for p in packs], kind="stable")
     cand = packs[order[0]][0]
     for oi in order[1:]:
