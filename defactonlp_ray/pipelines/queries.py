@@ -1776,6 +1776,105 @@ def _snippets_sql(queries: list[tuple[int, list[str]]], width: int) -> str:
 SQL_SNIPPETS_TOPK = _snippets_sql(_BM25_QUERIES, _SNIPPET_WIDTH)
 
 
+# --------------------------------- wildcard + fuzzy (term expansion)
+
+_WILDCARD_QUERIES: list[tuple[int, str]] = [
+    # (query_id, SQL-LIKE pattern)
+    (0, "s%"),        # prefix: scan slow small sort spark stream (capped)
+    (1, "%ow"),       # suffix: row slow window
+    (2, "_a__"),      # fixed-shape: data fast hash part
+    (3, "merge"),     # no wildcard -> exact-term probe
+    (4, "zz%"),       # no dictionary match -> empty result
+]
+_WILDCARD_CAP = 4     # rewrite cap: exercises the (df DESC, term) pick
+
+_FUZZY_QUERIES: list[tuple[int, str]] = [
+    # (query_id, query term); vocabulary has no distance-1 pairs, so
+    # multi-expansions need out-of-vocabulary probes
+    (0, "spart"),     # -> part (del s), spark (subst t->k)
+    (1, "sow"),       # -> row (subst s->r), slow (ins l)
+    (2, "merge"),     # exact in-dictionary term -> itself only
+    (3, "quer"),      # -> query (one insertion)
+    (4, "zzz"),       # nothing within distance 1 -> empty
+]
+
+
+def q_wildcard_topk(sf_dir: str):
+    """Wildcard/prefix retrieval (stages/expand.py): LIKE patterns expand
+    against the index term dictionary (streamed map_batches match, capped
+    to the ``_WILDCARD_CAP`` highest-df terms per query), then rank as the
+    boolean OR of the expanded terms (BM25 sum, global idf per term)."""
+    from ..stages.expand import wildcard_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    res = wildcard_search(
+        idx, _WILDCARD_QUERIES, k=20,
+        max_expansions=_WILDCARD_CAP, concurrency=2,
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def q_fuzzy_topk(sf_dir: str):
+    """Fuzzy retrieval (stages/expand.py): each query term expands to the
+    dictionary terms within Levenshtein distance 1 (vectorized byte-matrix
+    length-bucket kernel), then ranks as the boolean OR disjunction."""
+    from ..stages.expand import fuzzy_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    res = fuzzy_search(idx, _FUZZY_QUERIES, k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _expansion_sql(conds: list[tuple[int, str]], k: int = 10,
+                   cap: int | None = None) -> str:
+    """Expansion-query oracle: expand each pattern against the df
+    dictionary in SQL (same ``(df DESC, term)`` rewrite cap as the
+    engine), then score as the boolean OR of the expanded terms with the
+    exact-BM25 expression shared by every search oracle."""
+    e_parts = [
+        f"SELECT {qid} AS query_id, term, df FROM df WHERE {cond}"
+        for qid, cond in conds
+    ]
+    if cap is not None:
+        q_sql = (
+            "q AS (SELECT query_id, term FROM (SELECT query_id, term, "
+            "row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY df DESC, term) AS rn FROM e) WHERE rn <= {cap}), "
+        )
+    else:
+        q_sql = "q AS (SELECT query_id, term FROM e), "
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "e AS (" + " UNION ALL ".join(e_parts) + "), "
+        + q_sql +
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_WILDCARD_TOPK = _expansion_sql(
+    [(qid, f"term LIKE '{pat}'") for qid, pat in _WILDCARD_QUERIES],
+    cap=_WILDCARD_CAP,
+)
+SQL_FUZZY_TOPK = _expansion_sql(
+    [(qid, f"levenshtein(term, '{t}') <= 1") for qid, t in _FUZZY_QUERIES]
+)
+
+
 # ------------------------------------------------------------- registries
 
 QUERIES = {
@@ -1829,6 +1928,8 @@ QUERIES = {
     "boolean_topk": q_boolean_topk,
     "proximity_topk": q_proximity_topk,
     "snippets_topk": q_snippets_topk,
+    "wildcard_topk": q_wildcard_topk,
+    "fuzzy_topk": q_fuzzy_topk,
 }
 
 ORACLES = {
@@ -1868,6 +1969,8 @@ ORACLES = {
     "boolean_topk": SQL_BOOLEAN_TOPK,
     "proximity_topk": SQL_PROXIMITY_TOPK,
     "snippets_topk": SQL_SNIPPETS_TOPK,
+    "wildcard_topk": SQL_WILDCARD_TOPK,
+    "fuzzy_topk": SQL_FUZZY_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,

@@ -1,0 +1,293 @@
+"""Term-expansion queries: wildcard/prefix and fuzzy (edit-distance)
+search over the segment index (fulltext_index tier; SURVEY.md §2.6
+extension — the reference stack has no expansion queries, SURVEY.md §0;
+semantics follow Lucene's WildcardQuery / FuzzyQuery rewrite model: a
+pattern expands against the TERM DICTIONARY, then the expanded term set
+runs as a disjunction).
+
+Two phases, both Ray-Data-shaped:
+
+1. **Expansion** — a ``map_batches`` stream over the index's global term
+   dictionary (``stats/term_df``, one pruned 2-column parquet read), each
+   batch matched VECTORIZED against every pattern in the (small) query
+   workload: ``pyarrow.compute.match_like`` for SQL-style ``%``/``_``
+   wildcards, a byte-matrix Levenshtein<=1 kernel for fuzzy (length
+   bucketing + common-prefix/suffix rule — never a per-(term, pattern)
+   Python loop).  The dictionary STREAMS (never collected whole); only
+   the matches — O(workload expansions) — return to the driver.  At
+   10^12 docs the dictionary read stays a column scan fanned over
+   row-groups; a SymSpell-style deletion-neighborhood index is the
+   documented upgrade path for fuzzy if dictionary scans become the
+   bottleneck.
+2. **Scoring** — the expanded per-query term lists feed the existing
+   boolean disjunction scorer (``stages/phrase.boolean_search``:
+   should-terms, BM25 sum with global idf per matched term), so
+   expansion queries rank EXACTLY like an OR query over the matched
+   terms — the property the SQL oracles check (``... JOIN df ON df.term
+   LIKE pattern`` / ``levenshtein(df.term, q) <= max_dist``).
+
+Fuzzy matching is byte-level over utf-8 (identical to character-level
+Levenshtein on ASCII corpora, which is what the pinned tokenizer
+emits for the test tables); the distance-1 rule is exact:
+``lev(a, b) <= 1``  iff  same length and hamming <= 1, or length diff 1
+and common_prefix + common_suffix >= min(len) (one insertion).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .phrase import boolean_search
+
+__all__ = [
+    "expand_wildcard",
+    "expand_fuzzy",
+    "wildcard_search",
+    "fuzzy_search",
+]
+
+
+def _term_df_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "stats", "term_df")
+
+
+def _str_bytes(arr: pa.Array):
+    """(offsets int64, flat uint8 data) of a pyarrow string array —
+    the zero-copy buffer view ``functions.hashing.hash_str_array``
+    established."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    off_dtype = np.int64 if arr.type == pa.large_string() else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return offsets, data
+
+
+def _byte_matrix(offsets: np.ndarray, data: np.ndarray, rows: np.ndarray,
+                 width: int) -> np.ndarray:
+    """(len(rows), width) uint8 matrix of equal-length strings gathered
+    from the flat buffer — one fancy-index, no per-row Python."""
+    if rows.size == 0:
+        return np.empty((0, width), dtype=np.uint8)
+    if width == 0:
+        return np.empty((rows.size, 0), dtype=np.uint8)
+    return data[offsets[rows][:, None] + np.arange(width)]
+
+
+def _common_prefix_len(m: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Per-row length of the common prefix of matrix rows and ``q``
+    (compared over ``min(m.shape[1], q.size)`` bytes)."""
+    w = min(m.shape[1], q.size)
+    if w == 0:
+        return np.zeros(m.shape[0], dtype=np.int64)
+    ne = m[:, :w] != q[:w]
+    first = ne.argmax(axis=1)
+    return np.where(ne.any(axis=1), first, w).astype(np.int64)
+
+
+def _lev1_rows(offsets: np.ndarray, data: np.ndarray, lens: np.ndarray,
+               q: bytes) -> np.ndarray:
+    """Row indices of dictionary terms with Levenshtein distance <= 1
+    from ``q`` — three vectorized length buckets (L-1, L, L+1)."""
+    qb = np.frombuffer(q, dtype=np.uint8)
+    L = qb.size
+    out = []
+    # same length: hamming <= 1
+    rows = np.flatnonzero(lens == L)
+    if rows.size:
+        m = _byte_matrix(offsets, data, rows, L)
+        out.append(rows[(m != qb).sum(axis=1) <= 1])
+    # length +/- 1: one insertion/deletion iff cp + cs >= min length
+    for w in (L - 1, L + 1):
+        if w < 1:
+            continue
+        rows = np.flatnonzero(lens == w)
+        if rows.size == 0:
+            continue
+        m = _byte_matrix(offsets, data, rows, w)
+        cp = _common_prefix_len(m, qb)
+        cs = _common_prefix_len(m[:, ::-1], qb[::-1])
+        out.append(rows[cp + cs >= min(w, L)])
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
+class _ExpandMatcher:
+    """``map_batches`` task over the term dictionary: emit
+    ``(query_id, term, df)`` for every (pattern, matching term) pair.
+    Stateless per batch — patterns ship once in the task closure (they
+    are the query workload, small by construction)."""
+
+    def __init__(self, patterns: list[tuple[int, str]], kind: str):
+        if kind not in ("wildcard", "fuzzy"):
+            raise ValueError(f"unknown expansion kind: {kind!r}")
+        self.patterns = patterns
+        self.kind = kind
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = batch["term"]
+        dfs = batch["df"]
+        out_q: list[pa.Array] = []
+        out_t: list[pa.Array] = []
+        out_d: list[pa.Array] = []
+        if batch.num_rows:
+            if self.kind == "fuzzy":
+                offsets, data = _str_bytes(
+                    terms.combine_chunks()
+                    if isinstance(terms, pa.ChunkedArray)
+                    else terms
+                )
+                lens = np.diff(offsets)
+            for qid, pat in self.patterns:
+                if self.kind == "wildcard":
+                    mask = pc.match_like(terms, pat)
+                    t = pc.filter(terms, mask)
+                    d = pc.filter(dfs, mask)
+                else:
+                    rows = _lev1_rows(offsets, data, lens, pat.encode())
+                    t = pc.take(terms, pa.array(rows, pa.int64()))
+                    d = pc.take(dfs, pa.array(rows, pa.int64()))
+                if len(t):
+                    out_q.append(pa.array(np.full(len(t), qid, np.int64)))
+                    out_t.append(
+                        t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+                    )
+                    out_d.append(
+                        d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+                    )
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.concat_arrays(out_q),
+                "term": pa.concat_arrays(
+                    [a.cast(pa.string()) for a in out_t]
+                ),
+                "df": pa.concat_arrays([a.cast(pa.int64()) for a in out_d]),
+            }
+        )
+
+
+def _expand(index_dir: str, patterns: list[tuple[int, str]], kind: str,
+            max_expansions: int | None) -> dict[int, list[str]]:
+    """Stream the dictionary through the matcher; return qid -> sorted
+    matched terms (capped to the ``max_expansions`` highest-df terms,
+    ties broken by term — Lucene's rewrite cap, applied AFTER the full
+    stream so the cap is deterministic, not batch-order-dependent)."""
+    if not patterns:
+        return {}
+    pairs = (
+        ray.data.read_parquet(_term_df_path(index_dir), columns=["term", "df"])
+        .map_batches(
+            _ExpandMatcher(patterns, kind),
+            batch_format="pyarrow",
+            batch_size=64 * 1024,
+        )
+        .to_pandas()
+    )
+    out: dict[int, list[str]] = {qid: [] for qid, _ in patterns}
+    for qid, g in pairs.groupby("query_id"):
+        if max_expansions is not None and len(g) > max_expansions:
+            g = g.sort_values(
+                ["df", "term"], ascending=[False, True]
+            ).head(max_expansions)
+        out[int(qid)] = sorted(g["term"].tolist())
+    return out
+
+
+def expand_wildcard(index_dir: str, patterns: list[tuple[int, str]],
+                    *, max_expansions: int | None = None) -> dict[int, list[str]]:
+    """qid -> dictionary terms matching the SQL-style LIKE pattern
+    (``%`` = any run, ``_`` = one char; a pattern with no wildcard is an
+    exact-term probe, a trailing-% pattern is a prefix query)."""
+    return _expand(index_dir, patterns, "wildcard", max_expansions)
+
+
+def expand_fuzzy(index_dir: str, terms: list[tuple[int, str]],
+                 *, max_expansions: int | None = None) -> dict[int, list[str]]:
+    """qid -> dictionary terms within Levenshtein distance 1 of the query
+    term (byte-level utf-8; includes the exact term when present)."""
+    return _expand(index_dir, terms, "fuzzy", max_expansions)
+
+
+def _search_expanded(index_dir: str, expansions: dict[int, list[str]],
+                     k: int, concurrency: int, batch_size: int,
+                     packs_ref) -> "ray.data.Dataset":
+    qids = sorted(expansions)
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "must": pa.array([[] for _ in qids], pa.list_(pa.string())),
+            "should": pa.array(
+                [expansions[q] for q in qids], pa.list_(pa.string())
+            ),
+            "must_not": pa.array([[] for _ in qids], pa.list_(pa.string())),
+        }
+    )
+    return boolean_search(
+        index_dir,
+        ray.data.from_arrow(qtbl),
+        k=k,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        packs_ref=packs_ref,
+    )
+
+
+def wildcard_search(
+    index_dir: str,
+    patterns: list[tuple[int, str]],
+    *,
+    k: int = 10,
+    max_expansions: int | None = None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """Wildcard/prefix query pipeline: (query_id, LIKE-pattern) ->
+    (query_id, rank, doc_id, score).  Expansion streams the dictionary;
+    scoring is the boolean OR of the matched terms (BM25 sum, global
+    idf), so results equal ``boolean_search(should=matched_terms)``."""
+    exp = expand_wildcard(index_dir, patterns, max_expansions=max_expansions)
+    return _search_expanded(
+        index_dir, exp, k, concurrency, batch_size, packs_ref
+    )
+
+
+def fuzzy_search(
+    index_dir: str,
+    terms: list[tuple[int, str]],
+    *,
+    k: int = 10,
+    max_expansions: int | None = None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """Fuzzy query pipeline: (query_id, term) -> (query_id, rank, doc_id,
+    score) over dictionary terms within edit distance 1."""
+    exp = expand_fuzzy(index_dir, terms, max_expansions=max_expansions)
+    return _search_expanded(
+        index_dir, exp, k, concurrency, batch_size, packs_ref
+    )

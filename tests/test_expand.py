@@ -1,0 +1,199 @@
+"""Term-expansion query tests (stages/expand.py): wildcard/prefix and
+fuzzy (Levenshtein<=1) expansion over the index term dictionary.
+
+Reference check model: a pure-Python DP Levenshtein and a regex
+translation of SQL LIKE — the vectorized kernels must agree exactly;
+end-to-end, an expansion search must equal ``boolean_search`` run over
+the pre-expanded term list (Lucene's rewrite model)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import ray.data
+
+from defactonlp_ray.stages.expand import (
+    _ExpandMatcher,
+    _lev1_rows,
+    _str_bytes,
+    expand_fuzzy,
+    expand_wildcard,
+    fuzzy_search,
+    wildcard_search,
+)
+from defactonlp_ray.stages.index_build import build_index
+from defactonlp_ray.stages.phrase import boolean_search
+
+
+# ------------------------------------------------------------ kernels
+
+
+def _py_lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+            prev = cur
+    return dp[-1]
+
+
+_terms = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=6), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_terms, st.text(alphabet="abcde", min_size=1, max_size=6))
+def test_lev1_rows_equals_python_dp(terms, q):
+    arr = pa.array(terms, pa.string())
+    offsets, data = _str_bytes(arr)
+    lens = np.diff(offsets)
+    got = set(_lev1_rows(offsets, data, lens, q.encode()).tolist())
+    want = {i for i, t in enumerate(terms) if _py_lev(t, q) <= 1}
+    assert got == want
+
+
+def _like_regex(pat: str) -> re.Pattern:
+    out = []
+    for ch in pat:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    _terms,
+    st.text(alphabet="abc%_", min_size=1, max_size=6),
+)
+def test_wildcard_matcher_equals_regex_like(terms, pat):
+    dfs = list(range(1, len(terms) + 1))
+    batch = pa.table(
+        {"term": pa.array(terms, pa.string()), "df": pa.array(dfs, pa.int64())}
+    )
+    m = _ExpandMatcher([(0, pat)], "wildcard")
+    got = set(m(batch)["term"].to_pylist())
+    rx = _like_regex(pat)
+    want = {t for t in terms if rx.match(t)}
+    assert got == want
+
+
+def test_matcher_empty_batch_and_unknown_kind():
+    empty = pa.table(
+        {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+    )
+    out = _ExpandMatcher([(0, "a%")], "wildcard")(empty)
+    assert out.num_rows == 0
+    assert out.schema.names == ["query_id", "term", "df"]
+    with pytest.raises(ValueError):
+        _ExpandMatcher([], "regex")
+
+
+# ------------------------------------------------------- expansion stage
+
+
+@pytest.fixture(scope="module")
+def exp_index(sf_dir, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("expidx"))
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    build_index(docs, idx, seg_docs=128, positions=True, resume=False)
+    return idx
+
+
+def test_expand_wildcard_against_dictionary(exp_index):
+    import pyarrow.parquet as pq
+
+    dict_tbl = pq.read_table(
+        os.path.join(exp_index, "stats", "term_df"), columns=["term", "df"]
+    )
+    terms = dict_tbl["term"].to_pylist()
+    got = expand_wildcard(exp_index, [(0, "s%"), (1, "zz%"), (2, "merge")])
+    assert got[0] == sorted(t for t in terms if t.startswith("s"))
+    assert got[1] == []
+    assert got[2] == ["merge"]
+
+
+def test_expand_cap_is_df_then_term(exp_index):
+    import pyarrow.parquet as pq
+
+    dict_tbl = (
+        pq.read_table(
+            os.path.join(exp_index, "stats", "term_df"), columns=["term", "df"]
+        )
+        .to_pandas()
+    )
+    s_terms = dict_tbl[dict_tbl["term"].str.startswith("s")]
+    want = sorted(
+        s_terms.sort_values(["df", "term"], ascending=[False, True])
+        .head(3)["term"]
+        .tolist()
+    )
+    got = expand_wildcard(exp_index, [(0, "s%")], max_expansions=3)
+    assert got[0] == want
+
+
+def test_expand_fuzzy_includes_exact_and_neighbours(exp_index):
+    got = expand_fuzzy(
+        exp_index, [(0, "merge"), (1, "spart"), (2, "quer"), (3, "zzz")]
+    )
+    assert got[0] == ["merge"]
+    assert got[1] == ["part", "spark"]
+    assert got[2] == ["query"]
+    assert got[3] == []
+
+
+# --------------------------------------------------------- end-to-end
+
+
+def _pdres(ds) -> pd.DataFrame:
+    return (
+        ds.to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_wildcard_search_equals_boolean_over_expansion(exp_index):
+    pats = [(0, "s%"), (1, "_a__"), (2, "zz%")]
+    exp = expand_wildcard(exp_index, pats)
+    got = _pdres(wildcard_search(exp_index, pats, k=15, concurrency=2))
+    qids = sorted(exp)
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "must": pa.array([[] for _ in qids], pa.list_(pa.string())),
+            "should": pa.array([exp[q] for q in qids], pa.list_(pa.string())),
+            "must_not": pa.array([[] for _ in qids], pa.list_(pa.string())),
+        }
+    )
+    want = _pdres(
+        boolean_search(exp_index, ray.data.from_arrow(qtbl), k=15, concurrency=2)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # absent pattern produced no rows for its qid
+    assert 2 not in set(got["query_id"])
+
+
+def test_fuzzy_search_runs_and_ranks(exp_index):
+    got = _pdres(fuzzy_search(exp_index, [(0, "sow"), (1, "zzz")], k=5))
+    assert set(got["query_id"]) == {0}
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    # scores are the OR of {row, slow}: strictly positive, descending
+    s = got["score"].to_numpy()
+    assert (s > 0).all() and (np.diff(s) <= 1e-12).all()
