@@ -828,12 +828,13 @@ _BM25_QUERIES: list[tuple[int, list[str]]] = [
 ]
 
 
-def _bm25_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+def _bm25_sql(queries: list[tuple[int, list[str]]], k: int = 10,
+              toks_sql: str = _TOKS_SQL) -> str:
     vals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in queries for t in terms
     )
     return (
-        f"WITH toks AS ({_TOKS_SQL}), "
+        f"WITH toks AS ({toks_sql}), "
         "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
         "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
@@ -1875,6 +1876,80 @@ SQL_FUZZY_TOPK = _expansion_sql(
 )
 
 
+# ------------------------------- doc deletes (live-docs side files)
+
+# deterministic delete set for the driver entries: doc_id % 7 == 3
+_DEL_MOD, _DEL_REM = 7, 3
+
+
+def _doc_ids_to_delete(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    ids = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return ids[ids % _DEL_MOD == _DEL_REM]
+
+
+def q_bm25_delete_topk(sf_dir: str):
+    """Live-docs deletes at query time (stages/deletes.py — the Lucene
+    model): postings and global stats stay physically untouched (STALE
+    df/n_docs/avgdl), deleted docs are masked out of every candidate
+    set.  Oracle: exact-BM25 over the FULL corpus restricted to live
+    docs — scores of survivors are unchanged by deletion."""
+    from ..stages.deletes import delete_docs
+
+    idx = _tmp_index_dir(sf_dir, "idxdel")
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    build_index(docs, idx, seg_docs=max(256, n // 8), resume=True)
+    delete_docs(idx, _doc_ids_to_delete(sf_dir))  # idempotent (union)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def q_bm25_expunge_topk(sf_dir: str):
+    """Deletes applied physically (index_build.expunge_deletes): affected
+    segments rewrite without the deleted docs, stats refresh — df/n_docs/
+    avgdl become FRESH (the Lucene deletes-visible-after-merge rule), so
+    results equal a from-scratch build over the live corpus (bit-exact,
+    pytest).  Oracle: exact-BM25 computed over the live corpus only."""
+    from ..stages.deletes import delete_docs
+    from ..stages.index_build import expunge_deletes
+
+    idx = _tmp_index_dir(sf_dir, "idxexp")
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    build_index(docs, idx, seg_docs=max(256, n // 8), resume=True)
+    delete_docs(idx, _doc_ids_to_delete(sf_dir))
+    expunge_deletes(idx)  # re-runs: already-purged ids mask nothing
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _delete_bm25_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    """Stale-stats delete oracle: the shared candidate-filtered exact-BM25
+    skeleton with per-query candidates = every live doc."""
+    cand_parts = [
+        f"SELECT {qid} AS query_id, doc_id FROM d "
+        f"WHERE doc_id % {_DEL_MOD} <> {_DEL_REM}"
+        for qid, _terms in queries
+    ]
+    qvals = [f"({qid}, '{t}')" for qid, terms in queries for t in terms]
+    return _filtered_bm25_sql(cand_parts, qvals, k)
+
+
+SQL_BM25_DELETE_TOPK = _delete_bm25_sql(_BM25_QUERIES)
+SQL_BM25_EXPUNGE_TOPK = _bm25_sql(
+    _BM25_QUERIES,
+    toks_sql=_TOKS_SQL + f" WHERE doc_id % {_DEL_MOD} <> {_DEL_REM}",
+)
+
+
 # ------------------------------------------------------------- registries
 
 QUERIES = {
@@ -1930,6 +2005,8 @@ QUERIES = {
     "snippets_topk": q_snippets_topk,
     "wildcard_topk": q_wildcard_topk,
     "fuzzy_topk": q_fuzzy_topk,
+    "bm25_delete_topk": q_bm25_delete_topk,
+    "bm25_expunge_topk": q_bm25_expunge_topk,
 }
 
 ORACLES = {
@@ -1971,6 +2048,8 @@ ORACLES = {
     "snippets_topk": SQL_SNIPPETS_TOPK,
     "wildcard_topk": SQL_WILDCARD_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
+    "bm25_delete_topk": SQL_BM25_DELETE_TOPK,
+    "bm25_expunge_topk": SQL_BM25_EXPUNGE_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,

@@ -54,6 +54,16 @@ from .codec import CODEC_VERSION, encode_positions_batch, encode_postings_batch
 DEFAULT_SEG_DOCS = 8192
 
 
+def _retired_sids(index_dir: str) -> set[int]:
+    """Sids whose LAST manifest record is a tombstone (their docs are in
+    a compacted replacement, or expunged on purpose)."""
+    return {
+        sid
+        for sid, rec in mf.read_manifest_raw(index_dir).items()
+        if rec.get("retired")
+    }
+
+
 def build_index(
     ds: "ray.data.Dataset",
     index_dir: str,
@@ -92,7 +102,14 @@ def build_index(
       throughput scale with cluster size.
     """
     os.makedirs(index_dir, exist_ok=True)
-    done = set(mf.read_manifest(index_dir)) if resume else set()
+    # resume skips live sids AND retired ones: a tombstoned segment's
+    # docs live on in its compacted replacement (or were deliberately
+    # expunged) — rebuilding it would duplicate (or resurrect) them
+    done = (
+        set(mf.read_manifest(index_dir)) | _retired_sids(index_dir)
+        if resume
+        else set()
+    )
 
     cols = [doc_id_col, text_col] + ([url_col] if url_col else [])
     ds = ds.select_columns(cols)
@@ -525,7 +542,9 @@ def append_index(
             "indexed doc_id (re-appending already-compacted docs is "
             "not resumable; they are indexed)"
         )
-    done = set(recs)
+    # retired sids included for the same reason as build_index resume:
+    # an appended segment later compacted or expunged must not rebuild
+    done = set(recs) | _retired_sids(index_dir)
 
     cols = [doc_id_col, text_col] + ([url_col] if url_col else [])
     ds = ds.select_columns(cols)
@@ -584,8 +603,9 @@ def _all_sid_numbers(index_dir: str) -> set[int]:
 
 
 def _merge_group(
-    index_dir: str, sids: list[int], new_sid: int, codec: str
-) -> dict:
+    index_dir: str, sids: list[int], new_sid: int, codec: str,
+    purge: Optional[np.ndarray] = None,
+) -> Optional[dict]:
     """Merge adjacent (doc-ordered) segments into ONE new segment dir
     under ``new_sid`` — WITHOUT publishing it: the caller appends the
     manifest transition.  An unpublished merged dir is invisible to
@@ -595,7 +615,14 @@ def _merge_group(
     Per-term posting lists concatenate docid-ascending because ``sids``
     is doc-ordered and segments cover disjoint doc ranges; the merged
     lists re-encode through the same batched codec path as a fresh
-    build, so a compacted index is byte-compatible with a built one."""
+    build, so a compacted index is byte-compatible with a built one.
+
+    ``purge`` (sorted deleted doc_ids, ``expunge_deletes``): postings of
+    those docs are dropped before encode, position streams are
+    decode-filtered-re-encoded (byte-concat would misalign once postings
+    vanish), docstats/meta recompute from the surviving docs.  Returns
+    None when every doc in the group is deleted (caller retires the
+    inputs with no replacement segment)."""
     import shutil
 
     from .search import _decode_segment_arrays
@@ -634,6 +661,83 @@ def _merge_group(
             dls[c : c + hi - lo] = dl[lo:hi]
             cursor[ti] = c + hi - lo
 
+    has_pos = [bool(m.get("positions")) for m in metas]
+    if any(has_pos) and not all(has_pos):
+        raise ValueError(
+            "compact: cannot merge positional and non-positional "
+            f"segments {sids} (rebuild with a single positions setting)"
+        )
+    pos_blobs = None
+    if any(has_pos):
+        # position streams reset per POSTING and postings are doc-disjoint
+        # across the merged segments, so per-term blobs concatenate in doc
+        # order byte-identically to a fresh positional build — no
+        # decode/re-encode (unlike doc blobs, whose first gap is absolute)
+        pos_maps = []
+        for p in paths:
+            t = pq.read_table(p, columns=["term", "pos_blob"])
+            pos_maps.append(
+                dict(zip(t["term"].to_pylist(), t["pos_blob"].to_pylist()))
+            )
+        pos_blobs = [
+            b"".join(pm[t] for pm in pos_maps if t in pm) for t in term_list
+        ]
+    dstats = pa.concat_tables(
+        pq.read_table(
+            os.path.join(mf.segment_dir(index_dir, sid), "docstats.parquet")
+        )
+        for sid in sids
+    )
+
+    purged = False
+    if purge is not None and np.asarray(purge).size:
+        from .codec import decode_positions
+        from .deletes import live_mask
+
+        purge = np.asarray(purge, dtype=np.int64)
+        livem = live_mask(post_doc, purge)
+        if not livem.all():
+            purged = True
+            # g_bounds is strictly increasing pre-purge (every merged
+            # term has >=1 posting), so reduceat segments are never empty
+            live_counts = np.add.reduceat(livem, g_bounds[:-1])
+            keep = live_counts > 0
+            if pos_blobs is not None:
+                pos_parts, tf_parts = [], []
+                for i in np.flatnonzero(keep):
+                    lo, hi = int(g_bounds[i]), int(g_bounds[i + 1])
+                    tfs_t = tfs[lo:hi]
+                    pos_t, _ = decode_positions(pos_blobs[i], tfs_t)
+                    pos_parts.append(pos_t[np.repeat(livem[lo:hi], tfs_t)])
+                    tf_parts.append(tfs_t[livem[lo:hi]])
+                flat_pos = (
+                    np.concatenate(pos_parts)
+                    if pos_parts
+                    else np.empty(0, dtype=np.int64)
+                )
+                tf_keep = (
+                    np.concatenate(tf_parts)
+                    if tf_parts
+                    else np.empty(0, dtype=np.int64)
+                )
+                occ_bounds = np.zeros(tf_keep.size + 1, dtype=np.int64)
+                np.cumsum(tf_keep, out=occ_bounds[1:])
+                nb = np.zeros(int(keep.sum()) + 1, dtype=np.int64)
+                np.cumsum(live_counts[keep], out=nb[1:])
+                pos_blobs = encode_positions_batch(
+                    flat_pos, occ_bounds[:-1], occ_bounds[nb]
+                )
+            post_doc, tfs, dls = post_doc[livem], tfs[livem], dls[livem]
+            term_list = [t for t, kp in zip(term_list, keep) if kp]
+            n_terms = len(term_list)
+            g_bounds = np.zeros(n_terms + 1, dtype=np.int64)
+            np.cumsum(live_counts[keep], out=g_bounds[1:])
+            total = int(g_bounds[-1])
+            ids = dstats["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dstats = dstats.filter(pa.array(live_mask(ids, purge)))
+            if dstats.num_rows == 0:
+                return None
+
     enc = encode_postings_batch(post_doc, tfs, dls, g_bounds, codec)
     blk_offs = pa.array(enc["blk_offsets"], pa.int32())
     postings = pa.table(
@@ -656,43 +760,28 @@ def _merge_group(
             "cf": pa.array(enc["cf"], pa.int64()),
         }
     )
-    has_pos = [bool(m.get("positions")) for m in metas]
-    if any(has_pos):
-        if not all(has_pos):
-            raise ValueError(
-                "compact: cannot merge positional and non-positional "
-                f"segments {sids} (rebuild with a single positions setting)"
-            )
-        # position streams reset per POSTING and postings are doc-disjoint
-        # across the merged segments, so per-term blobs concatenate in doc
-        # order byte-identically to a fresh positional build — no
-        # decode/re-encode (unlike doc blobs, whose first gap is absolute)
-        pos_maps = []
-        for p in paths:
-            t = pq.read_table(p, columns=["term", "pos_blob"])
-            pos_maps.append(
-                dict(zip(t["term"].to_pylist(), t["pos_blob"].to_pylist()))
-            )
-        pos_blobs = [
-            b"".join(pm[t] for pm in pos_maps if t in pm) for t in term_list
-        ]
+    if pos_blobs is not None:
         postings = postings.append_column(
             "pos_blob", pa.array(pos_blobs, pa.binary())
         )
-    dstats = pa.concat_tables(
-        pq.read_table(
-            os.path.join(mf.segment_dir(index_dir, sid), "docstats.parquet")
-        )
-        for sid in sids
-    )
+    if purged:
+        ids = dstats["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dlen = dstats["doc_len"].to_numpy(zero_copy_only=False)
+        n_docs_m, total_len_m = int(dstats.num_rows), int(dlen.sum())
+        doc_lo_m, doc_hi_m = int(ids.min()), int(ids.max())
+    else:
+        n_docs_m = sum(m["n_docs"] for m in metas)
+        total_len_m = sum(m["total_len"] for m in metas)
+        doc_lo_m = min(m["doc_lo"] for m in metas)
+        doc_hi_m = max(m["doc_hi"] for m in metas)
     meta = {
         "sid": new_sid,
-        "n_docs": sum(m["n_docs"] for m in metas),
-        "total_len": sum(m["total_len"] for m in metas),
+        "n_docs": n_docs_m,
+        "total_len": total_len_m,
         "n_terms": n_terms,
         "n_postings": total,
-        "doc_lo": min(m["doc_lo"] for m in metas),
-        "doc_hi": max(m["doc_hi"] for m in metas),
+        "doc_lo": doc_lo_m,
+        "doc_hi": doc_hi_m,
         "codec": codec,
         "codec_version": CODEC_VERSION,
         "tokenizer_version": TOKENIZER_VERSION,
@@ -779,3 +868,73 @@ def compact_index(
                 shutil.rmtree(mf.segment_dir(index_dir, s), ignore_errors=True)
     _write_stats(index_dir)
     return len(merge_groups)
+
+
+def expunge_deletes(index_dir: str, *, codec: Optional[str] = None) -> int:
+    """Apply the live-docs side files (stages/deletes.py) physically:
+    rewrite every live segment containing a deleted doc (postings,
+    positions, docstats, meta all recomputed over the survivors), refresh
+    the global stats — df/n_docs/avgdl become FRESH, the Lucene
+    "deletes visible in stats after merge" rule — and clear exactly the
+    delete files that were applied (deletes landing mid-expunge survive
+    for the next pass).  Returns the number of segments rewritten.
+
+    Crash-safe like compaction: each rewrite publishes through one
+    single-write manifest append (new segment + tombstoned input); a
+    crash before the final ``clear_delete_files`` leaves a correct index
+    whose delete files simply mask already-purged ids (a no-op mask)."""
+    import shutil
+
+    from .deletes import clear_delete_files, live_mask, read_deletes
+
+    deleted, files = read_deletes(index_dir, return_files=True)
+    if deleted.size == 0:
+        return 0
+    mf.gc_retired(index_dir)
+    recs = mf.read_manifest(index_dir)
+    affected = []
+    for sid in mf.live_segment_order(recs):
+        ids = (
+            pq.read_table(
+                os.path.join(mf.segment_dir(index_dir, sid), "docstats.parquet"),
+                columns=["doc_id"],
+            )["doc_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if not live_mask(ids, deleted).all():
+            affected.append(sid)
+    if not affected:
+        clear_delete_files(files)
+        return 0
+    next_sid = max(
+        [COMPACT_SID_BASE - 1]
+        + [s for s in _all_sid_numbers(index_dir) if s >= COMPACT_SID_BASE]
+    ) + 1
+    codecs = [codec or recs[sid].get("codec", "varint") for sid in affected]
+    import ray as _ray
+
+    if _ray.is_initialized() and len(affected) > 1:
+        # rewrites are independent (distinct inputs, fresh sids) and
+        # unpublished until the manifest appends below — fan out
+        task = _ray.remote(_merge_group)
+        metas = _ray.get(
+            [
+                task.remote(index_dir, [sid], next_sid + i, cdc, deleted)
+                for i, (sid, cdc) in enumerate(zip(affected, codecs))
+            ]
+        )
+    else:
+        metas = [
+            _merge_group(index_dir, [sid], next_sid + i, cdc, purge=deleted)
+            for i, (sid, cdc) in enumerate(zip(affected, codecs))
+        ]
+    for sid, meta in zip(affected, metas):
+        recs_out = [] if meta is None else [meta]  # all-deleted: retire only
+        mf.append_manifest_many(
+            index_dir, recs_out + [{"sid": sid, "retired": True}]
+        )
+        shutil.rmtree(mf.segment_dir(index_dir, sid), ignore_errors=True)
+    _write_stats(index_dir)
+    clear_delete_files(files)
+    return len(affected)

@@ -256,8 +256,15 @@ def score_phrase(
     every segment), idf/k1/b identical to the term scorer.  Returns
     ``[(score, doc_id, n_occ)]`` ranked by (-score, doc_id)."""
     docs, counts, dls = match_phrase(reader, seg_ids, terms)
+    if reader.deleted.size and docs.size:
+        from .deletes import live_mask
+
+        m = live_mask(docs, reader.deleted)
+        docs, counts, dls = docs[m], counts[m], dls[m]
     if docs.size == 0:
         return []
+    # pseudo-term df is computed at query time, so it counts LIVE
+    # matches (same rule on the reader and shared-pack routes)
     df = int(docs.size)
     idf = math.log(1.0 + (reader.n_docs - df + 0.5) / (df + 0.5))
     c = counts.astype(np.float64)
@@ -430,6 +437,10 @@ def score_window(
     contributions identical to the exact scorer, so this is the must-AND
     boolean query further filtered by the positional window."""
     docs = match_window(reader, seg_ids, terms, window)
+    if reader.deleted.size and docs.size:
+        from .deletes import live_mask
+
+        docs = docs[live_mask(docs, reader.deleted)]
     if docs.size == 0:
         return []
     uniq = sorted(set(terms))
@@ -557,6 +568,10 @@ def score_boolean(
     for t in must_not:
         if arrs[t] is not None:
             cand = cand[~np.isin(cand, arrs[t][0], assume_unique=True)]
+    if reader.deleted.size and cand.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand, reader.deleted)]
     if cand.size == 0:
         return []
     scoring = sorted(set(must) | set(should))

@@ -65,6 +65,12 @@ class IndexReader:
         self.avgdl: float = coll["avgdl"]
         # DOC order, not sid order: compacted segments carry fresh sids
         self.seg_ids: list[int] = mf.live_segment_order(mf.read_manifest(index_dir))
+        # live-docs side files (stages/deletes.py) — postings stay raw
+        # (phrase position streams align to physical postings); scorers
+        # mask candidates, WAND packs filter at build
+        from .deletes import read_deletes
+
+        self.deleted: np.ndarray = read_deletes(index_dir)
         self._df: dict[str, int] = {}
         self._df_loaded_all = False
         self._postings: dict[tuple[int, str], Optional[dict]] = {}
@@ -321,6 +327,30 @@ def build_shared_index(index_dir: str) -> dict:
             dls_all[c : c + hi - lo] = dl[lo:hi]
             w_all[c : c + hi - lo] = w[lo:hi]
             cursor[ti] = c + hi - lo
+    # live-docs filter BEFORE the block recompute: deleted postings are
+    # dropped once here, so every consumer of the shared arrays (TAAT,
+    # WAND packs, term_arrays) inherits delete-filtering for free
+    from .deletes import live_mask, read_deletes
+
+    deleted = read_deletes(index_dir)
+    if deleted.size:
+        m = live_mask(docids_all, deleted)
+        if not m.all():
+            # offsets are strictly increasing pre-filter (every term has
+            # >=1 physical posting), so reduceat segments are never empty
+            live_counts = np.add.reduceat(m, offsets[:-1]) if n_terms else m[:0]
+            docids_all = docids_all[m]
+            tfs_all = tfs_all[m]
+            dls_all = dls_all[m]
+            w_all = w_all[m]
+            offsets = np.zeros(n_terms + 1, dtype=np.int64)
+            np.cumsum(live_counts, out=offsets[1:])
+            total = int(offsets[-1])
+            # all-deleted terms keep a zero-length slot but leave the
+            # term map, so lookups report them absent
+            tindex = {
+                t: i for t, i in tindex.items() if live_counts[i] > 0
+            }
     # C3 block metadata over the merged lists, vectorized with reduceat
     # (term starts are block starts, so segments never cross terms)
     term_counts = np.diff(offsets)
@@ -360,6 +390,9 @@ class SharedIndexReader:
         self._df = shared["df"]
         self._s = shared
         self.seg_ids = [0]
+        # deletes are applied to the merged arrays at build_shared_index
+        # time, so the facade reports none (scorer masks become no-ops)
+        self.deleted = np.empty(0, dtype=np.int64)
 
     def dfs(self, terms: list[str]) -> dict[str, int]:
         return {t: self._df.get(t, 0) for t in terms}
@@ -446,6 +479,10 @@ def score_segment_taat(
         scores[idx] += idfs[t] * row["w"]
         touched[idx] = True
     cand = np.flatnonzero(touched)
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand + doc_lo, reader.deleted)]
     return _topk_exact(scores[cand], cand + doc_lo, k)
 
 
@@ -496,6 +533,10 @@ def score_all_taat(
         scores[idx] += idfs[t] * w
         touched[idx] = True
     cand = np.flatnonzero(touched)
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand + lo, reader.deleted)]
     return _topk_exact(scores[cand], cand + lo, k)
 
 
@@ -557,6 +598,10 @@ def score_all_tfidf(
         scores[idx] += contrib
         touched[idx] = True
     cand = np.flatnonzero(touched)
+    if getattr(reader, "deleted", np.empty(0)).size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand + lo, reader.deleted)]
     return _topk_exact(scores[cand], cand + lo, k)
 
 
@@ -625,11 +670,35 @@ def _wand_term_pack(
     if not p_doc:
         return None
     if len(p_doc) == 1:
-        return p_doc[0], p_con[0], p_first[0], p_last[0], p_ub[0]
-    return (
-        np.concatenate(p_doc), np.concatenate(p_con),
-        np.concatenate(p_first), np.concatenate(p_last), np.concatenate(p_ub),
-    )
+        pack = (p_doc[0], p_con[0], p_first[0], p_last[0], p_ub[0])
+    else:
+        pack = (
+            np.concatenate(p_doc), np.concatenate(p_con),
+            np.concatenate(p_first), np.concatenate(p_last),
+            np.concatenate(p_ub),
+        )
+    if getattr(reader, "deleted", np.empty(0)).size:
+        from .deletes import live_mask
+
+        docids, contrib = pack[0], pack[1]
+        m = live_mask(docids, reader.deleted)
+        if not m.all():
+            docids, contrib = docids[m], contrib[m]
+            if docids.size == 0:
+                return None
+            # stored C3 blocks assume the physical posting stride; after
+            # dropping deleted postings, rebuild block bounds from the
+            # filtered arrays (max contrib per block — a tighter, still
+            # valid upper bound; pruning-only, exactness unchanged)
+            starts = np.arange(0, docids.size, BLOCK, dtype=np.int64)
+            pack = (
+                docids,
+                contrib,
+                docids[starts],
+                docids[np.minimum(starts + BLOCK - 1, docids.size - 1)],
+                np.maximum.reduceat(contrib, starts),
+            )
+    return pack
 
 
 def _wand_sweep(
