@@ -1826,6 +1826,27 @@ def q_fuzzy_topk(sf_dir: str):
     return _rerank_rounded(res, k=10)
 
 
+_REGEX_QUERIES: list[tuple[int, str]] = [
+    # (query_id, RE2 pattern — whole-term anchored)
+    (0, "s.*"),          # prefix class: the s- terms
+    (1, ".*(er|ow)"),    # alternation suffix: customer filter order row slow window
+    (2, ".o.n"),         # fixed shape: join
+    (3, "merge"),        # literal
+    (4, "zz.*"),         # no match -> empty
+]
+
+
+def q_regex_topk(sf_dir: str):
+    """Regex retrieval (stages/expand.py): whole-term RE2 match against
+    the streamed dictionary (Lucene RegexpQuery rewrite), ranked as the
+    boolean OR of the matched terms."""
+    from ..stages.expand import regex_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    res = regex_search(idx, _REGEX_QUERIES, k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
 def _expansion_sql(conds: list[tuple[int, str]], k: int = 10,
                    cap: int | None = None) -> str:
     """Expansion-query oracle: expand each pattern against the df
@@ -1873,6 +1894,11 @@ SQL_WILDCARD_TOPK = _expansion_sql(
 )
 SQL_FUZZY_TOPK = _expansion_sql(
     [(qid, f"levenshtein(term, '{t}') <= 1") for qid, t in _FUZZY_QUERIES]
+)
+SQL_REGEX_TOPK = _expansion_sql(
+    # regexp_full_match is DuckDB's anchored RE2 — same engine family as
+    # pyarrow's match_substring_regex with ^(?:...)$ anchors
+    [(qid, f"regexp_full_match(term, '{p}')") for qid, p in _REGEX_QUERIES]
 )
 
 
@@ -2005,6 +2031,7 @@ QUERIES = {
     "snippets_topk": q_snippets_topk,
     "wildcard_topk": q_wildcard_topk,
     "fuzzy_topk": q_fuzzy_topk,
+    "regex_topk": q_regex_topk,
     "bm25_delete_topk": q_bm25_delete_topk,
     "bm25_expunge_topk": q_bm25_expunge_topk,
 }
@@ -2048,6 +2075,7 @@ ORACLES = {
     "snippets_topk": SQL_SNIPPETS_TOPK,
     "wildcard_topk": SQL_WILDCARD_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
+    "regex_topk": SQL_REGEX_TOPK,
     "bm25_delete_topk": SQL_BM25_DELETE_TOPK,
     "bm25_expunge_topk": SQL_BM25_EXPUNGE_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,

@@ -48,8 +48,10 @@ from .phrase import boolean_search
 __all__ = [
     "expand_wildcard",
     "expand_fuzzy",
+    "expand_regex",
     "wildcard_search",
     "fuzzy_search",
+    "regex_search",
 ]
 
 
@@ -134,7 +136,7 @@ class _ExpandMatcher:
     are the query workload, small by construction)."""
 
     def __init__(self, patterns: list[tuple[int, str]], kind: str):
-        if kind not in ("wildcard", "fuzzy"):
+        if kind not in ("wildcard", "fuzzy", "regex"):
             raise ValueError(f"unknown expansion kind: {kind!r}")
         self.patterns = patterns
         self.kind = kind
@@ -156,6 +158,14 @@ class _ExpandMatcher:
             for qid, pat in self.patterns:
                 if self.kind == "wildcard":
                     mask = pc.match_like(terms, pat)
+                    t = pc.filter(terms, mask)
+                    d = pc.filter(dfs, mask)
+                elif self.kind == "regex":
+                    # whole-term match (Lucene RegexpQuery anchors both
+                    # ends); RE2 both here and in the DuckDB oracle
+                    mask = pc.match_substring_regex(
+                        terms, f"^(?:{pat})$"
+                    )
                     t = pc.filter(terms, mask)
                     d = pc.filter(dfs, mask)
                 else:
@@ -207,6 +217,10 @@ def _expand(index_dir: str, patterns: list[tuple[int, str]], kind: str,
         .to_pandas()
     )
     out: dict[int, list[str]] = {qid: [] for qid, _ in patterns}
+    if len(pairs) == 0:
+        # an all-empty-batch Dataset can come back as a 0x0 frame with
+        # no columns — nothing matched any pattern
+        return out
     for qid, g in pairs.groupby("query_id"):
         if max_expansions is not None and len(g) > max_expansions:
             g = g.sort_values(
@@ -229,6 +243,13 @@ def expand_fuzzy(index_dir: str, terms: list[tuple[int, str]],
     """qid -> dictionary terms within Levenshtein distance 1 of the query
     term (byte-level utf-8; includes the exact term when present)."""
     return _expand(index_dir, terms, "fuzzy", max_expansions)
+
+
+def expand_regex(index_dir: str, patterns: list[tuple[int, str]],
+                 *, max_expansions: int | None = None) -> dict[int, list[str]]:
+    """qid -> dictionary terms fully matching the RE2 regex (anchored at
+    both ends, Lucene RegexpQuery semantics)."""
+    return _expand(index_dir, patterns, "regex", max_expansions)
 
 
 def _search_expanded(index_dir: str, expansions: dict[int, list[str]],
@@ -288,6 +309,25 @@ def fuzzy_search(
     """Fuzzy query pipeline: (query_id, term) -> (query_id, rank, doc_id,
     score) over dictionary terms within edit distance 1."""
     exp = expand_fuzzy(index_dir, terms, max_expansions=max_expansions)
+    return _search_expanded(
+        index_dir, exp, k, concurrency, batch_size, packs_ref
+    )
+
+
+def regex_search(
+    index_dir: str,
+    patterns: list[tuple[int, str]],
+    *,
+    k: int = 10,
+    max_expansions: int | None = None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """Regex query pipeline: (query_id, RE2 pattern) -> (query_id, rank,
+    doc_id, score); whole-term match, ranked as the boolean OR of the
+    matched terms."""
+    exp = expand_regex(index_dir, patterns, max_expansions=max_expansions)
     return _search_expanded(
         index_dir, exp, k, concurrency, batch_size, packs_ref
     )

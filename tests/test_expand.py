@@ -25,8 +25,10 @@ from defactonlp_ray.stages.expand import (
     _lev1_rows,
     _str_bytes,
     expand_fuzzy,
+    expand_regex,
     expand_wildcard,
     fuzzy_search,
+    regex_search,
     wildcard_search,
 )
 from defactonlp_ray.stages.index_build import build_index
@@ -100,7 +102,7 @@ def test_matcher_empty_batch_and_unknown_kind():
     assert out.num_rows == 0
     assert out.schema.names == ["query_id", "term", "df"]
     with pytest.raises(ValueError):
-        _ExpandMatcher([], "regex")
+        _ExpandMatcher([], "soundex")
 
 
 # ------------------------------------------------------- expansion stage
@@ -197,3 +199,62 @@ def test_fuzzy_search_runs_and_ranks(exp_index):
     # scores are the OR of {row, slow}: strictly positive, descending
     s = got["score"].to_numpy()
     assert (s > 0).all() and (np.diff(s) <= 1e-12).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    _terms,
+    st.from_regex(r"[abc.]([|][abc.])?", fullmatch=True),
+)
+def test_regex_matcher_equals_python_fullmatch(terms, pat):
+    batch = pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(list(range(1, len(terms) + 1)), pa.int64()),
+        }
+    )
+    m = _ExpandMatcher([(0, pat)], "regex")
+    got = set(m(batch)["term"].to_pylist())
+    rx = re.compile(pat)
+    want = {t for t in terms if rx.fullmatch(t)}
+    assert got == want
+
+
+def test_expand_regex_against_dictionary(exp_index):
+    got = expand_regex(
+        exp_index, [(0, "s.*"), (1, ".o.n"), (2, "zz.*"), (3, "merge")]
+    )
+    import pyarrow.parquet as pq
+
+    terms = pq.read_table(
+        os.path.join(exp_index, "stats", "term_df"), columns=["term"]
+    )["term"].to_pylist()
+    assert got[0] == sorted(t for t in terms if t.startswith("s"))
+    assert got[1] == ["join"]
+    assert got[2] == []
+    assert got[3] == ["merge"]
+
+
+def test_regex_search_equals_boolean_over_expansion(exp_index):
+    pats = [(0, ".*(er|ow)"), (1, "zz.*")]
+    exp = expand_regex(exp_index, pats)
+    got = _pdres(regex_search(exp_index, pats, k=15, concurrency=2))
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "must": pa.array([[]], pa.list_(pa.string())),
+            "should": pa.array([exp[0]], pa.list_(pa.string())),
+            "must_not": pa.array([[]], pa.list_(pa.string())),
+        }
+    )
+    want = _pdres(
+        boolean_search(exp_index, ray.data.from_arrow(qtbl), k=15, concurrency=2)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_expansion_with_zero_total_matches(exp_index):
+    # every pattern empty -> the Dataset can come back column-less
+    assert expand_wildcard(exp_index, [(0, "zz%"), (1, "qq%")]) == {0: [], 1: []}
+    got = regex_search(exp_index, [(0, "zz.*")], k=5).to_pandas()
+    assert len(got) == 0
