@@ -89,6 +89,41 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    # no Ray needed: one immutable side file (stages/deletes.py)
+    import pyarrow.parquet as pq
+
+    from .stages.deletes import delete_docs, read_deletes
+
+    if args.ids:
+        ids = [int(x) for x in args.ids.split(",")]
+    else:
+        ids = pq.read_table(args.ids_parquet, columns=[args.id_col])[
+            args.id_col
+        ].to_pylist()
+    n = delete_docs(args.index, ids)
+    print(json.dumps({
+        "index": args.index, "deleted": n,
+        "total_pending": int(read_deletes(args.index).size),
+    }))
+    return 0
+
+
+def cmd_expunge(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .sources import manifest as mf
+    from .stages.index_build import expunge_deletes
+
+    rewritten = expunge_deletes(args.index)
+    recs = mf.read_manifest(args.index)
+    print(json.dumps({
+        "index": args.index, "segments_rewritten": rewritten,
+        "segments": len(recs),
+        "docs": sum(r["n_docs"] for r in recs.values()),
+    }))
+    return 0
+
+
 def cmd_search(args) -> int:
     _ensure_ray(args.num_cpus)
     import ray.data
@@ -144,6 +179,26 @@ def main(argv=None) -> int:
     c.add_argument("--codec", default=None, choices=[None, "varint", "pfor"])
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    d = sub.add_parser(
+        "delete",
+        help="record doc deletes (live-docs side file; masked at query "
+             "time until 'expunge' applies them physically)",
+    )
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", default=None, help="comma-separated doc_ids")
+    d.add_argument("--ids-parquet", default=None)
+    d.add_argument("--id-col", default="doc_id")
+    d.set_defaults(fn=cmd_delete)
+
+    e = sub.add_parser(
+        "expunge",
+        help="rewrite segments containing deleted docs (fresh stats, "
+             "crash-safe; clears the applied delete files)",
+    )
+    e.add_argument("--index", required=True)
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_expunge)
 
     s = sub.add_parser("search", help="BM25 top-k over a built index")
     s.add_argument("--index", required=True)

@@ -141,3 +141,39 @@ def test_cli_append_and_compact(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     rows = [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
     assert rows
+
+
+def test_cli_delete_and_expunge(tmp_path):
+    import pyarrow as pa
+
+    pages = fixtures.make_pages(300)
+    docs_path = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pages["text"]}),
+        docs_path,
+    )
+    idx = str(tmp_path / "idx")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    from defactonlp_ray.stages.index_build import build_index
+
+    build_index(
+        ray.data.read_parquet(docs_path), idx, seg_docs=128, resume=False
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "defactonlp_ray.cli", "delete",
+         "--index", idx, "--ids", "1,2,3,200"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["deleted"] == 4 and info["total_pending"] == 4
+    r2 = subprocess.run(
+        [sys.executable, "-m", "defactonlp_ray.cli", "expunge",
+         "--index", idx, "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    info2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert info2["segments_rewritten"] == 2  # ids 1-3 in seg 0, 200 in seg 1
+    assert info2["docs"] == 296
