@@ -1902,6 +1902,82 @@ SQL_REGEX_TOPK = _expansion_sql(
 )
 
 
+# ----------------------------------------- BM25F fielded retrieval
+
+_BM25F_TITLE_LEN = 6
+_BM25F_WT, _BM25F_WB = 2.0, 1.0  # exact binary floats (stages/fielded.py)
+
+
+def q_bm25f_topk(sf_dir: str):
+    """BM25F over two derived fields (stages/fielded.py): title = first
+    6 tokens, body = the rest; per-field tf and length combine linearly
+    (w_title=2, w_body=1) into one pseudo-doc scored with the pinned
+    BM25 expression; df counts docs containing the term in ANY field.
+    One physical segment index per field under ``field=<name>/``."""
+    from ..stages.fielded import build_fielded_index, fielded_search, split_fields
+
+    idx = _tmp_index_dir(sf_dir, "idxf")
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    fds = split_fields(docs, title_len=_BM25F_TITLE_LEN)
+    build_fielded_index(fds, idx, seg_docs=max(256, n // 8), resume=True)
+    res = fielded_search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2,
+        weights={"title": _BM25F_WT, "body": _BM25F_WB},
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _bm25f_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    """BM25F oracle: fields derived with list_slice over the split
+    tokens, per-field tf via two groupbys FULL OUTER JOINed, combined
+    pseudo-doc scored with the exact-BM25 expression (weights/lengths
+    all exact-binary-scaled integers, so float64 matches the engine)."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    wt, wb = _BM25F_WT, _BM25F_WB
+    tl = _BM25F_TITLE_LEN
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        f"fl AS (SELECT doc_id, list_slice(ts, 1, {tl}) AS tts, "
+        f"list_slice(ts, {tl + 1}, len(ts)) AS bts FROM d), "
+        "tlen AS (SELECT doc_id, len(tts) AS tl, len(bts) AS bl FROM fl), "
+        f"stats AS (SELECT count(*) AS n_docs, sum({wt} * tl + {wb} * bl) "
+        "AS total FROM tlen), "
+        "ttf AS (SELECT doc_id, unnest(tts) AS term FROM fl), "
+        "btf AS (SELECT doc_id, unnest(bts) AS term FROM fl), "
+        "ttf2 AS (SELECT doc_id, term, count(*) AS tf FROM ttf "
+        "GROUP BY doc_id, term), "
+        "btf2 AS (SELECT doc_id, term, count(*) AS tf FROM btf "
+        "GROUP BY doc_id, term), "
+        "ctf AS (SELECT coalesce(t.doc_id, b.doc_id) AS doc_id, "
+        "coalesce(t.term, b.term) AS term, "
+        f"{wt} * coalesce(t.tf, 0) + {wb} * coalesce(b.tf, 0) AS tfc "
+        "FROM ttf2 t FULL OUTER JOIN btf2 b "
+        "ON t.doc_id = b.doc_id AND t.term = b.term), "
+        "df AS (SELECT term, count(*) AS df FROM ctf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, c.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (c.tfc * 2.2) / "
+        f"(c.tfc + 1.2 * (1 - 0.75 + 0.75 * ({wt} * tlen.tl + {wb} * tlen.bl) / "
+        "(s.total / s.n_docs)))) AS score "
+        "FROM q JOIN ctf c ON q.term = c.term "
+        "JOIN df ON df.term = q.term "
+        "JOIN tlen ON tlen.doc_id = c.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, c.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_BM25F_TOPK = _bm25f_sql(_BM25_QUERIES)
+
+
 # ------------------------------- doc deletes (live-docs side files)
 
 # deterministic delete set for the driver entries: doc_id % 7 == 3
@@ -2032,6 +2108,7 @@ QUERIES = {
     "wildcard_topk": q_wildcard_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "regex_topk": q_regex_topk,
+    "bm25f_topk": q_bm25f_topk,
     "bm25_delete_topk": q_bm25_delete_topk,
     "bm25_expunge_topk": q_bm25_expunge_topk,
 }
@@ -2076,6 +2153,7 @@ ORACLES = {
     "wildcard_topk": SQL_WILDCARD_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
     "regex_topk": SQL_REGEX_TOPK,
+    "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_delete_topk": SQL_BM25_DELETE_TOPK,
     "bm25_expunge_topk": SQL_BM25_EXPUNGE_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,

@@ -1,0 +1,292 @@
+"""BM25F fielded retrieval (fulltext_index tier; SURVEY.md §2.6
+extension — the reference stack is single-field, SURVEY.md §0; semantics
+follow the simplified BM25F of Robertson/Zaragoza, "The Probabilistic
+Relevance Framework" §3.3.2: per-field term frequencies and lengths
+combine linearly with field weights into ONE pseudo-document
+
+    tf_c(t, d)  = Σ_f w_f · tf_f(t, d)
+    dl_c(d)     = Σ_f w_f · len_f(d)
+    avgdl_c     = Σ_d dl_c(d) / N
+    score(q, d) = Σ_t idf(t) · tf_c·(k1+1) / (tf_c + k1·(1−b+b·dl_c/avgdl_c))
+
+with idf(t) = ln(1 + (N − df + ½)/(df + ½)) and df = docs containing t
+in ANY field).  Field weights MUST be exact binary floats (2.0, 1.0,
+0.5, …) so the weighted integer sums stay exact in float64 and the
+engine matches the SQL oracle bit-for-bit before the round-6 edge.
+
+Ray-Data shape: one physical index PER FIELD under
+``<index_dir>/field=<name>/`` (each a normal segment index — resume,
+append, compact, codecs all inherited), built from the same doc_id
+space.  Serving is an actor pool whose reader aligns per-field posting
+lists with one ``searchsorted`` per (term, field) and scores the union —
+no shuffle, no per-row Python.  Per-field doc lengths come from the
+fields' ``docstats`` tables (every doc of the build is present, even
+with zero tokens in a field).
+
+Doc deletes (stages/deletes.py) are read from the FIELDED ROOT dir:
+``delete_docs(root, ids)`` masks every field at once.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.tokenizer import tokenize_column
+from ..sources import manifest as mf
+from .index_build import build_index
+from .search import IndexReader, _topk_exact
+
+K1 = 1.2
+B = 0.75
+
+DEFAULT_WEIGHTS = {"title": 2.0, "body": 1.0}
+
+__all__ = [
+    "split_fields",
+    "build_fielded_index",
+    "FieldedReader",
+    "score_bm25f",
+    "fielded_search",
+]
+
+
+def split_fields(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    title_len: int = 6,
+) -> "ray.data.Dataset":
+    """Derive (title, body) text columns: title = first ``title_len``
+    tokens, body = the rest (pinned tokenizer language; equals DuckDB
+    ``list_slice`` over ``string_split`` on the canonical corpus).
+    Fully Arrow-vectorized (list_slice + binary_join)."""
+
+    def split(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch[text_col])
+        title = pc.binary_join(pc.list_slice(toks, 0, title_len), " ")
+        body = pc.binary_join(pc.list_slice(toks, title_len, None), " ")
+        return batch.append_column("title", title).append_column("body", body)
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+def _field_dir(index_dir: str, field: str) -> str:
+    return os.path.join(index_dir, f"field={field}")
+
+
+def build_fielded_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    fields: tuple[str, ...] = ("title", "body"),
+    doc_id_col: str = "doc_id",
+    seg_docs: int = 8192,
+    codec: str = "varint",
+    resume: bool = True,
+) -> str:
+    """One segment index per field (same doc_id space).  ``ds`` must
+    carry one text column per field (see :func:`split_fields`)."""
+    ds = ds.select_columns([doc_id_col, *fields]).materialize()
+    for f in fields:
+        build_index(
+            ds,
+            _field_dir(index_dir, f),
+            doc_id_col=doc_id_col,
+            text_col=f,
+            seg_docs=seg_docs,
+            codec=codec,
+            resume=resume,
+        )
+    return index_dir
+
+
+class FieldedReader:
+    """Per-actor state: one IndexReader per field + per-field doc-length
+    arrays (docstats concatenated in doc order) + combined collection
+    stats.  Deletes load from the fielded root."""
+
+    def __init__(self, index_dir: str, weights: dict[str, float] | None = None):
+        from .deletes import read_deletes
+
+        self.weights = dict(weights or DEFAULT_WEIGHTS)
+        self.fields = sorted(self.weights)
+        self.readers = {
+            f: IndexReader(_field_dir(index_dir, f)) for f in self.fields
+        }
+        self.deleted = read_deletes(index_dir)
+        self._dl: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        import pyarrow.parquet as pq
+
+        for f in self.fields:
+            fdir = _field_dir(index_dir, f)
+            recs = mf.read_manifest(fdir)
+            parts = [
+                pq.read_table(
+                    os.path.join(mf.segment_dir(fdir, sid), "docstats.parquet"),
+                    columns=["doc_id", "doc_len"],
+                )
+                for sid in mf.live_segment_order(recs)
+            ]
+            tbl = pa.concat_tables(parts)
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(ids, kind="stable")
+            self._dl[f] = (ids[order], lens[order])
+        n_docs = {self._dl[f][0].size for f in self.fields}
+        if len(n_docs) != 1:
+            raise ValueError(
+                f"fielded index {index_dir}: fields cover different doc "
+                f"counts {sorted(n_docs)} — rebuild from one dataset"
+            )
+        self.n_docs = n_docs.pop()
+        # exact integer sums scaled by exact-binary weights -> float64
+        # total identical to the SQL oracle's sum(w_t*tl + w_b*bl)
+        self.total_c = float(
+            sum(self.weights[f] * int(self._dl[f][1].sum()) for f in self.fields)
+        )
+        self.avgdl_c = self.total_c / self.n_docs
+
+    def field_len(self, field: str, docids: np.ndarray) -> np.ndarray:
+        ids, lens = self._dl[field]
+        pos = np.searchsorted(ids, docids)
+        pos = np.minimum(pos, ids.size - 1)
+        out = lens[pos].astype(np.float64)
+        out[ids[pos] != docids] = 0.0  # doc absent from this field
+        return out
+
+    def term_postings(self, field: str, term: str):
+        """(docids, tfs) concatenated across the field's segments in doc
+        order, or None when absent."""
+        r = self.readers[field]
+        parts_d, parts_t = [], []
+        for sid in r.seg_ids:
+            row = r.postings(sid, term)
+            if row is not None:
+                parts_d.append(row["decoded"][0])
+                parts_t.append(row["decoded"][1])
+        if not parts_d:
+            return None
+        return np.concatenate(parts_d), np.concatenate(parts_t)
+
+
+def score_bm25f(
+    freader: FieldedReader, terms: list[str], k: int
+) -> list[tuple[float, int]]:
+    """BM25F top-k over the union of per-field postings (ascending-term
+    accumulation order, the engine-wide pinned policy)."""
+    from .deletes import live_mask
+
+    uniq = sorted(set(terms))
+    per_term = []
+    lo = hi = None
+    for t in uniq:
+        polys = [
+            (f, freader.weights[f], freader.term_postings(f, t))
+            for f in freader.fields
+        ]
+        polys = [(f, w, p) for f, w, p in polys if p is not None]
+        if not polys:
+            continue
+        if len(polys) == 1:
+            u = polys[0][2][0]
+        else:
+            u = np.union1d(*[p[0] for _f, _w, p in polys[:2]])
+            for _f, _w, p in polys[2:]:
+                u = np.union1d(u, p[0])
+        tfc = np.zeros(u.size, dtype=np.float64)
+        for _f, w, (d, tf) in polys:
+            pos = np.searchsorted(u, d)
+            tfc[pos] += w * tf.astype(np.float64)
+        df = int(u.size)
+        idf = math.log(1.0 + (freader.n_docs - df + 0.5) / (df + 0.5))
+        dlc = np.zeros(u.size, dtype=np.float64)
+        for f in freader.fields:
+            dlc += freader.weights[f] * freader.field_len(f, u)
+        # quotient FIRST, then idf: the pinned association order of the
+        # single-field path (w cached per posting, idf applied after) —
+        # the other order drifts an ulp and breaks the w=1 identity
+        wq = (tfc * (K1 + 1.0)) / (
+            tfc + K1 * (1.0 - B + B * dlc / freader.avgdl_c)
+        )
+        contrib = idf * wq
+        per_term.append((t, u, contrib))
+        tlo, thi = int(u[0]), int(u[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if not per_term:
+        return []
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for _t, u, contrib in per_term:  # ascending-term order (pinned)
+        idx = u - lo
+        scores[idx] += contrib
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    if freader.deleted.size:
+        cand = cand[live_mask(cand + lo, freader.deleted)]
+    return _topk_exact(scores[cand], cand + lo, k)
+
+
+class BM25FSearcherActor:
+    """Actor-pool stage: batch of (query_id, terms) -> (query_id, rank,
+    doc_id, score) under BM25F.  Reader state (per-field readers, doc
+    lengths, stats) loads once per actor."""
+
+    def __init__(self, index_dir: str, k: int = 10,
+                 weights: dict[str, float] | None = None):
+        self.freader = FieldedReader(index_dir, weights)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, terms in zip(
+            batch["query_id"].to_pylist(), batch["terms"].to_pylist()
+        ):
+            for rank, (score, doc_id) in enumerate(
+                score_bm25f(self.freader, list(terms), self.k), 1
+            ):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def fielded_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    weights: dict[str, float] | None = None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """BM25F query pipeline: (query_id, terms) -> (query_id, rank,
+    doc_id, score)."""
+    from .util import pool_size
+
+    return queries.map_batches(
+        BM25FSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "weights": weights,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
