@@ -1902,6 +1902,43 @@ SQL_REGEX_TOPK = _expansion_sql(
 )
 
 
+# ------------------------------ faceted counts over retrieval results
+
+
+def q_bm25_facets(sf_dir: str):
+    """Composition entry: BM25 top-k -> semi-join with the corpus
+    metadata (the top-k doc set broadcasts; the corpus STREAMS through
+    one filtered map_batches pass — no shuffle) -> per-(query, source)
+    facet counts.  The serving-side "refine by source" aggregation."""
+    topk = q_bm25_topk(sf_dir)
+    wanted = pa.array(sorted(set(topk["doc_id"].tolist())), pa.int64())
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=wanted))
+
+    meta = (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        topk.merge(meta, on="doc_id")
+        .groupby(["query_id", "source"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["query_id", "source"]).reset_index(drop=True)
+
+
+SQL_BM25_FACETS = (
+    "WITH topk AS (" + SQL_BM25_TOPK + ") "
+    "SELECT t.query_id, d.source, count(*) AS n "
+    "FROM topk t JOIN documents d ON d.doc_id = t.doc_id "
+    "GROUP BY t.query_id, d.source"
+)
+
+
 # ----------------------------------------- BM25F fielded retrieval
 
 _BM25F_TITLE_LEN = 6
@@ -2109,6 +2146,7 @@ QUERIES = {
     "fuzzy_topk": q_fuzzy_topk,
     "regex_topk": q_regex_topk,
     "bm25f_topk": q_bm25f_topk,
+    "bm25_facets": q_bm25_facets,
     "bm25_delete_topk": q_bm25_delete_topk,
     "bm25_expunge_topk": q_bm25_expunge_topk,
 }
@@ -2154,6 +2192,7 @@ ORACLES = {
     "fuzzy_topk": SQL_FUZZY_TOPK,
     "regex_topk": SQL_REGEX_TOPK,
     "bm25f_topk": SQL_BM25F_TOPK,
+    "bm25_facets": SQL_BM25_FACETS,
     "bm25_delete_topk": SQL_BM25_DELETE_TOPK,
     "bm25_expunge_topk": SQL_BM25_EXPUNGE_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
