@@ -97,10 +97,13 @@ def cmd_delete(args) -> int:
 
     if args.ids:
         ids = [int(x) for x in args.ids.split(",")]
-    else:
+    elif args.ids_parquet:
         ids = pq.read_table(args.ids_parquet, columns=[args.id_col])[
             args.id_col
         ].to_pylist()
+    else:
+        print("delete: one of --ids / --ids-parquet is required", file=sys.stderr)
+        return 2
     n = delete_docs(args.index, ids)
     print(json.dumps({
         "index": args.index, "deleted": n,

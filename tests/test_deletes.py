@@ -356,3 +356,31 @@ def test_resume_after_expunge_does_not_resurrect(sf_dir, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(r1, r2)
+
+
+def test_fully_deleted_term_wand_taat_equal(sf_dir, tmp_path):
+    """Delete every doc containing one term: its WAND pack collapses to
+    None, TAAT sees no live candidates — both routes agree, and a query
+    mixing it with live terms still ranks the live contributions."""
+    idx = str(tmp_path / "idx")
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    build_index(docs, idx, seg_docs=128, resume=False)
+    reader0 = S.IndexReader(idx)
+    arrs = reader0.term_arrays(reader0.seg_ids, "merge")
+    assert arrs is not None
+    delete_docs(idx, arrs[0])  # every doc containing 'merge'
+    reader = S.IndexReader(idx)
+    for terms in (["merge"], ["merge", "scan"]):
+        ts = sorted(set(terms))
+        reader.dfs(ts)
+        idfs = {t: reader.idf(t) for t in ts}
+        taat = S.score_all_taat(reader, reader.seg_ids, ts, idfs, 10)
+        wand = S.score_all_wand(reader, reader.seg_ids, ts, idfs, 10)
+        assert taat == wand
+        if terms == ["merge"]:
+            assert taat == []
+        else:
+            assert len(taat) > 0
+            assert not any(d in set(arrs[0].tolist()) for _s, d in taat)
