@@ -195,3 +195,24 @@ def test_short_docs_have_empty_body(fidx, tmp_path):
     assert fr.field_len("body", np.array([0, 1, 2])).tolist() == [0.0, 2.0, 0.0]
     got = score_bm25f(fr, ["single"], 5)
     assert [d for _s, d in got] == [2]
+
+
+def test_fielded_subindexes_inherit_compaction(fidx, tmp_path, docs_tbl):
+    """The docstring claim: field subindexes are normal segment indexes,
+    so compaction applies per field and BM25F results stay invariant."""
+    import shutil
+
+    from defactonlp_ray.stages.fielded import _field_dir
+    from defactonlp_ray.stages.index_build import compact_index
+
+    idx2 = str(tmp_path / "fcopy")
+    shutil.copytree(fidx, idx2)
+    fr_before = FieldedReader(fidx, {"title": 2.0, "body": 1.0})
+    want = score_bm25f(fr_before, ["hash", "join"], 10)
+    merged = 0
+    for f in ("title", "body"):
+        merged += compact_index(_field_dir(idx2, f), target_seg_docs=100_000)
+    assert merged >= 2
+    fr_after = FieldedReader(idx2, {"title": 2.0, "body": 1.0})
+    got = score_bm25f(fr_after, ["hash", "join"], 10)
+    assert got == want
