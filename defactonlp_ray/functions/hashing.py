@@ -30,14 +30,13 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def hash_str_array(strs) -> np.ndarray:
-    """Stable uint64 hash per string (FNV-1a over utf-8, then splitmix64),
-    VECTORIZED: the byte chain is sequential per string, so the loop runs
-    over byte POSITIONS (max string length, ~tens for shingles/terms)
-    with one numpy step across every still-active string — not over
-    strings × chars in Python.  Accepts list[str] / numpy object array /
-    pyarrow string array; bit-identical to the scalar FNV-1a definition
-    (property-tested)."""
+def str_buffer_view(strs) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (offsets int64, flat uint8 data) view of a string
+    column.  Accepts list[str] / numpy object array / pyarrow (Chunked)
+    Array; handles sliced arrays (``arr.offset``) and the large_string
+    offset width.  THE shared helper for every byte-position-vectorized
+    kernel over strings (FNV hashing, rolling fingerprints, the fuzzy
+    Levenshtein matcher)."""
     import pyarrow as pa
 
     if isinstance(strs, pa.ChunkedArray):
@@ -48,16 +47,32 @@ def hash_str_array(strs) -> np.ndarray:
         arr = pa.array(list(strs), pa.string())
     n = len(arr)
     if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    if arr.type == pa.large_string():
-        off_dtype = np.int64
-    else:
-        off_dtype = np.int32
+        return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.uint8)
+    off_dtype = np.int64 if arr.type == pa.large_string() else np.int32
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
         arr.offset : arr.offset + n + 1
     ].astype(np.int64)
-    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return offsets, data
+
+
+def hash_str_array(strs) -> np.ndarray:
+    """Stable uint64 hash per string (FNV-1a over utf-8, then splitmix64),
+    VECTORIZED: the byte chain is sequential per string, so the loop runs
+    over byte POSITIONS (max string length, ~tens for shingles/terms)
+    with one numpy step across every still-active string — not over
+    strings × chars in Python.  Accepts list[str] / numpy object array /
+    pyarrow string array; bit-identical to the scalar FNV-1a definition
+    (property-tested)."""
+    offsets, data = str_buffer_view(strs)
+    n = offsets.size - 1
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
     lens = np.diff(offsets)
     starts = offsets[:-1]
     h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
@@ -84,28 +99,11 @@ def rolling_fingerprint_column(
     the flat utf-8 buffer (terms < 2^61, eight of them < 2^64: exact in
     uint64) — bit-identical to the scalar rolling form (property-tested).
     """
-    import pyarrow as pa
-
-    if isinstance(texts, pa.ChunkedArray):
-        arr = texts.combine_chunks()
-    elif isinstance(texts, pa.Array):
-        arr = texts
-    else:
-        arr = pa.array(list(texts), pa.string())
-    n = len(arr)
+    offsets, data = str_buffer_view(texts)
+    n = offsets.size - 1
     out = np.zeros(n, dtype=np.int64)
     if n == 0:
         return out
-    off_dtype = np.int64 if arr.type == pa.large_string() else np.int32
-    bufs = arr.buffers()
-    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
-        arr.offset : arr.offset + n + 1
-    ].astype(np.int64)
-    data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None
-        else np.empty(0, np.uint8)
-    )
     lens = np.diff(offsets)
     ok = lens >= window
     if not ok.any():

@@ -33,6 +33,7 @@ candidate array):
 from __future__ import annotations
 
 import os
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -61,7 +62,12 @@ def delete_docs(index_dir: str, doc_ids) -> int:
         [int(f.split("-")[1]) for f in existing if f.startswith("del-")],
         default=0,
     )
-    final = os.path.join(ddir, f"del-{n:06d}-{os.getpid()}.parquet")
+    # per-call unique suffix: two concurrent deleters that race to the
+    # same sequence number (same-pid threads, pid collisions across
+    # nodes) still write DISTINCT files — neither's ids are lost
+    final = os.path.join(
+        ddir, f"del-{n:06d}-{os.getpid()}-{uuid.uuid4().hex[:8]}.parquet"
+    )
     tmp = final + ".tmp"
     pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
     os.rename(tmp, final)
@@ -85,12 +91,22 @@ def read_deletes(index_dir: str, *, return_files: bool = False):
     snapshot, so expunge can clear exactly what it applied (deletes
     landing mid-expunge survive for the next pass)."""
     files = _delete_files(index_dir)
-    if not files:
+    parts, read_ok = [], []
+    for f in files:
+        try:
+            parts.append(pq.read_table(f, columns=["doc_id"]))
+            read_ok.append(f)
+        except FileNotFoundError:
+            # a concurrent expunge cleared this file between the listing
+            # and the read — its ids are already physically applied to
+            # the rewritten segments, so skipping it is correct
+            continue
+    if not parts:
         ids = np.empty(0, dtype=np.int64)
         return (ids, []) if return_files else ids
-    tbl = pa.concat_tables(pq.read_table(f, columns=["doc_id"]) for f in files)
+    tbl = pa.concat_tables(parts)
     ids = np.unique(tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
-    return (ids, files) if return_files else ids
+    return (ids, read_ok) if return_files else ids
 
 
 def clear_delete_files(files: list[str]) -> None:

@@ -59,24 +59,9 @@ def _term_df_path(index_dir: str) -> str:
     return os.path.join(index_dir, "stats", "term_df")
 
 
-def _str_bytes(arr: pa.Array):
-    """(offsets int64, flat uint8 data) of a pyarrow string array —
-    the zero-copy buffer view ``functions.hashing.hash_str_array``
-    established."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
-    off_dtype = np.int64 if arr.type == pa.large_string() else np.int32
-    bufs = arr.buffers()
-    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
-        arr.offset : arr.offset + n + 1
-    ].astype(np.int64)
-    data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None
-        else np.empty(0, np.uint8)
-    )
-    return offsets, data
+# the shared zero-copy (offsets, data) string-buffer view — one
+# implementation for every byte-position-vectorized kernel
+from ..functions.hashing import str_buffer_view as _str_bytes  # noqa: E402
 
 
 def _byte_matrix(offsets: np.ndarray, data: np.ndarray, rows: np.ndarray,
@@ -222,6 +207,10 @@ def _expand(index_dir: str, patterns: list[tuple[int, str]], kind: str,
         # no columns — nothing matched any pattern
         return out
     for qid, g in pairs.groupby("query_id"):
+        # one qid can carry several patterns with overlapping matches —
+        # dedupe BEFORE the cap so the cap counts distinct terms and
+        # the returned expansion never repeats a term
+        g = g.drop_duplicates("term")
         if max_expansions is not None and len(g) > max_expansions:
             g = g.sort_values(
                 ["df", "term"], ascending=[False, True]

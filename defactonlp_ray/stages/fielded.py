@@ -121,6 +121,7 @@ class FieldedReader:
             f: IndexReader(_field_dir(index_dir, f)) for f in self.fields
         }
         self.deleted = read_deletes(index_dir)
+        self._tp: dict[tuple[str, str], tuple | None] = {}
         self._dl: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         import pyarrow.parquet as pq
 
@@ -161,9 +162,27 @@ class FieldedReader:
         out[ids[pos] != docids] = 0.0  # doc absent from this field
         return out
 
+    def load_terms(self, terms: list[str]) -> None:
+        """Batch-preload: ONE filtered point-read per (field, segment)
+        for the whole term set — the same batching the single-field
+        searcher actors do (one read per term otherwise)."""
+        missing = [
+            t for t in terms
+            if any((f, t) not in self._tp for f in self.fields)
+        ]
+        if not missing:
+            return
+        for f in self.fields:
+            r = self.readers[f]
+            for sid in r.seg_ids:
+                r.load_postings(sid, missing)
+
     def term_postings(self, field: str, term: str):
         """(docids, tfs) concatenated across the field's segments in doc
-        order, or None when absent."""
+        order, or None when absent — cached per (field, term)."""
+        key = (field, term)
+        if key in self._tp:
+            return self._tp[key]
         r = self.readers[field]
         parts_d, parts_t = [], []
         for sid in r.seg_ids:
@@ -171,9 +190,13 @@ class FieldedReader:
             if row is not None:
                 parts_d.append(row["decoded"][0])
                 parts_t.append(row["decoded"][1])
-        if not parts_d:
-            return None
-        return np.concatenate(parts_d), np.concatenate(parts_t)
+        out = (
+            (np.concatenate(parts_d), np.concatenate(parts_t))
+            if parts_d
+            else None
+        )
+        self._tp[key] = out
+        return out
 
 
 def score_bm25f(
@@ -246,6 +269,8 @@ class BM25FSearcherActor:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted({t for ts in batch["terms"].to_pylist() for t in ts})
+        self.freader.load_terms(all_terms)
         out_q, out_r, out_d, out_s = [], [], [], []
         for qid, terms in zip(
             batch["query_id"].to_pylist(), batch["terms"].to_pylist()

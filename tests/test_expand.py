@@ -258,3 +258,16 @@ def test_expansion_with_zero_total_matches(exp_index):
     assert expand_wildcard(exp_index, [(0, "zz%"), (1, "qq%")]) == {0: [], 1: []}
     got = regex_search(exp_index, [(0, "zz.*")], k=5).to_pandas()
     assert len(got) == 0
+
+
+def test_overlapping_patterns_dedupe_before_cap(exp_index):
+    """One qid with overlapping patterns must not double-count matches
+    toward the cap or return duplicated terms."""
+    got = expand_wildcard(exp_index, [(0, "s%"), (0, "sc%"), (0, "s_an")])
+    assert got[0] == sorted(set(got[0]))  # no duplicates
+    uncapped = set(got[0])
+    capped = expand_wildcard(
+        exp_index, [(0, "s%"), (0, "sc%"), (0, "s_an")], max_expansions=3
+    )
+    assert len(capped[0]) == 3  # cap counts DISTINCT terms
+    assert set(capped[0]) <= uncapped
