@@ -76,11 +76,17 @@ def _pos_pack(reader: IndexReader, seg_ids: list[int], term: str):
     cache = getattr(reader, "_pos_packs", None)
     if cache is None:
         cache = reader._pos_packs = {}
-    elif len(cache) > 200_000:  # bound long-running serving actors
-        cache.clear()
     key = (tuple(seg_ids), term)
     if key in cache:
         return cache[key]
+    if len(cache) > 200_000:  # bound long-running serving actors
+        # evict only organically-cached entries: the driver-broadcast
+        # seeded packs must survive (the actor's batched pre-load
+        # excludes seeded terms, so wiping them degrades every later
+        # seeded-term query to per-term point reads + re-decodes)
+        seeded = getattr(reader, "_pos_seeded_keys", frozenset())
+        for k in [k for k in cache if k not in seeded]:
+            del cache[k]
     p_doc, p_dl, p_pos, p_tf = [], [], [], []
     for sid in seg_ids:
         row = reader.postings(sid, term)
@@ -116,15 +122,26 @@ def _pos_pack(reader: IndexReader, seg_ids: list[int], term: str):
     return out
 
 
-def _decode_pos_packs(index_dir: str, terms: list[str]) -> dict:
+def _decode_pos_packs(index_dir: str, terms: list[str],
+                      seg_ids: list[int]) -> dict:
     """Decode the positional packs for ``terms`` with a fresh reader
     (one filtered point-read per segment) — the per-chunk unit of
-    :func:`build_pos_packs`, runnable as a Ray task."""
+    :func:`build_pos_packs`, runnable as a Ray task.  ``seg_ids`` is
+    the DRIVER's segment snapshot: a concurrent compaction can land
+    between the driver's manifest read and this task's, and a pack
+    decoded over a different segment set must never ship under the
+    driver's key (the consumer-side equality check could not detect
+    it)."""
     reader = IndexReader(index_dir)
-    seg_ids = list(reader.seg_ids)
+    if list(reader.seg_ids) != list(seg_ids):
+        raise RuntimeError(
+            "build_pos_packs: segment set changed during decode "
+            f"({seg_ids} -> {reader.seg_ids}); retry after the "
+            "compaction/expunge settles"
+        )
     for sid in seg_ids:
         reader.load_postings(sid, terms)
-    return {t: _pos_pack(reader, seg_ids, t) for t in terms}
+    return {t: _pos_pack(reader, list(seg_ids), t) for t in terms}
 
 
 def build_pos_packs(index_dir: str, terms, *, chunk: int = 64) -> dict:
@@ -141,9 +158,9 @@ def build_pos_packs(index_dir: str, terms, *, chunk: int = 64) -> dict:
     chunks = [terms[i : i + chunk] for i in range(0, len(terms), chunk)]
     if ray.is_initialized() and len(chunks) > 1:
         task = ray.remote(_decode_pos_packs)
-        parts = ray.get([task.remote(index_dir, c) for c in chunks])
+        parts = ray.get([task.remote(index_dir, c, seg_ids) for c in chunks])
     else:
-        parts = [_decode_pos_packs(index_dir, c) for c in chunks]
+        parts = [_decode_pos_packs(index_dir, c, seg_ids) for c in chunks]
     packs: dict = {}
     for p in parts:
         packs.update(p)
@@ -177,6 +194,8 @@ def _seed_shared_packs(reader: IndexReader, blob: dict) -> set:
                 tfs_f + K1 * (1.0 - B + B * dls_f / reader.avgdl)
             )
             reader._term_arrays[(seg_key, t)] = (docids, w)
+    # seeded keys are exempt from the _pos_pack cache bound's eviction
+    reader._pos_seeded_keys = {(seg_key, t) for t in blob["packs"]}
     return set(blob["packs"])
 
 
@@ -216,8 +235,16 @@ def match_phrase(
         np.empty(0, dtype=np.int64),
         np.empty(0, dtype=np.int64),
     )
-    if not terms or len(terms) > _POS_SLACK:
+    if not terms:
         return empty
+    if len(terms) - 1 > _POS_SLACK:
+        # probes shift keys by at most len-1, which must stay inside the
+        # per-doc radix slack; raise (like match_window) instead of
+        # silently fabricating an empty result
+        raise ValueError(
+            f"phrase length {len(terms)} exceeds the positional key "
+            f"slack ({_POS_SLACK + 1} terms max)"
+        )
     packs = []
     for t in terms:
         p = _pos_pack(reader, seg_ids, t)
@@ -271,8 +298,10 @@ def score_phrase(
     dl = dls.astype(np.float64)
     scores = idf * (c * (K1 + 1.0)) / (c + K1 * (1.0 - B + B * dl / reader.avgdl))
     top = _topk_exact(scores, docs, k)
-    cnt_of = dict(zip(docs.tolist(), counts.tolist()))
-    return [(s, d, cnt_of[d]) for s, d in top]
+    # docs is sorted: O(k log n) count lookups, no full-match-set dict
+    return [
+        (s, d, int(counts[np.searchsorted(docs, d)])) for s, d in top
+    ]
 
 
 class PhraseSearcherActor:
@@ -397,7 +426,8 @@ def match_window(
     order = np.argsort([p[0].size for p in packs], kind="stable")
     cand = packs[order[0]][0]
     for oi in order[1:]:
-        cand = cand[np.isin(cand, packs[oi][0], assume_unique=True)]
+        # sorted membership probe (np.isin would re-sort both arrays)
+        cand = cand[_member(packs[oi][0], cand)]
         if cand.size == 0:
             return cand
     if len(uniq) == 1:
@@ -555,7 +585,7 @@ def score_boolean(
         order = sorted(must, key=lambda t: arrs[t][0].size)
         cand = arrs[order[0]][0]
         for t in order[1:]:
-            cand = cand[np.isin(cand, arrs[t][0], assume_unique=True)]
+            cand = cand[_member(arrs[t][0], cand)]
             if cand.size == 0:
                 return []
     else:
@@ -567,7 +597,7 @@ def score_boolean(
             cand = np.union1d(cand, p)
     for t in must_not:
         if arrs[t] is not None:
-            cand = cand[~np.isin(cand, arrs[t][0], assume_unique=True)]
+            cand = cand[~_member(arrs[t][0], cand)]
     if reader.deleted.size and cand.size:
         from .deletes import live_mask
 

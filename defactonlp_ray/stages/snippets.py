@@ -48,18 +48,19 @@ def best_window(
     starts = sorted(p for ps in pos_of.values() for p in ps)
     if not starts:
         return -1, 0
-    arrs = {t: np.asarray(ps, dtype=np.int64) for t, ps in pos_of.items() if ps}
-    best_s, best_n = starts[0], 0
-    for s in starts:
-        n = 0
-        hi = s + width  # exclusive
-        for ps in arrs.values():
-            j = np.searchsorted(ps, s)
-            if j < ps.size and ps[j] < hi:
-                n += 1
-        if n > best_n:  # strict: earliest window wins ties
-            best_s, best_n = s, n
-    return best_s, best_n
+    # vectorized window scoring: for each term, membership of the window
+    # [s, s+width) is ONE pair of searchsorteds over ALL candidate
+    # starts (no per-start Python loop — head terms yield thousands of
+    # starts per doc)
+    sarr = np.asarray(starts, dtype=np.int64)
+    n_arr = np.zeros(sarr.size, dtype=np.int64)
+    for ps in (np.asarray(ps, dtype=np.int64)
+               for ps in pos_of.values() if ps):
+        n_arr += np.searchsorted(ps, sarr + width, side="left") > (
+            np.searchsorted(ps, sarr, side="left")
+        )
+    best = int(np.argmax(n_arr))  # first max = earliest start (sorted)
+    return int(sarr[best]), int(n_arr[best])
 
 
 class SnippetStage:
@@ -78,14 +79,14 @@ class SnippetStage:
         self.width = width
         self.doc_id_col = doc_id_col
         self.text_col = text_col
+        # the probe set is batch-invariant: build the Arrow value_set
+        # once per actor, not once per corpus batch
+        self._doc_set = pa.array(list(self.pairs), pa.int64())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        mask = pc.is_in(
-            batch[self.doc_id_col],
-            value_set=pa.array(list(self.pairs), pa.int64()),
-        )
+        mask = pc.is_in(batch[self.doc_id_col], value_set=self._doc_set)
         out_q, out_d, out_s, out_n, out_t = [], [], [], [], []
         if pc.any(mask).as_py():
             sub = batch.filter(mask)
