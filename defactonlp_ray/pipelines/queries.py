@@ -945,6 +945,113 @@ def _tfidf_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_TFIDF_TOPK = _tfidf_sql(_TFIDF_QUERIES)
 
 
+def q_lmd_topk(sf_dir: str):
+    """Language-model ranking with Dirichlet smoothing (Zhai & Lafferty,
+    SIGIR 2001; mu=2000) over the SAME index as ``bm25_topk`` — the
+    second public scoring model served from one set of segments (cf
+    stats were already in the per-segment term tables).  Same
+    round(score,6) re-rank policy as every ranked entry."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="lmd",
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _lmd_sql(queries: list[tuple[int, list[str]]], k: int = 10,
+             mu: str = "2000.0") -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, terms in queries for t in terms)
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS t_total FROM toks), "
+        "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "scored AS (SELECT qd.query_id, tf.doc_id, "
+        f"sum(ln(1 + tf.tf * s.t_total::DOUBLE / ({mu} * cf.cf)) "
+        f"+ ln({mu} / (dl.dl + {mu}))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN cf ON cf.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_LMD_TOPK = _lmd_sql(_BM25_QUERIES)
+
+
+# pinned synonym table for the registry entry: maps query terms to extra
+# group members — mixes present terms ("sort", "join", "dup") and an
+# absent one ("quick", df 0, must contribute nothing)
+_SYNONYMS: dict[str, list[str]] = {
+    "fast": ["quick", "dup"],
+    "merge": ["sort", "join"],
+    "scan": ["slow"],
+}
+
+_SYN_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["fast", "data"]),
+    (1, ["merge"]),
+    (2, ["scan", "window"]),
+    (3, ["key", "value"]),  # no synonyms: must equal plain BM25
+]
+
+
+def q_synonym_topk(sf_dir: str):
+    """Synonym-group retrieval (Lucene SynonymQuery semantics): each
+    query term scores as one pseudo-term over its group — per-doc tf is
+    the SUM of member tfs, df is the MAX over member dfs — so synonyms
+    never inflate a doc's score the way a boolean OR of independent
+    terms would."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_SYN_QUERIES), k=20, mode="synonym",
+                 syn_map=_SYNONYMS, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _syn_sql(queries: list[tuple[int, list[str]]],
+             syn: dict[str, list[str]], k: int = 10) -> str:
+    rows = []
+    for qid, terms in queries:
+        for t in sorted(set(terms)):
+            for m in sorted({t, *syn.get(t, [])}):
+                rows.append(f"({qid}, '{t}', '{m}')")
+    vals = ", ".join(rows)
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"syn(query_id, grp, term) AS (VALUES {vals}), "
+        # merged pseudo-term stats per group: tf sums, df maxes
+        "tfm AS (SELECT s.query_id, s.grp, tf.doc_id, sum(tf.tf) AS tfm "
+        "FROM syn s JOIN tf ON s.term = tf.term GROUP BY 1, 2, 3), "
+        "dfg AS (SELECT s.query_id, s.grp, max(df.df) AS dfg "
+        "FROM syn s JOIN df ON df.term = s.term GROUP BY 1, 2), "
+        "scored AS (SELECT tfm.query_id, tfm.doc_id, "
+        "sum(ln(1 + (st.n_docs - dfg.dfg + 0.5) / (dfg.dfg + 0.5)) * "
+        "(tfm.tfm * 2.2) / (tfm.tfm + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+        "(st.total::DOUBLE / st.n_docs)))) AS score "
+        "FROM tfm JOIN dfg ON dfg.query_id = tfm.query_id AND dfg.grp = tfm.grp "
+        "JOIN dl ON dl.doc_id = tfm.doc_id CROSS JOIN stats st "
+        "GROUP BY tfm.query_id, tfm.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_SYNONYM_TOPK = _syn_sql(_SYN_QUERIES, _SYNONYMS)
+
+
 # --------------------------------------------- rows-only (non-SQL) entries
 
 def q_minhash_neardup(sf_dir: str):
@@ -2134,6 +2241,8 @@ QUERIES = {
     "bm25_topk_wand": q_bm25_topk_wand,
     "bm25_topk_pfor": q_bm25_topk_pfor,
     "tfidf_topk": q_tfidf_topk,
+    "lmd_topk": q_lmd_topk,
+    "synonym_topk": q_synonym_topk,
     "claim_verdicts": q_claim_verdicts,
     "bm25_topk_fanout": q_bm25_topk_fanout,
     "bm25_append_compact": q_bm25_append_compact,
@@ -2196,6 +2305,8 @@ ORACLES = {
     "bm25_delete_topk": SQL_BM25_DELETE_TOPK,
     "bm25_expunge_topk": SQL_BM25_EXPUNGE_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "lmd_topk": SQL_LMD_TOPK,
+    "synonym_topk": SQL_SYNONYM_TOPK,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,

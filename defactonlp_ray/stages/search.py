@@ -63,6 +63,9 @@ class IndexReader:
             coll = json.load(f)
         self.n_docs: int = coll["n_docs"]
         self.avgdl: float = coll["avgdl"]
+        self.total_len: int = int(
+            coll.get("total_len", round(self.n_docs * self.avgdl))
+        )
         # DOC order, not sid order: compacted segments carry fresh sids
         self.seg_ids: list[int] = mf.live_segment_order(mf.read_manifest(index_dir))
         # live-docs side files (stages/deletes.py) — postings stay raw
@@ -72,6 +75,7 @@ class IndexReader:
 
         self.deleted: np.ndarray = read_deletes(index_dir)
         self._df: dict[str, int] = {}
+        self._cf: dict[str, int] = {}
         self._df_loaded_all = False
         self._postings: dict[tuple[int, str], Optional[dict]] = {}
         self._term_arrays: dict = {}
@@ -156,6 +160,22 @@ class IndexReader:
                 self._df[t] = int(found.get(t, 0))
         return {t: self._df.get(t, 0) for t in terms}
 
+    def cfs(self, terms: list[str]) -> dict[str, int]:
+        """term -> collection frequency (total occurrences), same filtered
+        point-read shape as :meth:`dfs` — the language-model scorers'
+        stat (LM Dirichlet needs P(t|C) = cf/total_len)."""
+        missing = [t for t in terms if t not in self._cf]
+        if missing:
+            tbl = pq.read_table(
+                os.path.join(self.index_dir, "stats", "term_df"),
+                columns=["term", "cf"],
+                filters=[("term", "in", missing)],
+            )
+            found = dict(zip(tbl["term"].to_pylist(), tbl["cf"].to_pylist()))
+            for t in missing:
+                self._cf[t] = int(found.get(t, 0))
+        return {t: self._cf.get(t, 0) for t in terms}
+
     def idf(self, term: str) -> float:
         df = self._df.get(term, 0)
         # math.log, not np.log: they can differ by 1 ulp, and the oracle
@@ -214,6 +234,25 @@ class IndexReader:
             self._term_arrays[key] = None
             return None
         out = (np.concatenate(parts_d), np.concatenate(parts_w))
+        self._term_arrays[key] = out
+        return out
+
+    def term_tf_dl(self, seg_ids: list[int], term: str):
+        """(docids, tfs, dls) concatenated across ``seg_ids`` — the raw
+        per-posting stats for non-BM25 scorers (LM Dirichlet), cached."""
+        key = (tuple(seg_ids), term, "tfdl")
+        hit = self._term_arrays.get(key)
+        if hit is not None or key in self._term_arrays:
+            return hit
+        parts = []
+        for sid in seg_ids:
+            row = self.postings(sid, term)
+            if row is not None:
+                parts.append(row["decoded"])
+        if not parts:
+            self._term_arrays[key] = None
+            return None
+        out = tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
         self._term_arrays[key] = out
         return out
 
@@ -281,10 +320,14 @@ def build_shared_index(index_dir: str) -> dict:
         coll = json.load(f)
     n_docs, avgdl = coll["n_docs"], coll["avgdl"]
     df_tbl = pq.read_table(
-        os.path.join(index_dir, "stats", "term_df"), columns=["term", "df"]
+        os.path.join(index_dir, "stats", "term_df"),
+        columns=["term", "df", "cf"],
     )
     df_map = dict(
         zip(df_tbl["term"].to_pylist(), (int(x) for x in df_tbl["df"].to_pylist()))
+    )
+    cf_map = dict(
+        zip(df_tbl["term"].to_pylist(), (int(x) for x in df_tbl["cf"].to_pylist()))
     )
     sids = mf.live_segment_order(mf.read_manifest(index_dir))
     paths = [
@@ -364,7 +407,9 @@ def build_shared_index(index_dir: str) -> dict:
     return {
         "n_docs": n_docs,
         "avgdl": avgdl,
+        "total_len": int(coll.get("total_len", round(n_docs * avgdl))),
         "df": df_map,
+        "cf": cf_map,
         "tindex": tindex,
         "offsets": offsets,
         "docids": docids_all,
@@ -387,7 +432,11 @@ class SharedIndexReader:
     def __init__(self, shared: dict):
         self.n_docs = shared["n_docs"]
         self.avgdl = shared["avgdl"]
+        self.total_len = int(
+            shared.get("total_len", round(shared["n_docs"] * shared["avgdl"]))
+        )
         self._df = shared["df"]
+        self._cf = shared.get("cf", {})
         self._s = shared
         self.seg_ids = [0]
         # deletes are applied to the merged arrays at build_shared_index
@@ -396,6 +445,9 @@ class SharedIndexReader:
 
     def dfs(self, terms: list[str]) -> dict[str, int]:
         return {t: self._df.get(t, 0) for t in terms}
+
+    def cfs(self, terms: list[str]) -> dict[str, int]:
+        return {t: self._cf.get(t, 0) for t in terms}
 
     def idf(self, term: str) -> float:
         import math
@@ -429,6 +481,14 @@ class SharedIndexReader:
             return None
         lo, hi = int(s["offsets"][ti]), int(s["offsets"][ti + 1])
         return (s["docids"][lo:hi], s["w"][lo:hi])
+
+    def term_tf_dl(self, seg_ids, term):
+        s = self._s
+        ti = s["tindex"].get(term)
+        if ti is None:
+            return None
+        lo, hi = int(s["offsets"][ti]), int(s["offsets"][ti + 1])
+        return (s["docids"][lo:hi], s["tfs"][lo:hi], s["dls"][lo:hi])
 
 
 # ----------------------------------------------------------------- scoring
@@ -531,6 +591,123 @@ def score_all_taat(
     for t, docids, w in per_term:  # ascending-term order (pinned)
         idx = docids - lo
         scores[idx] += idfs[t] * w
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand + lo, reader.deleted)]
+    return _topk_exact(scores[cand], cand + lo, k)
+
+
+LMD_MU = 2000.0
+
+
+def score_all_lmd(
+    reader,
+    seg_ids: list[int],
+    terms_sorted: list[str],
+    cfs: dict[str, int],
+    k: int,
+    mu: float = LMD_MU,
+) -> list[tuple[float, int]]:
+    """LM with Dirichlet smoothing (Zhai & Lafferty, SIGIR 2001; the
+    Lucene ``LMDirichletSimilarity`` formula shape): per (query term t
+    present in doc d),
+
+        ln(1 + tf * T / (mu * cf_t)) + ln(mu / (dl + mu))
+
+    with T = total collection tokens, cf_t = collection frequency of t,
+    summed over unique query terms — only docs containing >= 1 query
+    term are scored (the SQL-join semantics).  Same fused dense-
+    accumulator shape as :func:`score_all_taat`; exactness policy is the
+    cross-engine round(score, 6) re-rank (LMD scores can be negative —
+    the ordering is still total)."""
+    T = float(reader.total_len)
+    per_term: list[np.ndarray] = []
+    per_docs: list[np.ndarray] = []
+    lo = hi = None
+    for t in terms_sorted:
+        cf = cfs.get(t, 0)
+        if not cf:
+            continue
+        arrs = reader.term_tf_dl(seg_ids, t)
+        if arrs is None:
+            continue
+        docids, tfs, dls = arrs
+        contrib = np.log(
+            1.0 + tfs.astype(np.float64) * T / (mu * float(cf))
+        ) + np.log(mu / (dls.astype(np.float64) + mu))
+        per_docs.append(docids)
+        per_term.append(contrib)
+        tlo, thi = int(docids[0]), int(docids[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if not per_term:
+        return []
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for docids, contrib in zip(per_docs, per_term):
+        idx = docids - lo
+        scores[idx] += contrib
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand + lo, reader.deleted)]
+    return _topk_exact(scores[cand], cand + lo, k)
+
+
+def score_all_syn(
+    reader,
+    seg_ids: list[int],
+    groups: list[list[str]],
+    k: int,
+) -> list[tuple[float, int]]:
+    """Synonym-group BM25 (the Lucene ``SynonymQuery`` scoring model):
+    each query term's synonym group is scored as ONE pseudo-term —
+    per-doc tf = SUM of member tfs, df = MAX over member dfs — then the
+    pinned BM25 expression applies to the merged (tf, dl) pairs.  Groups
+    whose members are all absent contribute nothing.  Fused dense
+    accumulator across segments, like :func:`score_all_taat`."""
+    merged: list[tuple[np.ndarray, np.ndarray]] = []  # (docids, contrib)
+    lo = hi = None
+    for members in groups:
+        parts = [
+            arrs
+            for t in sorted(set(members))
+            if (arrs := reader.term_tf_dl(seg_ids, t)) is not None
+        ]
+        if not parts:
+            continue
+        df_g = max(reader.dfs(sorted(set(members))).values())
+        import math
+
+        idf = math.log(1.0 + (reader.n_docs - df_g + 0.5) / (df_g + 0.5))
+        alldoc = np.concatenate([p[0] for p in parts])
+        alltf = np.concatenate([p[1] for p in parts])
+        alldl = np.concatenate([p[2] for p in parts])
+        uniq, inv = np.unique(alldoc, return_inverse=True)
+        tfm = np.bincount(inv, weights=alltf.astype(np.float64))
+        dlm = np.zeros(uniq.size, dtype=np.float64)
+        dlm[inv] = alldl  # every member sees the same dl for a doc
+        w = (tfm * (K1 + 1.0)) / (
+            tfm + K1 * (1.0 - B + B * dlm / reader.avgdl)
+        )
+        merged.append((uniq, idf * w))
+        tlo, thi = int(uniq[0]), int(uniq[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if not merged:
+        return []
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for docids, contrib in merged:
+        idx = docids - lo
+        scores[idx] += contrib
         touched[idx] = True
     cand = np.flatnonzero(touched)
     if reader.deleted.size:
@@ -964,7 +1141,7 @@ class SearcherActor:
 
     def __init__(self, index_dir: str = "", k: int = 10, mode: str = "taat",
                  seg_ids: Optional[list[int]] = None, preload: bool = False,
-                 index_ref=None):
+                 index_ref=None, syn_map: Optional[dict] = None):
         if index_ref is not None:
             import ray as _ray
 
@@ -974,6 +1151,9 @@ class SearcherActor:
             self.reader = IndexReader(index_dir, preload=preload)
         self.k = k
         self.mode = mode
+        # term -> extra members; the group a query term scores as is
+        # [term] + syn_map.get(term, []) (Lucene analyzer-graph shape)
+        self.syn_map = syn_map or {}
         self.seg_ids = seg_ids if seg_ids is not None else self.reader.seg_ids
 
     def _score_query(self, terms: list[str], idfs: dict[str, float],
@@ -982,6 +1162,11 @@ class SearcherActor:
             # DrQA diagnostic route: duplicate query terms matter
             return score_all_tfidf(self.reader, seg_ids, terms, self.k)
         uniq = sorted(set(terms))
+        if self.mode == "synonym":
+            groups = [[t] + list(self.syn_map.get(t, [])) for t in uniq]
+            return score_all_syn(self.reader, seg_ids, groups, self.k)
+        if self.mode == "lmd":
+            return score_all_lmd(self.reader, seg_ids, uniq, self._cfs, self.k)
         if self.mode == "taat":
             return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k)
         return score_all_wand(self.reader, seg_ids, uniq, idfs, self.k)
@@ -990,8 +1175,14 @@ class SearcherActor:
         qids = batch["query_id"].to_pylist()
         terms_col = batch["terms"].to_pylist()
         all_terms = sorted({t for ts in terms_col for t in ts})
+        if self.mode == "synonym":
+            all_terms = sorted(
+                set(all_terms)
+                | {m for t in all_terms for m in self.syn_map.get(t, [])}
+            )
         dfs = self.reader.dfs(all_terms)
         idfs = {t: self.reader.idf(t) for t in all_terms}
+        self._cfs = self.reader.cfs(all_terms) if self.mode == "lmd" else {}
         present = [t for t in all_terms if dfs[t] > 0]
         for sid in self.seg_ids:
             self.reader.load_postings(sid, present)
@@ -1034,6 +1225,7 @@ def search(
     preload: bool = False,
     shared: bool = False,
     shared_ref=None,
+    syn_map: Optional[dict] = None,
 ) -> "ray.data.Dataset":
     """Main query pipeline: queries (query_id, terms) -> results
     (query_id, rank, doc_id, score).
@@ -1047,6 +1239,8 @@ def search(
     import ray as _ray
 
     ctor: dict = {"k": k, "mode": mode}
+    if syn_map is not None:
+        ctor["syn_map"] = syn_map
     if shared_ref is not None:
         ctor["index_ref"] = shared_ref
     elif shared:
