@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -829,7 +830,7 @@ _BM25_QUERIES: list[tuple[int, list[str]]] = [
 
 
 def _bm25_sql(queries: list[tuple[int, list[str]]], k: int = 10,
-              toks_sql: str = _TOKS_SQL) -> str:
+              toks_sql: str = _TOKS_SQL, lo: int = 1) -> str:
     vals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in queries for t in terms
     )
@@ -850,7 +851,7 @@ def _bm25_sql(queries: list[tuple[int, list[str]]], k: int = 10,
         "SELECT query_id, doc_id, round(score, 6) AS score, "
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
         "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
-        f"WHERE rank <= {k}"
+        + (f"WHERE rank <= {k}" if lo <= 1 else f"WHERE rank BETWEEN {lo} AND {k}")
     )
 
 
@@ -1050,6 +1051,99 @@ def _syn_sql(queries: list[tuple[int, list[str]]],
 
 
 SQL_SYNONYM_TOPK = _syn_sql(_SYN_QUERIES, _SYNONYMS)
+
+
+def q_bm25_page2(sf_dir: str):
+    """Search-after pagination (the Lucene/Elasticsearch ``searchAfter``
+    model): page 1 is a normal top-10; its last (score, doc_id) becomes
+    each query's cursor, and page 2 re-runs the scorer with the cursor
+    pushed INTO the candidate mask (strictly after in (score DESC,
+    doc_id ASC) order) — a bounded top-k per page instead of a deep
+    top-(page*k).  Output is ranks 11-20 of the global ranking."""
+    idx = _build_docs_index(sf_dir)
+    p1 = _rerank_rounded(
+        search(idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2).to_pandas(),
+        k=10,
+    )
+    cur = p1[p1["rank"] == 10]
+    qmap = dict(_BM25_QUERIES)
+    qt = pa.table(
+        {
+            "query_id": pa.array(cur["query_id"].to_numpy(), pa.int64()),
+            "terms": pa.array(
+                [qmap[int(q)] for q in cur["query_id"]], pa.list_(pa.string())
+            ),
+            "after_score": pa.array(cur["score"].to_numpy(), pa.float64()),
+            "after_doc": pa.array(cur["doc_id"].to_numpy(), pa.int64()),
+        }
+    )
+    res = search(idx, ray.data.from_arrow(qt), k=20, concurrency=2).to_pandas()
+    res = _rerank_rounded(res, k=10)
+    res["rank"] = (res["rank"] + 10).astype(np.int32)
+    return res
+
+
+SQL_BM25_PAGE2 = _bm25_sql(_BM25_QUERIES, k=20, lo=11)
+
+
+def q_bm25_collapse(sf_dir: str):
+    """Field collapsing: at most one doc per ``source`` in the ranking,
+    each source represented by its best-scoring doc, top-5 sources per
+    query (stages/search.score_all_collapse — per-segment winners merged
+    by per-group max).  The doc->source map is a columns-pruned read
+    broadcast once via ray.put (the NER-title-map pattern; a 10^12-doc
+    deployment partitions it by doc range alongside the segments)."""
+    idx = _build_docs_index(sf_dir)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    d = pc.dictionary_encode(tbl["source"].combine_chunks())
+    doc_ids = tbl["doc_id"].to_numpy()
+    codes = np.zeros(int(doc_ids.max()) + 1, dtype=np.int32)
+    codes[doc_ids] = d.indices.to_numpy()
+    grp = {"codes": codes, "names": d.dictionary.to_pylist()}
+    res = search(
+        idx,
+        _query_terms_ds(_BM25_QUERIES),
+        k=5,
+        mode="collapse",
+        group_ref=ray.put(grp),
+        concurrency=2,
+    ).to_pandas()
+    return res
+
+
+def _collapse_sql(queries: list[tuple[int, list[str]]], k: int = 5) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "rs AS (SELECT s.query_id, s.doc_id, d.source, round(s.score, 6) AS score "
+        "FROM scored s JOIN documents d ON d.doc_id = s.doc_id), "
+        "best AS (SELECT query_id, source, doc_id, score, "
+        "row_number() OVER (PARTITION BY query_id, source ORDER BY "
+        "score DESC, doc_id) AS rn FROM rs) "
+        "SELECT query_id, rank, source, doc_id, score FROM ("
+        "SELECT query_id, source, doc_id, score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "score DESC, doc_id) AS INTEGER) AS rank FROM best WHERE rn = 1) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_BM25_COLLAPSE = _collapse_sql(_BM25_QUERIES)
 
 
 # --------------------------------------------- rows-only (non-SQL) entries
@@ -2243,6 +2337,8 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "lmd_topk": q_lmd_topk,
     "synonym_topk": q_synonym_topk,
+    "bm25_page2": q_bm25_page2,
+    "bm25_collapse": q_bm25_collapse,
     "claim_verdicts": q_claim_verdicts,
     "bm25_topk_fanout": q_bm25_topk_fanout,
     "bm25_append_compact": q_bm25_append_compact,
@@ -2307,6 +2403,8 @@ ORACLES = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "lmd_topk": SQL_LMD_TOPK,
     "synonym_topk": SQL_SYNONYM_TOPK,
+    "bm25_page2": SQL_BM25_PAGE2,
+    "bm25_collapse": SQL_BM25_COLLAPSE,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,

@@ -518,7 +518,8 @@ def _topk_exact(cscores: np.ndarray, cdocs: np.ndarray, k: int) -> list[tuple[fl
 
 
 def score_segment_taat(
-    reader: IndexReader, sid: int, terms_sorted: list[str], idfs: dict[str, float], k: int
+    reader: IndexReader, sid: int, terms_sorted: list[str], idfs: dict[str, float], k: int,
+    after: Optional[tuple[float, int]] = None,
 ) -> list[tuple[float, int]]:
     """Q1: exact TAAT over one segment -> top-k [(score, doc_id)]."""
     rows = []
@@ -543,6 +544,11 @@ def score_segment_taat(
         from .deletes import live_mask
 
         cand = cand[live_mask(cand + doc_lo, reader.deleted)]
+    if after is not None:
+        cs, cd = after
+        rs = np.round(scores[cand], 6)
+        docs_g = cand + doc_lo
+        cand = cand[(rs < cs) | ((rs == cs) & (docs_g > cd))]
     return _topk_exact(scores[cand], cand + doc_lo, k)
 
 
@@ -552,9 +558,17 @@ def score_all_taat(
     terms_sorted: list[str],
     idfs: dict[str, float],
     k: int,
+    after: Optional[tuple[float, int]] = None,
 ) -> list[tuple[float, int]]:
     """Q1+Q4 fused: exact TAAT over MANY segments with ONE dense
     accumulator spanning the global doc range.
+
+    ``after=(score, doc_id)`` is the search-after pagination cursor
+    (Elasticsearch/Lucene ``searchAfter`` shape): only candidates
+    strictly AFTER the cursor in (score DESC, doc_id ASC) order survive,
+    so page N+1 costs one bounded top-k, not a deep top-(N+1)*k.  The
+    cursor compares on round(score, 6) — the pinned cross-engine float
+    policy — so page boundaries agree with the SQL oracles.
 
     Valid because doc_ids are global and dense and BM25 uses only global
     stats; per-(doc, term) contributions and the per-doc accumulation
@@ -582,7 +596,7 @@ def score_all_taat(
         # (one process only faces this when serving far more doc range than
         # a node would own in a real deployment)
         parts = [
-            score_segment_taat(reader, sid, terms_sorted, idfs, k)
+            score_segment_taat(reader, sid, terms_sorted, idfs, k, after=after)
             for sid in seg_ids
         ]
         return merge_topk(parts, k)
@@ -597,6 +611,11 @@ def score_all_taat(
         from .deletes import live_mask
 
         cand = cand[live_mask(cand + lo, reader.deleted)]
+    if after is not None:
+        cs, cd = after
+        rs = np.round(scores[cand], 6)
+        docs_g = cand + lo
+        cand = cand[(rs < cs) | ((rs == cs) & (docs_g > cd))]
     return _topk_exact(scores[cand], cand + lo, k)
 
 
@@ -610,6 +629,7 @@ def score_all_lmd(
     cfs: dict[str, int],
     k: int,
     mu: float = LMD_MU,
+    after: Optional[tuple[float, int]] = None,
 ) -> list[tuple[float, int]]:
     """LM with Dirichlet smoothing (Zhai & Lafferty, SIGIR 2001; the
     Lucene ``LMDirichletSimilarity`` formula shape): per (query term t
@@ -657,6 +677,11 @@ def score_all_lmd(
         from .deletes import live_mask
 
         cand = cand[live_mask(cand + lo, reader.deleted)]
+    if after is not None:
+        cs, cd = after
+        rs = np.round(scores[cand], 6)
+        docs_g = cand + lo
+        cand = cand[(rs < cs) | ((rs == cs) & (docs_g > cd))]
     return _topk_exact(scores[cand], cand + lo, k)
 
 
@@ -715,6 +740,83 @@ def score_all_syn(
 
         cand = cand[live_mask(cand + lo, reader.deleted)]
     return _topk_exact(scores[cand], cand + lo, k)
+
+
+def _first_per_group(g: np.ndarray, sc: np.ndarray, docs: np.ndarray):
+    """Best (score DESC, doc_id ASC) row per group code — vectorized."""
+    order = np.lexsort((docs, -sc, g))  # by group, then score desc, doc asc
+    gs = g[order]
+    first = (
+        np.concatenate([[True], gs[1:] != gs[:-1]])
+        if gs.size
+        else np.empty(0, bool)
+    )
+    win = order[first]
+    return g[win], sc[win], docs[win]
+
+
+def score_all_collapse(
+    reader,
+    seg_ids: list[int],
+    terms_sorted: list[str],
+    idfs: dict[str, float],
+    k: int,
+    group_codes: np.ndarray,
+) -> list[tuple[float, int, int]]:
+    """Field collapsing (the Lucene/Elasticsearch ``collapse`` result
+    shape): the ranking holds at most ONE doc per collapse key — each
+    key represented by its best doc — and the top-k is over those group
+    winners.  ``group_codes`` maps doc_id -> int group code (dense
+    doc_ids index it directly; at 10^12 docs it is a doc-range-
+    partitioned sidecar each actor loads for its own segments, not a
+    monolithic broadcast).
+
+    Shape: per SEGMENT, accumulate and keep the best doc per group
+    (bounded by min(seg_docs, n_groups) rows), then merge segment
+    winners by per-group max — winner-per-group is a max-aggregate, so
+    the merge is exact and nothing doc-sized ever concatenates.  Winner
+    selection and ranking use round(score, 6) + doc_id tie-break (the
+    pinned cross-engine float policy).  Returns
+    [(rounded_score, doc_id, group_code)] in rank order."""
+    seg_g, seg_sc, seg_doc = [], [], []
+    for sid in seg_ids:
+        rows = []
+        for t in terms_sorted:
+            row = reader.postings(sid, t)
+            if row is not None:
+                rows.append((t, row))
+        if not rows:
+            continue
+        doc_lo = min(int(r["decoded"][0][0]) for _, r in rows)
+        doc_hi = max(int(r["decoded"][0][-1]) for _, r in rows)
+        width = doc_hi - doc_lo + 1
+        scores = np.zeros(width, dtype=np.float64)
+        touched = np.zeros(width, dtype=bool)
+        for t, row in rows:  # ascending-term accumulation order (pinned)
+            docids = row["decoded"][0]
+            idx = docids - doc_lo
+            scores[idx] += idfs[t] * row["w"]
+            touched[idx] = True
+        cand = np.flatnonzero(touched)
+        if reader.deleted.size:
+            from .deletes import live_mask
+
+            cand = cand[live_mask(cand + doc_lo, reader.deleted)]
+        if not cand.size:
+            continue
+        docs = cand + doc_lo
+        sc = np.round(scores[cand], 6)
+        g, s, d = _first_per_group(group_codes[docs], sc, docs)
+        seg_g.append(g)
+        seg_sc.append(s)
+        seg_doc.append(d)
+    if not seg_g:
+        return []
+    g, sc, docs = _first_per_group(
+        np.concatenate(seg_g), np.concatenate(seg_sc), np.concatenate(seg_doc)
+    )
+    korder = np.lexsort((docs, -sc))[:k]
+    return [(float(sc[i]), int(docs[i]), int(g[i])) for i in korder]
 
 
 def score_all_tfidf(
@@ -1141,7 +1243,8 @@ class SearcherActor:
 
     def __init__(self, index_dir: str = "", k: int = 10, mode: str = "taat",
                  seg_ids: Optional[list[int]] = None, preload: bool = False,
-                 index_ref=None, syn_map: Optional[dict] = None):
+                 index_ref=None, syn_map: Optional[dict] = None,
+                 group_ref=None):
         if index_ref is not None:
             import ray as _ray
 
@@ -1154,10 +1257,22 @@ class SearcherActor:
         # term -> extra members; the group a query term scores as is
         # [term] + syn_map.get(term, []) (Lucene analyzer-graph shape)
         self.syn_map = syn_map or {}
+        # collapse mode: doc_id -> group code array + code -> name list,
+        # resolved once per actor (ray.put'd by the caller)
+        self.group_codes = self.group_names = None
+        if group_ref is not None:
+            import ray as _ray
+
+            grp = _ray.get(group_ref) if isinstance(group_ref, _ray.ObjectRef) else group_ref
+            self.group_codes, self.group_names = grp["codes"], grp["names"]
         self.seg_ids = seg_ids if seg_ids is not None else self.reader.seg_ids
 
     def _score_query(self, terms: list[str], idfs: dict[str, float],
-                     seg_ids: list[int]) -> list[tuple[float, int]]:
+                     seg_ids: list[int], after=None):
+        if after is not None and self.mode not in ("taat", "lmd"):
+            raise ValueError(
+                f"search_after cursors are supported for taat/lmd, not {self.mode}"
+            )
         if self.mode == "tfidf":
             # DrQA diagnostic route: duplicate query terms matter
             return score_all_tfidf(self.reader, seg_ids, terms, self.k)
@@ -1166,9 +1281,14 @@ class SearcherActor:
             groups = [[t] + list(self.syn_map.get(t, [])) for t in uniq]
             return score_all_syn(self.reader, seg_ids, groups, self.k)
         if self.mode == "lmd":
-            return score_all_lmd(self.reader, seg_ids, uniq, self._cfs, self.k)
+            return score_all_lmd(self.reader, seg_ids, uniq, self._cfs,
+                                 self.k, after=after)
+        if self.mode == "collapse":
+            return score_all_collapse(self.reader, seg_ids, uniq, idfs,
+                                      self.k, self.group_codes)
         if self.mode == "taat":
-            return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k)
+            return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k,
+                                  after=after)
         return score_all_wand(self.reader, seg_ids, uniq, idfs, self.k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1186,9 +1306,38 @@ class SearcherActor:
         present = [t for t in all_terms if dfs[t] > 0]
         for sid in self.seg_ids:
             self.reader.load_postings(sid, present)
+        # optional search-after cursor columns (pagination)
+        if "after_score" in batch.column_names:
+            afters = list(
+                zip(
+                    batch["after_score"].to_pylist(),
+                    batch["after_doc"].to_pylist(),
+                )
+            )
+        else:
+            afters = [None] * len(qids)
+        if self.mode == "collapse":
+            out_q, out_r, out_g, out_d, out_s = [], [], [], [], []
+            for qid, terms in zip(qids, terms_col):
+                top = self._score_query(terms, idfs, self.seg_ids)
+                for rank, (score, doc_id, gc) in enumerate(top, 1):
+                    out_q.append(qid)
+                    out_r.append(rank)
+                    out_g.append(self.group_names[gc])
+                    out_d.append(doc_id)
+                    out_s.append(score)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "rank": pa.array(out_r, pa.int32()),
+                    "source": pa.array(out_g, pa.string()),
+                    "doc_id": pa.array(out_d, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
         out_q, out_r, out_d, out_s = [], [], [], []
-        for qid, terms in zip(qids, terms_col):
-            top = self._score_query(terms, idfs, self.seg_ids)
+        for qid, terms, after in zip(qids, terms_col, afters):
+            top = self._score_query(terms, idfs, self.seg_ids, after=after)
             for rank, (score, doc_id) in enumerate(top, 1):
                 out_q.append(qid)
                 out_r.append(rank)
@@ -1226,6 +1375,7 @@ def search(
     shared: bool = False,
     shared_ref=None,
     syn_map: Optional[dict] = None,
+    group_ref=None,
 ) -> "ray.data.Dataset":
     """Main query pipeline: queries (query_id, terms) -> results
     (query_id, rank, doc_id, score).
@@ -1241,6 +1391,8 @@ def search(
     ctor: dict = {"k": k, "mode": mode}
     if syn_map is not None:
         ctor["syn_map"] = syn_map
+    if group_ref is not None:
+        ctor["group_ref"] = group_ref
     if shared_ref is not None:
         ctor["index_ref"] = shared_ref
     elif shared:
