@@ -1146,6 +1146,86 @@ def _collapse_sql(queries: list[tuple[int, list[str]]], k: int = 5) -> str:
 SQL_BM25_COLLAPSE = _collapse_sql(_BM25_QUERIES)
 
 
+_MLT_SEEDS = [3, 17, 42]
+_MLT_TERMS = 5
+
+
+def q_mlt_topk(sf_dir: str):
+    """More-Like-This (the Lucene MLT rewrite model): from each seed
+    doc's term vector select the top-N "interesting" terms by
+    round(tf * idf, 6) (idf = the pinned BM25 idf; ties by term ASC),
+    then rank the corpus by plain BM25 over those terms, excluding the
+    seed itself.  Seeds are point-read (parquet doc_id filter) and term
+    selection is driver-side over the handful of seed vectors — at
+    scale, seed batches run through the same searcher actor pool with
+    selection inside the actor."""
+    import math
+
+    from ..functions.tokenizer import tokenize as _tok
+    from ..stages.search import IndexReader
+
+    idx = _build_docs_index(sf_dir)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", _MLT_SEEDS)],
+    )
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    reader = IndexReader(idx)
+    n = reader.n_docs
+    mlt_queries: list[tuple[int, list[str]]] = []
+    for seed in _MLT_SEEDS:
+        from collections import Counter
+
+        tf = Counter(_tok(texts[seed]))
+        dfs = reader.dfs(sorted(tf))
+        w = {
+            t: round(
+                c * math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)), 6
+            )
+            for t, c in tf.items()
+            if dfs[t] > 0
+        }
+        top = sorted(w, key=lambda t: (-w[t], t))[:_MLT_TERMS]
+        mlt_queries.append((seed, top))
+    res = search(idx, _query_terms_ds(mlt_queries), k=20, concurrency=2).to_pandas()
+    res = res[res["doc_id"] != res["query_id"]]
+    return _rerank_rounded(res, k=10)
+
+
+def _mlt_sql(seeds: list[int], n_terms: int = _MLT_TERMS, k: int = 10) -> str:
+    seed_vals = ", ".join(f"({s})" for s in seeds)
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"seeds(seed) AS (VALUES {seed_vals}), "
+        "sel AS (SELECT s.seed, tf.term, "
+        "round(tf.tf * ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)), 6) AS w "
+        "FROM seeds s JOIN tf ON tf.doc_id = s.seed "
+        "JOIN df ON df.term = tf.term CROSS JOIN stats st), "
+        "q AS (SELECT seed AS query_id, term FROM ("
+        "SELECT seed, term, row_number() OVER (PARTITION BY seed "
+        f"ORDER BY w DESC, term) AS rn FROM sel) WHERE rn <= {n_terms}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term AND tf.doc_id <> q.query_id "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_MLT_TOPK = _mlt_sql(_MLT_SEEDS)
+
+
 # --------------------------------------------- rows-only (non-SQL) entries
 
 def q_minhash_neardup(sf_dir: str):
@@ -2339,6 +2419,7 @@ QUERIES = {
     "synonym_topk": q_synonym_topk,
     "bm25_page2": q_bm25_page2,
     "bm25_collapse": q_bm25_collapse,
+    "mlt_topk": q_mlt_topk,
     "claim_verdicts": q_claim_verdicts,
     "bm25_topk_fanout": q_bm25_topk_fanout,
     "bm25_append_compact": q_bm25_append_compact,
@@ -2405,6 +2486,7 @@ ORACLES = {
     "synonym_topk": SQL_SYNONYM_TOPK,
     "bm25_page2": SQL_BM25_PAGE2,
     "bm25_collapse": SQL_BM25_COLLAPSE,
+    "mlt_topk": SQL_MLT_TOPK,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,

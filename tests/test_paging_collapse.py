@@ -180,3 +180,12 @@ def test_collapse_matches_scalar_reference(index_dir, corpus, groups, queries):
         assert got.get(qid, []) == want, (qid, terms)
         srcs = [s for s, _, _ in got.get(qid, [])]
         assert len(srcs) == len(set(srcs))
+
+
+def test_mlt_excludes_seed_docs():
+    from defactonlp_ray.pipelines import queries as Q
+
+    res = Q.q_mlt_topk("/root/testdata/sf0.01")
+    assert len(res) > 0
+    assert not (res["doc_id"] == res["query_id"]).any()
+    assert set(res["query_id"]) <= set(Q._MLT_SEEDS)
