@@ -1226,6 +1226,55 @@ def _mlt_sql(seeds: list[int], n_terms: int = _MLT_TERMS, k: int = 10) -> str:
 SQL_MLT_TOPK = _mlt_sql(_MLT_SEEDS)
 
 
+def q_docs_stratified_sample(sf_dir: str):
+    """Stratified eval-slice carving: per-language deterministic hash
+    sampling (en at ~10%, everything else at 50%) — the
+    parallelism-invariant form of 'downsample the head language'."""
+    from ..stages.export import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), {"en": "19"}, default="7f"
+    )
+
+
+SQL_DOCS_STRATIFIED_SAMPLE = (
+    "SELECT doc_id, lang FROM documents "
+    "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= "
+    "CASE WHEN lang = 'en' THEN '19' ELSE '7f' END"
+)
+
+
+def q_export_shards(sf_dir: str):
+    """Training export: hash-sharded partitioned parquet with a
+    crash-safe done-marker (stages/export.py).  The returned aggregate
+    is computed by READING BACK the files on disk — the entry checks the
+    sink, not the in-flight pipeline."""
+    from ..stages.export import export_shards
+
+    out = _tmp_index_dir(sf_dir, "export")
+    export_shards(_docs(sf_dir, ["doc_id", "n_chars"]), out, n_shards=4)
+    back = ray.data.read_parquet(out, file_extensions=["parquet"])
+    agg = (
+        back.groupby("shard")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    agg["shard"] = agg["shard"].astype(np.int64)
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    agg["total_chars"] = agg["total_chars"].astype(np.int64)
+    return agg.sort_values("shard").reset_index(drop=True)
+
+
+SQL_EXPORT_SHARDS = (
+    "WITH b AS (SELECT CASE WHEN p <= '3f' THEN 0 WHEN p <= '7f' THEN 1 "
+    "WHEN p <= 'bf' THEN 2 ELSE 3 END AS shard, n_chars FROM ("
+    "SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS p, n_chars "
+    "FROM documents)) "
+    "SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM b GROUP BY shard ORDER BY shard"
+)
+
+
 # --------------------------------------------- rows-only (non-SQL) entries
 
 def q_minhash_neardup(sf_dir: str):
@@ -2420,6 +2469,8 @@ QUERIES = {
     "bm25_page2": q_bm25_page2,
     "bm25_collapse": q_bm25_collapse,
     "mlt_topk": q_mlt_topk,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "export_shards": q_export_shards,
     "claim_verdicts": q_claim_verdicts,
     "bm25_topk_fanout": q_bm25_topk_fanout,
     "bm25_append_compact": q_bm25_append_compact,
@@ -2487,6 +2538,8 @@ ORACLES = {
     "bm25_page2": SQL_BM25_PAGE2,
     "bm25_collapse": SQL_BM25_COLLAPSE,
     "mlt_topk": SQL_MLT_TOPK,
+    "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
+    "export_shards": SQL_EXPORT_SHARDS,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
