@@ -889,6 +889,17 @@ def q_bm25_topk_pfor(sf_dir: str):
     return _rerank_rounded(res, k=10)
 
 
+def q_bm25_topk_auto(sf_dir: str):
+    """Per-query TAAT/WAND planner (mode=auto): pruning-only route
+    choice on df statistics — results are identical to the exhaustive
+    scorer by construction (pytest: auto == taat), so the exact-BM25
+    SQL is the oracle."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="auto",
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
 # tf-idf query set: DrQA's CLIPPED idf zeroes terms with df > N/2, and the
 # test corpus vocabulary is mostly head terms — these queries mix the rare
 # term (positive idf), duplicates (qtf=2 exercises log1p(qtf)) and
@@ -1263,6 +1274,31 @@ def q_export_shards(sf_dir: str):
     agg["n_docs"] = agg["n_docs"].astype(np.int64)
     agg["total_chars"] = agg["total_chars"].astype(np.int64)
     return agg.sort_values("shard").reset_index(drop=True)
+
+
+def q_bm25_count(sf_dir: str):
+    """Total-hit counting (Lucene TotalHitCountCollector): per query,
+    the union size of the matched posting lists — no scoring, no heap,
+    the cheapest serving mode (drives 'about N results' UIs and
+    selectivity-based query planning)."""
+    idx = _build_docs_index(sf_dir)
+    return search(
+        idx, _query_terms_ds(_BM25_QUERIES), mode="count", concurrency=2
+    ).to_pandas().sort_values("query_id").reset_index(drop=True)
+
+
+def _count_sql(queries: list[tuple[int, list[str]]]) -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, terms in queries for t in terms)
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q) "
+        "SELECT qd.query_id, count(DISTINCT toks.doc_id) AS n_hits "
+        "FROM qd JOIN toks ON qd.term = toks.term GROUP BY qd.query_id"
+    )
+
+
+SQL_BM25_COUNT = _count_sql(_BM25_QUERIES)
 
 
 SQL_EXPORT_SHARDS = (
@@ -2471,6 +2507,8 @@ QUERIES = {
     "mlt_topk": q_mlt_topk,
     "docs_stratified_sample": q_docs_stratified_sample,
     "export_shards": q_export_shards,
+    "bm25_count": q_bm25_count,
+    "bm25_topk_auto": q_bm25_topk_auto,
     "claim_verdicts": q_claim_verdicts,
     "bm25_topk_fanout": q_bm25_topk_fanout,
     "bm25_append_compact": q_bm25_append_compact,
@@ -2540,6 +2578,8 @@ ORACLES = {
     "mlt_topk": SQL_MLT_TOPK,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "export_shards": SQL_EXPORT_SHARDS,
+    "bm25_count": SQL_BM25_COUNT,
+    "bm25_topk_auto": SQL_BM25_TOPK,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,

@@ -44,6 +44,9 @@ from .util import pool_size
 
 K1 = 1.2
 B = 0.75
+# mode="auto" switches to WAND above this absolute posting volume (see
+# SearcherActor._score_query; calibrated from the BENCH_NOTES r03 table)
+AUTO_WAND_MIN_POSTINGS = 500_000
 
 
 # ------------------------------------------------------------- index access
@@ -1284,11 +1287,29 @@ class SearcherActor:
             return score_all_lmd(self.reader, seg_ids, uniq, self._cfs,
                                  self.k, after=after)
         if self.mode == "collapse":
+            if self.group_codes is None:
+                raise ValueError(
+                    "mode='collapse' needs group_ref={'codes': ..., 'names': ...}"
+                )
             return score_all_collapse(self.reader, seg_ids, uniq, idfs,
                                       self.k, self.group_codes)
         if self.mode == "taat":
             return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k,
                                   after=after)
+        if self.mode == "auto":
+            # per-query planner (pruning-only: WAND ≡ TAAT, tested, so
+            # this is purely a cost decision).  WAND pays off when ONE
+            # list dominates the work (rare terms raise the threshold
+            # fast, the long list gets block-skipped) AND the absolute
+            # work is large enough that TAAT's dense scatter beats the
+            # sweep's fixed cost — thresholds from BENCH_NOTES.md r03
+            # (selective mix: WAND 2.4-3.2x faster at 1.4M docs, 1.7x
+            # slower at 45k docs; mixed Zipf: roughly even).
+            ds = [self._dfs.get(t, 0) for t in uniq]
+            dsum, dmax = sum(ds), max(ds, default=0)
+            if dsum >= AUTO_WAND_MIN_POSTINGS and dmax >= 4 * (dsum - dmax):
+                return score_all_wand(self.reader, seg_ids, uniq, idfs, self.k)
+            return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k)
         return score_all_wand(self.reader, seg_ids, uniq, idfs, self.k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1302,6 +1323,7 @@ class SearcherActor:
             )
         dfs = self.reader.dfs(all_terms)
         idfs = {t: self.reader.idf(t) for t in all_terms}
+        self._dfs = dfs
         self._cfs = self.reader.cfs(all_terms) if self.mode == "lmd" else {}
         present = [t for t in all_terms if dfs[t] > 0]
         for sid in self.seg_ids:
@@ -1316,7 +1338,40 @@ class SearcherActor:
             )
         else:
             afters = [None] * len(qids)
+        if self.mode == "count":
+            # total-hit counting (the Lucene TotalHitCountCollector
+            # shape): no scoring, no heap — per query, the union size of
+            # the matched posting lists minus deletes.  Queries with 0
+            # hits emit no row (the SQL-join semantics).
+            out_q, out_n = [], []
+            for qid, terms in zip(qids, terms_col):
+                parts = [
+                    arrs[0]
+                    for t in sorted(set(terms))
+                    if (arrs := self.reader.term_arrays(self.seg_ids, t))
+                    is not None
+                ]
+                if not parts:
+                    continue
+                hits = np.unique(np.concatenate(parts))
+                if self.reader.deleted.size:
+                    from .deletes import live_mask
+
+                    hits = hits[live_mask(hits, self.reader.deleted)]
+                if hits.size:
+                    out_q.append(qid)
+                    out_n.append(int(hits.size))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "n_hits": pa.array(out_n, pa.int64()),
+                }
+            )
         if self.mode == "collapse":
+            if any(a is not None for a in afters):
+                raise ValueError(
+                    "search_after cursors are supported for taat/lmd, not collapse"
+                )
             out_q, out_r, out_g, out_d, out_s = [], [], [], [], []
             for qid, terms in zip(qids, terms_col):
                 top = self._score_query(terms, idfs, self.seg_ids)

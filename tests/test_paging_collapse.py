@@ -189,3 +189,42 @@ def test_mlt_excludes_seed_docs():
     assert len(res) > 0
     assert not (res["doc_id"] == res["query_id"]).any()
     assert set(res["query_id"]) <= set(Q._MLT_SEEDS)
+
+
+def test_count_mode_matches_reference(index_dir, corpus, queries):
+    got = {
+        r["query_id"]: r["n_hits"]
+        for r in S.search(index_dir, _qds(queries), mode="count").take_all()
+    }
+    doc_terms = {d: set(tokenize(t)) for d, t in corpus.items()}
+    for qid, terms in queries:
+        want = sum(
+            1 for toks in doc_terms.values() if toks & set(terms)
+        )
+        assert got.get(qid, 0) == want, (qid, terms)
+
+
+def test_auto_equals_taat_end_to_end(index_dir, queries):
+    a = S.search(index_dir, _qds(queries), k=K, mode="auto").take_all()
+    b = S.search(index_dir, _qds(queries), k=K, mode="taat").take_all()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    assert key(a) == key(b)
+
+
+def test_auto_wand_branch_identical(index_dir, queries, monkeypatch):
+    # force the planner's WAND branch (driver-side actor instances see
+    # the patched threshold) and assert the route is still exact
+    monkeypatch.setattr(S, "AUTO_WAND_MIN_POSTINGS", 0)
+    qt = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in queries], pa.int64()),
+            "terms": pa.array(
+                [t[:1] for _, t in queries], pa.list_(pa.string())
+            ),  # single-term: dmax >= 4*(dsum-dmax) holds
+        }
+    )
+    auto = S.SearcherActor(index_dir=index_dir, k=K, mode="auto")(qt)
+    taat = S.SearcherActor(index_dir=index_dir, k=K, mode="taat")(qt)
+    assert auto.equals(taat)
