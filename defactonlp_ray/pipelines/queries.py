@@ -1276,6 +1276,91 @@ def q_export_shards(sf_dir: str):
     return agg.sort_values("shard").reset_index(drop=True)
 
 
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009 — the standard lexical+dense fusion): per
+    query, BM25 top-20 and brute-cosine top-20 fuse as
+    sum(1/(60 + rank)) over the lists a doc appears in, re-ranked by
+    (round(rrf, 6) DESC, doc_id).  Queries pair the first three BM25
+    term sets with embedding rows 0-2 as query vectors (documents and
+    embeddings are row-aligned tables).  Both legs run their normal
+    distributed paths; the fusion join touches only 2*depth rows per
+    query."""
+    idx = _build_docs_index(sf_dir)
+    lex = _rerank_rounded(
+        search(
+            idx, _query_terms_ds(_BM25_QUERIES[:3]), k=2 * _RRF_DEPTH,
+            concurrency=2,
+        ).to_pandas(),
+        k=_RRF_DEPTH,
+    )[["query_id", "doc_id", "rank"]]
+    qv = _query_vectors(sf_dir, 3)
+    dense = ann.knn_brute(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), qv,
+        k=_RRF_DEPTH,
+    )[["query_id", "vec_id", "rank"]].rename(columns={"vec_id": "doc_id"})
+    fused = lex.merge(
+        dense, on=["query_id", "doc_id"], how="outer",
+        suffixes=("_lex", "_dense"),
+    )
+    rrf = np.zeros(len(fused))
+    for col in ("rank_lex", "rank_dense"):
+        r = fused[col].to_numpy(dtype=np.float64, na_value=np.nan)
+        rrf += np.where(np.isnan(r), 0.0, 1.0 / (_RRF_K + r))
+    fused["score"] = rrf
+    return _rerank_rounded(fused, k=10)
+
+
+def _hybrid_sql(queries: list[tuple[int, list[str]]], n_q: int = 3,
+                depth: int = _RRF_DEPTH, k: int = 10) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries[:n_q] for t in terms
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "lex AS (SELECT query_id, doc_id, rank FROM ("
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM scored) "
+        f"WHERE rank <= {depth}), "
+        f"qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v "
+        f"FROM embeddings WHERE vec_id < {n_q}), "
+        "dense AS (SELECT query_id, doc_id, rank FROM ("
+        "SELECT qv.query_id, e.vec_id AS doc_id, "
+        "row_number() OVER (PARTITION BY qv.query_id ORDER BY "
+        "round(list_cosine_similarity(qv.v, e.embedding::DOUBLE[]), 6) DESC, "
+        f"e.vec_id) AS rank FROM qv CROSS JOIN embeddings e) WHERE rank <= {depth}), "
+        "fused AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id, "
+        "COALESCE(l.doc_id, d.doc_id) AS doc_id, "
+        f"COALESCE(1.0 / ({_RRF_K} + l.rank), 0) + "
+        f"COALESCE(1.0 / ({_RRF_K} + d.rank), 0) AS rrf "
+        "FROM lex l FULL OUTER JOIN dense d "
+        "ON l.query_id = d.query_id AND l.doc_id = d.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(rrf, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(rrf, 6) DESC, doc_id) AS INTEGER) AS rank FROM fused) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_HYBRID_RRF = _hybrid_sql(_BM25_QUERIES)
+
+
 def q_bm25_count(sf_dir: str):
     """Total-hit counting (Lucene TotalHitCountCollector): per query,
     the union size of the matched posting lists — no scoring, no heap,
@@ -2509,6 +2594,7 @@ QUERIES = {
     "export_shards": q_export_shards,
     "bm25_count": q_bm25_count,
     "bm25_topk_auto": q_bm25_topk_auto,
+    "hybrid_rrf": q_hybrid_rrf,
     "claim_verdicts": q_claim_verdicts,
     "bm25_topk_fanout": q_bm25_topk_fanout,
     "bm25_append_compact": q_bm25_append_compact,
@@ -2580,6 +2666,7 @@ ORACLES = {
     "export_shards": SQL_EXPORT_SHARDS,
     "bm25_count": SQL_BM25_COUNT,
     "bm25_topk_auto": SQL_BM25_TOPK,
+    "hybrid_rrf": SQL_HYBRID_RRF,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,

@@ -228,3 +228,15 @@ def test_auto_wand_branch_identical(index_dir, queries, monkeypatch):
     auto = S.SearcherActor(index_dir=index_dir, k=K, mode="auto")(qt)
     taat = S.SearcherActor(index_dir=index_dir, k=K, mode="taat")(qt)
     assert auto.equals(taat)
+
+
+def test_hybrid_rrf_fusion_properties():
+    from defactonlp_ray.pipelines import queries as Q
+
+    res = Q.q_hybrid_rrf("/root/testdata/sf0.01")
+    assert set(res["query_id"]) == {0, 1, 2}
+    # max possible fused score is rank-1 in BOTH legs: 2/61
+    assert (res["score"] <= round(2.0 / 61.0, 6)).all()
+    assert (res["score"] > 0).all()
+    for _qid, g in res.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
