@@ -78,9 +78,39 @@ def _pages_path(n: int) -> str:
     return path
 
 
+def machine_calibration() -> float:
+    """Fixed single-core probe (seeded codec encode/decode rounds, the
+    same kernels the build uses) — a host-speed denominator for
+    cross-round comparison on this shared box (r03 observed 1.0-2.5x
+    day-to-day drift in every absolute number; ratios of calib_sec
+    between two runs estimate the host-speed ratio).  First measured on
+    a NOISY late-r03 day at 2.0-2.6 s across repeats; no quiet-window
+    reference exists yet — record each round's value, compare by ratio."""
+    import numpy as np
+
+    from defactonlp_ray.stages.codec import (
+        pfor_decode, pfor_encode, varint_decode, varint_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 20, size=1 << 15).astype(np.uint64)
+    for _ in range(2):  # warm
+        varint_decode(varint_encode(vals), vals.size)
+    t0 = time.perf_counter()
+    acc = 0
+    for _ in range(20):
+        b = varint_encode(vals)
+        acc += int(varint_decode(b, vals.size)[-1])
+        p = pfor_encode(vals)
+        acc += int(pfor_decode(p)[-1])
+    assert acc
+    return time.perf_counter() - t0
+
+
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    calib_sec = machine_calibration()
 
     import ray
 
@@ -159,6 +189,7 @@ def run_bench() -> dict:
             "n_docs_indexed": n_docs,
             "build_docs_per_sec": round(n_docs / build_sec, 1),
             "query_throughput_qps": None,
+            "calib_sec": round(calib_sec, 3),
         }
 
     queries = fixtures.make_query_terms(BENCH_QUERIES)
@@ -344,6 +375,9 @@ def run_bench() -> dict:
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "query_throughput_qps": round(BENCH_QUERIES / query_sec, 1),
         "n_results": n_results,
+        # host-speed calibration (see machine_calibration): compare
+        # rounds by the RATIO of their calib_sec on this drifting box
+        "calib_sec": round(calib_sec, 3),
     }
 
 
@@ -383,6 +417,14 @@ def run_scaling() -> dict:
 
     b_lo = [r["queries"]["index_build"] for r in lo_runs]
     b_hi = [r["queries"]["index_build"] for r in hi_runs]
+    # per-run host calibration: the paired-median protocol assumes a
+    # roughly stationary window; flag the session when the single-core
+    # probe itself drifted >30% across runs (session M, BASELINE.md,
+    # was exactly this failure and had to be rejected by hand)
+    calibs = [
+        r.get("calib_sec") for r in lo_runs + hi_runs if r.get("calib_sec")
+    ]
+    stationary = bool(calibs) and max(calibs) / min(calibs) <= 1.3
     ratio = n_hi / n_lo
     eff_pairs = [(bl / bh) / ratio for bl, bh in zip(b_lo, b_hi)]
     eff_build = (med(b_lo) / med(b_hi)) / ratio
@@ -404,6 +446,8 @@ def run_scaling() -> dict:
             round(min(eff_pairs), 3), round(max(eff_pairs), 3)
         ],
         "scaling_efficiency_total": round(eff_total, 3),
+        "calib_sec_runs": [round(c, 3) for c in calibs],
+        "window_stationary": stationary,
     }
 
 
