@@ -208,7 +208,10 @@ def main(argv=None) -> int:
     s.add_argument("--claims", required=True)
     s.add_argument("--text-col", default="claim")
     s.add_argument("--k", type=int, default=10)
-    s.add_argument("--mode", default="taat", choices=["taat", "wand", "tfidf"])
+    s.add_argument(
+        "--mode", default="taat",
+        choices=["taat", "wand", "auto", "tfidf", "lmd", "count"],
+    )
     s.add_argument("--out", default=None)
     s.add_argument("--limit", type=int, default=20)
     s.add_argument("--num-cpus", type=int, default=None)

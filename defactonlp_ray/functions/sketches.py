@@ -80,3 +80,50 @@ def hll_distinct_terms(ds, text_col: str = "text", p: int = 12) -> float:
     for r in parts:
         acc.merge(HLL.from_bytes(r["sketch"]))
     return acc.estimate()
+
+
+def kmv_sample(ds, k: int = 256, id_col: str = "doc_id",
+               value_col: str = "n_chars"):
+    """Bottom-k (KMV) hash sample — the k rows with the smallest
+    (md5(id), id) keys (Bar-Yossef et al.'s k-minimum-values sketch,
+    used here as a deterministic uniform sample for quantile
+    estimation).  Mergeable by construction: the bottom-k of a union is
+    the k smallest of the per-part bottom-k's, so each batch reduces to
+    <= k rows and the driver merge touches k * n_blocks tiny rows (at
+    10^12 docs, insert one tree-combine map_batches level; nothing else
+    changes).  md5-hex keys match the DuckDB oracle's
+    ``ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT k`` exactly."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        vals = batch[value_col].to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        order = sorted(range(len(ids)), key=lambda j: (h[j], ids[j]))[:k]
+        return pa.table(
+            {
+                "h": pa.array([h[j] for j in order], pa.string()),
+                id_col: pa.array([ids[j] for j in order], pa.int64()),
+                value_col: pa.array([vals[j] for j in order]),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["h"], r[id_col]))
+    return rows[:k]
+
+
+def kmv_quantiles(ds, quantiles=(0.5, 0.95), k: int = 256,
+                  id_col: str = "doc_id", value_col: str = "n_chars"):
+    """Approximate quantiles from the KMV sample with the repo's pinned
+    discrete rule: sorted_sample[floor(q * (n-1))] (identical to
+    q_events_quantiles' definition, so the SQL oracle shares it)."""
+    sample = kmv_sample(ds, k=k, id_col=id_col, value_col=value_col)
+    v = np.sort(np.array([r[value_col] for r in sample], dtype=np.float64))
+    n = v.size
+    out = {"n": int(n)}
+    for q in quantiles:
+        out[f"p{int(q * 100)}"] = round(float(v[int(np.floor(q * (n - 1)))]), 6)
+    return out

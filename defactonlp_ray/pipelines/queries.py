@@ -1276,6 +1276,37 @@ def q_export_shards(sf_dir: str):
     return agg.sort_values("shard").reset_index(drop=True)
 
 
+def q_kmv_quantiles(sf_dir: str):
+    """Mergeable KMV (bottom-k) hash sample -> approximate p50/p95 of
+    n_chars with the pinned discrete quantile rule — the sketch-based
+    route for percentile monitoring over corpora where an exact
+    per-group sort is not worth a shuffle."""
+    from ..functions.sketches import kmv_quantiles
+
+    out = kmv_quantiles(_docs(sf_dir, ["doc_id", "n_chars"]), k=256)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([out["n"]], dtype=np.int64),
+            "p50": pd.Series([out["p50"]], dtype=np.float64),
+            "p95": pd.Series([out["p95"]], dtype=np.float64),
+        }
+    )
+
+
+SQL_KMV_QUANTILES = (
+    "WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS value FROM ("
+    "SELECT md5(CAST(doc_id AS VARCHAR)) AS h, doc_id, n_chars "
+    "FROM documents ORDER BY h, doc_id LIMIT 256)), "
+    "r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn, "
+    "count(*) OVER () AS n FROM s) "
+    "SELECT CAST(max(n) AS BIGINT) AS n, "
+    "round(max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 "
+    "THEN value END), 6) AS p50, "
+    "round(max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 "
+    "THEN value END), 6) AS p95 FROM r"
+)
+
+
 _RRF_K = 60
 _RRF_DEPTH = 20
 
@@ -2595,6 +2626,7 @@ QUERIES = {
     "bm25_count": q_bm25_count,
     "bm25_topk_auto": q_bm25_topk_auto,
     "hybrid_rrf": q_hybrid_rrf,
+    "kmv_quantiles": q_kmv_quantiles,
     "claim_verdicts": q_claim_verdicts,
     "bm25_topk_fanout": q_bm25_topk_fanout,
     "bm25_append_compact": q_bm25_append_compact,
@@ -2667,6 +2699,7 @@ ORACLES = {
     "bm25_count": SQL_BM25_COUNT,
     "bm25_topk_auto": SQL_BM25_TOPK,
     "hybrid_rrf": SQL_HYBRID_RRF,
+    "kmv_quantiles": SQL_KMV_QUANTILES,
     "langid_predictions": SQL_LANGID_PREDICTIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,

@@ -83,3 +83,23 @@ def test_stratified_sample_rates():
     # determinism
     again = E.stratified_sample(ds, {"en": "19"}, default="7f").to_pandas()
     assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_kmv_sample_partition_invariant_and_quantiles():
+    from defactonlp_ray.functions.sketches import kmv_quantiles, kmv_sample
+
+    n = 3000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "n_chars": pa.array([(i * 37) % 1000 for i in range(n)], pa.int64()),
+        }
+    )
+    a = kmv_sample(ray.data.from_arrow(tbl).repartition(1), k=128)
+    b = kmv_sample(ray.data.from_arrow(tbl).repartition(11), k=128)
+    assert a == b  # merge-lossless: bottom-k invariant to partitioning
+    assert len(a) == 128
+    # hash sample approximates uniform: p50 of (i*37)%1000 is ~500
+    q = kmv_quantiles(ray.data.from_arrow(tbl), k=512)
+    assert abs(q["p50"] - 500) < 120
+    assert q["p95"] > q["p50"]
