@@ -229,6 +229,104 @@ SQL_COLLECTION_STATS = (
 )
 
 
+# ------------------------------------------- G8 term co-occurrence + PMI
+
+def q_cooccur_pmi(sf_dir: str):
+    """Top-20 co-occurring term pairs by document co-occurrence count,
+    with pointwise mutual information ``ln(n_ab * N / (df_a * df_b))``.
+
+    Scale shape: per-batch pair partials are pre-aggregated with ONE
+    Arrow ``group_by`` before the keyed shuffle (the combiner pattern —
+    a doc's O(L^2) pair rows collapse to distinct pairs per batch); the
+    global count is a vectorized ``Sum`` groupby on the pair key; the
+    top-20 is a distributed sort+limit (pair space never lands on the
+    driver); PMI attaches AFTER the cut, so only the 20 winners ever
+    need df lookups (a filtered read of the term-stats aggregate, not a
+    vocab broadcast).  At web scale the known refinement is a df-ceiling
+    filter before pairing (stopword pairs dominate counts); kept
+    unfiltered here because the oracle must see the same universe.
+    """
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "n_p": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        srt = tf.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+        terms = srt["term"].to_numpy(zero_copy_only=False)
+        dids = srt["doc_id"].to_numpy()
+        if dids.size == 0:
+            return empty
+        bounds = np.flatnonzero(np.r_[True, dids[1:] != dids[:-1], True])
+        parts_a, parts_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n_t = e - s
+            if n_t < 2:
+                continue
+            ia, ib = np.triu_indices(n_t, k=1)
+            parts_a.append(terms[s + ia])
+            parts_b.append(terms[s + ib])
+        if not parts_a:
+            return empty
+        t = pa.table({
+            "term_a": pa.array(np.concatenate(parts_a)),
+            "term_b": pa.array(np.concatenate(parts_b)),
+        })
+        agg = t.group_by(["term_a", "term_b"]).aggregate([("term_a", "count")])
+        agg = agg.rename_columns(["term_a", "term_b", "n_p"])
+        return agg.set_column(2, "n_p", pc.cast(agg["n_p"], pa.int64()))
+
+    top = (
+        docs.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n_p", alias_name="n_ab"))
+        .sort(["n_ab", "term_a", "term_b"], descending=[True, False, False])
+        .limit(20)
+        .to_pandas()
+    )
+    need = pa.array(sorted(set(top["term_a"]) | set(top["term_b"])), pa.string())
+    dfs = (
+        q_term_stats(sf_dir)
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["term"], value_set=need)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["term", "df"])
+        .to_pandas()
+    )
+    dmap = dict(zip(dfs["term"], dfs["df"]))
+    da = top["term_a"].map(dmap).to_numpy(dtype=np.float64)
+    db = top["term_b"].map(dmap).to_numpy(dtype=np.float64)
+    top["pmi"] = np.round(
+        np.log(top["n_ab"].to_numpy(dtype=np.float64) * n_docs / (da * db)), 6
+    )
+    return top[["term_a", "term_b", "n_ab", "pmi"]]
+
+
+SQL_COOCCUR_PMI = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dt AS (SELECT DISTINCT doc_id, term FROM toks), "
+    "df AS (SELECT term, count(*) AS df FROM dt GROUP BY term), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "pairs AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab "
+    "FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term "
+    "GROUP BY 1, 2), "
+    "top AS (SELECT term_a, term_b, n_ab FROM pairs "
+    "ORDER BY n_ab DESC, term_a, term_b LIMIT 20) "
+    "SELECT t.term_a, t.term_b, t.n_ab, "
+    "round(ln(t.n_ab::DOUBLE * n.n_docs / (da.df * db.df)), 6) AS pmi "
+    "FROM top t JOIN df da ON da.term = t.term_a "
+    "JOIN df db ON db.term = t.term_b CROSS JOIN n "
+    "ORDER BY t.n_ab DESC, t.term_a, t.term_b"
+)
+
+
 # ----------------------------------------------------------- D1 exact dedup
 
 def q_dedup_docs(sf_dir: str):
@@ -1461,6 +1559,38 @@ SQL_MINHASH_NEARDUP = (
 )
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Near-dup CLUSTER assignment: verified MinHash pairs -> distributed
+    connected components (stages/dedup.connected_components — BSP
+    min-label propagation, one hash join + one Min groupby per round,
+    Sum-fixpoint convergence test).  Output (doc_id, cluster_id) with
+    cluster_id = min doc_id in the component.  The DuckDB oracle walks
+    the TRUE all-pairs Jaccard graph with a recursive CTE — independent
+    of both the LSH candidates and the propagation code."""
+    return dedup.neardup_clusters(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.8
+    ).sort("doc_id")
+
+
+SQL_NEARDUP_CLUSTERS = (
+    "WITH RECURSIVE " + _SHINGLE_SQL[5:] + ", "
+    "p AS (SELECT id_a, id_b FROM ("
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(len(list_intersect(a.s, b.s))::DOUBLE / "
+    "len(list_distinct(a.s || b.s)), 6) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE len(a.s) > 0 AND len(b.s) > 0) WHERE jaccard >= 0.8), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "UNION ALL SELECT id_b, id_a FROM p), "
+    "walk(node, label) AS ("
+    "SELECT src, src FROM edges "
+    "UNION "
+    "SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node) "
+    "SELECT node AS doc_id, min(label) AS cluster_id FROM walk "
+    "GROUP BY node ORDER BY doc_id"
+)
+
+
 def q_ngram_jaccard_neardup(sf_dir: str):
     """Exact n-gram (3-token-shingle) Jaccard near-dup: permissive LSH
     candidates, then exact shingle-set verification (candidates-then-
@@ -2384,6 +2514,43 @@ SQL_REGEX_TOPK = _expansion_sql(
 )
 
 
+# --------------------------------------- prefix autocomplete (suggester)
+
+_SUGGEST_PREFIXES: list[tuple[int, str]] = [
+    (0, "s"),    # scan small slow sort spark stream ... (cap exercised)
+    (1, "c"),    # customer column
+    (2, "qu"),   # query
+    (3, "b"),    # batch big
+    (4, "zz"),   # no completion -> absent from output
+]
+
+
+def q_term_autocomplete(sf_dir: str):
+    """Autocomplete/search-suggest (stages/expand.suggest_prefix): each
+    prefix ranks its dictionary completions by collection frequency
+    (cf DESC, term ASC), top-5.  The dictionary streams through a
+    vectorized ``starts_with`` matcher with per-batch top-k combiners —
+    the suggestion path never materializes the vocabulary."""
+    from ..stages.expand import suggest_prefix
+
+    idx = _build_docs_index(sf_dir)
+    return suggest_prefix(idx, _SUGGEST_PREFIXES, k=5)
+
+
+SQL_TERM_AUTOCOMPLETE = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+    "p(query_id, prefix) AS (VALUES "
+    + ", ".join(f"({qid}, '{pre}')" for qid, pre in _SUGGEST_PREFIXES)
+    + ") "
+    "SELECT query_id, rank, term, cf FROM ("
+    "SELECT p.query_id, CAST(row_number() OVER (PARTITION BY p.query_id "
+    "ORDER BY cf.cf DESC, cf.term) AS INTEGER) AS rank, cf.term, cf.cf "
+    "FROM p JOIN cf ON starts_with(cf.term, p.prefix)) "
+    "WHERE rank <= 5 ORDER BY query_id, rank"
+)
+
+
 # ------------------------------ faceted counts over retrieval results
 
 
@@ -2603,6 +2770,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "bm25_topk": q_bm25_topk,
     "minhash_neardup": q_minhash_neardup,
+    "neardup_clusters": q_neardup_clusters,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "simhash_neardup": q_simhash_neardup,
     "url_dedup": q_url_dedup,
@@ -2638,6 +2806,8 @@ QUERIES = {
     "wildcard_topk": q_wildcard_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "regex_topk": q_regex_topk,
+    "term_autocomplete": q_term_autocomplete,
+    "cooccur_pmi": q_cooccur_pmi,
     "bm25f_topk": q_bm25f_topk,
     "bm25_facets": q_bm25_facets,
     "bm25_delete_topk": q_bm25_delete_topk,
@@ -2684,6 +2854,8 @@ ORACLES = {
     "wildcard_topk": SQL_WILDCARD_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
     "regex_topk": SQL_REGEX_TOPK,
+    "term_autocomplete": SQL_TERM_AUTOCOMPLETE,
+    "cooccur_pmi": SQL_COOCCUR_PMI,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
     "bm25_delete_topk": SQL_BM25_DELETE_TOPK,
@@ -2705,6 +2877,7 @@ ORACLES = {
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "video_frames": SQL_VIDEO_FRAMES,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "ngram_jaccard_neardup": SQL_NGRAM_JACCARD_NEARDUP,
     "url_dedup": SQL_URL_DEDUP,
     "sentence_topn": SQL_SENTENCE_TOPN,

@@ -49,6 +49,7 @@ __all__ = [
     "expand_wildcard",
     "expand_fuzzy",
     "expand_regex",
+    "suggest_prefix",
     "wildcard_search",
     "fuzzy_search",
     "regex_search",
@@ -239,6 +240,103 @@ def expand_regex(index_dir: str, patterns: list[tuple[int, str]],
     """qid -> dictionary terms fully matching the RE2 regex (anchored at
     both ends, Lucene RegexpQuery semantics)."""
     return _expand(index_dir, patterns, "regex", max_expansions)
+
+
+class _SuggestMatcher:
+    """``map_batches`` task over the (term, cf) dictionary stream: for
+    each prefix emit the batch-local top-``k`` completions by
+    ``(cf DESC, term ASC)`` — a per-batch combiner, so at most
+    ``k × len(prefixes)`` rows per batch reach the driver merge no
+    matter how large the dictionary is."""
+
+    def __init__(self, prefixes: list[tuple[int, str]], k: int):
+        self.prefixes = prefixes
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        if batch.num_rows:
+            for qid, prefix in self.prefixes:
+                mask = pc.starts_with(batch["term"], prefix)
+                t = pc.filter(batch["term"], mask)
+                if len(t) == 0:
+                    continue
+                c = pc.filter(batch["cf"], mask).to_numpy(zero_copy_only=False)
+                if len(t) > self.k:
+                    # partial top-k: lexsort on (-cf, term) and slice
+                    tn = t.to_numpy(zero_copy_only=False)
+                    order = np.lexsort((tn, -c))[: self.k]
+                    idx = pa.array(order, pa.int64())
+                    t = pc.take(t, idx)
+                    c = c[order]
+                out.append(pa.table({
+                    "query_id": pa.array(np.full(len(t), qid, np.int64)),
+                    "term": t.combine_chunks()
+                    if isinstance(t, pa.ChunkedArray) else t,
+                    "cf": pa.array(c.astype(np.int64)),
+                }))
+        if not out:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "cf": pa.array([], pa.int64()),
+            })
+        return pa.concat_tables(out)
+
+
+def suggest_prefix(
+    index_dir: str,
+    prefixes: list[tuple[int, str]],
+    *,
+    k: int = 5,
+) -> "pd.DataFrame":
+    """Autocomplete / search-suggest: ``(query_id, prefix)`` -> the top-``k``
+    dictionary completions ranked by collection frequency
+    ``(cf DESC, term ASC)``, as ``(query_id, rank, term, cf)``.
+
+    Same shape as the other expansion ops: the index's global term
+    dictionary STREAMS through a vectorized ``starts_with`` matcher with
+    a per-batch top-k combiner; only O(k × prefixes × batches) partial
+    winners reach the driver, which merges them with one final sort.  A
+    prefix-range pushdown (dictionary parquet is written term-sorted, so
+    ``term >= p AND term < p+\\xff`` prunes row groups) is the documented
+    upgrade when the dictionary scan itself becomes the bottleneck.
+    """
+    import pandas as pd
+
+    if not prefixes:
+        return pd.DataFrame({
+            "query_id": pd.array([], dtype=np.int64),
+            "rank": pd.array([], dtype=np.int32),
+            "term": pd.array([], dtype=object),
+            "cf": pd.array([], dtype=np.int64),
+        })
+    parts = (
+        ray.data.read_parquet(_term_df_path(index_dir), columns=["term", "cf"])
+        .map_batches(
+            _SuggestMatcher(prefixes, k),
+            batch_format="pyarrow",
+            batch_size=64 * 1024,
+        )
+        .to_pandas()
+    )
+    out = []
+    for qid, _prefix in prefixes:
+        g = parts[parts["query_id"] == qid] if len(parts) else parts
+        if len(g) == 0:
+            continue
+        g = g.sort_values(["cf", "term"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g[["query_id", "rank", "term", "cf"]])
+    if not out:
+        return pd.DataFrame({
+            "query_id": pd.array([], dtype=np.int64),
+            "rank": pd.array([], dtype=np.int32),
+            "term": pd.array([], dtype=object),
+            "cf": pd.array([], dtype=np.int64),
+        })
+    return pd.concat(out, ignore_index=True)
 
 
 def _search_expanded(index_dir: str, expansions: dict[int, list[str]],

@@ -500,3 +500,64 @@ def test_lsh_and_ivf_builders_tolerate_empty_blocks(tmp_path):
         str(tmp_path / "lsh"), vecs[:1], k=2, n_bits=2, n_tables=2
     )
     assert set(res["vec_id"]) <= {0, 1}
+
+
+# --------------------------- connected components (near-dup clusters)
+
+def _cc_pandas(pairs):
+    from defactonlp_ray.stages.dedup import connected_components
+
+    tbl = pa.table({
+        "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+        "id_b": pa.array([b for _, b in pairs], pa.int64()),
+    })
+    out = connected_components(ray.data.from_arrow(tbl)).to_pandas()
+    if len(out) == 0:  # Ray renders an all-empty Dataset as a 0x0 frame
+        return {}
+    return dict(zip(out["node"], out["label"]))
+
+
+def test_connected_components_chain_and_islands():
+    # a 6-node chain (diameter 5 -> exercises multiple BSP rounds), a
+    # triangle, and an isolated pair; labels = min id per component
+    pairs = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+             (20, 21), (21, 22), (20, 22),
+             (30, 31)]
+    got = _cc_pandas(pairs)
+    assert got == {
+        **{n: 10 for n in range(10, 16)},
+        **{n: 20 for n in range(20, 23)},
+        30: 30, 31: 30,
+    }
+
+
+def test_connected_components_merge_through_bridge():
+    # two clusters that a single late edge merges: propagation must cross
+    # the bridge in both directions
+    pairs = [(1, 2), (3, 4), (2, 3)]
+    got = _cc_pandas(pairs)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_connected_components_empty_pairs():
+    got = _cc_pandas([])
+    assert got == {}
+
+
+def test_suggest_prefix_cap_and_miss(tmp_path):
+    from defactonlp_ray.stages.expand import suggest_prefix
+    from defactonlp_ray.stages.index_build import build_index
+
+    texts = ["alpha alpha alpha beta", "alpine beta beta", "gamma alpha"]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl), idx, seg_docs=2)
+    out = suggest_prefix(idx, [(0, "al"), (1, "b"), (2, "zz")], k=1)
+    # cf: alpha=4, alpine=1, beta=3 -> "al" caps to alpha; "zz" absent
+    assert list(out["query_id"]) == [0, 1]
+    assert list(out["term"]) == ["alpha", "beta"]
+    assert list(out["cf"]) == [4, 3]
+    assert list(out["rank"]) == [1, 1]
