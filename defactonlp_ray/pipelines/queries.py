@@ -327,6 +327,91 @@ SQL_COOCCUR_PMI = (
 )
 
 
+# ------------------------------------------- link-graph PageRank (BSP)
+
+# derived deterministic web graph over documents: doc i links to
+# (a*i + b) mod N for each coefficient pair (self-links dropped,
+# multi-edges deduped) — same derive-from-documents trick as the crawl
+# table, so the oracle can rebuild the identical graph in SQL
+_PR_COEFFS = ((7, 1), (13, 2), (31, 5))
+_PR_DAMPING = 0.85
+_PR_ITERS = 10
+
+
+def q_link_pagerank(sf_dir: str):
+    """Fixed-iteration distributed PageRank (stages/linkgraph.pagerank —
+    per round ONE rank-shipping hash join + a vectorized Sum groupby,
+    in-link-less nodes kept alive by a zero-contribution union instead
+    of an outer join) over the derived deterministic link graph.  The
+    oracle unrolls the same 10 iterations as chained SQL CTEs."""
+    from ..stages.linkgraph import pagerank
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        srcs, dsts = [], []
+        for a, b in _PR_COEFFS:
+            d = (did * a + b) % n
+            keep = d != did
+            srcs.append(did[keep])
+            dsts.append(d[keep])
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        # every edge of src i is generated in i's row, so per-batch pair
+        # dedup IS global dedup
+        _, idx = np.unique(src * np.int64(n) + dst, return_index=True)
+        return pa.table({
+            "src": pa.array(src[idx], pa.int64()),
+            "dst": pa.array(dst[idx], pa.int64()),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    nodes = docs.rename_columns({"doc_id": "node"})
+    ranks = pagerank(
+        edges, nodes, damping=_PR_DAMPING, iters=_PR_ITERS
+    ).to_pandas()
+    ranks["rank"] = np.round(ranks["rank"], 6)
+    ranks = ranks.rename(columns={"node": "doc_id"})
+    return ranks.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "rank"]
+    ]
+
+
+def _pagerank_sql() -> str:
+    nsel = "(SELECT n FROM nn)"
+    e_parts = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{a}+{b}) % {nsel} AS dst FROM documents"
+        for a, b in _PR_COEFFS
+    )
+    parts = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        f"e0 AS ({e_parts})",
+        "edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT node, 1.0/{nsel} AS r FROM nodes)",
+    ]
+    base = f"{1.0 - _PR_DAMPING}/{nsel}"
+    for i in range(_PR_ITERS):
+        parts.append(
+            f"pr{i + 1} AS (SELECT n.node, {base} + {_PR_DAMPING}*"
+            "COALESCE(s.c, 0) AS r FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst, sum(p.r / d.outdeg) AS c FROM pr{i} p "
+            "JOIN edges e ON e.src = p.node JOIN deg d ON d.src = e.src "
+            "GROUP BY e.dst) s ON s.dst = n.node)"
+        )
+    return (
+        "WITH " + ", ".join(parts) +
+        f" SELECT node AS doc_id, round(r, 6) AS rank FROM pr{_PR_ITERS} "
+        "ORDER BY doc_id"
+    )
+
+
+SQL_LINK_PAGERANK = _pagerank_sql()
+
+
 # ----------------------------------------------------------- D1 exact dedup
 
 def q_dedup_docs(sf_dir: str):
@@ -2808,6 +2893,7 @@ QUERIES = {
     "regex_topk": q_regex_topk,
     "term_autocomplete": q_term_autocomplete,
     "cooccur_pmi": q_cooccur_pmi,
+    "link_pagerank": q_link_pagerank,
     "bm25f_topk": q_bm25f_topk,
     "bm25_facets": q_bm25_facets,
     "bm25_delete_topk": q_bm25_delete_topk,
@@ -2856,6 +2942,7 @@ ORACLES = {
     "regex_topk": SQL_REGEX_TOPK,
     "term_autocomplete": SQL_TERM_AUTOCOMPLETE,
     "cooccur_pmi": SQL_COOCCUR_PMI,
+    "link_pagerank": SQL_LINK_PAGERANK,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
     "bm25_delete_topk": SQL_BM25_DELETE_TOPK,
