@@ -2599,6 +2599,131 @@ SQL_REGEX_TOPK = _expansion_sql(
 )
 
 
+# --------------------------------------------- nDCG@10 retrieval quality
+
+def q_retrieval_ndcg(sf_dir: str):
+    """Graded retrieval-quality metric: nDCG@10 per query of the BM25
+    top-10 against binary relevance "doc contains EVERY query term".
+
+    Scale shape: relevance marks stream over the corpus (vectorized
+    per-batch tf-table membership — never a corpus collect); the
+    per-query relevant-doc totals (IDCG input) come from a keyed Count
+    aggregate; only the rel∩top10 intersection (bounded by k×queries)
+    and the per-query scalars land on the driver.
+    """
+    k = 10
+    topk = q_bm25_topk(sf_dir)  # (query_id, rank, doc_id, score), rank<=10
+    q_sets = [(qid, set(ts)) for qid, ts in _BM25_QUERIES]
+
+    def rel_rows(batch: pa.Table) -> pa.Table:
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        tdf = tf.to_pandas()
+        qs, ds_ = [], []
+        for qid, terms in q_sets:
+            sub = tdf[tdf["term"].isin(terms)]
+            if not len(sub):
+                continue
+            cnt = sub.groupby("doc_id")["term"].nunique()
+            hit = cnt.index[cnt == len(terms)].to_numpy()
+            qs.append(np.full(hit.size, qid, np.int64))
+            ds_.append(hit.astype(np.int64))
+        if not qs:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs)),
+            "doc_id": pa.array(np.concatenate(ds_)),
+        })
+
+    rel = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rel_rows, batch_format="pyarrow"
+    ).materialize()
+    n_rel = {
+        int(r["query_id"]): int(r["n"])
+        for r in rel.groupby("query_id").aggregate(Count(alias_name="n")).take_all()
+    }
+    # rel ∩ top-10: broadcast the (tiny) retrieved pair set, filter the
+    # rel stream — bounded by k × n_queries rows
+    pair_keys = pa.array(
+        (topk["query_id"].to_numpy() * (1 << 40) + topk["doc_id"].to_numpy()
+         ).astype(np.int64)
+    )
+
+    def hit_filter(batch: pa.Table) -> pa.Table:
+        key = pc.add(
+            pc.multiply(batch["query_id"], pa.scalar(1 << 40, pa.int64())),
+            batch["doc_id"],
+        )
+        return batch.filter(pc.is_in(key, value_set=pair_keys))
+
+    hits = rel.map_batches(hit_filter, batch_format="pyarrow").to_pandas()
+    hit_set = set(zip(hits["query_id"], hits["doc_id"])) if len(hits) else set()
+
+    out_q, out_n = [], []
+    for qid, _terms in _BM25_QUERIES:
+        g = topk[topk["query_id"] == qid]
+        rel_mask = np.array(
+            [(qid, d) in hit_set for d in g["doc_id"]], dtype=bool
+        )
+        dcg = float(np.sum(1.0 / np.log2(g["rank"].to_numpy()[rel_mask] + 1.0)))
+        nr = min(n_rel.get(qid, 0), k)
+        idcg = float(np.sum(1.0 / np.log2(np.arange(1, nr + 1) + 1.0)))
+        out_q.append(qid)
+        out_n.append(round(dcg / idcg, 6) if idcg > 0 else 0.0)
+    return pd.DataFrame({"query_id": out_q, "ndcg": out_n})
+
+
+def _ndcg_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "topk AS (SELECT query_id, doc_id, rank FROM ("
+        "SELECT query_id, doc_id, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) "
+        f"AS INTEGER) AS rank FROM scored) WHERE rank <= {k}), "
+        "qt AS (SELECT query_id, count(DISTINCT term) AS nt FROM q "
+        "GROUP BY query_id), "
+        "relc AS (SELECT q.query_id, tf.doc_id, "
+        "count(DISTINCT tf.term) AS c FROM q JOIN tf ON tf.term = q.term "
+        "GROUP BY q.query_id, tf.doc_id), "
+        "rel AS (SELECT relc.query_id, relc.doc_id FROM relc "
+        "JOIN qt ON qt.query_id = relc.query_id AND relc.c = qt.nt), "
+        "dcg AS (SELECT t.query_id, "
+        "COALESCE(sum(CASE WHEN r.doc_id IS NOT NULL "
+        "THEN 1.0 / log2(t.rank + 1) END), 0) AS dcg FROM topk t "
+        "LEFT JOIN rel r ON r.query_id = t.query_id "
+        "AND r.doc_id = t.doc_id GROUP BY t.query_id), "
+        "nrel AS (SELECT query_id, count(*) AS n FROM rel GROUP BY query_id), "
+        f"idcg AS (SELECT nrel.query_id, sum(1.0 / log2(g.x + 1)) AS idcg "
+        f"FROM nrel JOIN range(1, {k} + 1) g(x) "
+        f"ON g.x <= least(nrel.n, {k}) GROUP BY nrel.query_id) "
+        "SELECT qq.query_id, round(COALESCE(d.dcg / i.idcg, 0), 6) AS ndcg "
+        "FROM (SELECT DISTINCT query_id FROM q) qq "
+        "LEFT JOIN dcg d ON d.query_id = qq.query_id "
+        "LEFT JOIN idcg i ON i.query_id = qq.query_id "
+        "ORDER BY qq.query_id"
+    )
+
+
+SQL_RETRIEVAL_NDCG = _ndcg_sql(_BM25_QUERIES)
+
+
 # --------------------------------------- prefix autocomplete (suggester)
 
 _SUGGEST_PREFIXES: list[tuple[int, str]] = [
@@ -2894,6 +3019,7 @@ QUERIES = {
     "term_autocomplete": q_term_autocomplete,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
+    "retrieval_ndcg": q_retrieval_ndcg,
     "bm25f_topk": q_bm25f_topk,
     "bm25_facets": q_bm25_facets,
     "bm25_delete_topk": q_bm25_delete_topk,
@@ -2943,6 +3069,7 @@ ORACLES = {
     "term_autocomplete": SQL_TERM_AUTOCOMPLETE,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
+    "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
     "bm25_delete_topk": SQL_BM25_DELETE_TOPK,

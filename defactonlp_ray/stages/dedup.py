@@ -967,7 +967,12 @@ def connected_components(
     labels only ever decrease, so the global ``Sum(label)`` is strictly
     decreasing until fixpoint — when one round leaves the sum unchanged,
     no label moved and the labeling is final (two scalar aggregates per
-    round, no extra join).
+    round, no extra join).  The sum wraps mod 2^64 once
+    ``n_nodes × max_id`` exceeds int64, so the check can falsely report
+    a fixpoint ONLY if a round's total label decrease is an exact
+    nonzero multiple of 2^64; deployments that cannot accept that
+    (astronomically unlikely) miss should swap in an old⋈new
+    changed-count join per round.
     """
     import ray as _ray
     from ray.data.aggregate import Min, Sum
