@@ -943,25 +943,163 @@ def embedding_neardup_lsh(
 
 # --------------------------------------------- near-dup cluster assignment
 
+def _cc_star_contract(
+    sym_edges: "ray.data.Dataset", nparts: int, max_rounds: int
+) -> "ray.data.Dataset":
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14) of a symmetric (src, dst) edge set -> the SYMMETRIC edge
+    set of the fixpoint star graph (every edge connects a node to its
+    component minimum).  O(log n) rounds; every pass is a vectorized
+    groupby-Min + hash join + canonical-pair dedup — no per-node Python,
+    nothing on the driver but two scalar aggregates per round.
+
+    Fixpoint detection: per-round (edge count, Sum of a 64-bit pair
+    hash) — both unchanged across a full large+small round means the
+    multiset of edges is unchanged (up to a 2^64-sum hash collision,
+    the same astronomically-unlikely trade the minlabel Sum check
+    documents).
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    def canon(batch: pa.Table, x: str, y: str) -> pa.Table:
+        a = batch[x]
+        b = batch[y]
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        t = pa.table({"a": lo, "b": hi})
+        return t.filter(pc.not_equal(t["a"], t["b"]))
+
+    # canonical deduped (a < b) view of the input
+    E = (
+        sym_edges.map_batches(
+            lambda t: canon(t, "src", "dst"), batch_format="pyarrow"
+        )
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+        .materialize()
+    )
+    if E.count() == 0:  # all input edges were self-loops
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+        }))
+
+    def fingerprint(e: "ray.data.Dataset") -> tuple[int, int]:
+        def h(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy().astype(np.uint64)
+            b = batch["b"].to_numpy().astype(np.uint64)
+            hv = splitmix64(splitmix64(a) ^ b).astype(np.int64)
+            return pa.table({"h": pa.array(hv)})
+
+        agg = e.map_batches(h, batch_format="pyarrow").aggregate(
+            Sum("h", alias_name="s"), Count(alias_name="n")
+        )
+        return int(agg["n"]), int(agg["s"])
+
+    def node_min(e: "ray.data.Dataset", key: str, other: str) -> "ray.data.Dataset":
+        m = e.groupby(key).aggregate(Min(other, alias_name="__m"))
+        return m.rename_columns({key: "__node"})
+
+    def large_star(e: "ray.data.Dataset") -> "ray.data.Dataset":
+        # min over the FULL neighborhood of the smaller endpoint
+        sym = e.map_batches(
+            lambda t: pa.table({
+                "u": pa.concat_arrays([
+                    t["a"].combine_chunks(), t["b"].combine_chunks()]),
+                "v": pa.concat_arrays([
+                    t["b"].combine_chunks(), t["a"].combine_chunks()]),
+            }),
+            batch_format="pyarrow",
+        )
+        mins = node_min(sym, "u", "v")
+        j = e.join(mins, "inner", num_partitions=nparts,
+                   on=("a",), right_on=("__node",))
+
+        def emit(batch: pa.Table) -> pa.Table:
+            # m_a = min(Gamma(a) u {a}); edge (a,b) -> (b, m_a)
+            m = pc.min_element_wise(batch["__m"], batch["a"])
+            return canon(pa.table({"x": batch["b"], "y": m}), "x", "y")
+
+        # duplicates are NOT deduped here: the small-star that always
+        # follows dedups at its end, and Min-based rewiring is
+        # duplicate-insensitive — saves one keyed shuffle per round
+        return j.map_batches(emit, batch_format="pyarrow")
+
+    def small_star(e: "ray.data.Dataset") -> "ray.data.Dataset":
+        # per larger endpoint b: m_b = min smaller neighbor; edges
+        # (v, m_b) for the other smaller neighbors + (m_b, b)
+        mins = node_min(e, "b", "a")  # (__node=b, __m)
+        j = e.join(mins, "inner", num_partitions=nparts,
+                   on=("b",), right_on=("__node",))
+
+        def emit(batch: pa.Table) -> pa.Table:
+            return canon(
+                pa.table({"x": batch["a"], "y": batch["__m"]}), "x", "y"
+            )
+
+        rewired = j.map_batches(emit, batch_format="pyarrow")
+        root_edges = mins.map_batches(
+            lambda t: pa.table({"a": t["__m"], "b": t["__node"]}),
+            batch_format="pyarrow",
+        )
+        return (
+            rewired.union(root_edges)
+            .groupby(["a", "b"])
+            .aggregate(Count(alias_name="__n"))
+            .drop_columns(["__n"])
+        )
+
+    prev = fingerprint(E)
+    for _round in range(max_rounds):
+        E = small_star(large_star(E)).materialize()
+        cur = fingerprint(E)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    return E.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t["a"].combine_chunks(), t["b"].combine_chunks()]),
+            "dst": pa.concat_arrays([
+                t["b"].combine_chunks(), t["a"].combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+
 def connected_components(
     pairs: "ray.data.Dataset",
     *,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_rounds: int = 50,
+    method: str = "minlabel",
 ) -> "ray.data.Dataset":
     """Connected components over an undirected edge list -> one row per
     node: ``(node, cluster_id)`` with ``cluster_id`` = min node id in the
     component (the canonical representative).
 
-    Distributed min-label propagation (BSP): labels start at
-    ``min(node, min neighbor)``; each round ships every node's current
-    label to its neighbors through ONE hash join on the node key, then a
-    vectorized ``Min`` groupby re-labels.  Converges in O(diameter)
-    rounds — near-dup graphs are unions of tiny dense clusters (diameter
-    1-2 after LSH banding), so 2-3 rounds in practice; the alternating
-    large-star/small-star contraction (Kiveris et al., SoCC'14) is the
-    documented upgrade if components with large diameters ever appear.
+    Two methods, identical output (pytest-asserted equal):
+
+    * ``minlabel`` (default) — BSP min-label propagation: labels start
+      at ``min(node, min neighbor)``; each round ships every node's
+      current label to its neighbors through ONE hash join on the node
+      key, then a vectorized ``Min`` groupby re-labels.  Converges in
+      O(diameter) rounds — near-dup graphs are unions of tiny dense
+      clusters (diameter 1-2 after LSH banding), so 2-3 rounds in
+      practice.
+    * ``star`` — alternating large-star/small-star edge contraction
+      (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+      SoCC'14): O(log n) rounds regardless of diameter, each round two
+      vectorized groupby-Min + join passes that REWRITE the edge set
+      toward stars rooted at component minima.  The scale choice when
+      components with large diameters can appear (e.g. chains of
+      pairwise near-dups).
 
     Convergence is detected WITHOUT comparing label tables: per-node
     labels only ever decrease, so the global ``Sum(label)`` is strictly
@@ -977,6 +1115,8 @@ def connected_components(
     import ray as _ray
     from ray.data.aggregate import Min, Sum
 
+    if method not in ("minlabel", "star"):
+        raise ValueError(f"unknown connected-components method: {method!r}")
     n_cpu = int(_ray.cluster_resources().get("CPU", 4))
     nparts = max(2, min(16, n_cpu // 2))
 
@@ -1000,7 +1140,16 @@ def connected_components(
             "node": pa.array([], pa.int64()),
             "label": pa.array([], pa.int64()),
         }))
+    if method == "star":
+        edges = _cc_star_contract(edges, nparts, max_rounds)
+        if edges.count() == 0:  # input was all self-loops
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+            }))
     # round 0 fused into init: label(n) = min(n, min neighbor)
+    # (for method="star" the contracted edge set IS stars rooted at the
+    # component minima, so this single pass reads the labels off)
     labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
 
     def clip_self(batch: pa.Table) -> pa.Table:

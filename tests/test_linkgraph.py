@@ -91,3 +91,52 @@ def test_pagerank_isolated_node_keeps_base_rank():
     assert np.isclose(got.loc[3], 0.15 / 4, atol=1e-15)
     # the 3-cycle nodes keep the uniform fixed point of the cycle
     assert np.allclose(got.loc[[0, 1, 2]], 0.15 / 4 + 0.85 * 0.25, atol=1e-12)
+
+
+# ------------------- connected-components method equality (dedup.py)
+
+def _cc(pairs, method):
+    from defactonlp_ray.stages.dedup import connected_components
+
+    tbl = pa.table({
+        "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+        "id_b": pa.array([b for _, b in pairs], pa.int64()),
+    })
+    out = connected_components(
+        ray.data.from_arrow(tbl), method=method
+    ).to_pandas()
+    if len(out) == 0:
+        return {}
+    return dict(zip(out["node"], out["label"]))
+
+
+def test_cc_star_equals_minlabel():
+    # one mixed graph, both methods once (every extra run costs ~1 min
+    # of fixed Ray-op latency at test scale): an 8-node chain (diameter
+    # 7 — the high-diameter shape star contraction exists for), a
+    # triangle, an isolated pair, and a random component mix
+    rng = np.random.default_rng(11)
+    pairs = [(i, i + 1) for i in range(100, 107)]          # chain
+    pairs += [(200, 201), (201, 202), (200, 202), (300, 301)]
+    pairs += sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(0, 40, size=(45, 2))
+            if a != b
+        }
+    )
+    star = _cc(pairs, "star")
+    assert {n: star[n] for n in range(100, 108)} == {
+        n: 100 for n in range(100, 108)
+    }
+    assert {n: star[n] for n in (200, 201, 202, 300, 301)} == {
+        200: 200, 201: 200, 202: 200, 300: 300, 301: 300,
+    }
+    assert star == _cc(pairs, "minlabel")
+
+
+def test_cc_rejects_unknown_method():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _cc([(1, 2)], "nope")
