@@ -2761,6 +2761,52 @@ SQL_TERM_AUTOCOMPLETE = (
 )
 
 
+# --------------------------------------- did-you-mean spell suggester
+
+_SPELL_TERMS: list[tuple[int, str]] = [
+    # (query_id, typed term)
+    (0, "spart"),   # OOV -> part, spark (multi-candidate df/term ranking)
+    (1, "sow"),     # OOV -> row, slow
+    (2, "merge"),   # in-vocab, no distance-1 neighbors -> no suggestion
+    (3, "dup"),     # in-vocab LOW-df term, still no neighbors -> empty
+    (4, "dap"),     # OOV -> dup (the one low-df dictionary term)
+    (5, "kei"),     # OOV -> key
+    (6, "zzz"),     # nothing within distance 1 -> empty
+]
+
+
+def q_spell_suggest(sf_dir: str):
+    """Did-you-mean suggester (stages/expand.suggest_spelling, Lucene
+    DirectSpellChecker SUGGEST_MORE_POPULAR): dictionary terms at
+    Levenshtein distance exactly 1 with df strictly above the typed
+    term's own df (0 when out-of-vocabulary), ranked (df DESC, term),
+    top-3.  One streamed dictionary pass with the fuzzy expansion's
+    vectorized byte-matrix distance kernel + per-batch top-k combiner."""
+    from ..stages.expand import suggest_spelling
+
+    idx = _build_docs_index(sf_dir)
+    return suggest_spelling(idx, _SPELL_TERMS, k=3)
+
+
+SQL_SPELL_SUGGEST = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, qterm) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, t in _SPELL_TERMS)
+    + "), "
+    "qdf AS (SELECT q.query_id, q.qterm, coalesce(d.df, 0) AS self_df "
+    "FROM q LEFT JOIN df d ON d.term = q.qterm), "
+    "cand AS (SELECT qdf.query_id, d.term, d.df FROM qdf "
+    "JOIN df d ON levenshtein(d.term, qdf.qterm) = 1 AND d.df > qdf.self_df) "
+    "SELECT query_id, rank, suggestion, df FROM ("
+    "SELECT query_id, term AS suggestion, df, "
+    "CAST(row_number() OVER (PARTITION BY query_id "
+    "ORDER BY df DESC, term) AS INTEGER) AS rank FROM cand) "
+    "WHERE rank <= 3"
+)
+
+
 # ------------------------------ faceted counts over retrieval results
 
 
@@ -3017,6 +3063,7 @@ QUERIES = {
     "fuzzy_topk": q_fuzzy_topk,
     "regex_topk": q_regex_topk,
     "term_autocomplete": q_term_autocomplete,
+    "spell_suggest": q_spell_suggest,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3067,6 +3114,7 @@ ORACLES = {
     "fuzzy_topk": SQL_FUZZY_TOPK,
     "regex_topk": SQL_REGEX_TOPK,
     "term_autocomplete": SQL_TERM_AUTOCOMPLETE,
+    "spell_suggest": SQL_SPELL_SUGGEST,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,

@@ -50,6 +50,7 @@ __all__ = [
     "expand_fuzzy",
     "expand_regex",
     "suggest_prefix",
+    "suggest_spelling",
     "wildcard_search",
     "fuzzy_search",
     "regex_search",
@@ -335,6 +336,123 @@ def suggest_prefix(
             "rank": pd.array([], dtype=np.int32),
             "term": pd.array([], dtype=object),
             "cf": pd.array([], dtype=np.int64),
+        })
+    return pd.concat(out, ignore_index=True)
+
+
+class _SpellMatcher:
+    """``map_batches`` task over the (term, df) dictionary stream: for
+    each query term emit its Levenshtein-distance<=1 dictionary
+    neighbors, tagged ``dist`` 0 (the term itself, carrying its own df
+    for the popularity gate) or 1 (a correction candidate).  Candidates
+    get a per-batch top-``k`` combiner on ``(df DESC, term ASC)`` — the
+    popularity gate only ever REMOVES low-df rows, so batch-local top-k
+    winners are a superset of the global gated top-k (same argument as
+    the prefix suggester); self rows always pass through (at most one
+    per query across the whole stream)."""
+
+    def __init__(self, terms: list[tuple[int, str]], k: int):
+        self.terms = terms
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        if batch.num_rows:
+            col = batch["term"]
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            offsets, data = _str_bytes(arr)
+            lens = np.diff(offsets)
+            dfs = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for qid, qterm in self.terms:
+                rows = _lev1_rows(offsets, data, lens, qterm.encode())
+                if rows.size == 0:
+                    continue
+                t = pc.take(arr, pa.array(rows, pa.int64()))
+                tn = t.to_numpy(zero_copy_only=False)
+                d = dfs[rows]
+                is_self = tn == qterm
+                crows = np.flatnonzero(~is_self)
+                if crows.size > self.k:
+                    order = np.lexsort((tn[crows], -d[crows]))[: self.k]
+                    crows = crows[order]
+                keep = np.concatenate([np.flatnonzero(is_self), crows])
+                out.append(pa.table({
+                    "query_id": pa.array(np.full(keep.size, qid, np.int64)),
+                    "term": pa.array(tn[keep], pa.string()),
+                    "df": pa.array(d[keep]),
+                    "dist": pa.array(
+                        (~is_self[keep]).astype(np.int8)
+                    ),
+                }))
+        if not out:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.int8()),
+            })
+        return pa.concat_tables(out)
+
+
+def suggest_spelling(
+    index_dir: str,
+    terms: list[tuple[int, str]],
+    *,
+    k: int = 3,
+) -> "pd.DataFrame":
+    """Did-you-mean spelling suggestions (Lucene DirectSpellChecker
+    semantics, ``suggestMode=SUGGEST_MORE_POPULAR``): for each
+    ``(query_id, typed term)`` return the top-``k`` dictionary terms at
+    Levenshtein distance exactly 1 whose document frequency EXCEEDS the
+    typed term's own df (0 when out-of-vocabulary), ranked
+    ``(df DESC, term ASC)`` as ``(query_id, rank, suggestion, df)``.
+
+    One streamed pass over the index's global term dictionary — the
+    vectorized distance-1 kernel of the fuzzy expansion plus a per-batch
+    top-k combiner, so O(k x terms x batches) rows reach the driver;
+    the popularity gate (df > df_typed) is applied at the driver merge
+    where the typed term's own df (the at-most-one dist=0 row per
+    query) is known globally.
+    """
+    import pandas as pd
+
+    cols = ["query_id", "rank", "suggestion", "df"]
+    if not terms:
+        return pd.DataFrame({
+            "query_id": pd.array([], dtype=np.int64),
+            "rank": pd.array([], dtype=np.int32),
+            "suggestion": pd.array([], dtype=object),
+            "df": pd.array([], dtype=np.int64),
+        })
+    parts = (
+        ray.data.read_parquet(_term_df_path(index_dir), columns=["term", "df"])
+        .map_batches(
+            _SpellMatcher(terms, k),
+            batch_format="pyarrow",
+            batch_size=64 * 1024,
+        )
+        .to_pandas()
+    )
+    out = []
+    for qid, _qterm in terms:
+        g = parts[parts["query_id"] == qid] if len(parts) else parts
+        if len(g) == 0:
+            continue
+        self_df = int(g.loc[g["dist"] == 0, "df"].max()) if (g["dist"] == 0).any() else 0
+        g = g[(g["dist"] == 1) & (g["df"] > self_df)]
+        if len(g) == 0:
+            continue
+        g = g.sort_values(["df", "term"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g = g.rename(columns={"term": "suggestion"})
+        out.append(g[cols])
+    if not out:
+        return pd.DataFrame({
+            "query_id": pd.array([], dtype=np.int64),
+            "rank": pd.array([], dtype=np.int32),
+            "suggestion": pd.array([], dtype=object),
+            "df": pd.array([], dtype=np.int64),
         })
     return pd.concat(out, ignore_index=True)
 

@@ -271,3 +271,65 @@ def test_overlapping_patterns_dedupe_before_cap(exp_index):
     )
     assert len(capped[0]) == 3  # cap counts DISTINCT terms
     assert set(capped[0]) <= uncapped
+
+
+# ------------------------------------------------- did-you-mean suggester
+
+from defactonlp_ray.stages.expand import _SpellMatcher, suggest_spelling
+
+
+def test_spell_suggest_popularity_gate(tmp_path):
+    """Lucene DirectSpellChecker SUGGEST_MORE_POPULAR: a suggestion must
+    be STRICTLY more frequent than the typed term — 'cot' (rare) maps to
+    'cat' (common), 'cat' gets nothing ('cot' is rarer), and an OOV term
+    gets every distance-1 neighbor ranked (df DESC, term)."""
+    texts = ["cat dog"] * 10 + ["cot dog"] * 2
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, seg_docs=8, resume=False)
+    got = suggest_spelling(
+        idx, [(0, "cot"), (1, "cat"), (2, "cut"), (3, "dog")], k=3
+    )
+    by_q = {q: g for q, g in got.groupby("query_id")}
+    assert by_q[0]["suggestion"].tolist() == ["cat"]
+    assert by_q[0]["df"].tolist() == [10]
+    assert 1 not in by_q  # 'cat' is already the most popular spelling
+    assert by_q[2]["suggestion"].tolist() == ["cat", "cot"]  # df 10 > 2
+    assert by_q[2]["rank"].tolist() == [1, 2]
+    assert 3 not in by_q  # 'dog' has no distance-1 neighbors
+
+
+def test_spell_suggest_excludes_self_on_corpus(exp_index):
+    got = suggest_spelling(exp_index, [(0, "merge"), (1, "spart")], k=3)
+    assert 0 not in set(got["query_id"])  # in-vocab, no neighbors
+    g1 = got[got["query_id"] == 1]
+    assert sorted(g1["suggestion"]) == ["part", "spark"]
+    # ranked df DESC then term ASC
+    assert g1.sort_values("rank")["df"].is_monotonic_decreasing
+
+
+def test_spell_matcher_combiner_keeps_self_and_caps_candidates():
+    """Per-batch top-k applies to candidates only; the dist=0 self row
+    always survives (it carries the popularity gate's threshold)."""
+    batch = pa.table({
+        "term": pa.array(["bat", "cab", "car", "cat", "cot", "cut"]),
+        "df": pa.array([1, 2, 9, 3, 7, 5], pa.int64()),
+    })
+    out = _SpellMatcher([(0, "cat")], k=2)(batch).to_pandas()
+    selfrow = out[out["dist"] == 0]
+    assert selfrow["term"].tolist() == ["cat"] and selfrow["df"].tolist() == [3]
+    cands = out[out["dist"] == 1]
+    # top-2 by (df DESC, term): car(9), cot(7) — bat/cab/cut capped out
+    assert sorted(cands["term"]) == ["car", "cot"]
+
+
+def test_spell_matcher_empty_batch():
+    empty = pa.table({
+        "term": pa.array([], pa.string()), "df": pa.array([], pa.int64()),
+    })
+    out = _SpellMatcher([(0, "cat")], k=2)(empty)
+    assert out.num_rows == 0
+    assert out.schema.names == ["query_id", "term", "df", "dist"]
