@@ -2844,6 +2844,103 @@ SQL_BM25_FACETS = (
 )
 
 
+# ----------------------------- significant terms over retrieval results
+
+_SIGTERM_TOP = 10
+
+
+def q_significant_terms(sf_dir: str):
+    """Significant-terms aggregation (Elasticsearch semantics, JLH
+    heuristic): for each query's BM25 top-k result set (the foreground),
+    score every term occurring in it by how over-represented it is
+    against the whole corpus (the background) —
+    ``jlh = (fg% - bg%) * (fg% / bg%)`` with ``fg% = fg_docs/|results|``
+    and ``bg% = df/n_docs`` — and keep the top positive-scoring terms
+    per query, ranked ``(score DESC, term ASC)``.
+
+    Composition shape (same as the facet entry): the top-k doc-id set
+    broadcasts; the corpus STREAMS through one filtered ``map_batches``
+    pass whose output is the distinct (doc, term) pairs of the RESULT
+    docs only — O(k x queries x doc_vocab) rows, never corpus-sized.
+    Background df comes from the index's term dictionary (point-filtered
+    read of the foreground terms), n_docs from the collection stats —
+    no second corpus pass."""
+    from ..stages.search import IndexReader
+
+    idx = _build_docs_index(sf_dir)
+    topk = q_bm25_topk(sf_dir)
+    wanted = pa.array(sorted(set(topk["doc_id"].tolist())), pa.int64())
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        from ..functions.tokenizer import term_count_table
+
+        batch = batch.filter(pc.is_in(batch["doc_id"], value_set=wanted))
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+            })
+        tf, _dl = term_count_table(batch["text"], batch["doc_id"])
+        return tf.select(["doc_id", "term"])
+
+    pairs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(doc_terms, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # fg counts: distinct result docs containing the term, per query
+    fg = (
+        topk[["query_id", "doc_id"]]
+        .merge(pairs, on="doc_id")
+        .groupby(["query_id", "term"], as_index=False)
+        .size()
+        .rename(columns={"size": "fg"})
+    )
+    fgn = topk.groupby("query_id").size().rename("fgn")
+    fg = fg.merge(fgn, on="query_id")
+    reader = IndexReader(idx)
+    dfs = reader.dfs(sorted(set(fg["term"])))
+    fg["df"] = fg["term"].map(dfs).astype(np.int64)
+    fg_pct = fg["fg"].to_numpy(np.float64) / fg["fgn"].to_numpy(np.float64)
+    bg_pct = fg["df"].to_numpy(np.float64) / float(reader.n_docs)
+    fg["score"] = np.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+    fg = fg[fg["score"] > 0]
+    out = []
+    for _qid, g in fg.groupby("query_id"):
+        g = g.sort_values(["score", "term"], ascending=[False, True])
+        g = g.head(_SIGTERM_TOP).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    cols = ["query_id", "rank", "term", "fg", "df", "score"]
+    if not out:
+        return pd.DataFrame(columns=cols)
+    res = pd.concat(out, ignore_index=True)
+    res["fg"] = res["fg"].astype(np.int64)
+    return res[cols]
+
+
+SQL_SIGNIFICANT_TERMS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks), "
+    "topk AS (" + SQL_BM25_TOPK + "), "
+    "fgn AS (SELECT query_id, count(*) AS fgn FROM topk GROUP BY query_id), "
+    "fg AS (SELECT t.query_id, tf.term, count(*) AS fg FROM topk t "
+    "JOIN tf ON tf.doc_id = t.doc_id GROUP BY t.query_id, tf.term), "
+    "scored AS (SELECT fg.query_id, fg.term, fg.fg, df.df, "
+    "round(((fg.fg::DOUBLE / fgn.fgn) - (df.df::DOUBLE / s.n_docs)) * "
+    "((fg.fg::DOUBLE / fgn.fgn) / (df.df::DOUBLE / s.n_docs)), 6) AS score "
+    "FROM fg JOIN fgn ON fgn.query_id = fg.query_id "
+    "JOIN df ON df.term = fg.term CROSS JOIN stats s) "
+    "SELECT query_id, rank, term, fg, df, score FROM ("
+    "SELECT query_id, term, fg, df, score, "
+    "CAST(row_number() OVER (PARTITION BY query_id "
+    "ORDER BY score DESC, term) AS INTEGER) AS rank "
+    f"FROM scored WHERE score > 0) WHERE rank <= {_SIGTERM_TOP}"
+)
+
+
 # ----------------------------------------- BM25F fielded retrieval
 
 _BM25F_TITLE_LEN = 6
@@ -3064,6 +3161,7 @@ QUERIES = {
     "regex_topk": q_regex_topk,
     "term_autocomplete": q_term_autocomplete,
     "spell_suggest": q_spell_suggest,
+    "significant_terms": q_significant_terms,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3115,6 +3213,7 @@ ORACLES = {
     "regex_topk": SQL_REGEX_TOPK,
     "term_autocomplete": SQL_TERM_AUTOCOMPLETE,
     "spell_suggest": SQL_SPELL_SUGGEST,
+    "significant_terms": SQL_SIGNIFICANT_TERMS,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
