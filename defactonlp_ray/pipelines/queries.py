@@ -2844,6 +2844,64 @@ SQL_BM25_FACETS = (
 )
 
 
+# ------------------------------------------- percolator (reverse search)
+
+_PERCOLATE_QUERIES: list[tuple[int, list[str], list[str]]] = [
+    # (query_id, must terms, must_not terms)
+    (0, ["data", "query"], []),            # plain conjunction
+    (1, ["merge", "sort"], ["slow"]),      # conjunction + exclusion
+    (2, ["dup"], []),                      # rare term -> few matches
+    (3, ["zzz"], []),                      # absent term -> no matches
+    (4, ["the", "a"], ["dup"]),            # high-df pair, rare exclusion
+]
+
+
+def q_percolate_matches(sf_dir: str):
+    """Percolator / reverse search (stages/percolate.py): the stored
+    query set (must / must_not term algebra) matches against the
+    streaming corpus in one vectorized map_batches pass; emits every
+    ``(query_id, doc_id)`` hit."""
+    from ..stages.percolate import percolate
+
+    res = percolate(
+        _docs(sf_dir, ["doc_id", "text"]), _PERCOLATE_QUERIES
+    ).to_pandas()
+    return res.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
+def _percolate_sql(queries: list[tuple[int, list[str], list[str]]]) -> str:
+    must_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, must, _ in queries for t in sorted(set(must))
+    )
+    not_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, _, mn in queries for t in sorted(set(mn))
+    )
+    not_cte = (
+        f"nt(query_id, term) AS (VALUES {not_vals}), "
+        "excl AS (SELECT DISTINCT nt.query_id, tf.doc_id FROM nt "
+        "JOIN tf ON tf.term = nt.term), "
+        if not_vals
+        else "excl AS (SELECT NULL::BIGINT AS query_id, NULL::BIGINT AS doc_id "
+        "WHERE false), "
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term), "
+        f"q(query_id, term) AS (VALUES {must_vals}), "
+        "qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY query_id), "
+        "hit AS (SELECT q.query_id, tf.doc_id, count(*) AS c FROM q "
+        "JOIN tf ON tf.term = q.term GROUP BY q.query_id, tf.doc_id), "
+        + not_cte +
+        "m AS (SELECT hit.query_id, hit.doc_id FROM hit "
+        "JOIN qn ON qn.query_id = hit.query_id WHERE hit.c = qn.n) "
+        "SELECT query_id, doc_id FROM m "
+        "EXCEPT SELECT query_id, doc_id FROM excl"
+    )
+
+
+SQL_PERCOLATE_MATCHES = _percolate_sql(_PERCOLATE_QUERIES)
+
+
 # ----------------------------- significant terms over retrieval results
 
 _SIGTERM_TOP = 10
@@ -3162,6 +3220,7 @@ QUERIES = {
     "term_autocomplete": q_term_autocomplete,
     "spell_suggest": q_spell_suggest,
     "significant_terms": q_significant_terms,
+    "percolate_matches": q_percolate_matches,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3214,6 +3273,7 @@ ORACLES = {
     "term_autocomplete": SQL_TERM_AUTOCOMPLETE,
     "spell_suggest": SQL_SPELL_SUGGEST,
     "significant_terms": SQL_SIGNIFICANT_TERMS,
+    "percolate_matches": SQL_PERCOLATE_MATCHES,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
