@@ -2337,6 +2337,80 @@ def _boolean_sql(
 SQL_BOOLEAN_TOPK = _boolean_sql(_BOOL_QUERIES)
 
 
+# ------------------------------------- minimum-should-match boolean
+
+_MSM_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
+    # (query_id, must, should, must_not); min_should = _MSM below
+    (0, [], ["data", "query", "fast"], []),      # any 2 of 3
+    (1, ["merge"], ["sort", "scan"], []),        # must + 2 of 2 shoulds
+    (2, [], ["scan", "merge", "sort", "window"], ["dup"]),  # 2 of 4, NOT dup
+    (3, [], ["dup", "data"], []),                # msm == len -> conjunction
+    (4, [], ["zzz", "data"], []),    # absent term can't count -> empty
+]
+_MSM = 2
+
+
+def q_boolean_msm(sf_dir: str):
+    """Boolean retrieval with Lucene minimumShouldMatch: candidates must
+    contain at least ``_MSM`` DISTINCT should terms (plus all musts,
+    minus must_nots); ranking is the same candidate-restricted BM25 sum
+    as the plain boolean entry (stages/phrase.score_boolean
+    ``min_should``)."""
+    from ..stages.phrase import boolean_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q[0] for q in _MSM_QUERIES], pa.int64()),
+                "must": pa.array(
+                    [q[1] for q in _MSM_QUERIES], pa.list_(pa.string())
+                ),
+                "should": pa.array(
+                    [q[2] for q in _MSM_QUERIES], pa.list_(pa.string())
+                ),
+                "must_not": pa.array(
+                    [q[3] for q in _MSM_QUERIES], pa.list_(pa.string())
+                ),
+            }
+        )
+    )
+    res = boolean_search(
+        idx, qds, k=20, concurrency=2, min_should=_MSM
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _boolean_msm_sql(
+    queries: list[tuple[int, list[str], list[str], list[str]]],
+    msm: int, k: int = 10,
+) -> str:
+    """minimumShouldMatch oracle: the should condition becomes a count —
+    ``sum(list_contains::INT) >= msm`` — scoring unchanged."""
+    cand_parts = []
+    qvals = []
+    for qid, must, should, must_not in queries:
+        conds = [f"list_contains(ts, '{t}')" for t in sorted(set(must))]
+        sh = sorted(set(should))
+        if sh:
+            conds.append(
+                "("
+                + " + ".join(f"list_contains(ts, '{t}')::INT" for t in sh)
+                + f") >= {msm}"
+            )
+        conds += [f"NOT list_contains(ts, '{t}')" for t in sorted(set(must_not))]
+        where = " AND ".join(conds) if conds else "TRUE"
+        cand_parts.append(
+            f"SELECT {qid} AS query_id, doc_id FROM d WHERE {where}"
+        )
+        for t in sorted(set(must) | set(should)):
+            qvals.append(f"({qid}, '{t}')")
+    return _filtered_bm25_sql(cand_parts, qvals, k)
+
+
+SQL_BOOLEAN_MSM = _boolean_msm_sql(_MSM_QUERIES, _MSM)
+
+
 _WINDOW_QUERIES: list[tuple[int, list[str], int]] = [
     # (query_id, terms, window): all terms within a window-token span
     (0, ["hash", "join"], 3),
@@ -3221,6 +3295,7 @@ QUERIES = {
     "spell_suggest": q_spell_suggest,
     "significant_terms": q_significant_terms,
     "percolate_matches": q_percolate_matches,
+    "boolean_msm": q_boolean_msm,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3274,6 +3349,7 @@ ORACLES = {
     "spell_suggest": SQL_SPELL_SUGGEST,
     "significant_terms": SQL_SIGNIFICANT_TERMS,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
+    "boolean_msm": SQL_BOOLEAN_MSM,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,

@@ -561,6 +561,7 @@ def score_boolean(
     should: list[str],
     must_not: list[str],
     k: int,
+    min_should: int | None = None,
 ) -> list[tuple[float, int]]:
     """AND/OR/NOT candidate filtering + BM25 ranking over must+should.
 
@@ -571,10 +572,19 @@ def score_boolean(
     ascending-term order (the pinned accumulation order), using GLOBAL
     df for idf — identical per-(doc, term) contributions to the plain
     BM25 scorer, so a boolean query with no filters ranks exactly like
-    ``search`` does."""
+    ``search`` does.
+
+    ``min_should`` (Lucene minimumShouldMatch): candidates must contain
+    at least this many DISTINCT ``should`` terms.  ``None`` keeps the
+    classic default — 0 when ``must`` is present (should only boosts
+    scoring), else 1 (any should term qualifies, the plain OR)."""
     must = sorted(set(must))
     should = sorted(set(should))
     must_not = sorted(set(must_not))
+    if min_should is None:
+        min_should = 0 if must else 1
+    if min_should > len(should):
+        return []
     arrs = {
         t: reader.term_arrays(seg_ids, t)
         for t in set(must) | set(should) | set(must_not)
@@ -595,6 +605,16 @@ def score_boolean(
         cand = parts[0]
         for p in parts[1:]:
             cand = np.union1d(cand, p)
+    if should and cand.size and (min_should > 1 or (must and min_should >= 1)):
+        # count DISTINCT matched should terms per candidate (the union /
+        # must intersection guarantees only >=1 / >=0 respectively)
+        nm = np.zeros(cand.size, dtype=np.int32)
+        for t in should:
+            if arrs[t] is not None:
+                nm += _member(arrs[t][0], cand)
+        cand = cand[nm >= min_should]
+        if cand.size == 0:
+            return []
     for t in must_not:
         if arrs[t] is not None:
             cand = cand[~_member(arrs[t][0], cand)]
@@ -627,11 +647,13 @@ class BooleanSearcherActor:
     """Actor-pool stage: batch of (query_id, must, should, must_not) ->
     (query_id, rank, doc_id, score)."""
 
-    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None,
+                 min_should: int | None = None):
         self.reader = IndexReader(index_dir)
         self.k = k
         self.seg_ids = self.reader.seg_ids
         self.seeded = _get_and_seed(self.reader, packs_ref)
+        self.min_should = min_should
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         all_terms = sorted(
@@ -653,7 +675,8 @@ class BooleanSearcherActor:
             batch["must_not"].to_pylist(),
         ):
             top = score_boolean(
-                self.reader, self.seg_ids, list(mu), list(sh), list(mn), self.k
+                self.reader, self.seg_ids, list(mu), list(sh), list(mn),
+                self.k, min_should=self.min_should,
             )
             for rank, (score, doc_id) in enumerate(top, 1):
                 out_q.append(qid)
@@ -678,15 +701,18 @@ def boolean_search(
     concurrency: int = 4,
     batch_size: int = 256,
     packs_ref=None,
+    min_should: int | None = None,
 ) -> "ray.data.Dataset":
     """Boolean query pipeline: (query_id, must, should, must_not) ->
     (query_id, rank, doc_id, score).  ``packs_ref`` as in
     :func:`phrase_search` (boolean scoring only touches the pack-derived
-    BM25 term arrays; positions ride along unused)."""
+    BM25 term arrays; positions ride along unused).  ``min_should`` is
+    Lucene minimumShouldMatch (see :func:`score_boolean`)."""
     return queries.map_batches(
         BooleanSearcherActor,
         fn_constructor_kwargs={
             "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+            "min_should": min_should,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -518,3 +518,53 @@ def test_shared_packs_wrong_segment_set_raises(pos_index, sf_dir, tmp_path):
     blob = build_pos_packs(other, ["table"])
     with pytest.raises(ValueError, match="different segment set"):
         _seed_shared_packs(IndexReader(pos_index), blob)
+
+
+# --------------------------------------------- minimumShouldMatch (msm)
+
+
+def _py_boolean_msm(doc_tokens, must, should, must_not, msm, k):
+    """Reference: _py_boolean semantics plus the Lucene msm filter —
+    candidates need >= msm DISTINCT should terms."""
+    base = _py_boolean(doc_tokens, must, should, must_not, k=10**9)
+    sh = sorted(set(should))
+    out = []
+    for score, did in base:
+        if sum(t in set(doc_tokens[did]) for t in sh) >= msm:
+            out.append((score, did))
+    return out[:k]
+
+
+MSM_CASES = [
+    ([], ["data", "query", "fast"], [], 2),
+    (["merge"], ["sort", "scan"], [], 1),
+    (["merge"], ["sort", "scan"], [], 2),
+    ([], ["scan", "merge", "sort", "window"], ["dup"], 3),
+    ([], ["dup", "data"], [], 2),       # msm == len -> conjunction
+    ([], ["zzz", "data"], [], 2),       # absent term can't count -> empty
+    (["the"], ["data"], [], 2),         # msm > len(should) -> empty
+]
+
+
+def test_boolean_msm_matches_python(pos_index, doc_tokens):
+    reader = IndexReader(pos_index)
+    for must, should, must_not, msm in MSM_CASES:
+        ref = _py_boolean_msm(doc_tokens, must, should, must_not, msm, k=10)
+        got = score_boolean(
+            reader, reader.seg_ids, must, should, must_not, k=10,
+            min_should=msm,
+        )
+        assert got == ref, (must, should, must_not, msm)
+
+
+def test_boolean_msm_defaults_preserve_classic_semantics(pos_index):
+    """min_should=None == the historical behavior: 1 with no must
+    (any-should union), 0 with must (should is scoring-only)."""
+    reader = IndexReader(pos_index)
+    for must, should in ([], ["scan", "merge"]), (["hash"], ["fast"]):
+        legacy = score_boolean(reader, reader.seg_ids, must, should, [], 10)
+        explicit = score_boolean(
+            reader, reader.seg_ids, must, should, [], 10,
+            min_should=0 if must else 1,
+        )
+        assert legacy == explicit
