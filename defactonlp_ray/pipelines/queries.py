@@ -2918,6 +2918,44 @@ SQL_BM25_FACETS = (
 )
 
 
+# -------------------------------------- sort-by-field retrieval (dl)
+
+
+def q_sort_by_field(sf_dir: str):
+    """Sort-by-field retrieval (Lucene SortField / Elasticsearch sort):
+    the match set (union of query-term postings — same candidates as
+    ``mode='count'``) ordered by the stored doc-length doc-value
+    ``(dl DESC, doc_id ASC)`` instead of relevance
+    (stages/search.score_all_sortfield — dl already rides in every
+    posting for BM25 normalization, so no doc-store lookup)."""
+    from ..stages.search import search
+
+    idx = _build_docs_index(sf_dir)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=10, mode="sortfield",
+        concurrency=2,
+    ).to_pandas()
+    res = res.rename(columns={"score": "dl"})
+    res["dl"] = res["dl"].astype(np.int64)
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+SQL_SORT_BY_FIELD = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+    + "), "
+    "m AS (SELECT DISTINCT q.query_id, toks.doc_id FROM q "
+    "JOIN toks ON toks.term = q.term) "
+    "SELECT query_id, rank, doc_id, dl FROM ("
+    "SELECT m.query_id, m.doc_id, dl.dl, "
+    "CAST(row_number() OVER (PARTITION BY m.query_id "
+    "ORDER BY dl.dl DESC, m.doc_id) AS INTEGER) AS rank "
+    "FROM m JOIN dl ON dl.doc_id = m.doc_id) WHERE rank <= 10"
+)
+
+
 # ------------------------------------------- percolator (reverse search)
 
 _PERCOLATE_QUERIES: list[tuple[int, list[str], list[str]]] = [
@@ -3296,6 +3334,7 @@ QUERIES = {
     "significant_terms": q_significant_terms,
     "percolate_matches": q_percolate_matches,
     "boolean_msm": q_boolean_msm,
+    "sort_by_field": q_sort_by_field,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3350,6 +3389,7 @@ ORACLES = {
     "significant_terms": SQL_SIGNIFICANT_TERMS,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "boolean_msm": SQL_BOOLEAN_MSM,
+    "sort_by_field": SQL_SORT_BY_FIELD,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,

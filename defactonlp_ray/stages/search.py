@@ -625,6 +625,40 @@ def score_all_taat(
 LMD_MU = 2000.0
 
 
+def score_all_sortfield(
+    reader, seg_ids: list[int], terms: list[str], k: int
+) -> list[tuple[float, int]]:
+    """Lucene SortField / Elasticsearch ``sort``: the matched doc set
+    (union of the query terms' postings, the same candidates as
+    ``mode='count'``) ordered by a stored per-doc value instead of
+    relevance — here doc length, the one numeric doc-value the postings
+    already carry (``dl`` rides in every posting for BM25's length
+    normalization, so sorting needs NO extra doc-store lookup).  Order
+    is ``(dl DESC, doc_id ASC)``; returns ``[(dl, doc_id)]`` shaped like
+    every other scorer so the actor plumbing is shared."""
+    parts_d, parts_l = [], []
+    for t in terms:
+        a = reader.term_tf_dl(seg_ids, t)
+        if a is not None:
+            parts_d.append(a[0])
+            parts_l.append(a[2])
+    if not parts_d:
+        return []
+    docids = np.concatenate(parts_d)
+    dls = np.concatenate(parts_l)
+    docids, first = np.unique(docids, return_index=True)
+    dls = dls[first]
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        m = live_mask(docids, reader.deleted)
+        docids, dls = docids[m], dls[m]
+    if docids.size == 0:
+        return []
+    order = np.lexsort((docids, -dls))[:k]
+    return [(float(dls[i]), int(docids[i])) for i in order]
+
+
 def score_all_lmd(
     reader,
     seg_ids: list[int],
@@ -1293,6 +1327,8 @@ class SearcherActor:
                 )
             return score_all_collapse(self.reader, seg_ids, uniq, idfs,
                                       self.k, self.group_codes)
+        if self.mode == "sortfield":
+            return score_all_sortfield(self.reader, seg_ids, uniq, self.k)
         if self.mode == "taat":
             return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k,
                                   after=after)

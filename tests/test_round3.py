@@ -561,3 +561,49 @@ def test_suggest_prefix_cap_and_miss(tmp_path):
     assert list(out["term"]) == ["alpha", "beta"]
     assert list(out["cf"]) == [4, 3]
     assert list(out["rank"]) == [1, 1]
+
+
+# ----------------------------------------- sort-by-field (mode=sortfield)
+
+
+def test_sortfield_matches_python_and_respects_deletes(tmp_path):
+    from defactonlp_ray.functions.tokenizer import tokenize
+    from defactonlp_ray.stages.deletes import delete_docs
+    from defactonlp_ray.stages.index_build import build_index
+    from defactonlp_ray.stages.search import IndexReader, score_all_sortfield
+
+    texts = [
+        "data query",                      # dl 2
+        "data data data query merge",      # dl 5
+        "merge sort scan filter",          # dl 4
+        "query",                           # dl 1
+        "unrelated words entirely",        # dl 3, never matches
+    ]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, seg_docs=2, resume=False)
+
+    def ref(terms, k=10, dead=()):
+        cand = [
+            (len(tokenize(t)), d)
+            for d, t in enumerate(texts)
+            if d not in dead and set(tokenize(t)) & set(terms)
+        ]
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        return [(float(dl), d) for dl, d in cand[:k]]
+
+    reader = IndexReader(idx)
+    for terms in (["data", "query"], ["merge"], ["zzz"]):
+        got = score_all_sortfield(reader, reader.seg_ids, sorted(terms), 10)
+        assert got == ref(terms), terms
+    # k bound + doc_id tiebreak at equal dl
+    got = score_all_sortfield(reader, reader.seg_ids, ["data", "query"], 2)
+    assert got == ref(["data", "query"], k=2)
+    # deleted docs drop out of the sorted match set
+    delete_docs(idx, [1])
+    reader2 = IndexReader(idx)
+    got = score_all_sortfield(reader2, reader2.seg_ids, ["data", "query"], 10)
+    assert got == ref(["data", "query"], dead={1})
