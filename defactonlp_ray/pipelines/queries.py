@@ -2918,6 +2918,96 @@ SQL_BM25_FACETS = (
 )
 
 
+# ------------------------------- rescore window (weighted-sum rescorer)
+
+_RESCORE_WINDOW = 30
+_RESCORE_W = 8.0  # rescore_query_weight (exact binary float)
+
+
+def q_bm25_rescore(sf_dir: str):
+    """Query rescorer (Elasticsearch rescore / Lucene QueryRescorer,
+    score_mode=total): the cheap lexical pass ranks everything, then
+    ONLY the top-``_RESCORE_WINDOW`` window per query is re-scored by an
+    expensive secondary model — here dense cosine against the query
+    vector (the classic vector-rescore) — and re-ranked by
+    ``round(bm25 + w * cosine, 6)``.  Queries pair BM25 term sets 0-2
+    with embedding rows 0-2 (documents and embeddings are row-aligned).
+
+    Scale shape: the window doc-id set broadcasts; the embeddings table
+    STREAMS through one ``is_in``-filtered pass so only O(queries x
+    window) vectors are fetched — the corpus-sized matmul of the brute
+    ANN path never happens."""
+    from ..stages.search import search
+
+    idx = _build_docs_index(sf_dir)
+    prim = _rerank_rounded(
+        search(
+            idx, _query_terms_ds(_BM25_QUERIES[:3]),
+            k=2 * _RESCORE_WINDOW, concurrency=2,
+        ).to_pandas(),
+        k=_RESCORE_WINDOW,
+    )
+    wanted = pa.array(sorted(set(prim["doc_id"].tolist())), pa.int64())
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["vec_id"], value_set=wanted))
+
+    emb = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    mn = np.linalg.norm(m, axis=1)
+    mn[mn == 0] = 1.0
+    q = _query_vectors(sf_dir, 3)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    # same expression order as ann.knn_brute (bit-compatible at round-6)
+    cos = np.round((q @ m.T) / qn[:, None] / mn[None, :], 6)
+    vec_pos = {int(v): j for j, v in enumerate(emb["vec_id"])}
+    qi = prim["query_id"].to_numpy(np.int64)
+    di = prim["doc_id"].map(vec_pos).to_numpy(np.int64)
+    prim["score"] = np.round(
+        prim["score"].to_numpy() + _RESCORE_W * cos[qi, di], 6
+    )
+    return _rerank_rounded(prim, k=10)
+
+
+SQL_BM25_RESCORE = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES[:3] for t in terms)
+    + "), "
+    "scored AS (SELECT q.query_id, tf.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+    ") AS score FROM q JOIN tf ON q.term = tf.term "
+    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+    "win AS (SELECT query_id, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, "
+    f"doc_id) AS rank FROM scored) WHERE rank <= {_RESCORE_WINDOW}), "
+    "qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v "
+    "FROM embeddings WHERE vec_id < 3), "
+    "resc AS (SELECT w.query_id, w.doc_id, round(w.score + "
+    f"{_RESCORE_W} * round(list_cosine_similarity(qv.v, "
+    "e.embedding::DOUBLE[]), 6), 6) AS score FROM win w "
+    "JOIN qv ON qv.query_id = w.query_id "
+    "JOIN embeddings e ON e.vec_id = w.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, score, "
+    "CAST(row_number() OVER (PARTITION BY query_id "
+    "ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM resc) "
+    "WHERE rank <= 10"
+)
+
+
 # -------------------------------------- sort-by-field retrieval (dl)
 
 
@@ -3335,6 +3425,7 @@ QUERIES = {
     "percolate_matches": q_percolate_matches,
     "boolean_msm": q_boolean_msm,
     "sort_by_field": q_sort_by_field,
+    "bm25_rescore": q_bm25_rescore,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3390,6 +3481,7 @@ ORACLES = {
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "boolean_msm": SQL_BOOLEAN_MSM,
     "sort_by_field": SQL_SORT_BY_FIELD,
+    "bm25_rescore": SQL_BM25_RESCORE,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
