@@ -2663,6 +2663,40 @@ SQL_WILDCARD_TOPK = _expansion_sql(
     [(qid, f"term LIKE '{pat}'") for qid, pat in _WILDCARD_QUERIES],
     cap=_WILDCARD_CAP,
 )
+# trigram-pruned wildcard: same rewrite semantics, different READ —
+# patterns chosen so most carry a required trigram (pruned partitions)
+# and one falls back to the streamed scan
+_WILDCARD_TRGM_QUERIES: list[tuple[int, str]] = [
+    (0, "merge"),        # literal -> trgm 'mer'
+    (1, "%can%"),        # infix -> trgm 'can' (scan)
+    (2, "sor%"),         # prefix -> trgm 'sor' (sort)
+    (3, "s%"),           # run < 3 -> full-scan fallback
+    (4, "cust%mer"),     # two runs -> longest ('cust') wins
+    (5, "%zzz%"),        # pruned AND empty (no such trigram partition)
+]
+
+
+def q_wildcard_trgm_topk(sf_dir: str):
+    """Wildcard retrieval over the trigram-partitioned dictionary
+    (stages/trgm.py, pg_trgm model): expansion reads ONLY the required
+    ``trgm=`` partitions (path-pruned parquet read) instead of streaming
+    the whole dictionary; ranking identical to wildcard_topk's boolean
+    OR rewrite.  The oracle is the same LIKE-expansion SQL — proving the
+    pruned read loses nothing."""
+    from ..stages.trgm import wildcard_search_trgm
+
+    idx = _build_docs_index_pos(sf_dir)
+    res = wildcard_search_trgm(
+        idx, _WILDCARD_TRGM_QUERIES, k=20, concurrency=2,
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+SQL_WILDCARD_TRGM_TOPK = _expansion_sql(
+    [(qid, f"term LIKE '{pat}'") for qid, pat in _WILDCARD_TRGM_QUERIES],
+)
+
+
 SQL_FUZZY_TOPK = _expansion_sql(
     [(qid, f"levenshtein(term, '{t}') <= 1") for qid, t in _FUZZY_QUERIES]
 )
@@ -3426,6 +3460,7 @@ QUERIES = {
     "boolean_msm": q_boolean_msm,
     "sort_by_field": q_sort_by_field,
     "bm25_rescore": q_bm25_rescore,
+    "wildcard_trgm_topk": q_wildcard_trgm_topk,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3482,6 +3517,7 @@ ORACLES = {
     "boolean_msm": SQL_BOOLEAN_MSM,
     "sort_by_field": SQL_SORT_BY_FIELD,
     "bm25_rescore": SQL_BM25_RESCORE,
+    "wildcard_trgm_topk": SQL_WILDCARD_TRGM_TOPK,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,

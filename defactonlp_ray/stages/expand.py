@@ -186,6 +186,29 @@ class _ExpandMatcher:
         )
 
 
+def _merge_expansion(pairs, patterns: list[tuple[int, str]],
+                     max_expansions: int | None) -> dict[int, list[str]]:
+    """Driver merge shared by the streamed and trigram-pruned routes:
+    qid -> sorted matched terms, deduped BEFORE the ``(df DESC, term)``
+    rewrite cap so the cap counts distinct terms and is deterministic
+    (not batch- or partition-order-dependent)."""
+    out: dict[int, list[str]] = {qid: [] for qid, _ in patterns}
+    if len(pairs) == 0:
+        # an all-empty-batch Dataset can come back as a 0x0 frame with
+        # no columns — nothing matched any pattern
+        return out
+    for qid, g in pairs.groupby("query_id"):
+        # one qid can carry several patterns with overlapping matches —
+        # and the pruned route can see one term in several partitions
+        g = g.drop_duplicates("term")
+        if max_expansions is not None and len(g) > max_expansions:
+            g = g.sort_values(
+                ["df", "term"], ascending=[False, True]
+            ).head(max_expansions)
+        out[int(qid)] = sorted(g["term"].tolist())
+    return out
+
+
 def _expand(index_dir: str, patterns: list[tuple[int, str]], kind: str,
             max_expansions: int | None) -> dict[int, list[str]]:
     """Stream the dictionary through the matcher; return qid -> sorted
@@ -203,22 +226,7 @@ def _expand(index_dir: str, patterns: list[tuple[int, str]], kind: str,
         )
         .to_pandas()
     )
-    out: dict[int, list[str]] = {qid: [] for qid, _ in patterns}
-    if len(pairs) == 0:
-        # an all-empty-batch Dataset can come back as a 0x0 frame with
-        # no columns — nothing matched any pattern
-        return out
-    for qid, g in pairs.groupby("query_id"):
-        # one qid can carry several patterns with overlapping matches —
-        # dedupe BEFORE the cap so the cap counts distinct terms and
-        # the returned expansion never repeats a term
-        g = g.drop_duplicates("term")
-        if max_expansions is not None and len(g) > max_expansions:
-            g = g.sort_values(
-                ["df", "term"], ascending=[False, True]
-            ).head(max_expansions)
-        out[int(qid)] = sorted(g["term"].tolist())
-    return out
+    return _merge_expansion(pairs, patterns, max_expansions)
 
 
 def expand_wildcard(index_dir: str, patterns: list[tuple[int, str]],
