@@ -2952,6 +2952,68 @@ SQL_BM25_FACETS = (
 )
 
 
+# ----------------------------------- boosted term queries (BoostQuery)
+
+_BOOSTED_QUERIES: list[tuple[int, list[tuple[str, float]]]] = [
+    # (query_id, [(term, boost)]); boosts are exact binary floats
+    (0, [("data", 2.0), ("query", 1.0)]),
+    (1, [("merge", 0.5), ("sort", 4.0)]),
+    (2, [("dup", 8.0), ("the", 1.0)]),     # rare term dominated by boost
+    (3, [("zzz", 2.0)]),                   # absent term -> empty
+    (4, [("slow", 1.0), ("scan", 1.0)]),   # boost=1 == plain BM25
+]
+
+
+def q_boosted_topk(sf_dir: str):
+    """Query-time term boosts (Lucene BoostQuery, stages/search.py
+    BoostedSearcherActor): score = sum of boost * idf * w per matched
+    term — implemented as exact TAAT with a boost-scaled idf map, so a
+    boost=1 query is bit-identical to plain BM25."""
+    from ..stages.search import boosted_search
+
+    idx = _build_docs_index(sf_dir)
+    qds = ray.data.from_arrow(pa.table({
+        "query_id": pa.array([q for q, _ in _BOOSTED_QUERIES], pa.int64()),
+        "terms": pa.array(
+            [[t for t, _ in pairs] for _, pairs in _BOOSTED_QUERIES],
+            pa.list_(pa.string()),
+        ),
+        "boosts": pa.array(
+            [[b for _, b in pairs] for _, pairs in _BOOSTED_QUERIES],
+            pa.list_(pa.float64()),
+        ),
+    }))
+    res = boosted_search(idx, qds, k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+SQL_BOOSTED_TOPK = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term, boost) AS (VALUES "
+    + ", ".join(
+        f"({qid}, '{t}', {b})" for qid, pairs in _BOOSTED_QUERIES
+        for t, b in pairs
+    )
+    + "), "
+    "scored AS (SELECT q.query_id, tf.doc_id, "
+    "sum(q.boost * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * "
+    "(tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+    ") AS score FROM q JOIN tf ON q.term = tf.term "
+    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+    "WHERE rank <= 10"
+)
+
+
 # ------------------------------- rescore window (weighted-sum rescorer)
 
 _RESCORE_WINDOW = 30
@@ -3461,6 +3523,7 @@ QUERIES = {
     "sort_by_field": q_sort_by_field,
     "bm25_rescore": q_bm25_rescore,
     "wildcard_trgm_topk": q_wildcard_trgm_topk,
+    "boosted_topk": q_boosted_topk,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3518,6 +3581,7 @@ ORACLES = {
     "sort_by_field": SQL_SORT_BY_FIELD,
     "bm25_rescore": SQL_BM25_RESCORE,
     "wildcard_trgm_topk": SQL_WILDCARD_TRGM_TOPK,
+    "boosted_topk": SQL_BOOSTED_TOPK,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,

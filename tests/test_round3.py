@@ -607,3 +607,51 @@ def test_sortfield_matches_python_and_respects_deletes(tmp_path):
     reader2 = IndexReader(idx)
     got = score_all_sortfield(reader2, reader2.seg_ids, ["data", "query"], 10)
     assert got == ref(["data", "query"], dead={1})
+
+
+# ------------------------------------------- boosted queries (BoostQuery)
+
+
+def test_boost_one_is_bit_identical_to_plain_bm25(tmp_path):
+    from defactonlp_ray.stages.index_build import build_index
+    from defactonlp_ray.stages.search import (
+        BoostedSearcherActor, IndexReader, score_all_taat,
+    )
+
+    texts = ["data query fast", "data data merge", "query sort", "merge"]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, seg_docs=2, resume=False)
+    reader = IndexReader(idx)
+    terms = sorted(["data", "query"])
+    reader.dfs(terms)  # prime the df cache (idf() contract)
+    plain = score_all_taat(
+        reader, reader.seg_ids, terms,
+        {t: reader.idf(t) for t in terms}, 10,
+    )
+    actor = BoostedSearcherActor(idx, k=10)
+    batch = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "terms": pa.array([terms], pa.list_(pa.string())),
+        "boosts": pa.array([[1.0, 1.0]], pa.list_(pa.float64())),
+    })
+    got = actor(batch).to_pandas()
+    assert list(zip(got["score"], got["doc_id"])) == plain  # bit-exact
+    # a large boost on a term reorders toward docs containing it
+    b2 = actor(pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "terms": pa.array([["data", "query"]], pa.list_(pa.string())),
+        "boosts": pa.array([[100.0, 1.0]], pa.list_(pa.float64())),
+    })).to_pandas()
+    assert b2.iloc[0]["doc_id"] == 1  # the data-heaviest doc wins
+    # mismatched lengths rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        actor(pa.table({
+            "query_id": pa.array([0], pa.int64()),
+            "terms": pa.array([["data"]], pa.list_(pa.string())),
+            "boosts": pa.array([[1.0, 2.0]], pa.list_(pa.float64())),
+        }))
