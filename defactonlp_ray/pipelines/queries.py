@@ -3373,6 +3373,91 @@ def _bm25f_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_BM25F_TOPK = _bm25f_sql(_BM25_QUERIES)
 
 
+# -------------------------- dis_max over fields (best_fields multi_match)
+
+_DISMAX_TIE = 0.5  # exact binary float (pinned float policy)
+
+
+def q_dismax_topk(sf_dir: str):
+    """Disjunction-max over the (title, body) fielded index
+    (stages/fielded.score_dismax — Lucene DisjunctionMaxQuery /
+    Elasticsearch best_fields): each field scores the query as an
+    independent BM25 index (own df/avgdl), per doc
+    ``max_f + tie * (sum_f - max_f)``; shares the BM25F entry's
+    physical index (one segment index per field)."""
+    from ..stages.fielded import build_fielded_index, dismax_search, split_fields
+
+    idx = _tmp_index_dir(sf_dir, "idxf")
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    fds = split_fields(docs, title_len=_BM25F_TITLE_LEN)
+    build_fielded_index(fds, idx, seg_docs=max(256, n // 8), resume=True)
+    res = dismax_search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2,
+        tie=_DISMAX_TIE,
+        weights={"title": _BM25F_WT, "body": _BM25F_WB},
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _dismax_sql(queries: list[tuple[int, list[str]]], tie: float,
+                k: int = 10) -> str:
+    """dis_max oracle: per-field BM25 scored CTEs (each with its OWN df
+    and avgdl), FULL OUTER JOINed, combined with the max + tie * rest
+    expression (single-field matches pass through exactly)."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    tl = _BM25F_TITLE_LEN
+    def field_scored(tf2: str, lcol: str, total: str) -> str:
+        return (
+            f"(SELECT q.query_id, x.doc_id, "
+            "sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+            "(x.tf * 2.2) / "
+            f"(x.tf + 1.2 * (1 - 0.75 + 0.75 * tlen.{lcol} / "
+            f"(s.{total}::DOUBLE / s.n_docs)))) AS score "
+            f"FROM q JOIN {tf2} x ON q.term = x.term "
+            f"JOIN (SELECT term, count(*) AS df FROM {tf2} GROUP BY term) d "
+            "ON d.term = q.term "
+            "JOIN tlen ON tlen.doc_id = x.doc_id "
+            "CROSS JOIN stats s GROUP BY q.query_id, x.doc_id)"
+        )
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        f"fl AS (SELECT doc_id, list_slice(ts, 1, {tl}) AS tts, "
+        f"list_slice(ts, {tl + 1}, len(ts)) AS bts FROM d), "
+        "tlen AS (SELECT doc_id, len(tts) AS tl, len(bts) AS bl FROM fl), "
+        "stats AS (SELECT count(*) AS n_docs, sum(tl) AS total_t, "
+        "sum(bl) AS total_b FROM tlen), "
+        "ttf AS (SELECT doc_id, unnest(tts) AS term FROM fl), "
+        "btf AS (SELECT doc_id, unnest(bts) AS term FROM fl), "
+        "ttf2 AS (SELECT doc_id, term, count(*) AS tf FROM ttf "
+        "GROUP BY doc_id, term), "
+        "btf2 AS (SELECT doc_id, term, count(*) AS tf FROM btf "
+        "GROUP BY doc_id, term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "st AS " + field_scored("ttf2", "tl", "total_t") + ", "
+        "sb AS " + field_scored("btf2", "bl", "total_b") + ", "
+        "dm AS (SELECT coalesce(t.query_id, b.query_id) AS query_id, "
+        "coalesce(t.doc_id, b.doc_id) AS doc_id, "
+        "CASE WHEN t.score IS NULL THEN b.score "
+        "WHEN b.score IS NULL THEN t.score "
+        f"ELSE greatest(t.score, b.score) + {tie} * "
+        "(t.score + b.score - greatest(t.score, b.score)) END AS score "
+        "FROM st t FULL OUTER JOIN sb b "
+        "ON t.query_id = b.query_id AND t.doc_id = b.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM dm) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_DISMAX_TOPK = _dismax_sql(_BM25_QUERIES, _DISMAX_TIE)
+
+
 # ------------------------------- doc deletes (live-docs side files)
 
 # deterministic delete set for the driver entries: doc_id % 7 == 3
@@ -3524,6 +3609,7 @@ QUERIES = {
     "bm25_rescore": q_bm25_rescore,
     "wildcard_trgm_topk": q_wildcard_trgm_topk,
     "boosted_topk": q_boosted_topk,
+    "dismax_topk": q_dismax_topk,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3582,6 +3668,7 @@ ORACLES = {
     "bm25_rescore": SQL_BM25_RESCORE,
     "wildcard_trgm_topk": SQL_WILDCARD_TRGM_TOPK,
     "boosted_topk": SQL_BOOSTED_TOPK,
+    "dismax_topk": SQL_DISMAX_TOPK,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,

@@ -258,6 +258,134 @@ def score_bm25f(
     return _topk_exact(scores[cand], cand + lo, k)
 
 
+def score_dismax(
+    freader: FieldedReader, terms: list[str], k: int, tie: float = 0.5
+) -> list[tuple[float, int]]:
+    """Disjunction-max over fields (Lucene DisjunctionMaxQuery /
+    Elasticsearch multi_match best_fields): each field scores the whole
+    query as an independent BM25 index (its OWN df and avgdl — unlike
+    BM25F's pseudo-document), then per doc
+
+        score = max_f s_f + tie * (Σ_f s_f − max_f)
+
+    ``tie`` must be an exact binary float (0.5, 0.25, …) for the pinned
+    cross-engine float policy.  Field weights are ignored — dis_max
+    rewards the single best field by construction.  Accumulation order:
+    fields in sorted order, ascending terms within a field (pinned)."""
+    from .deletes import live_mask
+
+    uniq = sorted(set(terms))
+    # candidate union across every (field, term) posting list
+    all_parts = []
+    per_field: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+    for f in freader.fields:
+        lst = []
+        for t in uniq:
+            p = freader.term_postings(f, t)
+            lst.append(p)
+            if p is not None:
+                all_parts.append(p[0])
+        per_field[f] = lst
+    if not all_parts:
+        return []
+    cand = np.unique(np.concatenate(all_parts))
+    n = freader.n_docs
+    total = np.zeros(cand.size, dtype=np.float64)
+    best = np.full(cand.size, -np.inf, dtype=np.float64)
+    for f in freader.fields:
+        ids_f, lens_f = freader._dl[f]
+        avgdl_f = float(int(lens_f.sum())) / n
+        sf = np.zeros(cand.size, dtype=np.float64)
+        hit = np.zeros(cand.size, dtype=bool)
+        for t, p in zip(uniq, per_field[f]):
+            if p is None:
+                continue
+            docids, tfs = p
+            df = int(docids.size)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            dls = freader.field_len(f, docids)
+            tfs_f = tfs.astype(np.float64)
+            w = (tfs_f * (K1 + 1.0)) / (
+                tfs_f + K1 * (1.0 - B + B * dls / avgdl_f)
+            )
+            pos = np.searchsorted(cand, docids)
+            sf[pos] += idf * w
+            hit[pos] = True
+        # a field that never matched a doc contributes NO subquery score
+        # (Lucene: dis_max maxes over MATCHING subqueries only)
+        total += np.where(hit, sf, 0.0)
+        best = np.maximum(best, np.where(hit, sf, -np.inf))
+    matched = best > -np.inf
+    cand, best, total = cand[matched], best[matched], total[matched]
+    scores = best + tie * (total - best)
+    if freader.deleted.size and cand.size:
+        m = live_mask(cand, freader.deleted)
+        cand, scores = cand[m], scores[m]
+    if cand.size == 0:
+        return []
+    return _topk_exact(scores, cand, k)
+
+
+class DisMaxSearcherActor:
+    """Actor-pool stage: batch of (query_id, terms) -> (query_id, rank,
+    doc_id, score) under dis_max over fields."""
+
+    def __init__(self, index_dir: str, k: int = 10, tie: float = 0.5,
+                 weights: dict[str, float] | None = None):
+        self.freader = FieldedReader(index_dir, weights)
+        self.k = k
+        self.tie = tie
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted({t for ts in batch["terms"].to_pylist() for t in ts})
+        self.freader.load_terms(all_terms)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, terms in zip(
+            batch["query_id"].to_pylist(), batch["terms"].to_pylist()
+        ):
+            for rank, (score, doc_id) in enumerate(
+                score_dismax(self.freader, list(terms), self.k, self.tie), 1
+            ):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def dismax_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    tie: float = 0.5,
+    weights: dict[str, float] | None = None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """dis_max query pipeline: (query_id, terms) -> (query_id, rank,
+    doc_id, score); see :func:`score_dismax`."""
+    from .util import pool_size
+
+    return queries.map_batches(
+        DisMaxSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "tie": tie, "weights": weights,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
 class BM25FSearcherActor:
     """Actor-pool stage: batch of (query_id, terms) -> (query_id, rank,
     doc_id, score) under BM25F.  Reader state (per-field readers, doc

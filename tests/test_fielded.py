@@ -216,3 +216,79 @@ def test_fielded_subindexes_inherit_compaction(fidx, tmp_path, docs_tbl):
     fr_after = FieldedReader(idx2, {"title": 2.0, "body": 1.0})
     got = score_bm25f(fr_after, ["hash", "join"], 10)
     assert got == want
+
+
+# ------------------------------------------------ dis_max (best_fields)
+
+
+def _py_dismax(docs: dict[int, list[str]], terms: list[str],
+               tie: float) -> dict[int, float]:
+    """Scalar reference: per-field BM25 with the field's OWN stats,
+    then max + tie * (sum - max) over the MATCHING fields."""
+    n = len(docs)
+    fields = {
+        "body": {d: t[TITLE_LEN:] for d, t in docs.items()},
+        "title": {d: t[:TITLE_LEN] for d, t in docs.items()},
+    }
+    per_field: dict[str, dict[int, float]] = {}
+    for f in sorted(fields):
+        fd = fields[f]
+        avg = sum(len(t) for t in fd.values()) / n
+        sf: dict[int, float] = {}
+        for t in sorted(set(terms)):
+            tfs = {d: toks.count(t) for d, toks in fd.items() if t in toks}
+            if not tfs:
+                continue
+            df = len(tfs)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, c in tfs.items():
+                w = (c * (K1 + 1.0)) / (
+                    c + K1 * (1.0 - B + B * float(len(fd[d])) / avg)
+                )
+                sf[d] = sf.get(d, 0.0) + idf * w
+        per_field[f] = sf
+    out: dict[int, float] = {}
+    matched = set().union(*[set(s) for s in per_field.values()])
+    for d in matched:
+        ss = [per_field[f][d] for f in sorted(per_field) if d in per_field[f]]
+        total, best = sum(ss), max(ss)
+        out[d] = best + tie * (total - best) if len(ss) > 1 else best
+    return out
+
+
+def test_score_dismax_matches_scalar_reference(fidx, docs_tbl):
+    from defactonlp_ray.stages.fielded import score_dismax
+
+    docs = {
+        int(d): tokenize(t)
+        for d, t in zip(
+            docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()
+        )
+    }
+    fr = FieldedReader(fidx, {"title": 2.0, "body": 1.0})
+    for terms in (["hash", "join"], ["scan"], ["the", "data", "query"]):
+        ref = _py_dismax(docs, terms, tie=0.5)
+        got = score_dismax(fr, terms, k=len(ref) or 1, tie=0.5)
+        assert len(got) == len(ref), terms
+        for score, doc_id in got:
+            assert score == pytest.approx(ref[doc_id], abs=0, rel=0), (
+                terms, doc_id,
+            )
+
+
+def test_dismax_tie_one_equals_field_sum(fidx, docs_tbl):
+    """tie=1.0 degenerates to max + (sum - max) = plain sum of the
+    matching per-field scores."""
+    from defactonlp_ray.stages.fielded import score_dismax
+
+    docs = {
+        int(d): tokenize(t)
+        for d, t in zip(
+            docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()
+        )
+    }
+    fr = FieldedReader(fidx, {"title": 2.0, "body": 1.0})
+    ref = _py_dismax(docs, ["data", "merge"], tie=1.0)
+    got = score_dismax(fr, ["data", "merge"], k=len(ref), tie=1.0)
+    for score, doc_id in got:
+        assert score == pytest.approx(ref[doc_id], abs=1e-12)
