@@ -2952,6 +2952,38 @@ SQL_BM25_FACETS = (
 )
 
 
+# ---------------------- federated / cross-cluster search (MultiReader)
+
+
+def q_federated_topk(sf_dir: str):
+    """Federated search over two INDEPENDENTLY built shard indexes
+    (stages/search.FederatedSearcherActor — the Lucene MultiReader /
+    cross-cluster shape): documents split by doc_id into two shards,
+    each builds its own index with zero cross-shard coordination;
+    serving combines global stats (df summed, avgdl from summed
+    lengths) so ranking is bit-identical to one unified index — the
+    oracle IS the plain single-index exact-BM25 SQL."""
+    from ..stages.search import federated_search
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    cut = n // 2
+    dirs = []
+    for part, pred in (("lo", f"doc_id < {cut}"), ("hi", f"doc_id >= {cut}")):
+        idx = _tmp_index_dir(sf_dir, f"idxfed-{part}")
+        shard = docs.filter(expr=pred)
+        build_index(shard, idx, seg_docs=max(128, n // 8), resume=True)
+        dirs.append(idx)
+    res = federated_search(
+        dirs, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+# oracle: federation must equal the unified single index exactly
+SQL_FEDERATED_TOPK = _bm25_sql(_BM25_QUERIES)
+
+
 # ----------------------------------- boosted term queries (BoostQuery)
 
 _BOOSTED_QUERIES: list[tuple[int, list[tuple[str, float]]]] = [
@@ -3610,6 +3642,7 @@ QUERIES = {
     "wildcard_trgm_topk": q_wildcard_trgm_topk,
     "boosted_topk": q_boosted_topk,
     "dismax_topk": q_dismax_topk,
+    "federated_topk": q_federated_topk,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3669,6 +3702,7 @@ ORACLES = {
     "wildcard_trgm_topk": SQL_WILDCARD_TRGM_TOPK,
     "boosted_topk": SQL_BOOSTED_TOPK,
     "dismax_topk": SQL_DISMAX_TOPK,
+    "federated_topk": SQL_FEDERATED_TOPK,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,

@@ -60,7 +60,8 @@ class IndexReader:
     shape that survives indexes far larger than worker memory.
     """
 
-    def __init__(self, index_dir: str, preload: bool = False):
+    def __init__(self, index_dir: str, preload: bool = False,
+                 stats_override: Optional[tuple[int, float, int]] = None):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats", "collection.json")) as f:
             coll = json.load(f)
@@ -69,6 +70,12 @@ class IndexReader:
         self.total_len: int = int(
             coll.get("total_len", round(self.n_docs * self.avgdl))
         )
+        if stats_override is not None:
+            # federation (Lucene MultiReader shape): this index is one
+            # shard of a larger collection — score with the COMBINED
+            # stats so per-posting w arrays (decoded against avgdl) and
+            # idf match a single unified index bit-for-bit
+            self.n_docs, self.avgdl, self.total_len = stats_override
         # DOC order, not sid order: compacted segments carry fresh sids
         self.seg_ids: list[int] = mf.live_segment_order(mf.read_manifest(index_dir))
         # live-docs side files (stages/deletes.py) — postings stay raw
@@ -1442,6 +1449,109 @@ class SearcherActor:
                 "score": pa.array(out_s, pa.float64()),
             }
         )
+
+
+def federated_stats(index_dirs: list[str]) -> tuple[int, float, int]:
+    """Combined collection stats over independently built shard indexes:
+    n_docs and total_len are exact integer sums of the shards'
+    collection.json values, avgdl their float64 quotient — bit-identical
+    to the stats a single build over the union corpus writes."""
+    import json as _json
+
+    n = total = 0
+    for d in index_dirs:
+        with open(os.path.join(d, "stats", "collection.json")) as f:
+            coll = _json.load(f)
+        n += int(coll["n_docs"])
+        total += int(
+            coll.get("total_len", round(coll["n_docs"] * coll["avgdl"]))
+        )
+    return n, total / n, total
+
+
+class FederatedSearcherActor:
+    """Actor-pool stage for federated / cross-cluster search (the Lucene
+    MultiReader shape): several indexes built INDEPENDENTLY over disjoint
+    doc-id shards serve one query stream, ranked with COMBINED global
+    stats — df summed across shards, avgdl from the summed lengths — so
+    results are bit-identical to one unified index over the union corpus
+    (tested + the entry's oracle IS the single-index exact-BM25 SQL).
+
+    This is the serving half of shard-parallel ingest: each data shard
+    builds its index with zero cross-shard coordination (the build never
+    shuffles postings anyway), and federation recovers exact global
+    ranking at query time.  Per query each shard scores with the exact
+    fused TAAT and the shard top-ks merge (disjoint doc ranges)."""
+
+    def __init__(self, index_dirs: list[str], k: int = 10):
+        stats = federated_stats(index_dirs)
+        self.readers = [
+            IndexReader(d, stats_override=stats) for d in index_dirs
+        ]
+        self.n_docs = stats[0]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        qids = batch["query_id"].to_pylist()
+        terms_col = batch["terms"].to_pylist()
+        all_terms = sorted({t for ts in terms_col for t in ts})
+        # combined df = sum of shard dfs (disjoint doc shards)
+        dfs = {t: 0 for t in all_terms}
+        for r in self.readers:
+            for t, v in r.dfs(all_terms).items():
+                dfs[t] += v
+        idfs = {
+            t: math.log(
+                1.0 + (self.n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)
+            )
+            for t in all_terms
+        }
+        present = [t for t in all_terms if dfs[t] > 0]
+        for r in self.readers:
+            for sid in r.seg_ids:
+                r.load_postings(sid, present)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, terms in zip(qids, terms_col):
+            uniq = sorted(set(terms))
+            parts = [
+                score_all_taat(r, r.seg_ids, uniq, idfs, self.k)
+                for r in self.readers
+            ]
+            for rank, (score, doc_id) in enumerate(merge_topk(parts, self.k), 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def federated_search(
+    index_dirs: list[str],
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Federated query pipeline over shard indexes: (query_id, terms) ->
+    (query_id, rank, doc_id, score); see :class:`FederatedSearcherActor`."""
+    return queries.map_batches(
+        FederatedSearcherActor,
+        fn_constructor_kwargs={"index_dirs": list(index_dirs), "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
 
 
 class BoostedSearcherActor:

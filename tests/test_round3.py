@@ -655,3 +655,48 @@ def test_boost_one_is_bit_identical_to_plain_bm25(tmp_path):
             "terms": pa.array([["data"]], pa.list_(pa.string())),
             "boosts": pa.array([[1.0, 2.0]], pa.list_(pa.float64())),
         }))
+
+
+# ----------------------------- federated search (MultiReader shape)
+
+
+def test_federated_shards_bit_equal_single_index(tmp_path):
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.stages.index_build import build_index
+    from defactonlp_ray.stages.search import (
+        FederatedSearcherActor, IndexReader, federated_stats, score_all_taat,
+    )
+
+    pages = fixtures.make_pages(600)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(600), pa.int64()),
+        "text": pages["text"],
+    }))
+    single = str(tmp_path / "single")
+    build_index(docs, single, seg_docs=128, resume=False)
+    lo = str(tmp_path / "lo")
+    hi = str(tmp_path / "hi")
+    build_index(docs.filter(expr="doc_id < 300"), lo, seg_docs=128, resume=False)
+    build_index(docs.filter(expr="doc_id >= 300"), hi, seg_docs=128, resume=False)
+
+    # combined stats reproduce the unified build's stats exactly
+    r_single = IndexReader(single)
+    n, avgdl, total = federated_stats([lo, hi])
+    assert (n, avgdl, total) == (
+        r_single.n_docs, r_single.avgdl, r_single.total_len
+    )
+
+    actor = FederatedSearcherActor([lo, hi], k=10)
+    terms_sets = [["data", "query", "fast"], ["merge", "sort"], ["zzz"]]
+    batch = pa.table({
+        "query_id": pa.array(range(len(terms_sets)), pa.int64()),
+        "terms": pa.array(terms_sets, pa.list_(pa.string())),
+    })
+    fed = actor(batch).to_pandas()
+    for qid, terms in enumerate(terms_sets):
+        uniq = sorted(set(terms))
+        r_single.dfs(uniq)
+        idfs = {t: r_single.idf(t) for t in uniq}
+        plain = score_all_taat(r_single, r_single.seg_ids, uniq, idfs, 10)
+        g = fed[fed["query_id"] == qid]
+        assert list(zip(g["score"], g["doc_id"])) == plain, terms  # bit-exact
