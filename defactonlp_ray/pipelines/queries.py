@@ -2952,6 +2952,108 @@ SQL_BM25_FACETS = (
 )
 
 
+# ------------------------- Porter-stemmed analysis chain (index-time)
+
+
+_MORPH_SUFFIXES = ("ing", "ed", "s", "")  # picked by (doc_id + pos) % 4
+
+
+def _morph_docs(sf_dir: str):
+    """Derive a MORPHOLOGICAL corpus from ``documents`` (the canonical
+    tables carry no inflection, so — like url_dedup's derived crawl
+    table — the entry synthesizes one deterministically): token at
+    0-based position ``i`` of doc ``d`` gains suffix
+    ``_MORPH_SUFFIXES[(d + i) % 4]``.  Stemming then CONFLATES the
+    variants back (query/querys/queryed/querying -> queri), so the
+    entry exercises real vocabulary collapse, not a renaming."""
+    from ..functions.tokenizer import term_position_table
+
+    def morph(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        occ, dl = term_position_table(batch["text"], batch["doc_id"])
+        k = (
+            occ["doc_id"].to_numpy(zero_copy_only=False)
+            + occ["pos"].to_numpy(zero_copy_only=False)
+        ) % 4
+        suf = pa.array(
+            np.array(_MORPH_SUFFIXES, dtype=object)[k], pa.string()
+        )
+        terms = pc.binary_join_element_wise(occ["term"], suf, "")
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        offsets = np.zeros(dl.size + 1, dtype=np.int32)
+        np.cumsum(dl, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets), terms)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pc.binary_join(lists, " "),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        morph, batch_format="pyarrow"
+    )
+
+
+def q_stemmed_topk(sf_dir: str):
+    """BM25 over a Porter-stemmed corpus (functions/stemmer.py — the
+    pinned porter-v1 analysis chain, applied at the vocabulary level
+    per batch): the derived morphological corpus (see
+    :func:`_morph_docs`) is rewritten token-by-token through
+    ``porter_stem``, a NORMAL index is built over the stemmed text, and
+    query terms stem with the same function — the classic index-time
+    analyzer expressed as a Dataset transform, composing with every
+    existing index op."""
+    from ..functions.stemmer import porter_stem, stem_corpus
+
+    idx = _tmp_index_dir(sf_dir, "idxstem2")
+    docs = stem_corpus(_morph_docs(sf_dir))
+    n = docs.count()
+    build_index(docs, idx, seg_docs=max(256, n // 8), resume=True)
+    stemmed = [
+        (qid, sorted({porter_stem(t) for t in terms}))
+        for qid, terms in _BM25_QUERIES
+    ]
+    res = search(
+        idx, _query_terms_ds(stemmed), k=20, concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _stemmed_topk_sql() -> str:
+    """Stemmed-retrieval oracle: the PINNED stemmer supplies only a
+    (term -> stem) VALUES map over the morphed oracle-corpus vocabulary
+    (base terms x the four suffixes); the morphological derivation,
+    token mapping, tf/df/dl recomputation and BM25 scoring all happen
+    independently in SQL downstream of the map (the same pinning
+    boundary the tokenizer has)."""
+    from ..functions.stemmer import porter_stem
+    from ..functions.tokenizer import tokenize
+    from .pinned import _sf_docs
+
+    vocab = sorted({t for txt in _sf_docs().values() for t in tokenize(txt)})
+    morphed = sorted({t + s for t in vocab for s in _MORPH_SUFFIXES})
+    map_vals = ", ".join(f"('{t}', '{porter_stem(t)}')" for t in morphed)
+    suffix_case = (
+        "CASE CAST((m.doc_id + m.i) % 4 AS INTEGER) "
+        "WHEN 0 THEN 'ing' WHEN 1 THEN 'ed' WHEN 2 THEN 's' ELSE '' END"
+    )
+    toks_sql = (
+        "SELECT m.doc_id, sm.stem AS term FROM ("
+        "SELECT doc_id, term || " + suffix_case + " AS term FROM ("
+        "SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(0, len(ts))) AS i FROM ("
+        "SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents)) m) m "
+        f"JOIN (VALUES {map_vals}) AS sm(term, stem) ON sm.term = m.term"
+    )
+    stemmed = [
+        (qid, sorted({porter_stem(t) for t in terms}))
+        for qid, terms in _BM25_QUERIES
+    ]
+    return _bm25_sql(stemmed, toks_sql=toks_sql)
+
+
 # ---------------------- federated / cross-cluster search (MultiReader)
 
 
@@ -3643,6 +3745,7 @@ QUERIES = {
     "boosted_topk": q_boosted_topk,
     "dismax_topk": q_dismax_topk,
     "federated_topk": q_federated_topk,
+    "stemmed_topk": q_stemmed_topk,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3741,7 +3844,21 @@ def pinned_oracles() -> dict[str, str]:
     """Oracles whose SQL is the committed output of the single-process
     pure-Python reference implementation (SURVEY.md §5.3 family) inlined
     as VALUES — used for ops whose semantics are not expressible in
-    DuckDB SQL (custom 64-bit hashes, HLL, the full fixture pipeline)."""
+    DuckDB SQL (custom 64-bit hashes, HLL, the full fixture pipeline).
+    ``stemmed_topk`` rides here too: its SQL embeds the pinned stemmer's
+    (term -> stem) map over the oracle corpus vocabulary (computed
+    lazily — one corpus read — and disk-cached like the VALUES family)."""
     from . import pinned
 
-    return pinned.oracle_values_sql()
+    out = pinned.oracle_values_sql()
+    try:
+        fp = (
+            pinned._file_fingerprint(
+                os.path.join(pinned.ORACLE_SF_DIR, "documents.parquet")
+            )
+            + "|stem-porter-v1-morph4|" + pinned.PINNED_VERSION
+        )
+    except OSError:
+        return out
+    out["stemmed_topk"] = pinned._cached("stemmed_topk", fp, _stemmed_topk_sql)
+    return out
