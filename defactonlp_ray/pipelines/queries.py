@@ -950,6 +950,36 @@ SQL_ANN_TOPK = (
 )
 
 
+def q_ann_filtered(sf_dir: str):
+    """Filtered vector search (the vector-DB metadata-predicate kNN —
+    Elasticsearch knn ``filter`` / pgvector ``WHERE``): brute cosine
+    top-k restricted to vectors with ``label = 1``.  PRE-filtered: the
+    predicate applies to the Dataset BEFORE the scoring pass (pyarrow
+    filter pushed toward the read), so results are exact within the
+    allowed set and never come back short the way post-filtering a
+    top-k can."""
+    q = _query_vectors(sf_dir, 3)
+    ds = read_table(
+        sf_dir, "embeddings", ["vec_id", "embedding", "label"]
+    ).filter(expr="label == 1")
+    res = ann.knn_brute(ds, q, k=10)
+    res["rank"] = res["rank"].astype(np.int64)
+    return res
+
+
+SQL_ANN_FILTERED = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+    "FROM embeddings WHERE vec_id < 3) "
+    "SELECT query_id, rank, vec_id, score FROM ("
+    "SELECT q.query_id, e.vec_id, "
+    "round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS score, "
+    "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+    "round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) DESC, e.vec_id"
+    ") AS rank FROM q CROSS JOIN embeddings e WHERE e.label = 1) "
+    "WHERE rank <= 10"
+)
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF similarity search (the k-means-bucketed scale path beside the
     LSH one): coarse-quantized, list-PARTITIONED persisted index; each
@@ -3746,6 +3776,7 @@ QUERIES = {
     "dismax_topk": q_dismax_topk,
     "federated_topk": q_federated_topk,
     "stemmed_topk": q_stemmed_topk,
+    "ann_filtered": q_ann_filtered,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3806,6 +3837,7 @@ ORACLES = {
     "boosted_topk": SQL_BOOSTED_TOPK,
     "dismax_topk": SQL_DISMAX_TOPK,
     "federated_topk": SQL_FEDERATED_TOPK,
+    "ann_filtered": SQL_ANN_FILTERED,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
