@@ -700,3 +700,33 @@ def test_federated_shards_bit_equal_single_index(tmp_path):
         plain = score_all_taat(r_single, r_single.seg_ids, uniq, idfs, 10)
         g = fed[fed["query_id"] == qid]
         assert list(zip(g["score"], g["doc_id"])) == plain, terms  # bit-exact
+
+
+# -------------------------------- filtered kNN (metadata predicate)
+
+
+def test_filtered_knn_is_prefiltered_not_postfiltered(tmp_path):
+    """Pre-filtering must return k results from WITHIN the allowed set
+    even when the global top-k is dominated by disallowed vectors —
+    the case where post-filtering a top-k comes back short."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    # 20 vectors nearly parallel to the query (label 0, disallowed),
+    # 5 orthogonal-ish ones (label 1, allowed)
+    near = base + 0.01 * rng.standard_normal((20, 8))
+    far = rng.standard_normal((5, 8))
+    vecs = np.vstack([near, far])
+    labels = np.array([0] * 20 + [1] * 5)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(25), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    ds = ray.data.from_arrow(tbl).filter(expr="label == 1")
+    got = ann.knn_brute(ds, base[None, :], k=5)
+    assert len(got) == 5
+    assert set(got["vec_id"]) == {20, 21, 22, 23, 24}  # only allowed ids
+    # and the unfiltered search is dominated by the disallowed cluster
+    full = ann.knn_brute(ray.data.from_arrow(tbl), base[None, :], k=5)
+    assert set(full["vec_id"]) <= set(range(20))
