@@ -73,17 +73,6 @@ def _cvc(w: str) -> bool:
     )
 
 
-def _replace(w: str, suffix: str, repl: str, min_m: int) -> str | None:
-    """If ``w`` ends with ``suffix`` and m(stem) > ``min_m`` - 1 ...
-    (the paper's (m>k) conditions expressed as m >= min_m), replace."""
-    if not w.endswith(suffix):
-        return None
-    stem = w[: len(w) - len(suffix)]
-    if _measure(stem) >= min_m:
-        return stem + repl
-    return w  # suffix matched but condition failed: rule CONSUMES the match
-
-
 _STEP2 = [
     ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
     ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),

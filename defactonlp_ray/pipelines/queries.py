@@ -2428,6 +2428,10 @@ def _boolean_msm_sql(
                 + " + ".join(f"list_contains(ts, '{t}')::INT" for t in sh)
                 + f") >= {msm}"
             )
+        elif msm > 0:
+            # msm exceeds the should-clause count -> matches nothing
+            # (score_boolean's min_should > len(should) early return)
+            conds.append("FALSE")
         conds += [f"NOT list_contains(ts, '{t}')" for t in sorted(set(must_not))]
         where = " AND ".join(conds) if conds else "TRUE"
         cand_parts.append(
@@ -2988,6 +2992,15 @@ SQL_BM25_FACETS = (
 _MORPH_SUFFIXES = ("ing", "ed", "s", "")  # picked by (doc_id + pos) % 4
 
 
+def _stem_fp_tag() -> str:
+    """Cache-key tag for the stemmed oracle: derived from the stemmer
+    version AND the morph rule, so bumping either regenerates the
+    cached SQL (the pinning contract in functions/stemmer.py)."""
+    from ..functions.stemmer import STEMMER_VERSION
+
+    return STEMMER_VERSION + "-morph:" + ",".join(_MORPH_SUFFIXES)
+
+
 def _morph_docs(sf_dir: str):
     """Derive a MORPHOLOGICAL corpus from ``documents`` (the canonical
     tables carry no inflection, so — like url_dedup's derived crawl
@@ -3226,8 +3239,12 @@ def q_bm25_rescore(sf_dir: str):
     # same expression order as ann.knn_brute (bit-compatible at round-6)
     cos = np.round((q @ m.T) / qn[:, None] / mn[None, :], 6)
     vec_pos = {int(v): j for j, v in enumerate(emb["vec_id"])}
+    # a window doc with no embedding row drops out of the rescored
+    # ranking (the oracle's inner join) rather than erroring
+    pos = prim["doc_id"].map(vec_pos)
+    prim = prim[pos.notna()].reset_index(drop=True)
+    di = pos.dropna().to_numpy(np.int64)
     qi = prim["query_id"].to_numpy(np.int64)
-    di = prim["doc_id"].map(vec_pos).to_numpy(np.int64)
     prim["score"] = np.round(
         prim["score"].to_numpy() + _RESCORE_W * cos[qi, di], 6
     )
@@ -3888,7 +3905,7 @@ def pinned_oracles() -> dict[str, str]:
             pinned._file_fingerprint(
                 os.path.join(pinned.ORACLE_SF_DIR, "documents.parquet")
             )
-            + "|stem-porter-v1-morph4|" + pinned.PINNED_VERSION
+            + f"|stem-{_stem_fp_tag()}|" + pinned.PINNED_VERSION
         )
     except OSError:
         return out

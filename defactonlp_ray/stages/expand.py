@@ -425,13 +425,17 @@ def suggest_spelling(
     import pandas as pd
 
     cols = ["query_id", "rank", "suggestion", "df"]
-    if not terms:
+
+    def _empty() -> "pd.DataFrame":
         return pd.DataFrame({
             "query_id": pd.array([], dtype=np.int64),
             "rank": pd.array([], dtype=np.int32),
             "suggestion": pd.array([], dtype=object),
             "df": pd.array([], dtype=np.int64),
         })
+
+    if not terms:
+        return _empty()
     parts = (
         ray.data.read_parquet(_term_df_path(index_dir), columns=["term", "df"])
         .map_batches(
@@ -456,12 +460,7 @@ def suggest_spelling(
         g = g.rename(columns={"term": "suggestion"})
         out.append(g[cols])
     if not out:
-        return pd.DataFrame({
-            "query_id": pd.array([], dtype=np.int64),
-            "rank": pd.array([], dtype=np.int32),
-            "suggestion": pd.array([], dtype=object),
-            "df": pd.array([], dtype=np.int64),
-        })
+        return _empty()
     return pd.concat(out, ignore_index=True)
 
 

@@ -1565,7 +1565,8 @@ class BoostedSearcherActor:
     IS :func:`score_all_taat` run with the per-query idf map scaled by
     the boosts — no new accumulation code, and boost=1 queries are
     bit-identical to plain BM25 (tested).  Duplicate terms in one query
-    keep the LAST boost (pinned)."""
+    SUM their boosts (Lucene duplicate-clause semantics; matches the
+    SQL oracle, which sums one contribution per (term, boost) row)."""
 
     def __init__(self, index_dir: str, k: int = 10):
         self.reader = IndexReader(index_dir)
@@ -1587,7 +1588,9 @@ class BoostedSearcherActor:
                 raise ValueError(
                     f"query {qid}: terms and boosts length mismatch"
                 )
-            bmap = dict(zip(terms, (float(b) for b in boosts)))
+            bmap: dict[str, float] = {}
+            for t, b in zip(terms, boosts):
+                bmap[t] = bmap.get(t, 0.0) + float(b)
             uniq = sorted(bmap)
             idfs = {t: bmap[t] * self.reader.idf(t) for t in uniq}
             top = score_all_taat(self.reader, self.seg_ids, uniq, idfs, self.k)

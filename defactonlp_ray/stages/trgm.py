@@ -169,6 +169,14 @@ def expand_wildcard_trgm(
     pruned = [(q, p) for q, p in patterns if required_trigram(p) is not None]
     fallback = [(q, p) for q, p in patterns if required_trigram(p) is None]
     out: dict[int, list[str]] = {qid: [] for qid, _ in patterns}
+    # a required trigram with NO partition directory means no dictionary
+    # term contains it — those patterns are answered empty without a
+    # read (and Ray's read_parquet cannot take a zero-file set anyway)
+    root = _trgm_path(index_dir)
+    pruned = [
+        (q, p) for q, p in pruned
+        if os.path.isdir(os.path.join(root, f"trgm={required_trigram(p)}"))
+    ]
     if pruned:
         wanted = {required_trigram(p) for _, p in pruned}
 

@@ -730,3 +730,30 @@ def test_filtered_knn_is_prefiltered_not_postfiltered(tmp_path):
     # and the unfiltered search is dominated by the disallowed cluster
     full = ann.knn_brute(ray.data.from_arrow(tbl), base[None, :], k=5)
     assert set(full["vec_id"]) <= set(range(20))
+
+
+def test_boosted_duplicate_terms_sum(tmp_path):
+    """Duplicate boosted terms sum their boosts — the SQL-oracle and
+    Lucene duplicate-clause semantics."""
+    from defactonlp_ray.stages.index_build import build_index
+    from defactonlp_ray.stages.search import BoostedSearcherActor
+
+    texts = ["data query", "data data", "query"]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, seg_docs=2, resume=False)
+    actor = BoostedSearcherActor(idx, k=10)
+
+    def run(terms, boosts):
+        return actor(pa.table({
+            "query_id": pa.array([0], pa.int64()),
+            "terms": pa.array([terms], pa.list_(pa.string())),
+            "boosts": pa.array([boosts], pa.list_(pa.float64())),
+        })).to_pandas()
+
+    dup = run(["data", "data"], [2.0, 1.0])
+    single = run(["data"], [3.0])
+    assert dup.equals(single)

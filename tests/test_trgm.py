@@ -103,3 +103,11 @@ def test_pruning_is_physical(trgm_index, tmp_path):
 def test_build_is_idempotent(trgm_index):
     out = build_trgm_dict(trgm_index)   # second call: _SUCCESS short-circuit
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_all_patterns_with_missing_trigram_partitions(trgm_index):
+    """Patterns whose required trigram has NO partition on disk must
+    answer empty (no dictionary term contains the trigram) instead of
+    crashing on a zero-file read."""
+    got = expand_wildcard_trgm(trgm_index, [(0, "%zzz%"), (1, "qqq%")])
+    assert got == {0: [], 1: []}
