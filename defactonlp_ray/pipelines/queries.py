@@ -2949,6 +2949,65 @@ SQL_SPELL_SUGGEST = (
 )
 
 
+# ----------------------------- phrase suggester (whole-query rewrite)
+
+_PHRASE_SUGGEST_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["spart", "sow"]),    # both terms corrected, then collated
+    (1, ["merge", "quer"]),   # one typo -> "merge query"
+    (2, ["zzz", "data"]),     # uncorrectable term -> 0 hits -> pruned
+    (3, ["dup"]),             # nothing to fix; collate keeps it
+    (4, ["kei", "dap"]),      # -> "key dup": collate decides
+]
+
+
+def q_phrase_suggest(sf_dir: str):
+    """Whole-query did-you-mean (stages/expand.suggest_phrase —
+    Elasticsearch phrase-suggester shape): each typed term rewrites to
+    its best more-popular distance-1 correction, and the rewrite is
+    COLLATED against the index (conjunctive hit count; zero-hit
+    rewrites pruned)."""
+    from ..stages.expand import suggest_phrase
+
+    idx = _build_docs_index(sf_dir)
+    res = suggest_phrase(idx, _PHRASE_SUGGEST_QUERIES)
+    return res.sort_values("query_id").reset_index(drop=True)
+
+
+SQL_PHRASE_SUGGEST = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, idx, term) AS (VALUES "
+    + ", ".join(
+        f"({qid}, {i}, '{t}')"
+        for qid, terms in _PHRASE_SUGGEST_QUERIES
+        for i, t in enumerate(terms)
+    )
+    + "), "
+    "qdf AS (SELECT q.query_id, q.idx, q.term, coalesce(d.df, 0) AS self_df "
+    "FROM q LEFT JOIN df d ON d.term = q.term), "
+    "best AS (SELECT query_id, idx, term FROM ("
+    "SELECT qdf.query_id, qdf.idx, d.term, "
+    "row_number() OVER (PARTITION BY qdf.query_id, qdf.idx "
+    "ORDER BY d.df DESC, d.term) AS rn FROM qdf "
+    "JOIN df d ON levenshtein(d.term, qdf.term) = 1 AND d.df > qdf.self_df"
+    ") WHERE rn = 1), "
+    "rew AS (SELECT q.query_id, q.idx, coalesce(b.term, q.term) AS term "
+    "FROM q LEFT JOIN best b ON b.query_id = q.query_id AND b.idx = q.idx), "
+    "rstr AS (SELECT query_id, string_agg(term, ' ' ORDER BY idx) "
+    "AS rewrite FROM rew GROUP BY query_id), "
+    "rdist AS (SELECT DISTINCT query_id, term FROM rew), "
+    "need AS (SELECT query_id, count(*) AS n FROM rdist GROUP BY query_id), "
+    "hitcnt AS (SELECT r.query_id, tf.doc_id, count(*) AS c FROM rdist r "
+    "JOIN tf ON tf.term = r.term GROUP BY r.query_id, tf.doc_id), "
+    "cnt AS (SELECT h.query_id, count(*) AS n_hits FROM hitcnt h "
+    "JOIN need n ON n.query_id = h.query_id WHERE h.c = n.n "
+    "GROUP BY h.query_id) "
+    "SELECT r.query_id, r.rewrite, c.n_hits FROM rstr r "
+    "JOIN cnt c ON c.query_id = r.query_id"
+)
+
+
 # ------------------------------ faceted counts over retrieval results
 
 
@@ -3794,6 +3853,7 @@ QUERIES = {
     "federated_topk": q_federated_topk,
     "stemmed_topk": q_stemmed_topk,
     "ann_filtered": q_ann_filtered,
+    "phrase_suggest": q_phrase_suggest,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3855,6 +3915,7 @@ ORACLES = {
     "dismax_topk": SQL_DISMAX_TOPK,
     "federated_topk": SQL_FEDERATED_TOPK,
     "ann_filtered": SQL_ANN_FILTERED,
+    "phrase_suggest": SQL_PHRASE_SUGGEST,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,

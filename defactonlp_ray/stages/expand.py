@@ -51,6 +51,7 @@ __all__ = [
     "expand_regex",
     "suggest_prefix",
     "suggest_spelling",
+    "suggest_phrase",
     "wildcard_search",
     "fuzzy_search",
     "regex_search",
@@ -462,6 +463,60 @@ def suggest_spelling(
     if not out:
         return _empty()
     return pd.concat(out, ignore_index=True)
+
+
+def suggest_phrase(
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+) -> "pd.DataFrame":
+    """Whole-query did-you-mean (the Elasticsearch phrase-suggester
+    shape, term-wise candidate model + collate): every typed term is
+    replaced by its BEST more-popular distance-1 dictionary correction
+    (rank-1 of :func:`suggest_spelling`; terms with no better spelling
+    stay as typed), and the rewritten query is COLLATED — verified
+    against the index with a conjunctive (AND) hit count; rewrites with
+    zero hits are pruned.  Returns ``(query_id, rewrite, n_hits)``.
+
+    Cost shape: one streamed dictionary pass for ALL queries' term
+    corrections (the spell matcher), then O(terms) posting point reads
+    for the collate counts — the corpus itself is never scanned."""
+    import pandas as pd
+
+    from .search import IndexReader
+
+    typed = sorted({t for _, ts in queries for t in ts})
+    sugg = suggest_spelling(index_dir, list(enumerate(typed)), k=1)
+    best = {
+        typed[int(r.query_id)]: r.suggestion for r in sugg.itertuples()
+    }
+    reader = IndexReader(index_dir)
+    out_q, out_r, out_n = [], [], []
+    for qid, terms in queries:
+        rewrite = [best.get(t, t) for t in terms]
+        uniq = sorted(set(rewrite))
+        arrs = [reader.term_arrays(reader.seg_ids, t) for t in uniq]
+        if any(a is None for a in arrs):
+            continue  # collate: a term with no postings -> zero hits
+        order = sorted(range(len(uniq)), key=lambda i: arrs[i][0].size)
+        cand = arrs[order[0]][0]
+        for i in order[1:]:
+            cand = cand[np.isin(cand, arrs[i][0], assume_unique=True)]
+            if cand.size == 0:
+                break
+        if reader.deleted.size and cand.size:
+            from .deletes import live_mask
+
+            cand = cand[live_mask(cand, reader.deleted)]
+        if cand.size == 0:
+            continue
+        out_q.append(qid)
+        out_r.append(" ".join(rewrite))
+        out_n.append(int(cand.size))
+    return pd.DataFrame({
+        "query_id": np.asarray(out_q, dtype=np.int64),
+        "rewrite": pd.array(out_r, dtype=object),
+        "n_hits": np.asarray(out_n, dtype=np.int64),
+    })
 
 
 def _search_expanded(index_dir: str, expansions: dict[int, list[str]],

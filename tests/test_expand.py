@@ -333,3 +333,25 @@ def test_spell_matcher_empty_batch():
     out = _SpellMatcher([(0, "cat")], k=2)(empty)
     assert out.num_rows == 0
     assert out.schema.names == ["query_id", "term", "df", "dist"]
+
+
+def test_suggest_phrase_rewrites_and_collates(tmp_path):
+    from defactonlp_ray.stages.expand import suggest_phrase
+
+    texts = ["cat dog"] * 10 + ["cot dog"] * 2 + ["cat bird"] * 3
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, seg_docs=8, resume=False)
+    got = suggest_phrase(idx, [
+        (0, ["cot", "dog"]),    # cot -> cat (more popular); "cat dog" has 10 hits
+        (1, ["cat", "bird"]),   # nothing to fix; 3 conjunctive hits
+        (2, ["zzz", "dog"]),    # uncorrectable -> zero hits -> pruned
+        (3, ["bird", "dog"]),   # rewrite collates to 0 docs -> pruned
+    ])
+    rows = {int(r.query_id): (r.rewrite, int(r.n_hits)) for r in got.itertuples()}
+    assert rows[0] == ("cat dog", 10)
+    assert rows[1] == ("cat bird", 3)
+    assert 2 not in rows and 3 not in rows
