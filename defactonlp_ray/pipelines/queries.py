@@ -3045,6 +3045,34 @@ SQL_BM25_FACETS = (
 )
 
 
+# -------------------------------- index fsck (CheckIndex-shaped)
+
+
+def q_index_fsck(sf_dir: str):
+    """Index integrity verification (stages/fsck.py, the Lucene
+    CheckIndex shape): per-segment decode + invariant scan in parallel
+    Ray tasks, dictionary/collection cross-checks from the index's own
+    derived data.  The oracle recomputes the reported totals from the
+    source corpus — proving the index's self-description (docstats,
+    term_df, collection.json, posting payloads) still matches what was
+    ingested, with zero errors."""
+    from ..stages.fsck import fsck_index
+
+    idx = _build_docs_index(sf_dir)
+    return fsck_index(idx)
+
+
+SQL_INDEX_FSCK = (
+    f"WITH toks AS ({_TOKS_SQL}) "
+    "SELECT (SELECT count(DISTINCT doc_id) FROM toks) AS n_docs, "
+    "(SELECT count(DISTINCT term) FROM toks) AS n_terms, "
+    "(SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM toks)) "
+    "AS n_postings, "
+    "(SELECT count(*) FROM toks) AS total_len, "
+    "0 AS n_errors"
+)
+
+
 # ------------------------- Porter-stemmed analysis chain (index-time)
 
 
@@ -3854,6 +3882,7 @@ QUERIES = {
     "stemmed_topk": q_stemmed_topk,
     "ann_filtered": q_ann_filtered,
     "phrase_suggest": q_phrase_suggest,
+    "index_fsck": q_index_fsck,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3916,6 +3945,7 @@ ORACLES = {
     "federated_topk": SQL_FEDERATED_TOPK,
     "ann_filtered": SQL_ANN_FILTERED,
     "phrase_suggest": SQL_PHRASE_SUGGEST,
+    "index_fsck": SQL_INDEX_FSCK,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
