@@ -3062,6 +3062,37 @@ def q_index_fsck(sf_dir: str):
     return fsck_index(idx)
 
 
+def q_index_segments(sf_dir: str):
+    """Segment catalog (stages/fsck.segment_catalog, the _cat/segments
+    ops surface): per-live-segment doc/term/posting/length totals from
+    metadata-only reads.  The oracle rederives the build's contiguous
+    range partitioning (sid = doc_id // seg_docs with the entry's
+    seg_docs = max(256, n // 8)) straight from the corpus."""
+    from ..stages.fsck import segment_catalog
+
+    idx = _build_docs_index(sf_dir)
+    return segment_catalog(idx)
+
+
+SQL_INDEX_SEGMENTS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "sd AS (SELECT doc_id, doc_id // greatest(256, "
+    "(SELECT count(*) FROM documents) // 8) AS sid FROM documents), "
+    "tfd AS (SELECT DISTINCT doc_id, term FROM toks), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "a AS (SELECT sid, count(*) AS n_docs FROM sd GROUP BY sid), "
+    "b AS (SELECT sd.sid, count(DISTINCT tfd.term) AS n_terms, "
+    "count(*) AS n_postings FROM sd JOIN tfd ON tfd.doc_id = sd.doc_id "
+    "GROUP BY sd.sid), "
+    "c AS (SELECT sd.sid, sum(dl.dl) AS total_len FROM sd "
+    "JOIN dl ON dl.doc_id = sd.doc_id GROUP BY sd.sid) "
+    "SELECT a.sid, a.n_docs, coalesce(b.n_terms, 0) AS n_terms, "
+    "coalesce(b.n_postings, 0) AS n_postings, "
+    "coalesce(c.total_len, 0)::BIGINT AS total_len "
+    "FROM a LEFT JOIN b ON b.sid = a.sid LEFT JOIN c ON c.sid = a.sid"
+)
+
+
 SQL_INDEX_FSCK = (
     f"WITH toks AS ({_TOKS_SQL}) "
     "SELECT (SELECT count(DISTINCT doc_id) FROM toks) AS n_docs, "
@@ -3883,6 +3914,7 @@ QUERIES = {
     "ann_filtered": q_ann_filtered,
     "phrase_suggest": q_phrase_suggest,
     "index_fsck": q_index_fsck,
+    "index_segments": q_index_segments,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3946,6 +3978,7 @@ ORACLES = {
     "ann_filtered": SQL_ANN_FILTERED,
     "phrase_suggest": SQL_PHRASE_SUGGEST,
     "index_fsck": SQL_INDEX_FSCK,
+    "index_segments": SQL_INDEX_SEGMENTS,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,

@@ -42,7 +42,52 @@ import ray.data
 
 from ..sources import manifest as mf
 
-__all__ = ["fsck_index"]
+__all__ = ["fsck_index", "segment_catalog"]
+
+
+def segment_catalog(index_dir: str) -> pd.DataFrame:
+    """Segment catalog (the Elasticsearch ``_cat/segments`` surface):
+    one row per LIVE segment with ``(sid, n_docs, n_terms, n_postings,
+    total_len)``, read from segment METADATA only (docstats columns +
+    the postings ``n`` column — no blob decode).  One Ray task per
+    segment, so the catalog of a thousand-segment index costs a
+    thousand small parquet footer reads, fanned out."""
+    import pyarrow.parquet as pq
+
+    live = mf.live_segment_order(mf.read_manifest(index_dir))
+
+    def stat(batch: pa.Table) -> pa.Table:
+        rows = []
+        for sid in batch["sid"].to_pylist():
+            seg = mf.segment_dir(index_dir, int(sid))
+            ds_tbl = pq.read_table(
+                os.path.join(seg, "docstats.parquet"), columns=["doc_len"]
+            )
+            p_tbl = pq.read_table(
+                os.path.join(seg, "postings.parquet"), columns=["n"]
+            )
+            rows.append({
+                "sid": int(sid),
+                "n_docs": ds_tbl.num_rows,
+                "n_terms": p_tbl.num_rows,
+                "n_postings": int(
+                    pa.compute.sum(p_tbl["n"]).as_py() or 0
+                ),
+                "total_len": int(
+                    pa.compute.sum(ds_tbl["doc_len"]).as_py() or 0
+                ),
+            })
+        return pa.Table.from_pylist(rows)
+
+    out = (
+        ray.data.from_items([{"sid": s} for s in live])
+        .map_batches(stat, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out.sort_values("sid").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
 
 _MAX_ERRORS = 50  # per segment, keep reports bounded
 

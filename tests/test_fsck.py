@@ -100,3 +100,21 @@ def test_detects_missing_docstats_row(idx):
     pq.write_table(pa.Table.from_pandas(t, preserve_index=False), p)
     rep = fsck_index(idx)
     assert any("absent from docstats" in e for e in rep.attrs["errors"])
+
+
+def test_segment_catalog_matches_reference(idx):
+    from defactonlp_ray.stages.fsck import segment_catalog
+
+    cat = segment_catalog(idx)
+    # seg_docs=3 over 6 docs -> sids 0 and 1, 3 docs each
+    assert cat["sid"].tolist() == [0, 1]
+    assert cat["n_docs"].tolist() == [3, 3]
+    for _i, row in cat.iterrows():
+        lo, hi = int(row.sid) * 3, int(row.sid) * 3 + 3
+        seg_texts = TEXTS[lo:hi]
+        toks = [t for s in seg_texts for t in s.split()]
+        assert row.total_len == len(toks)
+        assert row.n_terms == len(set(toks))
+        assert row.n_postings == len(
+            {(d, t) for d, s in enumerate(seg_texts) for t in s.split()}
+        )
