@@ -3499,6 +3499,55 @@ def _percolate_sql(queries: list[tuple[int, list[str], list[str]]]) -> str:
 SQL_PERCOLATE_MATCHES = _percolate_sql(_PERCOLATE_QUERIES)
 
 
+# ----------------------------- top-hits per bucket over retrieval results
+
+_TOP_HITS_N = 3
+
+
+def q_bm25_top_hits(sf_dir: str):
+    """Top-hits-per-bucket aggregation (the Elasticsearch ``top_hits``
+    inside a ``terms`` agg): BM25 results bucketed by the doc's
+    ``source``, keeping the best ``_TOP_HITS_N`` per (query, bucket) by
+    ``(score DESC, doc_id)``.  Same composition shape as the facet
+    entry: the top-k doc set broadcasts, the corpus metadata STREAMS
+    through one filtered pass, the bucket window runs on the tiny
+    joined result."""
+    topk = q_bm25_topk(sf_dir)
+    wanted = pa.array(sorted(set(topk["doc_id"].tolist())), pa.int64())
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=wanted))
+
+    meta = (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    j = topk.merge(meta, on="doc_id")
+    out = []
+    for (_qid, _src), g in j.groupby(["query_id", "source"]):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+        g = g.head(_TOP_HITS_N).reset_index(drop=True)
+        g["bucket_rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    cols = ["query_id", "source", "bucket_rank", "doc_id", "score"]
+    return res[cols].sort_values(
+        ["query_id", "source", "bucket_rank"]
+    ).reset_index(drop=True)
+
+
+SQL_BM25_TOP_HITS = (
+    "WITH topk AS (" + SQL_BM25_TOPK + ") "
+    "SELECT query_id, source, bucket_rank, doc_id, score FROM ("
+    "SELECT t.query_id, d.source, t.doc_id, t.score, "
+    "CAST(row_number() OVER (PARTITION BY t.query_id, d.source "
+    "ORDER BY t.score DESC, t.doc_id) AS INTEGER) AS bucket_rank "
+    "FROM topk t JOIN documents d ON d.doc_id = t.doc_id) "
+    f"WHERE bucket_rank <= {_TOP_HITS_N}"
+)
+
+
 # ----------------------------- significant terms over retrieval results
 
 _SIGTERM_TOP = 10
@@ -3915,6 +3964,7 @@ QUERIES = {
     "phrase_suggest": q_phrase_suggest,
     "index_fsck": q_index_fsck,
     "index_segments": q_index_segments,
+    "bm25_top_hits": q_bm25_top_hits,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -3979,6 +4029,7 @@ ORACLES = {
     "phrase_suggest": SQL_PHRASE_SUGGEST,
     "index_fsck": SQL_INDEX_FSCK,
     "index_segments": SQL_INDEX_SEGMENTS,
+    "bm25_top_hits": SQL_BM25_TOP_HITS,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
