@@ -575,3 +575,89 @@ def oracle_values_sql() -> dict[str, str]:
         "claim_verdicts", fx_fp, lambda: values_sql(serial_claim_verdicts())
     )
     return out
+
+
+def serial_bm25_mmr(
+    sf_dir: str,
+    queries: list[tuple[int, list[str]]],
+    *,
+    window: int = 30,
+    k: int = 10,
+    lam: float = 0.5,
+) -> pd.DataFrame:
+    """Single-process reference for MMR diversification (Carbonell &
+    Goldstein, SIGIR 1998): BM25 window from the pure-Python oracle
+    index (independent of the engine's segment machinery), pairwise
+    cosine from the pinned matrix expression, greedy
+    ``lam*rel - (1-lam)*max_sim_to_selected`` selection with
+    ``(objective DESC, doc_id ASC)`` ties.  All inputs rounded to 6
+    before the objective (the cross-engine float policy); ``lam`` must
+    be an exact binary float."""
+    import pyarrow.parquet as pq
+
+    from ..oracle import OracleIndex
+
+    docs_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = {
+        int(d): t
+        for d, t in zip(
+            docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()
+        )
+    }
+    emb_tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    vec = {
+        int(i): np.asarray(e, dtype=np.float64)
+        for i, e in zip(
+            emb_tbl["vec_id"].to_pylist(), emb_tbl["embedding"].to_pylist()
+        )
+    }
+    idx = OracleIndex(docs)
+    out = []
+    for qid, terms in queries:
+        ranked = [
+            (round(s, 6), d) for d, s in idx.bm25_topk(list(terms), 10 * window)
+        ]
+        ranked.sort(key=lambda t: (-t[0], t[1]))
+        win = [(s, d) for s, d in ranked[:window] if d in vec]
+        if not win:
+            continue
+        rel = {d: s for s, d in win}
+        ids = [d for _s, d in win]
+        m = np.stack([vec[d] for d in ids])
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        sim = np.round((m @ m.T) / n[:, None] / n[None, :], 6)
+        pos = {d: i for i, d in enumerate(ids)}
+        selected: list[int] = []
+        remaining = list(ids)
+        while remaining and len(selected) < k:
+            best = None
+            for d in remaining:
+                ms = (
+                    max(sim[pos[d], pos[s]] for s in selected)
+                    if selected
+                    else 0.0
+                )
+                obj = lam * rel[d] - (1.0 - lam) * ms
+                key = (-obj, d)
+                if best is None or key < best[0]:
+                    best = (key, d, obj)
+            _key, d, obj = best
+            selected.append(d)
+            remaining.remove(d)
+            out.append({
+                "query_id": qid,
+                "rank": len(selected),
+                "doc_id": d,
+                "score": round(obj, 6),
+            })
+    df = pd.DataFrame(out)
+    df["query_id"] = df["query_id"].astype(np.int64)
+    df["rank"] = df["rank"].astype(np.int32)
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    return df[["query_id", "rank", "doc_id", "score"]]

@@ -3403,6 +3403,95 @@ SQL_BM25_RESCORE = (
 )
 
 
+# --------------------------- MMR result diversification (re-rank)
+
+_MMR_LAMBDA = 0.5  # exact binary float (pinned float policy)
+_MMR_WINDOW = 30
+_MMR_K = 10
+
+
+def q_bm25_mmr(sf_dir: str):
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998 — the standard duplicate-suppressing
+    re-ranker): the BM25 top-``_MMR_WINDOW`` window is greedily
+    re-ordered by ``lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)``
+    (cosine over the docs' embedding vectors), ties ``(obj DESC,
+    doc_id)``; first pick has no similarity penalty.  Same window
+    composition as the rescore entry: window doc-ids broadcast, the
+    embeddings table streams through one ``is_in``-filtered pass; the
+    O(window²) similarity matrix is per query, never corpus-sized.
+    Oracle: the committed output of the single-process reference
+    (pinned.serial_bm25_mmr — pure-Python oracle-index BM25, same
+    pinned cosine/objective spec)."""
+    from ..stages.search import search
+
+    idx = _build_docs_index(sf_dir)
+    prim = _rerank_rounded(
+        search(
+            idx, _query_terms_ds(_BM25_QUERIES[:3]),
+            k=2 * _MMR_WINDOW, concurrency=2,
+        ).to_pandas(),
+        k=_MMR_WINDOW,
+    )
+    wanted = pa.array(sorted(set(prim["doc_id"].tolist())), pa.int64())
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["vec_id"], value_set=wanted))
+
+    emb = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    vec = {
+        int(v): np.asarray(e, dtype=np.float64)
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    lam = _MMR_LAMBDA
+    out = []
+    for qid, g in prim.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+        win = [(float(r.score), int(r.doc_id)) for r in g.itertuples()
+               if int(r.doc_id) in vec]
+        if not win:
+            continue
+        rel = {d: s for s, d in win}
+        ids = [d for _s, d in win]
+        m = np.stack([vec[d] for d in ids])
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        sim = np.round((m @ m.T) / n[:, None] / n[None, :], 6)
+        pos = {d: i for i, d in enumerate(ids)}
+        selected: list[int] = []
+        remaining = list(ids)
+        while remaining and len(selected) < _MMR_K:
+            best = None
+            for d in remaining:
+                ms = (
+                    max(sim[pos[d], pos[s]] for s in selected)
+                    if selected
+                    else 0.0
+                )
+                obj = lam * rel[d] - (1.0 - lam) * ms
+                key = (-obj, d)
+                if best is None or key < best[0]:
+                    best = (key, d, obj)
+            _key, d, obj = best
+            selected.append(d)
+            remaining.remove(d)
+            out.append({
+                "query_id": int(qid),
+                "rank": len(selected),
+                "doc_id": d,
+                "score": round(obj, 6),
+            })
+    res = pd.DataFrame(out)
+    res["query_id"] = res["query_id"].astype(np.int64)
+    res["rank"] = res["rank"].astype(np.int32)
+    res["doc_id"] = res["doc_id"].astype(np.int64)
+    return res[["query_id", "rank", "doc_id", "score"]]
+
+
 # -------------------------------------- sort-by-field retrieval (dl)
 
 
@@ -3965,6 +4054,7 @@ QUERIES = {
     "index_fsck": q_index_fsck,
     "index_segments": q_index_segments,
     "bm25_top_hits": q_bm25_top_hits,
+    "bm25_mmr": q_bm25_mmr,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -4085,4 +4175,25 @@ def pinned_oracles() -> dict[str, str]:
     except OSError:
         return out
     out["stemmed_topk"] = pinned._cached("stemmed_topk", fp, _stemmed_topk_sql)
+    try:
+        fp_mmr = (
+            pinned._file_fingerprint(
+                os.path.join(pinned.ORACLE_SF_DIR, "documents.parquet")
+            )
+            + "|"
+            + pinned._file_fingerprint(
+                os.path.join(pinned.ORACLE_SF_DIR, "embeddings.parquet")
+            )
+            + f"|mmr-{_MMR_LAMBDA}-{_MMR_WINDOW}-{_MMR_K}|"
+            + pinned.PINNED_VERSION
+        )
+    except OSError:
+        return out
+    out["bm25_mmr"] = pinned._cached(
+        "bm25_mmr", fp_mmr,
+        lambda: pinned.values_sql(pinned.serial_bm25_mmr(
+            pinned.ORACLE_SF_DIR, _BM25_QUERIES[:3],
+            window=_MMR_WINDOW, k=_MMR_K, lam=_MMR_LAMBDA,
+        )),
+    )
     return out

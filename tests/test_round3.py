@@ -757,3 +757,38 @@ def test_boosted_duplicate_terms_sum(tmp_path):
     dup = run(["data", "data"], [2.0, 1.0])
     single = run(["data"], [3.0])
     assert dup.equals(single)
+
+
+# ------------------------------------ MMR diversification (re-rank)
+
+
+def test_serial_mmr_suppresses_near_duplicates(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from defactonlp_ray.pipelines.pinned import serial_bm25_mmr
+
+    # docs 0, 1, 2: identical relevance; 0 and 1 near-identical vectors,
+    # 2 an independent vector -> MMR must demote the near-dup 1
+    texts = ["data query data", "data query data", "data query data",
+             "unrelated filler here"]
+    rng = np.random.default_rng(5)
+    v0 = rng.standard_normal(8)
+    vecs = [v0, v0 + 1e-6 * rng.standard_normal(8),
+            rng.standard_normal(8), rng.standard_normal(8)]
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+    }), os.path.join(sf, "documents.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    }), os.path.join(sf, "embeddings.parquet"))
+    res = serial_bm25_mmr(sf, [(0, ["data", "query"])], window=4, k=3)
+    order = res.sort_values("rank")["doc_id"].tolist()
+    assert order[0] == 0            # best relevance, no penalty yet
+    assert order[1] == 2            # the near-dup of doc 0 is DEMOTED
+    assert order[2] == 1
