@@ -1370,6 +1370,43 @@ def _collapse_sql(queries: list[tuple[int, list[str]]], k: int = 5) -> str:
 SQL_BM25_COLLAPSE = _collapse_sql(_BM25_QUERIES)
 
 
+# -------------------- near-duplicate-aware SERP (collapse by cluster)
+
+
+def q_bm25_collapse_neardup(sf_dir: str):
+    """Near-duplicate-aware search results: field collapsing where the
+    collapse key is the NEAR-DUP CLUSTER (MinHash -> verified pairs ->
+    connected components), so a SERP never shows two near-identical
+    documents — the dedup family composed INTO the serving path.
+    Unclustered docs are singleton groups (their own doc_id).  Oracle:
+    the recursive-CTE component walk over TRUE all-pairs Jaccard (the
+    neardup_clusters oracle) fused with the exact-BM25 collapse SQL."""
+    idx = _build_docs_index(sf_dir)
+    cl = dedup.neardup_clusters(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.8
+    ).to_pandas()
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    garr = np.arange(int(ids.max()) + 1, dtype=np.int64)
+    if len(cl):
+        garr[cl["doc_id"].to_numpy()] = cl["cluster_id"].to_numpy()
+    uniq, codes = np.unique(garr, return_inverse=True)
+    grp = {
+        "codes": codes.astype(np.int32),
+        "names": [f"c{int(g)}" for g in uniq],
+    }
+    res = search(
+        idx,
+        _query_terms_ds(_BM25_QUERIES),
+        k=5,
+        mode="collapse",
+        group_ref=ray.put(grp),
+        concurrency=2,
+    ).to_pandas()
+    return res
+
+
 _MLT_SEEDS = [3, 17, 42]
 _MLT_TERMS = 5
 
@@ -1703,6 +1740,52 @@ SQL_NEARDUP_CLUSTERS = (
     "SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node) "
     "SELECT node AS doc_id, min(label) AS cluster_id FROM walk "
     "GROUP BY node ORDER BY doc_id"
+)
+
+
+SQL_BM25_COLLAPSE_NEARDUP = (
+    "WITH RECURSIVE " + _SHINGLE_SQL[5:] + ", "
+    "p AS (SELECT id_a, id_b FROM ("
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(len(list_intersect(a.s, b.s))::DOUBLE / "
+    "len(list_distinct(a.s || b.s)), 6) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE len(a.s) > 0 AND len(b.s) > 0) WHERE jaccard >= 0.8), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "UNION ALL SELECT id_b, id_a FROM p), "
+    "walk(node, label) AS ("
+    "SELECT src, src FROM edges "
+    "UNION "
+    "SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node), "
+    "cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk "
+    "GROUP BY node), "
+    "toks AS (SELECT doc_id, unnest(ts) AS term FROM d), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+    "GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+    + "), "
+    "scored AS (SELECT q.query_id, tf.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+    ") AS score FROM q JOIN tf ON q.term = tf.term "
+    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+    "rs AS (SELECT s.query_id, s.doc_id, "
+    "'c' || CAST(coalesce(cl.cluster_id, s.doc_id) AS VARCHAR) AS source, "
+    "round(s.score, 6) AS score FROM scored s "
+    "LEFT JOIN cl ON cl.doc_id = s.doc_id), "
+    "best AS (SELECT query_id, source, doc_id, score, "
+    "row_number() OVER (PARTITION BY query_id, source ORDER BY "
+    "score DESC, doc_id) AS rn FROM rs) "
+    "SELECT query_id, rank, source, doc_id, score FROM ("
+    "SELECT query_id, source, doc_id, score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "score DESC, doc_id) AS INTEGER) AS rank FROM best WHERE rn = 1) "
+    "WHERE rank <= 5"
 )
 
 
@@ -4055,6 +4138,7 @@ QUERIES = {
     "index_segments": q_index_segments,
     "bm25_top_hits": q_bm25_top_hits,
     "bm25_mmr": q_bm25_mmr,
+    "bm25_collapse_neardup": q_bm25_collapse_neardup,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -4120,6 +4204,7 @@ ORACLES = {
     "index_fsck": SQL_INDEX_FSCK,
     "index_segments": SQL_INDEX_SEGMENTS,
     "bm25_top_hits": SQL_BM25_TOP_HITS,
+    "bm25_collapse_neardup": SQL_BM25_COLLAPSE_NEARDUP,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
