@@ -397,11 +397,18 @@ def run_scaling() -> dict:
             os.environ, RAY_GRAFT_CPUS=str(ncpu), DFR_BENCH_PAGES=str(n),
             DFR_BUILD_ONLY="1",
         )
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+            env=env, capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            # surface the child's failure — check=True alone loses the
+            # child stderr and the session dies silently
+            raise RuntimeError(
+                f"scaling child (cpus={ncpu}) exited {proc.returncode}: "
+                + proc.stderr[-2000:]
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     cpus = os.environ.get("DFR_SCALING_CPUS", "4,16").split(",")
     n_lo, n_hi = int(cpus[0]), int(cpus[1])
