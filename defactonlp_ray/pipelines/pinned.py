@@ -632,31 +632,15 @@ def serial_bm25_mmr(
         n = np.linalg.norm(m, axis=1)
         n[n == 0] = 1.0
         sim = np.round((m @ m.T) / n[:, None] / n[None, :], 6)
-        pos = {d: i for i, d in enumerate(ids)}
-        selected: list[int] = []
-        remaining = list(ids)
-        while remaining and len(selected) < k:
-            best = None
-            for d in remaining:
-                ms = (
-                    max(sim[pos[d], pos[s]] for s in selected)
-                    if selected
-                    else 0.0
-                )
-                obj = lam * rel[d] - (1.0 - lam) * ms
-                key = (-obj, d)
-                if best is None or key < best[0]:
-                    best = (key, d, obj)
-            _key, d, obj = best
-            selected.append(d)
-            remaining.remove(d)
+        from ..stages.ann import mmr_select
+
+        for rank, d, score in mmr_select(rel, ids, sim, k, lam):
             out.append({
-                "query_id": qid,
-                "rank": len(selected),
-                "doc_id": d,
-                "score": round(obj, 6),
+                "query_id": qid, "rank": rank, "doc_id": d, "score": score,
             })
-    df = pd.DataFrame(out)
+    df = pd.DataFrame(
+        out, columns=["query_id", "rank", "doc_id", "score"]
+    )
     df["query_id"] = df["query_id"].astype(np.int64)
     df["rank"] = df["rank"].astype(np.int32)
     df["doc_id"] = df["doc_id"].astype(np.int64)

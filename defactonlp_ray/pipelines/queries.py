@@ -3178,7 +3178,9 @@ SQL_INDEX_SEGMENTS = (
 
 SQL_INDEX_FSCK = (
     f"WITH toks AS ({_TOKS_SQL}) "
-    "SELECT (SELECT count(DISTINCT doc_id) FROM toks) AS n_docs, "
+    # n_docs counts ALL indexed docs (docstats carries zero-token docs
+    # too) — from documents, not toks, like SQL_INDEX_SEGMENTS
+    "SELECT (SELECT count(*) FROM documents) AS n_docs, "
     "(SELECT count(DISTINCT term) FROM toks) AS n_terms, "
     "(SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM toks)) "
     "AS n_postings, "
@@ -3530,7 +3532,6 @@ def q_bm25_mmr(sf_dir: str):
         int(v): np.asarray(e, dtype=np.float64)
         for v, e in zip(emb["vec_id"], emb["embedding"])
     }
-    lam = _MMR_LAMBDA
     out = []
     for qid, g in prim.groupby("query_id"):
         g = g.sort_values(["score", "doc_id"], ascending=[False, True])
@@ -3544,31 +3545,16 @@ def q_bm25_mmr(sf_dir: str):
         n = np.linalg.norm(m, axis=1)
         n[n == 0] = 1.0
         sim = np.round((m @ m.T) / n[:, None] / n[None, :], 6)
-        pos = {d: i for i, d in enumerate(ids)}
-        selected: list[int] = []
-        remaining = list(ids)
-        while remaining and len(selected) < _MMR_K:
-            best = None
-            for d in remaining:
-                ms = (
-                    max(sim[pos[d], pos[s]] for s in selected)
-                    if selected
-                    else 0.0
-                )
-                obj = lam * rel[d] - (1.0 - lam) * ms
-                key = (-obj, d)
-                if best is None or key < best[0]:
-                    best = (key, d, obj)
-            _key, d, obj = best
-            selected.append(d)
-            remaining.remove(d)
+        for rank, d, score in ann.mmr_select(
+            rel, ids, sim, _MMR_K, _MMR_LAMBDA
+        ):
             out.append({
-                "query_id": int(qid),
-                "rank": len(selected),
-                "doc_id": d,
-                "score": round(obj, 6),
+                "query_id": int(qid), "rank": rank, "doc_id": d,
+                "score": score,
             })
-    res = pd.DataFrame(out)
+    res = pd.DataFrame(
+        out, columns=["query_id", "rank", "doc_id", "score"]
+    )
     res["query_id"] = res["query_id"].astype(np.int64)
     res["rank"] = res["rank"].astype(np.int32)
     res["doc_id"] = res["doc_id"].astype(np.int64)

@@ -555,3 +555,42 @@ def knn_lsh(
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
         out.append(g)
     return pd.concat(out, ignore_index=True)[["query_id", "rank", "vec_id", "score"]]
+
+
+def mmr_select(
+    rel: dict[int, float],
+    ids: list[int],
+    sim: np.ndarray,
+    k: int,
+    lam: float,
+) -> list[tuple[int, int, float]]:
+    """Greedy Maximal Marginal Relevance selection (Carbonell &
+    Goldstein, SIGIR 1998) — THE pinned kernel shared by the engine
+    entry and the single-process reference (the ``_hyperplanes``
+    pattern: one implementation IS the spec).  ``rel`` maps doc ->
+    round-6 relevance, ``sim`` is the round-6 pairwise cosine matrix
+    aligned with ``ids``; picks up to ``k`` docs by
+    ``lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)`` with ties
+    ``(objective DESC, doc_id ASC)``; the first pick carries no
+    similarity penalty.  Returns ``[(rank, doc_id, round(obj, 6))]``."""
+    pos = {d: i for i, d in enumerate(ids)}
+    selected: list[int] = []
+    remaining = list(ids)
+    out: list[tuple[int, int, float]] = []
+    while remaining and len(selected) < k:
+        best = None
+        for d in remaining:
+            ms = (
+                max(sim[pos[d], pos[s]] for s in selected)
+                if selected
+                else 0.0
+            )
+            obj = lam * rel[d] - (1.0 - lam) * ms
+            key = (-obj, d)
+            if best is None or key < best[0]:
+                best = (key, d, obj)
+        _key, d, obj = best
+        selected.append(d)
+        remaining.remove(d)
+        out.append((len(selected), d, round(obj, 6)))
+    return out

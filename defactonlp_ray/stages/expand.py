@@ -490,10 +490,20 @@ def suggest_phrase(
         typed[int(r.query_id)]: r.suggestion for r in sugg.itertuples()
     }
     reader = IndexReader(index_dir)
+    # batch-load every rewrite term once per segment (the serving-path
+    # pattern) instead of one filtered read per (segment, term)
+    all_rewrite = sorted({
+        best.get(t, t) for _qid, terms in queries for t in terms
+    })
+    reader.dfs(all_rewrite)
+    for sid in reader.seg_ids:
+        reader.load_postings(sid, all_rewrite)
     out_q, out_r, out_n = [], [], []
     for qid, terms in queries:
         rewrite = [best.get(t, t) for t in terms]
         uniq = sorted(set(rewrite))
+        if not uniq:
+            continue  # a query that tokenizes to nothing collates empty
         arrs = [reader.term_arrays(reader.seg_ids, t) for t in uniq]
         if any(a is None for a in arrs):
             continue  # collate: a term with no postings -> zero hits

@@ -111,15 +111,60 @@ def _check_segment(index_dir: str, sid: int) -> tuple[pa.Table, dict]:
     if ids.size and np.any(np.diff(ids) <= 0):
         err("docstats doc_ids not strictly ascending")
     p_tbl = pq.read_table(os.path.join(seg, "postings.parquet"))
+    rows = p_tbl.to_pylist()
+    # bulk decode (the one-pass slice-by-counts path serving uses — a
+    # per-term decode loop here was the measured ~100x slower shape);
+    # on ANY bulk failure fall back to per-term decode so the error is
+    # ATTRIBUTED to its term (slow path only on corruption)
+    decoded: list[tuple | None] = [None] * len(rows)
+    try:
+        from .codec import delta_decode, pfor_decode_many, varint_decode
+
+        for codec in ("varint", "pfor"):
+            sel = [i for i, r in enumerate(rows)
+                   if r.get("codec", "varint") == codec]
+            if not sel:
+                continue
+            counts = np.array([rows[i]["n"] for i in sel], dtype=np.int64)
+            bounds = np.concatenate([[0], np.cumsum(counts)])
+            total = int(bounds[-1])
+            if codec == "varint":
+                gaps = varint_decode(
+                    b"".join(rows[i]["doc_blob"] for i in sel), total
+                )
+                tfs_all = varint_decode(
+                    b"".join(rows[i]["tf_blob"] for i in sel), total
+                )
+                dls_all = varint_decode(
+                    b"".join(rows[i]["dl_blob"] for i in sel), total
+                )
+            else:
+                gaps = pfor_decode_many([rows[i]["doc_blob"] for i in sel])[0]
+                tfs_all = pfor_decode_many([rows[i]["tf_blob"] for i in sel])[0]
+                dls_all = pfor_decode_many([rows[i]["dl_blob"] for i in sel])[0]
+            if gaps.size != total or tfs_all.size != total or dls_all.size != total:
+                raise ValueError("bulk stream length mismatch")
+            for j, i in enumerate(sel):
+                lo, hi = bounds[j], bounds[j + 1]
+                decoded[i] = (
+                    delta_decode(gaps[lo:hi]),
+                    tfs_all[lo:hi].astype(np.int64),
+                    dls_all[lo:hi].astype(np.int64),
+                )
+    except Exception:  # noqa: BLE001 — corruption: attribute per term
+        for i, row in enumerate(rows):
+            try:
+                decoded[i] = decode_postings(row)
+            except Exception as e:  # noqa: BLE001
+                decoded[i] = None
+                err(f"term {row['term']!r}: decode failed: {e}")
     terms, dfs, cfs = [], [], []
     n_postings = 0
-    for row in p_tbl.to_pylist():
-        t = row["term"]
-        try:
-            docids, tfs, dls = decode_postings(row)
-        except Exception as e:  # noqa: BLE001 — fsck reports, not raises
-            err(f"term {t!r}: decode failed: {e}")
+    for row, dec in zip(rows, decoded):
+        if dec is None:
             continue
+        t = row["term"]
+        docids, tfs, dls = dec
         if docids.size != row["n"]:
             err(f"term {t!r}: decoded {docids.size} postings, declared {row['n']}")
         if docids.size and np.any(np.diff(docids) <= 0):
@@ -213,17 +258,17 @@ def fsck_index(index_dir: str) -> pd.DataFrame:
         os.path.join(index_dir, "stats", "term_df")
     ).to_pandas()
     m = dict_tbl.merge(agg, on="term", how="outer", suffixes=("_dict", "_seg"))
-    for r in m.itertuples():
-        if (
-            pd.isna(r.df_dict) or pd.isna(r.df_seg)
-            or int(r.df_dict) != int(r.df_seg)
-            or int(r.cf_dict) != int(r.cf_seg)
-        ):
-            if len(errors) < 10 * _MAX_ERRORS:
-                errors.append(
-                    f"dictionary mismatch for {r.term!r}: "
-                    f"df {r.df_dict}/{r.df_seg} cf {r.cf_dict}/{r.cf_seg}"
-                )
+    # vectorized mismatch mask — the all-clean path must not pay a
+    # Python iteration per vocabulary term
+    bad = m[
+        m["df_dict"].isna() | m["df_seg"].isna()
+        | (m["df_dict"] != m["df_seg"]) | (m["cf_dict"] != m["cf_seg"])
+    ]
+    for r in bad.head(10 * _MAX_ERRORS - len(errors)).itertuples():
+        errors.append(
+            f"dictionary mismatch for {r.term!r}: "
+            f"df {r.df_dict}/{r.df_seg} cf {r.cf_dict}/{r.cf_seg}"
+        )
     with open(os.path.join(index_dir, "stats", "collection.json")) as f:
         coll = json.load(f)
     if int(coll["n_docs"]) != n_docs:
