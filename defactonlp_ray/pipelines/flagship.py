@@ -148,8 +148,10 @@ def ner_title_route(
     if route == "join":
         from ray.data.aggregate import Count, Min
 
+        from ..stages.util import ensure_arrow
+
         ents = _claim_entities(claims, concurrency)
-        titles = (
+        titles = ensure_arrow(
             docs.select_columns(["title_norm", "doc_id"])
             .groupby("title_norm")
             .aggregate(Min("doc_id", alias_name="doc_id"))
@@ -163,11 +165,13 @@ def ner_title_route(
             right_on=("title_norm",),
         )
 
-        return (
+        from ..stages.util import arrow_project
+
+        return arrow_project(
             joined.select_columns(["query_id", "doc_id"])
             .groupby(["query_id", "doc_id"])
-            .aggregate(Count(alias_name="__n"))
-            .drop_columns(["__n"])
+            .aggregate(Count(alias_name="__n")),
+            ["query_id", "doc_id"],
         )
 
     tdf = docs.select_columns(["title_norm", "doc_id"]).to_pandas()

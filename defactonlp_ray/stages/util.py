@@ -5,6 +5,43 @@ from __future__ import annotations
 import ray
 
 
+def ensure_arrow(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Coerce every block of ``ds`` to Arrow.
+
+    ``groupby().aggregate()`` can emit PANDAS blocks at some parallelisms
+    (observed at the driver's 32-cpu run, not at pytest's 4), and this Ray
+    version's ``Project`` operator — the plan node behind Dataset-level
+    ``rename_columns`` / ``select_columns`` / ``drop_columns`` — calls the
+    Arrow-only ``Table.rename_columns`` on each block, so a pandas block
+    reaching a projection crashes with ``'DataFrame' object has no
+    attribute 'rename_columns'`` (CORRECTNESS_r03 ``neardup_clusters``).
+    Route any aggregate output through this before projecting it.  The
+    identity ``map_batches`` with ``batch_format="pyarrow"`` makes Ray do
+    the pandas→Arrow conversion inside the task (zero-copy when the block
+    is already Arrow).
+    """
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def arrow_project(
+    ds: "ray.data.Dataset",
+    columns: "list[str]",
+    rename: "dict[str, str] | None" = None,
+) -> "ray.data.Dataset":
+    """Select ``columns`` (then optionally rename some of them) in ONE
+    Arrow ``map_batches`` pass — a block-format-safe replacement for
+    ``ds.select_columns(...).rename_columns(...)`` downstream of
+    operators that may emit pandas blocks (see :func:`ensure_arrow`)."""
+    ren = rename or {}
+
+    def _fn(t):
+        import pyarrow as pa
+
+        return pa.table({ren.get(c, c): t[c] for c in columns})
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
 def pool_size(requested: int, reserve: int = 2) -> int:
     """Clamp an actor-pool ``concurrency`` so the pool NEVER reserves every
     CPU: a pool that takes all slots starves the read/write stages and the
