@@ -107,6 +107,47 @@ def machine_calibration() -> float:
     return time.perf_counter() - t0
 
 
+def prev_round_calib() -> tuple[float | None, str | None]:
+    """calib_sec of the LATEST recorded round (BENCH_r*.json next to this
+    file), so the output carries calib_ratio_vs_prev — this run's host
+    speed over last round's — letting a reader separate host drift from
+    engine deltas without cross-referencing BASELINE prose."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return None, None
+    try:
+        with open(best[1]) as f:
+            doc = json.load(f)
+        # the driver wraps the printed line under "parsed" (r03 layout);
+        # a bare bench line has calib_sec at top level
+        parsed = doc.get("parsed", doc)
+        c = parsed.get("calib_sec")
+        return (float(c) if c else None), f"r{best[0]:02d}"
+    except (OSError, ValueError):
+        return None, None
+
+
+def _calib_ratio_fields(calib_sec: float) -> dict:
+    prev, tag = prev_round_calib()
+    if not prev:
+        return {}
+    return {
+        "calib_ratio_vs_prev": round(calib_sec / prev, 3),
+        "calib_prev_round": tag,
+    }
+
+
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -190,6 +231,7 @@ def run_bench() -> dict:
             "build_docs_per_sec": round(n_docs / build_sec, 1),
             "query_throughput_qps": None,
             "calib_sec": round(calib_sec, 3),
+            **_calib_ratio_fields(calib_sec),
         }
 
     queries = fixtures.make_query_terms(BENCH_QUERIES)
@@ -378,6 +420,7 @@ def run_bench() -> dict:
         # host-speed calibration (see machine_calibration): compare
         # rounds by the RATIO of their calib_sec on this drifting box
         "calib_sec": round(calib_sec, 3),
+        **_calib_ratio_fields(calib_sec),
     }
 
 

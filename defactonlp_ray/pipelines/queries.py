@@ -1371,8 +1371,10 @@ def q_bm25_collapse(sf_dir: str):
     each source represented by its best-scoring doc, top-5 sources per
     query (stages/search.score_all_collapse — per-segment winners merged
     by per-group max).  The doc->source map is a columns-pruned read
-    broadcast once via ray.put (the NER-title-map pattern; a 10^12-doc
-    deployment partitions it by doc range alongside the segments)."""
+    broadcast once via ray.put (the NER-title-map pattern); the 10^12-doc
+    deployment shape — a doc-range-partitioned sidecar read per actor —
+    is the ``bm25_collapse_sidecar`` entry (stages/collapse_map.py),
+    route-identical by construction and by test."""
     idx = _build_docs_index(sf_dir)
     tbl = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
@@ -1391,6 +1393,34 @@ def q_bm25_collapse(sf_dir: str):
         concurrency=2,
     ).to_pandas()
     return res
+
+
+def q_bm25_collapse_sidecar(sf_dir: str):
+    """``bm25_collapse`` through the AT-SCALE group-map route: the
+    doc->source map is a doc-range-partitioned parquet sidecar
+    (stages/collapse_map.py) that scorer actors read bucket-by-bucket,
+    instead of a driver-built dense array broadcast via ray.put — the
+    10^12-doc shape (a dense map is terabytes there).  Codes/names are
+    deterministic (sorted distinct sources), so the ranking is identical
+    to the broadcast route and shares its SQL oracle.  ``range_docs`` is
+    set small here so the sf-scale run genuinely exercises multi-bucket
+    pruned reads, not one all-covering bucket."""
+    from ..stages.collapse_map import build_collapse_map
+
+    idx = _build_docs_index(sf_dir)
+    side = _tmp_index_dir(sf_dir, "collapsemap")
+    build_collapse_map(
+        _docs(sf_dir, ["doc_id", "source"]), side,
+        group_col="source", range_docs=256,
+    )
+    return search(
+        idx,
+        _query_terms_ds(_BM25_QUERIES),
+        k=5,
+        mode="collapse",
+        group_dir=side,
+        concurrency=2,
+    ).to_pandas()
 
 
 def _collapse_sql(queries: list[tuple[int, list[str]]], k: int = 5) -> str:
@@ -4138,6 +4168,7 @@ QUERIES = {
     "bm25_top_hits": q_bm25_top_hits,
     "bm25_mmr": q_bm25_mmr,
     "bm25_collapse_neardup": q_bm25_collapse_neardup,
+    "bm25_collapse_sidecar": q_bm25_collapse_sidecar,
     "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
@@ -4265,6 +4296,7 @@ ORACLES = {
     "synonym_topk": SQL_SYNONYM_TOPK,
     "bm25_page2": SQL_BM25_PAGE2,
     "bm25_collapse": SQL_BM25_COLLAPSE,
+    "bm25_collapse_sidecar": SQL_BM25_COLLAPSE,
     "mlt_topk": SQL_MLT_TOPK,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "export_shards": SQL_EXPORT_SHARDS,

@@ -122,6 +122,25 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(gaps.astype(np.int64), dtype=np.int64)
 
 
+def delta_decode_segmented(gaps: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Per-segment :func:`delta_decode` of a CONCATENATED gap stream in
+    one vectorized pass: ``bounds`` are the per-list offsets
+    (``gaps[bounds[j]:bounds[j+1]]`` is list ``j``).  A global cumsum is
+    corrected by each list's starting prefix, so ``out[lo:hi] ==
+    delta_decode(gaps[lo:hi])`` for every list — this replaces one numpy
+    round-trip per term with one per segment (the whole-segment decode's
+    remaining per-term Python loop)."""
+    c = np.cumsum(gaps.astype(np.int64), dtype=np.int64)
+    if c.size == 0:
+        return c
+    starts = np.asarray(bounds[:-1], dtype=np.int64)
+    counts = np.diff(np.asarray(bounds, dtype=np.int64))
+    prefix = np.zeros(starts.size, dtype=np.int64)
+    nz = starts > 0
+    prefix[nz] = c[starts[nz] - 1]
+    return c - np.repeat(prefix, counts)
+
+
 # ------------------------------------------------- PForDelta-style codec (C2)
 
 def _bit_width(values: np.ndarray) -> int:

@@ -113,16 +113,48 @@ def _check_segment(index_dir: str, sid: int) -> tuple[pa.Table, dict]:
     p_tbl = pq.read_table(os.path.join(seg, "postings.parquet"))
     rows = p_tbl.to_pylist()
     # bulk decode (the one-pass slice-by-counts path serving uses — a
-    # per-term decode loop here was the measured ~100x slower shape);
-    # on ANY bulk failure fall back to per-term decode so the error is
-    # ATTRIBUTED to its term (slow path only on corruption)
+    # per-term decode loop here was the measured ~100x slower shape).
+    # Attribution guard: before slicing the concatenated stream by the
+    # DECLARED per-term n, validate each blob's OWN value count (varint:
+    # bytes with the high bit clear; pfor: the per-blob counts the bulk
+    # kernel parses from block headers).  A corrupt blob whose stream
+    # still parses would otherwise shift every later term's slice and
+    # pin its error on the wrong term — mismatching blobs are excluded
+    # from the bulk pass and decoded per term so errors attribute to the
+    # offending term, while the clean majority keeps the fast path.
     decoded: list[tuple | None] = [None] * len(rows)
+    suspect: set[int] = set()
+
+    def _varint_blob_counts(blobs: list[bytes]) -> np.ndarray:
+        lens = np.fromiter(
+            (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
+        )
+        cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        cs = np.concatenate(
+            [[0], np.cumsum((cat < 128).astype(np.int64))]
+        )
+        boffs = np.concatenate([[0], np.cumsum(lens)])
+        return cs[boffs[1:]] - cs[boffs[:-1]]
+
     try:
-        from .codec import delta_decode, pfor_decode_many, varint_decode
+        from .codec import (
+            delta_decode_segmented,
+            pfor_decode_many,
+            varint_decode,
+        )
 
         for codec in ("varint", "pfor"):
             sel = [i for i, r in enumerate(rows)
                    if r.get("codec", "varint") == codec]
+            if not sel:
+                continue
+            declared = np.array([rows[i]["n"] for i in sel], dtype=np.int64)
+            if codec == "varint":
+                for col in ("doc_blob", "tf_blob", "dl_blob"):
+                    actual = _varint_blob_counts([rows[i][col] for i in sel])
+                    for j in np.flatnonzero(actual != declared):
+                        suspect.add(sel[j])
+            sel = [i for i in sel if i not in suspect]
             if not sel:
                 continue
             counts = np.array([rows[i]["n"] for i in sel], dtype=np.int64)
@@ -139,25 +171,60 @@ def _check_segment(index_dir: str, sid: int) -> tuple[pa.Table, dict]:
                     b"".join(rows[i]["dl_blob"] for i in sel), total
                 )
             else:
-                gaps = pfor_decode_many([rows[i]["doc_blob"] for i in sel])[0]
-                tfs_all = pfor_decode_many([rows[i]["tf_blob"] for i in sel])[0]
-                dls_all = pfor_decode_many([rows[i]["dl_blob"] for i in sel])[0]
+                gaps, gcnt = pfor_decode_many(
+                    [rows[i]["doc_blob"] for i in sel]
+                )
+                tfs_all, tcnt = pfor_decode_many(
+                    [rows[i]["tf_blob"] for i in sel]
+                )
+                dls_all, dcnt = pfor_decode_many(
+                    [rows[i]["dl_blob"] for i in sel]
+                )
+                bad = (
+                    (np.asarray(gcnt) != counts)
+                    | (np.asarray(tcnt) != counts)
+                    | (np.asarray(dcnt) != counts)
+                )
+                if np.any(bad):
+                    for j in np.flatnonzero(bad):
+                        suspect.add(sel[j])
+                    sel = [i for i in sel if i not in suspect]
+                    if not sel:
+                        continue
+                    counts = np.array(
+                        [rows[i]["n"] for i in sel], dtype=np.int64
+                    )
+                    bounds = np.concatenate([[0], np.cumsum(counts)])
+                    total = int(bounds[-1])
+                    gaps = pfor_decode_many(
+                        [rows[i]["doc_blob"] for i in sel]
+                    )[0]
+                    tfs_all = pfor_decode_many(
+                        [rows[i]["tf_blob"] for i in sel]
+                    )[0]
+                    dls_all = pfor_decode_many(
+                        [rows[i]["dl_blob"] for i in sel]
+                    )[0]
             if gaps.size != total or tfs_all.size != total or dls_all.size != total:
                 raise ValueError("bulk stream length mismatch")
+            docids_all = delta_decode_segmented(gaps, bounds)
             for j, i in enumerate(sel):
                 lo, hi = bounds[j], bounds[j + 1]
                 decoded[i] = (
-                    delta_decode(gaps[lo:hi]),
+                    docids_all[lo:hi],
                     tfs_all[lo:hi].astype(np.int64),
                     dls_all[lo:hi].astype(np.int64),
                 )
     except Exception:  # noqa: BLE001 — corruption: attribute per term
-        for i, row in enumerate(rows):
-            try:
-                decoded[i] = decode_postings(row)
-            except Exception as e:  # noqa: BLE001
-                decoded[i] = None
-                err(f"term {row['term']!r}: decode failed: {e}")
+        suspect = set(range(len(rows)))
+        decoded = [None] * len(rows)
+    for i in sorted(suspect):
+        row = rows[i]
+        try:
+            decoded[i] = decode_postings(row)
+        except Exception as e:  # noqa: BLE001
+            decoded[i] = None
+            err(f"term {row['term']!r}: decode failed: {e}")
     terms, dfs, cfs = [], [], []
     n_postings = 0
     for row, dec in zip(rows, decoded):
@@ -264,7 +331,7 @@ def fsck_index(index_dir: str) -> pd.DataFrame:
         m["df_dict"].isna() | m["df_seg"].isna()
         | (m["df_dict"] != m["df_seg"]) | (m["cf_dict"] != m["cf_seg"])
     ]
-    for r in bad.head(10 * _MAX_ERRORS - len(errors)).itertuples():
+    for r in bad.head(max(0, 10 * _MAX_ERRORS - len(errors))).itertuples():
         errors.append(
             f"dictionary mismatch for {r.term!r}: "
             f"df {r.df_dict}/{r.df_seg} cf {r.cf_dict}/{r.cf_seg}"

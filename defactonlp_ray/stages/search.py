@@ -51,6 +51,29 @@ AUTO_WAND_MIN_POSTINGS = 500_000
 
 # ------------------------------------------------------------- index access
 
+def _one_chunk(col) -> pa.Array:
+    """Table column (ChunkedArray or Array) -> ONE contiguous Array."""
+    ca = col if isinstance(col, pa.ChunkedArray) else pa.chunked_array([col])
+    if ca.num_chunks == 1:
+        return ca.chunk(0)
+    return pa.concat_arrays([ca.chunk(i) for i in range(ca.num_chunks)])
+
+
+def _binary_buffers(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
+    """Binary array -> (value offsets, data buffer memoryview).
+
+    ``mv[offs[i]:offs[i+1]]`` is row ``i``'s blob zero-copy, and
+    ``mv[offs[0]:offs[-1]]`` is the concatenation of EVERY row's blob —
+    the whole-column decode input — without a single ``bytes`` copy
+    (binary columns store values back-to-back in one buffer)."""
+    off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)
+    offs = offs[arr.offset : arr.offset + len(arr) + 1]
+    data = arr.buffers()[2]
+    mv = memoryview(data) if data is not None else memoryview(b"")
+    return offs, mv
+
+
 class IndexReader:
     """Lazy, cached reads of one on-disk index (per-actor state).
 
@@ -103,10 +126,8 @@ class IndexReader:
                 path = os.path.join(
                     mf.segment_dir(self.index_dir, sid), "postings.parquet"
                 )
-                rows = pq.read_table(path).to_pylist()
-                self._decode_segment(rows)
-                for r in rows:
-                    self._postings[(sid, r["term"])] = r
+                for term, row in self._decode_segment_table(pq.read_table(path)):
+                    self._postings[(sid, term)] = row
                 self._preloaded.add(sid)
 
     def _decode_segment(self, rows: list[dict]) -> None:
@@ -115,7 +136,11 @@ class IndexReader:
         in ONE vectorized pass and slices by per-term counts — ~100x fewer
         Python/numpy round-trips than per-term decode (measured dominant in
         serving p95).  Also attaches the idf-independent weight array."""
-        from .codec import delta_decode, pfor_decode_many, varint_decode
+        from .codec import (
+            delta_decode_segmented,
+            pfor_decode_many,
+            varint_decode,
+        )
 
         vrows = [r for r in rows if r.get("codec", "varint") == "varint"]
         if vrows:
@@ -125,12 +150,14 @@ class IndexReader:
             gaps = varint_decode(b"".join(r["doc_blob"] for r in vrows), total)
             tfs_all = varint_decode(b"".join(r["tf_blob"] for r in vrows), total)
             dls_all = varint_decode(b"".join(r["dl_blob"] for r in vrows), total)
+            docids_all = delta_decode_segmented(gaps, bounds)
             for i, r in enumerate(vrows):
                 lo, hi = bounds[i], bounds[i + 1]
-                docids = delta_decode(gaps[lo:hi])
-                tfs = tfs_all[lo:hi].astype(np.int64)
-                dls = dls_all[lo:hi].astype(np.int64)
-                r["decoded"] = (docids, tfs, dls)
+                r["decoded"] = (
+                    docids_all[lo:hi],
+                    tfs_all[lo:hi].astype(np.int64),
+                    dls_all[lo:hi].astype(np.int64),
+                )
         prows = [r for r in rows if r.get("codec", "varint") == "pfor"]
         if prows:
             counts = np.array([r["n"] for r in prows], dtype=np.int64)
@@ -138,10 +165,11 @@ class IndexReader:
             gaps = pfor_decode_many([r["doc_blob"] for r in prows])[0]
             tfs_all = pfor_decode_many([r["tf_blob"] for r in prows])[0]
             dls_all = pfor_decode_many([r["dl_blob"] for r in prows])[0]
+            docids_all = delta_decode_segmented(gaps, bounds)
             for i, r in enumerate(prows):
                 lo, hi = bounds[i], bounds[i + 1]
                 r["decoded"] = (
-                    delta_decode(gaps[lo:hi]),
+                    docids_all[lo:hi],
                     tfs_all[lo:hi].astype(np.int64),
                     dls_all[lo:hi].astype(np.int64),
                 )
@@ -155,6 +183,133 @@ class IndexReader:
             r["w"] = (tfs_f * (K1 + 1.0)) / (
                 tfs_f + K1 * (1.0 - B + B * dls_f / self.avgdl)
             )
+
+    def _decode_segment_table(self, tbl: pa.Table) -> list[tuple[str, dict]]:
+        """Columnar whole-segment decode for the preload path.
+
+        The previous shape materialized every postings row as a Python
+        dict via ``to_pylist()``: per-blob ``bytes`` copies plus per-row
+        dict/list conversion dominated serving-node preload RAM.  This
+        variant never leaves Arrow/numpy — blob streams decode from
+        zero-copy memoryview slices of the binary column buffers (when a
+        whole codec group is the full segment, the concatenated stream IS
+        the column's data buffer: one slice, no join), and block-max
+        metadata comes out as numpy views over the list-column value
+        buffer.  Produced rows carry exactly the fields consumers read
+        (``decoded``/``w``/``blk_*``/``n``/``cf``/``pos_blob``); the
+        encoded blobs are NOT retained (the non-preload point-read path
+        keeps them for its lazy ``decode_postings`` fallback instead).
+        """
+        from .codec import (
+            delta_decode_segmented,
+            pfor_decode_many,
+            varint_decode,
+        )
+
+        nrows = tbl.num_rows
+        if nrows == 0:
+            return []
+
+        def bin_slices(name: str) -> tuple[np.ndarray, memoryview]:
+            return _binary_buffers(_one_chunk(tbl[name]))
+
+        terms: list[str] = tbl["term"].to_pylist()
+        n_arr = tbl["n"].to_numpy().astype(np.int64)
+        if "codec" in tbl.column_names:
+            codecs = np.asarray(tbl["codec"].to_pylist(), dtype=object)
+        else:
+            codecs = np.asarray(["varint"] * nrows, dtype=object)
+        cf_arr = (
+            tbl["cf"].to_numpy() if "cf" in tbl.column_names
+            else np.zeros(nrows, dtype=np.int64)
+        )
+        rows: list[dict] = [
+            {"term": terms[i], "n": int(n_arr[i]), "codec": codecs[i],
+             "cf": int(cf_arr[i])}
+            for i in range(nrows)
+        ]
+
+        blob_cols = {c: bin_slices(c) for c in ("doc_blob", "tf_blob", "dl_blob")}
+
+        def concat(col: str, idx: np.ndarray):
+            offs, mv = blob_cols[col]
+            if idx.size == nrows:  # single-codec segment (the build's shape)
+                return mv[offs[0] : offs[-1]]
+            return b"".join(
+                bytes(mv[offs[i] : offs[i + 1]]) for i in idx
+            )
+
+        def per_blob(col: str, idx: np.ndarray) -> list[memoryview]:
+            offs, mv = blob_cols[col]
+            return [mv[offs[i] : offs[i + 1]] for i in idx]
+
+        idx_v = np.flatnonzero(codecs == "varint")
+        if idx_v.size:
+            counts = n_arr[idx_v]
+            bounds = np.concatenate([[0], np.cumsum(counts)])
+            total = int(bounds[-1])
+            gaps = varint_decode(concat("doc_blob", idx_v), total)
+            tfs_all = varint_decode(concat("tf_blob", idx_v), total)
+            dls_all = varint_decode(concat("dl_blob", idx_v), total)
+            docids_all = delta_decode_segmented(gaps, bounds)
+            for j, i in enumerate(idx_v):
+                lo, hi = bounds[j], bounds[j + 1]
+                rows[i]["decoded"] = (
+                    docids_all[lo:hi],
+                    tfs_all[lo:hi].astype(np.int64),
+                    dls_all[lo:hi].astype(np.int64),
+                )
+        idx_p = np.flatnonzero(codecs == "pfor")
+        if idx_p.size:
+            counts = n_arr[idx_p]
+            bounds = np.concatenate([[0], np.cumsum(counts)])
+            gaps = pfor_decode_many(per_blob("doc_blob", idx_p))[0]
+            tfs_all = pfor_decode_many(per_blob("tf_blob", idx_p))[0]
+            dls_all = pfor_decode_many(per_blob("dl_blob", idx_p))[0]
+            docids_all = delta_decode_segmented(gaps, bounds)
+            for j, i in enumerate(idx_p):
+                lo, hi = bounds[j], bounds[j + 1]
+                rows[i]["decoded"] = (
+                    docids_all[lo:hi],
+                    tfs_all[lo:hi].astype(np.int64),
+                    dls_all[lo:hi].astype(np.int64),
+                )
+        for i in range(nrows):  # unknown codec: lazy per-row fallback
+            if "decoded" not in rows[i]:
+                from .codec import decode_postings
+
+                for c in ("doc_blob", "tf_blob", "dl_blob"):
+                    offs, mv = blob_cols[c]
+                    rows[i][c] = bytes(mv[offs[i] : offs[i + 1]])
+                rows[i]["decoded"] = decode_postings(rows[i])
+
+        for name in ("blk_last_doc", "blk_max_tf", "blk_min_dl"):
+            if name not in tbl.column_names:
+                continue
+            la = _one_chunk(tbl[name])
+            voffs = la.offsets.to_numpy()
+            vals = la.values.to_numpy()
+            for i in range(nrows):
+                rows[i][name] = vals[voffs[i] : voffs[i + 1]]
+
+        if "pos_blob" in tbl.column_names:
+            arr = _one_chunk(tbl["pos_blob"])
+            if arr.null_count:
+                pos = arr.to_pylist()
+                for i in range(nrows):
+                    rows[i]["pos_blob"] = pos[i]
+            else:
+                offs, mv = _binary_buffers(arr)
+                for i in range(nrows):
+                    rows[i]["pos_blob"] = mv[offs[i] : offs[i + 1]]
+
+        for r in rows:
+            tfs_f = r["decoded"][1].astype(np.float64)
+            dls_f = r["decoded"][2].astype(np.float64)
+            r["w"] = (tfs_f * (K1 + 1.0)) / (
+                tfs_f + K1 * (1.0 - B + B * dls_f / self.avgdl)
+            )
+        return list(zip(terms, rows))
 
     # -- term -> global df (stats/term_df), filtered point reads
     def dfs(self, terms: list[str]) -> dict[str, int]:
@@ -272,33 +427,42 @@ def _decode_segment_arrays(path: str, avgdl: float):
     as FEW LARGE arrays (bounds slice per term) via a single bulk varint
     pass — a handful of plasma objects per task instead of thousands of
     tiny per-term arrays (runs as a Ray task in build_shared_index)."""
-    from .codec import decode_postings, delta_decode, pfor_decode_many, varint_decode
+    from .codec import (
+        decode_postings,
+        delta_decode_segmented,
+        pfor_decode_many,
+        varint_decode,
+    )
 
     tbl = pq.read_table(
         path, columns=["term", "n", "codec", "doc_blob", "tf_blob", "dl_blob"]
     )
     tnames = tbl["term"].to_pylist()
-    counts = np.asarray(tbl["n"].to_pylist(), dtype=np.int64)
+    counts = tbl["n"].to_numpy().astype(np.int64)
     codecs = tbl["codec"].to_pylist()
     bounds = np.concatenate([[0], np.cumsum(counts)])
     total = int(bounds[-1])
+
+    def whole_column(name: str) -> memoryview:
+        # zero-copy: the binary column's data buffer IS the concatenation
+        offs, mv = _binary_buffers(_one_chunk(tbl[name]))
+        return mv[offs[0] : offs[-1]] if len(offs) else memoryview(b"")
+
+    def blob_list(name: str) -> list[memoryview]:
+        offs, mv = _binary_buffers(_one_chunk(tbl[name]))
+        return [mv[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+
     if all(c == "varint" for c in codecs):
-        gaps = varint_decode(b"".join(tbl["doc_blob"].to_pylist()), total)
-        tfs_all = varint_decode(b"".join(tbl["tf_blob"].to_pylist()), total).astype(np.int64)
-        dls_all = varint_decode(b"".join(tbl["dl_blob"].to_pylist()), total).astype(np.int64)
-        docids_all = np.empty(total, dtype=np.int64)
-        for i in range(len(tnames)):
-            lo, hi = bounds[i], bounds[i + 1]
-            docids_all[lo:hi] = delta_decode(gaps[lo:hi])
+        gaps = varint_decode(whole_column("doc_blob"), total)
+        tfs_all = varint_decode(whole_column("tf_blob"), total).astype(np.int64)
+        dls_all = varint_decode(whole_column("dl_blob"), total).astype(np.int64)
+        docids_all = delta_decode_segmented(gaps, bounds)
     elif all(c == "pfor" for c in codecs):
         # bulk pfor: batched bit-unpack across every term's blocks
-        gaps, _ = pfor_decode_many(tbl["doc_blob"].to_pylist())
-        tfs_all = pfor_decode_many(tbl["tf_blob"].to_pylist())[0].astype(np.int64)
-        dls_all = pfor_decode_many(tbl["dl_blob"].to_pylist())[0].astype(np.int64)
-        docids_all = np.empty(total, dtype=np.int64)
-        for i in range(len(tnames)):
-            lo, hi = bounds[i], bounds[i + 1]
-            docids_all[lo:hi] = delta_decode(gaps[lo:hi])
+        gaps, _ = pfor_decode_many(blob_list("doc_blob"))
+        tfs_all = pfor_decode_many(blob_list("tf_blob"))[0].astype(np.int64)
+        dls_all = pfor_decode_many(blob_list("dl_blob"))[0].astype(np.int64)
+        docids_all = delta_decode_segmented(gaps, bounds)
     else:
         docids_all = np.empty(total, dtype=np.int64)
         tfs_all = np.empty(total, dtype=np.int64)
@@ -1288,7 +1452,7 @@ class SearcherActor:
     def __init__(self, index_dir: str = "", k: int = 10, mode: str = "taat",
                  seg_ids: Optional[list[int]] = None, preload: bool = False,
                  index_ref=None, syn_map: Optional[dict] = None,
-                 group_ref=None):
+                 group_ref=None, group_dir: Optional[str] = None):
         if index_ref is not None:
             import ray as _ray
 
@@ -1309,6 +1473,14 @@ class SearcherActor:
 
             grp = _ray.get(group_ref) if isinstance(group_ref, _ray.ObjectRef) else group_ref
             self.group_codes, self.group_names = grp["codes"], grp["names"]
+        elif group_dir is not None:
+            # at-scale route: doc-range-partitioned sidecar, bucket files
+            # load lazily per actor (stages/collapse_map.py) — same codes
+            # and names as the broadcast array, never a driver-sized map
+            from .collapse_map import CollapseMap
+
+            self.group_codes = CollapseMap(group_dir)
+            self.group_names = self.group_codes.names
         self.seg_ids = seg_ids if seg_ids is not None else self.reader.seg_ids
 
     def _score_query(self, terms: list[str], idfs: dict[str, float],
@@ -1330,7 +1502,8 @@ class SearcherActor:
         if self.mode == "collapse":
             if self.group_codes is None:
                 raise ValueError(
-                    "mode='collapse' needs group_ref={'codes': ..., 'names': ...}"
+                    "mode='collapse' needs group_ref={'codes': ..., "
+                    "'names': ...} or group_dir=<collapse sidecar path>"
                 )
             return score_all_collapse(self.reader, seg_ids, uniq, idfs,
                                       self.k, self.group_codes)
@@ -1652,6 +1825,7 @@ def search(
     shared_ref=None,
     syn_map: Optional[dict] = None,
     group_ref=None,
+    group_dir: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Main query pipeline: queries (query_id, terms) -> results
     (query_id, rank, doc_id, score).
@@ -1669,6 +1843,8 @@ def search(
         ctor["syn_map"] = syn_map
     if group_ref is not None:
         ctor["group_ref"] = group_ref
+    if group_dir is not None:
+        ctor["group_dir"] = group_dir
     if shared_ref is not None:
         ctor["index_ref"] = shared_ref
     elif shared:

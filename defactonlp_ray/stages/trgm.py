@@ -36,8 +36,10 @@ result-identical to the streamed route (tested).
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -55,11 +57,36 @@ __all__ = [
     "wildcard_search_trgm",
 ]
 
-TRGM_VERSION = "trgm-v1"
+TRGM_VERSION = "trgm-v2"
 
 
 def _trgm_path(index_dir: str) -> str:
     return os.path.join(index_dir, "stats", "term_trgm")
+
+
+def _term_df_fingerprint(index_dir: str) -> str:
+    """Cheap content fingerprint of ``stats/term_df``: the sorted
+    (name, size, mtime_ns) of its parquet files plus TRGM_VERSION.
+    Append/compact/expunge REWRITE term_df (stages/index_build.py), so
+    any index mutation changes this string — the staleness signal that
+    forces :func:`build_trgm_dict` to rebuild instead of silently
+    expanding wildcards against a dictionary that predates the newly
+    ingested terms."""
+    root = _term_df_path(index_dir)
+    entries = []
+    if os.path.isfile(root):  # single-file dictionary (small builds)
+        st = os.stat(root)
+        entries.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+    else:
+        for dirpath, _, names in os.walk(root):
+            for n in sorted(names):
+                if n.startswith("_") or n.startswith("."):
+                    continue
+                st = os.stat(os.path.join(dirpath, n))
+                rel = os.path.relpath(os.path.join(dirpath, n), root)
+                entries.append((rel, st.st_size, st.st_mtime_ns))
+    entries.sort()
+    return json.dumps({"version": TRGM_VERSION, "files": entries})
 
 
 def term_trigrams(terms: pa.Array | pa.ChunkedArray) -> pa.Table:
@@ -107,11 +134,25 @@ def term_trigrams(terms: pa.Array | pa.ChunkedArray) -> pa.Table:
 
 def build_trgm_dict(index_dir: str) -> str:
     """One streamed pass over ``stats/term_df`` -> the trigram-partitioned
-    dictionary under ``stats/term_trgm`` (idempotent via _SUCCESS)."""
+    dictionary under ``stats/term_trgm``.
+
+    Idempotent AND staleness-aware: the ``_SUCCESS`` marker records a
+    fingerprint of ``stats/term_df`` (file names/sizes/mtimes +
+    TRGM_VERSION); a marker that does not match the CURRENT dictionary
+    — e.g. after ``append_segment``/``compact``/``expunge_deletes``
+    rewrote term_df — triggers a full rebuild, so the pruned wildcard
+    route never expands against a stale trigram dictionary."""
     out = _trgm_path(index_dir)
     done = os.path.join(out, "_SUCCESS")
+    fp = _term_df_fingerprint(index_dir)
     if os.path.exists(done):
-        return out
+        try:
+            with open(done) as f:
+                if f.read() == fp:
+                    return out
+        except OSError:
+            pass
+        shutil.rmtree(out)  # stale partitions must not survive a rebuild
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -134,7 +175,7 @@ def build_trgm_dict(index_dir: str) -> str:
         .write_parquet(out, partition_cols=["trgm"])
     )
     with open(done, "w") as f:
-        f.write(TRGM_VERSION)
+        f.write(fp)
     return out
 
 
@@ -166,13 +207,17 @@ def expand_wildcard_trgm(
 
     if not patterns:
         return {}
+    # build (or staleness-rebuild) first: WITHOUT this, a missing
+    # ``trgm=<t>`` directory is ambiguous between "no term contains this
+    # trigram" and "the dictionary was never built", and every pruned
+    # pattern would silently expand to nothing
+    root = build_trgm_dict(index_dir)
     pruned = [(q, p) for q, p in patterns if required_trigram(p) is not None]
     fallback = [(q, p) for q, p in patterns if required_trigram(p) is None]
     out: dict[int, list[str]] = {qid: [] for qid, _ in patterns}
-    # a required trigram with NO partition directory means no dictionary
-    # term contains it — those patterns are answered empty without a
-    # read (and Ray's read_parquet cannot take a zero-file set anyway)
-    root = _trgm_path(index_dir)
+    # a required trigram with NO partition directory now genuinely means
+    # no dictionary term contains it — those patterns are answered empty
+    # without a read (and Ray's read_parquet cannot take a zero-file set)
     pruned = [
         (q, p) for q, p in pruned
         if os.path.isdir(os.path.join(root, f"trgm={required_trigram(p)}"))

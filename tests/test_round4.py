@@ -115,3 +115,228 @@ def test_connected_components_method_star_equals_minlabel():
     m = m.sort_values("node").reset_index(drop=True)
     s = s.sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(m, s)
+
+
+# ------------------------------------- segmented delta decode (codec)
+
+
+def test_delta_decode_segmented_equals_per_list():
+    from defactonlp_ray.stages.codec import delta_decode, delta_decode_segmented
+
+    rng = np.random.default_rng(11)
+    lists = [
+        rng.integers(1, 100, size=n).astype(np.int64)
+        for n in [0, 1, 5, 0, 128, 3, 1000, 0, 2]
+    ]
+    gaps = np.concatenate([g for g in lists]) if lists else np.empty(0)
+    bounds = np.concatenate(
+        [[0], np.cumsum([g.size for g in lists])]
+    ).astype(np.int64)
+    got = delta_decode_segmented(gaps, bounds)
+    for j, g in enumerate(lists):
+        lo, hi = bounds[j], bounds[j + 1]
+        np.testing.assert_array_equal(got[lo:hi], delta_decode(g))
+
+
+def test_delta_decode_segmented_empty():
+    from defactonlp_ray.stages.codec import delta_decode_segmented
+
+    out = delta_decode_segmented(
+        np.empty(0, dtype=np.int64), np.array([0, 0, 0], dtype=np.int64)
+    )
+    assert out.size == 0
+
+
+# ------------------------- columnar preload decode (IndexReader, r03 #5)
+
+
+def _tiny_index(tmp_path, codec="varint", positions=False, name="pidx"):
+    from defactonlp_ray.stages.index_build import build_index
+
+    texts = [
+        "data query fast data stream",
+        "merge sort scan data",
+        "query window stream batch merge",
+        "hash join table data scan",
+        "slow scan window",
+        "the a big stream hash",
+    ]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = str(tmp_path / name)
+    build_index(docs, out, seg_docs=3, resume=False,
+                codec=codec, positions=positions)
+    return out
+
+
+@pytest.mark.parametrize("codec", ["varint", "pfor"])
+def test_decode_segment_table_matches_dict_path(tmp_path, codec):
+    """The columnar whole-segment decode (preload path) must produce the
+    exact per-term arrays the row-dict bulk decode produces."""
+    from defactonlp_ray.sources import manifest as mf
+    from defactonlp_ray.stages.search import IndexReader
+
+    idx = _tiny_index(tmp_path, codec=codec, positions=True, name=f"p_{codec}")
+    rd = IndexReader(idx)
+    sid = rd.seg_ids[0]
+    p = os.path.join(mf.segment_dir(idx, sid), "postings.parquet")
+    tbl = pq.read_table(p)
+    rows_ref = tbl.to_pylist()
+    rd._decode_segment(rows_ref)
+    got = dict(rd._decode_segment_table(tbl))
+    assert set(got) == {r["term"] for r in rows_ref}
+    for r in rows_ref:
+        g = got[r["term"]]
+        for a, b in zip(g["decoded"], r["decoded"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(g["w"], r["w"])
+        assert g["n"] == r["n"] and g["cf"] == r["cf"]
+        for blk in ("blk_last_doc", "blk_max_tf", "blk_min_dl"):
+            if blk in r and r[blk] is not None:
+                np.testing.assert_array_equal(
+                    np.asarray(g[blk]), np.asarray(r[blk])
+                )
+        if r.get("pos_blob") is not None:
+            assert bytes(g["pos_blob"]) == bytes(r["pos_blob"])
+
+
+def test_preload_reader_search_matches_point_reads(tmp_path):
+    from defactonlp_ray.stages.search import IndexReader
+
+    idx = _tiny_index(tmp_path, name="pserve")
+    lazy = IndexReader(idx)
+    pre = IndexReader(idx, preload=True)
+    for sid in lazy.seg_ids:
+        lazy.load_postings(sid, ["data", "stream", "merge"])
+        for t in ["data", "stream", "merge"]:
+            lr = lazy.postings(sid, t)
+            pr = pre.postings(sid, t)
+            assert (lr is None) == (pr is None)
+            if lr is None:
+                continue
+            for a, b in zip(lr["decoded"], pr["decoded"]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(lr["w"], pr["w"])
+
+
+# -------------------------------- fsck corruption attribution (ADVICE)
+
+
+def test_fsck_attributes_corruption_to_offending_term(tmp_path):
+    """A corrupt blob whose varint stream still PARSES (valid stream,
+    wrong value count) must be attributed to its own term — not shift
+    every later term's slice (ADVICE r03)."""
+    from defactonlp_ray.stages.codec import varint_encode
+    from defactonlp_ray.sources import manifest as mf
+    from defactonlp_ray.stages.fsck import fsck_index
+
+    idx = _tiny_index(tmp_path, name="fsck_attr")
+    sid = mf.live_segment_order(mf.read_manifest(idx))[0]
+    p = os.path.join(mf.segment_dir(idx, sid), "postings.parquet")
+    t = pq.read_table(p).to_pandas()
+    # pick a middle term and truncate its doc_blob to ONE valid varint
+    # value — the stream parses, but carries fewer values than declared
+    victim_i = len(t) // 2
+    victim = t.loc[victim_i, "term"]
+    t.loc[victim_i, "doc_blob"] = bytes(varint_encode(np.array([1], np.int64)))
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), p)
+    rep = fsck_index(idx)
+    errors = rep.attrs["errors"]
+    assert rep["n_errors"].iloc[0] > 0
+    assert any(repr(victim) in e for e in errors), errors
+    # no OTHER term in this segment may be blamed for a decode/posting
+    # shape error (dictionary-level df/cf drift for the victim is fine)
+    others = set(t["term"]) - {victim}
+    for e in errors:
+        if "decode failed" in e or "declared" in e or "ascending" in e:
+            assert not any(repr(o) in e for o in others), e
+
+
+# ------------------------------- trgm staleness + auto-build (ADVICE)
+
+
+def test_trgm_dict_rebuilds_after_append(tmp_path):
+    """append_index rewrites stats/term_df; the trigram dictionary must
+    detect that and rebuild — wildcard expansion sees the NEW terms
+    (ADVICE r03 medium)."""
+    from defactonlp_ray.stages.index_build import append_index, build_index
+    from defactonlp_ray.stages.trgm import build_trgm_dict, expand_wildcard_trgm
+
+    base = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([
+            "data query fast", "merge sort scan",
+            "query window stream", "hash join table",
+        ]),
+    })
+    idx = str(tmp_path / "stale")
+    build_index(ray.data.from_arrow(base), idx, seg_docs=2, resume=False)
+    build_trgm_dict(idx)
+    assert expand_wildcard_trgm(idx, [(0, "zebraword%")]) == {0: []}
+    extra = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array(["zebraword appears here", "another zebraword doc"]),
+    })
+    append_index(ray.data.from_arrow(extra), idx, seg_docs=2)
+    got = expand_wildcard_trgm(idx, [(0, "zebraword%"), (1, "quer%")])
+    assert got[0] == ["zebraword"]
+    assert got[1] == ["query"]
+
+
+def test_trgm_expand_autobuilds_when_missing(tmp_path):
+    """expand_wildcard_trgm called BEFORE build_trgm_dict must build the
+    dictionary instead of silently answering every pattern empty
+    (ADVICE r03 low)."""
+    from defactonlp_ray.stages.index_build import build_index
+    from defactonlp_ray.stages.trgm import expand_wildcard_trgm
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(["data query", "querulous prose", "plain words"]),
+    })
+    idx = str(tmp_path / "nobuild")
+    build_index(ray.data.from_arrow(tbl), idx, seg_docs=2, resume=False)
+    got = expand_wildcard_trgm(idx, [(0, "quer%")])
+    assert sorted(got[0]) == ["querulous", "query"]
+
+
+# --------------------- partitioned collapse sidecar (VERDICT r03 #4)
+
+
+def test_collapse_map_roundtrip(tmp_path):
+    from defactonlp_ray.stages.collapse_map import CollapseMap, build_collapse_map
+
+    n = 500
+    rng = np.random.default_rng(3)
+    src = [f"s{int(x)}" for x in rng.integers(0, 7, n)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(src),
+    }))
+    root = str(tmp_path / "cmap")
+    build_collapse_map(ds, root, range_docs=64)  # forces ~8 buckets
+    cm = CollapseMap(root)
+    assert cm.names == sorted(set(src))
+    probe = np.array([0, 63, 64, 499, 17, 200], dtype=np.int64)
+    got = cm[probe]
+    want = np.array([cm.names.index(src[i]) for i in probe])
+    np.testing.assert_array_equal(got, want)
+    # unknown doc id -> loud KeyError, never a silent wrong group
+    with pytest.raises(KeyError):
+        cm[np.array([n + 100], dtype=np.int64)]
+
+
+def test_collapse_sidecar_route_equals_broadcast(sf_dir):
+    from defactonlp_ray.pipelines.queries import (
+        q_bm25_collapse, q_bm25_collapse_sidecar,
+    )
+
+    a = q_bm25_collapse(sf_dir).reset_index(drop=True)
+    b = q_bm25_collapse_sidecar(sf_dir).reset_index(drop=True)
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
