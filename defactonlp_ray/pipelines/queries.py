@@ -1786,14 +1786,28 @@ _SHINGLE_SQL = (
     "i -> array_to_string(ts[i : i + 4], ' '))) END AS s FROM d)"
 )
 
+# Lossless oracle prune: Jaccard >= t > 0 requires at least one shared
+# shingle, so restricting the pair universe to doc pairs that share a
+# shingle (an unnest self-join) is exactly equivalent to the all-pairs
+# cross join — verified result-identical — while cutting the oracle from
+# O(n^2) list-intersects to O(co-occurring pairs).  The check stays
+# independent of the LSH/banding code under test.
+_CAND_SQL = (
+    ", ug AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+    "cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b "
+    "FROM ug x JOIN ug y ON x.g = y.g AND x.doc_id < y.doc_id "
+    "GROUP BY 1, 2)"
+)
+_SHINGLE_SQL = _SHINGLE_SQL + _CAND_SQL
+
 SQL_MINHASH_NEARDUP = (
     _SHINGLE_SQL + " "
     "SELECT id_a, id_b, jaccard FROM ("
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "SELECT c.id_a, c.id_b, "
     "round(len(list_intersect(a.s, b.s))::DOUBLE / "
     "len(list_distinct(a.s || b.s)), 6) AS jaccard "
-    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE len(a.s) > 0 AND len(b.s) > 0) WHERE jaccard >= 0.8"
+    "FROM cand c JOIN sh a ON a.doc_id = c.id_a "
+    "JOIN sh b ON b.doc_id = c.id_b) WHERE jaccard >= 0.8"
 )
 
 
@@ -1813,11 +1827,11 @@ def q_neardup_clusters(sf_dir: str):
 SQL_NEARDUP_CLUSTERS = (
     "WITH RECURSIVE " + _SHINGLE_SQL[5:] + ", "
     "p AS (SELECT id_a, id_b FROM ("
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "SELECT c.id_a, c.id_b, "
     "round(len(list_intersect(a.s, b.s))::DOUBLE / "
     "len(list_distinct(a.s || b.s)), 6) AS jaccard "
-    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE len(a.s) > 0 AND len(b.s) > 0) WHERE jaccard >= 0.8), "
+    "FROM cand c JOIN sh a ON a.doc_id = c.id_a "
+    "JOIN sh b ON b.doc_id = c.id_b) WHERE jaccard >= 0.8), "
     "edges AS (SELECT id_a AS src, id_b AS dst FROM p "
     "UNION ALL SELECT id_b, id_a FROM p), "
     "walk(node, label) AS ("
@@ -1832,11 +1846,11 @@ SQL_NEARDUP_CLUSTERS = (
 SQL_BM25_COLLAPSE_NEARDUP = (
     "WITH RECURSIVE " + _SHINGLE_SQL[5:] + ", "
     "p AS (SELECT id_a, id_b FROM ("
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "SELECT c.id_a, c.id_b, "
     "round(len(list_intersect(a.s, b.s))::DOUBLE / "
     "len(list_distinct(a.s || b.s)), 6) AS jaccard "
-    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE len(a.s) > 0 AND len(b.s) > 0) WHERE jaccard >= 0.8), "
+    "FROM cand c JOIN sh a ON a.doc_id = c.id_a "
+    "JOIN sh b ON b.doc_id = c.id_b) WHERE jaccard >= 0.8), "
     "edges AS (SELECT id_a AS src, id_b AS dst FROM p "
     "UNION ALL SELECT id_b, id_a FROM p), "
     "walk(node, label) AS ("
@@ -1895,15 +1909,17 @@ _SHINGLE3_SQL = (
     "ELSE list_distinct(list_transform(range(1, len(ts) - 1), "
     "i -> array_to_string(ts[i : i + 2], ' '))) END AS s FROM d)"
 )
+# same lossless shared-shingle prune as _CAND_SQL (threshold 0.5 > 0)
+_SHINGLE3_SQL = _SHINGLE3_SQL + _CAND_SQL
 
 SQL_NGRAM_JACCARD_NEARDUP = (
     _SHINGLE3_SQL + " "
     "SELECT id_a, id_b, jaccard FROM ("
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "SELECT c.id_a, c.id_b, "
     "round(len(list_intersect(a.s, b.s))::DOUBLE / "
     "len(list_distinct(a.s || b.s)), 6) AS jaccard "
-    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE len(a.s) > 0 AND len(b.s) > 0) WHERE jaccard >= 0.5"
+    "FROM cand c JOIN sh a ON a.doc_id = c.id_a "
+    "JOIN sh b ON b.doc_id = c.id_b) WHERE jaccard >= 0.5"
 )
 
 

@@ -93,6 +93,47 @@ def test_pagerank_isolated_node_keeps_base_rank():
     assert np.allclose(got.loc[[0, 1, 2]], 0.15 / 4 + 0.85 * 0.25, atol=1e-12)
 
 
+def test_pagerank_routes_agree():
+    # broadcast (small-V regime, auto default) vs join (any-V) must be
+    # result-identical on the same graph; also covers the out-of-universe
+    # edge drop in the broadcast index coder
+    rng = np.random.default_rng(13)
+    n = 60
+    edges = sorted(
+        {
+            (int(s), int(d))
+            for s, d in rng.integers(0, n, size=(300, 2))
+            if s != d
+        }
+    )
+    covered = {s for s, _ in edges}
+    edges += [(s, (s + 1) % n) for s in range(n) if s not in covered]
+    e_tbl = pa.table({
+        "src": pa.array([s for s, _ in edges], pa.int64()),
+        "dst": pa.array([d for _, d in edges], pa.int64()),
+    })
+    n_tbl = pa.table({"node": pa.array(range(n), pa.int64())})
+    outs = {}
+    for route in ("broadcast", "join"):
+        outs[route] = (
+            pagerank(
+                ray.data.from_arrow(e_tbl),
+                ray.data.from_arrow(n_tbl),
+                iters=6,
+                route=route,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+    assert np.allclose(
+        outs["broadcast"]["rank"].to_numpy(),
+        outs["join"]["rank"].to_numpy(),
+        rtol=1e-9,
+        atol=1e-12,
+    )
+
+
 # ------------------- connected-components method equality (dedup.py)
 
 def _cc(pairs, method):
