@@ -1889,6 +1889,47 @@ SQL_BM25_COLLAPSE_NEARDUP = (
 )
 
 
+def q_eval_contamination(sf_dir: str):
+    """Benchmark-contamination audit (stages/contamination.py — the
+    GPT-3/PaLM-style n-gram decontamination check): the deterministic
+    "benchmark" is every document with ``doc_id % 97 == 0``; its
+    distinct 5-token shingles are broadcast once and every training doc
+    is probed with one vectorized ``is_in`` pass — zero shuffles, and
+    membership is on shingle STRINGS so the SQL oracle reproduces it
+    exactly.  Output: (doc_id, n_shingles, n_overlap, frac_overlap) for
+    contaminated docs (the planted eval docs report 1.0; true near-dups
+    of them report high fractions)."""
+    from ..stages import contamination
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def ev_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 97 == 0))
+
+    ev = contamination.build_eval_shingles(
+        docs.map_batches(ev_filter, batch_format="pyarrow")
+    )
+    return contamination.contamination_report(docs, ev).sort("doc_id")
+
+
+SQL_EVAL_CONTAMINATION = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "shp AS (SELECT doc_id, CASE WHEN len(ts) = 0 THEN [] "
+    "WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')] "
+    "ELSE list_transform(range(1, len(ts) - 3), "
+    "i -> array_to_string(ts[i : i + 4], ' ')) END AS s FROM d), "
+    "ev AS (SELECT DISTINCT unnest(s) AS g FROM shp WHERE doc_id % 97 = 0), "
+    "pos AS (SELECT doc_id, unnest(s) AS g FROM shp), "
+    "hits AS (SELECT p.doc_id, count(*) AS n_overlap FROM pos p "
+    "JOIN ev ON ev.g = p.g GROUP BY p.doc_id), "
+    "tot AS (SELECT doc_id, len(s) AS n_shingles FROM shp) "
+    "SELECT t.doc_id, t.n_shingles, h.n_overlap, "
+    "round(h.n_overlap::DOUBLE / t.n_shingles, 6) AS frac_overlap "
+    "FROM tot t JOIN hits h ON h.doc_id = t.doc_id ORDER BY t.doc_id"
+)
+
+
 def q_ngram_jaccard_neardup(sf_dir: str):
     """Exact n-gram (3-token-shingle) Jaccard near-dup: permissive LSH
     candidates, then exact shingle-set verification (candidates-then-
@@ -3701,6 +3742,47 @@ SQL_SORT_BY_FIELD = (
 )
 
 
+def q_bm25_function_score(sf_dir: str):
+    """function_score / field_value_factor (Elasticsearch): BM25
+    relevance multiplied by ``ln(1 + dl)`` over the stored doc-length
+    doc-value (stages/search.score_all_fvf).  The factor is per-doc and
+    multiplicative, so the scorer folds it in BEFORE the bounded top-k
+    (a post-hoc rescale of plain-BM25 top-k would rank differently —
+    Lucene's FunctionScoreQuery wraps the inner scorer the same way)."""
+    from ..stages.search import search
+
+    idx = _build_docs_index(sf_dir)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="fvf", concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+SQL_BM25_FUNCTION_SCORE = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+    + "), "
+    "scored AS (SELECT q.query_id, tf.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+    ") AS score FROM q JOIN tf ON q.term = tf.term "
+    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+    "fs AS (SELECT sc.query_id, sc.doc_id, sc.score * ln(1 + dl.dl) AS score "
+    "FROM scored sc JOIN dl ON dl.doc_id = sc.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM fs) "
+    "WHERE rank <= 10"
+)
+
+
 # ------------------------------------------- percolator (reverse search)
 
 _PERCOLATE_QUERIES: list[tuple[int, list[str], list[str]]] = [
@@ -4171,6 +4253,8 @@ QUERIES = {
     "percolate_matches": q_percolate_matches,
     "boolean_msm": q_boolean_msm,
     "sort_by_field": q_sort_by_field,
+    "bm25_function_score": q_bm25_function_score,
+    "eval_contamination": q_eval_contamination,
     "bm25_rescore": q_bm25_rescore,
     "wildcard_trgm_topk": q_wildcard_trgm_topk,
     "boosted_topk": q_boosted_topk,
@@ -4289,6 +4373,8 @@ ORACLES = {
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "boolean_msm": SQL_BOOLEAN_MSM,
     "sort_by_field": SQL_SORT_BY_FIELD,
+    "bm25_function_score": SQL_BM25_FUNCTION_SCORE,
+    "eval_contamination": SQL_EVAL_CONTAMINATION,
     "bm25_rescore": SQL_BM25_RESCORE,
     "wildcard_trgm_topk": SQL_WILDCARD_TRGM_TOPK,
     "boosted_topk": SQL_BOOSTED_TOPK,

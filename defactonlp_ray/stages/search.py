@@ -830,6 +830,57 @@ def score_all_sortfield(
     return [(float(dls[i]), int(docids[i])) for i in order]
 
 
+def score_all_fvf(
+    reader,
+    seg_ids: list[int],
+    terms_sorted: list[str],
+    idfs: dict[str, float],
+    k: int,
+) -> list[tuple[float, int]]:
+    """Elasticsearch ``function_score`` / ``field_value_factor``
+    (modifier ``ln1p`` over the stored doc-length doc-value):
+    ``final = BM25 * ln(1 + dl)``.
+
+    The factor is per-doc and MULTIPLICATIVE, so it cannot be applied
+    after a plain BM25 top-k cut (the modified order differs) — the
+    scorer folds it in before the bounded top-k, exactly like Lucene's
+    ``FunctionScoreQuery`` wraps the inner scorer.  ``dl`` rides in
+    every posting (BM25's length norm needs it), so the factor costs no
+    extra doc-value lookup; same fused dense-accumulator shape as
+    :func:`score_all_taat`."""
+    per_term = []
+    lo = hi = None
+    for t in terms_sorted:
+        arrs = reader.term_arrays(seg_ids, t)
+        tdl = reader.term_tf_dl(seg_ids, t)
+        if arrs is None or tdl is None:
+            continue
+        docids, w = arrs
+        per_term.append((t, docids, w, tdl[2]))
+        tlo, thi = int(docids[0]), int(docids[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if not per_term:
+        return []
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    dls = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for t, docids, w, dl in per_term:  # ascending-term order (pinned)
+        idx = docids - lo
+        scores[idx] += idfs[t] * w
+        dls[idx] = dl  # per-doc constant: any term's copy is the value
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand + lo, reader.deleted)]
+    return _topk_exact(
+        scores[cand] * np.log1p(dls[cand]), cand + lo, k
+    )
+
+
 def score_all_lmd(
     reader,
     seg_ids: list[int],
@@ -1509,6 +1560,8 @@ class SearcherActor:
                                       self.k, self.group_codes)
         if self.mode == "sortfield":
             return score_all_sortfield(self.reader, seg_ids, uniq, self.k)
+        if self.mode == "fvf":
+            return score_all_fvf(self.reader, seg_ids, uniq, idfs, self.k)
         if self.mode == "taat":
             return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k,
                                   after=after)

