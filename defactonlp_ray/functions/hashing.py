@@ -117,6 +117,8 @@ def rolling_fingerprint_column(
     h = np.zeros(max(total - window + 1, 0), dtype=np.uint64)
     for j in range(window):
         h += contrib[j][data[j : total - window + 1 + j]]
+        if j % 7 == 6:
+            h %= np.uint64(mod)  # keep ≤7 pending 2^61 terms: exact in uint64
     h %= np.uint64(mod)
     # per-row min over window starts fully inside the row (cross-row
     # windows in h are simply never gathered)
@@ -128,6 +130,49 @@ def rolling_fingerprint_column(
     row_mins = np.minimum.reduceat(h[gi], bounds)
     out[ok] = row_mins.astype(np.int64)
     return out
+
+
+def window_hashes_column(
+    texts, window: int = 32, base: int = 257, mod: int = (1 << 61) - 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """ALL ``window``-byte rolling hashes of every row, stride 1.
+
+    Returns ``(h, bounds)``: ``h`` is the concatenation of each row's
+    window hashes (uint64, values < 2^61), ``bounds`` is ``int64[n+1]``
+    offsets so row ``i``'s hashes are ``h[bounds[i]:bounds[i+1]]`` (an
+    empty slice for rows shorter than ``window`` bytes).  Same polynomial
+    as :func:`rolling_fingerprint_column` (which is the per-row MIN of
+    this array): one (window × 256) table, ``window`` gathers + adds over
+    the flat utf-8 buffer — no per-row Python.
+    """
+    offsets, data = str_buffer_view(texts)
+    n = offsets.size - 1
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    lens = np.diff(offsets)
+    n_win = np.maximum(lens - window + 1, 0)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_win, out=bounds[1:])
+    if bounds[-1] == 0:
+        return np.empty(0, dtype=np.uint64), bounds
+    powers = [pow(base, window - 1 - j, mod) for j in range(window)]
+    contrib = np.array(
+        [[(v * p) % mod for v in range(256)] for p in powers], dtype=np.uint64
+    )
+    total = int(data.size)
+    h = np.zeros(max(total - window + 1, 0), dtype=np.uint64)
+    for j in range(window):
+        h += contrib[j][data[j : total - window + 1 + j]]
+        if j % 7 == 6:
+            # each term < 2^61 and h < 2^61 post-reduction, so at most
+            # 7 pending adds keep the sum < 8·2^61 = 2^64: reduce before
+            # the eighth add would wrap (window=8 never needed this)
+            h %= np.uint64(mod)
+    h %= np.uint64(mod)
+    ok = n_win > 0
+    starts = offsets[:-1][ok]
+    ends = offsets[1:][ok] - window + 1
+    return h[_flat_ranges(starts, ends)], bounds
 
 
 def _flat_ranges(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

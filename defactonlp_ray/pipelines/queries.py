@@ -1811,6 +1811,32 @@ SQL_MINHASH_NEARDUP = (
 )
 
 
+def q_substring_dedup(sf_dir: str):
+    """Exact duplicate-SPAN detection (Lee et al. 2022 arXiv:2107.06499
+    shape): doc pairs sharing >= 1 exact 32-char substring, with the
+    exact count of shared distinct windows.  Engine: stride-1 rolling
+    window hashes (vectorized, one gather per window byte) -> hash-keyed
+    self-join -> pair-dedup aggregate -> exact character-window
+    verification (hash-collision-proof).  The oracle explodes every
+    substr(text, i, 32) in SQL and joins — fully independent of the
+    hashing.  At 100 TB the ``winnow=`` + ``max_window_df=`` knobs bound
+    the exchanged table (winnowing keeps the >= window+m-1 shared-run
+    detection guarantee; both property-tested subsets)."""
+    return dedup.substring_dup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), window=32
+    )
+
+
+SQL_SUBSTRING_DEDUP = (
+    "WITH w AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 32) "
+    "AS win FROM (SELECT doc_id, text, "
+    "unnest(range(1, greatest(length(text) - 30, 1))) AS i FROM documents)) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared "
+    "FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2"
+)
+
+
 def q_neardup_clusters(sf_dir: str):
     """Near-dup CLUSTER assignment: verified MinHash pairs -> distributed
     connected components (stages/dedup.connected_components — BSP
@@ -4279,6 +4305,7 @@ QUERIES = {
     "dedup_docs": q_dedup_docs,
     "url_dedup": q_url_dedup,
     "minhash_neardup": q_minhash_neardup,
+    "substring_dedup": q_substring_dedup,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
@@ -4411,6 +4438,7 @@ ORACLES = {
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "video_frames": SQL_VIDEO_FRAMES,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "ngram_jaccard_neardup": SQL_NGRAM_JACCARD_NEARDUP,
     "url_dedup": SQL_URL_DEDUP,

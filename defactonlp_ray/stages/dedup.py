@@ -1283,3 +1283,242 @@ def ngram_jaccard_pairs(
         cand, ds, threshold=threshold, shingle_k=shingle_k,
         id_col=id_col, text_col=text_col, route=route,
     )
+
+
+# ------------------------- exact substring dedup (duplicate-span detection)
+
+# Window width (BYTES) for the duplicate-substring family.  Public spec:
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better" (arXiv:2107.06499) detect exact duplicate spans of >= ~50 tokens
+# with a suffix array; the Ray-Data-native shape below replaces the suffix
+# array with a stride-1 rolling-hash window table + one hash-keyed groupby
+# (candidates) + exact verification — the same all-to-all-on-small-keys
+# pattern as MinHash-LSH above.
+SUBSTR_WINDOW = 32
+
+
+def substring_window_hashes(
+    ds: "ray.data.Dataset",
+    *,
+    window: int = SUBSTR_WINDOW,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    winnow: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """(doc_id, h) rows: the DISTINCT rolling hashes of every
+    ``window``-byte window (stride 1) of each document.
+
+    ``winnow=m`` keeps only each row's sliding-``m``-window minima
+    (standard winnowing, Schleimer/Wilkerson/Aiken SIGMOD 2003): selection
+    depends only on local content, so two documents sharing any run of
+    >= ``window + m - 1`` bytes are GUARANTEED to share a selected hash —
+    the 100-TB path, cutting the exchanged table ~m× while keeping the
+    long-duplicate detection contract (property-tested).  ``winnow=None``
+    keeps every window (exact against the stride-1 SQL oracle).
+
+    Per-doc dedup happens inside the batch (sort + mask — no Python row
+    loop), so the shuffle sees at most one row per (doc, distinct window).
+    """
+    from ..functions.hashing import window_hashes_column
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        h, bounds = window_hashes_column(batch[text_col], window=window)
+        n_win = np.diff(bounds)
+        if winnow is not None and winnow > 1 and h.size:
+            m = winnow
+            keep = np.zeros(h.size, dtype=bool)
+            # rows with >= m windows: flat sliding-min over h, valid at
+            # positions fully inside the row
+            big = n_win >= m
+            if big.any():
+                sw = np.lib.stride_tricks.sliding_window_view(h, m)
+                starts = bounds[:-1][big]
+                ends = bounds[1:][big] - m + 1
+                from ..functions.hashing import _flat_ranges
+
+                pos = _flat_ranges(starts, ends)
+                mins = sw[pos].min(axis=1)
+                # mark selected positions: min value's first occurrence
+                # inside each sliding window — marking every position whose
+                # hash equals its window min is equivalent for the OUTPUT
+                # (same selected hash VALUES per row)
+                for off in range(m):
+                    keep[pos + off] |= h[pos + off] == mins
+            # rows with 0 < n_win < m: keep the row min (the whole row is
+            # one window)
+            small = (n_win > 0) & (n_win < m)
+            if small.any():
+                s_starts = bounds[:-1][small]
+                s_bounds = np.zeros(int(small.sum()), dtype=np.int64)
+                np.cumsum(n_win[small][:-1], out=s_bounds[1:])
+                from ..functions.hashing import _flat_ranges
+
+                gi = _flat_ranges(s_starts, bounds[1:][small])
+                row_min = np.minimum.reduceat(h[gi], s_bounds)
+                # mark positions equal to their row min
+                rep = np.repeat(row_min, n_win[small])
+                keep[gi] |= h[gi] == rep
+            doc_rep = np.repeat(ids, n_win)[keep]
+            h = h[keep]
+        else:
+            doc_rep = np.repeat(ids, n_win)
+        if h.size == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+            )
+        # per-(doc, h) distinct without Python rows: lexsort + change mask
+        order = np.lexsort((h, doc_rep))
+        d_s, h_s = doc_rep[order], h[order]
+        first = np.ones(d_s.size, dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        return pa.table(
+            {
+                id_col: pa.array(d_s[first], pa.int64()),
+                "h": pa.array(h_s[first].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _pair_shared_windows(ta: list, tb: list, window: int) -> list[int]:
+    """Exact |distinct window-substrings(a) ∩ (b)| per pair — CHARACTER
+    windows, matching SQL ``substr`` semantics (== byte windows for ASCII;
+    the hash candidates are byte-window based, a superset for any utf-8
+    because a shared char window contains a shared byte window)."""
+    out = []
+    cache: dict[str, set] = {}
+
+    def wins(t: str) -> set:
+        s = cache.get(t)
+        if s is None:
+            s = {t[i : i + window] for i in range(len(t) - window + 1)}
+            cache[t] = s
+        return s
+
+    for a, b in zip(ta, tb):
+        out.append(len(wins(a) & wins(b)))
+    return out
+
+
+def substring_dup_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    window: int = SUBSTR_WINDOW,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+    winnow: Optional[int] = None,
+    max_window_df: Optional[int] = None,
+    route: str = "auto",
+) -> "ray.data.Dataset":
+    """Document pairs sharing >= ``min_shared`` exact ``window``-char
+    substrings: (id_a, id_b, n_shared), id_a < id_b.
+
+    Shape: stride-1 window hashes (winnowed at scale) -> hash-keyed
+    SELF-JOIN on h (fully vectorized — a per-group Python callable here
+    runs once per distinct window and dominated wall time 4×) -> pair
+    dedup aggregate -> EXACT verification on the real substring sets
+    (removes hash collisions and recomputes n_shared over characters, so
+    the result is independent of the hash).  The only shuffles key on
+    the window hash and the pair — never on the corpus.
+
+    ``max_window_df`` (optional) drops windows present in more than that
+    many documents BEFORE pairing — the boilerplate guard at scale, where
+    a site-wide footer shared by D docs would otherwise emit O(D²) join
+    rows.  The guarded result is a subset (property-tested); the oracle
+    entry runs unguarded.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    wh = substring_window_hashes(
+        ds, window=window, text_col=text_col, id_col=id_col, winnow=winnow
+    ).materialize()
+
+    if max_window_df is not None:
+        hot = ensure_arrow(
+            wh.groupby("h").aggregate(Count(alias_name="__df"))
+        ).filter(expr=f"__df > {int(max_window_df)}")
+        hot_pdf = hot.select_columns(["h"]).to_pandas()
+        hot_ids = (
+            hot_pdf["h"].to_numpy()
+            if "h" in hot_pdf.columns
+            else np.empty(0, dtype=np.int64)
+        )
+        if hot_ids.size:
+            _log.warning(
+                "substring dedup: dropping %d windows with df > %d",
+                hot_ids.size, max_window_df,
+            )
+            hot_ref = _ray.put(pa.array(hot_ids, pa.int64()))
+
+            def drop_hot(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.invert(
+                        pc.is_in(batch["h"], value_set=_ray.get(hot_ref))
+                    )
+                )
+
+            wh = wh.map_batches(drop_hot, batch_format="pyarrow")
+
+    n_cpu = int(_ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(16, n_cpu // 2))
+    left = arrow_project(wh, [id_col, "h"], {id_col: "id_a"})
+    right = arrow_project(wh, [id_col, "h"], {id_col: "id_b"})
+    joined = left.join(
+        right, "inner", num_partitions=nparts, on=("h",), right_on=("h",)
+    )
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["id_a"], batch["id_b"])
+        return pa.table(
+            {
+                "id_a": batch["id_a"].filter(keep),
+                "id_b": batch["id_b"].filter(keep),
+            }
+        )
+
+    cand = joined.map_batches(ordered, batch_format="pyarrow")
+    cand = arrow_project(
+        cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__n")),
+        ["id_a", "id_b"],
+    ).materialize()
+
+    n_pairs = cand.count()
+    use_join = route == "join" or (
+        route == "auto" and n_pairs > BROADCAST_PAIR_LIMIT
+    )
+    if use_join:
+        withtexts = attach_pair_texts(cand, ds, id_col=id_col, text_col=text_col)
+
+        def verify_join(batch: pd.DataFrame) -> pd.DataFrame:
+            ns = _pair_shared_windows(
+                batch["__text_a"].tolist(), batch["__text_b"].tolist(), window
+            )
+            batch = batch.drop(columns=["__text_a", "__text_b"])
+            batch["n_shared"] = np.asarray(ns, dtype=np.int64)
+            return batch[batch["n_shared"] >= min_shared]
+
+        return withtexts.map_batches(verify_join, batch_format="pandas")
+
+    import ray as _ray
+
+    docs_by_id = candidate_texts(cand, ds, id_col=id_col, text_col=text_col)
+    ref = _ray.put(docs_by_id)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        dmap = _ray.get(ref)
+        ns = _pair_shared_windows(
+            [dmap[int(a)] for a in batch["id_a"]],
+            [dmap[int(b)] for b in batch["id_b"]],
+            window,
+        )
+        batch = batch.copy()
+        batch["n_shared"] = np.asarray(ns, dtype=np.int64)
+        return batch[batch["n_shared"] >= min_shared]
+
+    return cand.map_batches(verify, batch_format="pandas")

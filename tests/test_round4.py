@@ -461,3 +461,59 @@ def test_fvf_equals_taat_times_ln1p_dl(tmp_path):
     ta = taat.groupby("query_id")["doc_id"].first()
     fv = fvf.groupby("query_id")["doc_id"].first()
     assert (ta != fv).any() or True  # order may coincide on tiny corpora
+
+
+# ------------------------------------------ substring dedup (round 4 add)
+
+
+def test_window_hashes_column_matches_scalar():
+    """Vectorized stride-1 window hashes == scalar polynomial per window,
+    including the uint64-overflow-guard path (window=32 > 8)."""
+    from defactonlp_ray.functions.hashing import window_hashes_column
+
+    texts = ["hello world this is a test string for rolling windows!",
+             "short", "", "a" * 40, "b" * 31]
+    W, base, mod = 32, 257, (1 << 61) - 1
+    h, b = window_hashes_column(texts, window=W)
+    for i, t in enumerate(texts):
+        d = t.encode()
+        ref = []
+        for s in range(len(d) - W + 1):
+            v = 0
+            for c in d[s : s + W]:
+                v = (v * base + c) % mod
+            ref.append(v)
+        assert h[b[i] : b[i + 1]].tolist() == ref
+
+
+def test_substring_dedup_winnow_and_guard_are_subsets(tmp_path):
+    """winnow= and max_window_df= results are subsets of the exact run,
+    and winnowing KEEPS any planted duplicate run of >= window+m-1 chars
+    (the winnowing detection guarantee)."""
+    from defactonlp_ray.stages import dedup
+
+    rng = np.random.default_rng(7)
+    alphabet = np.array(list("abcdefghij "))
+    def rand_text(n):
+        return "".join(rng.choice(alphabet, size=n))
+    shared = rand_text(64)  # >= 32 + 8 - 1
+    texts = [rand_text(150) + shared + rand_text(150),
+             rand_text(120) + shared + rand_text(80)]
+    texts += [rand_text(200) for _ in range(20)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    full = dedup.substring_dup_pairs(docs, window=32).to_pandas()
+    fp = set(zip(full.id_a.astype(int), full.id_b.astype(int)))
+    assert (0, 1) in fp
+    wn = dedup.substring_dup_pairs(docs, window=32, winnow=8).to_pandas()
+    wp = set(zip(wn.id_a.astype(int), wn.id_b.astype(int)))
+    assert wp <= fp
+    assert (0, 1) in wp  # guarantee: shared run of 64 >= 32+8-1
+    gd = dedup.substring_dup_pairs(
+        docs, window=32, max_window_df=1
+    ).to_pandas()
+    assert len(gd) == 0 or set(
+        zip(gd.id_a.astype(int), gd.id_b.astype(int))
+    ) <= fp
