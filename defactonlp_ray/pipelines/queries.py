@@ -1837,6 +1837,48 @@ SQL_SUBSTRING_DEDUP = (
 )
 
 
+def q_incremental_neardup(sf_dir: str):
+    """Streaming-ingest dedup: docs with doc_id % 10 == 0 play the NEW
+    BATCH, the rest the standing corpus.  The corpus's LSH band rows are
+    persisted bucket-partitioned once (dedup.build_band_index); the batch
+    is checked via a PRUNED read of only the bucket directories its own
+    band hashes hit + one (band_id, band_hash) hash join + exact Jaccard
+    verification.  The oracle computes TRUE all-(new x old)-pairs Jaccard
+    in SQL — independent of banding, persistence and pruning; green means
+    LSH recall is 1.0 on this corpus and every false candidate was
+    filtered."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _split(want_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mod = pc.subtract(
+                t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 10), 10)
+            )
+            keep = pc.equal(mod, 0) if want_new else pc.not_equal(mod, 0)
+            return t.filter(keep)
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    corpus = _split(False)
+    batch = _split(True)
+    band_dir = _tmp_index_dir(sf_dir, "bandidx")
+    dedup.build_band_index(corpus, band_dir)
+    return dedup.incremental_neardup_pairs(
+        batch, band_dir, corpus, threshold=0.8
+    )
+
+
+SQL_INCREMENTAL_NEARDUP = (
+    _SHINGLE_SQL + " "
+    "SELECT id_new, id_old, jaccard FROM ("
+    "SELECT n.doc_id AS id_new, o.doc_id AS id_old, "
+    "round(len(list_intersect(n.s, o.s))::DOUBLE / "
+    "len(list_distinct(n.s || o.s)), 6) AS jaccard "
+    "FROM sh n JOIN sh o ON n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0) "
+    "WHERE jaccard >= 0.8"
+)
+
+
 def q_neardup_clusters(sf_dir: str):
     """Near-dup CLUSTER assignment: verified MinHash pairs -> distributed
     connected components (stages/dedup.connected_components — BSP
@@ -4306,6 +4348,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "minhash_neardup": q_minhash_neardup,
     "substring_dedup": q_substring_dedup,
+    "incremental_neardup": q_incremental_neardup,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
@@ -4439,6 +4482,7 @@ ORACLES = {
     "video_frames": SQL_VIDEO_FRAMES,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "ngram_jaccard_neardup": SQL_NGRAM_JACCARD_NEARDUP,
     "url_dedup": SQL_URL_DEDUP,

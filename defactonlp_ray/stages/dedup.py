@@ -387,7 +387,7 @@ class MinHashStage:
         return batch.append_column("minhash", arr)
 
 
-def minhash_lsh_candidates(
+def banded_rows(
     ds: "ray.data.Dataset",
     *,
     text_col: str = "text",
@@ -397,13 +397,9 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     concurrency: int = 4,
 ) -> "ray.data.Dataset":
-    """MinHash+LSH near-dup candidate pairs (id_a < id_b, band-deduped).
-
-    shingle -> minhash (actor pool) -> explode to (band_id, band_hash)
-    rows -> groupby band bucket -> pairs within bucket -> global pair
-    dedup.  The only shuffles key on (band_id, band_hash) — skew-bounded
-    because identical-band groups ARE the near-dup clusters.
-    """
+    """(doc_id, band_id, band_hash) LSH band rows: shingle -> minhash
+    (actor pool) -> per-band splitmix64 fold.  Shared by the one-shot
+    candidate pass and the persisted incremental band index."""
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         MinHashStage,
         fn_constructor_kwargs={
@@ -435,7 +431,30 @@ def minhash_lsh_candidates(
             }
         )
 
-    banded = sigs.map_batches(explode, batch_format="pyarrow")
+    return sigs.map_batches(explode, batch_format="pyarrow")
+
+
+def minhash_lsh_candidates(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    n_perms: int = MINHASH_PERMS,
+    shingle_k: int = 5,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """MinHash+LSH near-dup candidate pairs (id_a < id_b, band-deduped).
+
+    shingle -> minhash (actor pool) -> explode to (band_id, band_hash)
+    rows -> groupby band bucket -> pairs within bucket -> global pair
+    dedup.  The only shuffles key on (band_id, band_hash) — skew-bounded
+    because identical-band groups ARE the near-dup clusters.
+    """
+    banded = banded_rows(
+        ds, text_col=text_col, id_col=id_col, bands=bands,
+        n_perms=n_perms, shingle_k=shingle_k, concurrency=concurrency,
+    )
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(group[id_col].to_numpy())
@@ -1522,3 +1541,142 @@ def substring_dup_pairs(
         return batch[batch["n_shared"] >= min_shared]
 
     return cand.map_batches(verify, batch_format="pandas")
+
+
+# ---------------- incremental near-dup vs a persisted LSH band index
+
+# bucket fan-out for the persisted band table: wide enough that a small
+# ingest batch prunes most partition directories, narrow enough that each
+# bucket directory holds many band groups (file-count hygiene)
+BAND_INDEX_BUCKETS = 64
+
+
+def build_band_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    n_perms: int = MINHASH_PERMS,
+    shingle_k: int = 5,
+    n_buckets: int = BAND_INDEX_BUCKETS,
+) -> str:
+    """Persist the corpus's LSH band rows as a ``bucket=<b>/``
+    hive-partitioned parquet table (bucket = band_hash mod n_buckets).
+
+    This is the INGEST-side artifact for streaming dedup: each new batch
+    of documents is checked against the standing corpus by reading ONLY
+    the bucket directories its own band hashes fall in (path-level
+    partition pruning) — never a corpus scan.  Append-friendly: a checked
+    batch's own band rows can be written into the same layout.
+    """
+    import os
+
+    done = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return index_dir
+
+    rows = banded_rows(
+        ds, text_col=text_col, id_col=id_col, bands=bands,
+        n_perms=n_perms, shingle_k=shingle_k,
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = batch["band_hash"].to_numpy()
+        bucket = np.mod(h, n_buckets)  # nonneg for int64 with positive mod
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    rows.map_batches(tag, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def incremental_neardup_pairs(
+    new_docs: "ray.data.Dataset",
+    index_dir: str,
+    corpus_docs: "ray.data.Dataset",
+    *,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    n_perms: int = MINHASH_PERMS,
+    shingle_k: int = 5,
+    n_buckets: int = BAND_INDEX_BUCKETS,
+) -> "ray.data.Dataset":
+    """Near-duplicates of an INGEST BATCH against the standing corpus:
+    (id_new, id_old, jaccard) with true shingle-Jaccard >= threshold.
+
+    The batch's band rows are computed once; the persisted band table is
+    read pruned to the buckets those rows hit (``PathPartitionFilter`` —
+    non-matching bucket directories are never opened); candidates come
+    from one (band_id, band_hash) hash join; verification recomputes the
+    exact Jaccard from the texts (same routes as the one-shot op).  Per
+    batch the work scales with the batch and its collisions, not the
+    corpus — the streaming-ingest dedup shape.
+    """
+    from ray.data.datasource.partitioning import PathPartitionFilter
+    from ray.data.aggregate import Count
+
+    new_rows = banded_rows(
+        new_docs, text_col=text_col, id_col=id_col, bands=bands,
+        n_perms=n_perms, shingle_k=shingle_k,
+    ).materialize()
+
+    buckets = set(
+        int(b) % n_buckets
+        for b in new_rows.select_columns(["band_hash"])
+        .to_pandas()["band_hash"]
+        .to_numpy()
+    )
+
+    def keep(partitions: dict) -> bool:
+        return "bucket" in partitions and int(partitions["bucket"]) in buckets
+
+    old_rows = ray.data.read_parquet(
+        index_dir,
+        partition_filter=PathPartitionFilter.of(keep),
+        file_extensions=["parquet"],
+    )
+
+    left = arrow_project(
+        new_rows, [id_col, "band_id", "band_hash"], {id_col: "id_new"}
+    )
+    right = arrow_project(
+        old_rows, [id_col, "band_id", "band_hash"], {id_col: "id_old"}
+    )
+    import ray as _ray
+
+    n_cpu = int(_ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(16, n_cpu // 2))
+    joined = left.join(
+        right, "inner", num_partitions=nparts,
+        on=("band_id", "band_hash"), right_on=("band_id", "band_hash"),
+    )
+    cand = arrow_project(
+        ensure_arrow(joined)
+        .groupby(["id_new", "id_old"])
+        .aggregate(Count(alias_name="__n")),
+        ["id_new", "id_old"],
+    )
+    # verify on the union corpus (texts for both sides), reusing the
+    # broadcast/join routed verifier
+    cand_ab = arrow_project(
+        cand, ["id_new", "id_old"], {"id_new": "id_a", "id_old": "id_b"}
+    )
+    docs_union = corpus_docs.select_columns([id_col, text_col]).union(
+        new_docs.select_columns([id_col, text_col])
+    )
+    verified = verify_jaccard_pairs(
+        cand_ab, docs_union, threshold=threshold, shingle_k=shingle_k,
+        id_col=id_col, text_col=text_col,
+    )
+    return arrow_project(
+        verified,
+        ["id_a", "id_b", "jaccard"],
+        {"id_a": "id_new", "id_b": "id_old"},
+    )

@@ -517,3 +517,29 @@ def test_substring_dedup_winnow_and_guard_are_subsets(tmp_path):
     assert len(gd) == 0 or set(
         zip(gd.id_a.astype(int), gd.id_b.astype(int))
     ) <= fp
+
+
+def test_incremental_neardup_matches_oneshot_cross_pairs(tmp_path):
+    """Batch-vs-corpus incremental dedup (persisted bucket-partitioned
+    band index, pruned read) finds exactly the one-shot op's pairs that
+    cross the batch/corpus split."""
+    from defactonlp_ray.stages import dedup
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(200)]
+    def doc(n=40):
+        return " ".join(rng.choice(words, size=n))
+    base = doc(60)
+    texts = [base + " tail one", base + " tail two"] + [doc() for _ in range(18)]
+    ids = list(range(len(texts)))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}))
+    corpus = docs.filter(lambda r: r["doc_id"] != 1)
+    batch = docs.filter(lambda r: r["doc_id"] == 1)
+    idx = str(tmp_path / "bandidx")
+    dedup.build_band_index(corpus, idx)
+    got = dedup.incremental_neardup_pairs(
+        batch, idx, corpus, threshold=0.8).to_pandas()
+    assert set(zip(got.id_new.astype(int), got.id_old.astype(int))) == {(1, 0)}
+    # resume: _SUCCESS short-circuits the rebuild
+    assert dedup.build_band_index(corpus, idx) == idx
