@@ -406,6 +406,44 @@ def serial_ann_ivf(
     return df
 
 
+def serial_ann_sq8(
+    sf_dir: str, *, n_queries: int = 3, k: int = 10, sample_size: int = 2048,
+) -> pd.DataFrame:
+    """Serial reference for the int8 scalar-quantized route: same train
+    sample rule as IVF (first sample_size rows in file order, sorted by
+    id), same encode/decode arithmetic (stages/ann.sq8_* ARE the spec),
+    full scan of the codes, cosine rounded 6, top-k by (score DESC,
+    vec_id).  No Ray, no persisted index — equality proves the
+    codes-only pruned-bytes route scores every vector identically."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import sq8_decode, sq8_encode, sq8_train
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    sel = np.argsort(ids[:sample_size], kind="stable")
+    mins, scales = sq8_train(m[:sample_size][sel])
+    dec = sq8_decode(sq8_encode(m, mins, scales), mins, scales)
+    qsel = np.argsort(ids[:n_queries], kind="stable")
+    q = m[:n_queries][qsel]
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    dn = np.linalg.norm(dec, axis=1)
+    dn[dn == 0] = 1.0
+    rows = []
+    for qi in range(q.shape[0]):
+        cos = np.round((dec @ q[qi]) / dn / qn[qi], 6)
+        sel_k = np.lexsort((ids, -cos))[:k]
+        for rank, j in enumerate(sel_k, 1):
+            rows.append((qi, rank, int(ids[j]), float(cos[j])))
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "score"])
+    df["rank"] = df["rank"].astype(np.int32)
+    return df
+
+
 # ------------------------------------------------------------- SQL plumbing
 
 _SQL_TYPES = {
@@ -562,6 +600,12 @@ def oracle_values_sql() -> dict[str, str]:
         out["ann_ivf"] = _cached(
             "ann_ivf", emb_fp,
             lambda: values_sql(serial_ann_ivf(ORACLE_SF_DIR)),
+        )
+        from ..stages.ann import SQ8_VERSION
+
+        out["ann_sq8"] = _cached(
+            "ann_sq8", emb_fp + "|" + SQ8_VERSION,
+            lambda: values_sql(serial_ann_sq8(ORACLE_SF_DIR)),
         )
 
     fx_fp = _fixture_fp()

@@ -1051,6 +1051,25 @@ def q_ann_ivf(sf_dir: str):
     return ann.knn_ivf(idx, q, k=10, n_probe=4)
 
 
+def q_ann_sq8(sf_dir: str):
+    """Int8 scalar-quantized ANN (FAISS/Lucene SQ shape): the persisted
+    index stores one BINARY codes column (dim bytes/vector — 4× smaller
+    than float32), queries decode per batch (fused code*scale+min) and
+    run the same matmul-cosine + partial-top-k combiner as brute.  The
+    memory/IO-scale path: at 10^12 vectors the codes table is what gets
+    scanned, the float vectors never move.  Oracle = pinned serial
+    reference of the identical train/encode/decode spec
+    (pipelines/pinned.serial_ann_sq8); recall vs brute pytest-measured."""
+    q = _query_vectors(sf_dir, 3)
+    idx = _tmp_index_dir(
+        sf_dir, f"annsq8-{ann.SQ8_VERSION}", table="embeddings"
+    )
+    ann.build_sq8_index(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), idx
+    )
+    return ann.knn_sq8(idx, q, k=10)
+
+
 def q_embedding_neardup(sf_dir: str):
     return dedup.embedding_neardup_pairs(
         read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
@@ -4379,6 +4398,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_sq8": q_ann_sq8,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "video_frames": q_video_frames,

@@ -594,3 +594,157 @@ def mmr_select(
         remaining.remove(d)
         out.append((len(selected), d, round(obj, 6)))
     return out
+
+
+# -------------------------- int8 scalar quantization (memory-scale path)
+
+# Bump when the SQ spec changes (train rule / encode rounding) — baked
+# into pinned-oracle fingerprints like ANN_VERSION.
+SQ8_VERSION = "sq8-v1"
+
+
+def sq8_train(sample: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (mins, scales) from a training sample: code c
+    reconstructs to ``mins + c * scales`` with c in 0..255.  Zero-range
+    dimensions get scale 1 (codes 0, exact reconstruction)."""
+    mins = sample.min(axis=0).astype(np.float64)
+    rng = sample.max(axis=0).astype(np.float64) - mins
+    scales = np.where(rng > 0, rng / 255.0, 1.0)
+    return mins, scales
+
+
+def sq8_encode(vecs: np.ndarray, mins: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """uint8 codes: round((v - min) / scale) clipped to [0, 255].  Values
+    outside the training range saturate (standard SQ behavior)."""
+    c = np.rint((np.asarray(vecs, dtype=np.float64) - mins) / scales)
+    return np.clip(c, 0, 255).astype(np.uint8)
+
+
+def sq8_decode(codes: np.ndarray, mins: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    return mins + codes.astype(np.float64) * scales
+
+
+def build_sq8_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Persist an int8 scalar-quantized copy of the vector table: one
+    ``codes`` BINARY column (dim bytes/vector — 4× smaller than float32,
+    8× than float64), per-dimension (mins, scales) params beside it.
+
+    This is the MEMORY-scale ANN path: a 10^12 × 256-dim float32 corpus
+    is 1 PB; SQ8 cuts the scanned/shipped bytes 4× with ~1% recall loss
+    (public FAISS/Lucene SQ behavior).  Same train-sample rule as IVF
+    (first ``sample_size`` rows in file order, sorted by id) so the
+    serial pinned oracle can reproduce the params exactly."""
+    import os
+
+    done = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return index_dir
+    sample_rows = ds.select_columns([id_col, vec_col]).take(sample_size)
+    sample_rows.sort(key=lambda r: r[id_col])
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    mins, scales = sq8_train(sample)
+    pref = ray.put((mins, scales))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "codes": pa.array([], pa.binary())}
+            )
+        mn, sc = ray.get(pref)
+        codes = sq8_encode(_as_matrix(batch[vec_col]), mn, sc)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "codes": pa.array(
+                    [c.tobytes() for c in codes], pa.binary()
+                ),
+            }
+        )
+
+    ds.select_columns([id_col, vec_col]).map_batches(
+        enc, batch_format="pyarrow"
+    ).write_parquet(index_dir)
+    np.save(os.path.join(index_dir, "sq8_mins.npy"), mins)
+    np.save(os.path.join(index_dir, "sq8_scales.npy"), scales)
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def knn_sq8(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> pd.DataFrame:
+    """Asymmetric SQ top-k over a :func:`build_sq8_index` directory:
+    float queries vs decoded int8 codes (decode is one fused
+    ``codes * scale + min`` per batch, then the same matmul-cosine +
+    per-batch top-k combiner as :func:`knn_brute`).  Reads ONLY the
+    4×-smaller codes table — the float vectors are never touched."""
+    import os
+
+    import ray.data as rd
+
+    mins = np.load(os.path.join(index_dir, "sq8_mins.npy"))
+    scales = np.load(os.path.join(index_dir, "sq8_scales.npy"))
+    q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    qref = ray.put((q, qn, mins, scales))
+
+    class Score:
+        def __init__(self):
+            self.q, self.qn, self.mins, self.scales = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_partial()
+            ids = batch[id_col].to_numpy()
+            raw = batch["codes"].combine_chunks()
+            dim = self.mins.size
+            flat = np.frombuffer(b"".join(raw.to_pylist()), dtype=np.uint8)
+            codes = flat.reshape(ids.size, dim)
+            m = sq8_decode(codes, self.mins, self.scales)
+            mn = np.linalg.norm(m, axis=1)
+            mn[mn == 0] = 1.0
+            cos = (self.q @ m.T) / self.qn[:, None] / mn[None, :]
+            if round_to is not None:
+                cos = np.round(cos, round_to)
+            kk = min(k, ids.size)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                order = np.lexsort((ids, -cos[qi]))[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_id.append(ids[order])
+                out_s.append(cos[qi][order])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                    "score": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    partials = rd.read_parquet(
+        index_dir, file_extensions=["parquet"]
+    ).map_batches(Score, batch_format="pyarrow", concurrency=pool_size(2))
+    pdf = partials.to_pandas()
+    out = []
+    for qi, g in pdf.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    return res[["query_id", "rank", "vec_id", "score"]]

@@ -543,3 +543,33 @@ def test_incremental_neardup_matches_oneshot_cross_pairs(tmp_path):
     assert set(zip(got.id_new.astype(int), got.id_old.astype(int))) == {(1, 0)}
     # resume: _SUCCESS short-circuits the rebuild
     assert dedup.build_band_index(corpus, idx) == idx
+
+
+def test_sq8_recall_vs_brute(tmp_path):
+    """SQ8 route: top-k over the 4×-smaller codes table has high recall
+    vs exact brute force, and encode/decode round-trips within one
+    quantization step."""
+    from defactonlp_ray.stages import ann
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 16
+    m = rng.normal(size=(n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(m), pa.list_(pa.float64())),
+    }))
+    mins, scales = ann.sq8_train(m)
+    rt = ann.sq8_decode(ann.sq8_encode(m, mins, scales), mins, scales)
+    assert np.all(np.abs(rt - m) <= scales + 1e-12)
+    idx = str(tmp_path / "sq8")
+    ann.build_sq8_index(ds, idx, sample_size=n)
+    q = m[:3]
+    got = ann.knn_sq8(idx, q, k=10)
+    exact = ann.knn_brute(ds, q, k=10)
+    rec = []
+    for qi in range(3):
+        a = set(got[got.query_id == qi].vec_id)
+        b = set(exact[exact.query_id == qi].vec_id)
+        rec.append(len(a & b) / 10)
+    assert np.mean(rec) >= 0.8, rec
