@@ -127,3 +127,65 @@ def kmv_quantiles(ds, quantiles=(0.5, 0.95), k: int = 256,
     for q in quantiles:
         out[f"p{int(q * 100)}"] = round(float(v[int(np.floor(q * (n - 1)))]), 6)
     return out
+
+
+def hll_distinct_terms_by(
+    ds, group_col: str = "lang", text_col: str = "text", p: int = 12
+):
+    """Per-GROUP distinct-term estimates: one mergeable HLL sketch per
+    (batch, group) -> groupby(group) register-max merge -> (group,
+    n_terms_estimate) rows.
+
+    The sketch-as-aggregation-state shape: each batch reduces its tokens
+    to <= n_groups fixed 2^p-byte states, so the shuffle moves sketches,
+    never tokens — at 100 TB the exchanged bytes are (groups × blocks ×
+    4 KiB) regardless of corpus size.  Register max-merge is batch- and
+    partition-invariant, so the estimates equal the single-process
+    serial reference exactly (the pinned oracle)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .tokenizer import flatten_tokens
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .hashing import hash_str_array
+
+        terms, row_idx, _ = flatten_tokens(batch[text_col])
+        hs = hash_str_array(terms)  # hash every token ONCE, vectorized
+        codes, inv = np.unique(
+            np.asarray(batch[group_col].to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        tok_code = inv[row_idx]
+        return pa.table(
+            {
+                group_col: pa.array(list(codes), pa.string()),
+                "sketch": pa.array(
+                    [
+                        HLL(p).add_hashes(hs[tok_code == c]).to_bytes()
+                        for c in range(codes.size)
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        acc = HLL(p)
+        for b in group["sketch"]:
+            acc.merge(HLL.from_bytes(b))
+        return pd.DataFrame(
+            {
+                group_col: [group[group_col].iloc[0]],
+                "n_terms_estimate": [round(acc.estimate(), 6)],
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, text_col])
+        .map_batches(sketch, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )

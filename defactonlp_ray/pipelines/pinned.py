@@ -406,6 +406,32 @@ def serial_ann_ivf(
     return df
 
 
+def serial_hll_by_lang(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """Serial reference for the per-group HLL aggregation: one scalar
+    HLL per lang over that lang's tokens (same hash, same registers) —
+    equality proves the distributed per-batch-sketch + register-max
+    groupby merge is lossless per group."""
+    import pyarrow.parquet as pq
+
+    from ..functions.sketches import HLL
+    from ..functions.tokenizer import tokenize
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    rows = sorted(
+        zip(t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["text"].to_pylist())
+    )
+    per: dict[str, list[str]] = {}
+    for _did, lang, text in rows:
+        per.setdefault(lang, []).extend(tokenize(text))
+    out = []
+    for lang in sorted(per):
+        out.append((lang, round(HLL(p).add_strings(per[lang]).estimate(), 6)))
+    return pd.DataFrame(out, columns=["lang", "n_terms_estimate"])
+
+
 def serial_ann_sq8(
     sf_dir: str, *, n_queries: int = 3, k: int = 10, sample_size: int = 2048,
 ) -> pd.DataFrame:
@@ -568,6 +594,10 @@ def oracle_values_sql() -> dict[str, str]:
             return values_sql(pd.DataFrame({"n_terms_estimate": [est]}))
 
         out["hll_distinct_terms"] = _cached("hll_distinct_terms", sf_fp, _hll)
+        out["hll_terms_per_lang"] = _cached(
+            "hll_terms_per_lang", sf_fp,
+            lambda: values_sql(serial_hll_by_lang(ORACLE_SF_DIR)),
+        )
 
         def _rfp() -> str:
             docs = _sf_docs()

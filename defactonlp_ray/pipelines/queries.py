@@ -2218,6 +2218,61 @@ def q_hll_distinct_terms(sf_dir: str):
     return pd.DataFrame({"n_terms_estimate": [round(est, 6)]})
 
 
+def q_hll_terms_per_lang(sf_dir: str):
+    """Sketches as GROUPED aggregation state: per-lang HLL sketches built
+    per batch (tokens hashed once, vectorized), merged by a
+    groupby(lang) register-max — the shuffle moves 4-KiB states, never
+    tokens.  Oracle = pinned serial per-lang HLL (identical registers);
+    green proves the distributed merge is lossless per group."""
+    from ..functions.sketches import hll_distinct_terms_by
+
+    return hll_distinct_terms_by(_docs(sf_dir, ["lang", "text"])).sort("lang")
+
+
+def q_docs_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res,
+    IPL 2006): key = u^(1/w) with u a uniform from md5(doc_id) (first 8
+    hex digits / 2^32) and w = n_chars; top-50 keys win.  Deterministic
+    and parallelism-invariant (pure per-row keys + a bounded top-k), so
+    the DuckDB oracle computes the IDENTICAL key expression — the
+    training-data sampling shape where longer documents are
+    proportionally likelier."""
+    import hashlib
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        w = batch["n_chars"].to_numpy().astype(np.float64)
+        u = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids],
+            dtype=np.float64,
+        ) / float(1 << 32)
+        key = u ** (1.0 / np.maximum(w, 1.0))
+        order = np.lexsort((ids, -key))[:50]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(batch["n_chars"].to_numpy()[order], pa.int64()),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    rows = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = rows.sort_values(["key", "doc_id"], ascending=[False, True]).head(50)
+    return rows[["doc_id", "n_chars"]].reset_index(drop=True)
+
+
+SQL_DOCS_WEIGHTED_SAMPLE = (
+    "SELECT doc_id, n_chars FROM ("
+    "SELECT doc_id, n_chars, "
+    "pow(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT)::DOUBLE / 4294967296.0, "
+    "1.0 / greatest(n_chars, 1)::DOUBLE) AS key "
+    "FROM documents) ORDER BY key DESC, doc_id LIMIT 50"
+)
+
+
 def q_retrieval_eval(sf_dir: str):
     """Entry point C over the pinned fixture: flagship retrieval scored
     against its own nested gold evidence (J3+G5).  Deterministic, fixture-
@@ -3870,6 +3925,94 @@ SQL_BM25_FUNCTION_SCORE = (
 )
 
 
+# Elasticsearch gauss-decay function_score over the doc-length doc-value:
+# origin/scale pinned so the decay is meaningful on this corpus (~45-token
+# docs).  A recency decay over warc_ts rides the identical scorer — the
+# doc-value slot is the only difference.
+_DECAY_ORIGIN = 40.0
+_DECAY_SCALE = 15.0
+
+
+def q_bm25_decay(sf_dir: str):
+    """function_score gauss DECAY (Elasticsearch ``gauss`` on a numeric
+    doc-value): BM25 × exp(-(dl - origin)² / (2·scale²)), folded into the
+    scorer BEFORE the bounded top-k (stages/search.score_all_fvf with
+    modifier='gauss') — the standard recency/length-decay ranking shape."""
+    from ..stages.search import search
+
+    idx = _build_docs_index(sf_dir)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="decay",
+        decay_origin=_DECAY_ORIGIN, decay_scale=_DECAY_SCALE, concurrency=2,
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+SQL_BM25_DECAY = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+    + "), "
+    "scored AS (SELECT q.query_id, tf.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+    ") AS score FROM q JOIN tf ON q.term = tf.term "
+    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+    "fs AS (SELECT sc.query_id, sc.doc_id, sc.score * "
+    f"exp(-pow(dl.dl - {_DECAY_ORIGIN}, 2) / (2 * {_DECAY_SCALE} * {_DECAY_SCALE}))"
+    " AS score FROM scored sc JOIN dl ON dl.doc_id = sc.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM fs) "
+    "WHERE rank <= 10"
+)
+
+
+def q_bm25_explain(sf_dir: str):
+    """Lucene ``explain()``: per-(top-k hit, matching term) BM25
+    contribution rows — the exact addends the TAAT accumulator sums
+    (stages/search.explain_search).  The oracle recomputes every addend
+    from raw tokens in SQL; summing contributions per (query, doc)
+    reproduces the rounded search() score (pytest)."""
+    from ..stages.search import explain_search
+
+    idx = _build_docs_index(sf_dir)
+    return explain_search(idx, _query_terms_ds(_BM25_QUERIES), k=10)
+
+
+SQL_BM25_EXPLAIN = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+    + "), qd AS (SELECT DISTINCT query_id, term FROM q), "
+    "addends AS (SELECT qd.query_id, tf.doc_id, qd.term, "
+    "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs))) "
+    "AS contribution FROM qd JOIN tf ON qd.term = tf.term "
+    "JOIN df ON df.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s), "
+    "scored AS (SELECT query_id, doc_id, sum(contribution) AS score "
+    "FROM addends GROUP BY query_id, doc_id), "
+    "topk AS (SELECT query_id, doc_id FROM ("
+    "SELECT query_id, doc_id, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank "
+    "FROM scored) WHERE rank <= 10) "
+    "SELECT a.query_id, a.doc_id, a.term, round(a.contribution, 6) "
+    "AS contribution FROM addends a JOIN topk t "
+    "ON t.query_id = a.query_id AND t.doc_id = a.doc_id"
+)
+
+
 # ------------------------------------------- percolator (reverse search)
 
 _PERCOLATE_QUERIES: list[tuple[int, list[str], list[str]]] = [
@@ -4341,6 +4484,8 @@ QUERIES = {
     "boolean_msm": q_boolean_msm,
     "sort_by_field": q_sort_by_field,
     "bm25_function_score": q_bm25_function_score,
+    "bm25_decay": q_bm25_decay,
+    "bm25_explain": q_bm25_explain,
     "eval_contamination": q_eval_contamination,
     "bm25_rescore": q_bm25_rescore,
     "wildcard_trgm_topk": q_wildcard_trgm_topk,
@@ -4403,6 +4548,8 @@ QUERIES = {
     "multimodal_audio": q_multimodal_audio,
     "video_frames": q_video_frames,
     "hll_distinct_terms": q_hll_distinct_terms,
+    "hll_terms_per_lang": q_hll_terms_per_lang,
+    "docs_weighted_sample": q_docs_weighted_sample,
     "retrieval_eval": q_retrieval_eval,
     "sentence_topn": q_sentence_topn,
     "bm25_topk_wand": q_bm25_topk_wand,
@@ -4450,6 +4597,7 @@ ORACLES = {
     # append+compact must be rank/score-identical to a from-scratch build
     "bm25_append_compact": SQL_BM25_TOPK,
     "docs_sample_hash": SQL_DOCS_SAMPLE_HASH,
+    "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
     "phrase_topk": SQL_PHRASE_TOPK,
     "boolean_topk": SQL_BOOLEAN_TOPK,
     "proximity_topk": SQL_PROXIMITY_TOPK,
@@ -4464,6 +4612,8 @@ ORACLES = {
     "boolean_msm": SQL_BOOLEAN_MSM,
     "sort_by_field": SQL_SORT_BY_FIELD,
     "bm25_function_score": SQL_BM25_FUNCTION_SCORE,
+    "bm25_decay": SQL_BM25_DECAY,
+    "bm25_explain": SQL_BM25_EXPLAIN,
     "eval_contamination": SQL_EVAL_CONTAMINATION,
     "bm25_rescore": SQL_BM25_RESCORE,
     "wildcard_trgm_topk": SQL_WILDCARD_TRGM_TOPK,

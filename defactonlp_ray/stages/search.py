@@ -836,10 +836,18 @@ def score_all_fvf(
     terms_sorted: list[str],
     idfs: dict[str, float],
     k: int,
+    modifier: str = "ln1p",
+    origin: float = 0.0,
+    scale: float = 1.0,
 ) -> list[tuple[float, int]]:
-    """Elasticsearch ``function_score`` / ``field_value_factor``
-    (modifier ``ln1p`` over the stored doc-length doc-value):
-    ``final = BM25 * ln(1 + dl)``.
+    """Elasticsearch ``function_score`` over the stored doc-length
+    doc-value, two modifiers:
+
+    * ``ln1p`` (``field_value_factor``): ``final = BM25 * ln(1 + dl)``
+    * ``gauss`` (decay function): ``final = BM25 *
+      exp(-(dl - origin)^2 / (2 * scale^2))`` — the Elasticsearch
+      ``gauss`` decay shape, here over a numeric doc-value (at ingest a
+      recency field would ride the same sidecar slot)
 
     The factor is per-doc and MULTIPLICATIVE, so it cannot be applied
     after a plain BM25 top-k cut (the modified order differs) — the
@@ -876,9 +884,12 @@ def score_all_fvf(
         from .deletes import live_mask
 
         cand = cand[live_mask(cand + lo, reader.deleted)]
-    return _topk_exact(
-        scores[cand] * np.log1p(dls[cand]), cand + lo, k
-    )
+    if modifier == "gauss":
+        d = dls[cand] - origin
+        factor = np.exp(-(d * d) / (2.0 * scale * scale))
+    else:
+        factor = np.log1p(dls[cand])
+    return _topk_exact(scores[cand] * factor, cand + lo, k)
 
 
 def score_all_lmd(
@@ -1503,7 +1514,8 @@ class SearcherActor:
     def __init__(self, index_dir: str = "", k: int = 10, mode: str = "taat",
                  seg_ids: Optional[list[int]] = None, preload: bool = False,
                  index_ref=None, syn_map: Optional[dict] = None,
-                 group_ref=None, group_dir: Optional[str] = None):
+                 group_ref=None, group_dir: Optional[str] = None,
+                 decay_origin: float = 0.0, decay_scale: float = 1.0):
         if index_ref is not None:
             import ray as _ray
 
@@ -1532,6 +1544,8 @@ class SearcherActor:
 
             self.group_codes = CollapseMap(group_dir)
             self.group_names = self.group_codes.names
+        self.decay_origin = decay_origin
+        self.decay_scale = decay_scale
         self.seg_ids = seg_ids if seg_ids is not None else self.reader.seg_ids
 
     def _score_query(self, terms: list[str], idfs: dict[str, float],
@@ -1562,6 +1576,12 @@ class SearcherActor:
             return score_all_sortfield(self.reader, seg_ids, uniq, self.k)
         if self.mode == "fvf":
             return score_all_fvf(self.reader, seg_ids, uniq, idfs, self.k)
+        if self.mode == "decay":
+            return score_all_fvf(
+                self.reader, seg_ids, uniq, idfs, self.k,
+                modifier="gauss", origin=self.decay_origin,
+                scale=self.decay_scale,
+            )
         if self.mode == "taat":
             return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k,
                                   after=after)
@@ -1879,6 +1899,8 @@ def search(
     syn_map: Optional[dict] = None,
     group_ref=None,
     group_dir: Optional[str] = None,
+    decay_origin: float = 0.0,
+    decay_scale: float = 1.0,
 ) -> "ray.data.Dataset":
     """Main query pipeline: queries (query_id, terms) -> results
     (query_id, rank, doc_id, score).
@@ -1892,6 +1914,9 @@ def search(
     import ray as _ray
 
     ctor: dict = {"k": k, "mode": mode}
+    if mode == "decay":
+        ctor["decay_origin"] = decay_origin
+        ctor["decay_scale"] = decay_scale
     if syn_map is not None:
         ctor["syn_map"] = syn_map
     if group_ref is not None:
@@ -1980,3 +2005,100 @@ def search_fanout(
         )
 
     return per_seg.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ------------------------------------------------- explain (score breakdown)
+
+
+class ExplainActor:
+    """Lucene ``explain()`` shape: for each query's rounded-top-k docs,
+    one row per (doc, matching term) with that term's exact BM25
+    contribution — ``idf(t) * w(t, d)``, the very addends the TAAT
+    accumulator sums.  State (reader) loads once per actor."""
+
+    def __init__(self, index_dir: str = "", k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        terms_col = batch["terms"].to_pylist()
+        all_terms = sorted({t for ts in terms_col for t in ts})
+        dfs = self.reader.dfs(all_terms)
+        idfs = {t: self.reader.idf(t) for t in all_terms}
+        present = [t for t in all_terms if dfs[t] > 0]
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, present)
+        out_q, out_d, out_t, out_c = [], [], [], []
+        for qid, terms in zip(qids, terms_col):
+            uniq = sorted(set(terms))
+            # top-k under the pinned cross-engine policy: round(score, 6)
+            # DESC, doc_id ASC — fetch extra then re-rank, same rule as
+            # the oracle's row_number
+            hits = score_all_taat(
+                self.reader, self.seg_ids, uniq, idfs, max(self.k * 2, 20)
+            )
+            if not hits:
+                continue
+            hs = np.round(np.array([s for s, _ in hits]), 6)
+            hd = np.array([d for _, d in hits], dtype=np.int64)
+            order = np.lexsort((hd, -hs))[: self.k]
+            top_ids = hd[order]
+            sorted_top = np.sort(top_ids)
+            for t in uniq:
+                arrs = self.reader.term_arrays(self.seg_ids, t)
+                if arrs is None:
+                    continue
+                docids, w = arrs
+                pos = np.searchsorted(docids, sorted_top)
+                pos = np.clip(pos, 0, docids.size - 1)
+                m = docids[pos] == sorted_top
+                if not m.any():
+                    continue
+                contrib = np.round(idfs[t] * w[pos[m]], 6)
+                n = int(m.sum())
+                out_q.append(np.full(n, qid, dtype=np.int64))
+                out_d.append(sorted_top[m])
+                out_t.extend([t] * n)
+                out_c.append(contrib)
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "contribution": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "contribution": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+
+def explain_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 2,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Per-hit score breakdown: (query_id, doc_id, term, contribution)
+    for every (rounded-top-k doc, matching query term).  Summing
+    ``contribution`` per (query_id, doc_id) reproduces the rounded
+    ``search()`` score (tested); the SQL oracle computes the identical
+    per-term addends independently."""
+    return queries.map_batches(
+        ExplainActor,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )

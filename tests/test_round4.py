@@ -573,3 +573,39 @@ def test_sq8_recall_vs_brute(tmp_path):
         b = set(exact[exact.query_id == qi].vec_id)
         rec.append(len(a & b) / 10)
     assert np.mean(rec) >= 0.8, rec
+
+
+def test_explain_contributions_sum_to_search_score(tmp_path):
+    """explain_search rows sum (per query, doc) to the rounded search()
+    score, and cover exactly the rounded-top-k docs."""
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.stages.index_build import build_index
+    from defactonlp_ray.stages.search import explain_search, search
+
+    pages = fixtures.make_pages(300)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "text": pages["text"],
+    }))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, seg_docs=128)
+    qt = fixtures.make_query_terms(4)
+    qds = ray.data.from_arrow(pa.table({
+        "query_id": pa.array([q for q, _ in qt], pa.int64()),
+        "terms": pa.array([t for _, t in qt], pa.list_(pa.string())),
+    }))
+    res = search(idx, qds, k=20).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    top = {}
+    for qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        top[qid] = dict(zip(g.doc_id.astype(int), g.score))
+    exp = explain_search(idx, qds, k=10).to_pandas()
+    got = exp.groupby(["query_id", "doc_id"])["contribution"].sum().round(5)
+    for (qid, did), s in got.items():
+        assert did in top[qid], (qid, did)
+        assert abs(s - round(top[qid][did], 5)) <= 2e-5, (qid, did, s)
+    # coverage: every top doc has >= 1 explain row
+    for qid, docs_q in top.items():
+        have = set(exp[exp.query_id == qid].doc_id.astype(int))
+        assert set(docs_q) == have
