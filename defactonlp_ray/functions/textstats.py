@@ -102,3 +102,77 @@ def quality_batch(texts: pa.Array | pa.ChunkedArray) -> pa.Table:
             "alnum_ratio": pa.array(alnum_ratio, pa.float64()),
         }
     )
+
+
+# Gopher repetition thresholds (Rae et al. 2021 §A1.1, token variant):
+# docs above EITHER are flagged as repetitious boilerplate.
+GOPHER_DUP_TOK_MAX = 0.3
+GOPHER_TOP_BIGRAM_MAX = 0.2
+
+
+def repetition_batch(texts: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Gopher-style repetition metrics (Rae et al. 2021), vectorized:
+
+    * ``dup_tok_frac`` = 1 - distinct_tokens / n_tokens
+    * ``top_bigram_frac`` = 2 * count(most frequent adjacent bigram) /
+      n_tokens — the fraction of tokens covered by the most common
+      2-gram (0.0 when the doc has < 2 tokens)
+    * ``flagged`` = 1 when either exceeds its pinned Gopher threshold
+
+    Group identities run on uint64 token hashes (FNV-1a+splitmix64, the
+    repo-wide kernel): per-row distinct and per-(row, bigram) counts are
+    one lexsort + boundary diff each — no Python loop, no string
+    group-by.  The flag compares UNROUNDED ratios (both engines compute
+    the identical single IEEE division), outputs carry round-6 values.
+    """
+    from .hashing import hash_str_array, splitmix64
+
+    terms, row_idx, doc_len = flatten_tokens(texts)
+    n = len(texts)
+    n_tok = doc_len.astype(np.int64)
+    hs = hash_str_array(terms)
+    ri = row_idx.astype(np.int64)
+    # distinct tokens per row: sort (row, hash), count group boundaries
+    order = np.lexsort((hs, ri))
+    r, h = ri[order], hs[order]
+    new = np.ones(r.size, dtype=bool)
+    if r.size > 1:
+        new[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+    n_distinct = np.bincount(r[new], minlength=n) if r.size else np.zeros(
+        n, dtype=np.int64
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_frac = np.where(n_tok > 0, 1.0 - n_distinct / n_tok, 0.0)
+    # adjacent bigrams: pairs at i where row_idx[i] == row_idx[i+1]
+    # (flatten_tokens preserves in-document token order)
+    max_c = np.zeros(n, dtype=np.int64)
+    if hs.size > 1:
+        adj = ri[1:] == ri[:-1]
+        bg_row = ri[:-1][adj]
+        # order-sensitive pair combine: h1 is remixed before xor so
+        # (a, b) and (b, a) hash differently
+        bh = splitmix64(hs[:-1][adj] + np.uint64(0x9E3779B97F4A7C15)) ^ hs[1:][adj]
+        if bg_row.size:
+            o2 = np.lexsort((bh, bg_row))
+            r2, h2 = bg_row[o2], bh[o2]
+            new2 = np.ones(r2.size, dtype=bool)
+            new2[1:] = (r2[1:] != r2[:-1]) | (h2[1:] != h2[:-1])
+            starts = np.flatnonzero(new2)
+            counts = np.diff(np.append(starts, r2.size))
+            np.maximum.at(max_c, r2[starts], counts)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        top_bigram_frac = np.where(n_tok > 0, 2.0 * max_c / n_tok, 0.0)
+    flagged = (
+        (dup_frac > GOPHER_DUP_TOK_MAX)
+        | (top_bigram_frac > GOPHER_TOP_BIGRAM_MAX)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "dup_tok_frac": pa.array(np.round(dup_frac, 6), pa.float64()),
+            "top_bigram_frac": pa.array(
+                np.round(top_bigram_frac, 6), pa.float64()
+            ),
+            "flagged": pa.array(flagged, pa.int64()),
+        }
+    )

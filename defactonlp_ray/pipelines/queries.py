@@ -898,6 +898,204 @@ SQL_QUALITY = (
 )
 
 
+def q_gopher_repetition(sf_dir: str):
+    """Gopher repetition filter (Rae et al. 2021 §A1.1, token variant):
+    per-doc duplicate-token fraction and most-common-adjacent-bigram
+    coverage, flagged above the pinned thresholds.  One embarrassingly
+    parallel ``map_batches`` pass — each doc is one row, so there is NO
+    shuffle at any corpus size; group identities run on uint64 hashes
+    (one lexsort per batch, no Python loop)."""
+
+    def rep(batch: pa.Table) -> pa.Table:
+        from ..functions.textstats import repetition_batch
+
+        t = repetition_batch(batch["text"])
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "dup_tok_frac": t["dup_tok_frac"],
+                "top_bigram_frac": t["top_bigram_frac"],
+                "flagged": t["flagged"],
+            }
+        )
+        return out.filter(pc.greater(out["n_tokens"], 0))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rep, batch_format="pyarrow"
+    )
+
+
+SQL_GOPHER_REPETITION = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "agg AS (SELECT doc_id, len(ts) AS n_tokens, "
+    "len(list_distinct(ts)) AS n_distinct FROM d), "
+    "bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram "
+    "FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM d)), "
+    "bgm AS (SELECT doc_id, max(c) AS mc FROM ("
+    "SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram"
+    ") GROUP BY doc_id), "
+    "m AS (SELECT a.doc_id, a.n_tokens, "
+    "1.0 - a.n_distinct::DOUBLE / a.n_tokens AS dup_f, "
+    "coalesce(2.0 * bgm.mc / a.n_tokens, 0.0) AS big_f "
+    "FROM agg a LEFT JOIN bgm ON bgm.doc_id = a.doc_id "
+    "WHERE a.n_tokens > 0) "
+    "SELECT doc_id, n_tokens, round(dup_f, 6) AS dup_tok_frac, "
+    "round(big_f, 6) AS top_bigram_frac, "
+    "CAST(dup_f > 0.3 OR big_f > 0.2 AS BIGINT) AS flagged FROM m"
+)
+
+
+def q_unigram_logloss(sf_dir: str):
+    """CCNet-style quality proxy (Wenzek et al. 2019 use an LM
+    perplexity; the unigram cross-entropy is its model-free analogue):
+    per-doc mean ``-ln p(token)`` under the corpus unigram distribution.
+
+    Two passes: (1) corpus term frequencies via the per-batch combiner →
+    small ``groupby(term)`` (the only shuffle, pre-aggregated to one row
+    per (term, batch)); (2) the (term, -ln p) table broadcast ONCE via
+    ``ray.put`` and joined inside ``map_batches`` with a vectorized
+    ``searchsorted`` — never re-shipped per batch.  At web scale the
+    vocab table is ~16 B/term (a 100M-term vocab broadcasts at 1.6 GB);
+    above that, swap the broadcast for a hash join on ``term`` — same
+    rows either way (the broadcast is the measured-faster route at every
+    vocab this box can hold)."""
+    tf = (
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("cf_p", alias_name="cf"))
+        .to_pandas()
+    )
+    total = float(tf["cf"].sum())
+    vocab = np.sort(tf["term"].to_numpy().astype(str))
+    cf = tf.set_index("term").loc[vocab, "cf"].to_numpy().astype(np.float64)
+    neglogp = -np.log(cf / total)
+    ref = ray.put((vocab, neglogp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        v, nlp = ray.get(ref)
+        terms, row_idx, doc_len = flatten_tokens(batch["text"])
+        n = len(batch)
+        n_tok = doc_len.astype(np.int64)
+        toks = terms.to_numpy(zero_copy_only=False).astype(str)
+        vals = nlp[np.searchsorted(v, toks)] if toks.size else np.empty(0)
+        s = np.bincount(row_idx, weights=vals, minlength=n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(n_tok > 0, s / n_tok, 0.0)
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "logloss": pa.array(np.round(mean, 6), pa.float64()),
+            }
+        )
+        return out.filter(pc.greater(out["n_tokens"], 0))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+SQL_UNIGRAM_LOGLOSS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "stats AS (SELECT count(*) AS total FROM toks), "
+    "tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term) "
+    "SELECT doc_id, count(*) AS n_tokens, "
+    "round(avg(-ln(tf.c::DOUBLE / stats.total)), 6) AS logloss "
+    "FROM toks JOIN tf USING (term) CROSS JOIN stats GROUP BY doc_id"
+)
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-doc keyword extraction: top-3 terms by tf·idf (idf =
+    ln(n_docs/df), ties by term asc) — the standard document-tagging
+    step before corpus mixing.  Same two-pass broadcast shape as
+    ``unigram_logloss``: corpus df via the combiner → ``groupby(term)``;
+    the (term, idf) table ships once via ``ray.put``; per-doc tf and the
+    bounded top-3 are one lexsort inside each batch (docs never span
+    batches, so no cross-batch state)."""
+    from ..functions.tokenizer import term_count_table
+
+    df_tbl = (
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"))
+        .to_pandas()
+    )
+    vocab = np.sort(df_tbl["term"].to_numpy().astype(str))
+    dfv = df_tbl.set_index("term").loc[vocab, "df"].to_numpy().astype(np.float64)
+    def count_tokenized(b: pa.Table) -> pa.Table:
+        _, _, doc_len = flatten_tokens(b["text"])
+        return pa.table(
+            {"n": pa.array([int((doc_len > 0).sum())], pa.int64())}
+        )
+
+    n_docs = float(
+        _docs(sf_dir, ["text"])
+        .map_batches(count_tokenized, batch_format="pyarrow")
+        .sum("n")
+    )
+    idf = np.log(n_docs / dfv)
+    ref = ray.put((vocab, idf))
+
+    def kw(batch: pa.Table) -> pa.Table:
+        v, idfv = ray.get(ref)
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        if tf.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        terms = tf["term"].to_numpy(zero_copy_only=False).astype(str)
+        docs = tf["doc_id"].to_numpy()
+        tfs = tf["tf"].to_numpy().astype(np.float64)
+        code = np.searchsorted(v, terms)  # global-vocab rank == term asc
+        score = np.round(tfs * idfv[code], 6)
+        order = np.lexsort((code, -score, docs))
+        d = docs[order]
+        first = np.ones(d.size, dtype=bool)
+        first[1:] = d[1:] != d[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(first, np.arange(d.size), 0)
+        )
+        pos = np.arange(d.size) - grp_start
+        keep = pos < 3
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "rank": pa.array(pos[keep] + 1, pa.int64()),
+                "term": pa.array(terms[order][keep], pa.string()),
+                "score": pa.array(score[order][keep], pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kw, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_KEYWORDS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+    "GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+    "GROUP BY term), "
+    "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks), "
+    "sc AS (SELECT tf.doc_id, tf.term, "
+    "round(tf.tf * ln(nd.n_docs::DOUBLE / df.df), 6) AS score "
+    "FROM tf JOIN df USING (term) CROSS JOIN nd) "
+    "SELECT doc_id, rank, term, score FROM ("
+    "SELECT doc_id, term, score, CAST(row_number() OVER ("
+    "PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank "
+    "FROM sc) WHERE rank <= 3"
+)
+
+
 def q_fingerprints(sf_dir: str):
     ds = dedup.add_content_hash(_docs(sf_dir, ["doc_id", "text"]), out_col="fp")
     return ds.select_columns(["doc_id", "fp"])
@@ -4550,6 +4748,9 @@ QUERIES = {
     "hll_distinct_terms": q_hll_distinct_terms,
     "hll_terms_per_lang": q_hll_terms_per_lang,
     "docs_weighted_sample": q_docs_weighted_sample,
+    "gopher_repetition": q_gopher_repetition,
+    "unigram_logloss": q_unigram_logloss,
+    "doc_keywords": q_doc_keywords,
     "retrieval_eval": q_retrieval_eval,
     "sentence_topn": q_sentence_topn,
     "bm25_topk_wand": q_bm25_topk_wand,
@@ -4598,6 +4799,9 @@ ORACLES = {
     "bm25_append_compact": SQL_BM25_TOPK,
     "docs_sample_hash": SQL_DOCS_SAMPLE_HASH,
     "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
+    "unigram_logloss": SQL_UNIGRAM_LOGLOSS,
+    "doc_keywords": SQL_DOC_KEYWORDS,
     "phrase_topk": SQL_PHRASE_TOPK,
     "boolean_topk": SQL_BOOLEAN_TOPK,
     "proximity_topk": SQL_PROXIMITY_TOPK,

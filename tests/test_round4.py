@@ -609,3 +609,66 @@ def test_explain_contributions_sum_to_search_score(tmp_path):
     for qid, docs_q in top.items():
         have = set(exp[exp.query_id == qid].doc_id.astype(int))
         assert set(docs_q) == have
+
+
+def test_repetition_batch_matches_scalar_reference():
+    """Vectorized Gopher repetition metrics equal a per-doc scalar
+    recomputation (collections.Counter over tokens/bigrams)."""
+    from collections import Counter
+
+    from defactonlp_ray.functions.textstats import repetition_batch
+    from defactonlp_ray.functions.tokenizer import tokenize
+
+    texts = [
+        "a b c d e",                    # all distinct, no repeated bigram
+        "a a a a",                      # dup_frac 0.75, bigram 'a a' x3
+        "x y x y x y",                  # alternating: 'x y' covers 6/6? no: 3 of 5 bigrams
+        "hello",                        # single token, no bigram
+        "",                             # empty -> excluded by callers, still computed
+        "p q r p q r p q",              # mixed repetition
+    ]
+    t = repetition_batch(pa.array(texts, pa.string()))
+    for i, txt in enumerate(texts):
+        toks = tokenize(txt)
+        n = len(toks)
+        assert t["n_tokens"][i].as_py() == n
+        if n == 0:
+            assert t["dup_tok_frac"][i].as_py() == 0.0
+            assert t["top_bigram_frac"][i].as_py() == 0.0
+            continue
+        dup = 1.0 - len(set(toks)) / n
+        assert abs(t["dup_tok_frac"][i].as_py() - round(dup, 6)) < 1e-12
+        bgs = Counter(zip(toks, toks[1:]))
+        top = 2.0 * max(bgs.values()) / n if bgs else 0.0
+        assert abs(t["top_bigram_frac"][i].as_py() - round(top, 6)) < 1e-12
+        flag = int(dup > 0.3 or top > 0.2)
+        assert t["flagged"][i].as_py() == flag
+
+
+def test_doc_keywords_ranks_tfidf(tmp_path):
+    """doc_keywords returns per-doc top-3 by tf*ln(n_docs/df), ties by
+    term asc — checked against a tiny hand-computable corpus."""
+    from defactonlp_ray.pipelines.queries import q_doc_keywords
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "apple apple banana common",
+            "banana cherry common",
+            "common common date",
+        ]),
+    }), os.path.join(sf, "documents.parquet"))
+    res = q_doc_keywords(sf).to_pandas().sort_values(
+        ["doc_id", "rank"]).reset_index(drop=True)
+    import math
+    ln = math.log
+    # doc 1: apple tf2 df1 -> 2*ln(3); banana tf1 df2 -> ln(1.5); common 0
+    top1 = res[res.doc_id == 1]
+    assert list(top1.term) == ["apple", "banana", "common"]
+    assert abs(top1.score.iloc[0] - round(2 * ln(3), 6)) < 1e-9
+    # doc 3: common tf2 idf 0 -> score 0; date tf1 ln(3); ties none
+    top3 = res[res.doc_id == 3]
+    assert list(top3.term) == ["date", "common"]
+    assert abs(top3.score.iloc[0] - round(ln(3), 6)) < 1e-9
+    assert top3.score.iloc[1] == 0.0
