@@ -432,6 +432,101 @@ def serial_hll_by_lang(sf_dir: str, p: int = 12) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["lang", "n_terms_estimate"])
 
 
+def serial_bpe(sf_dir: str, n_merges: int = 40) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Independent serial BPE reference (Counter-based; deliberately NOT
+    importing functions/bpe.py): learn ``n_merges`` merges from the
+    serially-computed word-count table (tie rule: count DESC, pair lex
+    ASC), then encode every document word with rank-greedy merging.
+    Returns (merge table, per-doc token counts) — equality with the
+    distributed route pins every merge decision and encode step."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ..functions.tokenizer import tokenize
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    doc_toks = {
+        did: tokenize(txt)
+        for did, txt in sorted(
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        )
+    }
+    wc: Counter = Counter()
+    for toks in doc_toks.values():
+        wc.update(toks)
+    end = "</w>"
+    seqs = {w: tuple(w) + (end,) for w in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc_: Counter = Counter()
+        for w, seq in seqs.items():
+            for pair in zip(seq, seq[1:]):
+                pc_[pair] += wc[w]
+        if not pc_:
+            break
+        best = sorted(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        merges.append(best)
+        a, b = best
+        nxt = {}
+        for w, seq in seqs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            nxt[w] = tuple(out)
+        seqs = nxt
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def enc_len(word: str) -> int:
+        seq = list(word) + [end]
+        while True:
+            cand = [
+                (ranks[(seq[i], seq[i + 1])], i)
+                for i in range(len(seq) - 1)
+                if (seq[i], seq[i + 1]) in ranks
+            ]
+            if not cand:
+                return len(seq)
+            r, _ = min(cand)
+            a, b = merges[r]
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+
+    word_len = {w: enc_len(w) for w in wc}
+    merges_df = pd.DataFrame(
+        {
+            "rank": np.arange(1, len(merges) + 1, dtype=np.int64),
+            "left": [a for a, _ in merges],
+            "right": [b for _, b in merges],
+        }
+    )
+    rows = [
+        (did, len(toks), sum(word_len[w] for w in toks))
+        for did, toks in doc_toks.items()
+        if toks
+    ]
+    counts_df = pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "n_bpe_tokens"]
+    )
+    return merges_df, counts_df
+
+
 def serial_ann_sq8(
     sf_dir: str, *, n_queries: int = 3, k: int = 10, sample_size: int = 2048,
 ) -> pd.DataFrame:
@@ -597,6 +692,17 @@ def oracle_values_sql() -> dict[str, str]:
         out["hll_terms_per_lang"] = _cached(
             "hll_terms_per_lang", sf_fp,
             lambda: values_sql(serial_hll_by_lang(ORACLE_SF_DIR)),
+        )
+
+        def _bpe(which: int):
+            def compute() -> str:
+                return values_sql(serial_bpe(ORACLE_SF_DIR)[which])
+
+            return compute
+
+        out["bpe_merges"] = _cached("bpe_merges", sf_fp, _bpe(0))
+        out["bpe_token_counts"] = _cached(
+            "bpe_token_counts", sf_fp, _bpe(1)
         )
 
         def _rfp() -> str:

@@ -1096,6 +1096,63 @@ SQL_DOC_KEYWORDS = (
 )
 
 
+# ------------------------------------------------ BPE tokenizer training
+
+_BPE_MERGES = 40
+
+
+def _bpe_train(sf_dir: str):
+    """Distributed word-count (combiner → groupby(term), the corpus-scale
+    pass) feeding the driver-side merge loop over DISTINCT words
+    (functions/bpe.py; the HF-tokenizers training shape)."""
+    from ..functions.bpe import train_bpe
+
+    tf = (
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("cf_p", alias_name="cf"))
+        .to_pandas()
+        .sort_values("term")
+    )
+    return train_bpe(tf["term"].tolist(), tf["cf"].tolist(), _BPE_MERGES)
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): the learned merge
+    table.  Corpus-scale work is one pre-aggregated word-count groupby;
+    the merge loop runs over distinct words only (cap the table by
+    min-count at open-vocabulary scale).  Oracle: pinned independent
+    serial re-implementation (Counter-based) — equality pins the tie
+    rule (count DESC, pair lex ASC) and every merge decision."""
+    merges = _bpe_train(sf_dir)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(merges) + 1, dtype=np.int64),
+            "left": [a for a, _ in merges],
+            "right": [b for _, b in merges],
+        }
+    )
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """BPE ENCODING as an actor-pool stage: merge ranks ship once via
+    ``ray.put``; each actor's word→pieces cache persists across batches
+    (every distinct word encoded once per actor); ``__call__`` is
+    vectorized (np.unique + bincount).  Output: per-doc whitespace-token
+    and BPE-piece counts — the token-budget accounting step of a
+    training-data pipeline."""
+    from ..functions.bpe import BpeCounter
+
+    ref = ray.put(_bpe_train(sf_dir))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        BpeCounter,
+        fn_constructor_kwargs={"merges_ref": ref},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
 def q_fingerprints(sf_dir: str):
     ds = dedup.add_content_hash(_docs(sf_dir, ["doc_id", "text"]), out_col="fp")
     return ds.select_columns(["doc_id", "fp"])
@@ -4751,6 +4808,8 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "unigram_logloss": q_unigram_logloss,
     "doc_keywords": q_doc_keywords,
+    "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "retrieval_eval": q_retrieval_eval,
     "sentence_topn": q_sentence_topn,
     "bm25_topk_wand": q_bm25_topk_wand,

@@ -672,3 +672,44 @@ def test_doc_keywords_ranks_tfidf(tmp_path):
     assert list(top3.term) == ["date", "common"]
     assert abs(top3.score.iloc[0] - round(ln(3), 6)) < 1e-9
     assert top3.score.iloc[1] == 0.0
+
+
+def test_bpe_train_sennrich_example():
+    """Classic Sennrich corpus: merge order is determined by the pinned
+    tie rule (count DESC, pair lex ASC)."""
+    from defactonlp_ray.functions.bpe import encode_word, train_bpe
+
+    words = ["low", "lower", "newest", "widest"]
+    counts = [5, 2, 6, 3]
+    merges = train_bpe(words, counts, 4)
+    # 'es' pairs: e+s in newest(6)+widest(3)=9; s+t=9; t+</w>=9;
+    # lex-smallest of the 9-count ties is ('e','s')
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    ranks = {p: i for i, p in enumerate(merges)}
+    enc = encode_word("newest", ranks)
+    assert enc[-1] == "est</w>"
+    assert "".join(enc) == "newest</w>"
+
+
+def test_bpe_counter_matches_scalar_encode(tmp_path):
+    """The actor-pool BpeCounter per-doc piece counts equal a scalar
+    per-word encode over the same merges."""
+    from defactonlp_ray.functions.bpe import BpeCounter, encode_word, train_bpe
+
+    texts = ["low lower low", "newest widest", "low newest newest"]
+    words = ["low", "lower", "newest", "widest"]
+    counts = [4, 1, 3, 1]
+    merges = train_bpe(words, counts, 6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    c = BpeCounter(merges=merges)
+    out = c(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts),
+    }))
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        want = sum(len(encode_word(w, ranks)) for w in toks)
+        assert out["n_bpe_tokens"][i].as_py() == want
+        assert out["n_tokens"][i].as_py() == len(toks)
