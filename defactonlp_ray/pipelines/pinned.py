@@ -432,6 +432,53 @@ def serial_hll_by_lang(sf_dir: str, p: int = 12) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["lang", "n_terms_estimate"])
 
 
+def serial_ann_pq(
+    sf_dir: str, *, n_queries: int = 3, k: int = 10, sample_size: int = 2048,
+) -> pd.DataFrame:
+    """Serial reference for the product-quantized ADC route: same train
+    sample rule (first sample_size rows in file order, sorted by id),
+    same codebooks (stages/ann.pq_train IS the spec), but scoring goes
+    the OTHER way — decode every code to its reconstruction and take
+    per-subspace dot products, accumulated subspace-ascending like the
+    engine's lookup tables.  Equality proves the table-gather ADC path
+    scores every vector identically to explicit reconstruction."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import pq_decode, pq_encode, pq_train
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    sel = np.argsort(ids[:sample_size], kind="stable")
+    books = pq_train(m[:sample_size][sel])
+    codes = pq_encode(m, books)
+    dec = pq_decode(codes, books)
+    nsub, _, sd = books.shape
+    qsel = np.argsort(ids[:n_queries], kind="stable")
+    q = m[:n_queries][qsel]
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    rows = []
+    for qi in range(q.shape[0]):
+        dot = np.zeros(dec.shape[0])
+        nrm2 = np.zeros(dec.shape[0])
+        for j in range(nsub):
+            sub = dec[:, j * sd : (j + 1) * sd]
+            dot += sub @ q[qi, j * sd : (j + 1) * sd]
+            nrm2 += (sub ** 2).sum(axis=1)
+        dn = np.sqrt(nrm2)
+        dn[dn == 0] = 1.0
+        cos = np.round(dot / qn[qi] / dn, 6)
+        sel_k = np.lexsort((ids, -cos))[:k]
+        for rank, j in enumerate(sel_k, 1):
+            rows.append((qi, rank, int(ids[j]), float(cos[j])))
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "score"])
+    df["rank"] = df["rank"].astype(np.int32)
+    return df
+
+
 def serial_bpe(sf_dir: str, n_merges: int = 40) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Independent serial BPE reference (Counter-based; deliberately NOT
     importing functions/bpe.py): learn ``n_merges`` merges from the
@@ -742,6 +789,12 @@ def oracle_values_sql() -> dict[str, str]:
         out["ann_sq8"] = _cached(
             "ann_sq8", emb_fp + "|" + SQ8_VERSION,
             lambda: values_sql(serial_ann_sq8(ORACLE_SF_DIR)),
+        )
+        from ..stages.ann import PQ_VERSION
+
+        out["ann_pq"] = _cached(
+            "ann_pq", emb_fp + "|" + PQ_VERSION,
+            lambda: values_sql(serial_ann_pq(ORACLE_SF_DIR)),
         )
 
     fx_fp = _fixture_fp()

@@ -1325,6 +1325,23 @@ def q_ann_sq8(sf_dir: str):
     return ann.knn_sq8(idx, q, k=10)
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantized ANN with asymmetric-distance scoring (Jégou
+    et al. 2011; the FAISS IVF-PQ memory-scale regime): the persisted
+    index stores m=8 BYTES per 64-dim vector (32× under float32);
+    queries build one (m, ks) dot-lookup table each and score batches
+    with m fancy-indexed gathers — no decode, no per-vector float math.
+    Oracle = pinned serial reference of the identical train/encode
+    spec scoring via decode + per-subspace dots in the same
+    accumulation order (pipelines/pinned.serial_ann_pq)."""
+    q = _query_vectors(sf_dir, 3)
+    idx = _tmp_index_dir(sf_dir, f"annpq-{ann.PQ_VERSION}", table="embeddings")
+    ann.build_pq_index(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), idx
+    )
+    return ann.knn_pq(idx, q, k=10)
+
+
 def q_embedding_neardup(sf_dir: str):
     return dedup.embedding_neardup_pairs(
         read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
@@ -4799,6 +4816,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_sq8": q_ann_sq8,
+    "ann_pq": q_ann_pq,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "video_frames": q_video_frames,

@@ -713,3 +713,54 @@ def test_bpe_counter_matches_scalar_encode(tmp_path):
         want = sum(len(encode_word(w, ranks)) for w in toks)
         assert out["n_bpe_tokens"][i].as_py() == want
         assert out["n_tokens"][i].as_py() == len(toks)
+
+
+def test_pq_adc_equals_decode_scoring(tmp_path):
+    """The ADC table-gather path scores every vector identically (at
+    round-6) to explicit decode + cosine, and the distributed knn_pq
+    equals a serial recomputation of the same quantized scores."""
+    from defactonlp_ray.stages import ann
+
+    rng = np.random.default_rng(7)
+    n, dim = 300, 32
+    m = rng.normal(size=(n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(m), pa.list_(pa.float64())),
+    }))
+    idx = str(tmp_path / "pq")
+    ann.build_pq_index(ds, idx, m=8, ks=16, sample_size=n)
+    q = m[:3]
+    got = ann.knn_pq(idx, q, k=10)
+    # serial: decode every code, exact cosine on reconstructions
+    books = np.load(f"{idx}/pq_books.npy")
+    dec = ann.pq_decode(ann.pq_encode(m, books), books)
+    qn = np.linalg.norm(q, axis=1)
+    dn = np.linalg.norm(dec, axis=1)
+    dn[dn == 0] = 1.0
+    for qi in range(3):
+        cos = np.round((dec @ q[qi]) / qn[qi] / dn, 6)
+        want = np.lexsort((ids, -cos))[:10]
+        g = got[got.query_id == qi].sort_values("rank")
+        assert list(g.vec_id) == [int(ids[j]) for j in want]
+        assert np.allclose(g.score, cos[want], atol=2e-6)
+
+
+def test_pq_codes_are_m_bytes(tmp_path):
+    """The persisted PQ index stores exactly m bytes per vector."""
+    import pyarrow.parquet as pq_
+
+    from defactonlp_ray.stages import ann
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(64, 16))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(64, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float64())),
+    }))
+    idx = str(tmp_path / "pq")
+    ann.build_pq_index(ds, idx, m=4, ks=8, sample_size=64)
+    import glob
+    t = pq_.read_table(glob.glob(f"{idx}/*.parquet"))
+    assert all(len(b) == 4 for b in t["codes"].to_pylist())
