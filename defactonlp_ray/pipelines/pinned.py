@@ -479,6 +479,61 @@ def serial_ann_pq(
     return df
 
 
+def serial_ann_ivfpq(
+    sf_dir: str, *, n_queries: int = 3, k: int = 10, n_lists: int = 16,
+    n_probe: int = 4, sample_size: int = 2048,
+) -> pd.DataFrame:
+    """Serial reference for IVF-PQ: same deterministic coarse k-means,
+    residual codebooks and code assignment (stages/ann trainers ARE the
+    spec), then per-query probe selection and scoring via explicit
+    residual reconstruction — dot and norm accumulated
+    subspace-ascending in the engine's exact term order
+    (cent² then per-j 2·cent·res + res²)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import ivf_assign, kmeans_centroids, pq_encode, pq_train
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    sel = np.argsort(ids[:sample_size], kind="stable")
+    sample = m[:sample_size][sel]
+    cent = kmeans_centroids(sample, n_lists)
+    books = pq_train(sample - cent[ivf_assign(sample, cent)])
+    nsub, _, sd = books.shape
+    lists = ivf_assign(m, cent)
+    codes = pq_encode(m - cent[lists], books)
+    qsel = np.argsort(ids[:n_queries], kind="stable")
+    q = m[:n_queries][qsel]
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    rows = []
+    for qi in range(q.shape[0]):
+        cand = np.flatnonzero(np.isin(lists, probes[qi]))
+        li = lists[cand]
+        dot = q[qi] @ cent[li].T
+        nrm2 = (cent[li] ** 2).sum(axis=1).copy()
+        for j in range(nsub):
+            res_sub = books[j][codes[cand, j]]
+            c_sub = cent[li, j * sd : (j + 1) * sd]
+            dot += res_sub @ q[qi, j * sd : (j + 1) * sd]
+            nrm2 += 2.0 * (c_sub * res_sub).sum(axis=1)
+            nrm2 += (res_sub ** 2).sum(axis=1)
+        dn = np.sqrt(nrm2)
+        dn[dn == 0] = 1.0
+        cos = np.round(dot / qn[qi] / dn, 6)
+        sel_k = np.lexsort((ids[cand], -cos))[:k]
+        for rank, j in enumerate(sel_k, 1):
+            rows.append((qi, rank, int(ids[cand[j]]), float(cos[j])))
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "score"])
+    df["rank"] = df["rank"].astype(np.int32)
+    return df
+
+
 def serial_bpe(sf_dir: str, n_merges: int = 40) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Independent serial BPE reference (Counter-based; deliberately NOT
     importing functions/bpe.py): learn ``n_merges`` merges from the
@@ -795,6 +850,10 @@ def oracle_values_sql() -> dict[str, str]:
         out["ann_pq"] = _cached(
             "ann_pq", emb_fp + "|" + PQ_VERSION,
             lambda: values_sql(serial_ann_pq(ORACLE_SF_DIR)),
+        )
+        out["ann_ivfpq"] = _cached(
+            "ann_ivfpq", emb_fp + "|" + PQ_VERSION,
+            lambda: values_sql(serial_ann_ivfpq(ORACLE_SF_DIR)),
         )
 
     fx_fp = _fixture_fp()

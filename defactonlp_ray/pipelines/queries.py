@@ -1342,6 +1342,24 @@ def q_ann_pq(sf_dir: str):
     return ann.knn_pq(idx, q, k=10)
 
 
+def q_ann_ivfpq(sf_dir: str):
+    """The full FAISS IVF-PQ composition: coarse k-means routing to
+    ``list_id=`` partitions + m-byte RESIDUAL PQ codes within each —
+    queries path-prune to ``n_probe`` partitions and score via per-list
+    ADC lookup tables (dot(q, centroid) + table-gathered residual
+    terms; no decode).  At 10^12 vectors this is ~8 TB of codes read
+    n_probe/n_lists at a time.  Oracle = pinned serial reference of the
+    identical train/route/encode spec (pipelines/pinned.serial_ann_ivfpq)."""
+    q = _query_vectors(sf_dir, 3)
+    idx = _tmp_index_dir(
+        sf_dir, f"annivfpq-{ann.PQ_VERSION}", table="embeddings"
+    )
+    ann.build_ivfpq_index(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), idx
+    )
+    return ann.knn_ivfpq(idx, q, k=10, n_probe=4)
+
+
 def q_embedding_neardup(sf_dir: str):
     return dedup.embedding_neardup_pairs(
         read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
@@ -4817,6 +4835,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_sq8": q_ann_sq8,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "video_frames": q_video_frames,

@@ -927,3 +927,191 @@ def knn_pq(
         out.append(g)
     res = pd.concat(out, ignore_index=True)
     return res[["query_id", "rank", "vec_id", "score"]]
+
+
+def build_ivfpq_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    n_lists: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """The full FAISS-style IVF-PQ layout: a k-means coarse quantizer
+    routes every vector to a ``list_id=<c>/`` partition, and within the
+    partition only the m-byte PQ code of the RESIDUAL (vector minus its
+    list centroid) is stored — the composition that serves 10^12-vector
+    corpora (codes ~m bytes/vector, probes read only n_probe partitions).
+
+    Residual encoding (Jégou et al. 2011 §IV): PQ codebooks are trained
+    on residuals of the sample, so the quantization error is the
+    within-list spread, not the global spread.  Same deterministic
+    sample rule as IVF/SQ8/PQ."""
+    import os
+
+    done = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return index_dir
+    sample_rows = ds.select_columns([id_col, vec_col]).take(sample_size)
+    sample_rows.sort(key=lambda r: r[id_col])
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = kmeans_centroids(sample, n_lists)
+    books = pq_train(sample - cent[ivf_assign(sample, cent)], m=m, ks=ks)
+    pref = ray.put((cent, books))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "codes": pa.array([], pa.binary()),
+                    "list_id": pa.array([], pa.int64()),
+                }
+            )
+        c, b = ray.get(pref)
+        vecs = _as_matrix(batch[vec_col])
+        lists = ivf_assign(vecs, c)
+        codes = pq_encode(vecs - c[lists], b)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "codes": pa.array([x.tobytes() for x in codes], pa.binary()),
+                "list_id": pa.array(lists, pa.int64()),
+            }
+        )
+
+    ds.select_columns([id_col, vec_col]).map_batches(
+        enc, batch_format="pyarrow"
+    ).write_parquet(index_dir, partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    np.save(os.path.join(index_dir, "pq_books.npy"), books)
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def knn_ivfpq(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> pd.DataFrame:
+    """ADC cosine top-k over a :func:`build_ivfpq_index` directory: per
+    query, probe the ``n_probe`` nearest lists (path-pruned partition
+    read, like :func:`knn_ivf`), reconstruct scores from PER-LIST lookup
+    tables over residual codebooks — dot(q, centroid + residual) =
+    dot(q, centroid) + table-gathered residual dot; the vector norm is
+    |centroid|² + 2·centroid·residual + |residual|², all from (list,
+    code)-indexed tables.  No decode, no per-vector float math."""
+    import os
+
+    import ray.data as rd
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "pq_books.npy"))
+    q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    m, ks, sd = books.shape
+    d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    wanted = {int(c) for row in probes for c in row}
+    probe_mat = np.zeros((q.shape[0], cent.shape[0]), dtype=bool)
+    for qi, row in enumerate(probes):
+        probe_mat[qi, row] = True
+    # query-side tables
+    q_dot_res = np.stack(
+        [q[:, j * sd : (j + 1) * sd] @ books[j].T for j in range(m)], axis=1
+    )  # (nq, m, ks): q . residual piece
+    q_dot_cent = q @ cent.T  # (nq, n_lists)
+    # data-side tables (query-independent)
+    res_norm2 = (books ** 2).sum(axis=2)  # (m, ks)
+    cent_norm2 = (cent ** 2).sum(axis=1)  # (n_lists,)
+    cent_dot_res = np.stack(
+        [cent[:, j * sd : (j + 1) * sd] @ books[j].T for j in range(m)], axis=1
+    )  # (n_lists, m, ks)
+    ref = ray.put(
+        (q_dot_res, q_dot_cent, res_norm2, cent_norm2, cent_dot_res, qn,
+         probe_mat)
+    )
+
+    def keep(partitions: dict) -> bool:
+        return "list_id" in partitions and int(partitions["list_id"]) in wanted
+
+    class Score:
+        def __init__(self):
+            (self.q_dot_res, self.q_dot_cent, self.res_norm2,
+             self.cent_norm2, self.cent_dot_res, self.qn,
+             self.probes) = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_partial()
+            ids = batch[id_col].to_numpy()
+            lists = batch["list_id"].to_numpy().astype(np.int64)
+            mm = self.res_norm2.shape[0]
+            raw = batch["codes"].combine_chunks()
+            flat = np.frombuffer(b"".join(raw.to_pylist()), dtype=np.uint8)
+            codes = flat.reshape(ids.size, mm)
+            nq = self.q_dot_res.shape[0]
+            res_dot_q = np.zeros((nq, ids.size))
+            nrm2 = self.cent_norm2[lists].copy()
+            for j in range(mm):
+                cj = codes[:, j]
+                res_dot_q += self.q_dot_res[:, j, :][:, cj]
+                nrm2 += 2.0 * self.cent_dot_res[lists, j, cj]
+                nrm2 += self.res_norm2[j][cj]
+            dot = self.q_dot_cent[:, lists] + res_dot_q
+            dn = np.sqrt(nrm2)
+            dn[dn == 0] = 1.0
+            cos = dot / self.qn[:, None] / dn[None, :]
+            if round_to is not None:
+                cos = np.round(cos, round_to)
+            kk = min(k, ids.size)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(nq):
+                mask = self.probes[qi][lists]  # vectorized probe gate
+                if not mask.any():
+                    continue
+                cq = cos[qi][mask]
+                iq = ids[mask]
+                order = np.lexsort((iq, -cq))[:kk]
+                out_q.append(np.full(order.size, qi, dtype=np.int64))
+                out_id.append(iq[order])
+                out_s.append(cq[order])
+            if not out_q:
+                return _empty_partial()
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                    "score": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    partials = rd.read_parquet(
+        index_dir,
+        partition_filter=PathPartitionFilter.of(keep),
+        file_extensions=["parquet"],
+    ).map_batches(Score, batch_format="pyarrow", concurrency=pool_size(2))
+    pdf = partials.to_pandas()
+    out = []
+    for qi, g in pdf.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(
+            columns=["query_id", "rank", "vec_id", "score"]
+        ).astype({"query_id": np.int64, "rank": np.int32,
+                  "vec_id": np.int64, "score": np.float64})
+    res = pd.concat(out, ignore_index=True)
+    return res[["query_id", "rank", "vec_id", "score"]]

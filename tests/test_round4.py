@@ -764,3 +764,38 @@ def test_pq_codes_are_m_bytes(tmp_path):
     import glob
     t = pq_.read_table(glob.glob(f"{idx}/*.parquet"))
     assert all(len(b) == 4 for b in t["codes"].to_pylist())
+
+
+def test_ivfpq_matches_residual_reconstruction(tmp_path):
+    """knn_ivfpq (path-pruned partitions + per-list ADC tables) equals
+    explicit residual reconstruction scoring over the probed lists."""
+    from defactonlp_ray.stages import ann
+
+    rng = np.random.default_rng(19)
+    n, dim = 400, 32
+    m = rng.normal(size=(n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(m), pa.list_(pa.float64())),
+    }))
+    idx = str(tmp_path / "ivfpq")
+    ann.build_ivfpq_index(ds, idx, n_lists=8, m=8, ks=16, sample_size=n)
+    q = m[:3]
+    got = ann.knn_ivfpq(idx, q, k=10, n_probe=3)
+    cent = np.load(f"{idx}/centroids.npy")
+    books = np.load(f"{idx}/pq_books.npy")
+    lists = ann.ivf_assign(m, cent)
+    codes = ann.pq_encode(m - cent[lists], books)
+    recon = cent[lists] + ann.pq_decode(codes, books)
+    qn = np.linalg.norm(q, axis=1)
+    rn = np.linalg.norm(recon, axis=1)
+    rn[rn == 0] = 1.0
+    d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :3]
+    for qi in range(3):
+        cand = np.flatnonzero(np.isin(lists, probes[qi]))
+        cos = np.round((recon[cand] @ q[qi]) / qn[qi] / rn[cand], 6)
+        want = cand[np.lexsort((ids[cand], -cos))[:10]]
+        g = got[got.query_id == qi].sort_values("rank")
+        assert list(g.vec_id) == [int(ids[j]) for j in want]
