@@ -1096,6 +1096,72 @@ SQL_DOC_KEYWORDS = (
 )
 
 
+# ------------------------------------------------ passage chunking (RAG)
+
+_CHUNK_WIN = 16
+_CHUNK_STEP = 12  # overlap = win - step = 4 tokens
+
+
+def q_passage_chunks(sf_dir: str):
+    """RAG-style passage chunking: fixed token windows (win=16,
+    stride=12) with LAST-WINDOW ALIGNMENT — the final passage starts at
+    n-win+1 so no trailing tokens are dropped (the HF chunker rule).
+    Emits (doc_id, passage_id, start_tok, n_tok) — embarrassingly
+    parallel, zero shuffle, fully vectorized (per-batch np.repeat over
+    doc passage counts).  The chunk-for-embedding step of a training /
+    retrieval corpus build."""
+    win, step = _CHUNK_WIN, _CHUNK_STEP
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        _, _, doc_len = flatten_tokens(batch["text"])
+        n = doc_len.astype(np.int64)
+        ids = batch["doc_id"].to_numpy()
+        # number of stride starts in 1..n-win+1 (>= 1 when n > 0), plus
+        # one aligned tail passage when (n - win) is not a stride multiple
+        full = np.maximum(n - win, 0)
+        n_strides = np.where(n > 0, full // step + 1, 0)
+        has_tail = ((n > win) & (full % step != 0)).astype(np.int64)
+        total = n_strides + has_tail
+        doc_idx = np.repeat(np.arange(len(batch)), total)
+        # within-doc passage index, vectorized: global arange minus each
+        # doc's first-slot offset
+        offs = np.cumsum(total) - total
+        pid = np.arange(int(total.sum()), dtype=np.int64) - np.repeat(
+            offs, total
+        )
+        start = 1 + pid * step
+        # the tail passage (pid == n_strides) realigns to n - win + 1
+        is_tail = pid >= n_strides[doc_idx]
+        start = np.where(is_tail, n[doc_idx] - win + 1, start)
+        length = np.minimum(win, n[doc_idx] - start + 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_idx], pa.int64()),
+                "passage_id": pa.array(pid + 1, pa.int64()),
+                "start_tok": pa.array(start, pa.int64()),
+                "n_tok": pa.array(length, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
+SQL_PASSAGE_CHUNKS = (
+    "WITH d AS (SELECT doc_id, len(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS n FROM documents), "
+    f"strides AS (SELECT doc_id, n, unnest(range(1, greatest(n - {_CHUNK_WIN}, 0) "
+    f"+ 2, {_CHUNK_STEP})) AS start_tok FROM d WHERE n > 0), "
+    f"tail AS (SELECT doc_id, n, n - {_CHUNK_WIN} + 1 AS start_tok FROM d "
+    f"WHERE n > {_CHUNK_WIN} AND (n - {_CHUNK_WIN}) % {_CHUNK_STEP} <> 0), "
+    "s AS (SELECT * FROM strides UNION ALL SELECT * FROM tail) "
+    "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY start_tok) AS BIGINT) AS passage_id, start_tok, "
+    f"least({_CHUNK_WIN}, n - start_tok + 1) AS n_tok FROM s"
+)
+
+
 # ------------------------------------------------ BPE tokenizer training
 
 _BPE_MERGES = 40
@@ -4845,6 +4911,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "unigram_logloss": q_unigram_logloss,
     "doc_keywords": q_doc_keywords,
+    "passage_chunks": q_passage_chunks,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
     "retrieval_eval": q_retrieval_eval,
@@ -4898,6 +4965,7 @@ ORACLES = {
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "unigram_logloss": SQL_UNIGRAM_LOGLOSS,
     "doc_keywords": SQL_DOC_KEYWORDS,
+    "passage_chunks": SQL_PASSAGE_CHUNKS,
     "phrase_topk": SQL_PHRASE_TOPK,
     "boolean_topk": SQL_BOOLEAN_TOPK,
     "proximity_topk": SQL_PROXIMITY_TOPK,

@@ -799,3 +799,29 @@ def test_ivfpq_matches_residual_reconstruction(tmp_path):
         want = cand[np.lexsort((ids[cand], -cos))[:10]]
         g = got[got.query_id == qi].sort_values("rank")
         assert list(g.vec_id) == [int(ids[j]) for j in want]
+
+
+def test_passage_chunks_cover_every_token(tmp_path):
+    """Chunk windows cover tokens 1..n with no gaps, the last window
+    always ends at n, and every non-tail stride starts step apart."""
+    from defactonlp_ray.pipelines.queries import (
+        _CHUNK_STEP, _CHUNK_WIN, q_passage_chunks,
+    )
+
+    texts = ["w " * n for n in [1, 5, 16, 17, 20, 28, 29, 40, 100]]
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array([t.strip() for t in texts]),
+    }), os.path.join(sf, "documents.parquet"))
+    res = q_passage_chunks(sf).to_pandas()
+    for did, n in enumerate([1, 5, 16, 17, 20, 28, 29, 40, 100]):
+        g = res[res.doc_id == did].sort_values("passage_id")
+        assert g.start_tok.iloc[0] == 1
+        ends = (g.start_tok + g.n_tok - 1).to_numpy()
+        assert ends[-1] == n                      # no dropped tail
+        # no gaps: every next window starts within the previous one
+        assert np.all(g.start_tok.to_numpy()[1:] <= ends[:-1] + 1)
+        assert np.all(g.n_tok <= _CHUNK_WIN)
+        if n <= _CHUNK_WIN:
+            assert len(g) == 1 and g.n_tok.iloc[0] == n
