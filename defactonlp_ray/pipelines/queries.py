@@ -4842,6 +4842,22 @@ QUERIES = {
     "bm25_function_score": q_bm25_function_score,
     "bm25_decay": q_bm25_decay,
     "bm25_explain": q_bm25_explain,
+    "bm25_collapse_neardup": q_bm25_collapse_neardup,
+    "bm25_collapse_sidecar": q_bm25_collapse_sidecar,
+    "cooccur_pmi": q_cooccur_pmi,
+    "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
+    "hll_terms_per_lang": q_hll_terms_per_lang,
+    "docs_weighted_sample": q_docs_weighted_sample,
+    "gopher_repetition": q_gopher_repetition,
+    "unigram_logloss": q_unigram_logloss,
+    "doc_keywords": q_doc_keywords,
+    "passage_chunks": q_passage_chunks,
+    "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
+    "substring_dedup": q_substring_dedup,
+    "incremental_neardup": q_incremental_neardup,
+    "ann_sq8": q_ann_sq8,
     "eval_contamination": q_eval_contamination,
     "bm25_rescore": q_bm25_rescore,
     "wildcard_trgm_topk": q_wildcard_trgm_topk,
@@ -4855,9 +4871,6 @@ QUERIES = {
     "index_segments": q_index_segments,
     "bm25_top_hits": q_bm25_top_hits,
     "bm25_mmr": q_bm25_mmr,
-    "bm25_collapse_neardup": q_bm25_collapse_neardup,
-    "bm25_collapse_sidecar": q_bm25_collapse_sidecar,
-    "cooccur_pmi": q_cooccur_pmi,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
     "bm25f_topk": q_bm25f_topk,
@@ -4867,8 +4880,6 @@ QUERIES = {
     "dedup_docs": q_dedup_docs,
     "url_dedup": q_url_dedup,
     "minhash_neardup": q_minhash_neardup,
-    "substring_dedup": q_substring_dedup,
-    "incremental_neardup": q_incremental_neardup,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
@@ -4899,21 +4910,10 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
-    "ann_sq8": q_ann_sq8,
-    "ann_pq": q_ann_pq,
-    "ann_ivfpq": q_ann_ivfpq,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "video_frames": q_video_frames,
     "hll_distinct_terms": q_hll_distinct_terms,
-    "hll_terms_per_lang": q_hll_terms_per_lang,
-    "docs_weighted_sample": q_docs_weighted_sample,
-    "gopher_repetition": q_gopher_repetition,
-    "unigram_logloss": q_unigram_logloss,
-    "doc_keywords": q_doc_keywords,
-    "passage_chunks": q_passage_chunks,
-    "bpe_merges": q_bpe_merges,
-    "bpe_token_counts": q_bpe_token_counts,
     "retrieval_eval": q_retrieval_eval,
     "sentence_topn": q_sentence_topn,
     "bm25_topk_wand": q_bm25_topk_wand,
