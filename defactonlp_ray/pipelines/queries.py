@@ -2286,6 +2286,47 @@ SQL_NEARDUP_CLUSTERS = (
 )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Canonical-document selection (C4/RefinedWeb rule): the near-dup
+    clusters composed with per-doc token counts — keep the LONGEST doc
+    per cluster (ties by lowest doc_id).  Winner pick is one vectorized
+    ``Max`` over a packed (n_tokens, -doc_id) int64 key; token counts
+    and winners re-attach via broadcast searchsorted lookups (join
+    route above the broadcast limit, like url_dedup).  Oracle fuses the
+    recursive-CTE component walk with a first_value window over the
+    token counts — independent of LSH, propagation and packing."""
+    return dedup.neardup_keep_best(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.8
+    ).sort("doc_id")
+
+
+SQL_DEDUP_KEEP_BEST = (
+    "WITH RECURSIVE " + _SHINGLE_SQL[5:] + ", "
+    "p AS (SELECT id_a, id_b FROM ("
+    "SELECT c.id_a, c.id_b, "
+    "round(len(list_intersect(a.s, b.s))::DOUBLE / "
+    "len(list_distinct(a.s || b.s)), 6) AS jaccard "
+    "FROM cand c JOIN sh a ON a.doc_id = c.id_a "
+    "JOIN sh b ON b.doc_id = c.id_b) WHERE jaccard >= 0.8), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "UNION ALL SELECT id_b, id_a FROM p), "
+    "walk(node, label) AS ("
+    "SELECT src, src FROM edges "
+    "UNION "
+    "SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node), "
+    "cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk "
+    "GROUP BY node), "
+    "tok AS (SELECT doc_id, len(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS n FROM documents) "
+    "SELECT doc_id, cluster_id, kept_doc_id, "
+    "CAST(doc_id = kept_doc_id AS BIGINT) AS kept FROM ("
+    "SELECT cl.doc_id, cl.cluster_id, "
+    "first_value(cl.doc_id) OVER (PARTITION BY cl.cluster_id "
+    "ORDER BY tok.n DESC, cl.doc_id) AS kept_doc_id "
+    "FROM cl JOIN tok ON tok.doc_id = cl.doc_id) ORDER BY doc_id"
+)
+
+
 SQL_BM25_COLLAPSE_NEARDUP = (
     "WITH RECURSIVE " + _SHINGLE_SQL[5:] + ", "
     "p AS (SELECT id_a, id_b FROM ("
@@ -4855,6 +4896,7 @@ QUERIES = {
     "passage_chunks": q_passage_chunks,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
+    "dedup_keep_best": q_dedup_keep_best,
     "substring_dedup": q_substring_dedup,
     "incremental_neardup": q_incremental_neardup,
     "ann_sq8": q_ann_sq8,
@@ -5022,6 +5064,7 @@ ORACLES = {
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ngram_jaccard_neardup": SQL_NGRAM_JACCARD_NEARDUP,
     "url_dedup": SQL_URL_DEDUP,
     "sentence_topn": SQL_SENTENCE_TOPN,

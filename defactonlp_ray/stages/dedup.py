@@ -1680,3 +1680,118 @@ def incremental_neardup_pairs(
         ["id_a", "id_b", "jaccard"],
         {"id_a": "id_new", "id_b": "id_old"},
     )
+
+
+def neardup_keep_best(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+) -> "ray.data.Dataset":
+    """Canonical-document selection (the C4 / RefinedWeb dedup rule):
+    within each near-duplicate cluster KEEP the document with the most
+    tokens, ties broken by lowest doc_id; everything else in the cluster
+    is dropped.  Output: one row per CLUSTERED doc —
+    ``(doc_id, cluster_id, kept_doc_id, kept)`` (singletons are absent,
+    like :func:`neardup_clusters` — they keep themselves trivially).
+
+    Scale shape: the cluster table holds only near-dup graph NODES (a
+    small fraction of the corpus), so winner selection runs on the tiny
+    (cluster_id, doc_id, n_tokens) projection — per-cluster best picked
+    by a vectorized ``Max`` over a packed ``n_tokens·2^40 + (2^40-1 -
+    doc_id)`` key (one aggregate, never a per-group Python call; the
+    packing bounds are doc_id < 2^40 and n_tokens < 2^23 — beyond that,
+    pack into the url_dedup string key instead).  Token counts attach
+    via ONE filtered corpus pass against the broadcast node set (swap
+    for a left_semi hash join above BROADCAST_WINNER_LIMIT nodes, the
+    url_dedup route)."""
+    import ray as _ray
+    from ray.data.aggregate import Max
+
+    from ..functions.tokenizer import flatten_tokens
+
+    clusters = neardup_clusters(
+        ds, text_col=text_col, id_col=id_col, threshold=threshold,
+        shingle_k=shingle_k,
+    ).materialize()
+    node_ref = _ray.put(
+        pa.array(clusters.to_pandas()[id_col].to_numpy(), pa.int64())
+    )
+
+    def count_clustered(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch[id_col], value_set=_ray.get(node_ref)))
+        if sub.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
+        _, _, doc_len = flatten_tokens(sub[text_col])
+        return pa.table(
+            {
+                id_col: sub[id_col],
+                "n_tokens": pa.array(doc_len.astype(np.int64), pa.int64()),
+            }
+        )
+
+    lens = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(count_clustered, batch_format="pyarrow")
+        .to_pandas()
+    )
+    lo = np.argsort(lens[id_col].to_numpy(), kind="stable")
+    len_ref = _ray.put(
+        (lens[id_col].to_numpy()[lo].astype(np.int64),
+         lens["n_tokens"].to_numpy()[lo].astype(np.int64))
+    )
+
+    _PK = np.int64(1) << np.int64(40)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        lk, lv = _ray.get(len_ref)
+        ids = batch[id_col].to_numpy()
+        n = lv[np.searchsorted(lk, ids)]
+        key = n * _PK + (_PK - np.int64(1) - ids)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster_id": batch["cluster_id"],
+                "pk": pa.array(key, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    packed = clusters.map_batches(pack, batch_format="pyarrow").materialize()
+    winners = (
+        packed.select_columns(["cluster_id", "pk"])
+        .groupby("cluster_id")
+        .aggregate(Max("pk", alias_name="pk_max"))
+        .to_pandas()
+    )
+    winners["kept_doc_id"] = (
+        int(_PK) - 1 - (winners["pk_max"].astype(np.int64) % int(_PK))
+    ).astype(np.int64)
+    wo = np.argsort(winners["cluster_id"].to_numpy(), kind="stable")
+    win_ref = _ray.put(
+        (winners["cluster_id"].to_numpy()[wo].astype(np.int64),
+         winners["kept_doc_id"].to_numpy()[wo].astype(np.int64))
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        wk, wv = _ray.get(win_ref)
+        cids = batch["cluster_id"].to_numpy()
+        ids = batch[id_col].to_numpy()
+        kept_id = wv[np.searchsorted(wk, cids)]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster_id": batch["cluster_id"],
+                "kept_doc_id": pa.array(kept_id, pa.int64()),
+                "kept": pa.array((ids == kept_id).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return packed.drop_columns(["pk", "n_tokens"]).map_batches(
+        attach, batch_format="pyarrow"
+    )

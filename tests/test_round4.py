@@ -825,3 +825,28 @@ def test_passage_chunks_cover_every_token(tmp_path):
         assert np.all(g.n_tok <= _CHUNK_WIN)
         if n <= _CHUNK_WIN:
             assert len(g) == 1 and g.n_tok.iloc[0] == n
+
+
+def test_neardup_keep_best_keeps_longest():
+    """Canonical selection keeps the longest doc per near-dup cluster,
+    ties by lowest doc_id; output covers exactly the clustered docs."""
+    from defactonlp_ray.stages.dedup import neardup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                               # 0: cluster A, 10 tokens
+        base + " lambda",                   # 1: cluster A, 11 tokens -> kept
+        base + " lambda",                   # 2: cluster A, 11 tokens, tie -> 1 kept
+        "one two three four five six seven eight nine ten",   # 3: singleton
+        "red blue green yellow pink black white grey brown violet",  # 4: singleton
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = neardup_keep_best(ds, threshold=0.5).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert set(out.doc_id) == {0, 1, 2}
+    assert (out.cluster_id == 0).all()
+    assert (out.kept_doc_id == 1).all()    # longest, tie to lowest id
+    assert list(out.kept) == [0, 1, 0]
