@@ -1798,6 +1798,47 @@ def q_bm25_collapse_sidecar(sf_dir: str):
     ).to_pandas()
 
 
+def q_bm25_cardinality(sf_dir: str):
+    """ES ``cardinality`` aggregation over the MATCH SET: per query, the
+    number of distinct sources among ALL docs matching >= 1 query term
+    (not just the top-k — this composes the count-mode posting-union
+    walk with the doc-value sidecar the collapse modes read).  The
+    sidecar route is used, so at corpus scale the doc->source codes load
+    bucket-by-bucket per actor, never as a driver array."""
+    from ..stages.collapse_map import build_collapse_map
+
+    idx = _build_docs_index(sf_dir)
+    side = _tmp_index_dir(sf_dir, "collapsemap")
+    build_collapse_map(
+        _docs(sf_dir, ["doc_id", "source"]), side,
+        group_col="source", range_docs=256,
+    )
+    return (
+        search(
+            idx, _query_terms_ds(_BM25_QUERIES), mode="cardinality",
+            group_dir=side, concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
+def _cardinality_sql(queries: list[tuple[int, list[str]]]) -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, terms in queries for t in terms)
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "hits AS (SELECT DISTINCT qd.query_id, toks.doc_id "
+        "FROM qd JOIN toks ON qd.term = toks.term) "
+        "SELECT h.query_id, count(*) AS n_hits, "
+        "count(DISTINCT d.source) AS n_sources "
+        "FROM hits h JOIN documents d ON d.doc_id = h.doc_id "
+        "GROUP BY h.query_id"
+    )
+
+
 def _collapse_sql(queries: list[tuple[int, list[str]]], k: int = 5) -> str:
     vals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in queries for t in terms
@@ -2126,6 +2167,7 @@ def _count_sql(queries: list[tuple[int, list[str]]]) -> str:
 
 
 SQL_BM25_COUNT = _count_sql(_BM25_QUERIES)
+SQL_BM25_CARDINALITY = _cardinality_sql(_BM25_QUERIES)
 
 
 SQL_EXPORT_SHARDS = (
@@ -4860,6 +4902,7 @@ SQL_BM25_EXPUNGE_TOPK = _bm25_sql(
 QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "bm25_count": q_bm25_count,
+    "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
     "hybrid_rrf": q_hybrid_rrf,
     "kmv_quantiles": q_kmv_quantiles,
@@ -5053,6 +5096,7 @@ ORACLES = {
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "export_shards": SQL_EXPORT_SHARDS,
     "bm25_count": SQL_BM25_COUNT,
+    "bm25_cardinality": SQL_BM25_CARDINALITY,
     "bm25_topk_auto": SQL_BM25_TOPK,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "kmv_quantiles": SQL_KMV_QUANTILES,

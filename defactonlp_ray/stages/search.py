@@ -1656,6 +1656,38 @@ class SearcherActor:
                     "n_hits": pa.array(out_n, pa.int64()),
                 }
             )
+        if self.mode == "cardinality":
+            # ES ``cardinality`` aggregation over the MATCH SET (not the
+            # top-k): distinct group values (doc-value sidecar or
+            # broadcast code array — same codes either way) among all
+            # docs matching >= 1 query term, next to the total-hit count.
+            out_q, out_n, out_c = [], [], []
+            for qid, terms in zip(qids, terms_col):
+                parts = [
+                    arrs[0]
+                    for t in sorted(set(terms))
+                    if (arrs := self.reader.term_arrays(self.seg_ids, t))
+                    is not None
+                ]
+                if not parts:
+                    continue
+                hits = np.unique(np.concatenate(parts))
+                if self.reader.deleted.size:
+                    from .deletes import live_mask
+
+                    hits = hits[live_mask(hits, self.reader.deleted)]
+                if hits.size:
+                    codes = np.asarray(self.group_codes[hits])
+                    out_q.append(qid)
+                    out_n.append(int(hits.size))
+                    out_c.append(int(np.unique(codes).size))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "n_hits": pa.array(out_n, pa.int64()),
+                    "n_sources": pa.array(out_c, pa.int64()),
+                }
+            )
         if self.mode == "collapse":
             if any(a is not None for a in afters):
                 raise ValueError(
