@@ -189,3 +189,96 @@ def hll_distinct_terms_by(
         .groupby(group_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+class CMS:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): d rows × w
+    counters; update/query hash j derives from the repo-wide uint64
+    token hash via one splitmix64 remix per row (pairwise-independent
+    enough in practice, deterministic across engines).  Merge is
+    elementwise sum — batch- and partition-invariant, so the distributed
+    per-batch-sketch + sum-merge equals the serial reference exactly."""
+
+    __slots__ = ("d", "w", "counts")
+
+    def __init__(self, d: int = 4, w: int = 2048,
+                 counts: np.ndarray | None = None):
+        self.d, self.w = d, w
+        self.counts = (
+            counts if counts is not None
+            else np.zeros((d, w), dtype=np.int64)
+        )
+
+    def _rows(self, hs: np.ndarray) -> np.ndarray:
+        """(d, n) counter indices for n hashes."""
+        from .hashing import splitmix64
+
+        idx = np.empty((self.d, hs.size), dtype=np.int64)
+        h = hs
+        for j in range(self.d):
+            h = splitmix64(h + np.uint64(0x9E3779B97F4A7C15))
+            idx[j] = (h % np.uint64(self.w)).astype(np.int64)
+        return idx
+
+    def add_hashes(self, hs: np.ndarray, weights: np.ndarray | None = None) -> "CMS":
+        idx = self._rows(hs)
+        w = weights if weights is not None else np.ones(hs.size, dtype=np.int64)
+        for j in range(self.d):
+            np.add.at(self.counts[j], idx[j], w)
+        return self
+
+    def add_strings(self, strs) -> "CMS":
+        return self.add_hashes(hash_str_array(list(strs)))
+
+    def merge(self, other: "CMS") -> "CMS":
+        self.counts += other.counts
+        return self
+
+    def estimate(self, strs) -> np.ndarray:
+        """Point estimates (upper bounds) for a list of terms."""
+        hs = hash_str_array(list(strs))
+        idx = self._rows(hs)
+        ests = np.stack([self.counts[j][idx[j]] for j in range(self.d)])
+        return ests.min(axis=0)
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, d: int = 4, w: int = 2048) -> "CMS":
+        return cls(d, w, np.frombuffer(b, dtype=np.int64).reshape(d, w).copy())
+
+
+def cms_term_counts(ds, terms: list[str], *, text_col: str = "text",
+                    d: int = 4, w: int = 2048):
+    """Frequency estimation under fixed memory (the CMS aggregation
+    shape): one (d, w) sketch per batch — tokens hashed once, counters
+    bumped vectorized — merged by elementwise sum into a single
+    corpus sketch, then point-queried for ``terms``.  The shuffle moves
+    d·w int64 counters per block regardless of corpus size; estimates
+    are one-sided (>= true count) with the standard (e/w, 1-e^-d)
+    guarantee."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .tokenizer import flatten_tokens
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        toks, _, _ = flatten_tokens(batch[text_col])
+        c = CMS(d, w)
+        if len(toks):
+            c.add_hashes(hash_str_array(toks))
+        return pa.table({"sketch": pa.array([c.to_bytes()], pa.binary())})
+
+    acc = CMS(d, w)
+    parts = (
+        ds.select_columns([text_col])
+        .map_batches(sketch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for b in parts["sketch"]:
+        acc.merge(CMS.from_bytes(b, d, w))
+    ests = acc.estimate(terms)
+    return pd.DataFrame(
+        {"term": terms, "est_count": ests.astype(np.int64)}
+    ).sort_values("term").reset_index(drop=True)

@@ -432,6 +432,33 @@ def serial_hll_by_lang(sf_dir: str, p: int = 12) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["lang", "n_terms_estimate"])
 
 
+def serial_cms(sf_dir: str) -> pd.DataFrame:
+    """Serial reference for the CMS route: one scalar sketch fed doc by
+    doc in doc_id order (integer counter adds commute, so any feed order
+    equals the distributed per-batch-sketch + sum-merge exactly), then
+    the same pinned term list point-queried."""
+    import pyarrow.parquet as pq
+
+    from ..functions.sketches import CMS
+    from ..functions.tokenizer import tokenize
+    from ..pipelines.queries import _CMS_TERMS
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    acc = CMS()
+    for _did, text in sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())):
+        toks = tokenize(text)
+        if toks:
+            acc.add_strings(toks)
+    ests = acc.estimate(_CMS_TERMS)
+    return (
+        pd.DataFrame({"term": _CMS_TERMS, "est_count": ests.astype(np.int64)})
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+
+
 def serial_ann_pq(
     sf_dir: str, *, n_queries: int = 3, k: int = 10, sample_size: int = 2048,
 ) -> pd.DataFrame:
@@ -805,6 +832,10 @@ def oracle_values_sql() -> dict[str, str]:
         out["bpe_merges"] = _cached("bpe_merges", sf_fp, _bpe(0))
         out["bpe_token_counts"] = _cached(
             "bpe_token_counts", sf_fp, _bpe(1)
+        )
+        out["cms_heavy_terms"] = _cached(
+            "cms_heavy_terms", sf_fp,
+            lambda: values_sql(serial_cms(ORACLE_SF_DIR)),
         )
 
         def _rfp() -> str:

@@ -2712,6 +2712,25 @@ SQL_DOCS_WEIGHTED_SAMPLE = (
 )
 
 
+_CMS_TERMS = [
+    "a", "agg", "hash", "join", "scan", "table", "the", "window",
+    "zzzabsent",
+]
+
+
+def q_cms_heavy_terms(sf_dir: str):
+    """Count-Min frequency estimation (Cormode-Muthukrishnan 2005) —
+    the fixed-memory heavy-hitter shape completing the sketch family
+    (HLL distinct, KMV quantiles, CMS frequencies): one (d, w) sketch
+    per batch, merged by elementwise sum (batch/partition-invariant),
+    point-queried for a pinned term list.  The shuffle moves d·w
+    counters per block regardless of corpus size.  Oracle = pinned
+    serial reference (identical hash family ⇒ identical counters)."""
+    from ..functions.sketches import cms_term_counts
+
+    return cms_term_counts(_docs(sf_dir, ["text"]), _CMS_TERMS)
+
+
 def q_retrieval_eval(sf_dir: str):
     """Entry point C over the pinned fixture: flagship retrieval scored
     against its own nested gold evidence (J3+G5).  Deterministic, fixture-
@@ -4932,6 +4951,7 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
     "hll_terms_per_lang": q_hll_terms_per_lang,
+    "cms_heavy_terms": q_cms_heavy_terms,
     "docs_weighted_sample": q_docs_weighted_sample,
     "gopher_repetition": q_gopher_repetition,
     "unigram_logloss": q_unigram_logloss,

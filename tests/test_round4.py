@@ -850,3 +850,29 @@ def test_neardup_keep_best_keeps_longest():
     assert (out.cluster_id == 0).all()
     assert (out.kept_doc_id == 1).all()    # longest, tie to lowest id
     assert list(out.kept) == [0, 1, 0]
+
+
+def test_cms_one_sided_and_merge_invariant():
+    """CMS estimates are >= true counts (one-sided error), exact at
+    w >> vocab, and per-batch + sum-merge equals one scalar sketch."""
+    from collections import Counter
+
+    from defactonlp_ray.functions.hashing import hash_str_array
+    from defactonlp_ray.functions.sketches import CMS
+
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(40)]
+    toks = [vocab[i] for i in rng.integers(0, 40, 5000)]
+    true = Counter(toks)
+    one = CMS().add_strings(toks)
+    split = CMS().add_strings(toks[:1700]).merge(
+        CMS().add_strings(toks[1700:4000])).merge(
+        CMS().add_strings(toks[4000:]))
+    assert np.array_equal(one.counts, split.counts)
+    est = one.estimate(vocab)
+    for t, e in zip(vocab, est):
+        assert e >= true[t]
+    # round-trip
+    rt = CMS.from_bytes(one.to_bytes())
+    assert np.array_equal(rt.counts, one.counts)
+    assert hash_str_array(["x"]).dtype == np.uint64
