@@ -48,6 +48,10 @@ def add_content_hash(ds: "ray.data.Dataset", text_col: str = "text",
 # one broadcast object: re-attach through the distributed hash join
 BROADCAST_WINNER_LIMIT = 5_000_000
 
+# bump to invalidate cached cluster artifacts (pipelines/queries.py
+# _neardup_clusters_cached) when shingle/minhash/CC semantics change
+DEDUP_VERSION = "dedup-v4"
+
 
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
                 id_col: str = "doc_id", route: str = "auto") -> "ray.data.Dataset":
@@ -1689,6 +1693,7 @@ def neardup_keep_best(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_k: int = 5,
+    clusters: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Canonical-document selection (the C4 / RefinedWeb dedup rule):
     within each near-duplicate cluster KEEP the document with the most
@@ -1712,10 +1717,12 @@ def neardup_keep_best(
 
     from ..functions.tokenizer import flatten_tokens
 
-    clusters = neardup_clusters(
-        ds, text_col=text_col, id_col=id_col, threshold=threshold,
-        shingle_k=shingle_k,
-    ).materialize()
+    if clusters is None:
+        clusters = neardup_clusters(
+            ds, text_col=text_col, id_col=id_col, threshold=threshold,
+            shingle_k=shingle_k,
+        )
+    clusters = clusters.materialize()
     node_ref = _ray.put(
         pa.array(clusters.to_pandas()[id_col].to_numpy(), pa.int64())
     )
