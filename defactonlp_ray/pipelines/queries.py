@@ -435,6 +435,135 @@ def q_link_pagerank(sf_dir: str):
     ]
 
 
+# ------------------------------------------------- anchor-text aggregation
+
+
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text aggregation — the classic web-index target signal
+    (Brin & Page 1998 §2.2: anchor words describe the TARGET page, not
+    the source).  A deterministic page corpus is rendered per doc
+    (three ``<a href="d<dst>">word_k</a>`` links via the PageRank
+    coefficient rule; anchor k = the k-th space-token of the SOURCE
+    text, sanitized of ``<>"``), the REAL vectorized extractor
+    (stages/linkgraph.extract_anchors) re-parses the html, and the
+    per-target aggregate runs as a per-batch (dst, anchor) Arrow
+    pre-count -> groupby(dst) top-anchor pick — the shuffle moves one
+    counted row per distinct (dst, anchor) per batch, never raw links.
+
+    The oracle never sees the html: it regenerates the (dst, anchor)
+    rows arithmetically from ``documents``, so a hash match proves the
+    html render -> href/anchor extraction round trip is lossless."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+
+    def mk_pages(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        toks = pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        html = np.full(len(did), "<html><body><p>", dtype=object)
+        for k, (a, b) in enumerate(_PR_COEFFS):
+            dst = (did * a + b) % n
+            has = lens > k
+            anchor = np.full(len(did), "", dtype=object)
+            if has.any():
+                tok_k = pc.list_element(
+                    pc.filter(toks, pa.array(has)), k
+                )
+                for ch in ('<', '>', '"'):
+                    tok_k = pc.replace_substring(tok_k, ch, "")
+                anchor[has] = tok_k.to_numpy(zero_copy_only=False)
+            link = (
+                '<a href="d' + dst.astype("U20").astype(object) + '">'
+                + anchor + "</a> "
+            )
+            html = html + np.where(dst != did, link, "")
+        html = html + "</p></body></html>"
+        return pa.table({
+            "url": pc.binary_join_element_wise(
+                pa.scalar("d"),
+                pa.array(did.astype("U20"), pa.string()),
+                pa.scalar(""),
+            ),
+            "html": pa.array(html, pa.string()),
+        })
+
+    from ..stages.linkgraph import extract_anchors
+
+    rows = extract_anchors(
+        docs.map_batches(mk_pages, batch_format="pyarrow")
+    )
+
+    def precount(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "dst": pa.array([], pa.string()),
+                "anchor": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        t = batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        g = t.group_by(["dst", "anchor"]).aggregate([("one", "sum")])
+        return g.rename_columns(["dst", "anchor", "cnt"])
+
+    partial = rows.map_batches(precount, batch_format="pyarrow")
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        cnt = group.groupby("anchor", as_index=False)["cnt"].sum()
+        top = cnt.sort_values(
+            ["cnt", "anchor"], ascending=[False, True]
+        ).iloc[0]["anchor"]
+        return pd.DataFrame({
+            "dst": [group["dst"].iloc[0]],
+            "n_links": np.array([cnt["cnt"].sum()], dtype=np.int64),
+            "n_anchors": np.array([len(cnt)], dtype=np.int64),
+            "top_anchor": [top],
+        })
+
+    out = (
+        partial.groupby("dst")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("dst").reset_index(drop=True)[
+        ["dst", "n_links", "n_anchors", "top_anchor"]
+    ]
+
+
+def _anchor_sql() -> str:
+    selects = []
+    for k, (a, b) in enumerate(_PR_COEFFS):
+        tok = f"split_part(text, ' ', {k + 1})"
+        clean = (
+            "replace(replace(replace(" + tok + ", '<', ''), '>', ''), "
+            "'\"', '')"
+        )
+        selects.append(
+            f"SELECT (doc_id * {a} + {b}) % nn.n AS dst, {clean} AS anchor "
+            f"FROM documents, nn WHERE (doc_id * {a} + {b}) % nn.n <> doc_id"
+        )
+    pairs = " UNION ALL ".join(selects)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+pairs AS ({pairs}),
+counts AS (SELECT dst, anchor, count(*) AS cnt FROM pairs GROUP BY dst, anchor),
+ranked AS (
+  SELECT dst, anchor, cnt,
+         row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS rn,
+         CAST(sum(cnt) OVER (PARTITION BY dst) AS BIGINT) AS n_links,
+         CAST(count(*) OVER (PARTITION BY dst) AS BIGINT) AS n_anchors
+  FROM counts)
+SELECT 'd' || CAST(dst AS VARCHAR) AS dst, n_links, n_anchors,
+       anchor AS top_anchor
+FROM ranked WHERE rn = 1 ORDER BY dst
+"""
+
+
+SQL_ANCHOR_TEXTS = _anchor_sql()
+
+
 def _pagerank_sql() -> str:
     nsel = "(SELECT n FROM nn)"
     e_parts = " UNION ALL ".join(
@@ -4959,6 +5088,7 @@ SQL_BM25_EXPUNGE_TOPK = _bm25_sql(
 # path changed this round — cumulative driver coverage r03+r04 = 91/91.
 QUERIES = {
     "neardup_clusters": q_neardup_clusters,
+    "anchor_texts": q_anchor_texts,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5140,6 +5270,7 @@ ORACLES = {
     "bm25_collapse_neardup": SQL_BM25_COLLAPSE_NEARDUP,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
+    "anchor_texts": SQL_ANCHOR_TEXTS,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,

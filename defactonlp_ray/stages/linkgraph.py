@@ -2,7 +2,7 @@
 the reference stack has no link analysis, SURVEY.md §0; the algorithms
 are the public classics: href extraction + PageRank, Page et al. 1999).
 
-Two operators, both Ray-Data-shaped:
+Three operators, all Ray-Data-shaped:
 
 * :func:`extract_links` — (url, html) pages -> (src, dst) edge rows via
   VECTORIZED ``href="..."`` extraction: ``pc.split_pattern`` on the
@@ -48,7 +48,7 @@ import ray.data
 
 from .util import arrow_project
 
-__all__ = ["extract_links", "pagerank"]
+__all__ = ["extract_links", "extract_anchors", "pagerank"]
 
 
 def extract_links(
@@ -99,6 +99,89 @@ def extract_links(
 
     return pages.select_columns([url_col, html_col]).map_batches(
         links, batch_format="pyarrow"
+    )
+
+
+def extract_anchors(
+    pages: "ray.data.Dataset",
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> "ray.data.Dataset":
+    """(url, html) -> one ``(src, dst, anchor)`` row per closed
+    ``href="..."`` occurrence.  ``anchor`` is the text run between the
+    first ``>`` after the attribute's closing quote and the next ``<``
+    (the visible link text of a simple ``<a href="x">text</a>`` tag);
+    an occurrence with no ``>`` before end-of-document gets ``anchor=""``
+    rather than being dropped — the link itself is still real.
+
+    Same vectorized shape as :func:`extract_links`: split-pattern
+    explosion, no per-row Python.  Anchor capture costs one extra
+    ``find_substring`` + two bounded ``split_pattern`` passes over the
+    post-quote tails.
+    """
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "src": pa.array([], pa.string()),
+            "dst": pa.array([], pa.string()),
+            "anchor": pa.array([], pa.string()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        html = pc.cast(batch[html_col], pa.string())
+        frags = pc.split_pattern(html, 'href="')
+        if isinstance(frags, pa.ChunkedArray):
+            frags = frags.combine_chunks()
+        n_frags = pc.list_value_length(frags).to_numpy(zero_copy_only=False)
+        flat = frags.flatten()
+        offsets = np.zeros(len(frags) + 1, dtype=np.int64)
+        np.cumsum(n_frags, out=offsets[1:])
+        keep = np.ones(len(flat), dtype=bool)
+        keep[offsets[:-1][n_frags > 0]] = False
+        rows = np.repeat(np.arange(len(frags)), n_frags)[keep]
+        if not keep.any():
+            return empty
+        tails = flat.take(pa.array(np.flatnonzero(keep), pa.int64()))
+        split2 = pc.split_pattern(tails, '"', max_splits=1)
+        closed = pc.equal(pc.list_value_length(split2), 2)
+        closed_np = closed.to_numpy(zero_copy_only=False)
+        closed_lists = pc.filter(split2, closed)
+        dst = pc.list_element(closed_lists, 0)
+        rest = pc.list_element(closed_lists, 1)
+        # anchor: text between the first '>' and the following '<'.
+        # Rows without '>' keep anchor="" (scattered below); rows WITH
+        # '>' get a '<' sentinel appended so the second split always
+        # has a leading element, even for an unterminated anchor run.
+        has_gt = pc.greater_equal(pc.find_substring(rest, ">"), 0)
+        has_gt_np = has_gt.to_numpy(zero_copy_only=False)
+        m = len(rest)
+        anchor_np = np.full(m, "", dtype=object)
+        if has_gt_np.any():
+            after_gt = pc.list_element(
+                pc.split_pattern(pc.filter(rest, has_gt), ">", max_splits=1),
+                1,
+            )
+            with_sentinel = pc.binary_join_element_wise(
+                after_gt, pa.scalar("<"), pa.scalar("")
+            )
+            anchor_f = pc.list_element(
+                pc.split_pattern(with_sentinel, "<", max_splits=1), 0
+            )
+            anchor_np[has_gt_np] = anchor_f.to_numpy(zero_copy_only=False)
+        src = (
+            batch[url_col].combine_chunks()
+            if isinstance(batch[url_col], pa.ChunkedArray)
+            else batch[url_col]
+        ).take(pa.array(rows[closed_np], pa.int64()))
+        return pa.table({
+            "src": src,
+            "dst": dst,
+            "anchor": pa.array(anchor_np, pa.string()),
+        })
+
+    return pages.select_columns([url_col, html_col]).map_batches(
+        anchors, batch_format="pyarrow"
     )
 
 

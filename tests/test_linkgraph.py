@@ -28,6 +28,37 @@ def test_extract_links_vectorized():
     assert got == [("p0", "u1"), ("p0", "u2"), ("p2", "css"), ("p2", "u3")]
 
 
+def test_extract_anchors_semantics():
+    from defactonlp_ray.stages.linkgraph import extract_anchors
+
+    tbl = pa.table({
+        "url": ["a", "b", "c", "d"],
+        "html": [
+            # extra attributes after the href are skipped to the tag's '>'
+            '<p><a href="u1">Hello World</a> <a href="u2" class="z">Two'
+            " words</a></p>",
+            "no links here",
+            # no closing '<' -> the anchor run extends to end-of-doc
+            '<a href="u3">unterminated anchor run',
+            # u4 has no '>' at all -> link kept, anchor "";
+            # u5's attribute never closes -> dropped entirely
+            '<a href="u4"no-gt plus <a href="u5',
+        ],
+    })
+    out = (
+        extract_anchors(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values(["src", "dst"])
+    )
+    got = list(zip(out["src"], out["dst"], out["anchor"]))
+    assert got == [
+        ("a", "u1", "Hello World"),
+        ("a", "u2", "Two words"),
+        ("c", "u3", "unterminated anchor run"),
+        ("d", "u4", ""),
+    ]
+
+
 def _pagerank_numpy(edges, n, damping=0.85, iters=10):
     outdeg = np.zeros(n)
     for s, _d in edges:
