@@ -3749,6 +3749,28 @@ def q_retrieval_ndcg(sf_dir: str):
     """
     k = 10
     topk = q_bm25_topk(sf_dir)  # (query_id, rank, doc_id, score), rank<=10
+    hit_set, n_rel = _rel_hits(sf_dir, topk)
+
+    out_q, out_n = [], []
+    for qid, _terms in _BM25_QUERIES:
+        g = topk[topk["query_id"] == qid]
+        rel_mask = np.array(
+            [(qid, d) in hit_set for d in g["doc_id"]], dtype=bool
+        )
+        dcg = float(np.sum(1.0 / np.log2(g["rank"].to_numpy()[rel_mask] + 1.0)))
+        nr = min(n_rel.get(qid, 0), k)
+        idcg = float(np.sum(1.0 / np.log2(np.arange(1, nr + 1) + 1.0)))
+        out_q.append(qid)
+        out_n.append(round(dcg / idcg, 6) if idcg > 0 else 0.0)
+    return pd.DataFrame({"query_id": out_q, "ndcg": out_n})
+
+
+def _rel_hits(sf_dir: str, topk: pd.DataFrame):
+    """Shared relevance machinery for the ranked-eval entries: binary
+    relevance "doc contains EVERY query term", streamed over the corpus
+    (per-batch tf-table membership, never a collect).  Returns the
+    (query_id, doc_id) hit set intersected with the retrieved pairs
+    (bounded by k x n_queries) plus per-query relevant-doc totals."""
     q_sets = [(qid, set(ts)) for qid, ts in _BM25_QUERIES]
 
     def rel_rows(batch: pa.Table) -> pa.Table:
@@ -3796,22 +3818,32 @@ def q_retrieval_ndcg(sf_dir: str):
 
     hits = rel.map_batches(hit_filter, batch_format="pyarrow").to_pandas()
     hit_set = set(zip(hits["query_id"], hits["doc_id"])) if len(hits) else set()
+    return hit_set, n_rel
 
-    out_q, out_n = [], []
+
+def q_retrieval_mrr(sf_dir: str):
+    """Mean-reciprocal-rank eval: per query, 1/rank of the FIRST
+    relevant document in the BM25 top-10 (0.0 when none is relevant),
+    relevance = "doc contains every query term" — the standard MRR
+    definition (Voorhees, TREC-8 QA track).  Shares the streamed
+    relevance machinery with the nDCG entry (_rel_hits)."""
+    topk = q_bm25_topk(sf_dir)
+    hit_set, _ = _rel_hits(sf_dir, topk)
+
+    out_q, out_r = [], []
     for qid, _terms in _BM25_QUERIES:
         g = topk[topk["query_id"] == qid]
-        rel_mask = np.array(
-            [(qid, d) in hit_set for d in g["doc_id"]], dtype=bool
-        )
-        dcg = float(np.sum(1.0 / np.log2(g["rank"].to_numpy()[rel_mask] + 1.0)))
-        nr = min(n_rel.get(qid, 0), k)
-        idcg = float(np.sum(1.0 / np.log2(np.arange(1, nr + 1) + 1.0)))
+        ranks = g["rank"].to_numpy()[
+            np.array([(qid, d) in hit_set for d in g["doc_id"]], dtype=bool)
+        ]
         out_q.append(qid)
-        out_n.append(round(dcg / idcg, 6) if idcg > 0 else 0.0)
-    return pd.DataFrame({"query_id": out_q, "ndcg": out_n})
+        out_r.append(round(1.0 / float(ranks.min()), 6) if ranks.size else 0.0)
+    return pd.DataFrame({"query_id": out_q, "rr": out_r})
 
 
-def _ndcg_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+def _ranked_eval_prefix_sql(queries: list[tuple[int, list[str]]], k: int) -> str:
+    """Shared CTE prefix for the ranked-eval oracles: BM25 top-k +
+    the binary-relevance set (doc contains every query term)."""
     vals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in queries for t in terms
     )
@@ -3839,7 +3871,29 @@ def _ndcg_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
         "count(DISTINCT tf.term) AS c FROM q JOIN tf ON tf.term = q.term "
         "GROUP BY q.query_id, tf.doc_id), "
         "rel AS (SELECT relc.query_id, relc.doc_id FROM relc "
-        "JOIN qt ON qt.query_id = relc.query_id AND relc.c = qt.nt), "
+        "JOIN qt ON qt.query_id = relc.query_id AND relc.c = qt.nt)"
+    )
+
+
+def _mrr_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    return (
+        _ranked_eval_prefix_sql(queries, k) + ", "
+        "best AS (SELECT t.query_id, min(t.rank) AS r FROM topk t "
+        "JOIN rel ON rel.query_id = t.query_id AND rel.doc_id = t.doc_id "
+        "GROUP BY t.query_id) "
+        "SELECT qq.query_id, round(COALESCE(1.0 / b.r, 0), 6) AS rr "
+        "FROM (SELECT DISTINCT query_id FROM q) qq "
+        "LEFT JOIN best b ON b.query_id = qq.query_id "
+        "ORDER BY qq.query_id"
+    )
+
+
+SQL_RETRIEVAL_MRR = _mrr_sql(_BM25_QUERIES)
+
+
+def _ndcg_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    return (
+        _ranked_eval_prefix_sql(queries, k) + ", "
         "dcg AS (SELECT t.query_id, "
         "COALESCE(sum(CASE WHEN r.doc_id IS NOT NULL "
         "THEN 1.0 / log2(t.rank + 1) END), 0) AS dcg FROM topk t "
@@ -5089,6 +5143,7 @@ SQL_BM25_EXPUNGE_TOPK = _bm25_sql(
 QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
+    "retrieval_mrr": q_retrieval_mrr,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5271,6 +5326,7 @@ ORACLES = {
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "link_pagerank": SQL_LINK_PAGERANK,
     "anchor_texts": SQL_ANCHOR_TEXTS,
+    "retrieval_mrr": SQL_RETRIEVAL_MRR,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
