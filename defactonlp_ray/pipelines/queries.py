@@ -2730,6 +2730,110 @@ SQL_URL_DEDUP = (
 )
 
 
+# ------------------------------------------------- URL canonicalization
+
+
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization as the dedup key (functions/urlnorm —
+    RFC 3986 syntax normalization + utm_* strip, rules pinned in the
+    module docstring).  Four deterministic messy variants per doc
+    (upper-case scheme/host, default :443 port, fragment, trailing
+    slash, interleaved utm_ params) are canonicalized by the REAL
+    vectorized kernel and grouped: per-batch pandas pre-agg ->
+    groupby(url) Sum/Min — the shuffle moves one row per distinct
+    canonical per batch.  The oracle rebuilds the same messy URLs and
+    canonicalizes them INDEPENDENTLY with DuckDB string functions, so
+    a hash match pins every rule, not just the happy path."""
+    from ray.data.aggregate import Min
+
+    from ..functions.urlnorm import canonicalize_urls
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        s = (did % 23).astype("U8").astype(object)
+        p = (did % 7).astype("U8").astype(object)
+        v = did % 4
+        u0 = (
+            "HTTPS://SITE-" + s + ".EXAMPLE:443/page/" + p
+            + "?utm_source=feed#frag"
+        )
+        u1 = "https://site-" + s + ".example/page/" + p + "/"
+        u2 = "https://site-" + s + ".example/page/" + p + "?a=1&utm_campaign=c&b=2"
+        u3 = "https://Site-" + s + ".Example:443/page/" + p + "#top"
+        urls = np.select([v == 0, v == 1, v == 2], [u0, u1, u2], default=u3)
+        canon = canonicalize_urls(pd.Series(urls, dtype=object))
+        g = (
+            pd.DataFrame({"url": canon.to_numpy(), "doc_id": did})
+            .groupby("url", as_index=False)
+            .agg(cnt=("doc_id", "size"), mn=("doc_id", "min"))
+        )
+        return pa.table({
+            "url": pa.array(g["url"], pa.string()),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+            "mn": pa.array(g["mn"].to_numpy(np.int64)),
+        })
+
+    out = (
+        docs.map_batches(mk, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Sum("cnt", alias_name="n_raw"), Min("mn", alias_name="doc_id"))
+        .to_pandas()
+    )
+    out["n_raw"] = out["n_raw"].astype(np.int64)
+    return out.sort_values("url").reset_index(drop=True)[
+        ["url", "n_raw", "doc_id"]
+    ]
+
+
+SQL_URL_CANONICAL = """
+WITH crawl AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://SITE-' || CAST(doc_id % 23 AS VARCHAR)
+        || '.EXAMPLE:443/page/' || CAST(doc_id % 7 AS VARCHAR)
+        || '?utm_source=feed#frag'
+      WHEN 1 THEN 'https://site-' || CAST(doc_id % 23 AS VARCHAR)
+        || '.example/page/' || CAST(doc_id % 7 AS VARCHAR) || '/'
+      WHEN 2 THEN 'https://site-' || CAST(doc_id % 23 AS VARCHAR)
+        || '.example/page/' || CAST(doc_id % 7 AS VARCHAR)
+        || '?a=1&utm_campaign=c&b=2'
+      ELSE 'https://Site-' || CAST(doc_id % 23 AS VARCHAR)
+        || '.Example:443/page/' || CAST(doc_id % 7 AS VARCHAR) || '#top'
+    END AS url
+  FROM documents),
+p1 AS (SELECT doc_id, lower(split_part(url, '://', 1)) AS scheme,
+              split_part(url, '://', 2) AS rest FROM crawl),
+p2 AS (SELECT doc_id, scheme, lower(split_part(rest, '/', 1)) AS hostport,
+              CASE WHEN strpos(rest, '/') > 0
+                   THEN substr(rest, strpos(rest, '/')) ELSE '' END AS pathq
+       FROM p1),
+p3 AS (SELECT doc_id, scheme,
+              CASE WHEN scheme = 'https'
+                     THEN regexp_replace(hostport, ':443$', '')
+                   WHEN scheme = 'http'
+                     THEN regexp_replace(hostport, ':80$', '')
+                   ELSE hostport END AS host,
+              split_part(pathq, '#', 1) AS nofrag FROM p2),
+p4 AS (SELECT doc_id, scheme, host,
+              regexp_replace(split_part(nofrag, '?', 1), '/+$', '') AS path,
+              CASE WHEN strpos(nofrag, '?') > 0
+                   THEN split_part(nofrag, '?', 2) ELSE NULL END AS query
+       FROM p3),
+p5 AS (SELECT doc_id, scheme, host, path,
+              CASE WHEN query IS NULL THEN ''
+                   ELSE array_to_string(list_filter(string_split(query, '&'),
+                        x -> NOT starts_with(x, 'utm_')), '&') END AS q2
+       FROM p4),
+canon AS (SELECT doc_id, scheme || '://' || host || path
+                 || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS url
+          FROM p5)
+SELECT url, count(*) AS n_raw, min(doc_id) AS doc_id
+FROM canon GROUP BY url ORDER BY url
+"""
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing under the driver: attach fake image binaries,
     run the real actor-pool decode stage, emit the decoded metadata.  The
@@ -5144,6 +5248,7 @@ QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
+    "url_canonical": q_url_canonical,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5327,6 +5432,7 @@ ORACLES = {
     "link_pagerank": SQL_LINK_PAGERANK,
     "anchor_texts": SQL_ANCHOR_TEXTS,
     "retrieval_mrr": SQL_RETRIEVAL_MRR,
+    "url_canonical": SQL_URL_CANONICAL,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
