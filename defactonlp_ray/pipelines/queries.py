@@ -647,6 +647,58 @@ SQL_TOP5_LONGEST_PER_LANG = (
 )
 
 
+# ----------------------------------------------------- per-domain quota cap
+
+_DOMAIN_CAP = 3
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-domain document quota — the C4 / RefinedWeb anti-head-domain
+    sampling step: keep at most K docs per registered domain (lowest
+    doc_id wins, the deterministic tie of "first crawled").  Scale
+    shape: a per-batch combiner prunes each block to its own K smallest
+    doc_ids per domain BEFORE the shuffle (the exchange then moves at
+    most K x domains x blocks rows, independent of corpus size), and a
+    keyed map_groups applies the global cap.  Oracle: row_number()
+    window over the same derived domain."""
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        dom = "site-" + (did % 23).astype("U8").astype(object) + ".example"
+        g = (
+            pd.DataFrame({"domain": dom, "doc_id": did})
+            .sort_values("doc_id")
+            .groupby("domain", as_index=False)
+            .head(_DOMAIN_CAP)
+        )
+        return pa.table({
+            "domain": pa.array(g["domain"], pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+        })
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(_DOMAIN_CAP)
+
+    out = (
+        docs.map_batches(prune, batch_format="pyarrow")
+        .groupby("domain")
+        .map_groups(cap, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["domain", "doc_id"]).reset_index(drop=True)
+
+
+SQL_DOMAIN_CAP = f"""
+SELECT domain, doc_id FROM (
+  SELECT 'site-' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS domain,
+         doc_id,
+         row_number() OVER (PARTITION BY doc_id % 23 ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= {_DOMAIN_CAP} ORDER BY domain, doc_id
+"""
+
+
 # ------------------------------------------------- J1-shape term-match join
 
 _MATCH_TERMS = ["data", "spark", "query", "merge", "window"]
@@ -5249,6 +5301,7 @@ QUERIES = {
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
     "url_canonical": q_url_canonical,
+    "domain_cap": q_domain_cap,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5433,6 +5486,7 @@ ORACLES = {
     "anchor_texts": SQL_ANCHOR_TEXTS,
     "retrieval_mrr": SQL_RETRIEVAL_MRR,
     "url_canonical": SQL_URL_CANONICAL,
+    "domain_cap": SQL_DOMAIN_CAP,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
