@@ -1049,6 +1049,48 @@ SQL_TOKEN_COUNTS = (
 )
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution (nats) — the
+    low-entropy filter signal: near-zero means a page is one token
+    repeated (spam/boilerplate), high means diverse vocabulary.  Runs
+    entirely inside map_batches: the per-batch (doc, term, tf) Arrow
+    group table feeds one vectorized p·ln p + groupby-sum — docs never
+    span batches, so there is NO shuffle at all.  Rounded to 6 dp on
+    both sides per the module float policy."""
+
+    def ent(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "entropy": pa.array([], pa.float64()),
+            })
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        df = tf.to_pandas()
+        dl = df.groupby("doc_id")["tf"].transform("sum")
+        p = df["tf"].to_numpy(np.float64) / dl.to_numpy(np.float64)
+        df["plogp"] = p * np.log(p)
+        out = df.groupby("doc_id", as_index=False)["plogp"].sum()
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "entropy": pa.array(np.round(-out["plogp"].to_numpy(), 6)),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ent, batch_format="pyarrow"
+    )
+
+
+SQL_TOKEN_ENTROPY = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+    "GROUP BY doc_id, term), "
+    "dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id) "
+    "SELECT tf.doc_id, round(-sum((tf.tf::DOUBLE / dl.dl) * "
+    "ln(tf.tf::DOUBLE / dl.dl)), 6) AS entropy "
+    "FROM tf JOIN dl USING (doc_id) GROUP BY tf.doc_id"
+)
+
+
 def q_quality(sf_dir: str):
     def qual(batch: pa.Table) -> pa.Table:
         stats = quality_batch(batch["text"])
@@ -5302,6 +5344,7 @@ QUERIES = {
     "retrieval_mrr": q_retrieval_mrr,
     "url_canonical": q_url_canonical,
     "domain_cap": q_domain_cap,
+    "token_entropy": q_token_entropy,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5487,6 +5530,7 @@ ORACLES = {
     "retrieval_mrr": SQL_RETRIEVAL_MRR,
     "url_canonical": SQL_URL_CANONICAL,
     "domain_cap": SQL_DOMAIN_CAP,
+    "token_entropy": SQL_TOKEN_ENTROPY,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
