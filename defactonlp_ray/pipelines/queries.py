@@ -699,6 +699,117 @@ WHERE rn <= {_DOMAIN_CAP} ORDER BY domain, doc_id
 """
 
 
+# --------------------------------------------- composed curation pipeline
+
+
+def q_corpus_curation(sf_dir: str):
+    """The composed training-corpus curation pipeline — the end-to-end
+    chain a 100 TB web-corpus run would execute, as ONE entry so the
+    oracle pins the whole composition, not just the steps:
+
+      1. quality gate: n_tokens >= 5 AND token entropy >= 1.0
+         (both computed per-batch, shuffle-free)
+      2. exact dedup: min doc_id per md5(text) (per-batch combiner ->
+         keyed map_groups)
+      3. per-domain quota: keep the 3 lowest doc_ids per derived domain
+      4. per-lang corpus stats of the survivors
+
+    Steps reuse the pinned rules of `token_entropy`, `dedup_docs` and
+    `domain_cap`; the oracle mirrors the identical order as one CTE
+    chain (filter -> dedup -> cap -> aggregate)."""
+    import hashlib
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "md5": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "domain": pa.array([], pa.string()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        df = tf.to_pandas()
+        if not len(df):
+            return empty
+        dl = df.groupby("doc_id")["tf"].transform("sum")
+        p = df["tf"].to_numpy(np.float64) / dl.to_numpy(np.float64)
+        df["plogp"] = p * np.log(p)
+        agg = df.groupby("doc_id").agg(
+            n_tokens=("tf", "sum"), plogp=("plogp", "sum")
+        )
+        ent = np.round(-agg["plogp"].to_numpy(), 6)
+        keep = set(agg.index[(agg["n_tokens"] >= 5) & (ent >= 1.0)])
+        bdf = batch.select(["doc_id", "lang", "text"]).to_pandas()
+        bdf = bdf[bdf["doc_id"].isin(keep)]
+        if not len(bdf):
+            return empty
+        bdf["md5"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in bdf["text"]
+        ]
+        bdf["n_tokens"] = agg.loc[bdf["doc_id"], "n_tokens"].to_numpy(np.int64)
+        did = bdf["doc_id"].to_numpy()
+        bdf["domain"] = (
+            "site-" + (did % 23).astype("U8").astype(object) + ".example"
+        )
+        # batch-local dedup combiner: only each hash's local min survives
+        bdf = bdf.sort_values("doc_id").drop_duplicates("md5", keep="first")
+        return pa.table({
+            "doc_id": pa.array(bdf["doc_id"].to_numpy(np.int64)),
+            "lang": pa.array(bdf["lang"], pa.string()),
+            "md5": pa.array(bdf["md5"], pa.string()),
+            "n_tokens": pa.array(bdf["n_tokens"].to_numpy(np.int64)),
+            "domain": pa.array(bdf["domain"], pa.string()),
+        })
+
+    def pick_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(_DOMAIN_CAP)
+
+    out = (
+        docs.map_batches(stage1, batch_format="pyarrow")
+        .groupby("md5")
+        .map_groups(pick_min, batch_format="pandas")
+        .groupby("domain")
+        .map_groups(cap, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)[
+        ["lang", "n_docs", "n_tokens"]
+    ]
+
+
+SQL_CORPUS_CURATION = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+    "GROUP BY doc_id, term), "
+    "st AS (SELECT doc_id, sum(tf) AS n_tokens FROM tf GROUP BY doc_id), "
+    "ent AS (SELECT tf.doc_id, round(-sum((tf.tf::DOUBLE / st.n_tokens) * "
+    "ln(tf.tf::DOUBLE / st.n_tokens)), 6) AS entropy "
+    "FROM tf JOIN st USING (doc_id) GROUP BY tf.doc_id), "
+    "kept AS (SELECT d.doc_id, d.lang, d.text, st.n_tokens "
+    "FROM documents d JOIN st USING (doc_id) JOIN ent USING (doc_id) "
+    "WHERE st.n_tokens >= 5 AND ent.entropy >= 1.0), "
+    "dedup AS (SELECT doc_id, lang, n_tokens FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY md5(text) "
+    "ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1), "
+    "capd AS (SELECT doc_id, lang, n_tokens FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY doc_id % 23 "
+    f"ORDER BY doc_id) AS rn2 FROM dedup) WHERE rn2 <= {_DOMAIN_CAP}) "
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) "
+    "AS n_tokens FROM capd GROUP BY lang ORDER BY lang"
+)
+
+
 # ------------------------------------------------- J1-shape term-match join
 
 _MATCH_TERMS = ["data", "spark", "query", "merge", "window"]
@@ -5345,6 +5456,7 @@ QUERIES = {
     "url_canonical": q_url_canonical,
     "domain_cap": q_domain_cap,
     "token_entropy": q_token_entropy,
+    "corpus_curation": q_corpus_curation,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5531,6 +5643,7 @@ ORACLES = {
     "url_canonical": SQL_URL_CANONICAL,
     "domain_cap": SQL_DOMAIN_CAP,
     "token_entropy": SQL_TOKEN_ENTROPY,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
