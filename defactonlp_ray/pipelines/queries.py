@@ -597,6 +597,99 @@ def _pagerank_sql() -> str:
 SQL_LINK_PAGERANK = _pagerank_sql()
 
 
+_HITS_ITERS = 5
+
+
+def q_link_hits(sf_dir: str):
+    """Kleinberg HITS hubs/authorities (stages/linkgraph.hits — the
+    edges-stay-distributed broadcast route: two shuffle-free bincount
+    passes per round, L2-normalized on the driver) over the same
+    derived deterministic link graph as `link_pagerank`.  The oracle
+    unrolls the identical 5 mutual-reinforcement rounds as chained SQL
+    CTEs with matching sqrt-sum normalizations."""
+    from ..stages.linkgraph import hits
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        srcs, dsts = [], []
+        for a, b in _PR_COEFFS:
+            d = (did * a + b) % n
+            keep = d != did
+            srcs.append(did[keep])
+            dsts.append(d[keep])
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        _, idx = np.unique(src * np.int64(n) + dst, return_index=True)
+        return pa.table({
+            "src": pa.array(src[idx], pa.int64()),
+            "dst": pa.array(dst[idx], pa.int64()),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    nodes = docs.rename_columns({"doc_id": "node"})
+    out = hits(edges, nodes, iters=_HITS_ITERS).to_pandas()
+    out["authority"] = np.round(out["authority"], 6)
+    out["hub"] = np.round(out["hub"], 6)
+    out = out.rename(columns={"node": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "authority", "hub"]
+    ]
+
+
+def _hits_sql() -> str:
+    nsel = "(SELECT n FROM nn)"
+    e_parts = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{a}+{b}) % {nsel} AS dst FROM documents"
+        for a, b in _PR_COEFFS
+    )
+    # every CTE is MATERIALIZED: the norm scalar subqueries reference
+    # each level twice, and plain CTE inlining would expand the chain
+    # exponentially (observed as "Too many open files" on the documents
+    # parquet at 5 unrolled rounds)
+    parts = [
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM documents)",
+        "nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents)",
+        f"e0 AS MATERIALIZED ({e_parts})",
+        "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM nodes)",
+    ]
+    for i in range(_HITS_ITERS):
+        parts.append(
+            f"ar{i + 1} AS MATERIALIZED (SELECT n.node, COALESCE(s.c, 0) AS a "
+            "FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst, sum(h.h) AS c FROM h{i} h "
+            "JOIN edges e ON e.src = h.node GROUP BY e.dst) s "
+            "ON s.dst = n.node)"
+        )
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT node, a / NULLIF(sqrt(("
+            f"SELECT sum(a*a) FROM ar{i + 1})), 0) AS a FROM ar{i + 1})"
+        )
+        parts.append(
+            f"hr{i + 1} AS MATERIALIZED (SELECT n.node, COALESCE(s.c, 0) AS h "
+            "FROM nodes n LEFT JOIN ("
+            f"SELECT e.src, sum(a.a) AS c FROM a{i + 1} a "
+            "JOIN edges e ON e.dst = a.node GROUP BY e.src) s "
+            "ON s.src = n.node)"
+        )
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT node, h / NULLIF(sqrt(("
+            f"SELECT sum(h*h) FROM hr{i + 1})), 0) AS h FROM hr{i + 1})"
+        )
+    return (
+        "WITH " + ", ".join(parts) +
+        f" SELECT a.node AS doc_id, round(a.a, 6) AS authority, "
+        f"round(h.h, 6) AS hub FROM a{_HITS_ITERS} a "
+        f"JOIN h{_HITS_ITERS} h ON h.node = a.node ORDER BY doc_id"
+    )
+
+
+SQL_LINK_HITS = _hits_sql()
+
+
 # ----------------------------------------------------------- D1 exact dedup
 
 def q_dedup_docs(sf_dir: str):
@@ -5457,6 +5550,7 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "token_entropy": q_token_entropy,
     "corpus_curation": q_corpus_curation,
+    "link_hits": q_link_hits,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5644,6 +5738,7 @@ ORACLES = {
     "domain_cap": SQL_DOMAIN_CAP,
     "token_entropy": SQL_TOKEN_ENTROPY,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "link_hits": SQL_LINK_HITS,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
