@@ -38,7 +38,10 @@ def canonicalize_urls(urls: pd.Series) -> pd.Series:
     part = urls.str.partition("://")
     scheme = part[0].str.lower().where(part[1] == "://", "")
     rest = part[2].where(part[1] == "://", urls)
-    ext = rest.str.extract(r"^([^/]*)(/.*)?$")
+    # the authority ends at the first of '/', '?' or '#' (RFC 3986 §3.2)
+    # — stopping only at '/' would re-parse "host?q" as host and break
+    # idempotence (caught by the hypothesis property test)
+    ext = rest.str.extract(r"^([^/?#]*)([/?#].*)?$")
     hostport = ext[0].fillna("").str.lower()
     pathq = ext[1].fillna("")
     host = hostport.copy()

@@ -3103,9 +3103,10 @@ WITH crawl AS (
   FROM documents),
 p1 AS (SELECT doc_id, lower(split_part(url, '://', 1)) AS scheme,
               split_part(url, '://', 2) AS rest FROM crawl),
-p2 AS (SELECT doc_id, scheme, lower(split_part(rest, '/', 1)) AS hostport,
-              CASE WHEN strpos(rest, '/') > 0
-                   THEN substr(rest, strpos(rest, '/')) ELSE '' END AS pathq
+p2 AS (SELECT doc_id, scheme,
+              lower(regexp_extract(rest, '^[^/?#]*')) AS hostport,
+              substr(rest, length(regexp_extract(rest, '^[^/?#]*')) + 1)
+                AS pathq
        FROM p1),
 p3 AS (SELECT doc_id, scheme,
               CASE WHEN scheme = 'https'

@@ -34,6 +34,33 @@ def test_canonicalize_rules():
     assert got == list(cases.values())
 
 
+def test_canonicalize_idempotent():
+    """canonicalize(canonicalize(u)) == canonicalize(u) — the invariant
+    that makes the canonical form a stable dedup key."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.text(
+        alphabet="abXY19.:/?&#=_-", min_size=0, max_size=12
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        scheme=st.sampled_from(["http", "HTTPS", "ftp", ""]),
+        host=st.sampled_from(
+            ["Site.Example", "x.y:443", "a.b:80", "H-1.example:8080"]
+        ),
+        rest=frag,
+    )
+    def prop(scheme, host, rest):
+        url = (scheme + "://" if scheme else "") + host + "/" + rest
+        once = canonicalize_urls(pd.Series([url])).iloc[0]
+        twice = canonicalize_urls(pd.Series([once])).iloc[0]
+        assert twice == once, (url, once, twice)
+
+    prop()
+
+
 def test_canonicalize_empty_and_relative():
     assert canonicalize_urls(pd.Series([], dtype=object)).tolist() == []
     # schemeless input passes through the path rules only
