@@ -5057,6 +5057,51 @@ SQL_BM25_DECAY = (
 )
 
 
+_RANGE_MIN, _RANGE_MAX = 30.0, 80.0
+
+
+def q_bm25_range_filter(sf_dir: str):
+    """Elasticsearch FILTER-context range query composed with match
+    scoring: only docs whose token-count doc-value lies in the
+    inclusive [30, 80] band may rank — a hard candidate PRE-filter
+    inside the scorer (stages/search.score_all_fvf modifier='range',
+    applied BEFORE the bounded top-k), never a post-filter of a short
+    page, so a band-heavy corpus can still fill all k slots."""
+    from ..stages.search import search
+
+    idx = _build_docs_index(sf_dir)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="range_filter",
+        decay_origin=_RANGE_MIN, decay_scale=_RANGE_MAX, concurrency=2,
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+SQL_BM25_RANGE_FILTER = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+    + "), "
+    "scored AS (SELECT q.query_id, tf.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+    ") AS score FROM q JOIN tf ON q.term = tf.term "
+    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s "
+    f"WHERE dl.dl BETWEEN {_RANGE_MIN} AND {_RANGE_MAX} "
+    "GROUP BY q.query_id, tf.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+    "WHERE rank <= 10"
+)
+
+
 def q_bm25_explain(sf_dir: str):
     """Lucene ``explain()``: per-(top-k hit, matching term) BM25
     contribution rows — the exact addends the TAAT accumulator sums
@@ -5552,6 +5597,7 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "corpus_curation": q_corpus_curation,
     "link_hits": q_link_hits,
+    "bm25_range_filter": q_bm25_range_filter,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5740,6 +5786,7 @@ ORACLES = {
     "token_entropy": SQL_TOKEN_ENTROPY,
     "corpus_curation": SQL_CORPUS_CURATION,
     "link_hits": SQL_LINK_HITS,
+    "bm25_range_filter": SQL_BM25_RANGE_FILTER,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,

@@ -884,6 +884,15 @@ def score_all_fvf(
         from .deletes import live_mask
 
         cand = cand[live_mask(cand + lo, reader.deleted)]
+    if modifier == "range":
+        # Elasticsearch FILTER context (range over the numeric
+        # doc-value): a hard pre-filter on the candidate set BEFORE the
+        # bounded top-k — scores are untouched, excluded docs can never
+        # ride in on a short result page.  [origin, scale] double as
+        # the inclusive [min, max] bounds.
+        keep = (dls[cand] >= origin) & (dls[cand] <= scale)
+        cand = cand[keep]
+        return _topk_exact(scores[cand], cand + lo, k)
     if modifier == "gauss":
         d = dls[cand] - origin
         factor = np.exp(-(d * d) / (2.0 * scale * scale))
@@ -1582,6 +1591,14 @@ class SearcherActor:
                 modifier="gauss", origin=self.decay_origin,
                 scale=self.decay_scale,
             )
+        if self.mode == "range_filter":
+            # filter context: decay_origin/decay_scale carry the
+            # inclusive [min, max] doc-value bounds
+            return score_all_fvf(
+                self.reader, seg_ids, uniq, idfs, self.k,
+                modifier="range", origin=self.decay_origin,
+                scale=self.decay_scale,
+            )
         if self.mode == "taat":
             return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k,
                                   after=after)
@@ -1946,7 +1963,7 @@ def search(
     import ray as _ray
 
     ctor: dict = {"k": k, "mode": mode}
-    if mode == "decay":
+    if mode in ("decay", "range_filter"):
         ctor["decay_origin"] = decay_origin
         ctor["decay_scale"] = decay_scale
     if syn_map is not None:
