@@ -5102,6 +5102,75 @@ SQL_BM25_RANGE_FILTER = (
 )
 
 
+_BOOSTING_QUERIES: list[tuple[int, list[str], list[str]]] = [
+    (0, ["data", "query", "fast"], ["slow"]),
+    (1, ["merge", "sort"], ["batch", "window"]),
+    (2, ["window", "stream", "batch"], ["table"]),
+    (3, ["hash", "join", "table"], ["scan", "slow"]),
+    (4, ["slow", "scan"], ["fast"]),
+    (5, ["spark", "row", "group"], ["customer"]),
+]
+
+
+def q_bm25_boosting(sf_dir: str):
+    """Elasticsearch ``boosting`` query: positive clause scored with the
+    pinned BM25, docs also matching >= 1 negative term demoted by
+    ``score * 0.5`` BEFORE the bounded top-k (demotion, not exclusion —
+    stages/search.score_all_boosting).  The demotion must precede the
+    cut: a demoted doc can fall off the page while an undemoted
+    lower-scorer rides in, which a post-filter of a short page cannot
+    reproduce."""
+    from ..stages.search import search
+
+    idx = _build_docs_index(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _, _ in _BOOSTING_QUERIES], pa.int64()),
+                "terms": pa.array(
+                    [p for _, p, _ in _BOOSTING_QUERIES], pa.list_(pa.string())
+                ),
+                "neg_terms": pa.array(
+                    [n for _, _, n in _BOOSTING_QUERIES], pa.list_(pa.string())
+                ),
+            }
+        )
+    )
+    res = search(idx, qds, k=20, mode="boosting", concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+SQL_BM25_BOOSTING = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, pos, _ in _BOOSTING_QUERIES for t in pos)
+    + "), nq(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, _, neg in _BOOSTING_QUERIES for t in neg)
+    + "), "
+    "scored AS (SELECT q.query_id, tf.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+    ") AS score FROM q JOIN tf ON q.term = tf.term "
+    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+    "negdoc AS (SELECT DISTINCT nq.query_id, tf.doc_id "
+    "FROM nq JOIN tf ON tf.term = nq.term), "
+    "boosted AS (SELECT sc.query_id, sc.doc_id, "
+    "sc.score * CASE WHEN nd.doc_id IS NOT NULL THEN 0.5 ELSE 1.0 END AS score "
+    "FROM scored sc LEFT JOIN negdoc nd "
+    "ON nd.query_id = sc.query_id AND nd.doc_id = sc.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM boosted) "
+    "WHERE rank <= 10"
+)
+
+
 def q_bm25_explain(sf_dir: str):
     """Lucene ``explain()``: per-(top-k hit, matching term) BM25
     contribution rows — the exact addends the TAAT accumulator sums
@@ -5598,6 +5667,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "link_hits": q_link_hits,
     "bm25_range_filter": q_bm25_range_filter,
+    "bm25_boosting": q_bm25_boosting,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5787,6 +5857,7 @@ ORACLES = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "link_hits": SQL_LINK_HITS,
     "bm25_range_filter": SQL_BM25_RANGE_FILTER,
+    "bm25_boosting": SQL_BM25_BOOSTING,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,

@@ -901,6 +901,67 @@ def score_all_fvf(
     return _topk_exact(scores[cand] * factor, cand + lo, k)
 
 
+NEG_BOOST = 0.5  # pinned ES `boosting` query negative_boost
+
+
+def score_all_boosting(
+    reader,
+    seg_ids: list[int],
+    pos_sorted: list[str],
+    neg_sorted: list[str],
+    idfs: dict[str, float],
+    k: int,
+    neg_boost: float = NEG_BOOST,
+) -> list[tuple[float, int]]:
+    """Elasticsearch ``boosting`` query (the Lucene ``BoostingQuery``
+    shape): the positive clause is scored with the pinned BM25; any
+    candidate that ALSO matches >= 1 negative term keeps its place in
+    the match set but has its score multiplied by ``neg_boost`` BEFORE
+    the bounded top-k — demotion, not exclusion.  A doc matching only
+    negative terms never enters the candidate set (the match set is the
+    positive clause's), and applying the factor after a plain top-k cut
+    would be wrong: a demoted doc must be able to fall OUT of the page
+    while an undemoted lower-scorer rides in.  Same fused dense-
+    accumulator shape as :func:`score_all_taat`; the negative clause
+    costs one sorted-unique docid union + one ``isin`` gather."""
+    per_term: list[tuple[str, np.ndarray, np.ndarray]] = []
+    lo = hi = None
+    for t in pos_sorted:
+        arrs = reader.term_arrays(seg_ids, t)
+        if arrs is None:
+            continue
+        docids, w = arrs
+        per_term.append((t, docids, w))
+        tlo, thi = int(docids[0]), int(docids[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if not per_term:
+        return []
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for t, docids, w in per_term:  # ascending-term order (pinned)
+        idx = docids - lo
+        scores[idx] += idfs[t] * w
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand + lo, reader.deleted)]
+    neg_parts = [
+        arrs[0]
+        for t in neg_sorted
+        if (arrs := reader.term_arrays(seg_ids, t)) is not None
+    ]
+    sc = scores[cand]
+    if neg_parts:
+        neg_docs = np.unique(np.concatenate(neg_parts))
+        demote = np.isin(cand + lo, neg_docs, assume_unique=True)
+        sc = np.where(demote, sc * neg_boost, sc)
+    return _topk_exact(sc, cand + lo, k)
+
+
 def score_all_lmd(
     reader,
     seg_ids: list[int],
@@ -1627,6 +1688,13 @@ class SearcherActor:
                 set(all_terms)
                 | {m for t in all_terms for m in self.syn_map.get(t, [])}
             )
+        if self.mode == "boosting":
+            # the negative clause's postings must be loaded too (its
+            # docid unions drive the demotion mask)
+            all_terms = sorted(
+                set(all_terms)
+                | {t for ts in batch["neg_terms"].to_pylist() for t in ts}
+            )
         dfs = self.reader.dfs(all_terms)
         idfs = {t: self.reader.idf(t) for t in all_terms}
         self._dfs = dfs
@@ -1724,6 +1792,27 @@ class SearcherActor:
                     "query_id": pa.array(out_q, pa.int64()),
                     "rank": pa.array(out_r, pa.int32()),
                     "source": pa.array(out_g, pa.string()),
+                    "doc_id": pa.array(out_d, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+        if self.mode == "boosting":
+            negs_col = batch["neg_terms"].to_pylist()
+            out_q, out_r, out_d, out_s = [], [], [], []
+            for qid, terms, negs in zip(qids, terms_col, negs_col):
+                top = score_all_boosting(
+                    self.reader, self.seg_ids, sorted(set(terms)),
+                    sorted(set(negs)), idfs, self.k,
+                )
+                for rank, (score, doc_id) in enumerate(top, 1):
+                    out_q.append(qid)
+                    out_r.append(rank)
+                    out_d.append(doc_id)
+                    out_s.append(score)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "rank": pa.array(out_r, pa.int32()),
                     "doc_id": pa.array(out_d, pa.int64()),
                     "score": pa.array(out_s, pa.float64()),
                 }
