@@ -5102,6 +5102,41 @@ SQL_BM25_RANGE_FILTER = (
 )
 
 
+_HIST_INTERVAL = 10.0
+
+
+def q_bm25_histogram(sf_dir: str):
+    """Elasticsearch ``histogram`` aggregation over the MATCH SET (not
+    the top-k): every doc matching >= 1 query term bucketed by
+    ``floor(dl / 10) * 10`` of its doc-length doc-value — the ES bucket
+    key rule.  dl rides in every posting (BM25's length norm), so the
+    aggregation needs no doc-store lookup; one unique + bincount per
+    query inside the searcher actors (stages/search mode='histogram')."""
+    from ..stages.search import search
+
+    idx = _build_docs_index(sf_dir)
+    return search(
+        idx, _query_terms_ds(_BM25_QUERIES), mode="histogram",
+        hist_interval=_HIST_INTERVAL, concurrency=2,
+    )
+
+
+SQL_BM25_HISTOGRAM = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+    + "), "
+    "m AS (SELECT DISTINCT q.query_id, tf.doc_id "
+    "FROM q JOIN tf ON tf.term = q.term) "
+    "SELECT m.query_id, "
+    f"CAST(floor(dl.dl / {_HIST_INTERVAL}) * {_HIST_INTERVAL} AS BIGINT) AS bucket, "
+    "count(*) AS n FROM m JOIN dl ON dl.doc_id = m.doc_id "
+    "GROUP BY m.query_id, bucket"
+)
+
+
 _BOOSTING_QUERIES: list[tuple[int, list[str], list[str]]] = [
     (0, ["data", "query", "fast"], ["slow"]),
     (1, ["merge", "sort"], ["batch", "window"]),
@@ -5668,6 +5703,7 @@ QUERIES = {
     "link_hits": q_link_hits,
     "bm25_range_filter": q_bm25_range_filter,
     "bm25_boosting": q_bm25_boosting,
+    "bm25_histogram": q_bm25_histogram,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5858,6 +5894,7 @@ ORACLES = {
     "link_hits": SQL_LINK_HITS,
     "bm25_range_filter": SQL_BM25_RANGE_FILTER,
     "bm25_boosting": SQL_BM25_BOOSTING,
+    "bm25_histogram": SQL_BM25_HISTOGRAM,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,

@@ -1585,7 +1585,8 @@ class SearcherActor:
                  seg_ids: Optional[list[int]] = None, preload: bool = False,
                  index_ref=None, syn_map: Optional[dict] = None,
                  group_ref=None, group_dir: Optional[str] = None,
-                 decay_origin: float = 0.0, decay_scale: float = 1.0):
+                 decay_origin: float = 0.0, decay_scale: float = 1.0,
+                 hist_interval: float = 10.0):
         if index_ref is not None:
             import ray as _ray
 
@@ -1616,6 +1617,7 @@ class SearcherActor:
             self.group_names = self.group_codes.names
         self.decay_origin = decay_origin
         self.decay_scale = decay_scale
+        self.hist_interval = hist_interval
         self.seg_ids = seg_ids if seg_ids is not None else self.reader.seg_ids
 
     def _score_query(self, terms: list[str], idfs: dict[str, float],
@@ -1771,6 +1773,50 @@ class SearcherActor:
                     "query_id": pa.array(out_q, pa.int64()),
                     "n_hits": pa.array(out_n, pa.int64()),
                     "n_sources": pa.array(out_c, pa.int64()),
+                }
+            )
+        if self.mode == "histogram":
+            # ES ``histogram`` aggregation over the MATCH SET (not the
+            # top-k): every doc matching >= 1 query term lands in the
+            # fixed-interval bucket of its doc-length doc-value
+            # (floor(dl / interval) * interval — the Elasticsearch key
+            # rule).  dl rides in every posting, so the aggregation
+            # costs no doc-store lookup; one unique + one bincount per
+            # query, fully vectorized.
+            interval = float(self.hist_interval)
+            out_q, out_b, out_n = [], [], []
+            for qid, terms in zip(qids, terms_col):
+                parts = [
+                    a
+                    for t in sorted(set(terms))
+                    if (a := self.reader.term_tf_dl(self.seg_ids, t))
+                    is not None
+                ]
+                if not parts:
+                    continue
+                docids = np.concatenate([p[0] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                docids, first = np.unique(docids, return_index=True)
+                dls = dls[first]
+                if self.reader.deleted.size:
+                    from .deletes import live_mask
+
+                    m = live_mask(docids, self.reader.deleted)
+                    docids, dls = docids[m], dls[m]
+                if not docids.size:
+                    continue
+                keys = (
+                    np.floor(dls.astype(np.float64) / interval) * interval
+                ).astype(np.int64)
+                uk, counts = np.unique(keys, return_counts=True)
+                out_q.extend([qid] * uk.size)
+                out_b.extend(int(x) for x in uk)
+                out_n.extend(int(c) for c in counts)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "bucket": pa.array(out_b, pa.int64()),
+                    "n": pa.array(out_n, pa.int64()),
                 }
             )
         if self.mode == "collapse":
@@ -2039,6 +2085,7 @@ def search(
     group_dir: Optional[str] = None,
     decay_origin: float = 0.0,
     decay_scale: float = 1.0,
+    hist_interval: float = 10.0,
 ) -> "ray.data.Dataset":
     """Main query pipeline: queries (query_id, terms) -> results
     (query_id, rank, doc_id, score).
@@ -2055,6 +2102,8 @@ def search(
     if mode in ("decay", "range_filter"):
         ctor["decay_origin"] = decay_origin
         ctor["decay_scale"] = decay_scale
+    if mode == "histogram":
+        ctor["hist_interval"] = hist_interval
     if syn_map is not None:
         ctor["syn_map"] = syn_map
     if group_ref is not None:
