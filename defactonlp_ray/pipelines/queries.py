@@ -3910,6 +3910,77 @@ def _window_sql(
 SQL_PROXIMITY_TOPK = _window_sql(_WINDOW_QUERIES)
 
 
+_ORDERED_QUERIES: list[tuple[int, list[str], int]] = [
+    # (query_id, terms IN ORDER, slop): Lucene SpanNear(in_order=true)
+    (0, ["hash", "join"], 1),
+    (1, ["join", "hash"], 1),        # reverse order: different match set
+    (2, ["customer", "line", "agg"], 6),
+    (3, ["data", "query"], 3),
+    (4, ["table", "zzz"], 4),        # absent term -> empty
+    (5, ["scan", "scan"], 2),        # duplicate term: two occurrences
+]
+
+
+def q_span_near_topk(sf_dir: str):
+    """Lucene ``SpanNearQuery(in_order=true)`` retrieval
+    (stages/phrase.match_ordered): docs with the terms at strictly
+    increasing positions in QUERY order, span width <= slop + m - 1,
+    ranked by the plain BM25 sum.  Queries 0/1 are the same term pair in
+    both orders — their match sets differ, which unordered proximity
+    cannot express."""
+    from ..stages.phrase import ordered_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q[0] for q in _ORDERED_QUERIES], pa.int64()),
+                "terms": pa.array(
+                    [q[1] for q in _ORDERED_QUERIES], pa.list_(pa.string())
+                ),
+                "slop": pa.array([q[2] for q in _ORDERED_QUERIES], pa.int64()),
+            }
+        )
+    )
+    res = ordered_search(idx, qds, k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _ordered_sql(
+    queries: list[tuple[int, list[str], int]], k: int = 10
+) -> str:
+    """Independent ordered span-near oracle: m-way self-join of the
+    per-term (doc, position) sets in QUERY order with strictly
+    increasing positions and ``last - first <= slop + m - 1``, then the
+    shared candidate-filtered BM25 scoring."""
+    cand_parts, qvals = [], []
+    for qid, terms, slop in queries:
+        aliases = [f"o{i}" for i in range(len(terms))]
+        froms = [
+            f"(SELECT doc_id, i FROM tokpos WHERE term = '{t}') {a}"
+            for t, a in zip(terms, aliases)
+        ]
+        join = froms[0]
+        for f in froms[1:]:
+            join += f" JOIN {f} USING (doc_id)"
+        increasing = " AND ".join(
+            f"{aliases[i]}.i < {aliases[i + 1]}.i"
+            for i in range(len(aliases) - 1)
+        )
+        width = f"{aliases[-1]}.i - {aliases[0]}.i <= {slop + len(terms) - 1}"
+        cond = f"{increasing} AND {width}" if len(terms) > 1 else "TRUE"
+        cand_parts.append(
+            f"SELECT DISTINCT {qid} AS query_id, {aliases[0]}.doc_id "
+            f"FROM {join} WHERE {cond}"
+        )
+        for t in sorted(set(terms)):
+            qvals.append(f"({qid}, '{t}')")
+    return _filtered_bm25_sql(cand_parts, qvals, k)
+
+
+SQL_SPAN_NEAR_TOPK = _ordered_sql(_ORDERED_QUERIES)
+
+
 # --------------------------------------------- snippets (serving stage)
 
 _SNIPPET_WIDTH = 8
@@ -5704,6 +5775,7 @@ QUERIES = {
     "bm25_range_filter": q_bm25_range_filter,
     "bm25_boosting": q_bm25_boosting,
     "bm25_histogram": q_bm25_histogram,
+    "span_near_topk": q_span_near_topk,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5895,6 +5967,7 @@ ORACLES = {
     "bm25_range_filter": SQL_BM25_RANGE_FILTER,
     "bm25_boosting": SQL_BM25_BOOSTING,
     "bm25_histogram": SQL_BM25_HISTOGRAM,
+    "span_near_topk": SQL_SPAN_NEAR_TOPK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,

@@ -552,6 +552,151 @@ def window_search(
     )
 
 
+# --------------------------------------------------- ordered span-near
+
+def match_ordered(
+    reader: IndexReader, seg_ids: list[int], terms: list[str], slop: int
+) -> np.ndarray:
+    """Lucene ``SpanNearQuery(in_order=true)``: docs containing
+    occurrences of the terms IN QUERY ORDER at strictly increasing
+    positions p1 < p2 < ... < pm with total width
+    ``pm - p1 <= slop + m - 1`` (the Lucene ``matchWidth - minWidth <=
+    slop`` rule).  Returns matching doc_ids ascending.
+
+    Greedy minimal chain, fully vectorized: for every occurrence of the
+    first term (the anchor), the earliest-successor chain — next
+    occurrence of term i+1 strictly after the chain's current position,
+    one ``searchsorted(side='right')`` per term over the cached
+    fixed-radix key arrays — minimizes the final position, so an anchor
+    starts a valid span iff its greedy chain does.  O(m · occ) probes,
+    no per-doc Python loop.  A successor that bleeds into a later doc
+    inflates the width by >= ``_POS_SLACK`` (positions are
+    ``< _POS_M - _POS_SLACK``), which the guard below keeps strictly
+    above any admissible width, so cross-doc chains can never match."""
+    if not terms or slop < 0:
+        return np.empty(0, dtype=np.int64)
+    if slop + len(terms) > _POS_SLACK:
+        raise ValueError(
+            f"slop {slop} with {len(terms)} terms exceeds the positional "
+            f"key radix headroom ({_POS_SLACK}); raise _POS_SLACK/_POS_M"
+        )
+    packs = []
+    for t in terms:  # query order, duplicates allowed
+        p = _pos_pack(reader, seg_ids, t)
+        if p is None:
+            return np.empty(0, dtype=np.int64)
+        packs.append(p)
+    anchors = packs[0][4]
+    cur = anchors
+    for p in packs[1:]:
+        ki = p[4]
+        idx = np.searchsorted(ki, cur, side="right")
+        keep = idx < ki.size
+        anchors = anchors[keep]
+        cur = ki[idx[keep]]
+        if anchors.size == 0:
+            return np.empty(0, dtype=np.int64)
+    ok = cur - anchors <= slop + (len(packs) - 1)
+    return np.unique(anchors[ok] // _POS_M)
+
+
+def score_ordered(
+    reader: IndexReader,
+    seg_ids: list[int],
+    terms: list[str],
+    slop: int,
+    k: int,
+) -> list[tuple[float, int]]:
+    """Ordered span-near top-k: docs passing :func:`match_ordered`,
+    ranked by the plain BM25 sum over the distinct terms — identical
+    per-(doc, term) contributions to the exact scorer, so this is the
+    ordered positional filter composed with the shared ranking."""
+    docs = match_ordered(reader, seg_ids, terms, slop)
+    if reader.deleted.size and docs.size:
+        from .deletes import live_mask
+
+        docs = docs[live_mask(docs, reader.deleted)]
+    if docs.size == 0:
+        return []
+    uniq = sorted(set(terms))
+    reader.dfs(uniq)
+    scores = np.zeros(docs.size, dtype=np.float64)
+    for t in uniq:  # ascending-term accumulation order (pinned)
+        arrs = reader.term_arrays(seg_ids, t)
+        if arrs is None:
+            continue
+        docids, w = arrs
+        p = np.searchsorted(docids, docs)
+        ok = p < docids.size
+        ok[ok] &= docids[p[ok]] == docs[ok]
+        scores[ok] += reader.idf(t) * w[p[ok]]
+    return _topk_exact(scores, docs, k)
+
+
+class OrderedSearcherActor:
+    """Actor-pool stage: batch of (query_id, terms[in order], slop) ->
+    (query_id, rank, doc_id, score)."""
+
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted(
+            {t for ts in batch["terms"].to_pylist() for t in ts} - self.seeded
+        )
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, terms, slop in zip(
+            batch["query_id"].to_pylist(),
+            batch["terms"].to_pylist(),
+            batch["slop"].to_pylist(),
+        ):
+            top = score_ordered(
+                self.reader, self.seg_ids, list(terms), int(slop), self.k
+            )
+            for rank, (score, doc_id) in enumerate(top, 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def ordered_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """Ordered span-near pipeline: (query_id, terms, slop) -> (query_id,
+    rank, doc_id, score) over a ``positions=True`` index.  ``packs_ref``
+    as in :func:`phrase_search`."""
+    return queries.map_batches(
+        OrderedSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
 # -------------------------------------------------------------- boolean
 
 def score_boolean(

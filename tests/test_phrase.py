@@ -568,3 +568,82 @@ def test_boolean_msm_defaults_preserve_classic_semantics(pos_index):
             min_should=0 if must else 1,
         )
         assert legacy == explicit
+
+
+# ------------------------------------------------- ordered span-near
+
+def _py_ordered(doc_tokens, terms, slop):
+    """Brute-force SpanNear(in_order=true): exists strictly increasing
+    positions of the terms in query order with width <= slop + m - 1."""
+    out = []
+    for did, toks in doc_tokens.items():
+        poss = [[i for i, x in enumerate(toks) if x == t] for t in terms]
+        if any(not p for p in poss):
+            continue
+        if len(terms) == 1:
+            out.append(did)
+            continue
+
+        def chain(i, prev):
+            nxt = [p for p in poss[i] if p > prev]
+            if not nxt:
+                return None
+            if i == len(poss) - 1:
+                return nxt[0]
+            # greedy earliest successor is optimal for min final pos
+            return chain(i + 1, nxt[0])
+
+        best = None
+        for p0 in poss[0]:
+            end = chain(1, p0)
+            if end is not None and end - p0 <= slop + len(terms) - 1:
+                best = did
+                break
+        if best is not None:
+            out.append(did)
+    return sorted(out)
+
+
+ORDERED_CASES = [
+    (["hash", "join"], 0),       # adjacency, ordered
+    (["hash", "join"], 3),
+    (["join", "hash"], 3),       # reverse order: different set
+    (["customer", "line", "agg"], 8),
+    (["scan", "scan"], 2),       # duplicate term
+    (["the"], 0),                # single term
+    (["zzz", "table"], 4),       # absent term
+]
+
+
+def test_match_ordered_equals_python(pos_index, doc_tokens):
+    from defactonlp_ray.stages.phrase import match_ordered
+
+    reader = IndexReader(pos_index)
+    for terms, slop in ORDERED_CASES:
+        ref = _py_ordered(doc_tokens, terms, slop)
+        got = match_ordered(reader, reader.seg_ids, terms, slop)
+        assert got.tolist() == ref, (terms, slop)
+
+
+def test_ordered_subset_of_window(pos_index):
+    """Every ordered match is an unordered window match at
+    w = slop + m (same span budget without the order constraint)."""
+    from defactonlp_ray.stages.phrase import match_ordered, match_window
+
+    reader = IndexReader(pos_index)
+    for terms, slop in [(["hash", "join"], 2), (["data", "query"], 4)]:
+        o = match_ordered(reader, reader.seg_ids, terms, slop)
+        w = match_window(reader, reader.seg_ids, terms, slop + len(terms))
+        assert np.isin(o, w).all(), (terms, slop)
+
+
+def test_phrase_is_ordered_slop0(pos_index):
+    """A 2-term exact phrase match is an ordered span-near match at
+    slop=0 (adjacent, in order)."""
+    from defactonlp_ray.stages.phrase import match_ordered
+
+    reader = IndexReader(pos_index)
+    phrase = ["table", "scan"]
+    p_docs, _, _ = match_phrase(reader, reader.seg_ids, phrase)
+    o_docs = match_ordered(reader, reader.seg_ids, phrase, 0)
+    assert np.isin(p_docs, o_docs).all()
