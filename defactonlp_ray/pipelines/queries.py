@@ -5173,6 +5173,42 @@ SQL_BM25_RANGE_FILTER = (
 )
 
 
+def q_bm25plus_topk(sf_dir: str):
+    """BM25+ (Lv & Zhai, CIKM 2011 "Lower-bounding term frequency
+    normalization"): every matched (term, doc) contribution gains
+    ``idf * delta`` (delta=1.0 pinned) so very long documents can't
+    score below the tf->inf asymptote.  Rides the exact TAAT
+    accumulator (stages/search.score_all_taat delta=), same index and
+    query set as ``bm25_topk``."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="bm25plus",
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+SQL_BM25PLUS_TOPK = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+    + "), "
+    "scored AS (SELECT q.query_id, tf.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * ((tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs))) "
+    "+ 1.0)) AS score FROM q JOIN tf ON q.term = tf.term "
+    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+    "WHERE rank <= 10"
+)
+
+
 _HIST_INTERVAL = 10.0
 
 
@@ -5776,6 +5812,7 @@ QUERIES = {
     "bm25_boosting": q_bm25_boosting,
     "bm25_histogram": q_bm25_histogram,
     "span_near_topk": q_span_near_topk,
+    "bm25plus_topk": q_bm25plus_topk,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -5968,6 +6005,7 @@ ORACLES = {
     "bm25_boosting": SQL_BM25_BOOSTING,
     "bm25_histogram": SQL_BM25_HISTOGRAM,
     "span_near_topk": SQL_SPAN_NEAR_TOPK,
+    "bm25plus_topk": SQL_BM25PLUS_TOPK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,

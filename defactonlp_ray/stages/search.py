@@ -694,8 +694,10 @@ def _topk_exact(cscores: np.ndarray, cdocs: np.ndarray, k: int) -> list[tuple[fl
 def score_segment_taat(
     reader: IndexReader, sid: int, terms_sorted: list[str], idfs: dict[str, float], k: int,
     after: Optional[tuple[float, int]] = None,
+    delta: float = 0.0,
 ) -> list[tuple[float, int]]:
-    """Q1: exact TAAT over one segment -> top-k [(score, doc_id)]."""
+    """Q1: exact TAAT over one segment -> top-k [(score, doc_id)];
+    ``delta`` as in :func:`score_all_taat` (BM25+)."""
     rows = []
     for t in terms_sorted:
         row = reader.postings(sid, t)
@@ -711,7 +713,8 @@ def score_segment_taat(
     for t, row in rows:  # ascending-term accumulation order (pinned)
         docids = row["decoded"][0]
         idx = docids - doc_lo
-        scores[idx] += idfs[t] * row["w"]
+        w = row["w"]
+        scores[idx] += idfs[t] * (w + delta) if delta else idfs[t] * w
         touched[idx] = True
     cand = np.flatnonzero(touched)
     if reader.deleted.size:
@@ -733,9 +736,17 @@ def score_all_taat(
     idfs: dict[str, float],
     k: int,
     after: Optional[tuple[float, int]] = None,
+    delta: float = 0.0,
 ) -> list[tuple[float, int]]:
     """Q1+Q4 fused: exact TAAT over MANY segments with ONE dense
     accumulator spanning the global doc range.
+
+    ``delta > 0`` turns the accumulation into BM25+ (Lv & Zhai, CIKM
+    2011): every matched (term, doc) contribution gains ``idf * delta``
+    — the lower bound that stops very long documents from being scored
+    below an infinitely-long one.  ``delta=0`` is plain Okapi BM25; the
+    stored per-posting weight already folds tf and length norm, so the
+    variant costs one scalar add in the gather.
 
     ``after=(score, doc_id)`` is the search-after pagination cursor
     (Elasticsearch/Lucene ``searchAfter`` shape): only candidates
@@ -770,7 +781,8 @@ def score_all_taat(
         # (one process only faces this when serving far more doc range than
         # a node would own in a real deployment)
         parts = [
-            score_segment_taat(reader, sid, terms_sorted, idfs, k, after=after)
+            score_segment_taat(reader, sid, terms_sorted, idfs, k, after=after,
+                               delta=delta)
             for sid in seg_ids
         ]
         return merge_topk(parts, k)
@@ -778,7 +790,7 @@ def score_all_taat(
     touched = np.zeros(width, dtype=bool)
     for t, docids, w in per_term:  # ascending-term order (pinned)
         idx = docids - lo
-        scores[idx] += idfs[t] * w
+        scores[idx] += idfs[t] * (w + delta) if delta else idfs[t] * w
         touched[idx] = True
     cand = np.flatnonzero(touched)
     if reader.deleted.size:
@@ -794,6 +806,7 @@ def score_all_taat(
 
 
 LMD_MU = 2000.0
+BM25PLUS_DELTA = 1.0  # pinned Lv & Zhai lower-bound delta
 
 
 def score_all_sortfield(
@@ -1665,6 +1678,9 @@ class SearcherActor:
         if self.mode == "taat":
             return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k,
                                   after=after)
+        if self.mode == "bm25plus":
+            return score_all_taat(self.reader, seg_ids, uniq, idfs, self.k,
+                                  delta=BM25PLUS_DELTA)
         if self.mode == "auto":
             # per-query planner (pruning-only: WAND ≡ TAAT, tested, so
             # this is purely a cost decision).  WAND pays off when ONE
