@@ -5173,6 +5173,57 @@ SQL_BM25_RANGE_FILTER = (
 )
 
 
+_PRUNE_N = 24
+
+
+def q_bm25_pruned_topk(sf_dir: str):
+    """Static impact-ordered index pruning (Carmel et al., SIGIR 2001;
+    stages/prune.py): per term keep only the top-24 postings by BM25
+    impact w (ties doc_id ASC), global stats (df/idf/avgdl) RETAINED
+    from the full index — then serve the usual exact TAAT over the
+    pruned segments.  Posting lists become O(n_keep) regardless of df:
+    the classic head-term latency lever at web scale.  The oracle
+    mirrors the pinned keep rule with a per-term row_number window, so
+    this checks the pruning transform AND the unchanged scorer."""
+    from ..stages.prune import prune_index
+
+    src = _build_docs_index(sf_dir)
+    dst = _tmp_index_dir(sf_dir, f"idxprn{_PRUNE_N}")
+    prune_index(src, dst, _PRUNE_N, concurrency=2)
+    res = search(dst, _query_terms_ds(_BM25_QUERIES), k=20,
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+SQL_BM25_PRUNED_TOPK = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "wt AS (SELECT tf.term, tf.doc_id, "
+    "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+    "(s.total::DOUBLE / s.n_docs))) AS w "
+    "FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+    "kept AS (SELECT term, doc_id, w FROM ("
+    "SELECT term, doc_id, w, row_number() OVER (PARTITION BY term "
+    f"ORDER BY w DESC, doc_id) AS rn FROM wt) WHERE rn <= {_PRUNE_N}), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+    + "), "
+    "scored AS (SELECT q.query_id, k.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * k.w) AS score "
+    "FROM q JOIN kept k ON k.term = q.term "
+    "JOIN df ON df.term = q.term CROSS JOIN stats s "
+    "GROUP BY q.query_id, k.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+    "WHERE rank <= 10"
+)
+
+
 def q_bm25plus_topk(sf_dir: str):
     """BM25+ (Lv & Zhai, CIKM 2011 "Lower-bounding term frequency
     normalization"): every matched (term, doc) contribution gains
@@ -5813,6 +5864,7 @@ QUERIES = {
     "bm25_histogram": q_bm25_histogram,
     "span_near_topk": q_span_near_topk,
     "bm25plus_topk": q_bm25plus_topk,
+    "bm25_pruned_topk": q_bm25_pruned_topk,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -6006,6 +6058,7 @@ ORACLES = {
     "bm25_histogram": SQL_BM25_HISTOGRAM,
     "span_near_topk": SQL_SPAN_NEAR_TOPK,
     "bm25plus_topk": SQL_BM25PLUS_TOPK,
+    "bm25_pruned_topk": SQL_BM25_PRUNED_TOPK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
