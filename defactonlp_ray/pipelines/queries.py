@@ -1434,6 +1434,119 @@ SQL_UNIGRAM_LOGLOSS = (
 )
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 "Data
+    Selection for Language Models via Importance Resampling") in the
+    unigram feature space: per doc,
+
+        log w(d) = sum_tokens [ ln p_tgt(t) - ln p_src(t) ]
+
+    with add-1-smoothed unigram LMs — target = the ``lang='en'`` slice,
+    source = the whole corpus, shared vocab size V = distinct corpus
+    terms.  Docs resembling the target domain get high weight; sampling
+    proportional to w is the published raw->target resampling step.
+
+    Same two-pass broadcast shape as ``unigram_logloss``: both LMs'
+    term counts come from the per-batch combiner -> ONE ``groupby(term)``
+    (the target slice rides the same pass with a filtered count, so the
+    corpus streams once); the (term, logratio) table ships once via
+    ``ray.put`` and applies per batch with searchsorted + bincount.  At
+    web scale swap the broadcast for a hash join on term (same rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # (term, corpus tf, target tf) partials in ONE pass: the target
+        # mask rides the tokenize, so no second corpus scan
+        mask = pc.equal(batch["lang"], "en")
+        tf_all, _ = term_count_table(batch["text"], batch["doc_id"])
+        tgt = batch.filter(mask)
+        if tgt.num_rows:
+            tf_tgt, _ = term_count_table(tgt["text"], tgt["doc_id"])
+            tgt_agg = (
+                tf_tgt.group_by("term")
+                .aggregate([("tf", "sum")])
+                .rename_columns(["term", "ctgt_p"])
+            )
+        else:
+            tgt_agg = pa.table(
+                {"term": pa.array([], pa.string()),
+                 "ctgt_p": pa.array([], pa.int64())}
+            )
+        all_agg = (
+            tf_all.group_by("term")
+            .aggregate([("tf", "sum")])
+            .rename_columns(["term", "csrc_p"])
+        )
+        joined = all_agg.join(tgt_agg, keys="term", join_type="left outer")
+        csrc = joined["csrc_p"].combine_chunks()
+        ctgt = pc.fill_null(joined["ctgt_p"].combine_chunks(), 0)
+        return pa.table(
+            {
+                "term": joined["term"],
+                "csrc_p": pc.cast(csrc, pa.int64()),
+                "ctgt_p": pc.cast(ctgt, pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("csrc_p", alias_name="csrc"),
+                   Sum("ctgt_p", alias_name="ctgt"))
+        .to_pandas()
+    )
+    V = float(len(counts))
+    t_src = float(counts["csrc"].sum())
+    t_tgt = float(counts["ctgt"].sum())
+    vocab = counts["term"].to_numpy().astype(str)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    csrc = counts["csrc"].to_numpy().astype(np.float64)[order]
+    ctgt = counts["ctgt"].to_numpy().astype(np.float64)[order]
+    lr = np.log((ctgt + 1.0) / (t_tgt + V)) - np.log((csrc + 1.0) / (t_src + V))
+    ref = ray.put((vocab, lr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        v, ratios = ray.get(ref)
+        terms, row_idx, doc_len = flatten_tokens(batch["text"])
+        n = len(batch)
+        n_tok = doc_len.astype(np.int64)
+        toks = terms.to_numpy(zero_copy_only=False).astype(str)
+        vals = ratios[np.searchsorted(v, toks)] if toks.size else np.empty(0)
+        s = np.bincount(row_idx, weights=vals, minlength=n)
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "logw": pa.array(np.round(s, 6), pa.float64()),
+            }
+        )
+        return out.filter(pc.greater(out["n_tokens"], 0))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+SQL_DSIR_WEIGHTS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "ttoks AS (SELECT t.term FROM toks t JOIN documents d "
+    "ON d.doc_id = t.doc_id WHERE d.lang = 'en'), "
+    "vb AS (SELECT count(DISTINCT term) AS v FROM toks), "
+    "ss AS (SELECT count(*) AS total FROM toks), "
+    "ts AS (SELECT count(*) AS total FROM ttoks), "
+    "src AS (SELECT term, count(*) AS c FROM toks GROUP BY term), "
+    "tgt AS (SELECT term, count(*) AS c FROM ttoks GROUP BY term), "
+    "ratio AS (SELECT s.term, "
+    "ln((coalesce(tg.c, 0) + 1)::DOUBLE / (ts.total + vb.v)) - "
+    "ln((s.c + 1)::DOUBLE / (ss.total + vb.v)) AS lr "
+    "FROM src s LEFT JOIN tgt tg USING (term) "
+    "CROSS JOIN ts CROSS JOIN ss CROSS JOIN vb) "
+    "SELECT t.doc_id, count(*) AS n_tokens, round(sum(r.lr), 6) AS logw "
+    "FROM toks t JOIN ratio r USING (term) GROUP BY t.doc_id"
+)
+
+
 def q_doc_keywords(sf_dir: str):
     """Per-doc keyword extraction: top-3 terms by tf·idf (idf =
     ln(n_docs/df), ties by term asc) — the standard document-tagging
@@ -5856,6 +5969,7 @@ QUERIES = {
     "retrieval_mrr": q_retrieval_mrr,
     "url_canonical": q_url_canonical,
     "domain_cap": q_domain_cap,
+    "dsir_weights": q_dsir_weights,
     "token_entropy": q_token_entropy,
     "corpus_curation": q_corpus_curation,
     "link_hits": q_link_hits,
@@ -6050,6 +6164,7 @@ ORACLES = {
     "retrieval_mrr": SQL_RETRIEVAL_MRR,
     "url_canonical": SQL_URL_CANONICAL,
     "domain_cap": SQL_DOMAIN_CAP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "token_entropy": SQL_TOKEN_ENTROPY,
     "corpus_curation": SQL_CORPUS_CURATION,
     "link_hits": SQL_LINK_HITS,
