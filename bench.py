@@ -332,6 +332,32 @@ def run_bench() -> dict:
     timings["taat_selective_500q"] = _run_serial("taat")
     timings["wand_selective_500q"] = _run_serial("wand")
 
+    # static impact pruning (stages/prune.py, r04): per-term top-1000
+    # postings by BM25 weight, full-corpus stats retained.  Reported as
+    # (a) the one-time prune cost and (b) the SAME selective 500-query
+    # mix served from the pruned index — the head-term latency lever
+    # (approximate results by design; rank-exact under the pinned rule).
+    from defactonlp_ray.stages.prune import prune_index as _prune
+
+    pruned_dir = f"/tmp/dfr_bench_idxprn_{BENCH_PAGES}_{num_cpus}"
+    shutil.rmtree(pruned_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    _prune(index_dir, pruned_dir, 1000, concurrency=min(8, num_cpus))
+    timings["prune_index"] = time.perf_counter() - t0
+    preader = S.IndexReader(pruned_dir, preload=True)
+
+    def _run_pruned() -> float:
+        t0 = time.perf_counter()
+        for terms in selq:
+            uniq = sorted(set(terms))
+            preader.dfs(uniq)
+            idfs = {t: preader.idf(t) for t in uniq}
+            S.score_all_taat(preader, preader.seg_ids, uniq, idfs, 10)
+        return time.perf_counter() - t0
+
+    _run_pruned()  # warm
+    timings["pruned_selective_500q"] = _run_pruned()
+
     # positional index + phrase/proximity serving (r03 operators): the
     # build overhead of positions (occurrence sort + pos_blob encode) and
     # the serving cost of the positional operators, reported as separate

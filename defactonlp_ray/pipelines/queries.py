@@ -5286,6 +5286,133 @@ SQL_BM25_RANGE_FILTER = (
 )
 
 
+_RM3_FB_DOCS = 10
+_RM3_FB_TERMS = 3
+_RM3_BOOST = 0.4
+
+
+def q_bm25_rm3_topk(sf_dir: str):
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR 2001
+    relevance models; the Anserini/Indri RM3 default shape): two-pass
+    retrieval —
+
+    1. BM25 top-10 per query (round-6 reranked scores, the pinned
+       cross-engine policy);
+    2. feedback term weight ``fw(q, t) = sum_{d in top10(q)}
+       tf(t, d) / dl(d) * score(q, d)`` over the feedback docs' terms;
+       the top-3 terms by (round(fw, 6) DESC, term ASC) NOT already in
+       the query become expansion terms;
+    3. re-query with the original terms at boost 1.0 plus the expansion
+       terms at boost 0.4 through the boosted scorer
+       (score = sum boost * idf * w).
+
+    The feedback doc set is bounded (queries x 10), so its texts gather
+    via one broadcast semi-join pass over the streaming corpus — the
+    corpus is never materialized; pass 2's arithmetic runs on <= 80
+    rows."""
+    from ..stages.search import boosted_search
+
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20,
+                 concurrency=2).to_pandas()
+    top1 = _rerank_rounded(res, k=_RM3_FB_DOCS)
+
+    wanted = pa.array(sorted(set(top1["doc_id"].tolist())), pa.int64())
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=wanted))
+
+    fb_docs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    tf_tbl, doc_len = term_count_table(
+        pa.array(fb_docs["text"]), pa.array(fb_docs["doc_id"], pa.int64())
+    )
+    dl_map = dict(zip(fb_docs["doc_id"], doc_len))
+    tf_pd = tf_tbl.to_pandas()
+    tf_pd["dl"] = tf_pd["doc_id"].map(dl_map)
+    merged = tf_pd.merge(
+        top1[["query_id", "doc_id", "score"]], on="doc_id"
+    )
+    merged["fw"] = merged["tf"] / merged["dl"] * merged["score"]
+    fw = (
+        merged.groupby(["query_id", "term"], as_index=False)["fw"].sum()
+    )
+    fw["fw"] = np.round(fw["fw"], 6)
+    orig = {qid: set(ts) for qid, ts in _BM25_QUERIES}
+    fw = fw[~fw.apply(lambda r: r["term"] in orig[r["query_id"]], axis=1)]
+    fw = fw.sort_values(["query_id", "fw", "term"],
+                        ascending=[True, False, True])
+    exp = fw.groupby("query_id").head(_RM3_FB_TERMS)
+    exp_map = exp.groupby("query_id")["term"].apply(list).to_dict()
+
+    qids, terms2, boosts2 = [], [], []
+    for qid, ts in _BM25_QUERIES:
+        e = exp_map.get(qid, [])
+        qids.append(qid)
+        terms2.append(list(ts) + e)
+        boosts2.append([1.0] * len(ts) + [_RM3_BOOST] * len(e))
+    q2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "terms": pa.array(terms2, pa.list_(pa.string())),
+                "boosts": pa.array(boosts2, pa.list_(pa.float64())),
+            }
+        )
+    )
+    res2 = boosted_search(idx, q2, k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res2, k=10)
+
+
+SQL_BM25_RM3_TOPK = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+    + "), "
+    "scored1 AS (SELECT q.query_id, tf.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+    ") AS score FROM q JOIN tf ON q.term = tf.term "
+    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+    "top1 AS (SELECT query_id, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) "
+    f"DESC, doc_id) AS rn FROM scored1) WHERE rn <= {_RM3_FB_DOCS}), "
+    "fw AS (SELECT t1.query_id, tf.term, "
+    "round(sum(tf.tf::DOUBLE / dl.dl * t1.score), 6) AS fw "
+    "FROM top1 t1 JOIN tf ON tf.doc_id = t1.doc_id "
+    "JOIN dl ON dl.doc_id = t1.doc_id GROUP BY t1.query_id, tf.term), "
+    "exp AS (SELECT query_id, term FROM ("
+    "SELECT f.query_id, f.term, row_number() OVER ("
+    "PARTITION BY f.query_id ORDER BY f.fw DESC, f.term) AS rn FROM fw f "
+    "WHERE NOT EXISTS (SELECT 1 FROM q WHERE q.query_id = f.query_id "
+    f"AND q.term = f.term)) WHERE rn <= {_RM3_FB_TERMS}), "
+    "q2(query_id, term, boost) AS ("
+    "SELECT query_id, term, 1.0 FROM q "
+    f"UNION ALL SELECT query_id, term, {_RM3_BOOST} FROM exp), "
+    "scored2 AS (SELECT q2.query_id, tf.doc_id, "
+    "sum(q2.boost * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * "
+    "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+    "(s.total::DOUBLE / s.n_docs)))) AS score "
+    "FROM q2 JOIN tf ON q2.term = tf.term "
+    "JOIN df ON df.term = q2.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s GROUP BY q2.query_id, tf.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored2) "
+    "WHERE rank <= 10"
+)
+
+
 _PRUNE_N = 24
 
 
@@ -5979,6 +6106,7 @@ QUERIES = {
     "span_near_topk": q_span_near_topk,
     "bm25plus_topk": q_bm25plus_topk,
     "bm25_pruned_topk": q_bm25_pruned_topk,
+    "bm25_rm3_topk": q_bm25_rm3_topk,
     "bm25_count": q_bm25_count,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_topk_auto": q_bm25_topk_auto,
@@ -6174,6 +6302,7 @@ ORACLES = {
     "span_near_topk": SQL_SPAN_NEAR_TOPK,
     "bm25plus_topk": SQL_BM25PLUS_TOPK,
     "bm25_pruned_topk": SQL_BM25_PRUNED_TOPK,
+    "bm25_rm3_topk": SQL_BM25_RM3_TOPK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
