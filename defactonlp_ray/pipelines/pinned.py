@@ -694,6 +694,92 @@ def serial_ann_sq8(
     return df
 
 
+def _serial_kmeans_fit(
+    sf_dir: str, k: int, *, iters: int = 5, sample_size: int = 2048,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared serial Lloyd: whole-matrix, single process.  The shared
+    kernel (stages/cluster.lloyd_step_serial — fixed-point update) IS
+    the spec, like tokenize is for text ops; what equality proves is
+    that the distributed route's per-block partials + integer reduce
+    recompose to the whole-matrix step at any parallelism.
+
+    Returns (ids, matrix, centroids, final assign)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.cluster import (
+        _new_centroids, init_centroids, lloyd_step_serial,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    sel = np.argsort(ids[:sample_size], kind="stable")
+    cent = init_centroids(m[:sample_size][sel], k, seed=seed)
+    for _ in range(iters):
+        _, qsums, counts, _ = lloyd_step_serial(m, cent)
+        cent = _new_centroids(cent, qsums, counts)
+    assign, _, _, _ = lloyd_step_serial(m, cent)
+    return ids, m, cent, assign
+
+
+def serial_kmeans(
+    sf_dir: str, *, k: int = 8, iters: int = 5, sample_size: int = 2048,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Serial reference for the distributed full-corpus Lloyd
+    (stages/cluster.kmeans_fit): per-cluster size + inertia after the
+    final assignment, fixed-point spec throughout."""
+    from ..stages.cluster import _D2SCALE, lloyd_step_serial
+
+    _, m, cent, _ = _serial_kmeans_fit(
+        sf_dir, k, iters=iters, sample_size=sample_size, seed=seed
+    )
+    _, _, counts, inertia_q = lloyd_step_serial(m, cent)
+    return pd.DataFrame(
+        {
+            "cluster_id": np.arange(cent.shape[0], dtype=np.int32),
+            "size": counts,
+            "inertia": np.round(inertia_q / _D2SCALE, 6),
+        }
+    )
+
+
+def serial_semdedup(
+    sf_dir: str, *, k: int = 8, tau: float = 0.4, iters: int = 5,
+    sample_size: int = 2048, seed: int = 42,
+) -> pd.DataFrame:
+    """Serial reference for SemDeDup: same centroids, same greedy
+    lowest-id-kept rule (stages/cluster.semdedup_greedy IS the keep
+    spec), per-cluster scan in a plain loop.  Equality proves the
+    groupby(cluster).map_groups route partitions and scans identically."""
+    from ..stages.cluster import semdedup_greedy
+
+    ids, m, _, assign = _serial_kmeans_fit(
+        sf_dir, k, iters=iters, sample_size=sample_size, seed=seed
+    )
+    kept = np.zeros(ids.size, dtype=bool)
+    dup_of = np.full(ids.size, -1, dtype=np.int64)
+    for c in np.unique(assign):
+        mask = assign == c
+        kc, dc = semdedup_greedy(ids[mask], m[mask], tau)
+        kept[mask] = kc
+        dup_of[mask] = dc
+    order = np.argsort(ids, kind="stable")
+    df = pd.DataFrame(
+        {
+            "vec_id": ids[order],
+            "cluster_id": assign[order].astype(np.int32),
+            "kept": kept[order],
+            "dup_of": dup_of[order],
+        }
+    )
+    return df.reset_index(drop=True)
+
+
 # ------------------------------------------------------------- SQL plumbing
 
 _SQL_TYPES = {
@@ -885,6 +971,16 @@ def oracle_values_sql() -> dict[str, str]:
         out["ann_ivfpq"] = _cached(
             "ann_ivfpq", emb_fp + "|" + PQ_VERSION,
             lambda: values_sql(serial_ann_ivfpq(ORACLE_SF_DIR)),
+        )
+        from ..stages.cluster import KMEANS_VERSION
+
+        out["kmeans_clusters"] = _cached(
+            "kmeans_clusters", emb_fp + "|" + KMEANS_VERSION,
+            lambda: values_sql(serial_kmeans(ORACLE_SF_DIR)),
+        )
+        out["semdedup"] = _cached(
+            "semdedup", emb_fp + "|" + KMEANS_VERSION,
+            lambda: values_sql(serial_semdedup(ORACLE_SF_DIR)),
         )
 
     fx_fp = _fixture_fp()

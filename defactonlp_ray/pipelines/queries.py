@@ -1972,6 +1972,35 @@ def q_embedding_neardup(sf_dir: str):
     )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed full-corpus Lloyd k-means (stages/cluster.kmeans_fit):
+    centroids broadcast per iteration, one streaming map_batches pass
+    emitting k tiny integer partials per block, driver integer-reduce —
+    NO shuffle, and parallelism-invariant by the fixed-point update spec.
+    Oracle = pinned whole-matrix serial Lloyd of the same spec."""
+    from ..stages import cluster
+
+    _, summary = cluster.kmeans_fit(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8
+    )
+    return summary
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding corpus, then
+    drop within-cluster semantic near-duplicates by the greedy
+    lowest-id-kept rule (cosine > tau vs any kept member).  The one
+    shuffle is the per-cluster groupby; cluster size n/k bounds
+    single-group work.  Oracle = pinned serial reference of the same
+    centroid + keep spec."""
+    from ..stages import cluster
+
+    return cluster.semdedup(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, tau=0.4,
+    )
+
+
 SQL_EMBEDDING_NEARDUP = (
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
     "round(list_cosine_similarity(a.embedding::DOUBLE[], "
@@ -6091,6 +6120,8 @@ SQL_BM25_EXPUNGE_TOPK = _bm25_sql(
 # (neardup_clusters), and the dedup-family entries whose block-format
 # path changed this round — cumulative driver coverage r03+r04 = 91/91.
 QUERIES = {
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup": q_semdedup,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
