@@ -1295,6 +1295,127 @@ SQL_TOKEN_ENTROPY = (
 )
 
 
+_CCNET_WINDOW = 3
+
+
+def q_ccnet_dedup(sf_dir: str):
+    """CCNet-style corpus-wide sub-document exact dedup (Wenzek et al.
+    2020: drop every repeated paragraph, keep the first occurrence).
+    The corpus has no newlines, so the span unit is the 3-token window
+    (same re-render shim family as sentence_topn); the distributed op —
+    stages/dedup.span_dedup_stats — is the real thing: combiner-
+    pre-reduced text-keyed Min groupby + packed-int64 Sum tallies,
+    parallelism-invariant.  Output: per-doc span/dup counts."""
+    from ..stages.dedup import span_dedup_stats
+
+    w = _CCNET_WINDOW
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids, sids, texts = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = [x for x in t.split(" ") if x]
+            for s in range(0, (len(toks) + w - 1) // w):
+                ids.append(did)
+                sids.append(s)
+                texts.append(" ".join(toks[s * w : s * w + w]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sent_id": pa.array(sids, pa.int32()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    spans = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    out = span_dedup_stats(spans).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CCNET_DEDUP = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "spans AS (SELECT doc_id, unnest(list_transform("
+    f"range(0, (len(ts) + {_CCNET_WINDOW - 1}) // {_CCNET_WINDOW}), "
+    "s -> struct_pack(sent_id := CAST(s AS INTEGER), "
+    f"text := array_to_string(ts[s * {_CCNET_WINDOW} + 1 : "
+    f"s * {_CCNET_WINDOW} + {_CCNET_WINDOW}], ' '))), "
+    "recursive := true) FROM d), "
+    "mk AS (SELECT text, min(doc_id * 1048576 + sent_id) AS mkey "
+    "FROM spans GROUP BY text), "
+    "j AS (SELECT s.doc_id, CASE WHEN s.doc_id * 1048576 + s.sent_id = "
+    "mk.mkey THEN 1 ELSE 0 END AS kept FROM spans s "
+    "JOIN mk ON s.text = mk.text) "
+    "SELECT doc_id, count(*) AS n_spans, "
+    "CAST(count(*) - sum(kept) AS BIGINT) AS n_dup "
+    "FROM j GROUP BY doc_id"
+)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (C4/CCNet-style cleaning): count + strip emails and
+    phone numbers.  The corpus carries no natural PII, so deterministic
+    synthetic PII is injected as a pure function of doc_id (doc_id%3==0
+    gets an email, doc_id%4==0 a phone — both rules restated in the SQL
+    oracle), then the REAL vectorized RE2 kernel (functions/pii.py)
+    counts and replaces.  Both engines run the identical pattern
+    strings under RE2, so this is a truly cross-checked regex op."""
+    from ..functions.pii import redact_batch
+
+    def derive_and_redact(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        txt = batch["text"].astype(str)
+        email = np.where(
+            ids % 3 == 0,
+            " reach user" + pd.Series(ids).astype(str) + "@example.com",
+            "",
+        )
+        phone = np.where(
+            ids % 4 == 0,
+            " call 555-" + pd.Series(1000 + ids % 9000).astype(str),
+            "",
+        )
+        pii_text = pa.array(txt + email + phone, pa.string())
+        r = redact_batch(pii_text)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_emails": r["n_emails"].to_numpy(),
+                "n_phones": r["n_phones"].to_numpy(),
+                "clean_len": pc.utf8_length(r["clean"]).to_numpy().astype(np.int64),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(derive_and_redact, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PII_REDACT = (
+    "WITH p AS (SELECT doc_id, text || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id || "
+    "'@example.com' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || "
+    "(1000 + doc_id % 9000) ELSE '' END AS t FROM documents) "
+    "SELECT doc_id, "
+    "CAST(len(regexp_extract_all(t, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+    "AS n_emails, "
+    "CAST(len(regexp_extract_all(t, '\\b555-[0-9]{4}\\b')) AS BIGINT) "
+    "AS n_phones, "
+    "CAST(length(regexp_replace(regexp_replace(t, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\b555-[0-9]{4}\\b', '<PHONE>', 'g')) AS BIGINT) AS clean_len "
+    "FROM p"
+)
+
+
 def q_quality(sf_dir: str):
     def qual(batch: pa.Table) -> pa.Table:
         stats = quality_batch(batch["text"])
@@ -6122,6 +6243,8 @@ SQL_BM25_EXPUNGE_TOPK = _bm25_sql(
 QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
+    "ccnet_dedup": q_ccnet_dedup,
+    "pii_redact": q_pii_redact,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
@@ -6252,6 +6375,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ccnet_dedup": SQL_CCNET_DEDUP,
+    "pii_redact": SQL_PII_REDACT,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
     "term_stats": SQL_TERM_STATS,

@@ -102,6 +102,104 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     )
 
 
+# ----------------------------------------- CCNet-style sub-document dedup
+
+# sent_id packs into the low bits of one int64 key: doc_id * 2^20 + sent_id.
+# Documented partitioning assumption: < 2^20 spans per document (a 1M-
+# sentence single document would need a wider pack, not a new algorithm).
+_SPAN_SHIFT = 20
+
+
+def span_dedup_stats(
+    sents: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    ord_col: str = "sent_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """CCNet-shaped sub-document exact dedup (Wenzek et al. 2020 dedup
+    paragraphs corpus-wide; here over whatever span rows the caller
+    exploded — sentences, paragraphs, token windows).  First occurrence
+    by (doc_id, ord) keeps; every later identical span is a duplicate.
+    Returns per-document stats (id, n_spans, n_dup).
+
+    Scale shape: the ONE text-keyed all-to-all runs over a (text, key)
+    projection pre-reduced per batch (local min-key per span text), so
+    shuffle volume is bounded by distinct-spans-per-batch; the per-doc
+    tallies ride Sum-aggregates over packed int64 partials — exact and
+    order-free at any parallelism."""
+    from ray.data.aggregate import Min, Sum
+
+    def pack(batch: pa.Table) -> pa.Table:
+        key = pc.add(
+            pc.shift_left(batch[id_col], _SPAN_SHIFT),
+            pc.cast(batch[ord_col], pa.int64()),
+        )
+        return pa.table({text_col: batch[text_col], "span_key": key})
+
+    packed = sents.map_batches(pack, batch_format="pyarrow")
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values("span_key").drop_duplicates(text_col, keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    kept_keys = (
+        packed.map_batches(local_min, batch_format="pyarrow")
+        .groupby(text_col)
+        .aggregate(Min("span_key", alias_name="span_key"))
+    )
+
+    # Union of two partial-count streams (every span counts into n_spans;
+    # kept spans also count into n_kept) -> ONE Sum groupby.  This avoids a
+    # doc_id join whose right side may be empty/heterogeneous under high
+    # parallelism, and every doc always has n_spans rows so zero-kept docs
+    # still appear.
+    def doc_partials(kept: bool):
+        def count(batch: pa.Table, _k=kept) -> pa.Table:
+            doc = pc.shift_right(batch["span_key"], _SPAN_SHIFT)
+            t = pa.table({id_col: doc}).group_by(id_col).aggregate(
+                [([], "count_all")]
+            )
+            n = pc.cast(t["count_all"], pa.int64())
+            zero = pa.array([0] * len(t), pa.int64())
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_spans": zero if _k else n,
+                    "n_kept": n if _k else zero,
+                }
+            )
+
+        return count
+
+    span_partials = packed.select_columns(["span_key"]).map_batches(
+        doc_partials(kept=False), batch_format="pyarrow"
+    )
+    kept_partials = kept_keys.select_columns(["span_key"]).map_batches(
+        doc_partials(kept=True), batch_format="pyarrow"
+    )
+    totals = (
+        span_partials.union(kept_partials)
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_spans", alias_name="n_spans"),
+            Sum("n_kept", alias_name="n_kept"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_spans": batch["n_spans"],
+                "n_dup": pc.subtract(batch["n_spans"], batch["n_kept"]),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------- F5 url dedup (as-of pick)
 
 # above this many input rows the winner keyset no longer belongs in one

@@ -1,0 +1,93 @@
+"""Round-4 curation ops: CCNet-style span dedup + PII redaction."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from defactonlp_ray.functions import pii
+from defactonlp_ray.stages.dedup import span_dedup_stats
+
+
+def _spans_table():
+    # doc 0: a b a   (span 'a' repeats in-doc)
+    # doc 1: b c     ('b' duplicates doc 0's)
+    # doc 2: d       (unique)
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 0, 0, 1, 1, 2], pa.int64()),
+            "sent_id": pa.array([0, 1, 2, 0, 1, 0], pa.int32()),
+            "text": pa.array(["a", "b", "a", "b", "c", "d"]),
+        }
+    )
+
+
+def test_span_dedup_stats_keep_first_semantics():
+    out = (
+        span_dedup_stats(ray.data.from_arrow(_spans_table()))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], dtype=np.int64),
+            "n_spans": np.array([3, 2, 1], dtype=np.int64),
+            "n_dup": np.array([1, 1, 0], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_span_dedup_stats_invariant_to_partitioning():
+    t = _spans_table()
+    outs = [
+        span_dedup_stats(ray.data.from_arrow(t).repartition(p))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        for p in (1, 2, 6)
+    ]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(o, outs[0])
+
+
+def test_span_dedup_all_docs_reported_even_if_zero_kept():
+    # doc 5's only span is a duplicate of doc 4's -> n_kept 0, still a row
+    t = pa.table(
+        {
+            "doc_id": pa.array([4, 5], pa.int64()),
+            "sent_id": pa.array([0, 0], pa.int32()),
+            "text": pa.array(["same", "same"]),
+        }
+    )
+    out = (
+        span_dedup_stats(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [4, 5]
+    assert out["n_dup"].tolist() == [0, 1]
+
+
+def test_pii_redact_batch_counts_and_tokens():
+    texts = pa.array(
+        [
+            "mail me at a.b+c@test-site.org now",
+            "call 555-1234 or 555-12345 or 444-1234",
+            "clean text",
+            "two mails x@y.io z@w.co and 555-0000",
+        ]
+    )
+    r = pii.redact_batch(texts)
+    assert r["n_emails"].to_pylist() == [1, 0, 0, 2]
+    # '555-12345' fails the \b{4}\b rule only on the right side: RE2
+    # still matches its first 4 digits? No — trailing digit kills \b.
+    assert r["n_phones"].to_pylist() == [0, 1, 0, 1]
+    clean = r["clean"].to_pylist()
+    assert clean[0] == "mail me at <EMAIL> now"
+    assert "<PHONE>" in clean[1] and "444-1234" in clean[1]
+    assert clean[2] == "clean text"
+    assert clean[3] == "two mails <EMAIL> <EMAIL> and <PHONE>"
