@@ -1416,6 +1416,87 @@ SQL_PII_REDACT = (
 )
 
 
+_PACK_CTX = 256
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (GPT-style concat-then-chunk): concatenate every
+    document's tokens in global doc_id order and slice the stream into
+    fixed 256-token context windows; each doc reports its stream offset
+    and the window span it occupies.  The distributed op —
+    stages/pack.pack_sequences — is a two-pass exclusive prefix sum
+    (per-block sums -> O(blocks) driver scan -> vectorized in-block
+    stamp), the same machinery as dense doc-id assignment; the sort is
+    elided here because the corpus parquet is already doc_id-ordered.
+    Oracle: one SQL window-function cumulative sum."""
+    from ..stages.pack import pack_sequences
+
+    def counts(batch: pa.Table) -> pa.Table:
+        _, _, doc_len = flatten_tokens(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(doc_len.astype(np.int64)),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    out = pack_sequences(ds, _PACK_CTX).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PACK_SEQUENCES = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tc AS (SELECT doc_id, count(*) AS n_tokens FROM toks "
+    "GROUP BY doc_id), "
+    "off AS (SELECT doc_id, n_tokens, "
+    "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "AS tok_start FROM tc) "
+    "SELECT doc_id, n_tokens, tok_start, "
+    f"tok_start // {_PACK_CTX} AS win_first, "
+    f"(tok_start + n_tokens - 1) // {_PACK_CTX} AS win_last, "
+    f"(tok_start + n_tokens - 1) // {_PACK_CTX} "
+    f"- tok_start // {_PACK_CTX} + 1 AS n_windows FROM off"
+)
+
+
+def q_shuffle_order(sf_dir: str):
+    """Deterministic seeded global shuffle for training order: rank
+    every document under md5(doc_id) — the distributed analogue of
+    random_shuffle that is reproducible across runs and engines.  Rides
+    assign_doc_ids' range-partitioned sort + O(blocks) prefix-sum rank
+    stamp.  The per-row hashlib.md5 is pinned for oracle parity (same
+    policy as export.md5_prefix); non-oracle paths use vectorized
+    splitmix64."""
+    from ..stages.docids import assign_doc_ids
+    from ..stages.export import md5_prefix
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "shuf_key": pa.array(
+                    md5_prefix(batch["doc_id"].to_pylist(), n=32)
+                ),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(key, batch_format="pyarrow")
+    ranked = assign_doc_ids(ds, key="shuf_key", col="shuffle_rank")
+    out = ranked.select_columns(["doc_id", "shuffle_rank"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SHUFFLE_ORDER = (
+    "SELECT doc_id, CAST(row_number() OVER "
+    "(ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT) "
+    "AS shuffle_rank FROM documents ORDER BY doc_id"
+)
+
+
 def q_quality(sf_dir: str):
     def qual(batch: pa.Table) -> pa.Table:
         stats = quality_batch(batch["text"])
@@ -6245,6 +6326,8 @@ QUERIES = {
     "semdedup": q_semdedup,
     "ccnet_dedup": q_ccnet_dedup,
     "pii_redact": q_pii_redact,
+    "pack_sequences": q_pack_sequences,
+    "shuffle_order": q_shuffle_order,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
@@ -6377,6 +6460,8 @@ QUERIES = {
 ORACLES = {
     "ccnet_dedup": SQL_CCNET_DEDUP,
     "pii_redact": SQL_PII_REDACT,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "shuffle_order": SQL_SHUFFLE_ORDER,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
     "term_stats": SQL_TERM_STATS,

@@ -91,3 +91,64 @@ def test_pii_redact_batch_counts_and_tokens():
     assert "<PHONE>" in clean[1] and "444-1234" in clean[1]
     assert clean[2] == "clean text"
     assert clean[3] == "two mails <EMAIL> <EMAIL> and <PHONE>"
+
+
+# ------------------------------------------------------- sequence packing
+
+from defactonlp_ray.stages.pack import pack_sequences
+
+
+def _counts_table():
+    # ctx=10: doc 0 (7 toks) [0,7) -> win 0; doc 1 (8) [7,15) -> wins 0-1;
+    # doc 2 (0) empty at 15 -> 0 windows; doc 3 (25) [15,40) -> wins 1-3
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "n_tokens": pa.array([7, 8, 0, 25], pa.int64()),
+        }
+    )
+
+
+def test_pack_sequences_window_spans():
+    out = (
+        pack_sequences(ray.data.from_arrow(_counts_table()), 10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["tok_start"].tolist() == [0, 7, 15, 15]
+    assert out["win_first"].tolist() == [0, 0, 1, 1]
+    assert out["win_last"].tolist() == [0, 1, 1, 3]
+    assert out["n_windows"].tolist() == [1, 2, 0, 3]
+
+
+def test_pack_sequences_partitioning_and_order_invariant():
+    t = _counts_table()
+    base = (
+        pack_sequences(ray.data.from_arrow(t), 10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # shuffled input rows force the sort path; repartitioned input
+    # exercises multi-block prefix sums
+    shuffled = t.take(pa.array([2, 0, 3, 1]))
+    for ds in (
+        ray.data.from_arrow(shuffled),
+        ray.data.from_arrow(t).repartition(3),
+        ray.data.from_arrow(shuffled).repartition(4),
+    ):
+        out = (
+            pack_sequences(ds, 10)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, base)
+
+
+def test_pack_sequences_rejects_bad_ctx():
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_sequences(ray.data.from_arrow(_counts_table()), 0)
