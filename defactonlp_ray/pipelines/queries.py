@@ -1497,6 +1497,110 @@ SQL_SHUFFLE_ORDER = (
 )
 
 
+def q_pack_windows(sf_dir: str):
+    """The composed training-shard prep pipeline, pinned end-to-end as
+    ONE oracle: quality gate (n_tokens >= 5, shuffle-free) -> exact
+    dedup (md5 keep-min, combiner -> Min groupby) -> sequence packing
+    (distributed exclusive prefix sum over survivors in doc_id order)
+    -> per-context-window occupancy map (each doc contributes its token
+    overlap to every window it spans; docs span few windows so the
+    explode is O(rows), and blocks are doc-ordered so each batch's
+    local window group_by pre-reduces the final tiny groupby).
+    Output: (window_id, n_docs, n_tokens) — the shard manifest a
+    trainer would consume."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.pack import pack_sequences
+
+    C = _PACK_CTX
+
+    def gate(batch: pa.Table) -> pa.Table:
+        _, _, doc_len = flatten_tokens(batch["text"])
+        t = batch.append_column(
+            "n_tokens", pa.array(doc_len.astype(np.int64))
+        )
+        return t.filter(pc.greater_equal(t["n_tokens"], pa.scalar(5)))
+
+    gated = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+    kept = exact_dedup(gated).select_columns(["doc_id", "n_tokens"])
+    packed = pack_sequences(kept, C)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "window_id": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        start = batch["tok_start"].combine_chunks().to_numpy()
+        n = batch["n_tokens"].combine_chunks().to_numpy()
+        wf = batch["win_first"].combine_chunks().to_numpy()
+        reps = (
+            batch["win_last"].combine_chunks().to_numpy() - wf + 1
+        ).astype(np.int64)
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(reps)), reps)
+        # per-doc window ranges, vectorized: base + within-doc offset
+        win = wf[doc_idx] + (
+            np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        tok_in = np.minimum((win + 1) * C, start[doc_idx] + n[doc_idx]) \
+            - np.maximum(win * C, start[doc_idx])
+        df = pd.DataFrame({"window_id": win, "n_tokens": tok_in})
+        agg = df.groupby("window_id", as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")
+        )
+        return pa.table(
+            {
+                "window_id": pa.array(agg["window_id"].to_numpy(np.int64)),
+                "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+                "n_tokens": pa.array(agg["n_tokens"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        packed.map_batches(explode, batch_format="pyarrow")
+        .groupby("window_id")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("window_id").reset_index(drop=True)
+
+
+SQL_PACK_WINDOWS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tc AS (SELECT doc_id, count(*) AS n_tokens FROM toks "
+    "GROUP BY doc_id HAVING count(*) >= 5), "
+    "kept AS (SELECT tc.doc_id, tc.n_tokens FROM tc WHERE tc.doc_id IN "
+    "(SELECT min(d.doc_id) FROM documents d JOIN tc t2 "
+    "ON d.doc_id = t2.doc_id GROUP BY md5(d.text))), "
+    "off AS (SELECT doc_id, n_tokens, "
+    "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "AS tok_start FROM kept), "
+    "ex AS (SELECT n_tokens, tok_start, "
+    f"unnest(generate_series(tok_start // {_PACK_CTX}, "
+    f"(tok_start + n_tokens - 1) // {_PACK_CTX})) AS window_id "
+    "FROM off) "
+    "SELECT window_id, CAST(count(*) AS BIGINT) AS n_docs, "
+    f"CAST(sum(least((window_id + 1) * {_PACK_CTX}, "
+    "tok_start + n_tokens) - "
+    f"greatest(window_id * {_PACK_CTX}, tok_start)) AS BIGINT) "
+    "AS n_tokens FROM ex GROUP BY window_id"
+)
+
+
 def q_quality(sf_dir: str):
     def qual(batch: pa.Table) -> pa.Table:
         stats = quality_batch(batch["text"])
@@ -6328,6 +6432,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "pack_sequences": q_pack_sequences,
     "shuffle_order": q_shuffle_order,
+    "pack_windows": q_pack_windows,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
@@ -6462,6 +6567,7 @@ ORACLES = {
     "pii_redact": SQL_PII_REDACT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "shuffle_order": SQL_SHUFFLE_ORDER,
+    "pack_windows": SQL_PACK_WINDOWS,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
     "term_stats": SQL_TERM_STATS,

@@ -152,3 +152,16 @@ def test_pack_sequences_rejects_bad_ctx():
 
     with pytest.raises(ValueError):
         pack_sequences(ray.data.from_arrow(_counts_table()), 0)
+
+
+def test_pack_windows_stream_invariant():
+    """Every context window except the last is exactly full: the
+    concatenated token stream covers [0, total) and windows slice it."""
+    from defactonlp_ray.pipelines.queries import _PACK_CTX, q_pack_windows
+
+    out = q_pack_windows("/root/testdata/sf0.001")
+    assert (np.diff(out["window_id"].to_numpy()) == 1).all()
+    toks = out["n_tokens"].to_numpy()
+    assert (toks[:-1] == _PACK_CTX).all()
+    assert 0 < toks[-1] <= _PACK_CTX
+    assert (out["n_docs"].to_numpy() >= 1).all()
