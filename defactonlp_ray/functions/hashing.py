@@ -208,3 +208,55 @@ def rolling_fingerprint(text: str, window: int = 8, base: int = 257,
         if i >= window - 1:
             best = h if best is None else min(best, h)
     return best
+
+
+def winnow_column(
+    texts, k: int = 8, w: int = 4, base: int = 257, mod: int = (1 << 61) - 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Robust winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS document fingerprinting scheme) over
+    the stride-1 ``k``-byte rolling hashes: in every window of ``w``
+    consecutive k-gram hashes select the RIGHTMOST minimum; consecutive
+    windows reselecting the same position emit one fingerprint.  Rows
+    shorter than the guarantee threshold ``k + w - 1`` bytes (fewer
+    than ``w`` k-grams) emit none.
+
+    Returns ``(n_fp, fp_xor)`` int64 arrays per row: the fingerprint
+    count and the XOR of the selected hashes (a compact set signature;
+    hash values < 2^61 so the XOR fits int64).  Fully vectorized: one
+    sliding_window_view over the flat hash buffer, one reversed argmin
+    for the rightmost-min rule, bincount / bitwise_xor.reduceat per-row
+    reductions — no per-row Python.
+    """
+    h, bounds = window_hashes_column(texts, window=k, base=base, mod=mod)
+    n = bounds.size - 1
+    n_fp = np.zeros(n, dtype=np.int64)
+    fp_xor = np.zeros(n, dtype=np.int64)
+    nh = np.diff(bounds)
+    n_win = np.maximum(nh - w + 1, 0)
+    if h.size == 0 or int(n_win.sum()) == 0:
+        return n_fp, fp_xor
+    ok = n_win > 0
+    starts = bounds[:-1][ok]
+    ends = (bounds[1:] - w + 1)[ok]
+    gi = _flat_ranges(starts, ends)  # flat start index of every window
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)[gi]
+    # rightmost argmin via reversed-column argmin (leftmost of reverse)
+    pos = gi + (w - 1 - wins[:, ::-1].argmin(axis=1))
+    per_row = ends - starts
+    row_off = np.zeros(per_row.size, dtype=np.int64)
+    np.cumsum(per_row[:-1], out=row_off[1:])
+    emit = np.ones(pos.size, dtype=bool)
+    emit[1:] = pos[1:] != pos[:-1]
+    emit[row_off] = True  # a row's first window always emits
+    sel_rows = np.repeat(np.arange(per_row.size), per_row)[emit]
+    sel_h = h[pos[emit]]
+    cnt = np.bincount(sel_rows, minlength=per_row.size)
+    off = np.zeros(per_row.size, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=off[1:])
+    rows_ok = np.flatnonzero(ok)
+    n_fp[rows_ok] = cnt
+    # every surviving row emits >= 1 fingerprint, so reduceat segments
+    # are all non-empty
+    fp_xor[rows_ok] = np.bitwise_xor.reduceat(sel_h, off).astype(np.int64)
+    return n_fp, fp_xor

@@ -108,6 +108,34 @@ def serial_simhash_pairs(
     return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(np.int64)
 
 
+def serial_winnow(
+    text: str, k: int = 8, w: int = 4, base: int = 257,
+    mod: int = (1 << 61) - 1,
+) -> tuple[int, int]:
+    """Scalar robust winnowing (Schleimer 2003) — the pinned reference
+    for functions/hashing.winnow_column, deliberately an independent
+    per-window loop (recomputes each k-gram hash from scratch; list
+    scans for the rightmost minimum).  Returns (n_fp, fp_xor)."""
+    data = text.encode("utf-8")
+    hs = []
+    for i in range(len(data) - k + 1):
+        h = 0
+        for b in data[i : i + k]:
+            h = (h * base + b) % mod
+        hs.append(h)
+    last = -1
+    n_fp = 0
+    fp_xor = 0
+    for i in range(len(hs) - w + 1):
+        win = hs[i : i + w]
+        j = i + (w - 1 - win[::-1].index(min(win)))
+        if j != last:
+            n_fp += 1
+            fp_xor ^= hs[j]
+            last = j
+    return n_fp, fp_xor
+
+
 def serial_rolling_fingerprint(
     text: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1
 ) -> int:
@@ -939,6 +967,25 @@ def oracle_values_sql() -> dict[str, str]:
             return values_sql(df)
 
         out["rolling_fingerprints"] = _cached("rolling_fingerprints", sf_fp, _rfp)
+
+        def _winnow() -> str:
+            docs = _sf_docs()
+            ids = sorted(docs)
+            vals = [serial_winnow(docs[d]) for d in ids]
+            df = pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "n_fp": np.asarray([v[0] for v in vals], dtype=np.int64),
+                    "fp_xor": np.asarray(
+                        [v[1] for v in vals], dtype=np.int64
+                    ),
+                }
+            )
+            return values_sql(df)
+
+        out["winnow_fingerprints"] = _cached(
+            "winnow_fingerprints", sf_fp, _winnow
+        )
 
     from ..stages.ann import ANN_VERSION
 

@@ -2093,6 +2093,32 @@ def q_rolling_fingerprints(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(rfp, batch_format="pyarrow")
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD 2003,
+    the MOSS scheme): rightmost-min selection over windows of w=4
+    consecutive 8-byte rolling k-gram hashes, consecutive reselections
+    collapsed.  Engine: the fully vectorized sliding-window kernel
+    (functions/hashing.winnow_column — one reversed argmin + reduceat
+    per batch, no per-row Python); oracle: the independent scalar
+    per-window loop (pipelines/pinned.serial_winnow) inlined as
+    VALUES."""
+    from ..functions.hashing import winnow_column
+
+    def fp(batch: pa.Table) -> pa.Table:
+        n_fp, fp_xor = winnow_column(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fp": pa.array(n_fp),
+                "fp_xor": pa.array(fp_xor),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
 def q_langid_predictions(sf_dir: str):
     """Heuristic language-ID counts.  The heuristic is a pinned, pure
     marker-count rule (functions/textstats.lang_id), so it IS
@@ -6433,6 +6459,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "shuffle_order": q_shuffle_order,
     "pack_windows": q_pack_windows,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
