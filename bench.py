@@ -419,8 +419,13 @@ def run_bench() -> dict:
     ).count()
     timings["proximity_batch_500q"] = time.perf_counter() - t0
 
-    # a few registry ops at the driver's sf dir
-    for name in ("term_stats", "dedup_docs", "tpch_q1", "events_hourly"):
+    # a few registry ops at the driver's sf dir (incl. the round-4
+    # curation family: composed shard-prep prefix-sum pipeline and the
+    # vectorized winnowing kernel)
+    for name in (
+        "term_stats", "dedup_docs", "tpch_q1", "events_hourly",
+        "pack_windows", "winnow_fingerprints",
+    ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](sf_dir)
         if hasattr(out, "count"):
