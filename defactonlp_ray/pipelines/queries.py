@@ -1295,6 +1295,113 @@ SQL_TOKEN_ENTROPY = (
 )
 
 
+def q_quality_prune(sf_dir: str):
+    """Median-threshold quality pruning — the two-pass distributed
+    selection shape (aggregate -> broadcast threshold -> filter): keep
+    the docs whose token entropy is at or above the corpus median.
+
+    Pass 1 computes per-doc entropy shuffle-free (token_entropy's
+    kernel), quantizes to centinat buckets (floor(entropy*100), an
+    identical IEEE float64 op in numpy and DuckDB — round() would
+    diverge on half-way cases), and folds a BOUNDED histogram (the
+    entropy range caps the bucket count at a few thousand regardless of
+    corpus size) through one tiny Sum groupby; the driver walks the
+    histogram for the lower-median bucket and broadcasts ONE scalar.
+    Pass 2 filters and counts survivors per lang.  No O(rows) driver
+    state at any scale."""
+    from ray.data.aggregate import Sum
+
+    def ent_q(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "qe": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        df = tf.to_pandas()
+        if not len(df):
+            return empty
+        dl = df.groupby("doc_id")["tf"].transform("sum")
+        p = df["tf"].to_numpy(np.float64) / dl.to_numpy(np.float64)
+        df["plogp"] = p * np.log(p)
+        agg = df.groupby("doc_id")["plogp"].sum()
+        ent = np.round(-agg.to_numpy(), 6)
+        qe = np.floor(ent * 100.0).astype(np.int64)
+        lang_map = dict(
+            zip(batch["doc_id"].to_pylist(), batch["lang"].to_pylist())
+        )
+        ids = agg.index.to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "lang": pa.array([lang_map[i] for i in ids], pa.string()),
+                "qe": pa.array(qe),
+            }
+        )
+
+    scored = (
+        _docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(ent_q, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(["qe"])
+            .group_by("qe")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"qe": t["qe"], "c": pc.cast(t["count_all"], pa.int64())}
+        )
+
+    h = (
+        scored.map_batches(hist, batch_format="pyarrow")
+        .groupby("qe")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("qe")
+    )
+    n = int(h["c"].sum())
+    cum = h["c"].cumsum().to_numpy()
+    thr = int(h["qe"].to_numpy()[np.searchsorted(cum, (n + 1) // 2)])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["qe"], pa.scalar(thr)))
+
+    out = (
+        scored.map_batches(keep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_QUALITY_PRUNE = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+    "GROUP BY doc_id, term), "
+    "dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id), "
+    "ent AS (SELECT tf.doc_id, round(-sum((tf.tf::DOUBLE / dl.dl) * "
+    "ln(tf.tf::DOUBLE / dl.dl)), 6) AS entropy "
+    "FROM tf JOIN dl USING (doc_id) GROUP BY tf.doc_id), "
+    "q AS (SELECT doc_id, CAST(floor(entropy * 100.0) AS BIGINT) AS qe "
+    "FROM ent), "
+    "m AS (SELECT min(qe) AS thr FROM (SELECT qe, "
+    "sum(count(*)) OVER (ORDER BY qe) AS cum, "
+    "(SELECT (count(*) + 1) // 2 FROM q) AS half "
+    "FROM q GROUP BY qe) WHERE cum >= half) "
+    "SELECT d.lang, CAST(count(*) AS BIGINT) AS n "
+    "FROM documents d JOIN q ON d.doc_id = q.doc_id, m "
+    "WHERE q.qe >= m.thr GROUP BY d.lang"
+)
+
+
 _CCNET_WINDOW = 3
 
 
@@ -1628,6 +1735,83 @@ SQL_QUALITY = (
     "SELECT doc_id, n_tokens, n_stopwords, "
     "n_stopwords::DOUBLE / n_tokens AS stop_ratio, "
     "sum_len::DOUBLE / n_tokens AS mean_token_len FROM agg"
+)
+
+
+def q_c4_filters(sf_dir: str):
+    """C4 cleaning rules (Raffel et al. JMLR 2020 §2.2), doc-level
+    adaptation for the newline-free corpus: word floor (>= 5 tokens),
+    terminal punctuation, no curly brace, no 'lorem ipsum', no
+    'javascript'.  One pass of vectorized Arrow predicates per batch,
+    partial counts pre-reduced to ONE row per batch before a Sum
+    fold — the zero-shuffle audit shape.  Output: one row of per-rule
+    drop counts + the kept count (rules counted independently, kept =
+    passes all)."""
+    from ray.data.aggregate import Sum
+
+    def flags(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        low = pc.utf8_lower(txt)
+        _, _, doc_len = flatten_tokens(txt)
+        minw = doc_len < 5
+        endp = np.zeros(len(txt), dtype=bool)
+        for suf in (".", "!", "?", '"'):
+            endp |= pc.ends_with(txt, suf).to_numpy(zero_copy_only=False)
+        endp = ~endp
+        brace = pc.match_substring(txt, "{").to_numpy(zero_copy_only=False)
+        lorem = pc.match_substring(low, "lorem ipsum").to_numpy(
+            zero_copy_only=False
+        )
+        js = pc.match_substring(low, "javascript").to_numpy(
+            zero_copy_only=False
+        )
+        kept = ~(minw | endp | brace | lorem | js)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(txt)], pa.int64()),
+                "drop_minwords": pa.array([int(minw.sum())], pa.int64()),
+                "drop_endpunct": pa.array([int(endp.sum())], pa.int64()),
+                "drop_brace": pa.array([int(brace.sum())], pa.int64()),
+                "drop_lorem": pa.array([int(lorem.sum())], pa.int64()),
+                "drop_js": pa.array([int(js.sum())], pa.int64()),
+                "n_kept": pa.array([int(kept.sum())], pa.int64()),
+            }
+        )
+
+    cols = [
+        "n_docs", "drop_minwords", "drop_endpunct", "drop_brace",
+        "drop_lorem", "drop_js", "n_kept",
+    ]
+    out = (
+        _docs(sf_dir, ["text"])
+        .map_batches(flags, batch_format="pyarrow")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+    return pd.DataFrame([{c: out[f"{c}"] for c in cols}])
+
+
+SQL_C4_FILTERS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tc AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), "
+    "f AS (SELECT d.doc_id, "
+    "COALESCE(tc.n, 0) < 5 AS minw, "
+    "NOT regexp_matches(d.text, '[.!?\"]$') AS endp, "
+    "contains(d.text, '{') AS brace, "
+    "contains(lower(d.text), 'lorem ipsum') AS lorem, "
+    "contains(lower(d.text), 'javascript') AS js "
+    "FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN minw THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS drop_minwords, "
+    "CAST(sum(CASE WHEN endp THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS drop_endpunct, "
+    "CAST(sum(CASE WHEN brace THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS drop_brace, "
+    "CAST(sum(CASE WHEN lorem THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS drop_lorem, "
+    "CAST(sum(CASE WHEN js THEN 1 ELSE 0 END) AS BIGINT) AS drop_js, "
+    "CAST(sum(CASE WHEN NOT (minw OR endp OR brace OR lorem OR js) "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM f"
 )
 
 
@@ -6460,6 +6644,8 @@ QUERIES = {
     "shuffle_order": q_shuffle_order,
     "pack_windows": q_pack_windows,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "c4_filters": q_c4_filters,
+    "quality_prune": q_quality_prune,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
@@ -6595,6 +6781,8 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "shuffle_order": SQL_SHUFFLE_ORDER,
     "pack_windows": SQL_PACK_WINDOWS,
+    "c4_filters": SQL_C4_FILTERS,
+    "quality_prune": SQL_QUALITY_PRUNE,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
     "term_stats": SQL_TERM_STATS,

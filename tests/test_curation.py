@@ -201,3 +201,30 @@ def test_winnow_shift_tolerance():
     from defactonlp_ray.pipelines.pinned import serial_winnow
 
     assert serial_winnow(a)[0] == na[0] and serial_winnow(b)[0] == na[1]
+
+
+def test_c4_filters_counts_consistent():
+    from defactonlp_ray.pipelines.queries import q_c4_filters
+
+    out = q_c4_filters("/root/testdata/sf0.001")
+    row = out.iloc[0]
+    assert row["n_docs"] > 0
+    for c in ("drop_minwords", "drop_endpunct", "drop_brace",
+              "drop_lorem", "drop_js"):
+        assert 0 <= row[c] <= row["n_docs"]
+    # kept passes ALL rules, so it can't exceed n_docs minus any one rule
+    assert row["n_kept"] <= row["n_docs"] - row["drop_endpunct"]
+
+
+def test_quality_prune_keeps_at_least_half():
+    import pyarrow.parquet as pq
+
+    from defactonlp_ray.pipelines.queries import q_quality_prune
+
+    out = q_quality_prune("/root/testdata/sf0.001")
+    total = pq.read_metadata(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).num_rows
+    survivors = int(out["n"].sum())
+    # lower-median threshold keeps the upper half (inclusive)
+    assert total // 2 <= survivors <= total
