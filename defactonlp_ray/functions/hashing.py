@@ -223,10 +223,10 @@ def winnow_column(
 
     Returns ``(n_fp, fp_xor)`` int64 arrays per row: the fingerprint
     count and the XOR of the selected hashes (a compact set signature;
-    hash values < 2^61 so the XOR fits int64).  Fully vectorized: one
-    sliding_window_view over the flat hash buffer, one reversed argmin
-    for the rightmost-min rule, bincount / bitwise_xor.reduceat per-row
-    reductions — no per-row Python.
+    hash values < 2^61 so the XOR fits int64).  Fully vectorized: ``w``
+    columnwise min/tie passes over the flat hash buffer (O(W) extra
+    memory — never a W x w window matrix), bincount /
+    bitwise_xor.reduceat per-row reductions — no per-row Python.
     """
     h, bounds = window_hashes_column(texts, window=k, base=base, mod=mod)
     n = bounds.size - 1
@@ -240,9 +240,16 @@ def winnow_column(
     starts = bounds[:-1][ok]
     ends = (bounds[1:] - w + 1)[ok]
     gi = _flat_ranges(starts, ends)  # flat start index of every window
-    wins = np.lib.stride_tricks.sliding_window_view(h, w)[gi]
-    # rightmost argmin via reversed-column argmin (leftmost of reverse)
-    pos = gi + (w - 1 - wins[:, ::-1].argmin(axis=1))
+    # rightmost minimum in w columnwise passes (<= on later columns so
+    # the later index wins ties) — O(W) extra memory, never the O(W*w)
+    # fancy-indexed window matrix
+    best = h[gi]
+    pos = gi.copy()
+    for j in range(1, w):
+        v = h[gi + j]
+        take = v <= best
+        best = np.where(take, v, best)
+        pos = np.where(take, gi + j, pos)
     per_row = ends - starts
     row_off = np.zeros(per_row.size, dtype=np.int64)
     np.cumsum(per_row[:-1], out=row_off[1:])

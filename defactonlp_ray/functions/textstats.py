@@ -176,3 +176,36 @@ def repetition_batch(texts: pa.Array | pa.ChunkedArray) -> pa.Table:
             "flagged": pa.array(flagged, pa.int64()),
         }
     )
+
+
+def doc_entropy_batch(
+    texts: pa.Array | pa.ChunkedArray, doc_ids: pa.Array | pa.ChunkedArray
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Per-doc token count + Shannon token entropy (nats, rounded 6 dp).
+
+    The SINGLE source of the entropy kernel shared by ``token_entropy``,
+    ``quality_prune`` and the ``corpus_curation`` gate — their SQL
+    mirrors pin this exact op order (tf -> float64 ratio -> p*ln p ->
+    per-doc sum -> round 6), so bit-parity requires every caller to run
+    the same code.  Returns ``(ids, n_tokens, entropy)`` numpy arrays
+    covering the docs that produced at least one token (empty docs have
+    no tf rows, matching the SQL GROUP BY universe).
+    """
+    from .tokenizer import term_count_table
+
+    tf, _ = term_count_table(texts, doc_ids)
+    df = tf.to_pandas()
+    if not len(df):
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.float64)
+    dl = df.groupby("doc_id")["tf"].transform("sum")
+    p = df["tf"].to_numpy(np.float64) / dl.to_numpy(np.float64)
+    df["plogp"] = p * np.log(p)
+    agg = df.groupby("doc_id").agg(
+        n_tokens=("tf", "sum"), plogp=("plogp", "sum")
+    )
+    return (
+        agg.index.to_numpy(np.int64),
+        agg["n_tokens"].to_numpy(np.int64),
+        np.round(-agg["plogp"].to_numpy(), 6),
+    )

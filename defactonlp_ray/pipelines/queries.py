@@ -824,17 +824,14 @@ def q_corpus_curation(sf_dir: str):
         })
         if batch.num_rows == 0:
             return empty
-        tf, _ = term_count_table(batch["text"], batch["doc_id"])
-        df = tf.to_pandas()
-        if not len(df):
-            return empty
-        dl = df.groupby("doc_id")["tf"].transform("sum")
-        p = df["tf"].to_numpy(np.float64) / dl.to_numpy(np.float64)
-        df["plogp"] = p * np.log(p)
-        agg = df.groupby("doc_id").agg(
-            n_tokens=("tf", "sum"), plogp=("plogp", "sum")
+        from ..functions.textstats import doc_entropy_batch
+
+        ids, n_toks, ent = doc_entropy_batch(
+            batch["text"], batch["doc_id"]
         )
-        ent = np.round(-agg["plogp"].to_numpy(), 6)
+        if not len(ids):
+            return empty
+        agg = pd.DataFrame({"n_tokens": n_toks}, index=ids)
         keep = set(agg.index[(agg["n_tokens"] >= 5) & (ent >= 1.0)])
         bdf = batch.select(["doc_id", "lang", "text"]).to_pandas()
         bdf = bdf[bdf["doc_id"].isin(keep)]
@@ -1262,21 +1259,18 @@ def q_token_entropy(sf_dir: str):
     span batches, so there is NO shuffle at all.  Rounded to 6 dp on
     both sides per the module float policy."""
 
+    from ..functions.textstats import doc_entropy_batch
+
     def ent(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({
                 "doc_id": pa.array([], pa.int64()),
                 "entropy": pa.array([], pa.float64()),
             })
-        tf, _ = term_count_table(batch["text"], batch["doc_id"])
-        df = tf.to_pandas()
-        dl = df.groupby("doc_id")["tf"].transform("sum")
-        p = df["tf"].to_numpy(np.float64) / dl.to_numpy(np.float64)
-        df["plogp"] = p * np.log(p)
-        out = df.groupby("doc_id", as_index=False)["plogp"].sum()
+        ids, _, entropy = doc_entropy_batch(batch["text"], batch["doc_id"])
         return pa.table({
-            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
-            "entropy": pa.array(np.round(-out["plogp"].to_numpy(), 6)),
+            "doc_id": pa.array(ids),
+            "entropy": pa.array(entropy),
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -1311,6 +1305,8 @@ def q_quality_prune(sf_dir: str):
     state at any scale."""
     from ray.data.aggregate import Sum
 
+    from ..functions.textstats import doc_entropy_batch
+
     def ent_q(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -1321,20 +1317,13 @@ def q_quality_prune(sf_dir: str):
         )
         if batch.num_rows == 0:
             return empty
-        tf, _ = term_count_table(batch["text"], batch["doc_id"])
-        df = tf.to_pandas()
-        if not len(df):
+        ids, _, ent = doc_entropy_batch(batch["text"], batch["doc_id"])
+        if not len(ids):
             return empty
-        dl = df.groupby("doc_id")["tf"].transform("sum")
-        p = df["tf"].to_numpy(np.float64) / dl.to_numpy(np.float64)
-        df["plogp"] = p * np.log(p)
-        agg = df.groupby("doc_id")["plogp"].sum()
-        ent = np.round(-agg.to_numpy(), 6)
         qe = np.floor(ent * 100.0).astype(np.int64)
         lang_map = dict(
             zip(batch["doc_id"].to_pylist(), batch["lang"].to_pylist())
         )
-        ids = agg.index.to_numpy(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids),
@@ -1403,6 +1392,9 @@ SQL_QUALITY_PRUNE = (
 
 
 _CCNET_WINDOW = 3
+# the span-key pack multiplier, single-sourced from the engine so a
+# widened pack (bumped _SPAN_SHIFT) can never desynchronize the SQL
+_CCNET_PACK = 1 << dedup._SPAN_SHIFT
 
 
 def q_ccnet_dedup(sf_dir: str):
@@ -1451,9 +1443,10 @@ SQL_CCNET_DEDUP = (
     f"text := array_to_string(ts[s * {_CCNET_WINDOW} + 1 : "
     f"s * {_CCNET_WINDOW} + {_CCNET_WINDOW}], ' '))), "
     "recursive := true) FROM d), "
-    "mk AS (SELECT text, min(doc_id * 1048576 + sent_id) AS mkey "
+    f"mk AS (SELECT text, min(doc_id * {_CCNET_PACK} + sent_id) AS mkey "
     "FROM spans GROUP BY text), "
-    "j AS (SELECT s.doc_id, CASE WHEN s.doc_id * 1048576 + s.sent_id = "
+    "j AS (SELECT s.doc_id, CASE WHEN "
+    f"s.doc_id * {_CCNET_PACK} + s.sent_id = "
     "mk.mkey THEN 1 ELSE 0 END AS kept FROM spans s "
     "JOIN mk ON s.text = mk.text) "
     "SELECT doc_id, count(*) AS n_spans, "
@@ -1555,18 +1548,26 @@ def q_pack_sequences(sf_dir: str):
 
 
 SQL_PACK_SEQUENCES = (
+    # LEFT JOIN keeps zero-token docs (engine emits every doc; a doc
+    # whose text tokenizes to nothing gets an empty range at its stream
+    # position and 0 windows — hence the greatest(n,1) / CASE mirrors of
+    # the engine's max(cnt,1) and n>0 rules)
     f"WITH toks AS ({_TOKS_SQL}), "
-    "tc AS (SELECT doc_id, count(*) AS n_tokens FROM toks "
-    "GROUP BY doc_id), "
+    "tc AS (SELECT d.doc_id, "
+    "CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens FROM documents d "
+    "LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks "
+    "GROUP BY doc_id) t ON d.doc_id = t.doc_id), "
     "off AS (SELECT doc_id, n_tokens, "
     "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
     "AS tok_start FROM tc) "
     "SELECT doc_id, n_tokens, tok_start, "
     f"tok_start // {_PACK_CTX} AS win_first, "
-    f"(tok_start + n_tokens - 1) // {_PACK_CTX} AS win_last, "
+    f"(tok_start + greatest(n_tokens, 1) - 1) // {_PACK_CTX} "
+    "AS win_last, "
+    "CASE WHEN n_tokens > 0 THEN "
     f"(tok_start + n_tokens - 1) // {_PACK_CTX} "
-    f"- tok_start // {_PACK_CTX} + 1 AS n_windows FROM off"
+    f"- tok_start // {_PACK_CTX} + 1 ELSE 0 END AS n_windows FROM off"
 )
 
 

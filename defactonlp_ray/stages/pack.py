@@ -41,14 +41,19 @@ def _block_count_sum(block, count_col: str) -> int:
     return int(s or 0)
 
 
+_STAMP_COLS = ("tok_start", "win_first", "win_last", "n_windows")
+
+
 @ray.remote
 def _stamp_pack(block, offset: int, count_col: str, ctx_len: int) -> pa.Table:
     tbl = _as_arrow(block)
+    if tbl.num_rows == 0:
+        for name in _STAMP_COLS:
+            tbl = tbl.append_column(name, pa.array([], pa.int64()))
+        return tbl
     cnt = (
         tbl[count_col].combine_chunks().to_numpy(zero_copy_only=False)
         .astype(np.int64)
-        if tbl.num_rows
-        else np.zeros(0, np.int64)
     )
     start = offset + np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(
         np.int64
@@ -60,11 +65,8 @@ def _stamp_pack(block, offset: int, count_col: str, ctx_len: int) -> pa.Table:
     n_windows = np.where(cnt > 0, win_last - win_first + 1, 0).astype(
         np.int64
     )
-    for name, arr in (
-        ("tok_start", start),
-        ("win_first", win_first),
-        ("win_last", win_last),
-        ("n_windows", n_windows),
+    for name, arr in zip(
+        _STAMP_COLS, (start, win_first, win_last, n_windows)
     ):
         tbl = tbl.append_column(name, pa.array(arr))
     return tbl
@@ -92,6 +94,17 @@ def pack_sequences(
         raise ValueError("ctx_len must be positive")
     ds = ds.materialize()
     refs, probes = _probed_order(_block_refs(ds), id_col, None)
+    if not refs:
+        # all-empty input (e.g. an upstream gate dropped every row):
+        # preserve the contract schema
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                count_col: pa.array([], pa.int64()),
+                **{c: pa.array([], pa.int64()) for c in _STAMP_COLS},
+            }
+        )
+        return ray.data.from_arrow(empty)
     ordered = all(p["sorted"] for p in probes) and all(
         probes[i]["last"] <= probes[i + 1]["first"]
         for i in range(len(probes) - 1)

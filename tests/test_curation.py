@@ -154,12 +154,12 @@ def test_pack_sequences_rejects_bad_ctx():
         pack_sequences(ray.data.from_arrow(_counts_table()), 0)
 
 
-def test_pack_windows_stream_invariant():
+def test_pack_windows_stream_invariant(sf_dir):
     """Every context window except the last is exactly full: the
     concatenated token stream covers [0, total) and windows slice it."""
     from defactonlp_ray.pipelines.queries import _PACK_CTX, q_pack_windows
 
-    out = q_pack_windows("/root/testdata/sf0.001")
+    out = q_pack_windows(sf_dir)
     assert (np.diff(out["window_id"].to_numpy()) == 1).all()
     toks = out["n_tokens"].to_numpy()
     assert (toks[:-1] == _PACK_CTX).all()
@@ -185,28 +185,50 @@ def test_winnow_vectorized_equals_serial(strs):
     assert fp_xor.tolist() == [e[1] for e in exp]
 
 
+def _winnow_hash_set(text, k=8, w=4, base=257, mod=(1 << 61) - 1):
+    """Test-local serial winnowing that keeps the selected HASHES (the
+    pinned serial_winnow only returns (count, xor)) so the guarantee
+    can be asserted on actual fingerprint overlap."""
+    data = text.encode("utf-8")
+    hs = []
+    for i in range(len(data) - k + 1):
+        h = 0
+        for b in data[i : i + k]:
+            h = (h * base + b) % mod
+        hs.append(h)
+    sel, last = set(), -1
+    for i in range(len(hs) - w + 1):
+        win = hs[i : i + w]
+        j = i + (w - 1 - win[::-1].index(min(win)))
+        if j != last:
+            sel.add(hs[j])
+            last = j
+    return sel
+
+
 def test_winnow_shift_tolerance():
-    """The winnowing guarantee: a long shared substring yields shared
-    fingerprints even when its position shifts between documents."""
+    """The winnowing guarantee (Schleimer 2003 thm. 1): any shared
+    substring longer than the guarantee threshold t = k + w - 1 yields
+    at least one SHARED fingerprint, regardless of where it sits."""
     from defactonlp_ray.functions.hashing import winnow_column
+    from defactonlp_ray.pipelines.pinned import serial_winnow
 
     core = "the quick brown fox jumps over the lazy dog again and again"
     a = "PREFIX-AAA " + core
     b = "completely different lead-in text here: " + core
-    na, xa = winnow_column(pa.array([a, b]))
-    # XOR signatures differ (different prefixes) but both docs fingerprint
+    na, _xa = winnow_column(pa.array([a, b]))
     assert na[0] > 0 and na[1] > 0
-    # direct guarantee check: selected hash multisets share the core's
-    # fingerprints — verified via the serial form's per-position output
-    from defactonlp_ray.pipelines.pinned import serial_winnow
-
+    # the actual guarantee: the two docs share core fingerprints
+    shared = _winnow_hash_set(a) & _winnow_hash_set(b)
+    assert shared, "no shared fingerprint from a 60-byte common core"
+    # and the vectorized counts agree with the pinned serial form
     assert serial_winnow(a)[0] == na[0] and serial_winnow(b)[0] == na[1]
 
 
-def test_c4_filters_counts_consistent():
+def test_c4_filters_counts_consistent(sf_dir):
     from defactonlp_ray.pipelines.queries import q_c4_filters
 
-    out = q_c4_filters("/root/testdata/sf0.001")
+    out = q_c4_filters(sf_dir)
     row = out.iloc[0]
     assert row["n_docs"] > 0
     for c in ("drop_minwords", "drop_endpunct", "drop_brace",
@@ -216,14 +238,16 @@ def test_c4_filters_counts_consistent():
     assert row["n_kept"] <= row["n_docs"] - row["drop_endpunct"]
 
 
-def test_quality_prune_keeps_at_least_half():
+def test_quality_prune_keeps_at_least_half(sf_dir):
+    import os
+
     import pyarrow.parquet as pq
 
     from defactonlp_ray.pipelines.queries import q_quality_prune
 
-    out = q_quality_prune("/root/testdata/sf0.001")
+    out = q_quality_prune(sf_dir)
     total = pq.read_metadata(
-        "/root/testdata/sf0.001/documents.parquet"
+        os.path.join(sf_dir, "documents.parquet")
     ).num_rows
     survivors = int(out["n"].sum())
     # lower-median threshold keeps the upper half (inclusive)
