@@ -4154,6 +4154,60 @@ def q_bm25_append_compact(sf_dir: str):
     return _rerank_rounded(res, k=10)
 
 
+def q_bm25_snapshot_topk(sf_dir: str):
+    """Point-in-time snapshot read (time-travel over the append-only
+    manifest log): index the first half of ``documents``, capture the
+    manifest version, APPEND the second half, then query AT the
+    captured version — results must equal a query against the
+    pre-append index, proving readers are isolated from concurrent
+    ingest.  The snapshot reader re-derives collection stats from the
+    pinned manifest records and df/cf from the pinned segments' own
+    postings stats (the global stats files already reflect the append).
+    Oracle: BM25 SQL restricted to doc_id < count(*)//2 — the same
+    dense-id split rule the build used."""
+    import shutil
+
+    from ..sources import manifest as mf
+    from ..stages.index_build import append_index
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    half = n // 2
+    seg = max(64, n // 8)
+    idx = _tmp_index_dir(sf_dir, "idxsnap")
+    vpath = os.path.join(idx, "_SNAPSHOT_VERSION")
+    if not os.path.exists(vpath):
+        shutil.rmtree(idx, ignore_errors=True)
+        A = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], half)),
+            batch_format="pyarrow",
+        )
+        Bd = docs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["doc_id"], half)),
+            batch_format="pyarrow",
+        )
+        build_index(A, idx, seg_docs=seg, resume=True)
+        v = mf.manifest_version(idx)
+        append_index(Bd, idx, seg_docs=seg)
+        tmp = vpath + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, vpath)
+    with open(vpath) as f:
+        v = int(f.read())
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2, at=v
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+SQL_BM25_SNAPSHOT_TOPK = _bm25_sql(
+    _BM25_QUERIES,
+    toks_sql=_TOKS_SQL
+    + " WHERE doc_id < (SELECT count(*) // 2 FROM documents)",
+)
+
+
 def q_docs_sample_hash(sf_dir: str):
     """K4 at scale: SEEDED sampling as a deterministic hash filter
     (md5(doc_id) prefix) — reproducible and parallelism/partitioning-
@@ -6647,6 +6701,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "c4_filters": q_c4_filters,
     "quality_prune": q_quality_prune,
+    "bm25_snapshot_topk": q_bm25_snapshot_topk,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
@@ -6784,6 +6839,7 @@ ORACLES = {
     "pack_windows": SQL_PACK_WINDOWS,
     "c4_filters": SQL_C4_FILTERS,
     "quality_prune": SQL_QUALITY_PRUNE,
+    "bm25_snapshot_topk": SQL_BM25_SNAPSHOT_TOPK,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
     "term_stats": SQL_TERM_STATS,

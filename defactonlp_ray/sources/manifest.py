@@ -77,33 +77,79 @@ def append_manifest_many(index_dir: str, records: list[dict]) -> None:
         os.close(fd)
 
 
-def read_manifest_raw(index_dir: str) -> dict[int, dict]:
+def manifest_version(index_dir: str) -> int:
+    """Number of committed manifest records — the snapshot token.
+
+    The manifest is an append-only last-line-wins log, so its record
+    count is a monotonically increasing version: replaying the first
+    ``v`` records (``read_manifest(..., at=v)``) reconstructs EXACTLY
+    the segment membership live when ``manifest_version`` returned
+    ``v`` — point-in-time reads while appends land, at the cost of one
+    int.  Snapshots stay valid until a pinned segment's dir is
+    physically removed — :func:`gc_retired`, which compaction runs as
+    part of its commit, so a snapshot survives appends indefinitely but
+    a compaction retiring its segments invalidates it."""
+    path = os.path.join(index_dir, MANIFEST_NAME)
+    if not os.path.exists(path):
+        return 0
+    with open(path, encoding="utf-8") as f:
+        return sum(1 for line in f if line.strip())
+
+
+def read_manifest_raw(
+    index_dir: str, at: int | None = None
+) -> dict[int, dict]:
     """Segment id -> last manifest record, unfiltered (tombstones and
-    records whose dirs are gone included) — replay is last-line-wins."""
+    records whose dirs are gone included) — replay is last-line-wins.
+    ``at`` replays only the first ``at`` records (snapshot read)."""
     path = os.path.join(index_dir, MANIFEST_NAME)
     out: dict[int, dict] = {}
     if not os.path.exists(path):
         return out
+    seen = 0
     with open(path, encoding="utf-8") as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
+            if at is not None and seen >= at:
+                break
+            seen += 1
             rec = json.loads(line)
             out[int(rec["sid"])] = rec
     return out
 
 
-def read_manifest(index_dir: str) -> dict[int, dict]:
+def read_manifest(index_dir: str, at: int | None = None) -> dict[int, dict]:
     """Segment id -> last manifest record; only records whose segment dir
     actually exists count as done (rename is the commit point), and a
     last record with ``retired: true`` (compaction tombstone) excludes
-    the segment even while its dir awaits garbage collection."""
-    return {
-        sid: rec
-        for sid, rec in read_manifest_raw(index_dir).items()
-        if not rec.get("retired") and os.path.isdir(segment_dir(index_dir, sid))
-    }
+    the segment even while its dir awaits garbage collection.
+
+    With ``at`` (a :func:`manifest_version` token) the replay stops
+    after the first ``at`` records — the point-in-time view.  A
+    snapshot segment whose dir has been garbage-collected is an ERROR
+    (the snapshot was invalidated by :func:`gc_retired`), never a
+    silent drop."""
+    if at is None:
+        return {
+            sid: rec
+            for sid, rec in read_manifest_raw(index_dir).items()
+            if not rec.get("retired")
+            and os.path.isdir(segment_dir(index_dir, sid))
+        }
+    out: dict[int, dict] = {}
+    for sid, rec in read_manifest_raw(index_dir, at=at).items():
+        if rec.get("retired"):
+            continue
+        if not os.path.isdir(segment_dir(index_dir, sid)):
+            raise ValueError(
+                f"snapshot at={at} of {index_dir} references segment "
+                f"{sid} whose dir was garbage-collected; the snapshot "
+                "is no longer readable"
+            )
+        out[sid] = rec
+    return out
 
 
 def gc_retired(index_dir: str) -> int:

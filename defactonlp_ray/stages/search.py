@@ -84,15 +84,35 @@ class IndexReader:
     """
 
     def __init__(self, index_dir: str, preload: bool = False,
-                 stats_override: Optional[tuple[int, float, int]] = None):
+                 stats_override: Optional[tuple[int, float, int]] = None,
+                 at: Optional[int] = None):
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, "stats", "collection.json")) as f:
-            coll = json.load(f)
-        self.n_docs: int = coll["n_docs"]
-        self.avgdl: float = coll["avgdl"]
-        self.total_len: int = int(
-            coll.get("total_len", round(self.n_docs * self.avgdl))
-        )
+        self.at = at
+        recs = mf.read_manifest(index_dir, at=at)
+        if at is None:
+            with open(
+                os.path.join(index_dir, "stats", "collection.json")
+            ) as f:
+                coll = json.load(f)
+            self.n_docs: int = coll["n_docs"]
+            self.avgdl: float = coll["avgdl"]
+            self.total_len: int = int(
+                coll.get("total_len", round(self.n_docs * self.avgdl))
+            )
+        else:
+            # snapshot read: stats/collection.json and stats/term_df are
+            # REWRITTEN by append/compact, so a point-in-time reader
+            # derives collection stats from the pinned manifest records
+            # (the same sums + single int/int division _write_stats
+            # uses — bit-identical to the stats file the snapshot's
+            # build wrote) and df/cf from the per-segment postings
+            # (dfs()/cfs() below).  Delete side-files are NOT versioned:
+            # deletes always apply as of now.
+            self.n_docs = sum(r["n_docs"] for r in recs.values())
+            self.total_len = sum(r["total_len"] for r in recs.values())
+            self.avgdl = (
+                self.total_len / self.n_docs if self.n_docs else 0.0
+            )
         if stats_override is not None:
             # federation (Lucene MultiReader shape): this index is one
             # shard of a larger collection — score with the COMBINED
@@ -100,7 +120,7 @@ class IndexReader:
             # idf match a single unified index bit-for-bit
             self.n_docs, self.avgdl, self.total_len = stats_override
         # DOC order, not sid order: compacted segments carry fresh sids
-        self.seg_ids: list[int] = mf.live_segment_order(mf.read_manifest(index_dir))
+        self.seg_ids: list[int] = mf.live_segment_order(recs)
         # live-docs side files (stages/deletes.py) — postings stay raw
         # (phrase position streams align to physical postings); scorers
         # mask candidates, WAND packs filter at build
@@ -114,21 +134,29 @@ class IndexReader:
         self._term_arrays: dict = {}
         self._preloaded: set[int] = set()
         if preload:
-            tbl = pq.read_table(
-                os.path.join(index_dir, "stats", "term_df"),
-                columns=["term", "df"],
-            )
-            self._df = dict(
-                zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist()))
-            )
-            self._df_loaded_all = True
+            if at is None:
+                tbl = pq.read_table(
+                    os.path.join(index_dir, "stats", "term_df"),
+                    columns=["term", "df"],
+                )
+                self._df = dict(
+                    zip(tbl["term"].to_pylist(),
+                        (int(x) for x in tbl["df"].to_pylist()))
+                )
             for sid in self.seg_ids:
                 path = os.path.join(
                     mf.segment_dir(self.index_dir, sid), "postings.parquet"
                 )
                 for term, row in self._decode_segment_table(pq.read_table(path)):
                     self._postings[(sid, term)] = row
+                    if at is not None:
+                        # snapshot df/cf: sum the per-segment stats of
+                        # the pinned segments (global term_df may
+                        # already reflect later appends)
+                        self._df[term] = self._df.get(term, 0) + row["n"]
+                        self._cf[term] = self._cf.get(term, 0) + row["cf"]
                 self._preloaded.add(sid)
+            self._df_loaded_all = True
 
     def _decode_segment(self, rows: list[dict]) -> None:
         """Bulk-decode a whole segment: varint streams are self-terminating
@@ -312,15 +340,41 @@ class IndexReader:
         return list(zip(terms, rows))
 
     # -- term -> global df (stats/term_df), filtered point reads
+    def _seg_stat_sums(
+        self, terms: list[str], col: str
+    ) -> dict[str, int]:
+        """Snapshot-mode term stats: sum a per-segment postings column
+        (``n`` = within-segment df, ``cf``) over the PINNED segments via
+        the same ``term IN`` row-group-pruned reads the postings path
+        uses — the global stats/term_df may already reflect appends
+        newer than the snapshot."""
+        out = {t: 0 for t in terms}
+        for sid in self.seg_ids:
+            tbl = pq.read_table(
+                os.path.join(
+                    mf.segment_dir(self.index_dir, sid), "postings.parquet"
+                ),
+                columns=["term", col],
+                filters=[("term", "in", terms)],
+            )
+            for t, v in zip(tbl["term"].to_pylist(), tbl[col].to_pylist()):
+                out[t] += int(v)
+        return out
+
     def dfs(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df]
         if missing and not self._df_loaded_all:
-            tbl = pq.read_table(
-                os.path.join(self.index_dir, "stats", "term_df"),
-                columns=["term", "df"],
-                filters=[("term", "in", missing)],
-            )
-            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            if self.at is not None:
+                found = self._seg_stat_sums(missing, "n")
+            else:
+                tbl = pq.read_table(
+                    os.path.join(self.index_dir, "stats", "term_df"),
+                    columns=["term", "df"],
+                    filters=[("term", "in", missing)],
+                )
+                found = dict(
+                    zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
+                )
             for t in missing:
                 self._df[t] = int(found.get(t, 0))
         return {t: self._df.get(t, 0) for t in terms}
@@ -331,12 +385,17 @@ class IndexReader:
         stat (LM Dirichlet needs P(t|C) = cf/total_len)."""
         missing = [t for t in terms if t not in self._cf]
         if missing:
-            tbl = pq.read_table(
-                os.path.join(self.index_dir, "stats", "term_df"),
-                columns=["term", "cf"],
-                filters=[("term", "in", missing)],
-            )
-            found = dict(zip(tbl["term"].to_pylist(), tbl["cf"].to_pylist()))
+            if self.at is not None:
+                found = self._seg_stat_sums(missing, "cf")
+            else:
+                tbl = pq.read_table(
+                    os.path.join(self.index_dir, "stats", "term_df"),
+                    columns=["term", "cf"],
+                    filters=[("term", "in", missing)],
+                )
+                found = dict(
+                    zip(tbl["term"].to_pylist(), tbl["cf"].to_pylist())
+                )
             for t in missing:
                 self._cf[t] = int(found.get(t, 0))
         return {t: self._cf.get(t, 0) for t in terms}
@@ -1599,14 +1658,14 @@ class SearcherActor:
                  index_ref=None, syn_map: Optional[dict] = None,
                  group_ref=None, group_dir: Optional[str] = None,
                  decay_origin: float = 0.0, decay_scale: float = 1.0,
-                 hist_interval: float = 10.0):
+                 hist_interval: float = 10.0, at: Optional[int] = None):
         if index_ref is not None:
             import ray as _ray
 
             shared = _ray.get(index_ref) if isinstance(index_ref, _ray.ObjectRef) else index_ref
             self.reader = SharedIndexReader(shared)
         else:
-            self.reader = IndexReader(index_dir, preload=preload)
+            self.reader = IndexReader(index_dir, preload=preload, at=at)
         self.k = k
         self.mode = mode
         # term -> extra members; the group a query term scores as is
@@ -2102,9 +2161,18 @@ def search(
     decay_origin: float = 0.0,
     decay_scale: float = 1.0,
     hist_interval: float = 10.0,
+    at: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Main query pipeline: queries (query_id, terms) -> results
     (query_id, rank, doc_id, score).
+
+    ``at``: a :func:`sources.manifest.manifest_version` token — serve a
+    point-in-time snapshot (the segment set live at that version, with
+    collection/term stats re-derived from the pinned segments), so
+    readers are isolated from concurrent appends; a compaction that
+    retires (and GCs) a pinned segment invalidates the snapshot with a
+    clear error.  Incompatible with ``shared`` (the shared pack is
+    decoded from the CURRENT live set).
 
     ``shared=True``: decode the index once on the driver, ``ray.put`` the
     arrays, actors read them zero-copy — per-actor startup drops from a
@@ -2126,12 +2194,17 @@ def search(
         ctor["group_ref"] = group_ref
     if group_dir is not None:
         ctor["group_dir"] = group_dir
+    if at is not None and (shared or shared_ref is not None):
+        raise ValueError("snapshot reads (at=) require per-actor readers, "
+                         "not a shared decoded pack")
     if shared_ref is not None:
         ctor["index_ref"] = shared_ref
     elif shared:
         ctor["index_ref"] = _ray.put(build_shared_index(index_dir))
     else:
         ctor.update({"index_dir": index_dir, "preload": preload})
+        if at is not None:
+            ctor["at"] = at
     return queries.map_batches(
         SearcherActor,
         fn_constructor_kwargs=ctor,
