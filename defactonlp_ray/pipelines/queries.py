@@ -4208,6 +4208,53 @@ SQL_BM25_SNAPSHOT_TOPK = _bm25_sql(
 )
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for retrieval-model training (the DPR /
+    contrastive-pretraining recipe: per query, the top BM25 hits that
+    are NOT the known positive become the negatives).  The positive is
+    a pinned pure function of the query id — gold(q) = (37q + 11) mod
+    n_docs, restated in the oracle — so both engines exclude the same
+    doc.  Engine: over-fetch the standard searcher, drop the positive,
+    re-rank under the rounded-score policy."""
+    idx = _build_docs_index(sf_dir)
+    n = _docs(sf_dir, ["doc_id"]).count()
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=24, concurrency=2
+    ).to_pandas()
+    gold = (res["query_id"].to_numpy(np.int64) * 37 + 11) % n
+    res = res[res["doc_id"].to_numpy(np.int64) != gold]
+    return _rerank_rounded(res, k=10)
+
+
+SQL_HARD_NEGATIVES = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+    "GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    + "), "
+    "scored AS (SELECT q.query_id, tf.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+    "(s.total::DOUBLE / s.n_docs)))) AS score "
+    "FROM q JOIN tf ON q.term = tf.term "
+    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s "
+    "WHERE tf.doc_id <> (q.query_id * 37 + 11) % s.n_docs "
+    "GROUP BY q.query_id, tf.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+    "WHERE rank <= 10"
+)
+
+
 def q_docs_sample_hash(sf_dir: str):
     """K4 at scale: SEEDED sampling as a deterministic hash filter
     (md5(doc_id) prefix) — reproducible and parallelism/partitioning-
@@ -6702,6 +6749,7 @@ QUERIES = {
     "c4_filters": q_c4_filters,
     "quality_prune": q_quality_prune,
     "bm25_snapshot_topk": q_bm25_snapshot_topk,
+    "hard_negatives": q_hard_negatives,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
@@ -6840,6 +6888,7 @@ ORACLES = {
     "c4_filters": SQL_C4_FILTERS,
     "quality_prune": SQL_QUALITY_PRUNE,
     "bm25_snapshot_topk": SQL_BM25_SNAPSHOT_TOPK,
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
     "term_stats": SQL_TERM_STATS,
