@@ -4208,6 +4208,48 @@ SQL_BM25_SNAPSHOT_TOPK = _bm25_sql(
 )
 
 
+def q_bm25_alias_topk(sf_dir: str):
+    """Index alias + blue/green reindex (the zero-downtime reindex
+    pattern): serve through an ``*.alias`` pointer file; build the
+    replacement index under a fresh dir, then ONE atomic ``os.replace``
+    flips every subsequent reader.  The entry builds a half-corpus
+    index, aliases to it, builds the full-corpus replacement, FLIPS,
+    and queries through the alias — the oracle is the plain full-corpus
+    BM25 SQL, so the driver proves the flip took effect atomically.
+    Readers resolve the alias once at construction (in-flight actors
+    keep their resolved dir — snapshot-like consistency)."""
+    import shutil
+
+    from ..sources import manifest as mf
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    half = n // 2
+    seg = max(64, n // 8)
+    root = _tmp_index_dir(sf_dir, "idxalias")
+    alias = os.path.join(root, "prod.alias")
+    marker = os.path.join(root, "_ALIAS_FLIPPED")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        A = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], half)),
+            batch_format="pyarrow",
+        )
+        build_index(A, os.path.join(root, "blue"), seg_docs=seg,
+                    resume=True)
+        mf.set_alias(alias, os.path.join(root, "blue"))
+        build_index(docs, os.path.join(root, "green"), seg_docs=seg,
+                    resume=True)
+        mf.set_alias(alias, os.path.join(root, "green"))  # the flip
+        with open(marker, "w") as f:
+            f.write("ok")
+    res = search(
+        alias, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
 def q_hard_negatives(sf_dir: str):
     """Hard-negative mining for retrieval-model training (the DPR /
     contrastive-pretraining recipe: per query, the top BM25 hits that
@@ -6750,6 +6792,7 @@ QUERIES = {
     "quality_prune": q_quality_prune,
     "bm25_snapshot_topk": q_bm25_snapshot_topk,
     "hard_negatives": q_hard_negatives,
+    "bm25_alias_topk": q_bm25_alias_topk,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
@@ -6889,6 +6932,7 @@ ORACLES = {
     "quality_prune": SQL_QUALITY_PRUNE,
     "bm25_snapshot_topk": SQL_BM25_SNAPSHOT_TOPK,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "bm25_alias_topk": SQL_BM25_TOPK,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
     "term_stats": SQL_TERM_STATS,

@@ -170,3 +170,37 @@ def live_segment_order(recs: dict[int, dict]) -> list[int]:
     merged segments fresh (higher) sids while they cover low doc ranges,
     and per-term posting concatenation relies on doc-ascending segments."""
     return sorted(recs, key=lambda sid: (recs[sid].get("doc_lo", sid), sid))
+
+
+# ---------------------------------------------------------------- aliases
+
+ALIAS_SUFFIX = ".alias"
+
+
+def set_alias(alias_path: str, index_dir: str) -> None:
+    """Atomically point ``alias_path`` (an ``*.alias`` file) at
+    ``index_dir`` — the blue/green reindex switch: build the new index
+    under a fresh dir, then ONE ``os.replace`` flips every subsequent
+    reader; in-flight readers keep serving the dir they already
+    resolved (their own consistency token, like a snapshot).
+    """
+    if not alias_path.endswith(ALIAS_SUFFIX):
+        raise ValueError(f"alias path must end with {ALIAS_SUFFIX}: {alias_path}")
+    os.makedirs(os.path.dirname(alias_path) or ".", exist_ok=True)
+    tmp = alias_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"target": os.path.abspath(index_dir)}, f)
+    os.replace(tmp, alias_path)
+
+
+def resolve_alias(path: str) -> str:
+    """Resolve an ``*.alias`` file to its target index dir (identity for
+    a plain index dir).  One level only — an alias pointing at another
+    alias is an error, not a chain."""
+    if not path.endswith(ALIAS_SUFFIX):
+        return path
+    with open(path, encoding="utf-8") as f:
+        target = json.load(f)["target"]
+    if target.endswith(ALIAS_SUFFIX):
+        raise ValueError(f"alias chains are not allowed: {path} -> {target}")
+    return target

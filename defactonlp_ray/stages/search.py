@@ -86,6 +86,10 @@ class IndexReader:
     def __init__(self, index_dir: str, preload: bool = False,
                  stats_override: Optional[tuple[int, float, int]] = None,
                  at: Optional[int] = None):
+        # an *.alias file resolves ONCE at reader construction — the
+        # actor keeps serving the dir it resolved even if the alias
+        # flips mid-flight (blue/green consistency)
+        index_dir = mf.resolve_alias(index_dir)
         self.index_dir = index_dir
         self.at = at
         recs = mf.read_manifest(index_dir, at=at)
@@ -546,6 +550,8 @@ def build_shared_index(index_dir: str) -> dict:
     metadata is recomputed over the merged lists (valid bounds — same
     construction as the per-segment C3 stats)."""
     import ray as _ray
+
+    index_dir = mf.resolve_alias(index_dir)
 
     from .codec import BLOCK
 
@@ -2227,6 +2233,7 @@ def search_fanout(
     """Cluster-shape variant (Q4 explicit): expand to (query x segment)
     pairs, score per pair on the actor pool, merge per query with a small
     groupby.  Result-identical to :func:`search` (tested)."""
+    index_dir = mf.resolve_alias(index_dir)
     seg_ids = mf.live_segment_order(mf.read_manifest(index_dir))
 
     def expand(batch: pa.Table) -> pa.Table:

@@ -142,3 +142,62 @@ def test_compaction_invalidates_snapshot():
         assert mf.read_manifest(idx)
     finally:
         shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+
+
+# ------------------------------------------------------------------ aliases
+
+
+def test_alias_resolution_and_flip(snap_index):
+    idx, _v1 = snap_index
+    root = tempfile.mkdtemp()
+    try:
+        alias = os.path.join(root, "prod.alias")
+        mf.set_alias(alias, idx)
+        assert mf.resolve_alias(alias) == os.path.abspath(idx)
+        # identity for plain dirs
+        assert mf.resolve_alias(idx) == idx
+        # queries through the alias == queries against the dir
+        a = search(alias, _queries_ds(), k=5, concurrency=2).to_pandas()
+        b = search(idx, _queries_ds(), k=5, concurrency=2).to_pandas()
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_alias_flip_switches_target(snap_index):
+    idx, _v1 = snap_index
+    root = tempfile.mkdtemp()
+    try:
+        idx2 = os.path.join(root, "idx2")
+        build_index(_docs_ds(0, 200), idx2, seg_docs=128)
+        alias = os.path.join(root, "prod.alias")
+        mf.set_alias(alias, idx2)
+        r_small = IndexReader(alias)
+        assert r_small.n_docs == 200
+        mf.set_alias(alias, idx)  # the flip
+        r_big = IndexReader(alias)
+        assert r_big.n_docs == 800
+        # the pre-flip reader keeps serving its resolved dir
+        assert r_small.n_docs == 200
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_alias_rejects_chains_and_bad_names(snap_index):
+    idx, _v1 = snap_index
+    root = tempfile.mkdtemp()
+    try:
+        a1 = os.path.join(root, "a.alias")
+        a2 = os.path.join(root, "b.alias")
+        mf.set_alias(a1, idx)
+        mf.set_alias(a2, a1)  # points at another alias
+        with pytest.raises(ValueError, match="chain"):
+            mf.resolve_alias(a2)
+        with pytest.raises(ValueError, match="alias path"):
+            mf.set_alias(os.path.join(root, "notanalias"), idx)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
