@@ -1397,6 +1397,158 @@ _CCNET_WINDOW = 3
 _CCNET_PACK = 1 << dedup._SPAN_SHIFT
 
 
+_OOV_VOCAB = 100
+
+
+def q_oov_rate(sf_dir: str):
+    """Tokenizer-vocabulary coverage (the fertility/OOV audit every
+    tokenizer change needs): build the top-V corpus vocabulary by
+    collection frequency (ties by term), then measure the fraction of
+    token OCCURRENCES outside it, per lang.  Two-pass broadcast shape:
+    the (term, cf) table pre-reduces per batch before one small
+    groupby; the driver holds only the V winning terms and broadcasts
+    them into a vectorized is_in filter."""
+    from ray.data.aggregate import Sum
+
+    def tf_part(batch: pa.Table) -> pa.Table:
+        terms, _, _ = flatten_tokens(batch["text"])
+        t = pa.table({"term": terms}).group_by("term").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"term": t["term"], "cf": pc.cast(t["count_all"], pa.int64())}
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    cf = (
+        docs.map_batches(tf_part, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .to_pandas()
+    )
+    cf = cf.sort_values(["cf", "term"], ascending=[False, True])
+    vocab = set(cf["term"].head(_OOV_VOCAB))
+
+    def count(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_oov": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        terms, row_idx, _ = flatten_tokens(batch["text"])
+        if not len(terms):
+            return empty
+        oov = ~pc.is_in(
+            terms, value_set=pa.array(sorted(vocab))
+        ).to_numpy(zero_copy_only=False)
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)[row_idx]
+        df = pd.DataFrame({"lang": langs, "oov": oov})
+        agg = df.groupby("lang", as_index=False).agg(
+            n_tokens=("oov", "size"), n_oov=("oov", "sum")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(agg["lang"], pa.string()),
+                "n_tokens": pa.array(agg["n_tokens"].to_numpy(np.int64)),
+                "n_oov": pa.array(agg["n_oov"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        docs.map_batches(count, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_oov", alias_name="n_oov"),
+        )
+        .to_pandas()
+    )
+    out["oov_rate"] = np.round(
+        out["n_oov"].to_numpy(np.float64)
+        / out["n_tokens"].to_numpy(np.float64),
+        6,
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_OOV_RATE = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+    f"vocab AS (SELECT term FROM cf ORDER BY cf DESC, term LIMIT {_OOV_VOCAB}), "
+    "t AS (SELECT d.lang, toks.term FROM toks "
+    "JOIN documents d ON d.doc_id = toks.doc_id) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE 1 "
+    "END) AS BIGINT) AS n_oov, "
+    "round(sum(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE 1 "
+    "END)::DOUBLE / count(*), 6) AS oov_rate FROM t GROUP BY lang"
+)
+
+
+def q_mixture_sample(sf_dir: str):
+    """Training-mix rebalancing (data-dependent stratified sampling):
+    target an EQUAL per-lang share of a half-corpus token budget; each
+    lang's acceptance ratio derives from its own count, then docs keep
+    deterministically by md5 bucket — the two-pass shape (tiny counts
+    aggregate -> driver computes L thresholds -> broadcast filter), all
+    integer arithmetic so both engines compute identical thresholds:
+    t_l = min(256, 256 * (N // (2L)) // c_l); keep iff
+    int(md5(doc_id)[:2], 16) < t_l.  Output: per-lang kept counts."""
+    from ..stages.export import md5_prefix
+
+    counts = (
+        _docs(sf_dir, ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    n_total = int(counts["c"].sum())
+    n_langs = len(counts)
+    share = n_total // (2 * n_langs)
+    thr = {
+        r["lang"]: min(256, 256 * share // int(r["c"]))
+        for _, r in counts.iterrows()
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        buckets = np.array(
+            [int(p, 16) for p in md5_prefix(batch["doc_id"].to_pylist())],
+            dtype=np.int64,
+        )
+        lims = np.array(
+            [thr[l] for l in batch["lang"].to_pylist()], dtype=np.int64
+        )
+        return batch.filter(pa.array(buckets < lims))
+
+    out = (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(keep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_kept"))
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_MIXTURE_SAMPLE = (
+    "WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang), "
+    "g AS (SELECT (SELECT count(*) FROM documents) // "
+    "(2 * (SELECT count(*) FROM c)) AS share), "
+    "thr AS (SELECT lang, least(256, 256 * g.share // c.c) AS t "
+    "FROM c, g) "
+    "SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept "
+    "FROM documents d JOIN thr ON d.lang = thr.lang "
+    "WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) "
+    "AS INTEGER) < thr.t GROUP BY d.lang"
+)
+
+
 def q_ccnet_dedup(sf_dir: str):
     """CCNet-style corpus-wide sub-document exact dedup (Wenzek et al.
     2020: drop every repeated paragraph, keep the first occurrence).
@@ -6793,6 +6945,8 @@ QUERIES = {
     "bm25_snapshot_topk": q_bm25_snapshot_topk,
     "hard_negatives": q_hard_negatives,
     "bm25_alias_topk": q_bm25_alias_topk,
+    "oov_rate": q_oov_rate,
+    "mixture_sample": q_mixture_sample,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
@@ -6933,6 +7087,8 @@ ORACLES = {
     "bm25_snapshot_topk": SQL_BM25_SNAPSHOT_TOPK,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "bm25_alias_topk": SQL_BM25_TOPK,
+    "oov_rate": SQL_OOV_RATE,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
     "term_stats": SQL_TERM_STATS,
