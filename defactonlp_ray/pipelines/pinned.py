@@ -345,6 +345,41 @@ def serial_claim_verdicts(
     return out.sort_values("query_id").reset_index(drop=True)
 
 
+def serial_fever_score(
+    n: int = 500, n_claims: int = 60, k: int = 5
+) -> pd.DataFrame:
+    """Serial mirror of q_fever_score: strict FEVER score (Thorne 2018)
+    over the serial verdicts + serial retrieval — a claim counts only
+    if label matches gold AND (NEI, or some complete gold evidence set
+    is within the retrieved pages)."""
+    verdicts = serial_claim_verdicts(n, n_claims, k)
+    pred_label = dict(zip(verdicts["query_id"], verdicts["label"]))
+    df, urls, claims = _serial_retrieve(n, n_claims, k, lang=None)
+    doc_lists = {
+        int(qid): sorted(set(g["doc_id"]))
+        for qid, g in df.groupby("query_id")
+    }
+    n_label = n_fever = 0
+    for c in claims:
+        qid = int(c["query_id"])
+        ok_label = pred_label.get(qid) == c["label"]
+        n_label += ok_label
+        pages = {urls[d] for d in doc_lists.get(qid, [])}
+        ev_sets = c["evidence"] or []
+        ok_ev = (not ev_sets) or any(
+            all(e["page"] in pages for e in es) for es in ev_sets
+        )
+        n_fever += ok_label and ok_ev
+    total = len(claims)
+    return pd.DataFrame(
+        {
+            "n_claims": np.array([total], dtype=np.int64),
+            "label_accuracy": [round(n_label / total, 6)],
+            "fever_score": [round(n_fever / total, 6)],
+        }
+    )
+
+
 def serial_ann_lsh(
     sf_dir: str, *, n_queries: int = 3, k: int = 10, n_bits: int = 4,
     n_tables: int = 8,
@@ -1036,6 +1071,9 @@ def oracle_values_sql() -> dict[str, str]:
     )
     out["retrieval_eval"] = _cached(
         "retrieval_eval", fx_fp, lambda: values_sql(serial_retrieval_eval())
+    )
+    out["fever_score"] = _cached(
+        "fever_score", fx_fp, lambda: values_sql(serial_fever_score())
     )
     out["claim_verdicts"] = _cached(
         "claim_verdicts", fx_fp, lambda: values_sql(serial_claim_verdicts())

@@ -4474,11 +4474,11 @@ SQL_DOCS_SAMPLE_HASH = (
 )
 
 
-def q_claim_verdicts(sf_dir: str):
-    """Entry point C end-to-end (A3/A4 stand-ins): retrieval -> evidence
-    sentence top-n -> deterministic entailment actor pool -> label
-    classifier -> one verdict row per claim.  Fixture-pinned input; oracle
-    is the serial reference pipeline (pipelines/pinned.py) as VALUES."""
+def _claim_pipeline():
+    """The shared distributed claim-verification run (retrieval ->
+    evidence top-n -> entailment -> labels): returns (verdicts_df,
+    doc_lists, url_of_doc, claims_tbl) so `claim_verdicts` and
+    `fever_score` run the IDENTICAL pipeline."""
     from .. import fixtures
     from ..functions.tokenizer import tokenize
     from ..stages import sentences as sent
@@ -4517,7 +4517,52 @@ def q_claim_verdicts(sf_dir: str):
     )
     out = vc.classify_labels(entailed, sorted(claim_text))
     out["entail_score"] = np.round(out["entail_score"], 6)
+    url_of_doc = {
+        r["doc_id"]: r["url"]
+        for r in docs.select_columns(["doc_id", "url"]).take_all()
+    }
+    return out, doc_lists, url_of_doc, claims_tbl
+
+
+def q_claim_verdicts(sf_dir: str):
+    """Entry point C end-to-end (A3/A4 stand-ins): retrieval -> evidence
+    sentence top-n -> deterministic entailment actor pool -> label
+    classifier -> one verdict row per claim.  Fixture-pinned input; oracle
+    is the serial reference pipeline (pipelines/pinned.py) as VALUES."""
+    out, _dl, _urls, _claims = _claim_pipeline()
     return out
+
+
+def q_fever_score(sf_dir: str):
+    """The reference task's own headline metric (Thorne et al. NAACL
+    2018): strict FEVER score = a claim counts only if the predicted
+    label matches gold AND, for non-NEI claims, some complete gold
+    evidence set is covered by the retrieved pages.  Composes the
+    distributed verdict pipeline with the fixtures' nested gold
+    evidence; oracle is the independent serial mirror
+    (pinned.serial_fever_score) as VALUES."""
+    out, doc_lists, url_of_doc, claims_tbl = _claim_pipeline()
+    pred_label = dict(zip(out["query_id"], out["label"]))
+    gold = claims_tbl.to_pylist()
+    n = len(gold)
+    n_label = n_fever = 0
+    for c in gold:
+        qid = int(c["query_id"])
+        ok_label = pred_label.get(qid) == c["label"]
+        n_label += ok_label
+        pages = {url_of_doc[d] for d in doc_lists.get(qid, [])}
+        ev_sets = c["evidence"] or []
+        ok_ev = (not ev_sets) or any(
+            all(e["page"] in pages for e in es) for es in ev_sets
+        )
+        n_fever += ok_label and ok_ev
+    return pd.DataFrame(
+        {
+            "n_claims": np.array([n], dtype=np.int64),
+            "label_accuracy": [round(n_label / n, 6)],
+            "fever_score": [round(n_fever / n, 6)],
+        }
+    )
 
 
 # --------------------------------- phrase + boolean (positional index)
@@ -6947,6 +6992,7 @@ QUERIES = {
     "bm25_alias_topk": q_bm25_alias_topk,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
+    "fever_score": q_fever_score,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
