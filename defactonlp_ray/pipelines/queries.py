@@ -2536,6 +2536,28 @@ SQL_ANN_TOPK = (
 )
 
 
+def q_ann_recall(sf_dir: str):
+    """ANN quality evaluation — recall@10 of the IVF pruned-probe route
+    against exact brute-force cosine, per query (the standard
+    vector-index acceptance metric).  Composes the two existing routes
+    (ann.knn_ivf over the list-partitioned index, ann.knn_brute) and
+    reduces on the driver over k rows per query; oracle is the
+    independent serial mirror (pinned.serial_ann_recall: numpy
+    full-scan brute + the serial IVF reference)."""
+    ivf = q_ann_ivf(sf_dir)
+    brute = q_ann_topk(sf_dir)
+    if hasattr(ivf, "to_pandas"):
+        ivf = ivf.to_pandas()
+    rows = []
+    for qid, g in brute.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        rows.append((int(qid), round(len(truth & got) / len(truth), 6)))
+    out = pd.DataFrame(rows, columns=["query_id", "recall"])
+    out["query_id"] = out["query_id"].astype(np.int64)
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search (the vector-DB metadata-predicate kNN —
     Elasticsearch knn ``filter`` / pgvector ``WHERE``): brute cosine
@@ -6993,6 +7015,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
     "fever_score": q_fever_score,
+    "ann_recall": q_ann_recall,
     "neardup_clusters": q_neardup_clusters,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
