@@ -290,18 +290,22 @@ def serial_retrieval_eval(
 
 
 def serial_claim_verdicts(
-    n: int = 500, n_claims: int = 60, k: int = 5
+    n: int = 500, n_claims: int = 60, k: int = 5, _retrieval=None
 ) -> pd.DataFrame:
     """Serial mirror of q_claim_verdicts: retrieval (serial BM25 + NER
     route) -> evidence sentences (pinned splitter) -> overlap-idf top-5
-    -> entailment features -> label rule."""
+    -> entailment features -> label rule.  ``_retrieval`` lets
+    serial_fever_score share ONE _serial_retrieve result so verdicts
+    and evidence-coverage are scored against the same run."""
     from ..stages.sentences import split_sentences
     from ..stages.verify_claims import (
         LABEL_NEI, LABEL_REFUTES, LABEL_SUPPORTS, SUPPORT_THRESHOLD,
         entail_score, entailment_features,
     )
 
-    df, _urls, claims = _serial_retrieve(n, n_claims, k, lang=None)
+    df, _urls, claims = _retrieval or _serial_retrieve(
+        n, n_claims, k, lang=None
+    )
     texts, _u, _t = _serial_docs(n, lang=None)
     doc_lists = {
         int(qid): sorted(set(g["doc_id"])) for qid, g in df.groupby("query_id")
@@ -352,9 +356,10 @@ def serial_fever_score(
     over the serial verdicts + serial retrieval — a claim counts only
     if label matches gold AND (NEI, or some complete gold evidence set
     is within the retrieved pages)."""
-    verdicts = serial_claim_verdicts(n, n_claims, k)
+    retrieval = _serial_retrieve(n, n_claims, k, lang=None)
+    verdicts = serial_claim_verdicts(n, n_claims, k, _retrieval=retrieval)
     pred_label = dict(zip(verdicts["query_id"], verdicts["label"]))
-    df, urls, claims = _serial_retrieve(n, n_claims, k, lang=None)
+    df, urls, claims = retrieval
     doc_lists = {
         int(qid): sorted(set(g["doc_id"]))
         for qid, g in df.groupby("query_id")

@@ -1428,6 +1428,7 @@ def q_oov_rate(sf_dir: str):
     )
     cf = cf.sort_values(["cf", "term"], ascending=[False, True])
     vocab = set(cf["term"].head(_OOV_VOCAB))
+    vset = pa.array(sorted(vocab))  # built once, shipped in the closure
 
     def count(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -1442,9 +1443,9 @@ def q_oov_rate(sf_dir: str):
         terms, row_idx, _ = flatten_tokens(batch["text"])
         if not len(terms):
             return empty
-        oov = ~pc.is_in(
-            terms, value_set=pa.array(sorted(vocab))
-        ).to_numpy(zero_copy_only=False)
+        oov = ~pc.is_in(terms, value_set=vset).to_numpy(
+            zero_copy_only=False
+        )
         langs = np.asarray(batch["lang"].to_pylist(), dtype=object)[row_idx]
         df = pd.DataFrame({"lang": langs, "oov": oov})
         agg = df.groupby("lang", as_index=False).agg(
@@ -2734,10 +2735,15 @@ _BM25_QUERIES: list[tuple[int, list[str]]] = [
 
 
 def _bm25_sql(queries: list[tuple[int, list[str]]], k: int = 10,
-              toks_sql: str = _TOKS_SQL, lo: int = 1) -> str:
+              toks_sql: str = _TOKS_SQL, lo: int = 1,
+              exclude_pred: str = "") -> str:
+    """``exclude_pred`` is an optional SQL predicate over (q, tf, s)
+    dropping (query, doc) pairs BEFORE scoring (e.g. the hard-negative
+    gold exclusion) — keeps variants sharing ONE BM25 body."""
     vals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in queries for t in terms
     )
+    where = f"WHERE {exclude_pred} " if exclude_pred else ""
     return (
         f"WITH toks AS ({toks_sql}), "
         "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
@@ -2750,7 +2756,7 @@ def _bm25_sql(queries: list[tuple[int, list[str]]], k: int = 10,
         "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
         ") AS score FROM q JOIN tf ON q.term = tf.term "
         "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
-        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id) "
+        f"CROSS JOIN stats s {where}GROUP BY q.query_id, tf.doc_id) "
         "SELECT query_id, rank, doc_id, score FROM ("
         "SELECT query_id, doc_id, round(score, 6) AS score, "
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
@@ -4442,32 +4448,9 @@ def q_hard_negatives(sf_dir: str):
     return _rerank_rounded(res, k=10)
 
 
-SQL_HARD_NEGATIVES = (
-    f"WITH toks AS ({_TOKS_SQL}), "
-    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
-    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
-    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
-    "GROUP BY doc_id, term), "
-    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
-    "q(query_id, term) AS (VALUES "
-    + ", ".join(
-        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
-    )
-    + "), "
-    "scored AS (SELECT q.query_id, tf.doc_id, "
-    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
-    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
-    "(s.total::DOUBLE / s.n_docs)))) AS score "
-    "FROM q JOIN tf ON q.term = tf.term "
-    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
-    "CROSS JOIN stats s "
-    "WHERE tf.doc_id <> (q.query_id * 37 + 11) % s.n_docs "
-    "GROUP BY q.query_id, tf.doc_id) "
-    "SELECT query_id, rank, doc_id, score FROM ("
-    "SELECT query_id, doc_id, round(score, 6) AS score, "
-    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
-    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
-    "WHERE rank <= 10"
+SQL_HARD_NEGATIVES = _bm25_sql(
+    _BM25_QUERIES,
+    exclude_pred="tf.doc_id <> (q.query_id * 37 + 11) % s.n_docs",
 )
 
 
@@ -4496,11 +4479,13 @@ SQL_DOCS_SAMPLE_HASH = (
 )
 
 
-def _claim_pipeline():
+def _claim_pipeline(want_urls: bool = False):
     """The shared distributed claim-verification run (retrieval ->
     evidence top-n -> entailment -> labels): returns (verdicts_df,
     doc_lists, url_of_doc, claims_tbl) so `claim_verdicts` and
-    `fever_score` run the IDENTICAL pipeline."""
+    `fever_score` run the IDENTICAL pipeline.  The doc_id->url map is
+    a separate corpus pull only `fever_score` needs, so it is built
+    only when ``want_urls`` is set."""
     from .. import fixtures
     from ..functions.tokenizer import tokenize
     from ..stages import sentences as sent
@@ -4539,10 +4524,14 @@ def _claim_pipeline():
     )
     out = vc.classify_labels(entailed, sorted(claim_text))
     out["entail_score"] = np.round(out["entail_score"], 6)
-    url_of_doc = {
-        r["doc_id"]: r["url"]
-        for r in docs.select_columns(["doc_id", "url"]).take_all()
-    }
+    url_of_doc = (
+        {
+            r["doc_id"]: r["url"]
+            for r in docs.select_columns(["doc_id", "url"]).take_all()
+        }
+        if want_urls
+        else None
+    )
     return out, doc_lists, url_of_doc, claims_tbl
 
 
@@ -4563,7 +4552,7 @@ def q_fever_score(sf_dir: str):
     distributed verdict pipeline with the fixtures' nested gold
     evidence; oracle is the independent serial mirror
     (pinned.serial_fever_score) as VALUES."""
-    out, doc_lists, url_of_doc, claims_tbl = _claim_pipeline()
+    out, doc_lists, url_of_doc, claims_tbl = _claim_pipeline(want_urls=True)
     pred_label = dict(zip(out["query_id"], out["label"]))
     gold = claims_tbl.to_pylist()
     n = len(gold)

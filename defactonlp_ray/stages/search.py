@@ -134,6 +134,7 @@ class IndexReader:
         self._df: dict[str, int] = {}
         self._cf: dict[str, int] = {}
         self._df_loaded_all = False
+        self._cf_loaded_all = False
         self._postings: dict[tuple[int, str], Optional[dict]] = {}
         self._term_arrays: dict = {}
         self._preloaded: set[int] = set()
@@ -161,6 +162,10 @@ class IndexReader:
                         self._cf[term] = self._cf.get(term, 0) + row["cf"]
                 self._preloaded.add(sid)
             self._df_loaded_all = True
+            # snapshot preload summed cf over every pinned segment too;
+            # a term absent from the map has cf 0 at this version — no
+            # per-segment point read can say otherwise
+            self._cf_loaded_all = at is not None
 
     def _decode_segment(self, rows: list[dict]) -> None:
         """Bulk-decode a whole segment: varint streams are self-terminating
@@ -388,7 +393,7 @@ class IndexReader:
         point-read shape as :meth:`dfs` — the language-model scorers'
         stat (LM Dirichlet needs P(t|C) = cf/total_len)."""
         missing = [t for t in terms if t not in self._cf]
-        if missing:
+        if missing and not self._cf_loaded_all:
             if self.at is not None:
                 found = self._seg_stat_sums(missing, "cf")
             else:
