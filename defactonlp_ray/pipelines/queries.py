@@ -4454,6 +4454,40 @@ SQL_HARD_NEGATIVES = _bm25_sql(
 )
 
 
+def q_bm25_rollover_topk(sf_dir: str):
+    """Index rollover (stages/rollover.py — the Elasticsearch
+    `_rollover` / ILM hot-phase shape): the corpus arrives as 4
+    doc-ordered chunks ingested into an index FAMILY whose write alias
+    rolls to a fresh generation whenever ``max_gen_docs`` would be
+    exceeded — here max = n/2, so the run exercises first-build,
+    append-into-write-gen, and the roll itself (2 generations).  The
+    per-chunk ledger makes every re-run a resume no-op.  Serving is
+    federated over all generations with combined global stats, so the
+    oracle is the plain unified single-index BM25 SQL — proving the
+    roll lost nothing, duplicated nothing, and left ranking exact."""
+    from ..stages.rollover import ingest_rollover, search_rollover
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    root = _tmp_index_dir(sf_dir, "idxroll")
+    cuts = [0, n // 4, n // 2, (3 * n) // 4, n]
+    for i in range(4):
+        lo, hi = cuts[i], cuts[i + 1]
+        chunk = docs.filter(expr=f"doc_id >= {lo} and doc_id < {hi}")
+        ingest_rollover(
+            chunk, root, f"chunk-{i}",
+            max_gen_docs=n // 2, seg_docs=max(128, n // 8),
+        )
+    res = search_rollover(
+        root, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+# oracle: the rolled family must equal the unified single index exactly
+SQL_BM25_ROLLOVER_TOPK = _bm25_sql(_BM25_QUERIES)
+
+
 def q_docs_sample_hash(sf_dir: str):
     """K4 at scale: SEEDED sampling as a deterministic hash filter
     (md5(doc_id) prefix) — reproducible and parallelism/partitioning-
@@ -7001,6 +7035,7 @@ QUERIES = {
     "bm25_snapshot_topk": q_bm25_snapshot_topk,
     "hard_negatives": q_hard_negatives,
     "bm25_alias_topk": q_bm25_alias_topk,
+    "bm25_rollover_topk": q_bm25_rollover_topk,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
     "fever_score": q_fever_score,
@@ -7145,6 +7180,7 @@ ORACLES = {
     "bm25_snapshot_topk": SQL_BM25_SNAPSHOT_TOPK,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "bm25_alias_topk": SQL_BM25_TOPK,
+    "bm25_rollover_topk": SQL_BM25_ROLLOVER_TOPK,
     "oov_rate": SQL_OOV_RATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "lang_counts": SQL_LANG_COUNTS,

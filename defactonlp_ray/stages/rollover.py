@@ -1,0 +1,200 @@
+"""Index rollover: size-conditioned generations behind a write alias.
+
+The zero-coordination ingest pattern for an ever-growing corpus (the
+Elasticsearch `_rollover` / ILM hot-phase shape): an index *family* is
+a directory of generation indexes ``gen-00000``, ``gen-00001``, ... plus
+a ``write.alias`` pointing at the generation that accepts ingest.  Each
+:func:`ingest_rollover` call appends one chunk to the write generation
+— unless that would push it past ``max_gen_docs``, in which case a new
+generation is created and the write alias flips first (one atomic
+``os.replace``; readers are unaffected).  Queries never touch the
+alias: :func:`search_rollover` serves a *federated* search over every
+generation with globally-combined stats (df summed, avgdl from summed
+lengths), so ranking is bit-identical to one unified index — which is
+exactly what the registry oracle checks.
+
+Why generations instead of one index forever: at 100 TB each generation
+is a bounded, immutable-after-roll unit — compaction, snapshots,
+retention deletes and shard moves all operate on one generation without
+touching the write path, and a full rebuild is never needed.
+
+Crash windows (tested in tests/test_rollover.py):
+- ingest is resumable per ``chunk_id`` via the family's ``ingest.log``
+  ledger (one JSON line per COMPLETED chunk, appended after the index
+  work finishes).  A crash mid-append re-runs the append, which is
+  idempotent (segment sids are deterministic functions of doc_id).
+- a crash AFTER the append finished but BEFORE the ledger line lands is
+  detected by doc-range overlap: the chunk's min doc_id already falls
+  inside the write generation, so the re-run resumes the append into
+  the SAME generation instead of re-deciding the roll (which would
+  duplicate the docs into a fresh generation).
+
+Requires ascending doc_ids across ingest calls (the same contract as
+:func:`..stages.index_build.append_index`, which posting-list layout
+imposes); web-crawl ingest keys on a monotone (fetch_time, sequence)
+id, so this is the natural arrival order.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Optional
+
+import ray.data
+
+from ..sources import manifest as mf
+from .index_build import append_index, build_index
+
+__all__ = [
+    "generations",
+    "ingest_rollover",
+    "search_rollover",
+    "write_generation",
+]
+
+_GEN_RE = re.compile(r"^gen-(\d{5})$")
+_WRITE_ALIAS = "write.alias"
+_LEDGER = "ingest.log"
+
+
+def generations(family_root: str) -> list[str]:
+    """Sorted list of the family's generation index dirs (only those
+    with at least one finished manifest line — a generation created by
+    a crashed roll that never indexed anything is invisible)."""
+    if not os.path.isdir(family_root):
+        return []
+    out = []
+    for name in sorted(os.listdir(family_root)):
+        if _GEN_RE.match(name):
+            gen = os.path.join(family_root, name)
+            if mf.read_manifest(gen):
+                out.append(gen)
+    return out
+
+
+def write_generation(family_root: str) -> Optional[str]:
+    """The generation the write alias currently points at (None before
+    the first ingest)."""
+    alias = os.path.join(family_root, _WRITE_ALIAS)
+    if not os.path.exists(alias):
+        return None
+    return mf.resolve_alias(alias)
+
+
+def _gen_doc_count(gen_dir: str) -> int:
+    return sum(r["n_docs"] for r in mf.read_manifest(gen_dir).values())
+
+
+def _gen_doc_hi(gen_dir: str) -> int:
+    recs = mf.read_manifest(gen_dir)
+    return max((r["doc_hi"] for r in recs.values()), default=-1)
+
+
+def _ledger_done(family_root: str) -> set[str]:
+    path = os.path.join(family_root, _LEDGER)
+    if not os.path.exists(path):
+        return set()
+    done = set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                done.add(json.loads(line)["chunk_id"])
+    return done
+
+
+def _ledger_append(family_root: str, chunk_id: str, gen_dir: str) -> None:
+    path = os.path.join(family_root, _LEDGER)
+    with open(path, "a", encoding="utf-8") as f:
+        f.write(json.dumps(
+            {"chunk_id": chunk_id, "gen": os.path.basename(gen_dir)}
+        ) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def _new_generation(family_root: str) -> str:
+    nums = [
+        int(_GEN_RE.match(n).group(1))
+        for n in os.listdir(family_root)
+        if _GEN_RE.match(n)
+    ]
+    nxt = max(nums, default=-1) + 1
+    return os.path.join(family_root, f"gen-{nxt:05d}")
+
+
+def ingest_rollover(
+    ds: "ray.data.Dataset",
+    family_root: str,
+    chunk_id: str,
+    *,
+    max_gen_docs: int,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: Optional[str] = None,
+    seg_docs: int = 1 << 17,
+    codec: str = "varint",
+) -> str:
+    """Ingest one chunk into the family, rolling the write generation
+    first when it would exceed ``max_gen_docs``.  Returns the generation
+    dir the chunk landed in; a chunk_id already in the ledger is a
+    no-op (returns its recorded generation)."""
+    os.makedirs(family_root, exist_ok=True)
+    done = _ledger_done(family_root)
+    if chunk_id in done:
+        with open(os.path.join(family_root, _LEDGER), encoding="utf-8") as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec["chunk_id"] == chunk_id:
+                    return os.path.join(family_root, rec["gen"])
+    alias = os.path.join(family_root, _WRITE_ALIAS)
+    gen = write_generation(family_root)
+    kw = dict(doc_id_col=doc_id_col, text_col=text_col, url_col=url_col,
+              seg_docs=seg_docs, codec=codec)
+    if gen is None:
+        gen = _new_generation(family_root)
+        build_index(ds, gen, resume=True, **kw)
+        mf.set_alias(alias, gen)
+    else:
+        n_gen = _gen_doc_count(gen)
+        # one small-side stat, not a materialization: min over the chunk
+        from ray.data.aggregate import Count, Min
+
+        agg = ds.aggregate(Min(doc_id_col), Count())
+        chunk_min = int(agg[f"min({doc_id_col})"])
+        n_chunk = int(agg["count()"])
+        if chunk_min <= _gen_doc_hi(gen):
+            # crashed-before-ledger re-run: the chunk (or a prefix of
+            # it) is already inside the write generation — resume the
+            # SAME append; re-deciding the roll here would duplicate it
+            append_index(ds, gen, **kw)
+        elif n_gen + n_chunk > max_gen_docs:
+            gen = _new_generation(family_root)
+            build_index(ds, gen, resume=True, **kw)
+            mf.set_alias(alias, gen)  # the roll: one atomic flip
+        else:
+            append_index(ds, gen, **kw)
+    _ledger_append(family_root, chunk_id, gen)
+    return gen
+
+
+def search_rollover(
+    family_root: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Query the whole family: federated search over every generation
+    with combined global stats — bit-identical to one unified index
+    (the registry oracle is the plain single-index BM25 SQL)."""
+    from .search import federated_search
+
+    gens = generations(family_root)
+    if not gens:
+        raise ValueError(f"search_rollover: no generations in {family_root}")
+    return federated_search(
+        gens, queries, k=k, concurrency=concurrency, batch_size=batch_size
+    )
