@@ -4488,6 +4488,75 @@ def q_bm25_rollover_topk(sf_dir: str):
 SQL_BM25_ROLLOVER_TOPK = _bm25_sql(_BM25_QUERIES)
 
 
+_ROUTE_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_bm25_routed_topk(sf_dir: str):
+    """Routing-partitioned serving (stages/routing.py — the
+    Elasticsearch ``?routing=`` shape): documents partition by lang at
+    index time (one bounded index per route under ``route=<v>/``), and
+    a query carrying its route is served from exactly that partition —
+    the others are never opened.  Stats are route-local (df / n_docs /
+    avgdl of the partition alone, the per-route index's natural and
+    Elasticsearch-default semantics), which the oracle pins with
+    per-lang grouped stats in SQL.  Routes assigned round-robin over
+    the corpus langs so every partition serves at least one query."""
+    from ..stages.routing import build_routed_index, routed_search
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    n = docs.count()
+    root = _tmp_index_dir(sf_dir, "idxrouted")
+    build_routed_index(
+        docs, root, route_col="lang", routes=_ROUTE_LANGS,
+        seg_docs=max(128, n // 8),
+    )
+    qt = pa.table({
+        "query_id": pa.array([q for q, _ in _BM25_QUERIES], pa.int64()),
+        "terms": pa.array(
+            [t for _, t in _BM25_QUERIES], pa.list_(pa.string())
+        ),
+        "route": pa.array(
+            [_ROUTE_LANGS[q % len(_ROUTE_LANGS)] for q, _ in _BM25_QUERIES]
+        ),
+    })
+    res = routed_search(
+        root, ray.data.from_arrow(qt), k=20, concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+SQL_BM25_ROUTED_TOPK = (
+    "WITH toks AS (SELECT doc_id, lang, unnest(list_filter("
+    "string_split(text, ' '), x -> x <> '')) AS term FROM documents), "
+    "dl AS (SELECT doc_id, lang, count(*) AS dl FROM toks GROUP BY 1, 2), "
+    "stats AS (SELECT lang, count(*) AS n_docs, sum(dl) AS total "
+    "FROM dl GROUP BY lang), "
+    "tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM toks "
+    "GROUP BY 1, 2, 3), "
+    "df AS (SELECT lang, term, count(*) AS df FROM tf GROUP BY 1, 2), "
+    "q(query_id, term, lang) AS (VALUES "
+    + ", ".join(
+        f"({qid}, '{t}', '{_ROUTE_LANGS[qid % len(_ROUTE_LANGS)]}')"
+        for qid, terms in _BM25_QUERIES for t in terms
+    )
+    + "), "
+    "scored AS (SELECT q.query_id, tf.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+    "(s.total::DOUBLE / s.n_docs)))) AS score "
+    "FROM q JOIN tf ON q.term = tf.term AND tf.lang = q.lang "
+    "JOIN df ON df.term = q.term AND df.lang = q.lang "
+    "JOIN dl ON dl.doc_id = tf.doc_id "
+    "JOIN stats s ON s.lang = q.lang "
+    "GROUP BY q.query_id, tf.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+    "WHERE rank <= 10"
+)
+
+
 def q_docs_sample_hash(sf_dir: str):
     """K4 at scale: SEEDED sampling as a deterministic hash filter
     (md5(doc_id) prefix) — reproducible and parallelism/partitioning-
@@ -7036,6 +7105,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "bm25_alias_topk": q_bm25_alias_topk,
     "bm25_rollover_topk": q_bm25_rollover_topk,
+    "bm25_routed_topk": q_bm25_routed_topk,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
     "fever_score": q_fever_score,
@@ -7181,6 +7251,7 @@ ORACLES = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "bm25_alias_topk": SQL_BM25_TOPK,
     "bm25_rollover_topk": SQL_BM25_ROLLOVER_TOPK,
+    "bm25_routed_topk": SQL_BM25_ROUTED_TOPK,
     "oov_rate": SQL_OOV_RATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "lang_counts": SQL_LANG_COUNTS,
