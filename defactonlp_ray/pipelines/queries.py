@@ -2078,6 +2078,126 @@ SQL_UNIGRAM_LOGLOSS = (
 )
 
 
+def q_bigram_logloss(sf_dir: str):
+    """Bigram-LM perplexity scoring — the KenLM-shaped quality filter
+    (Wenzek et al. 2019 score docs by LM perplexity; the add-1-smoothed
+    bigram cross-entropy is its strongest model-free analogue): per doc,
+    mean ``-ln P(w2|w1)`` over its adjacent token pairs with
+
+        P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)
+
+    where ``c(w1,w2)`` are corpus bigram counts, ``c(w1·)`` the bigram
+    context totals, and ``V`` the distinct-term vocabulary size.
+
+    Three linear passes, one bounded shuffle: (1) per-batch (w1, w2)
+    count combiner -> ``groupby([w1, w2])`` (pre-aggregated to one row
+    per pair per batch — the only exchange; context totals derive from
+    the reduced pair table, no second shuffle); (2) the unigram vocab
+    size via the existing term-partials combiner; (3) the model ships
+    ONCE via ``ray.put`` (sorted composite-key arrays) and scores each
+    batch with vectorized searchsorted + bincount.  At web scale the
+    bigram table outgrows a broadcast before anything else here breaks
+    — swap pass 3's broadcast for two hash joins (docs-bigrams ⋈ model
+    on (w1,w2), ⋈ contexts on w1); identical rows either way.  Docs
+    with <2 tokens emit no row (SQL join semantics)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_part(batch: pa.Table) -> pa.Table:
+        terms, row_idx, _ = flatten_tokens(batch["text"])
+        if len(terms) < 2:
+            return pa.table({
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "c_p": pa.array([], pa.int64()),
+            })
+        mask = pa.array(row_idx[1:] == row_idx[:-1])
+        pairs = pa.table({
+            "w1": terms.slice(0, len(terms) - 1),
+            "w2": terms.slice(1),
+        }).filter(mask)
+        agg = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["w1", "w2", "c_p"]).set_column(
+            2, "c_p", pc.cast(agg["count_all"], pa.int64())
+        )
+
+    bc = (
+        docs.map_batches(bigram_part, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c_p", alias_name="c"))
+        .to_pandas()
+    )
+    # context totals + vocab are derived/small — no further corpus pass
+    # beyond the vocab-size combiner
+    ctx = bc.groupby("w1", as_index=False)["c"].sum()
+    n_vocab = int(
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Count(alias_name="n"))
+        .count()
+    )
+    bkeys = np.sort(
+        (bc["w1"] + "\x00" + bc["w2"]).to_numpy().astype(str)
+    )
+    border = np.argsort((bc["w1"] + "\x00" + bc["w2"]).to_numpy().astype(str))
+    bcounts = bc["c"].to_numpy(np.float64)[border]
+    ckeys_order = np.argsort(ctx["w1"].to_numpy().astype(str))
+    ckeys = ctx["w1"].to_numpy().astype(str)[ckeys_order]
+    ccounts = ctx["c"].to_numpy(np.float64)[ckeys_order]
+    ref = ray.put((bkeys, bcounts, ckeys, ccounts, float(n_vocab)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bk, bcnt, ck, ccnt, v = ray.get(ref)
+        terms, row_idx, _ = flatten_tokens(batch["text"])
+        n = len(batch)
+        toks = terms.to_numpy(zero_copy_only=False).astype(str)
+        if toks.size < 2:
+            mask = np.zeros(0, dtype=bool)
+        else:
+            mask = row_idx[1:] == row_idx[:-1]
+        w1 = toks[:-1][mask] if toks.size else np.empty(0, dtype=str)
+        w2 = toks[1:][mask] if toks.size else np.empty(0, dtype=str)
+        rows = row_idx[:-1][mask] if toks.size else np.empty(0, np.int64)
+        qk = np.char.add(np.char.add(w1, "\x00"), w2)
+        bi = np.searchsorted(bk, qk)
+        bi_ok = (bi < len(bk)) & (bk[np.minimum(bi, len(bk) - 1)] == qk)
+        cpair = np.where(bi_ok, bcnt[np.minimum(bi, len(bk) - 1)], 0.0)
+        ci = np.searchsorted(ck, w1)
+        ci_ok = (ci < len(ck)) & (ck[np.minimum(ci, len(ck) - 1)] == w1)
+        cctx = np.where(ci_ok, ccnt[np.minimum(ci, len(ck) - 1)], 0.0)
+        nlp = -np.log((cpair + 1.0) / (cctx + v))
+        s = np.bincount(rows, weights=nlp, minlength=n)
+        nb = np.bincount(rows, minlength=n).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(nb > 0, s / np.maximum(nb, 1), 0.0)
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "logloss": pa.array(np.round(mean, 6), pa.float64()),
+            }
+        )
+        return out.filter(pc.greater(out["n_bigrams"], 0))
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_BIGRAM_LOGLOSS = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+    "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+    "vocab AS (SELECT count(DISTINCT term) AS v FROM tokpos), "
+    "big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2 "
+    "FROM tokpos a JOIN tokpos b ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+    "bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2), "
+    "ctx AS (SELECT w1, sum(c) AS c1 FROM bc GROUP BY 1) "
+    "SELECT big.doc_id, count(*) AS n_bigrams, "
+    "round(avg(-ln((bc.c + 1.0) / (ctx.c1 + vocab.v))), 6) AS logloss "
+    "FROM big JOIN bc USING (w1, w2) JOIN ctx USING (w1) "
+    "CROSS JOIN vocab GROUP BY big.doc_id"
+)
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 "Data
     Selection for Language Models via Importance Resampling") in the
@@ -7106,6 +7226,7 @@ QUERIES = {
     "bm25_alias_topk": q_bm25_alias_topk,
     "bm25_rollover_topk": q_bm25_rollover_topk,
     "bm25_routed_topk": q_bm25_routed_topk,
+    "bigram_logloss": q_bigram_logloss,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
     "fever_score": q_fever_score,
@@ -7252,6 +7373,7 @@ ORACLES = {
     "bm25_alias_topk": SQL_BM25_TOPK,
     "bm25_rollover_topk": SQL_BM25_ROLLOVER_TOPK,
     "bm25_routed_topk": SQL_BM25_ROUTED_TOPK,
+    "bigram_logloss": SQL_BIGRAM_LOGLOSS,
     "oov_rate": SQL_OOV_RATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "lang_counts": SQL_LANG_COUNTS,
