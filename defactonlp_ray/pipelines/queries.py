@@ -1000,6 +1000,61 @@ SQL_EVENTS_HOURLY = (
 )
 
 
+def q_events_top_types_daily(sf_dir: str):
+    """Composite aggregation (the Elasticsearch date_histogram + terms
+    sub-aggregation): per DAY bucket, the top-2 event types by count
+    (ties by type name) with their count and value sum.  Shape: the
+    per-batch (day, type) combiner bounds the exchange to one row per
+    (day, type, batch); the per-day top-k then runs over the
+    already-reduced table via ``groupby(day).map_groups`` — at 100 TB
+    the map_groups input is |days|x|types| rows, not events."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({
+            "window_start": day,
+            "event_type": batch["event_type"],
+            "value": batch["value"],
+        })
+        agg = t.group_by(["window_start", "event_type"]).aggregate(
+            [([], "count_all"), ("value", "sum")]
+        )
+        return agg.rename_columns(
+            ["window_start", "event_type", "n_p", "sv_p"]
+        )
+
+    reduced = (
+        read_table(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_p", alias_name="n"), Sum("sv_p", alias_name="sv"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n", "event_type"], ascending=[False, True]
+        ).head(2).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["sum_value"] = np.round(g["sv"], 2)
+        return g[["window_start", "rank", "event_type", "n", "sum_value"]]
+
+    return reduced.groupby("window_start").map_groups(
+        topk, batch_format="pandas"
+    )
+
+
+SQL_EVENTS_TOP_TYPES_DAILY = (
+    "SELECT window_start, rank, event_type, n, sum_value FROM ("
+    "SELECT date_trunc('day', ts) AS window_start, event_type, "
+    "count(*) AS n, round(sum(value), 2) AS sum_value, "
+    "CAST(row_number() OVER (PARTITION BY date_trunc('day', ts) "
+    "ORDER BY count(*) DESC, event_type) AS INTEGER) AS rank "
+    "FROM events GROUP BY 1, 2) WHERE rank <= 2"
+)
+
+
 def q_events_sessions(sf_dir: str):
     """Streaming-shaped sessionization (SURVEY.md §2.9 pattern): 30-min
     inactivity gap, per-user counts via sorted map_groups."""
@@ -7227,6 +7282,7 @@ QUERIES = {
     "bm25_rollover_topk": q_bm25_rollover_topk,
     "bm25_routed_topk": q_bm25_routed_topk,
     "bigram_logloss": q_bigram_logloss,
+    "events_top_types_daily": q_events_top_types_daily,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
     "fever_score": q_fever_score,
@@ -7374,6 +7430,7 @@ ORACLES = {
     "bm25_rollover_topk": SQL_BM25_ROLLOVER_TOPK,
     "bm25_routed_topk": SQL_BM25_ROUTED_TOPK,
     "bigram_logloss": SQL_BIGRAM_LOGLOSS,
+    "events_top_types_daily": SQL_EVENTS_TOP_TYPES_DAILY,
     "oov_rate": SQL_OOV_RATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "lang_counts": SQL_LANG_COUNTS,
