@@ -4663,6 +4663,48 @@ def q_bm25_rollover_topk(sf_dir: str):
 SQL_BM25_ROLLOVER_TOPK = _bm25_sql(_BM25_QUERIES)
 
 
+def q_bm25_retention_topk(sf_dir: str):
+    """Retention / ILM delete phase over a rollover family
+    (stages/rollover.expire_generations): after ingesting the corpus as
+    4 chunks into 2 generations (max = n/2 docs each), retire all but
+    the newest generation with ONE atomic ``retired.json`` write —
+    in-flight searches keep the generation list they resolved,
+    subsequent searches never open the retired dirs, and data dirs stay
+    on disk for out-of-band GC (retire-then-delete).  Serving then
+    covers only docs [n/2, n), with stats from the live generation
+    alone — which is exactly what the oracle pins: BM25 SQL over the
+    doc_id >= n//2 slice with slice-local stats."""
+    from ..stages.rollover import (
+        expire_generations,
+        ingest_rollover,
+        search_rollover,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    root = _tmp_index_dir(sf_dir, "idxret")
+    cuts = [0, n // 4, n // 2, (3 * n) // 4, n]
+    for i in range(4):
+        lo, hi = cuts[i], cuts[i + 1]
+        chunk = docs.filter(expr=f"doc_id >= {lo} and doc_id < {hi}")
+        ingest_rollover(
+            chunk, root, f"chunk-{i}",
+            max_gen_docs=n // 2, seg_docs=max(128, n // 8),
+        )
+    expire_generations(root, keep_last=1)
+    res = search_rollover(
+        root, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+SQL_BM25_RETENTION_TOPK = _bm25_sql(
+    _BM25_QUERIES,
+    toks_sql=_TOKS_SQL
+    + " WHERE doc_id >= (SELECT count(*) // 2 FROM documents)",
+)
+
+
 _ROUTE_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
@@ -7281,6 +7323,7 @@ QUERIES = {
     "bm25_alias_topk": q_bm25_alias_topk,
     "bm25_rollover_topk": q_bm25_rollover_topk,
     "bm25_routed_topk": q_bm25_routed_topk,
+    "bm25_retention_topk": q_bm25_retention_topk,
     "bigram_logloss": q_bigram_logloss,
     "events_top_types_daily": q_events_top_types_daily,
     "oov_rate": q_oov_rate,
@@ -7429,6 +7472,7 @@ ORACLES = {
     "bm25_alias_topk": SQL_BM25_TOPK,
     "bm25_rollover_topk": SQL_BM25_ROLLOVER_TOPK,
     "bm25_routed_topk": SQL_BM25_ROUTED_TOPK,
+    "bm25_retention_topk": SQL_BM25_RETENTION_TOPK,
     "bigram_logloss": SQL_BIGRAM_LOGLOSS,
     "events_top_types_daily": SQL_EVENTS_TOP_TYPES_DAILY,
     "oov_rate": SQL_OOV_RATE,

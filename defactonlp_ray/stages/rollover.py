@@ -47,6 +47,7 @@ from ..sources import manifest as mf
 from .index_build import append_index, build_index
 
 __all__ = [
+    "expire_generations",
     "generations",
     "ingest_rollover",
     "search_rollover",
@@ -56,21 +57,55 @@ __all__ = [
 _GEN_RE = re.compile(r"^gen-(\d{5})$")
 _WRITE_ALIAS = "write.alias"
 _LEDGER = "ingest.log"
+_RETIRED = "retired.json"
+
+
+def _retired_gens(family_root: str) -> set[str]:
+    path = os.path.join(family_root, _RETIRED)
+    if not os.path.exists(path):
+        return set()
+    with open(path, encoding="utf-8") as f:
+        return set(json.load(f)["retired"])
 
 
 def generations(family_root: str) -> list[str]:
-    """Sorted list of the family's generation index dirs (only those
-    with at least one finished manifest line — a generation created by
-    a crashed roll that never indexed anything is invisible)."""
+    """Sorted list of the family's LIVE generation index dirs (only
+    those with at least one finished manifest line — a generation
+    created by a crashed roll that never indexed anything is invisible
+    — and not retired by :func:`expire_generations`)."""
     if not os.path.isdir(family_root):
         return []
+    retired = _retired_gens(family_root)
     out = []
     for name in sorted(os.listdir(family_root)):
-        if _GEN_RE.match(name):
+        if _GEN_RE.match(name) and name not in retired:
             gen = os.path.join(family_root, name)
             if mf.read_manifest(gen):
                 out.append(gen)
     return out
+
+
+def expire_generations(family_root: str, *, keep_last: int) -> list[str]:
+    """Retention (the ILM delete phase): retire all but the newest
+    ``keep_last`` generations from SERVING with one atomic write of
+    ``retired.json`` — in-flight searches keep the generation list they
+    already resolved; subsequent :func:`search_rollover` calls never
+    open the retired dirs.  Data dirs are left on disk for out-of-band
+    GC (the manifest-tombstone pattern: retire-then-delete, never
+    delete-then-hope).  The write generation cannot be retired
+    (``keep_last >= 1``).  Idempotent; returns the retired dir names
+    (cumulative)."""
+    if keep_last < 1:
+        raise ValueError("expire_generations: keep_last must be >= 1")
+    live = generations(family_root)
+    newly = [os.path.basename(g) for g in live[:-keep_last]]
+    retired = sorted(_retired_gens(family_root) | set(newly))
+    path = os.path.join(family_root, _RETIRED)
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"retired": retired}, f)
+    os.replace(tmp, path)
+    return retired
 
 
 def write_generation(family_root: str) -> Optional[str]:

@@ -136,3 +136,43 @@ def test_crash_before_ledger_resumes_same_generation():
 def test_search_empty_family_raises(tmp_path):
     with pytest.raises(ValueError, match="no generations"):
         search_rollover(str(tmp_path), _qds())
+
+
+def test_retention_retires_all_but_newest():
+    from defactonlp_ray.stages.rollover import expire_generations
+
+    root = os.path.join(tempfile.mkdtemp(), "fam")
+    for i in range(4):
+        ingest_rollover(_docs_ds(i * 200, (i + 1) * 200), root, f"c{i}",
+                        max_gen_docs=400, seg_docs=128)
+    retired = expire_generations(root, keep_last=1)
+    assert retired == ["gen-00000"]
+    gens = generations(root)
+    assert [os.path.basename(g) for g in gens] == ["gen-00001"]
+    # serving equals a plain index over only the live generation's docs
+    solo = os.path.join(tempfile.mkdtemp(), "solo")
+    build_index(_docs_ds(400, 800), solo, seg_docs=128)
+    a = (
+        search_rollover(root, _qds(), k=10, concurrency=2)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        search(solo, _qds(), k=10, concurrency=2)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # idempotent; write generation survives; ingest continues to work
+    assert expire_generations(root, keep_last=1) == ["gen-00000"]
+    assert os.path.basename(write_generation(root)) == "gen-00001"
+    ingest_rollover(_docs_ds(800, 900), root, "c4",
+                    max_gen_docs=400, seg_docs=128)
+    assert [os.path.basename(g) for g in generations(root)] == [
+        "gen-00001", "gen-00002"
+    ]
+
+
+def test_retention_keep_last_must_be_positive(tmp_path):
+    from defactonlp_ray.stages.rollover import expire_generations
+
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_generations(str(tmp_path), keep_last=0)
