@@ -1287,6 +1287,90 @@ SQL_NATION_REVENUE = (
 )
 
 
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1998-06-01"
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 (shipping-priority): top-10 open orders of one market
+    segment by lineitem revenue.  The canonical two-hash-join plan with
+    every filter pushed below the joins: customer filters to the
+    segment BEFORE the first join, orders filters on date at the read,
+    lineitem likewise; revenue pre-aggregates per (orderkey, batch)
+    inside map_batches before the final groupby, so the exchange
+    carries one row per order per batch, not one per lineitem.  The
+    top-10 cut runs on the reduced per-order table (|orders| rows, not
+    |lineitems|) under the rounded-revenue tie policy (date, orderkey
+    ascending)."""
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr=f"c_mktsegment == '{_Q3_SEGMENT}'"
+    )
+    cut = pa.scalar(
+        np.datetime64(_Q3_DATE, "us").item(), pa.timestamp("us")
+    )
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cut)),
+        batch_format="pyarrow",
+    )
+    line = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], cut)),
+        batch_format="pyarrow",
+    )
+
+    def rev_part(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev_p": rev})
+        return t.group_by("l_orderkey").aggregate([("rev_p", "sum")]).rename_columns(
+            ["l_orderkey", "rev_p"]
+        )
+
+    oc = orders.join(
+        cust, "inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_orderdate"])
+    lrev = line.map_batches(rev_part, batch_format="pyarrow")
+    j = lrev.join(
+        oc, "inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = (
+        j.groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev_p", alias_name="rev"))
+        .to_pandas()
+    )
+    out["revenue"] = np.round(out["rev"], 2)
+    out = out.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True],
+    ).head(10).reset_index(drop=True)
+    return out[["l_orderkey", "revenue", "o_orderdate"]]
+
+
+SQL_TPCH_Q3 = (
+    "SELECT l_orderkey, revenue, o_orderdate FROM ("
+    "SELECT l_orderkey, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "o_orderdate "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    f"WHERE c_mktsegment = '{_Q3_SEGMENT}' "
+    f"AND o_orderdate < TIMESTAMP '{_Q3_DATE}' "
+    f"AND l_shipdate > TIMESTAMP '{_Q3_DATE}' "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10)"
+)
+
+
 # ----------------------------------------------------- text analysis suite
 
 def q_token_counts(sf_dir: str):
@@ -7326,6 +7410,7 @@ QUERIES = {
     "bm25_retention_topk": q_bm25_retention_topk,
     "bigram_logloss": q_bigram_logloss,
     "events_top_types_daily": q_events_top_types_daily,
+    "tpch_q3": q_tpch_q3,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
     "fever_score": q_fever_score,
@@ -7475,6 +7560,7 @@ ORACLES = {
     "bm25_retention_topk": SQL_BM25_RETENTION_TOPK,
     "bigram_logloss": SQL_BIGRAM_LOGLOSS,
     "events_top_types_daily": SQL_EVENTS_TOP_TYPES_DAILY,
+    "tpch_q3": SQL_TPCH_Q3,
     "oov_rate": SQL_OOV_RATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "lang_counts": SQL_LANG_COUNTS,
