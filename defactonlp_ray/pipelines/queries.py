@@ -1045,6 +1045,109 @@ def q_events_top_types_daily(sf_dir: str):
     )
 
 
+def q_events_moving_avg(sf_dir: str):
+    """Pipeline aggregation (the Elasticsearch moving_fn / moving-avg
+    sub-agg): daily event counts smoothed with a TRAILING 3-day window
+    (current + 2 preceding; shorter at the series head).  The corpus
+    pass reduces to one row per (day, batch) via the Arrow combiner;
+    the window function then runs over the reduced |days|-row series —
+    inherently driver-small no matter the corpus size, which is the
+    whole design point of pipeline aggs over bucketed parents."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    daily["mavg"] = np.round(
+        daily["n"].rolling(window=3, min_periods=1).mean(), 6
+    )
+    return daily[["window_start", "n", "mavg"]]
+
+
+SQL_EVENTS_MOVING_AVG = (
+    "SELECT window_start, n, round(avg(n) OVER (ORDER BY window_start "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg FROM ("
+    "SELECT date_trunc('day', ts) AS window_start, count(*) AS n "
+    "FROM events GROUP BY 1)"
+)
+
+
+def q_curriculum_buckets(sf_dir: str):
+    """Curriculum bucketing for training order (length-based difficulty
+    tiers, the 'short-to-long' curriculum recipe): every doc gets its
+    GLOBAL rank under (n_tokens, doc_id) and an exact ntile(4) bucket.
+    The rank is distributed — stages/docids.assign_doc_ids' range-
+    partitioned sort + O(blocks) prefix-sum stamp over a fixed-width
+    composite sort key — never a driver-side argsort; the ntile split
+    (leading buckets absorb the remainder) is a closed-form vectorized
+    function of the rank.  Zero-token docs participate (length 0 sorts
+    first), mirrored by the oracle's LEFT JOIN."""
+    from ..stages.docids import assign_doc_ids
+
+    def counts(batch: pa.Table) -> pa.Table:
+        _, _, doc_len = flatten_tokens(batch["text"])
+        nt = doc_len.astype(np.int64)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        key = np.char.add(
+            np.char.zfill(nt.astype(str), 12),
+            np.char.zfill(dids.astype(str), 12),
+        )
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(nt),
+            "curr_key": pa.array(key),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    ranked = assign_doc_ids(ds, key="curr_key", col="rank0")
+    n = ranked.count()
+    k = 4
+    base, rem = n // k, n % k
+    cut = rem * (base + 1)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        r = batch["rank0"].to_numpy(zero_copy_only=False)
+        if base == 0:
+            b = np.minimum(r, k - 1)
+        else:
+            b = np.where(r < cut, r // (base + 1), rem + (r - cut) // base)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["n_tokens"],
+            "rank": pa.array(r + 1, pa.int64()),
+            "bucket": pa.array(b + 1, pa.int64()),
+        })
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
+SQL_CURRICULUM_BUCKETS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tc AS (SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens "
+    "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks "
+    "GROUP BY doc_id) t ON d.doc_id = t.doc_id) "
+    "SELECT doc_id, n_tokens, "
+    "CAST(row_number() OVER w AS BIGINT) AS rank, "
+    "CAST(ntile(4) OVER w AS BIGINT) AS bucket FROM tc "
+    "WINDOW w AS (ORDER BY n_tokens, doc_id)"
+)
+
+
 SQL_EVENTS_TOP_TYPES_DAILY = (
     "SELECT window_start, rank, event_type, n, sum_value FROM ("
     "SELECT date_trunc('day', ts) AS window_start, event_type, "
@@ -7410,6 +7513,8 @@ QUERIES = {
     "bm25_retention_topk": q_bm25_retention_topk,
     "bigram_logloss": q_bigram_logloss,
     "events_top_types_daily": q_events_top_types_daily,
+    "events_moving_avg": q_events_moving_avg,
+    "curriculum_buckets": q_curriculum_buckets,
     "tpch_q3": q_tpch_q3,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
@@ -7560,6 +7665,8 @@ ORACLES = {
     "bm25_retention_topk": SQL_BM25_RETENTION_TOPK,
     "bigram_logloss": SQL_BIGRAM_LOGLOSS,
     "events_top_types_daily": SQL_EVENTS_TOP_TYPES_DAILY,
+    "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+    "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
     "tpch_q3": SQL_TPCH_Q3,
     "oov_rate": SQL_OOV_RATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
