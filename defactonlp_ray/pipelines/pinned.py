@@ -880,6 +880,43 @@ def serial_semdedup(
     return df.reset_index(drop=True)
 
 
+def serial_logreg(sf_dir: str) -> pd.DataFrame:
+    """Serial whole-matrix reference for the distributed logreg trainer
+    (stages/logreg.fit): features via the per-doc spec function
+    (doc_features over tokenize — an independent scalar path from the
+    engine's vectorized flatten/bincount kernel), full-batch GD with
+    the SAME quantized-gradient update, accuracy by exact count."""
+    import pyarrow.parquet as pq
+
+    from ..stages.logreg import (
+        _GSCALE, FEATURES, LR, N_ITER, doc_features, grad_partial_q,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    order = np.argsort(np.asarray(t["doc_id"].to_pylist(), dtype=np.int64))
+    texts = np.asarray(t["text"].to_pylist(), dtype=object)[order]
+    langs = np.asarray(t["lang"].to_pylist(), dtype=object)[order]
+    X = np.asarray([doc_features(tokenize(s)) for s in texts], np.float64)
+    y = (langs == "en").astype(np.float64)
+    n, d = X.shape
+    w = np.zeros(d, dtype=np.float64)
+    for _ in range(N_ITER):
+        q = grad_partial_q(X, y, w)
+        w = w - LR * (q.astype(np.float64) / _GSCALE) / n
+    correct = int((((X @ w) >= 0.0) == (y > 0.5)).sum())
+    return pd.DataFrame({
+        "n_docs": np.array([n], dtype=np.int64),
+        "accuracy": [round(correct / n, 6)],
+        **{
+            f"w_{name}": [round(float(w[i]), 6)]
+            for i, name in enumerate(FEATURES)
+        },
+    })
+
+
 # ------------------------------------------------------------- SQL plumbing
 
 _SQL_TYPES = {
@@ -1039,6 +1076,13 @@ def oracle_values_sql() -> dict[str, str]:
             return values_sql(df)
 
         out["rolling_fingerprints"] = _cached("rolling_fingerprints", sf_fp, _rfp)
+
+        from ..stages.logreg import LOGREG_VERSION
+
+        out["quality_logreg"] = _cached(
+            "quality_logreg", sf_fp + "|" + LOGREG_VERSION,
+            lambda: values_sql(serial_logreg(ORACLE_SF_DIR)),
+        )
 
         def _winnow() -> str:
             docs = _sf_docs()

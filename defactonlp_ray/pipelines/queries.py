@@ -1148,6 +1148,27 @@ SQL_CURRICULUM_BUCKETS = (
 )
 
 
+def q_quality_logreg(sf_dir: str):
+    """Distributed classifier training for data curation
+    (stages/logreg.py — the CCNet/fastText-style quality/domain filter
+    is a linear model over cheap text statistics): full-batch logistic
+    regression, 15 GD iterations, y = (lang == 'en'), features =
+    [bias, n_tokens/100, distinct ratio, mean token length/10].  Each
+    iteration is ONE streaming map_batches pass over the tiny
+    materialized feature table emitting d+1 int64 gradient partials per
+    block — per-doc contributions quantized at 2^24 so the integer
+    reduce is exact and the trained weights are parallelism-invariant
+    (the same fixed-point device as kmeans).  Oracle = pinned serial
+    whole-matrix GD of the identical spec as VALUES."""
+    from ..stages import logreg
+
+    feats = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        logreg.featurize_batch, batch_format="pyarrow"
+    )
+    _, summary = logreg.fit(feats)
+    return summary
+
+
 SQL_EVENTS_TOP_TYPES_DAILY = (
     "SELECT window_start, rank, event_type, n, sum_value FROM ("
     "SELECT date_trunc('day', ts) AS window_start, event_type, "
@@ -7515,6 +7536,7 @@ QUERIES = {
     "events_top_types_daily": q_events_top_types_daily,
     "events_moving_avg": q_events_moving_avg,
     "curriculum_buckets": q_curriculum_buckets,
+    "quality_logreg": q_quality_logreg,
     "tpch_q3": q_tpch_q3,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,

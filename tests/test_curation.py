@@ -252,3 +252,45 @@ def test_quality_prune_keeps_at_least_half(sf_dir):
     survivors = int(out["n"].sum())
     # lower-median threshold keeps the upper half (inclusive)
     assert total // 2 <= survivors <= total
+
+
+def test_logreg_parallelism_invariant():
+    """The quantized-gradient spec: identical weights at any block
+    layout (1 block vs many)."""
+    import pyarrow as pa
+    import ray.data
+
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.stages import logreg
+
+    pages = fixtures.make_pages(300)
+    langs = [["en", "de", "fr"][i % 3] for i in range(300)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "lang": pa.array(langs),
+        "text": pages["text"],
+    })
+    feats = ray.data.from_arrow(tbl).map_batches(
+        logreg.featurize_batch, batch_format="pyarrow"
+    )
+    w1, s1 = logreg.fit(feats)
+    w2, s2 = logreg.fit(feats.repartition(13))
+    assert (w1 == w2).all()
+    assert s1.equals(s2)
+    # serial whole-matrix route gives the same weights (the spec is ONE)
+    import numpy as np
+
+    from defactonlp_ray.functions.tokenizer import tokenize
+    from defactonlp_ray.stages.logreg import (
+        _GSCALE, LR, N_ITER, doc_features, grad_partial_q,
+    )
+
+    X = np.asarray(
+        [doc_features(tokenize(s)) for s in pages["text"].to_pylist()],
+        np.float64,
+    )
+    y = np.asarray([l == "en" for l in langs], np.float64)
+    w = np.zeros(X.shape[1])
+    for _ in range(N_ITER):
+        w = w - LR * (grad_partial_q(X, y, w).astype(np.float64) / _GSCALE) / len(y)
+    assert (w == w1).all()
