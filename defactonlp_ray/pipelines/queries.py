@@ -435,6 +435,91 @@ def q_link_pagerank(sf_dir: str):
     ]
 
 
+def q_link_triangles(sf_dir: str):
+    """Distributed triangle counting over the (undirected) link graph —
+    the graph-structure health metric of web-spam/community analysis.
+    The classic two-join plan (the MapReduce triangle recipe): canonical
+    u<v edges -> wedges by joining the edge set with itself on the apex
+    (v<w keeps each wedge once) -> semi-join the (v,w) closing pair back
+    against the edge set.  Both joins are hash-partitioned Dataset.joins
+    — never an adjacency broadcast; at web scale the wedge stage is
+    bounded by emitting from the LOWER-degree endpoint (documented
+    standard mitigation; this graph's out-degree is a constant 3 so the
+    plain apex join is already balanced).  Oracle: the identical
+    arithmetic edge derivation + 3-way self-join in SQL."""
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    def mk_und(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        us, vs = [], []
+        for a, b in _PR_COEFFS:
+            d = (did * a + b) % n
+            keep = d != did
+            s, t = did[keep], d[keep]
+            us.append(np.minimum(s, t))
+            vs.append(np.maximum(s, t))
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        _, idx = np.unique(u * np.int64(n) + v, return_index=True)
+        return pa.table({
+            "u": pa.array(u[idx], pa.int64()),
+            "v": pa.array(v[idx], pa.int64()),
+        })
+
+    # canonical-pair dedup must be GLOBAL (u<v pairs from two different
+    # source docs can coincide), so one Count groupby after the combiner
+    edges = (
+        docs.map_batches(mk_und, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="__m"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+    n_edges = edges.count()
+    right = edges.rename_columns({"v": "w"})
+    wedges = edges.join(
+        right, "inner", num_partitions=nparts, on=("u",), right_on=("u",)
+    ).filter(expr="v < w")
+    n_wedges = wedges.count()
+    closed = wedges.join(
+        edges, "inner", num_partitions=nparts,
+        on=("v", "w"), right_on=("u", "v"),
+    )
+    n_tri = closed.count()
+    return pd.DataFrame({
+        "n_nodes": np.array([n], dtype=np.int64),
+        "n_edges": np.array([n_edges], dtype=np.int64),
+        "n_wedges": np.array([n_wedges], dtype=np.int64),
+        "n_triangles": np.array([n_tri], dtype=np.int64),
+    })
+
+
+def _edges_sql() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % "
+        "(SELECT count(*) FROM documents) AS dst FROM documents"
+        for a, b in _PR_COEFFS
+    )
+    return (
+        f"SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        f"FROM ({parts}) WHERE src <> dst"
+    )
+
+
+SQL_LINK_TRIANGLES = (
+    f"WITH und AS ({_edges_sql()}) "
+    "SELECT (SELECT count(*) FROM documents) AS n_nodes, "
+    "(SELECT count(*) FROM und) AS n_edges, "
+    "(SELECT count(*) FROM und a JOIN und b "
+    "ON a.u = b.u AND a.v < b.v) AS n_wedges, "
+    "(SELECT count(*) FROM und a JOIN und b ON a.u = b.u AND a.v < b.v "
+    "JOIN und c ON c.u = a.v AND c.v = b.v) AS n_triangles"
+)
+
+
 # ------------------------------------------------- anchor-text aggregation
 
 
@@ -7537,6 +7622,7 @@ QUERIES = {
     "events_moving_avg": q_events_moving_avg,
     "curriculum_buckets": q_curriculum_buckets,
     "quality_logreg": q_quality_logreg,
+    "link_triangles": q_link_triangles,
     "tpch_q3": q_tpch_q3,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
@@ -7689,6 +7775,7 @@ ORACLES = {
     "events_top_types_daily": SQL_EVENTS_TOP_TYPES_DAILY,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
+    "link_triangles": SQL_LINK_TRIANGLES,
     "tpch_q3": SQL_TPCH_Q3,
     "oov_rate": SQL_OOV_RATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
