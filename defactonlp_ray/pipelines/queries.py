@@ -3475,6 +3475,75 @@ def q_bm25_page2(sf_dir: str):
 SQL_BM25_PAGE2 = _bm25_sql(_BM25_QUERIES, k=20, lo=11)
 
 
+_SCROLL_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["merge", "sort"]),
+    (1, ["hash", "join", "table"]),
+]
+_SCROLL_PAGE = 37  # deliberately not a divisor of anything
+
+
+def q_bm25_scroll(sf_dir: str):
+    """Scroll / full match-set drain (the Elasticsearch scroll + PIT
+    export shape): the ENTIRE ranking of each query is drained through
+    repeated bounded search-after pages (page size 37) — each page is
+    one ordinary top-k actor-pool pass with the previous page's last
+    (rounded score, doc_id) pushed into the candidate mask, so page N
+    costs one bounded top-k, never a deep top-(N*37).  Queries drain
+    independently and drop out as they exhaust.  The oracle is the full
+    unranked-depth BM25 SQL: a hash match proves the page walk visits
+    every match exactly once in the global (score DESC, doc_id) order
+    — no seam duplicates, no seam gaps at any page boundary."""
+    idx = _build_docs_index(sf_dir)
+    qmap = dict(_SCROLL_QUERIES)
+    cursors: dict[int, tuple[float, int] | None] = {
+        qid: None for qid, _ in _SCROLL_QUERIES
+    }
+    pages: list[pd.DataFrame] = []
+    live = set(cursors)
+    for _ in range(500):
+        if not live:
+            break
+        qids = sorted(live)
+        cols: dict = {
+            "query_id": pa.array(qids, pa.int64()),
+            "terms": pa.array([qmap[q] for q in qids], pa.list_(pa.string())),
+        }
+        if any(cursors[q] is not None for q in qids):
+            # a page-1 query rides along with an "everything" cursor
+            cols["after_score"] = pa.array(
+                [
+                    cursors[q][0] if cursors[q] else float("inf")
+                    for q in qids
+                ],
+                pa.float64(),
+            )
+            cols["after_doc"] = pa.array(
+                [cursors[q][1] if cursors[q] else -1 for q in qids],
+                pa.int64(),
+            )
+        res = search(
+            idx, ray.data.from_arrow(pa.table(cols)),
+            k=_SCROLL_PAGE, concurrency=2,
+        ).to_pandas()
+        if res.empty:
+            break
+        res = _rerank_rounded(res, k=_SCROLL_PAGE)
+        pages.append(res)
+        for q in list(live):
+            mine = res[res["query_id"] == q]
+            if len(mine) < _SCROLL_PAGE:
+                live.discard(q)
+            else:
+                last = mine.iloc[-1]
+                cursors[q] = (float(last["score"]), int(last["doc_id"]))
+    out = pd.concat(pages, ignore_index=True)
+    return _rerank_rounded(out, k=len(out))
+
+
+# full-depth ranking: the drain must reproduce it exactly
+SQL_BM25_SCROLL = _bm25_sql(_SCROLL_QUERIES, k=1 << 30)
+
+
 def q_bm25_collapse(sf_dir: str):
     """Field collapsing: at most one doc per ``source`` in the ranking,
     each source represented by its best-scoring doc, top-5 sources per
@@ -7623,6 +7692,7 @@ QUERIES = {
     "curriculum_buckets": q_curriculum_buckets,
     "quality_logreg": q_quality_logreg,
     "link_triangles": q_link_triangles,
+    "bm25_scroll": q_bm25_scroll,
     "tpch_q3": q_tpch_q3,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
@@ -7776,6 +7846,7 @@ ORACLES = {
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
     "link_triangles": SQL_LINK_TRIANGLES,
+    "bm25_scroll": SQL_BM25_SCROLL,
     "tpch_q3": SQL_TPCH_Q3,
     "oov_rate": SQL_OOV_RATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
