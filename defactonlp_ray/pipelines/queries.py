@@ -3544,6 +3544,105 @@ def q_bm25_scroll(sf_dir: str):
 SQL_BM25_SCROLL = _bm25_sql(_SCROLL_QUERIES, k=1 << 30)
 
 
+_MAXP_WIN = 32
+
+
+def q_bm25_maxp(sf_dir: str):
+    """BM25-MaxP passage-parent ranking (Dai & Callan, SIGIR 2019; the
+    Lucene has_child/block-join score_mode=max shape): documents split
+    into non-overlapping 32-token passages, a PASSAGE-level index is
+    built (passage stats: df over passages, avg passage length), and a
+    parent doc's score is the MAX of its passages' rounded scores —
+    long documents stop winning on accumulated length, the reason MaxP
+    beats doc-level BM25 on web corpora.  The parent max runs over the
+    FULL passage match set (k = passage count bounds the heap, the
+    match set is what it is), then one tiny groupby-max + re-rank.
+    Passage ids are arithmetic (doc * shift + chunk with shift = the
+    corpus max chunks/doc, one cheap aggregate), so parent recovery is
+    a division, not a join, and the id space stays DENSE enough for the
+    TAAT accumulator (never doc_id * 4096-style range explosion)."""
+    from ray.data.aggregate import Max
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def nchunks(batch: pa.Table) -> pa.Table:
+        _, _, doc_len = flatten_tokens(batch["text"])
+        nc = (doc_len.astype(np.int64) + _MAXP_WIN - 1) // _MAXP_WIN
+        return pa.table({"nc": pa.array(nc, pa.int64())})
+
+    shift = int(
+        docs.map_batches(nchunks, batch_format="pyarrow")
+        .aggregate(Max("nc"))["max(nc)"]
+    )
+    shift = max(shift, 1)
+
+    def passages(batch: pa.Table) -> pa.Table:
+        terms, row_idx, doc_len = flatten_tokens(batch["text"])
+        if len(terms) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            })
+        n = doc_len.astype(np.int64)
+        offs = np.cumsum(n) - n
+        pos = np.arange(len(terms), dtype=np.int64) - offs[row_idx]
+        dids = batch["doc_id"].to_numpy()
+        pid = dids[row_idx] * shift + pos // _MAXP_WIN
+        toks = pd.Series(terms.to_pylist())
+        joined = toks.groupby(pid, sort=True).agg(" ".join)
+        return pa.table({
+            "doc_id": pa.array(joined.index.to_numpy(np.int64)),
+            "text": pa.array(joined.to_numpy(), pa.string()),
+        })
+
+    pds = docs.map_batches(passages, batch_format="pyarrow")
+    idx = _tmp_index_dir(sf_dir, f"idxmaxp{shift}")
+    n_pass = pds.count()
+    build_index(pds, idx, seg_docs=max(128, n_pass // 8), resume=True)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=n_pass, concurrency=2
+    ).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    res["parent"] = res["doc_id"].to_numpy(np.int64) // shift
+    best = res.groupby(["query_id", "parent"], as_index=False)["score"].max()
+    best = best.rename(columns={"parent": "doc_id"})
+    return _rerank_rounded(best, k=10)
+
+
+SQL_BM25_MAXP = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+    "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+    f"shift AS (SELECT greatest(max((len(ts) + {_MAXP_WIN} - 1) "
+    f"// {_MAXP_WIN}), 1) AS s FROM d), "
+    f"pt AS (SELECT doc_id * shift.s + (i - 1) // {_MAXP_WIN} AS pid, "
+    "term FROM tokpos CROSS JOIN shift), "
+    "dl AS (SELECT pid, count(*) AS dl FROM pt GROUP BY pid), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT pid, term, count(*) AS tf FROM pt GROUP BY 1, 2), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    + "), "
+    "pscore AS (SELECT q.query_id, tf.pid, "
+    "round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * "
+    "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+    "(s.total::DOUBLE / s.n_docs)))), 6) AS score "
+    "FROM q JOIN tf ON q.term = tf.term JOIN df ON df.term = q.term "
+    "JOIN dl ON dl.pid = tf.pid CROSS JOIN stats s "
+    "GROUP BY q.query_id, tf.pid), "
+    "parent AS (SELECT query_id, pid // shift.s AS doc_id, "
+    "max(score) AS score FROM pscore CROSS JOIN shift GROUP BY 1, 2) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, "
+    "doc_id) AS INTEGER) AS rank FROM parent) WHERE rank <= 10"
+)
+
+
 def q_bm25_collapse(sf_dir: str):
     """Field collapsing: at most one doc per ``source`` in the ranking,
     each source represented by its best-scoring doc, top-5 sources per
@@ -7693,6 +7792,7 @@ QUERIES = {
     "quality_logreg": q_quality_logreg,
     "link_triangles": q_link_triangles,
     "bm25_scroll": q_bm25_scroll,
+    "bm25_maxp": q_bm25_maxp,
     "tpch_q3": q_tpch_q3,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
@@ -7847,6 +7947,7 @@ ORACLES = {
     "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
     "link_triangles": SQL_LINK_TRIANGLES,
     "bm25_scroll": SQL_BM25_SCROLL,
+    "bm25_maxp": SQL_BM25_MAXP,
     "tpch_q3": SQL_TPCH_Q3,
     "oov_rate": SQL_OOV_RATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
