@@ -3591,11 +3591,20 @@ def q_bm25_scroll(sf_dir: str):
     one ordinary top-k actor-pool pass with the previous page's last
     (rounded score, doc_id) pushed into the candidate mask, so page N
     costs one bounded top-k, never a deep top-(N*37).  Queries drain
-    independently and drop out as they exhaust.  The oracle is the full
-    unranked-depth BM25 SQL: a hash match proves the page walk visits
-    every match exactly once in the global (score DESC, doc_id) order
-    — no seam duplicates, no seam gaps at any page boundary."""
+    independently and drop out as they exhaust.  The page cut
+    over-fetches 2x and trims to the page size AFTER the rounded
+    re-rank — the same raw-vs-rounded boundary margin ``bm25_page2``
+    uses (a seam gap would need a >37-way 1e-6 score-band tie
+    straddling the raw cut).  The index decodes ONCE
+    (build_shared_index + ray.put); every page's actors attach to the
+    same plasma pack instead of re-opening the index.  The oracle is
+    the full unranked-depth BM25 SQL: a hash match proves the page walk
+    visits every match exactly once in the global (score DESC, doc_id)
+    order — no seam duplicates, no seam gaps at any page boundary."""
+    from ..stages.search import build_shared_index
+
     idx = _build_docs_index(sf_dir)
+    shared_ref = ray.put(build_shared_index(idx))
     qmap = dict(_SCROLL_QUERIES)
     cursors: dict[int, tuple[float, int] | None] = {
         qid: None for qid, _ in _SCROLL_QUERIES
@@ -3625,19 +3634,26 @@ def q_bm25_scroll(sf_dir: str):
             )
         res = search(
             idx, ray.data.from_arrow(pa.table(cols)),
-            k=_SCROLL_PAGE, concurrency=2,
+            k=2 * _SCROLL_PAGE, concurrency=2, shared_ref=shared_ref,
         ).to_pandas()
         if res.empty:
             break
-        res = _rerank_rounded(res, k=_SCROLL_PAGE)
-        pages.append(res)
+        res = _rerank_rounded(res, k=2 * _SCROLL_PAGE)
         for q in list(live):
             mine = res[res["query_id"] == q]
-            if len(mine) < _SCROLL_PAGE:
+            if len(mine) <= _SCROLL_PAGE:
+                pages.append(mine)    # the tail page; query exhausted
                 live.discard(q)
             else:
-                last = mine.iloc[-1]
+                page = mine.head(_SCROLL_PAGE)
+                pages.append(page)
+                last = page.iloc[-1]
                 cursors[q] = (float(last["score"]), int(last["doc_id"]))
+    if live:
+        raise RuntimeError(
+            "bm25_scroll: drain cap hit with queries still live: "
+            f"{sorted(live)} — raise the page count for this corpus size"
+        )
     out = pd.concat(pages, ignore_index=True)
     return _rerank_rounded(out, k=len(out))
 

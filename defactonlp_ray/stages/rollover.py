@@ -18,16 +18,16 @@ is a bounded, immutable-after-roll unit — compaction, snapshots,
 retention deletes and shard moves all operate on one generation without
 touching the write path, and a full rebuild is never needed.
 
-Crash windows (tested in tests/test_rollover.py):
-- ingest is resumable per ``chunk_id`` via the family's ``ingest.log``
-  ledger (one JSON line per COMPLETED chunk, appended after the index
-  work finishes).  A crash mid-append re-runs the append, which is
-  idempotent (segment sids are deterministic functions of doc_id).
-- a crash AFTER the append finished but BEFORE the ledger line lands is
-  detected by doc-range overlap: the chunk's min doc_id already falls
-  inside the write generation, so the re-run resumes the append into
-  the SAME generation instead of re-deciding the roll (which would
-  duplicate the docs into a fresh generation).
+Crash windows (each tested in tests/test_rollover.py): ingest is
+resumable per ``chunk_id`` via the family's ``ingest.log`` ledger (one
+JSON line per COMPLETED chunk, appended last; a torn trailing line is
+skipped as uncommitted).  Rolled builds stage into a
+``pending-<chunk_id>`` dir and become a visible generation via ONE
+``os.rename`` after the build fully finishes, and the roll decision is
+a function of crash-invariant state only — see the recovery ladder in
+:func:`ingest_rollover`'s docstring for the full window-by-window
+account (mid-build, rename-without-flip, flip-without-ledger, and
+mid-/unledgered-append are all repaired by re-running the ingest).
 
 Requires ascending doc_ids across ingest calls (the same contract as
 :func:`..stages.index_build.append_index`, which posting-list layout
@@ -117,26 +117,31 @@ def write_generation(family_root: str) -> Optional[str]:
     return mf.resolve_alias(alias)
 
 
-def _gen_doc_count(gen_dir: str) -> int:
-    return sum(r["n_docs"] for r in mf.read_manifest(gen_dir).values())
-
-
 def _gen_doc_hi(gen_dir: str) -> int:
     recs = mf.read_manifest(gen_dir)
     return max((r["doc_hi"] for r in recs.values()), default=-1)
 
 
-def _ledger_done(family_root: str) -> set[str]:
+def _ledger_records(family_root: str) -> dict[str, str]:
+    """chunk_id -> generation basename.  A torn or blank trailing line
+    (crash mid-append of the ledger itself) is SKIPPED, not raised: a
+    chunk without a complete ledger line is by definition uncommitted,
+    and the ingest recovery below re-derives where it landed."""
     path = os.path.join(family_root, _LEDGER)
     if not os.path.exists(path):
-        return set()
-    done = set()
+        return {}
+    recs: dict[str, str] = {}
     with open(path, encoding="utf-8") as f:
         for line in f:
             line = line.strip()
-            if line:
-                done.add(json.loads(line)["chunk_id"])
-    return done
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue  # torn line = uncommitted chunk
+            recs[rec["chunk_id"]] = rec["gen"]
+    return recs
 
 
 def _ledger_append(family_root: str, chunk_id: str, gen_dir: str) -> None:
@@ -174,44 +179,90 @@ def ingest_rollover(
     """Ingest one chunk into the family, rolling the write generation
     first when it would exceed ``max_gen_docs``.  Returns the generation
     dir the chunk landed in; a chunk_id already in the ledger is a
-    no-op (returns its recorded generation)."""
+    no-op (returns its recorded generation).  One ingest caller at a
+    time per family (the web-ingest contract: chunks are a single
+    ordered stream).
+
+    Crash recovery, exhaustively (each window tested):
+    * roll decision: from CRASH-INVARIANT state only — the write
+      generation's doc count BELOW the chunk's min id (a partial append
+      of this very chunk cannot flip the decision on re-run) — plus a
+      leftover pending dir, which pins an already-started roll;
+    * rolled builds stage into ``pending-<chunk_id>`` and become a
+      ``gen-NNNNN`` via one ``os.rename`` AFTER the build fully
+      finishes, so a generation dir is only ever visible complete —
+      serving can never see (or re-build next to) a half-built roll;
+    * rename done, alias flip lost: the newest generation covers the
+      chunk while the alias points older — repair = re-flip + ledger;
+    * alias flipped, ledger line lost: the write generation covers the
+      chunk in BUILD-namespace segments — nothing to redo, just ledger;
+      the same window after an APPEND (append-namespace sids) re-runs
+      ``append_index``, which is an idempotent resume that also repairs
+      a possibly-stale stats dir;
+    * a torn trailing ledger line is skipped (see _ledger_records)."""
+    from .index_build import APPEND_SID_BASE
+
     os.makedirs(family_root, exist_ok=True)
-    done = _ledger_done(family_root)
-    if chunk_id in done:
-        with open(os.path.join(family_root, _LEDGER), encoding="utf-8") as f:
-            for line in f:
-                rec = json.loads(line)
-                if rec["chunk_id"] == chunk_id:
-                    return os.path.join(family_root, rec["gen"])
+    recs = _ledger_records(family_root)
+    if chunk_id in recs:
+        return os.path.join(family_root, recs[chunk_id])
     alias = os.path.join(family_root, _WRITE_ALIAS)
-    gen = write_generation(family_root)
     kw = dict(doc_id_col=doc_id_col, text_col=text_col, url_col=url_col,
               seg_docs=seg_docs, codec=codec)
-    if gen is None:
-        gen = _new_generation(family_root)
-        build_index(ds, gen, resume=True, **kw)
-        mf.set_alias(alias, gen)
-    else:
-        n_gen = _gen_doc_count(gen)
-        # one small-side stat, not a materialization: min over the chunk
-        from ray.data.aggregate import Count, Min
+    # one small-side stat, not a materialization: min + count of the chunk
+    from ray.data.aggregate import Count, Min
 
-        agg = ds.aggregate(Min(doc_id_col), Count())
-        chunk_min = int(agg[f"min({doc_id_col})"])
-        n_chunk = int(agg["count()"])
-        if chunk_min <= _gen_doc_hi(gen):
-            # crashed-before-ledger re-run: the chunk (or a prefix of
-            # it) is already inside the write generation — resume the
-            # SAME append; re-deciding the roll here would duplicate it
+    agg = ds.aggregate(Min(doc_id_col), Count())
+    chunk_min = int(agg[f"min({doc_id_col})"])
+    n_chunk = int(agg["count()"])
+    gen = write_generation(family_root)
+    gens = generations(family_root)
+    newest = gens[-1] if gens else None
+    pending = os.path.join(family_root, f"pending-{chunk_id}")
+
+    if (
+        newest is not None
+        and newest != gen
+        and _gen_doc_hi(newest) >= chunk_min
+    ):
+        # a committed roll whose alias flip was lost: re-flip, ledger
+        mf.set_alias(alias, newest)
+        target = newest
+    elif gen is not None and _gen_doc_hi(gen) >= chunk_min:
+        # the chunk (or a prefix) is already inside the write generation
+        covering = [
+            sid for sid, r in mf.read_manifest(gen).items()
+            if r["doc_hi"] >= chunk_min
+        ]
+        if all(sid >= APPEND_SID_BASE for sid in covering):
+            # crashed append: resume it (idempotent; re-derives stats)
             append_index(ds, gen, **kw)
-        elif n_gen + n_chunk > max_gen_docs:
-            gen = _new_generation(family_root)
-            build_index(ds, gen, resume=True, **kw)
-            mf.set_alias(alias, gen)  # the roll: one atomic flip
+        # else: a rolled build that already flipped the alias but lost
+        # its ledger line — builds rename in whole, nothing to redo
+        target = gen
+    else:
+        if gen is None:
+            roll = True
+        elif os.path.isdir(pending):
+            roll = True  # an earlier run already decided: finish it
+        else:
+            # docs strictly below the chunk — invariant across re-runs
+            n_gen_clean = sum(
+                r["n_docs"]
+                for r in mf.read_manifest(gen).values()
+                if r["doc_hi"] < chunk_min
+            )
+            roll = n_gen_clean + n_chunk > max_gen_docs
+        if roll:
+            build_index(ds, pending, resume=True, **kw)
+            target = _new_generation(family_root)
+            os.rename(pending, target)   # the commit point
+            mf.set_alias(alias, target)  # the flip
         else:
             append_index(ds, gen, **kw)
-    _ledger_append(family_root, chunk_id, gen)
-    return gen
+            target = gen
+    _ledger_append(family_root, chunk_id, target)
+    return target
 
 
 def search_rollover(

@@ -65,6 +65,14 @@ def build_routed_index(
     if os.path.exists(marker):
         with open(marker, encoding="utf-8") as f:
             return json.load(f)["routes"]
+    # materialize the pruned corpus ONCE: the per-route loop below then
+    # filters object-store blocks instead of re-reading + re-decoding
+    # the source parquet |routes| times.  (The single-pass alternative —
+    # one groupby(route_col) feeding per-route segment builders — saves
+    # the remaining R filter passes at the cost of a full shuffle; with
+    # block-level route pruning the filter pass is the cheaper side of
+    # that trade until R is large.)
+    docs = docs.materialize()
     if routes is None:
         # the distinct route set is small by design (langs, tenants);
         # this is a tiny aggregate, not a corpus materialization

@@ -176,3 +176,106 @@ def test_retention_keep_last_must_be_positive(tmp_path):
 
     with pytest.raises(ValueError, match="keep_last"):
         expire_generations(str(tmp_path), keep_last=0)
+
+
+def _ingest4(root):
+    for i in range(4):
+        ingest_rollover(_docs_ds(i * 200, (i + 1) * 200), root, f"c{i}",
+                        max_gen_docs=400, seg_docs=128)
+
+
+def test_crash_roll_flip_lost_ledger_lost():
+    """Roll committed the rename AND the alias flip but lost its ledger
+    line: the re-run must recognize the build-namespace coverage and
+    only re-ledger — never append into (or duplicate past) the new
+    generation."""
+    root = os.path.join(tempfile.mkdtemp(), "fam")
+    _ingest4(root)
+    # c2 was the roll into gen-00001; drop its ledger line
+    ledger = os.path.join(root, "ingest.log")
+    with open(ledger) as f:
+        lines = [l for l in f if json.loads(l)["chunk_id"] != "c2"]
+    with open(ledger, "w") as f:
+        f.writelines(lines)
+    got = ingest_rollover(_docs_ds(400, 600), root, "c2",
+                          max_gen_docs=400, seg_docs=128)
+    assert os.path.basename(got) == "gen-00001"
+    gens = generations(root)
+    assert [os.path.basename(g) for g in gens] == ["gen-00000", "gen-00001"]
+    assert sum(
+        r["n_docs"] for g in gens for r in mf.read_manifest(g).values()
+    ) == 800
+
+
+def test_crash_rename_done_flip_lost():
+    """Roll committed the rename but crashed BEFORE the alias flip: the
+    newest generation covers the chunk while the alias points older —
+    the re-run re-flips and ledgers instead of rebuilding a duplicate
+    generation."""
+    import shutil
+
+    from defactonlp_ray.stages.rollover import write_generation as wg
+
+    root = os.path.join(tempfile.mkdtemp(), "fam")
+    for i in range(2):
+        ingest_rollover(_docs_ds(i * 200, (i + 1) * 200), root, f"c{i}",
+                        max_gen_docs=400, seg_docs=128)
+    # simulate: build c2's roll generation out-of-band (rename done),
+    # alias still on gen-00000, no ledger line
+    build_index(_docs_ds(400, 600), os.path.join(root, "gen-00001"),
+                seg_docs=128)
+    assert os.path.basename(wg(root)) == "gen-00000"
+    got = ingest_rollover(_docs_ds(400, 600), root, "c2",
+                          max_gen_docs=400, seg_docs=128)
+    assert os.path.basename(got) == "gen-00001"
+    assert os.path.basename(wg(root)) == "gen-00001"
+    gens = generations(root)
+    assert len(gens) == 2
+    assert sum(
+        r["n_docs"] for g in gens for r in mf.read_manifest(g).values()
+    ) == 600
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_crash_mid_pending_build_resumes_roll():
+    """Crash mid-build of a rolled generation: the pending dir pins the
+    roll decision and the build resumes into it — one generation, no
+    duplicates."""
+    root = os.path.join(tempfile.mkdtemp(), "fam")
+    for i in range(2):
+        ingest_rollover(_docs_ds(i * 200, (i + 1) * 200), root, f"c{i}",
+                        max_gen_docs=400, seg_docs=128)
+    # simulate a half-built pending dir for c2 (one finished segment)
+    pending = os.path.join(root, "pending-c2")
+    build_index(_docs_ds(400, 600), pending, seg_docs=128)
+    import shutil as _sh
+
+    # drop the stats dir to look half-done; resume must repair it
+    _sh.rmtree(os.path.join(pending, "stats"), ignore_errors=True)
+    got = ingest_rollover(_docs_ds(400, 600), root, "c2",
+                          max_gen_docs=400, seg_docs=128)
+    assert os.path.basename(got) == "gen-00001"
+    assert not os.path.isdir(pending)
+    gens = generations(root)
+    assert len(gens) == 2
+
+
+def test_torn_ledger_line_is_skipped():
+    root = os.path.join(tempfile.mkdtemp(), "fam")
+    ingest_rollover(_docs_ds(0, 200), root, "c0",
+                    max_gen_docs=400, seg_docs=128)
+    with open(os.path.join(root, "ingest.log"), "a") as f:
+        f.write('{"chunk_id": "c1"')  # torn mid-write, no newline
+    # ingest of c1 proceeds (the torn line is uncommitted) and of c0 is
+    # still a no-op
+    got = ingest_rollover(_docs_ds(200, 400), root, "c1",
+                          max_gen_docs=400, seg_docs=128)
+    assert os.path.basename(got) == "gen-00000"
+    assert os.path.basename(
+        ingest_rollover(_docs_ds(0, 200), root, "c0",
+                        max_gen_docs=400, seg_docs=128)
+    ) == "gen-00000"
+    gens = generations(root)
+    assert sum(
+        r["n_docs"] for g in gens for r in mf.read_manifest(g).values()
+    ) == 400
