@@ -3544,6 +3544,112 @@ def _syn_sql(queries: list[tuple[int, list[str]]],
 SQL_SYNONYM_TOPK = _syn_sql(_SYN_QUERIES, _SYNONYMS)
 
 
+# --------------------------------------- synonym graph (multi-word members)
+
+_SYNGRAPH_RULES: dict[str, list] = {
+    "stream": [["fast", "scan"]],
+    "data": [["hash", "join"]],
+    "zzz": [["table", "scan"]],   # absent term, present phrase
+    "window": [["zq", "qz"]],     # present term, absent phrase
+}
+_SYNGRAPH_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["stream"]),
+    (1, ["data", "query"]),
+    (2, ["merge"]),               # no rule: plain BM25 group
+    (3, ["zzz"]),
+    (4, ["window", "batch"]),
+]
+
+
+def q_syngraph_topk(sf_dir: str):
+    """Multi-word synonyms (Lucene SynonymGraphFilter + SynonymQuery,
+    stages/phrase.score_all_syngraph): a query term's synonym group may
+    contain PHRASES — the group scores as ONE pseudo-term with per-doc
+    tf = term tf + per-doc phrase occurrence count (positional
+    intersection) and df = max(term df, phrase live match count), over
+    a positions=True index.  Covers all four member cases: plain group,
+    term+phrase both present, absent-term/present-phrase (the group
+    survives via the phrase), present-term/absent-phrase."""
+    from ..stages.phrase import syngraph_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    res = syngraph_search(
+        idx, _query_terms_ds(_SYNGRAPH_QUERIES), _SYNGRAPH_RULES,
+        k=20, concurrency=2,
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _syngraph_sql(queries, rules, k: int = 10) -> str:
+    phrases: dict[tuple, str] = {}
+    for ms in rules.values():
+        for m in ms:
+            if not isinstance(m, str):
+                assert len(m) == 2, "oracle generator handles 2-word phrases"
+                phrases.setdefault(tuple(m), f"ph{len(phrases)}")
+    ph_ctes = [
+        f"{name} AS (SELECT a.doc_id, count(*) AS tf FROM tokpos a "
+        "JOIN tokpos b ON a.doc_id = b.doc_id AND b.i = a.i + 1 "
+        f"WHERE a.term = '{w1}' AND b.term = '{w2}' GROUP BY a.doc_id)"
+        for (w1, w2), name in phrases.items()
+    ]
+    parts = []
+    for qid, terms in queries:
+        for t in sorted(set(terms)):
+            members = [t] + rules.get(t, [])
+            tf_sel, df_ex = [], []
+            for m in members:
+                if isinstance(m, str):
+                    tf_sel.append(
+                        f"SELECT doc_id, tf FROM tf WHERE term = '{m}'"
+                    )
+                    df_ex.append(
+                        f"COALESCE((SELECT df FROM df WHERE term = '{m}'), 0)"
+                    )
+                else:
+                    name = phrases[tuple(m)]
+                    tf_sel.append(f"SELECT doc_id, tf FROM {name}")
+                    df_ex.append(f"(SELECT count(*) FROM {name})")
+            union = " UNION ALL ".join(tf_sel)
+            dfg = (
+                "greatest(" + ", ".join(df_ex) + ")"
+                if len(df_ex) > 1 else df_ex[0]
+            )
+            parts.append(
+                f"SELECT {qid} AS query_id, g.doc_id, "
+                f"ln(1 + (s.n_docs - {dfg} + 0.5) / ({dfg} + 0.5)) * "
+                "(g.tfm * 2.2) / (g.tfm + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+                "(s.total::DOUBLE / s.n_docs))) AS part "
+                f"FROM (SELECT doc_id, sum(tf) AS tfm FROM ({union}) "
+                "GROUP BY doc_id) g "
+                "JOIN dl ON dl.doc_id = g.doc_id CROSS JOIN stats s"
+            )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        + ", ".join(ph_ctes) + (", " if ph_ctes else "")
+        + "scored AS (SELECT query_id, doc_id, sum(part) AS score FROM ("
+        + " UNION ALL ".join(parts)
+        + ") GROUP BY query_id, doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_SYNGRAPH_TOPK = _syngraph_sql(_SYNGRAPH_QUERIES, _SYNGRAPH_RULES)
+
+
 def q_bm25_page2(sf_dir: str):
     """Search-after pagination (the Lucene/Elasticsearch ``searchAfter``
     model): page 1 is a normal top-10; its last (score, doc_id) becomes
@@ -7912,6 +8018,7 @@ QUERIES = {
     "bm25_scroll": q_bm25_scroll,
     "bm25_maxp": q_bm25_maxp,
     "sharded_terms": q_sharded_terms,
+    "syngraph_topk": q_syngraph_topk,
     "tpch_q3": q_tpch_q3,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
@@ -8068,6 +8175,7 @@ ORACLES = {
     "bm25_scroll": SQL_BM25_SCROLL,
     "bm25_maxp": SQL_BM25_MAXP,
     "sharded_terms": SQL_SHARDED_TERMS,
+    "syngraph_topk": SQL_SYNGRAPH_TOPK,
     "tpch_q3": SQL_TPCH_Q3,
     "oov_rate": SQL_OOV_RATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

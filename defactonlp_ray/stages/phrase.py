@@ -373,6 +373,158 @@ def phrase_search(
     )
 
 
+# ------------------------------------------------- synonym graph (multi-word)
+
+def score_all_syngraph(
+    reader: IndexReader,
+    seg_ids: list[int],
+    groups: list[list],
+    k: int,
+) -> list[tuple[float, int]]:
+    """Multi-word synonym scoring — the Lucene ``SynonymGraphFilter`` +
+    ``SynonymQuery`` composition: a query term's group may contain
+    PHRASES ("big data" ≈ bigdata), and the group scores as ONE
+    pseudo-term with per-doc tf = sum of member tfs (a phrase member's
+    tf is its per-doc occurrence count from the positional intersection)
+    and df = max over member dfs (a phrase's df = its live matching-doc
+    count).  Exactly :func:`..stages.search.score_all_syn`'s merged-stat
+    rule with :func:`match_phrase` as the extra tf source — needs a
+    ``positions=True`` index.  ``groups`` members are ``str`` (term) or
+    ``list[str]`` (ordered phrase)."""
+    from .deletes import live_mask
+
+    merged: list[tuple[np.ndarray, np.ndarray]] = []
+    lo = hi = None
+    for members in groups:
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        dfs: list[int] = []
+        for m in members:
+            if isinstance(m, str):
+                arrs = reader.term_tf_dl(seg_ids, m)
+                if arrs is not None:
+                    parts.append(arrs)
+                dfs.append(int(reader.dfs([m])[m]))
+            else:
+                docs, cnt, dls = match_phrase(reader, seg_ids, list(m))
+                if reader.deleted.size and docs.size:
+                    mask = live_mask(docs, reader.deleted)
+                    docs, cnt, dls = docs[mask], cnt[mask], dls[mask]
+                if docs.size:
+                    parts.append((docs, cnt, dls))
+                dfs.append(int(docs.size))
+        if not parts:
+            continue
+        df_g = max(dfs)
+        idf = math.log(1.0 + (reader.n_docs - df_g + 0.5) / (df_g + 0.5))
+        alldoc = np.concatenate([p[0] for p in parts])
+        alltf = np.concatenate([p[1] for p in parts])
+        alldl = np.concatenate([p[2] for p in parts])
+        uniq, inv = np.unique(alldoc, return_inverse=True)
+        tfm = np.bincount(inv, weights=alltf.astype(np.float64))
+        dlm = np.zeros(uniq.size, dtype=np.float64)
+        dlm[inv] = alldl
+        w = (tfm * (K1 + 1.0)) / (
+            tfm + K1 * (1.0 - B + B * dlm / reader.avgdl)
+        )
+        merged.append((uniq, idf * w))
+        tlo, thi = int(uniq[0]), int(uniq[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if not merged:
+        return []
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for docids, contrib in merged:
+        idx = docids - lo
+        scores[idx] += contrib
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    if reader.deleted.size:
+        cand = cand[live_mask(cand + lo, reader.deleted)]
+    return _topk_exact(scores[cand], cand + lo, k)
+
+
+class SynGraphSearcherActor:
+    """Actor-pool stage: batch of (query_id, terms) -> (query_id, rank,
+    doc_id, score); each term expands to its synonym-graph group
+    ``[term] + syn_map.get(term, [])`` where mapped members may be
+    multi-word phrases.  Reader + positional packs load once per
+    actor."""
+
+    def __init__(self, index_dir: str, syn_map: dict, k: int = 10,
+                 packs_ref=None):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        # keys -> list of members; a member is a term or a phrase list
+        self.syn_map = {
+            t: [list(m) if not isinstance(m, str) else m for m in ms]
+            for t, ms in syn_map.items()
+        }
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        need = set()
+        for ts in batch["terms"].to_pylist():
+            for t in ts:
+                need.add(t)
+                for m in self.syn_map.get(t, []):
+                    need.update([m] if isinstance(m, str) else m)
+        load = sorted(need - self.seeded)
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, load)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, terms in zip(
+            batch["query_id"].to_pylist(), batch["terms"].to_pylist()
+        ):
+            groups = [
+                [t] + list(self.syn_map.get(t, []))
+                for t in sorted(set(terms))
+            ]
+            top = score_all_syngraph(
+                self.reader, self.seg_ids, groups, self.k
+            )
+            for rank, (score, doc_id) in enumerate(top, 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def syngraph_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    syn_map: dict,
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """Multi-word synonym query pipeline over a positional index:
+    (query_id, terms) -> (query_id, rank, doc_id, score)."""
+    return queries.map_batches(
+        SynGraphSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "syn_map": syn_map, "k": k,
+            "packs_ref": packs_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
 # ------------------------------------------------------------- proximity
 
 def match_window(

@@ -647,3 +647,60 @@ def test_phrase_is_ordered_slop0(pos_index):
     p_docs, _, _ = match_phrase(reader, reader.seg_ids, phrase)
     o_docs = match_ordered(reader, reader.seg_ids, phrase, 0)
     assert np.isin(p_docs, o_docs).all()
+
+
+def test_syngraph_single_term_groups_equal_synonym_mode(pos_index):
+    """A synonym-graph map whose members are all single terms must be
+    bit-identical to the established synonym mode — the graph scorer is
+    a strict extension."""
+    import pyarrow as pa
+    import ray.data
+
+    from defactonlp_ray.stages.phrase import syngraph_search
+    from defactonlp_ray.stages.search import search
+
+    idx = pos_index
+    queries = [(0, ["data", "query"]), (1, ["merge"])]
+    syn = {"data": ["table"], "merge": ["sort"]}
+    qds = lambda: ray.data.from_arrow(pa.table({
+        "query_id": pa.array([q for q, _ in queries], pa.int64()),
+        "terms": pa.array([t for _, t in queries], pa.list_(pa.string())),
+    }))
+    a = (
+        syngraph_search(idx, qds(), syn, k=10, concurrency=2)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        search(idx, qds(), k=10, mode="synonym", syn_map=syn, concurrency=2)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_syngraph_phrase_tf_adds_to_group(pos_index):
+    """A phrase member must raise the group's per-doc tf by the phrase
+    occurrence count: score differs from the plain term exactly where
+    the phrase matches."""
+    import pyarrow as pa
+    import ray.data
+
+    from defactonlp_ray.stages.phrase import (
+        match_phrase, syngraph_search,
+    )
+    from defactonlp_ray.stages.search import IndexReader
+
+    idx = pos_index
+    reader = IndexReader(idx)
+    docs, cnt, _ = match_phrase(reader, reader.seg_ids, ["table", "scan"])
+    assert docs.size > 0  # the fixture corpus contains this bigram
+    qds = ray.data.from_arrow(pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "terms": pa.array([["query"]], pa.list_(pa.string())),
+    }))
+    with_rule = syngraph_search(
+        idx, qds, {"query": [["table", "scan"]]}, k=10, concurrency=2
+    ).to_pandas()
+    without = syngraph_search(
+        idx, qds, {}, k=10, concurrency=2
+    ).to_pandas()
+    assert not with_rule.equals(without)
