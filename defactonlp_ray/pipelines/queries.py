@@ -2000,6 +2000,79 @@ SQL_MIXTURE_SAMPLE = (
 )
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled mixture sampling (the Pile / multilingual-LM
+    alpha=0.5 recipe: sample source l proportional to c_l^alpha, which
+    UP-weights small sources relative to natural sampling): per-lang
+    acceptance thresholds derive from integer square roots so BOTH
+    engines compute bit-identical thresholds with no float pow —
+
+        s_l = isqrt(c_l),  t_l = min(256, 256 * (N//2) * s_l // (S * c_l))
+
+    (S = sum of s_l; expected kept ≈ half-corpus budget split with
+    sqrt-temperature weights; isqrt is exact in SQL for c < 2^52 since
+    float sqrt is correctly rounded and our counts sit far from the
+    k^2-1 boundary, documented).  Same two-pass shape as
+    ``mixture_sample``: tiny counts aggregate -> L thresholds ->
+    broadcast md5-bucket filter.  Output: per-lang kept counts."""
+    import math as _math
+
+    from ..stages.export import md5_prefix
+
+    counts = (
+        _docs(sf_dir, ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    n_total = int(counts["c"].sum())
+    budget = n_total // 2
+    s = {r["lang"]: _math.isqrt(int(r["c"])) for _, r in counts.iterrows()}
+    S = sum(s.values())
+    thr = {
+        r["lang"]: min(
+            256, 256 * budget * s[r["lang"]] // (S * int(r["c"]))
+        )
+        for _, r in counts.iterrows()
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        buckets = np.array(
+            [int(p, 16) for p in md5_prefix(batch["doc_id"].to_pylist())],
+            dtype=np.int64,
+        )
+        lims = np.array(
+            [thr[l] for l in batch["lang"].to_pylist()], dtype=np.int64
+        )
+        return batch.filter(pa.array(buckets < lims))
+
+    out = (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(keep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_kept"))
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_TEMPERATURE_MIX = (
+    "WITH c AS (SELECT lang, count(*) AS c, "
+    "CAST(floor(sqrt(count(*))) AS BIGINT) AS s FROM documents "
+    "GROUP BY lang), "
+    "g AS (SELECT (SELECT count(*) FROM documents) // 2 AS budget, "
+    "(SELECT sum(s) FROM c) AS ssum), "
+    "thr AS (SELECT lang, least(256, 256 * g.budget * c.s // "
+    "(g.ssum * c.c)) AS t FROM c, g) "
+    "SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept "
+    "FROM documents d JOIN thr ON d.lang = thr.lang "
+    "WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) "
+    "AS INTEGER) < thr.t GROUP BY d.lang"
+)
+
+
 def q_ccnet_dedup(sf_dir: str):
     """CCNet-style corpus-wide sub-document exact dedup (Wenzek et al.
     2020: drop every repeated paragraph, keep the first occurrence).
@@ -8019,6 +8092,7 @@ QUERIES = {
     "bm25_maxp": q_bm25_maxp,
     "sharded_terms": q_sharded_terms,
     "syngraph_topk": q_syngraph_topk,
+    "temperature_mix": q_temperature_mix,
     "tpch_q3": q_tpch_q3,
     "oov_rate": q_oov_rate,
     "mixture_sample": q_mixture_sample,
@@ -8176,6 +8250,7 @@ ORACLES = {
     "bm25_maxp": SQL_BM25_MAXP,
     "sharded_terms": SQL_SHARDED_TERMS,
     "syngraph_topk": SQL_SYNGRAPH_TOPK,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "tpch_q3": SQL_TPCH_Q3,
     "oov_rate": SQL_OOV_RATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
