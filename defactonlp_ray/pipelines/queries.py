@@ -8057,6 +8057,528 @@ SQL_BM25_EXPUNGE_TOPK = _bm25_sql(
 )
 
 
+# ------------------------------------------- event funnels / cohorts
+
+# funnel spec: ordered steps, each completed within 7 days of the
+# PREVIOUS step's completion (the product-analytics "conversion window")
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW_DAYS = 7
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered conversion funnel (the segment/product-analytics sequence
+    query): users whose first 'view' is followed by a 'click' within 7
+    days, then a 'purchase' within 7 days of that click.  Shape: filter
+    to the step types at the read, ONE hash shuffle on user_id, then a
+    vectorized per-user map_groups (a user's event list is tiny no
+    matter the corpus size — the same partitioning contract as
+    events_sessions); the final reduce is a 3-int Sum."""
+    w = pd.Timedelta(days=_FUNNEL_WINDOW_DAYS)
+    steps = set(_FUNNEL_STEPS)
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        s = [0, 0, 0]
+        t_prev = None
+        for i, step in enumerate(_FUNNEL_STEPS):
+            ts = g.loc[g["event_type"] == step, "ts"]
+            if i > 0:
+                ts = ts[(ts > t_prev) & (ts <= t_prev + w)]
+            if len(ts) == 0:
+                break
+            t_prev = ts.min()
+            s[i] = 1
+        return pd.DataFrame({"s1": [s[0]], "s2": [s[1]], "s3": [s[2]]})
+
+    agg = (
+        read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["event_type"], value_set=pa.array(sorted(steps)))),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(flags, batch_format="pandas")
+        .aggregate(
+            Sum("s1", alias_name="n1"),
+            Sum("s2", alias_name="n2"),
+            Sum("s3", alias_name="n3"),
+        )
+    )
+    return pd.DataFrame({
+        "step": np.arange(1, 4, dtype=np.int32),
+        "event_type": list(_FUNNEL_STEPS),
+        "n_users": np.array(
+            [agg["n1"], agg["n2"], agg["n3"]], dtype=np.int64
+        ),
+    })
+
+
+SQL_EVENTS_FUNNEL = (
+    "WITH f AS (SELECT user_id, event_type, ts FROM events "
+    f"WHERE event_type IN {tuple(sorted(_FUNNEL_STEPS))!r}), "
+    f"v AS (SELECT user_id, min(ts) AS t1 FROM f "
+    f"WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1), "
+    f"c AS (SELECT f.user_id, min(f.ts) AS t2 FROM f JOIN v USING (user_id) "
+    f"WHERE f.event_type = '{_FUNNEL_STEPS[1]}' AND f.ts > v.t1 "
+    f"AND f.ts <= v.t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY GROUP BY 1), "
+    f"p AS (SELECT f.user_id, min(f.ts) AS t3 FROM f JOIN c USING (user_id) "
+    f"WHERE f.event_type = '{_FUNNEL_STEPS[2]}' AND f.ts > c.t2 "
+    f"AND f.ts <= c.t2 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY GROUP BY 1) "
+    "SELECT * FROM ("
+    f"SELECT CAST(1 AS INTEGER) AS step, '{_FUNNEL_STEPS[0]}' AS event_type, "
+    "(SELECT count(*) FROM v) AS n_users "
+    f"UNION ALL SELECT 2, '{_FUNNEL_STEPS[1]}', (SELECT count(*) FROM c) "
+    f"UNION ALL SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT count(*) FROM p)"
+    ") ORDER BY step"
+)
+
+
+def q_events_retention(sf_dir: str):
+    """Weekly cohort retention (the classic growth-analytics triangle):
+    cohort = a user's first active week (weeks indexed from the corpus'
+    first active day), cell = distinct users of that cohort active
+    ``week_offset`` weeks later.  Shape: per-batch DISTINCT (user, week)
+    Arrow combiner bounds the exchange to users x weeks rows; the
+    per-user cohort stamp is a map_groups over that reduced table; the
+    final cell count is a Count groupby — each user contributes at most
+    one row per (cohort, offset), so no count-distinct is needed."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+    t0 = pd.Timestamp(ds.min("ts")).normalize()
+    day0 = np.int64(t0.to_datetime64().astype("datetime64[D]").astype(np.int64))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        days = batch["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        w = (days - day0) // 7
+        t = pa.table({"user_id": batch["user_id"], "w": pa.array(w, pa.int64())})
+        return t.group_by(["user_id", "w"]).aggregate([])
+
+    def stamp(g: pd.DataFrame) -> pd.DataFrame:
+        ws = np.unique(g["w"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "cohort_week": np.full(len(ws), ws[0], dtype=np.int64),
+            "week_offset": ws - ws[0],
+        })
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(stamp, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = (
+    "WITH d AS (SELECT user_id, date_diff('day', "
+    "(SELECT min(CAST(ts AS DATE)) FROM events), CAST(ts AS DATE)) // 7 "
+    "AS w FROM events), "
+    "uw AS (SELECT DISTINCT user_id, w FROM d), "
+    "ch AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1) "
+    "SELECT CAST(ch.cw AS BIGINT) AS cohort_week, "
+    "CAST(uw.w - ch.cw AS BIGINT) AS week_offset, count(*) AS n_users "
+    "FROM uw JOIN ch USING (user_id) GROUP BY 1, 2"
+)
+
+
+def q_events_derivative(sf_dir: str):
+    """Pipeline aggregations over the daily date_histogram (Elasticsearch
+    cumulative_sum + derivative): running total and day-over-day delta
+    of the event count.  Same design point as events_moving_avg: the
+    corpus pass reduces to one row per (day, batch) via the Arrow
+    combiner; the window functions run over the |days|-row series."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        agg = pa.table({"window_start": day}).group_by(
+            "window_start"
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    daily["cum_n"] = np.cumsum(n)
+    deriv = np.zeros(len(n), dtype=np.int64)
+    deriv[1:] = n[1:] - n[:-1]
+    daily["deriv"] = deriv
+    return daily[["window_start", "n", "cum_n", "deriv"]]
+
+
+SQL_EVENTS_DERIVATIVE = (
+    "SELECT window_start, n, "
+    "CAST(sum(n) OVER (ORDER BY window_start) AS BIGINT) AS cum_n, "
+    "CAST(COALESCE(n - lag(n) OVER (ORDER BY window_start), 0) AS BIGINT) "
+    "AS deriv FROM (SELECT date_trunc('day', ts) AS window_start, "
+    "count(*) AS n FROM events GROUP BY 1)"
+)
+
+
+# ------------------------------------- ES-style analytical aggregations
+
+# adjacency_matrix filters: named term-presence predicates (ES names the
+# intersection buckets "a&b" with keys in lexicographic order)
+_ADJ_TERMS = ("hash", "merge", "spark")
+
+
+def q_adjacency_matrix(sf_dir: str):
+    """Elasticsearch adjacency_matrix aggregation: given named filters
+    (term-presence predicates), the doc count of every filter and every
+    pairwise intersection.  Shape: per-batch token scan sets one boolean
+    per (row, filter) — vectorized via flatten_tokens + scatter, no
+    per-row loop — and emits a CONSTANT 6 partial rows per batch; the
+    shuffle is a 6-row Sum groupby regardless of corpus size."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        terms, row_idx, _ = flatten_tokens(batch["text"])
+        nrows = batch.num_rows
+        masks = []
+        for t in _ADJ_TERMS:
+            hit = pc.equal(terms, t).to_numpy(zero_copy_only=False)
+            m = np.zeros(nrows, dtype=bool)
+            m[row_idx[hit]] = True
+            masks.append(m)
+        keys, ns = [], []
+        for i in range(len(_ADJ_TERMS)):
+            keys.append(_ADJ_TERMS[i])
+            ns.append(int(masks[i].sum()))
+            for j in range(i + 1, len(_ADJ_TERMS)):
+                keys.append(f"{_ADJ_TERMS[i]}&{_ADJ_TERMS[j]}")
+                ns.append(int((masks[i] & masks[j]).sum()))
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "n_p": pa.array(ns, pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+
+
+def _adj_max(term: str) -> str:
+    return f"max(CASE WHEN term = '{term}' THEN 1 ELSE 0 END)"
+
+
+SQL_ADJACENCY_MATRIX = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "m AS (SELECT doc_id, "
+    + ", ".join(f"{_adj_max(t)} AS f{i}" for i, t in enumerate(_ADJ_TERMS))
+    + " FROM toks GROUP BY doc_id) SELECT key, n FROM ("
+    + " UNION ALL ".join(
+        [
+            f"SELECT '{t}' AS key, CAST(sum(f{i}) AS BIGINT) AS n FROM m"
+            for i, t in enumerate(_ADJ_TERMS)
+        ]
+        + [
+            f"SELECT '{_ADJ_TERMS[i]}&{_ADJ_TERMS[j]}', "
+            f"CAST(sum(f{i} * f{j}) AS BIGINT) FROM m"
+            for i in range(len(_ADJ_TERMS))
+            for j in range(i + 1, len(_ADJ_TERMS))
+        ]
+    )
+    + ")"
+)
+
+
+def q_matrix_stats(sf_dir: str):
+    """Elasticsearch matrix_stats aggregation over (n_chars, n_tokens):
+    count, means, population covariance and Pearson correlation for
+    every field pair.  Distributed as EXACT integer sufficient
+    statistics — each batch emits one row of (n, sum_x, sum_y, sum_xx,
+    sum_yy, sum_xy) int64 partials, the Sum reduce is order-invariant,
+    and the closed-form moments run on the driver over 6 integers.  The
+    oracle computes the identical formula from the identical exact SQL
+    integer sums (never covar_pop/corr built-ins, whose streaming float
+    accumulation could differ in the last bits)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, _, doc_len = flatten_tokens(batch["text"])
+        y = doc_len.astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    s = (
+        _docs(sf_dir, ["n_chars", "text"])
+        .map_batches(part, batch_format="pyarrow")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+        )
+    )
+    n = s["n"]
+    moments = {"n_chars": (s["sx"], s["sxx"]), "n_tokens": (s["sy"], s["syy"])}
+    cross = {("n_chars", "n_tokens"): s["sxy"]}
+
+    def cov(a: str, b: str) -> float:
+        sa, saa = moments[a]
+        sb, _ = moments[b]
+        sab = saa if a == b else cross.get((a, b), cross.get((b, a)))
+        return (sab - sa * sb / n) / n
+
+    rows = []
+    for fa, fb in (
+        ("n_chars", "n_chars"), ("n_chars", "n_tokens"), ("n_tokens", "n_tokens")
+    ):
+        c = cov(fa, fb)
+        corr = c / np.sqrt(cov(fa, fa) * cov(fb, fb))
+        rows.append({
+            "field_a": fa, "field_b": fb, "n": np.int64(n),
+            "mean_a": round(moments[fa][0] / n, 6),
+            "mean_b": round(moments[fb][0] / n, 6),
+            "covariance": round(c, 6),
+            "correlation": round(corr, 6),
+        })
+    return pd.DataFrame(rows)
+
+
+SQL_MATRIX_STATS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tc AS (SELECT d.doc_id, d.n_chars AS x, "
+    "CAST(COALESCE(t.nt, 0) AS BIGINT) AS y FROM documents d LEFT JOIN "
+    "(SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id) t "
+    "ON d.doc_id = t.doc_id), "
+    "s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+    "sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM tc), "
+    "f AS (SELECT 'n_chars' AS field_a, 'n_chars' AS field_b, n, "
+    "sx AS sa, sx AS sb, sxx AS sab, sxx AS saa, sxx AS sbb FROM s "
+    "UNION ALL SELECT 'n_chars', 'n_tokens', n, sx, sy, sxy, sxx, syy FROM s "
+    "UNION ALL SELECT 'n_tokens', 'n_tokens', n, sy, sy, syy, syy, syy FROM s) "
+    "SELECT field_a, field_b, CAST(n AS BIGINT) AS n, "
+    "round(sa / n, 6) AS mean_a, round(sb / n, 6) AS mean_b, "
+    "round((sab - sa * sb / n) / n, 6) AS covariance, "
+    "round(((sab - sa * sb / n) / n) / sqrt("
+    "((saa - sa * sa / n) / n) * ((sbb - sb * sb / n) / n)), 6) "
+    "AS correlation FROM f"
+)
+
+
+def q_top_metrics(sf_dir: str):
+    """Elasticsearch top_metrics aggregation: per lang bucket, the
+    metrics row (doc_id, n_chars) of the document ranked first under
+    (n_chars DESC, doc_id ASC).  Shape: a per-batch argmax combiner
+    keeps ONE candidate row per (lang, batch); the global pick then
+    runs over the |langs| x |batches| reduced table — an exact
+    distributed argmax with no raw-row shuffle."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.select(["lang", "doc_id", "n_chars"]).to_pandas()
+        best = df.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).drop_duplicates("lang")
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(1)
+            .reset_index(drop=True)[["lang", "doc_id", "n_chars"]]
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "doc_id", "n_chars"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+SQL_TOP_METRICS = (
+    "SELECT lang, doc_id, n_chars FROM (SELECT lang, doc_id, n_chars, "
+    "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) "
+    "AS rn FROM documents) WHERE rn = 1"
+)
+
+
+# rare_terms runs over BIGRAMS: the unigram vocabulary of the synthetic
+# corpus is fully head (31 terms, min df >> threshold), bigrams carry a
+# genuine long tail
+_RARE_MAX_DF = 2
+
+
+def q_rare_terms(sf_dir: str):
+    """Elasticsearch rare_terms aggregation (the long-tail complement of
+    terms): bigrams appearing in at most ``_RARE_MAX_DF`` documents.
+    Shape: vectorized bigram derivation from the flat token stream
+    (adjacent positions with equal row parent), per-batch DISTINCT
+    (bigram, doc) combiner — exact because a doc never spans batches —
+    then a Sum groupby and the df filter.  At web scale the output is
+    the vocabulary tail, which is why ES caps it with max_doc_count:
+    the same bound keeps this result small here."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        terms, row_idx, _ = flatten_tokens(batch["text"])
+        t = np.asarray(terms.to_pylist(), dtype=object)
+        if len(t) < 2:
+            return pa.table({
+                "bigram": pa.array([], pa.string()),
+                "df_p": pa.array([], pa.int64()),
+            })
+        same = row_idx[1:] == row_idx[:-1]
+        lhs = t[:-1][same].astype(str)
+        rhs = t[1:][same].astype(str)
+        bg = np.char.add(np.char.add(lhs, " "), rhs)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)[row_idx[:-1][same]]
+        pairs = pa.table({
+            "bigram": pa.array(bg, pa.string()),
+            "doc_id": pa.array(dids, pa.int64()),
+        }).group_by(["bigram", "doc_id"]).aggregate([])
+        return pairs.group_by("bigram").aggregate([([], "count_all")]) \
+            .rename_columns(["bigram", "df_p"])
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("df_p", alias_name="df"))
+        .filter(expr=f"df <= {_RARE_MAX_DF}")
+    )
+
+
+SQL_RARE_TERMS = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), "
+    "i -> ts[i] || ' ' || ts[i + 1])) AS bigram FROM d), "
+    "dt AS (SELECT DISTINCT doc_id, bigram FROM bg) "
+    "SELECT bigram, count(*) AS df FROM dt GROUP BY bigram "
+    f"HAVING count(*) <= {_RARE_MAX_DF}"
+)
+
+
+def q_length_ttest(sf_dir: str):
+    """Welch two-sample t-test (the Elasticsearch t_test aggregation) of
+    n_chars between lang='en' and the rest.  Exact int64 sufficient
+    statistics per batch (n, sum, sum-of-squares per group) -> Sum
+    reduce -> driver closed form; the oracle computes the identical
+    formula from identical exact SQL integer sums."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        en = pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False)
+        xa, xb = x[en], x[~en]
+        return pa.table({
+            "na": pa.array([len(xa)], pa.int64()),
+            "sa": pa.array([int(xa.sum())], pa.int64()),
+            "saa": pa.array([int((xa * xa).sum())], pa.int64()),
+            "nb": pa.array([len(xb)], pa.int64()),
+            "sb": pa.array([int(xb.sum())], pa.int64()),
+            "sbb": pa.array([int((xb * xb).sum())], pa.int64()),
+        })
+
+    s = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(part, batch_format="pyarrow")
+        .aggregate(
+            Sum("na", alias_name="na"), Sum("sa", alias_name="sa"),
+            Sum("saa", alias_name="saa"), Sum("nb", alias_name="nb"),
+            Sum("sb", alias_name="sb"), Sum("sbb", alias_name="sbb"),
+        )
+    )
+    na, nb = s["na"], s["nb"]
+    mean_a, mean_b = s["sa"] / na, s["sb"] / nb
+    var_a = (s["saa"] - s["sa"] * s["sa"] / na) / (na - 1)
+    var_b = (s["sbb"] - s["sb"] * s["sb"] / nb) / (nb - 1)
+    t = (mean_a - mean_b) / np.sqrt(var_a / na + var_b / nb)
+    return pd.DataFrame({
+        "n_en": np.array([na], dtype=np.int64),
+        "n_other": np.array([nb], dtype=np.int64),
+        "mean_en": [round(mean_a, 6)],
+        "mean_other": [round(mean_b, 6)],
+        "t_stat": [round(float(t), 6)],
+    })
+
+
+SQL_LENGTH_TTEST = (
+    "WITH s AS (SELECT "
+    "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS na, "
+    "sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS sa, "
+    "sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END) AS saa, "
+    "sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nb, "
+    "sum(CASE WHEN lang <> 'en' THEN n_chars ELSE 0 END) AS sb, "
+    "sum(CASE WHEN lang <> 'en' THEN n_chars * n_chars ELSE 0 END) AS sbb "
+    "FROM documents) "
+    "SELECT CAST(na AS BIGINT) AS n_en, CAST(nb AS BIGINT) AS n_other, "
+    "round(sa / na, 6) AS mean_en, round(sb / nb, 6) AS mean_other, "
+    "round((sa / na - sb / nb) / sqrt("
+    "((saa - sa * sa / na) / (na - 1)) / na + "
+    "((sbb - sb * sb / nb) / (nb - 1)) / nb), 6) AS t_stat FROM s"
+)
+
+
+def q_link_degrees(sf_dir: str):
+    """Degree distribution of the derived undirected link graph (the
+    web-graph health histogram).  Edge derivation + global canonical-
+    pair dedup are shared with link_triangles; degrees are a Count
+    groupby over the exploded endpoints and the histogram a second
+    Count groupby over |distinct degrees| rows."""
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+
+    def mk_und(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        us, vs = [], []
+        for a, b in _PR_COEFFS:
+            d = (did * a + b) % n
+            keep = d != did
+            s, t = did[keep], d[keep]
+            us.append(np.minimum(s, t))
+            vs.append(np.maximum(s, t))
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        _, idx = np.unique(u * np.int64(n) + v, return_index=True)
+        return pa.table({
+            "u": pa.array(u[idx], pa.int64()),
+            "v": pa.array(v[idx], pa.int64()),
+        })
+
+    edges = (
+        docs.map_batches(mk_und, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="__m"))
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        node = np.concatenate([
+            batch["u"].to_numpy(zero_copy_only=False),
+            batch["v"].to_numpy(zero_copy_only=False),
+        ])
+        return pa.table({"node": pa.array(node, pa.int64())})
+
+    return (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="degree"))
+        .groupby("degree")
+        .aggregate(Count(alias_name="n_nodes"))
+    )
+
+
+SQL_LINK_DEGREES = (
+    f"WITH und AS ({_edges_sql()}), "
+    "deg AS (SELECT node, count(*) AS degree FROM ("
+    "SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1) "
+    "SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1"
+)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -8066,6 +8588,15 @@ SQL_BM25_EXPUNGE_TOPK = _bm25_sql(
 # (neardup_clusters), and the dedup-family entries whose block-format
 # path changed this round — cumulative driver coverage r03+r04 = 91/91.
 QUERIES = {
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "events_derivative": q_events_derivative,
+    "adjacency_matrix": q_adjacency_matrix,
+    "matrix_stats": q_matrix_stats,
+    "top_metrics": q_top_metrics,
+    "rare_terms": q_rare_terms,
+    "length_ttest": q_length_ttest,
+    "link_degrees": q_link_degrees,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "ccnet_dedup": q_ccnet_dedup,
@@ -8228,6 +8759,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
+    "events_derivative": SQL_EVENTS_DERIVATIVE,
+    "adjacency_matrix": SQL_ADJACENCY_MATRIX,
+    "matrix_stats": SQL_MATRIX_STATS,
+    "top_metrics": SQL_TOP_METRICS,
+    "rare_terms": SQL_RARE_TERMS,
+    "length_ttest": SQL_LENGTH_TTEST,
+    "link_degrees": SQL_LINK_DEGREES,
     "ccnet_dedup": SQL_CCNET_DEDUP,
     "pii_redact": SQL_PII_REDACT,
     "pack_sequences": SQL_PACK_SEQUENCES,

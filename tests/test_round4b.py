@@ -1,0 +1,92 @@
+"""Round-4 continuation tests: analytics-aggregation entries
+(events_funnel window boundaries, events_retention cohort stamping,
+matrix_stats closed form vs numpy)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from defactonlp_ray.pipelines import queries as Q
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def test_funnel_window_boundaries(tmp_path):
+    """A click strictly after the first view and within (<=) 7 days
+    converts; at exactly t1 it does not (strict >); past 7 days it does
+    not.  The purchase window anchors on the CLICK, not the view."""
+    sf = _write_events(tmp_path, [
+        # u1: full conversion, click exactly at the +7d boundary (counts)
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-08 00:00:00", "click"),
+        (1, "2024-01-09 00:00:00", "purchase"),
+        # u2: click at the same microsecond as the view -> NOT after it
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:00:00", "click"),
+        # u3: click past the window
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-08 00:00:00.000001", "click"),
+        # u4: purchase within 7d of the view but >7d after the click? no —
+        # anchored on click: click +1us, purchase at click+7d (counts)
+        (4, "2024-01-01 00:00:00", "view"),
+        (4, "2024-01-01 00:00:00.000001", "click"),
+        (4, "2024-01-08 00:00:00.000001", "purchase"),
+        # u5: purchase BEFORE the click never converts step 3
+        (5, "2024-01-01 00:00:00", "view"),
+        (5, "2024-01-02 00:00:00", "purchase"),
+        (5, "2024-01-03 00:00:00", "click"),
+    ])
+    out = Q.q_events_funnel(sf).set_index("step")["n_users"]
+    assert out[1] == 5            # every user viewed
+    assert out[2] == 3            # u1 (boundary), u4, u5
+    assert out[3] == 2            # u1, u4 (u5's purchase precedes its click)
+
+
+def test_retention_cohorts_stamp_from_first_week(tmp_path):
+    """week 0 anchors at the corpus-min day; a user's cohort is their
+    own first active week and offsets are relative to it."""
+    sf = _write_events(tmp_path, [
+        (1, "2024-01-01 12:00:00", "view"),   # week 0 cohort
+        (1, "2024-01-09 12:00:00", "view"),   # week 1 active
+        (2, "2024-01-10 00:00:00", "view"),   # week 1 cohort
+        (2, "2024-01-22 00:00:00", "view"),   # week 3 -> offset 2
+    ])
+    out = Q.q_events_retention(sf).to_pandas()
+    got = {
+        (int(r.cohort_week), int(r.week_offset)): int(r.n_users)
+        for r in out.itertuples()
+    }
+    assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_matrix_stats_matches_numpy():
+    """The exact-integer-sufficient-statistics closed form equals
+    numpy's population covariance/correlation on the real table."""
+    sf = "/root/testdata/sf0.001"
+    out = Q.q_matrix_stats(sf)
+    docs = pq.read_table(
+        os.path.join(sf, "documents.parquet"), columns=["n_chars", "text"]
+    )
+    x = docs["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+    y = np.array([
+        len([w for w in t.split(" ") if w])
+        for t in docs["text"].to_pylist()
+    ], dtype=np.float64)
+    xy = out.set_index(["field_a", "field_b"]).loc[("n_chars", "n_tokens")]
+    assert xy["n"] == len(x)
+    np.testing.assert_allclose(xy["covariance"], np.cov(x, y, bias=True)[0, 1], atol=1e-4)
+    np.testing.assert_allclose(xy["correlation"], np.corrcoef(x, y)[0, 1], atol=1e-6)
