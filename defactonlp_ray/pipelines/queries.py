@@ -5753,6 +5753,196 @@ def _phrase_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_PHRASE_TOPK = _phrase_sql(_PHRASE_QUERIES)
 
 
+# --------------------------------- match_phrase_prefix / span_not
+
+# (query_id, fixed prefix words, trailing prefix) — cap small enough to
+# exercise the (df DESC, term) rewrite cap in both engines
+_PP_QUERIES: list[tuple[int, list[str], str]] = [
+    (0, ["hash"], "jo"),          # "hash jo*"
+    (1, ["fast"], "s"),           # many s- expansions, cap binds
+    (2, ["the", "table"], "s"),   # 3-term multi-phrase
+    (3, ["value"], "zz"),         # empty expansion -> no hits
+    (4, [], "mer"),               # bare prefix (no fixed words)
+]
+_PP_CAP = 3
+
+
+def q_phrase_prefix_topk(sf_dir: str):
+    """ES match_phrase_prefix (stages/phrase.phrase_prefix_search): the
+    trailing prefix expands against the index term dictionary (capped to
+    the ``_PP_CAP`` highest-df terms, ties by term — the shared wildcard
+    rewrite cap), then a Lucene MultiPhraseQuery match: fixed words at
+    consecutive offsets + ANY expansion at the last offset, scored as a
+    pseudo-term (tf = anchors summed over alternatives, df = matching
+    docs).  Expansion is one capped dictionary scan at the driver;
+    anchor probing is vectorized key-set intersection in the actors."""
+    from ..stages.phrase import phrase_prefix_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    res = phrase_prefix_search(
+        idx, _PP_QUERIES, k=20, max_expansions=_PP_CAP, concurrency=2
+    ).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    cols = ["query_id", "rank", "doc_id", "n_occ", "score"]
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
+def _phrase_prefix_sql(
+    queries: list[tuple[int, list[str], str]], cap: int, k: int = 10
+) -> str:
+    """Independent multi-phrase oracle: expand each prefix against the
+    distinct-doc df dictionary with the same (df DESC, term) cap, then
+    probe every token index for the fixed words at consecutive offsets
+    and ANY expansion at offset ``mlen``; pseudo-term scoring tail
+    shared with the phrase oracle."""
+    mx = max(1, max(len(f) for _, f, _ in queries))
+    wcols = [f"w{i}" for i in range(mx)]
+    ph_vals = ", ".join(
+        "("
+        + ", ".join(
+            [str(qid), str(len(fixed))]
+            + [
+                f"'{fixed[i]}'" if i < len(fixed) else "NULL"
+                for i in range(mx)
+            ]
+        )
+        + ")"
+        for qid, fixed, _p in queries
+    )
+    pre_vals = ", ".join(f"({qid}, '{p}')" for qid, _f, p in queries)
+    conds = [
+        f"(ph.w{j} IS NULL OR tok.ts[i + {j}] = ph.w{j})" for j in range(mx)
+    ]
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tok AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        "toks AS (SELECT doc_id, unnest(ts) AS term FROM d), "
+        "dfd AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+        "GROUP BY term), "
+        f"pre(query_id, p) AS (VALUES {pre_vals}), "
+        "exp AS (SELECT query_id, term FROM (SELECT pre.query_id, dfd.term, "
+        "row_number() OVER (PARTITION BY pre.query_id "
+        "ORDER BY dfd.df DESC, dfd.term) AS rn FROM pre "
+        "JOIN dfd ON dfd.term LIKE pre.p || '%') "
+        f"WHERE rn <= {cap}), "
+        f"ph(query_id, mlen, {', '.join(wcols)}) AS (VALUES {ph_vals}), "
+        "hits AS (SELECT ph.query_id, tok.doc_id, count(*) AS n_occ "
+        "FROM tok, ph JOIN exp ON exp.query_id = ph.query_id "
+        "WHERE " + " AND ".join(conds) + " "
+        "AND tok.ts[i + ph.mlen] = exp.term "
+        "GROUP BY ph.query_id, tok.doc_id), "
+        "dl AS (SELECT doc_id, len(ts) AS dl FROM d), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "pdf AS (SELECT query_id, count(*) AS df FROM hits GROUP BY query_id), "
+        "scored AS (SELECT h.query_id, h.doc_id, h.n_occ, "
+        "ln(1 + (s.n_docs - pdf.df + 0.5) / (pdf.df + 0.5)) * "
+        "(h.n_occ * 2.2) / (h.n_occ + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+        "(s.total::DOUBLE / s.n_docs))) AS score "
+        "FROM hits h JOIN pdf USING (query_id) "
+        "JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN stats s) "
+        "SELECT query_id, rank, doc_id, n_occ, score FROM ("
+        "SELECT query_id, doc_id, n_occ, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_PHRASE_PREFIX_TOPK = _phrase_prefix_sql(_PP_QUERIES, _PP_CAP)
+
+
+# (query_id, include term, exclude term, distance)
+_SPAN_NOT_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "hash", "join", 2),
+    (1, "fast", "slow", 1),
+    (2, "table", "zz", 3),      # excluder absent -> plain term result
+    (3, "merge", "merge", 0),   # self-exclusion -> empty
+    (4, "scan", "the", 4),
+]
+
+
+def q_span_not_topk(sf_dir: str):
+    """Lucene SpanNotQuery (stages/phrase.span_not_search): occurrences
+    of the include term with NO exclude term within ``dist`` positions,
+    ranked by the surviving-occurrence pseudo-term BM25.  The exclusion
+    test is two searchsorted probes per occurrence over the sorted
+    occurrence-key arrays — no per-position loop."""
+    from ..stages.phrase import span_not_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q[0] for q in _SPAN_NOT_QUERIES], pa.int64()),
+                "term_a": pa.array([q[1] for q in _SPAN_NOT_QUERIES], pa.string()),
+                "term_b": pa.array([q[2] for q in _SPAN_NOT_QUERIES], pa.string()),
+                "dist": pa.array([q[3] for q in _SPAN_NOT_QUERIES], pa.int64()),
+            }
+        )
+    )
+    res = span_not_search(idx, qds, k=20, concurrency=2).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    cols = ["query_id", "rank", "doc_id", "n_occ", "score"]
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
+def _span_not_sql(
+    queries: list[tuple[int, str, str, int]], k: int = 10
+) -> str:
+    """Independent span-not oracle: per a-occurrence NOT EXISTS probe of
+    b-occurrences within the distance, pseudo-term scoring tail."""
+    vals = ", ".join(
+        f"({qid}, '{a}', '{b}', {d})" for qid, a, b, d in queries
+    )
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        f"q(query_id, a, b, dd) AS (VALUES {vals}), "
+        "hits AS (SELECT q.query_id, t.doc_id, count(*) AS n_occ "
+        "FROM q JOIN tokpos t ON t.term = q.a "
+        "WHERE NOT EXISTS (SELECT 1 FROM tokpos tb "
+        "WHERE tb.doc_id = t.doc_id AND tb.term = q.b "
+        "AND abs(t.i - tb.i) <= q.dd) "
+        "GROUP BY q.query_id, t.doc_id), "
+        "dl AS (SELECT doc_id, len(ts) AS dl FROM d), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "pdf AS (SELECT query_id, count(*) AS df FROM hits GROUP BY query_id), "
+        "scored AS (SELECT h.query_id, h.doc_id, h.n_occ, "
+        "ln(1 + (s.n_docs - pdf.df + 0.5) / (pdf.df + 0.5)) * "
+        "(h.n_occ * 2.2) / (h.n_occ + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+        "(s.total::DOUBLE / s.n_docs))) AS score "
+        "FROM hits h JOIN pdf USING (query_id) "
+        "JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN stats s) "
+        "SELECT query_id, rank, doc_id, n_occ, score FROM ("
+        "SELECT query_id, doc_id, n_occ, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_SPAN_NOT_TOPK = _span_not_sql(_SPAN_NOT_QUERIES)
+
+
 _BOOL_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
     # (query_id, must, should, must_not)
     (0, ["hash", "join"], ["fast"], ["slow"]),
@@ -8588,6 +8778,8 @@ SQL_LINK_DEGREES = (
 # (neardup_clusters), and the dedup-family entries whose block-format
 # path changed this round — cumulative driver coverage r03+r04 = 91/91.
 QUERIES = {
+    "phrase_prefix_topk": q_phrase_prefix_topk,
+    "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_derivative": q_events_derivative,
@@ -8759,6 +8951,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "phrase_prefix_topk": SQL_PHRASE_PREFIX_TOPK,
+    "span_not_topk": SQL_SPAN_NOT_TOPK,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_derivative": SQL_EVENTS_DERIVATIVE,

@@ -275,14 +275,18 @@ def match_phrase(
     return docs, counts.astype(np.int64), dls
 
 
-def score_phrase(
-    reader: IndexReader, seg_ids: list[int], terms: list[str], k: int
+def _score_pseudo(
+    reader: IndexReader,
+    docs: np.ndarray,
+    counts: np.ndarray,
+    dls: np.ndarray,
+    k: int,
 ) -> list[tuple[float, int, int]]:
-    """BM25 top-k over the phrase-as-pseudo-term: tf = per-doc phrase
-    count, df = global matching-doc count (exact — the fused pass sees
-    every segment), idf/k1/b identical to the term scorer.  Returns
-    ``[(score, doc_id, n_occ)]`` ranked by (-score, doc_id)."""
-    docs, counts, dls = match_phrase(reader, seg_ids, terms)
+    """Shared pseudo-term BM25 tail (phrase / phrase-prefix / span_not):
+    tf = the doc's surviving-occurrence count, df = live matching docs
+    (exact — computed at query time over the fused all-segments pass),
+    idf/k1/b identical to the term scorer.  Returns ``[(score, doc_id,
+    n_occ)]`` ranked by (-score, doc_id)."""
     if reader.deleted.size and docs.size:
         from .deletes import live_mask
 
@@ -290,8 +294,6 @@ def score_phrase(
         docs, counts, dls = docs[m], counts[m], dls[m]
     if docs.size == 0:
         return []
-    # pseudo-term df is computed at query time, so it counts LIVE
-    # matches (same rule on the reader and shared-pack routes)
     df = int(docs.size)
     idf = math.log(1.0 + (reader.n_docs - df + 0.5) / (df + 0.5))
     c = counts.astype(np.float64)
@@ -302,6 +304,14 @@ def score_phrase(
     return [
         (s, d, int(counts[np.searchsorted(docs, d)])) for s, d in top
     ]
+
+
+def score_phrase(
+    reader: IndexReader, seg_ids: list[int], terms: list[str], k: int
+) -> list[tuple[float, int, int]]:
+    """BM25 top-k over the phrase-as-pseudo-term (see _score_pseudo)."""
+    docs, counts, dls = match_phrase(reader, seg_ids, terms)
+    return _score_pseudo(reader, docs, counts, dls, k)
 
 
 class PhraseSearcherActor:
@@ -363,6 +373,311 @@ def phrase_search(
     ``pos_blob`` per actor (serving route; results are bit-identical)."""
     return queries.map_batches(
         PhraseSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
+# ------------------------------------- match_phrase_prefix (MultiPhrase)
+
+def match_phrase_prefix(
+    reader: IndexReader,
+    seg_ids: list[int],
+    fixed: list[str],
+    alts: list[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Multi-phrase match (Lucene MultiPhraseQuery, the engine of ES
+    match_phrase_prefix): terms ``fixed[0..m-1]`` at consecutive offsets
+    followed by ANY of ``alts`` at offset ``m``.  Returns ``(docs,
+    n_occ, dls)`` with occurrences summed over alternatives — a token
+    position holds exactly one term, so per-alternative anchor sets are
+    disjoint and the union is a concatenation.  Cost: the fixed-prefix
+    intersection once (rarest-first, like match_phrase) plus ONE probe
+    pass per alternative over the surviving anchors."""
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
+    if not alts:
+        return empty
+    if len(fixed) > _POS_SLACK:
+        raise ValueError(
+            f"phrase length {len(fixed) + 1} exceeds the positional key "
+            f"slack ({_POS_SLACK + 1} terms max)"
+        )
+    packs = []
+    for t in fixed:
+        p = _pos_pack(reader, seg_ids, t)
+        if p is None:
+            return empty
+        packs.append(p)
+    last_off = len(fixed)
+    if fixed:
+        # anchor set from the fixed prefix, rarest term first
+        order = np.argsort([p[4].size for p in packs], kind="stable")
+        j = int(order[0])
+        pj = packs[j]
+        X = pj[4] - j
+        if j > 0:
+            X = X[pj[2] >= j]
+        for oi in order[1:]:
+            i = int(oi)
+            X = X[_member(packs[i][4], X + i)]
+            if X.size == 0:
+                return empty
+    else:
+        X = None  # anchors come straight from the alternatives
+    kept = []
+    for alt in alts:
+        pal = _pos_pack(reader, seg_ids, alt)
+        if pal is None:
+            continue
+        if X is None:
+            kept.append(pal[4])
+        else:
+            kept.append(X[_member(pal[4], X + last_off)])
+    if not kept:
+        return empty
+    anchors = np.concatenate(kept)
+    docs, counts = np.unique(anchors // _POS_M, return_counts=True)
+    if fixed:
+        d0, dl0 = packs[0][0], packs[0][1]
+    else:
+        # doc lengths merged across the alternatives' packs
+        all_p = [
+            _pos_pack(reader, seg_ids, a)
+            for a in alts
+            if _pos_pack(reader, seg_ids, a) is not None
+        ]
+        d0 = np.concatenate([p[0] for p in all_p])
+        dl0 = np.concatenate([p[1] for p in all_p])
+        d0, first = np.unique(d0, return_index=True)
+        dl0 = dl0[first]
+    dls = dl0[np.searchsorted(d0, docs)]
+    return docs, counts.astype(np.int64), dls
+
+
+def score_phrase_prefix(
+    reader: IndexReader,
+    seg_ids: list[int],
+    fixed: list[str],
+    alts: list[str],
+    k: int,
+) -> list[tuple[float, int, int]]:
+    """BM25 top-k over the multi-phrase-as-pseudo-term."""
+    docs, counts, dls = match_phrase_prefix(reader, seg_ids, fixed, alts)
+    return _score_pseudo(reader, docs, counts, dls, k)
+
+
+class PhrasePrefixSearcherActor:
+    """Actor-pool stage: batch of (query_id, terms[fixed prefix words],
+    alts[dictionary expansions of the trailing prefix]) -> (query_id,
+    rank, doc_id, n_occ, score).  Expansion happens ONCE at the driver
+    (the dictionary read is a capped point scan); actors only probe."""
+
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted(
+            {
+                t
+                for ts, al in zip(
+                    batch["terms"].to_pylist(), batch["alts"].to_pylist()
+                )
+                for t in list(ts) + list(al)
+            }
+            - self.seeded
+        )
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_c, out_s = [], [], [], [], []
+        for qid, terms, alts in zip(
+            batch["query_id"].to_pylist(),
+            batch["terms"].to_pylist(),
+            batch["alts"].to_pylist(),
+        ):
+            for rank, (score, doc_id, n_occ) in enumerate(
+                score_phrase_prefix(
+                    self.reader, self.seg_ids, list(terms), list(alts), self.k
+                ),
+                1,
+            ):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_c.append(n_occ)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_occ": pa.array(out_c, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def phrase_prefix_search(
+    index_dir: str,
+    queries: list[tuple[int, list[str], str]],
+    *,
+    k: int = 10,
+    max_expansions: int = 50,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """ES match_phrase_prefix: ``(query_id, fixed_terms, prefix)`` -> the
+    trailing prefix expands against the index term dictionary (capped to
+    the ``max_expansions`` highest-df terms, ties by term — the same
+    rewrite cap as wildcard_search), then a MultiPhrase match scored as
+    a pseudo-term.  Dictionary expansion is one streamed capped scan at
+    the driver; matching runs in the actor pool."""
+    from .expand import expand_wildcard
+
+    pats = [(qid, prefix + "%") for qid, _fixed, prefix in queries]
+    exp = expand_wildcard(index_dir, pats, max_expansions=max_expansions)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _, _ in queries], pa.int64()),
+                "terms": pa.array(
+                    [f for _, f, _ in queries], pa.list_(pa.string())
+                ),
+                "alts": pa.array(
+                    [exp.get(qid, []) for qid, _, _ in queries],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+    )
+    return qds.map_batches(
+        PhrasePrefixSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
+# --------------------------------------------------- span_not (exclusion)
+
+def score_span_not(
+    reader: IndexReader,
+    seg_ids: list[int],
+    term_a: str,
+    term_b: str,
+    dist: int,
+    k: int,
+) -> list[tuple[float, int, int]]:
+    """Lucene SpanNotQuery (pre=post=``dist``): occurrences of
+    ``term_a`` with NO ``term_b`` within ``dist`` token positions,
+    doc-ranked by the surviving-occurrence pseudo-term BM25.  Fully
+    vectorized: both terms' occurrence-key arrays are sorted, so the
+    exclusion test is two searchsorted probes per a-occurrence (a
+    b-key in ``[key_a - dist, key_a + dist]`` means exclusion; the
+    positional radix slack guarantees the window never crosses a doc
+    boundary in key space for ``dist <= _POS_SLACK``)."""
+    if dist > _POS_SLACK:
+        raise ValueError(
+            f"span_not distance {dist} exceeds the positional key slack "
+            f"({_POS_SLACK})"
+        )
+    pa_ = _pos_pack(reader, seg_ids, term_a)
+    if pa_ is None:
+        return []
+    keys_a = pa_[4]
+    pb = _pos_pack(reader, seg_ids, term_b)
+    if pb is None:
+        surviving = keys_a
+    else:
+        kb = pb[4]
+        lo = np.searchsorted(kb, keys_a - dist, side="left")
+        hi = np.searchsorted(kb, keys_a + dist, side="right")
+        surviving = keys_a[lo == hi]
+    if surviving.size == 0:
+        return []
+    docs, counts = np.unique(surviving // _POS_M, return_counts=True)
+    dls = pa_[1][np.searchsorted(pa_[0], docs)]
+    return _score_pseudo(reader, docs, counts.astype(np.int64), dls, k)
+
+
+class SpanNotSearcherActor:
+    """Actor-pool stage: batch of (query_id, term_a, term_b, dist) ->
+    (query_id, rank, doc_id, n_occ, score)."""
+
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted(
+            (
+                set(batch["term_a"].to_pylist())
+                | set(batch["term_b"].to_pylist())
+            )
+            - self.seeded
+        )
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_c, out_s = [], [], [], [], []
+        for qid, ta, tb, dist in zip(
+            batch["query_id"].to_pylist(),
+            batch["term_a"].to_pylist(),
+            batch["term_b"].to_pylist(),
+            batch["dist"].to_pylist(),
+        ):
+            for rank, (score, doc_id, n_occ) in enumerate(
+                score_span_not(
+                    self.reader, self.seg_ids, ta, tb, int(dist), self.k
+                ),
+                1,
+            ):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_c.append(n_occ)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_occ": pa.array(out_c, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def span_not_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """SpanNot pipeline: (query_id, term_a, term_b, dist) -> (query_id,
+    rank, doc_id, n_occ, score) over a ``positions=True`` index."""
+    return queries.map_batches(
+        SpanNotSearcherActor,
         fn_constructor_kwargs={
             "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
         },

@@ -704,3 +704,80 @@ def test_syngraph_phrase_tf_adds_to_group(pos_index):
         idx, qds, {}, k=10, concurrency=2
     ).to_pandas()
     assert not with_rule.equals(without)
+
+
+# ------------------------------------ match_phrase_prefix / span_not
+
+def _py_multi_phrase_counts(docs, fixed, alts):
+    """Reference MultiPhrase counter: fixed words at consecutive offsets
+    + any alternative at the last offset."""
+    out = {}
+    m = len(fixed)
+    alt_set = set(alts)
+    for did, toks in docs.items():
+        c = 0
+        for i in range(len(toks) - m):
+            if toks[i : i + m] == fixed and toks[i + m] in alt_set:
+                c += 1
+        if c:
+            out[did] = c
+    return out
+
+
+def test_match_phrase_prefix_equals_python(pos_index, doc_tokens):
+    from defactonlp_ray.stages.phrase import match_phrase_prefix
+
+    reader = IndexReader(pos_index)
+    cases = [
+        (["hash"], ["join", "joins"]),       # one absent alternative
+        (["the", "table"], ["scan", "sort"]),
+        ([], ["merge"]),                     # bare alt == plain term tf
+        (["value"], []),                     # no alternatives -> empty
+        (["zzz"], ["table"]),                # absent fixed -> empty
+    ]
+    for fixed, alts in cases:
+        ref = {}
+        for a in alts:
+            for d, c in _py_phrase_counts(
+                doc_tokens, fixed + [a]
+            ).items():
+                ref[d] = ref.get(d, 0) + c
+        docs, counts, dls = match_phrase_prefix(
+            reader, reader.seg_ids, fixed, alts
+        )
+        assert dict(zip(docs.tolist(), counts.tolist())) == ref, (fixed, alts)
+        for d, dl in zip(docs.tolist(), dls.tolist()):
+            assert dl == len(doc_tokens[d])
+
+
+def test_span_not_equals_python(pos_index, doc_tokens):
+    from defactonlp_ray.stages.phrase import score_span_not
+
+    reader = IndexReader(pos_index)
+    cases = [("hash", "join", 2), ("fast", "slow", 1),
+             ("table", "zzz", 3), ("merge", "merge", 0), ("the", "the", 1)]
+    for a, b, d in cases:
+        ref = {}
+        for did, toks in doc_tokens.items():
+            bpos = [i for i, t in enumerate(toks) if t == b]
+            c = sum(
+                1
+                for i, t in enumerate(toks)
+                if t == a and not any(abs(i - j) <= d for j in bpos)
+            )
+            if c:
+                ref[did] = c
+        got = {
+            doc: n
+            for _s, doc, n in score_span_not(
+                reader, reader.seg_ids, a, b, d, k=10**9
+            )
+        }
+        assert got == ref, (a, b, d)
+
+
+def test_span_not_self_exclusion_empty(pos_index):
+    from defactonlp_ray.stages.phrase import score_span_not
+
+    reader = IndexReader(pos_index)
+    assert score_span_not(reader, reader.seg_ids, "table", "table", 0, 10) == []
