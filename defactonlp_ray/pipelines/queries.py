@@ -622,6 +622,107 @@ SQL_LINK_TRIANGLES = (
 )
 
 
+# --------------------------------------- rank_feature (static signal)
+
+_RF_BOOST = 2.0
+
+
+def q_rank_feature_topk(sf_dir: str):
+    """Elasticsearch rank_feature query (saturation) over a static
+    PageRank signal: ``final = BM25 + boost * pr / (pr + pivot)`` with
+    ``pivot = 1/n_docs`` (the mean rank — ES's default pivot heuristic).
+    The ranks stream from the distributed PageRank straight into a
+    doc-range-partitioned FLOAT doc-value sidecar (stages/features.py,
+    the same at-scale shape as the collapse sidecar — never a
+    driver-broadcast dense array); the scorer folds the additive bonus
+    in BEFORE the bounded top-k (a high-PageRank doc outside the plain
+    BM25 page must ride in).  Oracle: the unrolled PageRank CTEs joined
+    into the shared exact-BM25 body with the identical saturation."""
+    from ..stages.features import build_feature_map
+    from ..stages.linkgraph import pagerank
+
+    idx = _build_docs_index(sf_dir)
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    feat_dir = _tmp_index_dir(sf_dir, "rfeat")
+    if not os.path.exists(os.path.join(feat_dir, "_SUCCESS")):
+
+        def mk_edges(batch: pa.Table) -> pa.Table:
+            did = batch["doc_id"].to_numpy()
+            srcs, dsts = [], []
+            for a, b in _PR_COEFFS:
+                d = (did * a + b) % n
+                keep = d != did
+                srcs.append(did[keep])
+                dsts.append(d[keep])
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
+            _, idx2 = np.unique(src * np.int64(n) + dst, return_index=True)
+            return pa.table({
+                "src": pa.array(src[idx2], pa.int64()),
+                "dst": pa.array(dst[idx2], pa.int64()),
+            })
+
+        edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+        nodes = docs.rename_columns({"doc_id": "node"})
+        ranks = pagerank(
+            edges, nodes, damping=_PR_DAMPING, iters=_PR_ITERS
+        ).map_batches(
+            # round-6 is the cross-engine float policy for the FEATURE
+            # VALUE itself (both engines saturate the same rounded rank)
+            lambda b: pa.table({
+                "doc_id": b["node"],
+                "feature": pa.array(
+                    np.round(b["rank"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        build_feature_map(ranks, feat_dir)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="rank_feature",
+        feature_dir=feat_dir, rf_boost=_RF_BOOST, rf_pivot=1.0 / n,
+        concurrency=2,
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _rank_feature_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    return (
+        "WITH " + ", ".join(_pagerank_parts()) + ", "
+        f"toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        f"feat AS (SELECT node AS doc_id, round(r, 6) AS f FROM pr{_PR_ITERS}), "
+        f"rf AS (SELECT sc.query_id, sc.doc_id, sc.score + {_RF_BOOST} * "
+        "(ft.f / (ft.f + 1.0 / (SELECT n FROM nn))) AS score "
+        "FROM scored sc JOIN feat ft ON ft.doc_id = sc.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM rf) "
+        f"WHERE rank <= {k}"
+    )
+
+
+# (SQL_RANK_FEATURE_TOPK is materialized next to the registries — the
+# shared _BM25_QUERIES set is defined later in the file)
+
+
 # ------------------------------------------------- anchor-text aggregation
 
 
@@ -751,7 +852,10 @@ FROM ranked WHERE rn = 1 ORDER BY dst
 SQL_ANCHOR_TEXTS = _anchor_sql()
 
 
-def _pagerank_sql() -> str:
+def _pagerank_parts() -> list[str]:
+    """The unrolled 10-iteration PageRank as reusable WITH parts
+    (``pr{_PR_ITERS}`` holds the final ranks) — shared by the
+    link_pagerank oracle and the rank_feature scoring oracle."""
     nsel = "(SELECT n FROM nn)"
     e_parts = " UNION ALL ".join(
         f"SELECT doc_id AS src, (doc_id*{a}+{b}) % {nsel} AS dst FROM documents"
@@ -774,8 +878,12 @@ def _pagerank_sql() -> str:
             "JOIN edges e ON e.src = p.node JOIN deg d ON d.src = e.src "
             "GROUP BY e.dst) s ON s.dst = n.node)"
         )
+    return parts
+
+
+def _pagerank_sql() -> str:
     return (
-        "WITH " + ", ".join(parts) +
+        "WITH " + ", ".join(_pagerank_parts()) +
         f" SELECT node AS doc_id, round(r, 6) AS rank FROM pr{_PR_ITERS} "
         "ORDER BY doc_id"
     )
@@ -8769,6 +8877,9 @@ SQL_LINK_DEGREES = (
 )
 
 
+SQL_RANK_FEATURE_TOPK = _rank_feature_sql(_BM25_QUERIES)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -8778,6 +8889,7 @@ SQL_LINK_DEGREES = (
 # (neardup_clusters), and the dedup-family entries whose block-format
 # path changed this round — cumulative driver coverage r03+r04 = 91/91.
 QUERIES = {
+    "rank_feature_topk": q_rank_feature_topk,
     "phrase_prefix_topk": q_phrase_prefix_topk,
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
@@ -8951,6 +9063,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rank_feature_topk": SQL_RANK_FEATURE_TOPK,
     "phrase_prefix_topk": SQL_PHRASE_PREFIX_TOPK,
     "span_not_topk": SQL_SPAN_NOT_TOPK,
     "events_funnel": SQL_EVENTS_FUNNEL,

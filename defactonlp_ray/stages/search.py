@@ -984,6 +984,58 @@ def score_all_fvf(
     return _topk_exact(scores[cand] * factor, cand + lo, k)
 
 
+def score_all_rank_feature(
+    reader,
+    seg_ids: list[int],
+    terms_sorted: list[str],
+    idfs: dict[str, float],
+    k: int,
+    feature_map,
+    boost: float = 2.0,
+    pivot: float = 1.0,
+) -> list[tuple[float, int]]:
+    """Elasticsearch ``rank_feature`` query (saturation function) inside
+    a bool with the text match: ``final = BM25 + boost * f / (f +
+    pivot)`` where ``f`` is a static per-doc feature (PageRank,
+    freshness, ...) resolved from the doc-range-partitioned float
+    sidecar (stages/features.py).  The bonus is per-doc and ADDITIVE
+    over the match set, so — like fvf/decay — it must fold in BEFORE
+    the bounded top-k (a high-feature doc outside the plain-BM25 page
+    must be able to ride in).  Docs missing the feature contribute 0
+    (ES semantics).  Cost over TAAT: one sidecar gather for the
+    candidate set (bucket files cached per actor)."""
+    per_term = []
+    lo = hi = None
+    for t in terms_sorted:
+        arrs = reader.term_arrays(seg_ids, t)
+        if arrs is None:
+            continue
+        docids, w = arrs
+        per_term.append((t, docids, w))
+        tlo, thi = int(docids[0]), int(docids[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if not per_term:
+        return []
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for t, docids, w in per_term:  # ascending-term order (pinned)
+        idx = docids - lo
+        scores[idx] += idfs[t] * w
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand + lo, reader.deleted)]
+    if cand.size == 0:
+        return []
+    f = feature_map[cand + lo]
+    sat = f / (f + pivot)
+    return _topk_exact(scores[cand] + boost * sat, cand + lo, k)
+
+
 NEG_BOOST = 0.5  # pinned ES `boosting` query negative_boost
 
 
@@ -1669,7 +1721,9 @@ class SearcherActor:
                  index_ref=None, syn_map: Optional[dict] = None,
                  group_ref=None, group_dir: Optional[str] = None,
                  decay_origin: float = 0.0, decay_scale: float = 1.0,
-                 hist_interval: float = 10.0, at: Optional[int] = None):
+                 hist_interval: float = 10.0, at: Optional[int] = None,
+                 feature_dir: Optional[str] = None, rf_boost: float = 2.0,
+                 rf_pivot: float = 1.0):
         if index_ref is not None:
             import ray as _ray
 
@@ -1701,6 +1755,15 @@ class SearcherActor:
         self.decay_origin = decay_origin
         self.decay_scale = decay_scale
         self.hist_interval = hist_interval
+        # rank_feature mode: the float doc-value sidecar loads its
+        # bucket files lazily per actor (stages/features.py)
+        self.feature_map = None
+        if feature_dir is not None:
+            from .features import FeatureMap
+
+            self.feature_map = FeatureMap(feature_dir)
+        self.rf_boost = rf_boost
+        self.rf_pivot = rf_pivot
         self.seg_ids = seg_ids if seg_ids is not None else self.reader.seg_ids
 
     def _score_query(self, terms: list[str], idfs: dict[str, float],
@@ -1731,6 +1794,16 @@ class SearcherActor:
             return score_all_sortfield(self.reader, seg_ids, uniq, self.k)
         if self.mode == "fvf":
             return score_all_fvf(self.reader, seg_ids, uniq, idfs, self.k)
+        if self.mode == "rank_feature":
+            if self.feature_map is None:
+                raise ValueError(
+                    "mode='rank_feature' needs feature_dir=<feature "
+                    "sidecar path> (stages/features.build_feature_map)"
+                )
+            return score_all_rank_feature(
+                self.reader, seg_ids, uniq, idfs, self.k,
+                self.feature_map, boost=self.rf_boost, pivot=self.rf_pivot,
+            )
         if self.mode == "decay":
             return score_all_fvf(
                 self.reader, seg_ids, uniq, idfs, self.k,
@@ -2173,6 +2246,9 @@ def search(
     decay_scale: float = 1.0,
     hist_interval: float = 10.0,
     at: Optional[int] = None,
+    feature_dir: Optional[str] = None,
+    rf_boost: float = 2.0,
+    rf_pivot: float = 1.0,
 ) -> "ray.data.Dataset":
     """Main query pipeline: queries (query_id, terms) -> results
     (query_id, rank, doc_id, score).
@@ -2199,6 +2275,10 @@ def search(
         ctor["decay_scale"] = decay_scale
     if mode == "histogram":
         ctor["hist_interval"] = hist_interval
+    if mode == "rank_feature":
+        ctor["feature_dir"] = feature_dir
+        ctor["rf_boost"] = rf_boost
+        ctor["rf_pivot"] = rf_pivot
     if syn_map is not None:
         ctor["syn_map"] = syn_map
     if group_ref is not None:

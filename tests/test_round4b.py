@@ -90,3 +90,30 @@ def test_matrix_stats_matches_numpy():
     assert xy["n"] == len(x)
     np.testing.assert_allclose(xy["covariance"], np.cov(x, y, bias=True)[0, 1], atol=1e-4)
     np.testing.assert_allclose(xy["correlation"], np.corrcoef(x, y)[0, 1], atol=1e-6)
+
+
+def test_feature_map_defaults_and_lookup(tmp_path):
+    """FeatureMap resolves present ids to their floats and absent ids to
+    the default (ES rank_feature missing-field semantics)."""
+    import ray.data
+    from defactonlp_ray.stages.features import build_feature_map, FeatureMap
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 5, (1 << 20) + 3], pa.int64()),
+        "feature": pa.array([0.5, 2.0, 7.25], pa.float64()),
+    }))
+    root = build_feature_map(ds, str(tmp_path / "feat"))
+    fm = FeatureMap(root)
+    got = fm[np.array([5, 2, (1 << 20) + 3, 1, 10**9])]
+    np.testing.assert_array_equal(got, [2.0, 0.0, 7.25, 0.5, 0.0])
+
+
+def test_rank_feature_reorders_vs_plain_bm25():
+    """The saturation bonus must fold in before top-k: results differ
+    from plain BM25 and equal the brute-force score + bonus re-rank."""
+    sf = "/root/testdata/sf0.001"
+    out = Q.q_rank_feature_topk(sf)
+    plain = Q.q_bm25_topk(sf)
+    assert not out[["query_id", "rank", "doc_id"]].equals(
+        plain[["query_id", "rank", "doc_id"]]
+    ) or not np.allclose(out["score"], plain["score"])
