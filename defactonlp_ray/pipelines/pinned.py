@@ -929,6 +929,60 @@ _SQL_TYPES = {
 }
 
 
+def serial_textrank(
+    sf_dir: str,
+    *,
+    window: int = 2,
+    damping: float = 0.85,
+    iters: int = 20,
+    topk: int = 3,
+) -> pd.DataFrame:
+    """Independent serial TextRank (Mihalcea & Tarau 2004 §2.3): per
+    doc, an UNWEIGHTED undirected co-occurrence graph over distinct
+    terms (an edge between tokens < ``window`` positions apart), scored
+    with the original unnormalized recurrence ``S(v) = (1-d) + d *
+    sum_{u in N(v)} S(u)/deg(u)`` for a fixed ``iters`` rounds from
+    S=1, then the top-k keywords by (round(score,6) DESC, term).
+    Dict-and-set implementation on purpose — structurally independent
+    of the engine's per-doc numpy adjacency kernel."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for did, text in sorted(
+        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    ):
+        toks = tokenize(text)
+        if not toks:
+            continue
+        nbrs: dict[str, set[str]] = {}
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + window, len(toks))):
+                a, b = toks[i], toks[j]
+                if a == b:
+                    continue
+                nbrs.setdefault(a, set()).add(b)
+                nbrs.setdefault(b, set()).add(a)
+        verts = sorted(set(toks))
+        scores = {v: 1.0 for v in verts}
+        for _ in range(iters):
+            scores = {
+                v: (1.0 - damping)
+                + damping
+                * sum(
+                    scores[u] / len(nbrs[u]) for u in sorted(nbrs.get(v, ()))
+                )
+                for v in verts
+            }
+        best = sorted(verts, key=lambda v: (-round(scores[v], 6), v))[:topk]
+        for r, v in enumerate(best, 1):
+            rows.append((int(did), r, v, round(scores[v], 6)))
+    out = pd.DataFrame(rows, columns=["doc_id", "rank", "term", "score"])
+    return out.astype({"doc_id": "int64", "rank": "int32", "score": "float64"})
+
+
 def values_sql(df: pd.DataFrame) -> str:
     """Inline a small DataFrame as a typed DuckDB VALUES select."""
     cols = list(df.columns)
@@ -1052,6 +1106,10 @@ def oracle_values_sql() -> dict[str, str]:
 
             return compute
 
+        out["textrank_keywords"] = _cached(
+            "textrank_keywords", sf_fp,
+            lambda: values_sql(serial_textrank(ORACLE_SF_DIR)),
+        )
         out["bpe_merges"] = _cached("bpe_merges", sf_fp, _bpe(0))
         out["bpe_token_counts"] = _cached(
             "bpe_token_counts", sf_fp, _bpe(1)

@@ -8519,6 +8519,156 @@ SQL_EVENTS_DERIVATIVE = (
 )
 
 
+_TEXTRANK_WINDOW = 2
+_TEXTRANK_D = 0.85
+_TEXTRANK_ITERS = 20
+_TEXTRANK_K = 3
+
+
+def q_textrank_keywords(sf_dir: str):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): per doc, an
+    unweighted undirected co-occurrence graph over distinct terms
+    (adjacent tokens, window 2), the original unnormalized PageRank
+    recurrence for 20 rounds, top-3 keywords by (round-6 score, term).
+    Distributed shape: docs stream through one map_batches pass — the
+    graph is PER DOC (tiny: a page's distinct vocabulary), so unlike
+    link_pagerank there is no cross-doc exchange at all; each doc's 20
+    rounds are dense numpy mat-vecs over its own adjacency.  Oracle:
+    the independent dict-based serial implementation in pinned.py."""
+    from ..functions.tokenizer import tokenize
+
+    w, d, iters, k = (
+        _TEXTRANK_WINDOW, _TEXTRANK_D, _TEXTRANK_ITERS, _TEXTRANK_K,
+    )
+
+    def part(batch: pa.Table) -> pa.Table:
+        out_d, out_r, out_t, out_s = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = tokenize(text)
+            if not toks:
+                continue
+            terms, inv = np.unique(np.asarray(toks, dtype=str),
+                                   return_inverse=True)
+            n = len(terms)
+            A = np.zeros((n, n), dtype=np.float64)
+            for off in range(1, w):
+                a, b = inv[:-off], inv[off:]
+                m = a != b
+                A[a[m], b[m]] = 1.0
+                A[b[m], a[m]] = 1.0
+            deg = A.sum(axis=1)
+            s = np.ones(n, dtype=np.float64)
+            contrib = np.zeros(n, dtype=np.float64)
+            for _ in range(iters):
+                np.divide(s, deg, out=contrib, where=deg > 0)
+                contrib[deg == 0] = 0.0
+                s = (1.0 - d) + d * (A @ contrib)
+            r6 = np.round(s, 6)
+            top = np.lexsort((terms, -r6))[:k]
+            for rank, i in enumerate(top, 1):
+                out_d.append(did)
+                out_r.append(rank)
+                out_t.append(terms[i])
+                out_s.append(r6[i])
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "term": pa.array(out_t, pa.string()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        part, batch_format="pyarrow"
+    )
+
+
+_PCT_RANK_THRESHOLDS = (10.0, 50.0, 200.0)
+
+
+def q_events_percentile_ranks(sf_dir: str):
+    """Elasticsearch percentile_ranks aggregation: for each pinned
+    value, the percentage of events with value <= it (the empirical
+    CDF).  Exact and distributed: each batch emits one row of int64
+    partial counts, the Sum reduce is order-invariant, and the ratio is
+    computed once from exact integers."""
+    ts = _PCT_RANK_THRESHOLDS
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cols = {"n": pa.array([len(v)], pa.int64())}
+        for i, t in enumerate(ts):
+            cols[f"c{i}"] = pa.array([int((v <= t).sum())], pa.int64())
+        return pa.table(cols)
+
+    s = (
+        read_table(sf_dir, "events", ["value"])
+        .map_batches(part, batch_format="pyarrow")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            *[Sum(f"c{i}", alias_name=f"c{i}") for i in range(len(ts))],
+        )
+    )
+    n = s["n"]
+    return pd.DataFrame({
+        "threshold": np.array(ts, dtype=np.float64),
+        "pct": [round(100.0 * s[f"c{i}"] / n, 6) for i in range(len(ts))],
+    })
+
+
+SQL_EVENTS_PERCENTILE_RANKS = " UNION ALL ".join(
+    f"SELECT CAST({t} AS DOUBLE) AS threshold, "
+    f"round(100.0 * sum(CASE WHEN value <= {t} THEN 1 ELSE 0 END) "
+    "/ count(*), 6) AS pct FROM events"
+    for t in _PCT_RANK_THRESHOLDS
+)
+
+
+def q_source_lang_kl(sf_dir: str):
+    """Language-mix drift per source (the data-curation contamination
+    monitor): KL(source's lang distribution || corpus lang distribution)
+    per source.  Shape: per-batch (source, lang) Arrow count combiner
+    bounds the exchange to |sources| x |langs| rows per batch; the KL
+    closed form runs over the reduced table — driver-small no matter
+    the corpus size."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = batch.select(["source", "lang"])
+        agg = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["source", "lang", "n_p"])
+
+    sl = (
+        _docs(sf_dir, ["source", "lang"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )
+    ns = sl.groupby("source")["n"].transform("sum").to_numpy(np.float64)
+    nl = sl.groupby("lang")["n"].transform("sum").to_numpy(np.float64)
+    nt = float(sl["n"].sum())
+    n = sl["n"].to_numpy(np.float64)
+    term = (n / ns) * np.log((n / ns) / (nl / nt))
+    sl["t"] = term
+    out = sl.groupby("source", as_index=False)["t"].sum()
+    out["kl"] = np.round(out["t"], 6)
+    return out[["source", "kl"]].sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_LANG_KL = (
+    "WITH sl AS (SELECT source, lang, count(*) AS n FROM documents "
+    "GROUP BY 1, 2), "
+    "s AS (SELECT source, sum(n) AS ns FROM sl GROUP BY 1), "
+    "l AS (SELECT lang, sum(n) AS nl FROM sl GROUP BY 1), "
+    "t AS (SELECT sum(n) AS nt FROM sl) "
+    "SELECT sl.source, round(sum((sl.n / s.ns) * "
+    "ln((sl.n / s.ns) / (l.nl / t.nt))), 6) AS kl "
+    "FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t "
+    "GROUP BY 1"
+)
+
+
 # ------------------------------------- ES-style analytical aggregations
 
 # adjacency_matrix filters: named term-presence predicates (ES names the
@@ -8890,6 +9040,9 @@ SQL_RANK_FEATURE_TOPK = _rank_feature_sql(_BM25_QUERIES)
 # path changed this round — cumulative driver coverage r03+r04 = 91/91.
 QUERIES = {
     "rank_feature_topk": q_rank_feature_topk,
+    "events_percentile_ranks": q_events_percentile_ranks,
+    "source_lang_kl": q_source_lang_kl,
+    "textrank_keywords": q_textrank_keywords,
     "phrase_prefix_topk": q_phrase_prefix_topk,
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
@@ -9064,6 +9217,8 @@ QUERIES = {
 
 ORACLES = {
     "rank_feature_topk": SQL_RANK_FEATURE_TOPK,
+    "events_percentile_ranks": SQL_EVENTS_PERCENTILE_RANKS,
+    "source_lang_kl": SQL_SOURCE_LANG_KL,
     "phrase_prefix_topk": SQL_PHRASE_PREFIX_TOPK,
     "span_not_topk": SQL_SPAN_NOT_TOPK,
     "events_funnel": SQL_EVENTS_FUNNEL,
