@@ -1723,9 +1723,11 @@ def q_tpch_q3(sf_dir: str):
     ascending)."""
     n_cpu = int(ray.cluster_resources().get("CPU", 4))
     nparts = max(2, min(8, n_cpu // 2))
+    # repartition after the selective filter: schema-less empty blocks
+    # from an oversplit read poison the hash-shuffle join (see tpch_q5)
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
         expr=f"c_mktsegment == '{_Q3_SEGMENT}'"
-    )
+    ).repartition(max(2, nparts // 2))
     cut = pa.scalar(
         np.datetime64(_Q3_DATE, "us").item(), pa.timestamp("us")
     )
@@ -8519,6 +8521,135 @@ SQL_EVENTS_DERIVATIVE = (
 )
 
 
+_Q5_REGION = "ASIA"
+_Q5_LO = "1996-01-01"
+_Q5_HI = "1997-01-01"
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local-supplier volume): per-nation revenue where the
+    customer and the line's supplier share the nation, one region, one
+    order-date year.  Join-order plan for scale: the region->nation
+    dimension chain is driver-tiny and BROADCAST (a key set + name dict
+    — never a shuffle); customer pre-filters on the broadcast nation
+    set before the first hash join; orders date-filters at the read;
+    the two big hash joins (orders x customer, lineitem x that) carry
+    only key + nation columns; the co-nation predicate applies right
+    after the supplier join; and revenue pre-aggregates per (nation,
+    batch) so the final exchange is |nations| rows."""
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+    nation = read_table(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = read_table(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rk = region.loc[region["r_name"] == _Q5_REGION, "r_regionkey"]
+    asia = nation[nation["n_regionkey"].isin(rk)]
+    nkeys = pa.array(asia["n_nationkey"].astype(np.int64), pa.int64())
+    names = dict(
+        zip(asia["n_nationkey"].astype(int), asia["n_name"].astype(str))
+    )
+
+    # NOTE the repartition()s after the selective filters: a high-
+    # parallelism read oversplits these tables into tiny blocks, the
+    # filter empties most of them, and this Ray version's hash-shuffle
+    # join chokes on schema-less empty Arrow blocks ("No match ... for
+    # key field reference" in finalize).  Coalescing the filtered side
+    # is also the right plan at scale — a post-filter redistribute of
+    # the surviving rows before the join.
+    cust = read_table(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["c_nationkey"], pa.int64()), value_set=nkeys)
+        ),
+        batch_format="pyarrow",
+    ).repartition(max(2, nparts // 2))
+    lo = pa.scalar(np.datetime64(_Q5_LO, "us").item(), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(_Q5_HI, "us").item(), pa.timestamp("us"))
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo),
+                pc.less(t["o_orderdate"], hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    ).repartition(nparts)
+    supp = read_table(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=nkeys)
+        ),
+        batch_format="pyarrow",
+    ).repartition(max(2, nparts // 2))
+
+    def line_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "rev": rev,
+        })
+
+    line = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(line_rev, batch_format="pyarrow")
+
+    oc = orders.join(
+        cust, "inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+    lo_j = line.join(
+        oc, "inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    ls = lo_j.join(
+        supp, "inner", num_partitions=nparts,
+        on=("l_suppkey",), right_on=("s_suppkey",),
+    ).filter(expr="c_nationkey == s_nationkey")
+
+    def nat_part(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "n_nationkey": pc.cast(batch["s_nationkey"], pa.int64()),
+            "rev_p": batch["rev"],
+        })
+        return t.group_by("n_nationkey").aggregate([("rev_p", "sum")]) \
+            .rename_columns(["n_nationkey", "rev_p"])
+
+    out = (
+        ls.map_batches(nat_part, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("rev_p", alias_name="rev"))
+        .to_pandas()
+    )
+    out["n_name"] = out["n_nationkey"].map(names)
+    out["revenue"] = np.round(out["rev"], 2)
+    return (
+        out.sort_values(["revenue", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)[["n_name", "revenue"]]
+    )
+
+
+SQL_TPCH_Q5 = (
+    "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) "
+    "AS revenue FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    f"AND r_name = '{_Q5_REGION}' "
+    f"AND o_orderdate >= DATE '{_Q5_LO}' "
+    f"AND o_orderdate < DATE '{_Q5_HI}' "
+    "GROUP BY n_name"
+)
+
+
 _TEXTRANK_WINDOW = 2
 _TEXTRANK_D = 0.85
 _TEXTRANK_ITERS = 20
@@ -9043,6 +9174,7 @@ QUERIES = {
     "events_percentile_ranks": q_events_percentile_ranks,
     "source_lang_kl": q_source_lang_kl,
     "textrank_keywords": q_textrank_keywords,
+    "tpch_q5": q_tpch_q5,
     "phrase_prefix_topk": q_phrase_prefix_topk,
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
@@ -9219,6 +9351,7 @@ ORACLES = {
     "rank_feature_topk": SQL_RANK_FEATURE_TOPK,
     "events_percentile_ranks": SQL_EVENTS_PERCENTILE_RANKS,
     "source_lang_kl": SQL_SOURCE_LANG_KL,
+    "tpch_q5": SQL_TPCH_Q5,
     "phrase_prefix_topk": SQL_PHRASE_PREFIX_TOPK,
     "span_not_topk": SQL_SPAN_NOT_TOPK,
     "events_funnel": SQL_EVENTS_FUNNEL,
