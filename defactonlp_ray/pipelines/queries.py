@@ -8521,6 +8521,111 @@ SQL_EVENTS_DERIVATIVE = (
 )
 
 
+# ----------------------------------------------- update_by_query
+
+_UPD_TERM = "merge"
+_UPD_SUFFIX = " fresh fresh"
+_UPD_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["merge", "fast"]),
+    (1, ["fresh"]),          # only updated docs carry it
+    (2, ["the", "table"]),
+]
+
+
+def q_bm25_update_by_query(sf_dir: str):
+    """Elasticsearch update_by_query: every doc matching a term query
+    gets a script transform (here: append two tokens), implemented the
+    way ES does — the OLD version is tombstoned (stages/deletes.py) and
+    the NEW version re-ingests as an append (index_build.append_index)
+    under a fresh higher doc_id.  Stats follow the Lucene rule the
+    delete entry pins: tombstoned docs stay in df/avgdl until a merge,
+    while appended docs join the stats — the oracle mirrors exactly
+    that corpus (originals for stats, live docs as candidates).  The
+    whole sequence is crash-idempotent: deletes union, the append
+    resumes, and the marker only lands after both."""
+    from ..stages.deletes import delete_docs
+    from ..stages.index_build import append_index
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    seg = max(256, n // 8)
+    idx = _tmp_index_dir(sf_dir, "idxupd")
+    build_index(docs, idx, seg_docs=seg, resume=True)
+    marker = os.path.join(idx, "_UPDATED")
+    if not os.path.exists(marker):
+
+        def matching(batch: pa.Table) -> pa.Table:
+            terms, row_idx, _ = flatten_tokens(batch["text"])
+            hit = pc.equal(terms, _UPD_TERM).to_numpy(zero_copy_only=False)
+            m = np.zeros(batch.num_rows, dtype=bool)
+            m[row_idx[hit]] = True
+            return batch.filter(pa.array(m))
+
+        hits = docs.map_batches(matching, batch_format="pyarrow")
+        ids = hits.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy(np.int64)
+        delete_docs(idx, ids)  # idempotent (tombstone union)
+
+        def bump(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.add(batch["doc_id"], pa.scalar(n, pa.int64())),
+                "text": pc.binary_join_element_wise(
+                    batch["text"], pa.scalar(_UPD_SUFFIX[1:]),
+                    pa.scalar(" "),
+                ),
+            })
+
+        append_index(
+            hits.map_batches(bump, batch_format="pyarrow"), idx, seg_docs=seg
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    res = search(
+        idx, _query_terms_ds(_UPD_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _update_by_query_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    return (
+        "WITH nn AS (SELECT count(*) AS n FROM documents), "
+        "m AS (SELECT doc_id FROM (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS ts "
+        f"FROM documents) WHERE list_contains(ts, '{_UPD_TERM}')), "
+        "docs2 AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT d.doc_id + nn.n, "
+        f"d.text || '{_UPD_SUFFIX}' FROM documents d "
+        "JOIN m ON m.doc_id = d.doc_id CROSS JOIN nn), "
+        "toks AS (SELECT doc_id, unnest(list_filter("
+        "string_split(text, ' '), x -> x <> '')) AS term FROM docs2), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "live AS (SELECT doc_id FROM docs2 CROSS JOIN nn "
+        "WHERE doc_id >= nn.n OR doc_id NOT IN (SELECT doc_id FROM m)), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "JOIN live ON live.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_BM25_UPDATE_BY_QUERY = _update_by_query_sql(_UPD_QUERIES)
+
+
 _Q5_REGION = "ASIA"
 _Q5_LO = "1996-01-01"
 _Q5_HI = "1997-01-01"
@@ -9175,6 +9280,7 @@ QUERIES = {
     "source_lang_kl": q_source_lang_kl,
     "textrank_keywords": q_textrank_keywords,
     "tpch_q5": q_tpch_q5,
+    "bm25_update_by_query": q_bm25_update_by_query,
     "phrase_prefix_topk": q_phrase_prefix_topk,
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
@@ -9352,6 +9458,7 @@ ORACLES = {
     "events_percentile_ranks": SQL_EVENTS_PERCENTILE_RANKS,
     "source_lang_kl": SQL_SOURCE_LANG_KL,
     "tpch_q5": SQL_TPCH_Q5,
+    "bm25_update_by_query": SQL_BM25_UPDATE_BY_QUERY,
     "phrase_prefix_topk": SQL_PHRASE_PREFIX_TOPK,
     "span_not_topk": SQL_SPAN_NOT_TOPK,
     "events_funnel": SQL_EVENTS_FUNNEL,
