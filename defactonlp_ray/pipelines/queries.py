@@ -8521,6 +8521,131 @@ SQL_EVENTS_DERIVATIVE = (
 )
 
 
+# ----------------------------------------------- simple_query_string
+
+_QS_QUERIES: list[tuple[int, str]] = [
+    (0, "+hash +join -slow fast"),
+    (1, '"table scan" merge'),
+    (2, "+the -zzz window"),
+    (3, '"hash join" +fast -slow'),
+    (4, "zzz"),                      # absent term -> empty result
+]
+
+
+def q_query_string_topk(sf_dir: str):
+    """simple_query_string (stages/querystring.py): the user-facing
+    query language — ``+must -not "quoted phrase" should`` — parsed by
+    a pure shared parser and compiled onto the boolean + phrase
+    primitives; score = pinned BM25 over must/should terms + each
+    phrase as a pseudo-term.  The oracle generator parses the SAME
+    query strings with the SAME function and restates the parsed
+    structure in SQL, so the check covers parse + match + score."""
+    from ..stages.querystring import query_string_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    res = query_string_search(idx, _QS_QUERIES, k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _query_string_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    from ..stages.querystring import parse_query_string
+
+    parts = [
+        "d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents)",
+        "tok AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM d)",
+        "toks AS (SELECT doc_id, unnest(ts) AS term FROM d)",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)",
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl)",
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term)",
+        "dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term)",
+    ]
+    bm = (
+        "ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5)) * (tf.tf * 2.2) "
+        "/ (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+        "(s.total::DOUBLE / s.n_docs)))"
+    )
+    selects = []
+    for qid, qs in queries:
+        p = parse_query_string(qs)
+        phrases = [
+            list(w) for w in dict.fromkeys(tuple(x) for x in p["phrases"])
+        ]
+        conds = [f"list_contains(ts, '{t}')" for t in sorted(set(p["must"]))]
+        conds += [
+            f"NOT list_contains(ts, '{t}')" for t in sorted(set(p["must_not"]))
+        ]
+        for j, words in enumerate(phrases):
+            ph = f"ph{qid}_{j}"
+            wc = " AND ".join(
+                f"tok.ts[i + {o}] = '{w}'" for o, w in enumerate(words)
+            )
+            parts.append(
+                f"{ph} AS (SELECT doc_id, count(*) AS n_occ FROM tok "
+                f"WHERE {wc} GROUP BY doc_id)"
+            )
+            parts.append(
+                f"p{qid}_{j} AS (SELECT ph.doc_id, "
+                f"ln(1 + (s.n_docs - (SELECT count(*) FROM {ph}) + 0.5) / "
+                f"((SELECT count(*) FROM {ph}) + 0.5)) * (ph.n_occ * 2.2) / "
+                "(ph.n_occ + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+                "(s.total::DOUBLE / s.n_docs))) AS s "
+                f"FROM {ph} ph JOIN dl ON dl.doc_id = ph.doc_id "
+                "CROSS JOIN stats s)"
+            )
+            conds.append(
+                f"EXISTS (SELECT 1 FROM ph{qid}_{j} x "
+                "WHERE x.doc_id = d.doc_id)"
+            )
+        if not p["must"] and not phrases:
+            sh = sorted(set(p["should"]))
+            conds.append(
+                "(" + " OR ".join(f"list_contains(ts, '{t}')" for t in sh) + ")"
+            )
+        parts.append(
+            f"c{qid} AS (SELECT doc_id FROM d WHERE "
+            + (" AND ".join(conds) if conds else "TRUE") + ")"
+        )
+        scoring = sorted(set(p["must"]) | set(p["should"]))
+        if scoring:
+            tl = ", ".join(f"'{t}'" for t in scoring)
+            parts.append(
+                f"t{qid} AS (SELECT tf.doc_id, sum({bm}) AS s FROM tf "
+                "JOIN dfv ON dfv.term = tf.term "
+                "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+                f"WHERE tf.term IN ({tl}) GROUP BY tf.doc_id)"
+            )
+            term_sel = f"COALESCE(t{qid}.s, 0)"
+            term_join = f"LEFT JOIN t{qid} ON t{qid}.doc_id = c.doc_id "
+        else:
+            term_sel = "0"
+            term_join = ""
+        ph_sel = "".join(
+            f" + COALESCE(p{qid}_{j}.s, 0)" for j in range(len(phrases))
+        )
+        ph_join = "".join(
+            f"LEFT JOIN p{qid}_{j} ON p{qid}_{j}.doc_id = c.doc_id "
+            for j in range(len(phrases))
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, c.doc_id, "
+            f"{term_sel}{ph_sel} AS score FROM c{qid} c {term_join}{ph_join}"
+        )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM ("
+        + " UNION ALL ".join(selects) + ")) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_QUERY_STRING_TOPK = _query_string_sql(_QS_QUERIES)
+
+
 # ----------------------------------------------- update_by_query
 
 _UPD_TERM = "merge"
@@ -9281,6 +9406,7 @@ QUERIES = {
     "textrank_keywords": q_textrank_keywords,
     "tpch_q5": q_tpch_q5,
     "bm25_update_by_query": q_bm25_update_by_query,
+    "query_string_topk": q_query_string_topk,
     "phrase_prefix_topk": q_phrase_prefix_topk,
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
@@ -9459,6 +9585,7 @@ ORACLES = {
     "source_lang_kl": SQL_SOURCE_LANG_KL,
     "tpch_q5": SQL_TPCH_Q5,
     "bm25_update_by_query": SQL_BM25_UPDATE_BY_QUERY,
+    "query_string_topk": SQL_QUERY_STRING_TOPK,
     "phrase_prefix_topk": SQL_PHRASE_PREFIX_TOPK,
     "span_not_topk": SQL_SPAN_NOT_TOPK,
     "events_funnel": SQL_EVENTS_FUNNEL,

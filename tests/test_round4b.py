@@ -117,3 +117,49 @@ def test_rank_feature_reorders_vs_plain_bm25():
     assert not out[["query_id", "rank", "doc_id"]].equals(
         plain[["query_id", "rank", "doc_id"]]
     ) or not np.allclose(out["score"], plain["score"])
+
+
+def test_query_string_parser():
+    import pytest
+    from defactonlp_ray.stages.querystring import parse_query_string
+
+    p = parse_query_string('+hash -slow "table scan" fast +join')
+    assert p["must"] == ["hash", "join"]
+    assert p["must_not"] == ["slow"]
+    assert p["should"] == ["fast"]
+    assert p["phrases"] == [["table", "scan"]]
+    assert parse_query_string('""') == {
+        "must": [], "should": [], "must_not": [], "phrases": [],
+    }
+    # '+"..."' is a must phrase, like the bare quoted form
+    assert parse_query_string('+"a b"')["phrases"] == [["a", "b"]]
+    with pytest.raises(ValueError):
+        parse_query_string('-"a b"')
+
+
+def test_query_string_equals_boolean_when_no_phrase(pos_index_r4b=None):
+    """A phrase-free query string ranks exactly like the boolean
+    operator with the same clauses (shared scoring contract)."""
+    import os
+    import ray.data
+    from defactonlp_ray.stages.index_build import build_index
+    from defactonlp_ray.stages.querystring import (
+        parse_query_string, score_query_string,
+    )
+    from defactonlp_ray.stages.phrase import score_boolean
+    from defactonlp_ray.stages.search import IndexReader
+    import tempfile
+
+    sf = "/root/testdata/sf0.001"
+    idx = os.path.join(tempfile.gettempdir(), "dfr_test_qs_idx")
+    docs = ray.data.read_parquet(
+        os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    build_index(docs, idx, seg_docs=16, resume=True)
+    reader = IndexReader(idx)
+    p = parse_query_string("+hash +join -slow fast")
+    got = score_query_string(reader, reader.seg_ids, p, 10)
+    ref = score_boolean(
+        reader, reader.seg_ids, p["must"], p["should"], p["must_not"], 10
+    )
+    assert got == ref
