@@ -8521,6 +8521,115 @@ SQL_EVENTS_DERIVATIVE = (
 )
 
 
+# ------------------------------------- termvectors / anomaly days
+
+# pinned doc ids for the termvectors probe (modular spread over the
+# corpus so every sf size hits valid ids)
+_TV_MODS = (0, 1, 2)
+_TV_DIV = 97
+
+
+def q_doc_termvectors(sf_dir: str):
+    """Elasticsearch _termvectors API: for a pinned set of docs, every
+    term with its in-doc tf and corpus-wide df.  The doc set is a pure
+    function of doc_id (doc_id % 97 in {0,1,2}); per-batch the tf rows
+    come from the vectorized Arrow group_by, and only the term df
+    lookup is a (broadcast-joined) pass over the term_stats combiner
+    output — no full-corpus shuffle keyed by doc."""
+    sel = list(_TV_MODS)
+
+    def tv(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(np.isin(ids % _TV_DIV, sel)))
+        if b.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            })
+        terms, row_idx, _ = flatten_tokens(b["text"])
+        dids = b["doc_id"].to_numpy(zero_copy_only=False)[row_idx]
+        t = pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "term": terms,
+        })
+        agg = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["doc_id", "term", "tf"])
+
+    tfs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tv, batch_format="pyarrow")
+        .to_pandas()
+    )
+    dfs = q_term_stats(sf_dir).select_columns(["term", "df"]).to_pandas()
+    out = tfs.merge(dfs, on="term", how="left")
+    out["tf"] = out["tf"].astype(np.int64)
+    out["df"] = out["df"].astype(np.int64)
+    return (
+        out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+        [["doc_id", "term", "tf", "df"]]
+    )
+
+
+SQL_DOC_TERMVECTORS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+    "GROUP BY doc_id, term), "
+    "dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term) "
+    "SELECT tf.doc_id, tf.term, tf.tf, dfv.df FROM tf "
+    "JOIN dfv ON dfv.term = tf.term "
+    f"WHERE tf.doc_id % {_TV_DIV} IN {tuple(_TV_MODS)!r}"
+)
+
+
+_ANOM_Z = 2.0
+
+
+def q_events_anomaly(sf_dir: str):
+    """Anomalous-traffic days (the observability z-score monitor): days
+    whose event count deviates from the mean daily count by more than
+    ``_ANOM_Z`` sample standard deviations.  The corpus pass is the
+    daily-count combiner; mean/std/z run over the |days|-row series
+    from exact integer sums — the same two-level shape as the other
+    date-histogram pipelines."""
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda b: pa.table({
+                "window_start": pc.cast(
+                    pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us")
+                ),
+            }).group_by("window_start").aggregate([([], "count_all")])
+            .rename_columns(["window_start", "n_p"]),
+            batch_format="pyarrow",
+        )
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    m = len(n)
+    mean = n.sum() / m
+    var = (np.square(n).sum() - n.sum() * n.sum() / m) / (m - 1)
+    sd = np.sqrt(var)
+    z = (n - mean) / sd
+    daily["z"] = np.round(z, 6)
+    out = daily[np.abs(z) > _ANOM_Z]
+    return out[["window_start", "n", "z"]].reset_index(drop=True)
+
+
+SQL_EVENTS_ANOMALY = (
+    "WITH daily AS (SELECT date_trunc('day', ts) AS window_start, "
+    "count(*) AS n FROM events GROUP BY 1), "
+    "s AS (SELECT count(*) AS m, sum(n) AS sn, sum(n * n) AS snn FROM daily) "
+    "SELECT window_start, n, round((n - sn / m) / "
+    "sqrt((snn - sn * sn / m) / (m - 1)), 6) AS z FROM daily CROSS JOIN s "
+    f"WHERE abs((n - sn / m) / sqrt((snn - sn * sn / m) / (m - 1))) > {_ANOM_Z}"
+)
+
+
 # ----------------------------------------------- simple_query_string
 
 _QS_QUERIES: list[tuple[int, str]] = [
@@ -9407,6 +9516,8 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "bm25_update_by_query": q_bm25_update_by_query,
     "query_string_topk": q_query_string_topk,
+    "doc_termvectors": q_doc_termvectors,
+    "events_anomaly": q_events_anomaly,
     "phrase_prefix_topk": q_phrase_prefix_topk,
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
@@ -9586,6 +9697,8 @@ ORACLES = {
     "tpch_q5": SQL_TPCH_Q5,
     "bm25_update_by_query": SQL_BM25_UPDATE_BY_QUERY,
     "query_string_topk": SQL_QUERY_STRING_TOPK,
+    "doc_termvectors": SQL_DOC_TERMVECTORS,
+    "events_anomaly": SQL_EVENTS_ANOMALY,
     "phrase_prefix_topk": SQL_PHRASE_PREFIX_TOPK,
     "span_not_topk": SQL_SPAN_NOT_TOPK,
     "events_funnel": SQL_EVENTS_FUNNEL,
