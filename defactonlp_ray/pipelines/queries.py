@@ -8521,6 +8521,127 @@ SQL_EVENTS_DERIVATIVE = (
 )
 
 
+# -------------------------- span corruption / props extraction
+
+_SC_SPAN = 3    # masked-span length (tokens)
+_SC_PERIOD = 5  # every doc masks the span groups g with g % 5 == doc_id % 5
+
+
+def q_span_corruption(sf_dir: str):
+    """T5-style span-corruption accounting (Raffel et al. 2020 §3.1.4
+    denoising objective): tokens are tiled into length-3 groups and a
+    deterministic 1-in-5 of the groups (phase = doc_id mod 5) is
+    masked; each masked group collapses to one sentinel in the input
+    and expands to sentinel+tokens in the target.  Per doc: token
+    count, masked count, sentinel count, and the resulting input/target
+    lengths.  Fully vectorized — group index is arithmetic on the flat
+    token stream, no per-row Python."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        terms, row_idx, doc_len = flatten_tokens(batch["text"])
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nt = doc_len.astype(np.int64)
+        # position of each token within its doc: global index minus the
+        # doc's first global index
+        starts = np.zeros(len(nt) + 1, dtype=np.int64)
+        np.cumsum(nt, out=starts[1:])
+        pos = np.arange(len(row_idx), dtype=np.int64) - starts[row_idx]
+        grp = pos // _SC_SPAN
+        masked = (grp % _SC_PERIOD) == (dids[row_idx] % _SC_PERIOD)
+        n_masked = np.bincount(
+            row_idx[masked], minlength=len(nt)
+        ).astype(np.int64)
+        # sentinel count = distinct masked groups = ceil over the doc's
+        # group range with the phase hit: count groups g < n_groups with
+        # g % P == phase
+        n_groups = (nt + _SC_SPAN - 1) // _SC_SPAN
+        phase = dids % _SC_PERIOD
+        n_sent = (n_groups - 1 - phase) // _SC_PERIOD + 1
+        n_sent = np.where((n_groups - 1 - phase) < 0, 0, n_sent)
+        n_sent = np.where(nt == 0, 0, n_sent).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_masked": pa.array(n_masked, pa.int64()),
+            "n_sentinels": pa.array(n_sent, pa.int64()),
+            "input_len": pa.array(nt - n_masked + n_sent, pa.int64()),
+            "target_len": pa.array(n_masked + n_sent, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        part, batch_format="pyarrow"
+    )
+
+
+SQL_SPAN_CORRUPTION = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "tok AS (SELECT doc_id, unnest(range(0, len(ts))) AS p, "
+    "len(ts) AS nt FROM d), "
+    f"m AS (SELECT doc_id, nt, (p // {_SC_SPAN}) AS g, "
+    f"CASE WHEN (p // {_SC_SPAN}) % {_SC_PERIOD} = doc_id % {_SC_PERIOD} "
+    "THEN 1 ELSE 0 END AS msk FROM tok) "
+    "SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_tokens, "
+    "CAST(sum(msk) AS BIGINT) AS n_masked, "
+    "CAST(count(DISTINCT CASE WHEN msk = 1 THEN g END) AS BIGINT) "
+    "AS n_sentinels, "
+    "CAST(max(nt) - sum(msk) + "
+    "count(DISTINCT CASE WHEN msk = 1 THEN g END) AS BIGINT) AS input_len, "
+    "CAST(sum(msk) + count(DISTINCT CASE WHEN msk = 1 THEN g END) "
+    "AS BIGINT) AS target_len "
+    "FROM m GROUP BY doc_id"
+)
+
+
+def q_events_props_extract(sf_dir: str):
+    """Structured-payload extraction (the ingest-pipeline JSON
+    processor): pull the integer ``k`` out of the events ``props`` JSON
+    string with ONE vectorized RE2 pass (never per-row json.loads) and
+    aggregate per event type.  The oracle runs the identical regex via
+    DuckDB's regexp_extract, so the string-level semantics are pinned
+    cross-engine."""
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            batch["props"]
+            .str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .astype(np.float64)
+        )
+        g = pd.DataFrame({
+            "event_type": batch["event_type"],
+            "k": k.fillna(0.0),
+            "has": (~k.isna()).astype(np.int64),
+        })
+        out = g.groupby("event_type", as_index=False).agg(
+            n_p=("has", "sum"), sk_p=("k", "sum")
+        )
+        return out
+
+    agg = (
+        read_table(sf_dir, "events", ["event_type", "props"])
+        .map_batches(part, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("sk_p", alias_name="sk"))
+        .to_pandas()
+    )
+    agg["avg_k"] = np.round(agg["sk"] / agg["n"], 6)
+    agg["n"] = agg["n"].astype(np.int64)
+    return (
+        agg.sort_values("event_type").reset_index(drop=True)
+        [["event_type", "n", "avg_k"]]
+    )
+
+
+SQL_EVENTS_PROPS_EXTRACT = (
+    "WITH x AS (SELECT event_type, "
+    "TRY_CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS DOUBLE) AS k "
+    "FROM events) "
+    "SELECT event_type, CAST(count(k) AS BIGINT) AS n, "
+    "round(sum(k) / count(k), 6) AS avg_k FROM x "
+    "WHERE k IS NOT NULL GROUP BY event_type"
+)
+
+
 # ------------------------------------- termvectors / anomaly days
 
 # pinned doc ids for the termvectors probe (modular spread over the
@@ -9518,6 +9639,8 @@ QUERIES = {
     "query_string_topk": q_query_string_topk,
     "doc_termvectors": q_doc_termvectors,
     "events_anomaly": q_events_anomaly,
+    "span_corruption": q_span_corruption,
+    "events_props_extract": q_events_props_extract,
     "phrase_prefix_topk": q_phrase_prefix_topk,
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
@@ -9699,6 +9822,8 @@ ORACLES = {
     "query_string_topk": SQL_QUERY_STRING_TOPK,
     "doc_termvectors": SQL_DOC_TERMVECTORS,
     "events_anomaly": SQL_EVENTS_ANOMALY,
+    "span_corruption": SQL_SPAN_CORRUPTION,
+    "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
     "phrase_prefix_topk": SQL_PHRASE_PREFIX_TOPK,
     "span_not_topk": SQL_SPAN_NOT_TOPK,
     "events_funnel": SQL_EVENTS_FUNNEL,
