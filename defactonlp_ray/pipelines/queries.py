@@ -8521,6 +8521,65 @@ SQL_EVENTS_DERIVATIVE = (
 )
 
 
+_ADH_TARGET = 40  # auto_date_histogram: max buckets
+
+
+def q_events_auto_histogram(sf_dir: str):
+    """Elasticsearch auto_date_histogram: pick the COARSEST interval
+    from (hour, day, week) whose bucket count stays within the target,
+    then the plain date histogram at that interval.  The interval
+    choice derives from the corpus (min, max) timestamps — one cheap
+    aggregate — and the rule is restated arithmetically in the oracle,
+    so both engines must pick the same interval."""
+    ds = read_table(sf_dir, "events", ["ts"])
+    t0 = pd.Timestamp(ds.min("ts"))
+    t1 = pd.Timestamp(ds.max("ts"))
+    span_h = (t1.ceil("h") - t0.floor("h")) / pd.Timedelta(hours=1)
+    if span_h <= _ADH_TARGET:
+        unit = "hour"
+    elif span_h / 24 <= _ADH_TARGET:
+        unit = "day"
+    else:
+        unit = "week"
+
+    def part(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.floor_temporal(batch["ts"], unit=unit), pa.timestamp("us")
+        )
+        return pa.table({"window_start": b}).group_by(
+            "window_start"
+        ).aggregate([([], "count_all")]).rename_columns(
+            ["window_start", "n_p"]
+        )
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    out["interval"] = unit
+    return out[["interval", "window_start", "n"]]
+
+
+SQL_EVENTS_AUTO_HISTOGRAM = (
+    "WITH span AS (SELECT date_diff('hour', "
+    "date_trunc('hour', min(ts)), "
+    "CASE WHEN date_trunc('hour', max(ts)) = max(ts) "
+    "THEN max(ts) ELSE date_trunc('hour', max(ts)) "
+    "+ INTERVAL 1 HOUR END) AS h FROM events), "
+    "pick AS (SELECT CASE "
+    f"WHEN h <= {_ADH_TARGET} THEN 'hour' "
+    f"WHEN h / 24.0 <= {_ADH_TARGET} THEN 'day' "
+    "ELSE 'week' END AS unit FROM span) "
+    "SELECT pick.unit AS interval, "
+    "date_trunc(pick.unit, ts) AS window_start, count(*) AS n "
+    "FROM events CROSS JOIN pick GROUP BY 1, 2"
+)
+
+
 # -------------------------- span corruption / props extraction
 
 _SC_SPAN = 3    # masked-span length (tokens)
@@ -9641,6 +9700,7 @@ QUERIES = {
     "events_anomaly": q_events_anomaly,
     "span_corruption": q_span_corruption,
     "events_props_extract": q_events_props_extract,
+    "events_auto_histogram": q_events_auto_histogram,
     "phrase_prefix_topk": q_phrase_prefix_topk,
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
@@ -9824,6 +9884,7 @@ ORACLES = {
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "span_corruption": SQL_SPAN_CORRUPTION,
     "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
+    "events_auto_histogram": SQL_EVENTS_AUTO_HISTOGRAM,
     "phrase_prefix_topk": SQL_PHRASE_PREFIX_TOPK,
     "span_not_topk": SQL_SPAN_NOT_TOPK,
     "events_funnel": SQL_EVENTS_FUNNEL,
