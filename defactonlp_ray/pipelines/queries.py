@@ -8521,6 +8521,100 @@ SQL_EVENTS_DERIVATIVE = (
 )
 
 
+def q_highlight_offsets(sf_dir: str):
+    """Highlighting offsets (the Lucene unified-highlighter contract:
+    term hits as (token index, char offset) pairs, not re-rendered
+    text): for each BM25 top-3 hit, the FIRST occurrence of every query
+    term in the doc.  Shape: the (query, doc) pair set is driver-small
+    (3 per query) and broadcasts into ONE streamed corpus pass; offsets
+    are a cumulative-length vector per doc (single-space join invariant,
+    verified corpus-wide), never a re-scan per term."""
+    idx = _build_docs_index(sf_dir)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    top = _rerank_rounded(res, k=3)
+    qterms = {qid: sorted(set(ts)) for qid, ts in _BM25_QUERIES}
+    pairs = [
+        (int(r.query_id), int(r.doc_id)) for r in top.itertuples()
+    ]
+    by_doc: dict[int, list[int]] = {}
+    for qid, did in pairs:
+        by_doc.setdefault(did, []).append(qid)
+    doc_ids = pa.array(sorted(by_doc), pa.int64())
+
+    def extract(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch["doc_id"], value_set=doc_ids))
+        out_q, out_d, out_t, out_i, out_c = [], [], [], [], []
+        for did, text in zip(
+            b["doc_id"].to_pylist(), b["text"].to_pylist()
+        ):
+            toks = np.asarray([w for w in text.split(" ") if w], dtype=object)
+            lens = np.array([len(t) for t in toks], dtype=np.int64) + 1
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            for qid in by_doc[did]:
+                for t in qterms[qid]:
+                    hit = np.flatnonzero(toks == t)
+                    if hit.size:
+                        out_q.append(qid)
+                        out_d.append(did)
+                        out_t.append(t)
+                        out_i.append(int(hit[0]))
+                        out_c.append(int(offs[hit[0]]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            "tok_idx": pa.array(out_i, pa.int64()),
+            "char_off": pa.array(out_c, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
+def _highlight_sql(queries: list[tuple[int, list[str]]], k: int = 3) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in sorted(set(terms))
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "toki AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        "tokc AS (SELECT doc_id, term, i, "
+        "sum(len(term) + 1) OVER (PARTITION BY doc_id ORDER BY i "
+        "ROWS UNBOUNDED PRECEDING) - len(term) - 1 AS char_off FROM toki), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "hits AS (SELECT query_id, doc_id FROM ("
+        "SELECT query_id, doc_id, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) "
+        f"AS INTEGER) AS rank FROM scored) WHERE rank <= {k}), "
+        "first AS (SELECT doc_id, term, min(i) AS i FROM toki "
+        "GROUP BY doc_id, term) "
+        "SELECT h.query_id, h.doc_id, q.term, "
+        "CAST(f.i - 1 AS BIGINT) AS tok_idx, "
+        "CAST(c.char_off AS BIGINT) AS char_off "
+        "FROM hits h JOIN q ON q.query_id = h.query_id "
+        "JOIN first f ON f.doc_id = h.doc_id AND f.term = q.term "
+        "JOIN tokc c ON c.doc_id = f.doc_id AND c.term = f.term "
+        "AND c.i = f.i"
+    )
+
+
 _ADH_TARGET = 40  # auto_date_histogram: max buckets
 
 
@@ -9678,16 +9772,20 @@ SQL_LINK_DEGREES = (
 
 
 SQL_RANK_FEATURE_TOPK = _rank_feature_sql(_BM25_QUERIES)
+SQL_HIGHLIGHT_OFFSETS = _highlight_sql(_BM25_QUERIES)
 
 
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
 # dict order (r01=32/32, r02=42/42, r03=50-cap over 91).  Order is
-# therefore a coverage schedule, not cosmetics: round 4 fronts the 41
-# entries that never got a driver row in r03, the r03 failure
-# (neardup_clusters), and the dedup-family entries whose block-format
-# path changed this round — cumulative driver coverage r03+r04 = 91/91.
+# therefore a coverage schedule, not cosmetics: round 4 fronts (1) the
+# entries added after the r03 run — newest first, so the r04 driver rows
+# land on never-driver-checked code — then (2) the r03 failure
+# (neardup_clusters) and the dedup-family entries whose block-format
+# path changed in r04.  Everything below slot ~50 holds a green row from
+# an earlier driver round or the committed 32-cpu mirror
+# (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
     "rank_feature_topk": q_rank_feature_topk,
     "events_percentile_ranks": q_events_percentile_ranks,
@@ -9701,6 +9799,7 @@ QUERIES = {
     "span_corruption": q_span_corruption,
     "events_props_extract": q_events_props_extract,
     "events_auto_histogram": q_events_auto_histogram,
+    "highlight_offsets": q_highlight_offsets,
     "phrase_prefix_topk": q_phrase_prefix_topk,
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
@@ -9885,6 +9984,7 @@ ORACLES = {
     "span_corruption": SQL_SPAN_CORRUPTION,
     "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
     "events_auto_histogram": SQL_EVENTS_AUTO_HISTOGRAM,
+    "highlight_offsets": SQL_HIGHLIGHT_OFFSETS,
     "phrase_prefix_topk": SQL_PHRASE_PREFIX_TOPK,
     "span_not_topk": SQL_SPAN_NOT_TOPK,
     "events_funnel": SQL_EVENTS_FUNNEL,
