@@ -8521,6 +8521,53 @@ SQL_EVENTS_DERIVATIVE = (
 )
 
 
+def q_bm25_restore_topk(sf_dir: str):
+    """Snapshot RESTORE (index_build.restore_snapshot): index the first
+    half, capture the manifest version, append the second half, then
+    restore the pinned version into a NEW index dir (hardlinked
+    segments + one atomic manifest replay + re-derived stats) and query
+    it PLAIN — no ``at=`` pin.  Results must equal the pre-append
+    index, proving the restore reproduced the snapshot's corpus state
+    as a standalone index.  Oracle: the same half-corpus BM25 SQL as
+    the snapshot entry."""
+    import shutil
+
+    from ..sources import manifest as mf
+    from ..stages.index_build import append_index, restore_snapshot
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    half = n // 2
+    seg = max(64, n // 8)
+    idx = _tmp_index_dir(sf_dir, "idxrst")
+    vpath = os.path.join(idx, "_SNAPSHOT_VERSION")
+    if not os.path.exists(vpath):
+        shutil.rmtree(idx, ignore_errors=True)
+        A = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], half)),
+            batch_format="pyarrow",
+        )
+        Bd = docs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["doc_id"], half)),
+            batch_format="pyarrow",
+        )
+        build_index(A, idx, seg_docs=seg, resume=True)
+        v = mf.manifest_version(idx)
+        append_index(Bd, idx, seg_docs=seg)
+        tmp = vpath + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, vpath)
+    with open(vpath) as f:
+        v = int(f.read())
+    idx2 = _tmp_index_dir(sf_dir, "idxrst2")
+    restore_snapshot(idx, v, idx2)
+    res = search(
+        idx2, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
 def q_highlight_offsets(sf_dir: str):
     """Highlighting offsets (the Lucene unified-highlighter contract:
     term hits as (token index, char offset) pairs, not re-rendered
@@ -9800,6 +9847,7 @@ QUERIES = {
     "events_props_extract": q_events_props_extract,
     "events_auto_histogram": q_events_auto_histogram,
     "highlight_offsets": q_highlight_offsets,
+    "bm25_restore_topk": q_bm25_restore_topk,
     "phrase_prefix_topk": q_phrase_prefix_topk,
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
@@ -9985,6 +10033,7 @@ ORACLES = {
     "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
     "events_auto_histogram": SQL_EVENTS_AUTO_HISTOGRAM,
     "highlight_offsets": SQL_HIGHLIGHT_OFFSETS,
+    "bm25_restore_topk": SQL_BM25_SNAPSHOT_TOPK,
     "phrase_prefix_topk": SQL_PHRASE_PREFIX_TOPK,
     "span_not_topk": SQL_SPAN_NOT_TOPK,
     "events_funnel": SQL_EVENTS_FUNNEL,

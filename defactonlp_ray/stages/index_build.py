@@ -870,6 +870,65 @@ def compact_index(
     return len(merge_groups)
 
 
+def restore_snapshot(src_index: str, at: int, dst_index: str) -> str:
+    """Snapshot RESTORE (the Elasticsearch snapshot/restore pair to
+    ``search(at=)``'s point-in-time read): materialize the view pinned
+    by manifest version ``at`` as a NEW standalone index.
+
+    * Segment payloads HARDLINK file-by-file (same filesystem: O(files)
+      metadata ops, zero bytes copied — segment files are immutable
+      once published, which is what makes sharing safe); cross-device
+      falls back to a real copy.
+    * The destination manifest replays the pinned records in ONE atomic
+      append (the same single-write commit point every other lifecycle
+      transition uses), then global stats re-derive from the restored
+      segments via the shared ``_write_stats`` — byte-identical to what
+      a from-scratch build of that corpus state would write.
+    * Idempotent/resumable: a finished restore short-circuits on its
+      marker; a crash mid-link leaves only tmp dirs (atomic_write_dir)
+      and the re-run relinks.
+
+    Raises (via ``read_manifest(at=...)``) if a pinned segment was
+    garbage-collected — an unrestorable snapshot is an error, never a
+    silent partial restore.  Restored indexes carry no tombstoned
+    doc ids: live-docs delete side files are query-time state of the
+    SOURCE index and are deliberately not copied (ES restores the
+    snapshot's committed state the same way)."""
+    done = os.path.join(dst_index, "_RESTORED")
+    if os.path.exists(done):
+        return dst_index
+    recs = mf.read_manifest(src_index, at=at)
+    if not recs:
+        raise ValueError(
+            f"restore_snapshot: snapshot at={at} of {src_index} is empty"
+        )
+    os.makedirs(dst_index, exist_ok=True)
+    for sid in sorted(recs):
+        dst_seg = mf.segment_dir(dst_index, sid)
+        if os.path.isdir(dst_seg):
+            continue  # relink resume
+        src_seg = mf.segment_dir(src_index, sid)
+        with mf.atomic_write_dir(dst_seg) as tmp:
+            for name in sorted(os.listdir(src_seg)):
+                s = os.path.join(src_seg, name)
+                d = os.path.join(tmp, name)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+    mpath = os.path.join(dst_index, mf.MANIFEST_NAME)
+    if not os.path.exists(mpath) or mf.manifest_version(dst_index) == 0:
+        mf.append_manifest_many(
+            dst_index, [recs[sid] for sid in sorted(recs)]
+        )
+    _write_stats(dst_index)
+    tmp_marker = done + ".tmp"
+    with open(tmp_marker, "w") as f:
+        f.write(f"src={src_index} at={at}")
+    os.replace(tmp_marker, done)
+    return dst_index
+
+
 def expunge_deletes(index_dir: str, *, codec: Optional[str] = None) -> int:
     """Apply the live-docs side files (stages/deletes.py) physically:
     rewrite every live segment containing a deleted doc (postings,

@@ -163,3 +163,60 @@ def test_query_string_equals_boolean_when_no_phrase(pos_index_r4b=None):
         reader, reader.seg_ids, p["must"], p["should"], p["must_not"], 10
     )
     assert got == ref
+
+
+def test_restore_snapshot_resume_and_equality(tmp_path):
+    """restore_snapshot reproduces the pinned view as a standalone index
+    (same results as search(at=v)); a crash mid-restore (missing segment
+    dir, no marker) re-links idempotently."""
+    import shutil
+    import ray.data
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.sources import manifest as mf
+    from defactonlp_ray.stages.index_build import (
+        append_index, build_index, restore_snapshot,
+    )
+    from defactonlp_ray.stages.search import search
+
+    pages = fixtures.make_pages(600)
+    t = pa.table({
+        "doc_id": pa.array(range(600), pa.int64()),
+        "text": pages["text"],
+    })
+    src = str(tmp_path / "src")
+    build_index(
+        ray.data.from_arrow(t.slice(0, 300)), src, seg_docs=64
+    )
+    v = mf.manifest_version(src)
+    append_index(ray.data.from_arrow(t.slice(300)), src, seg_docs=64)
+
+    queries = fixtures.make_query_terms(4)
+    qds = pa.table({
+        "query_id": pa.array([q for q, _ in queries], pa.int64()),
+        "terms": pa.array([ts for _, ts in queries], pa.list_(pa.string())),
+    })
+
+    dst = str(tmp_path / "dst")
+    restore_snapshot(src, v, dst)
+    got = search(dst, ray.data.from_arrow(qds), k=10).to_pandas()
+    want = search(src, ray.data.from_arrow(qds), k=10, at=v).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        want.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+    # full corpus (no pin) must DIFFER — the restore really is the old view
+    full = search(src, ray.data.from_arrow(qds), k=10).to_pandas()
+    assert not got.equals(full)
+
+    # crash simulation: drop marker + one restored segment, re-run
+    import os as _os
+    _os.remove(_os.path.join(dst, "_RESTORED"))
+    segroot = _os.path.join(dst, "segments")
+    segs = sorted(d for d in _os.listdir(segroot) if d.startswith("seg="))
+    shutil.rmtree(_os.path.join(segroot, segs[0]))
+    restore_snapshot(src, v, dst)
+    got2 = search(dst, ray.data.from_arrow(qds), k=10).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        got2.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
