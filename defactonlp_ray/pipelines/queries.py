@@ -9826,12 +9826,15 @@ SQL_HIGHLIGHT_OFFSETS = _highlight_sql(_BM25_QUERIES)
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
 # dict order (r01=32/32, r02=42/42, r03=50-cap over 91).  Order is
-# therefore a coverage schedule, not cosmetics: round 4 fronts (1) the
-# entries added after the r03 run — newest first, so the r04 driver rows
-# land on never-driver-checked code — then (2) the r03 failure
-# (neardup_clusters) and the dedup-family entries whose block-format
-# path changed in r04.  Everything below slot ~50 holds a green row from
-# an earlier driver round or the committed 32-cpu mirror
+# therefore a coverage schedule, not cosmetics.  The round-4 first-50
+# window holds, in order: (1) the newest never-driver-checked entries,
+# and (2) at slots 18-25 the eight VERDICT-r03-named rows — the r03
+# failure `neardup_clusters` plus `bm25_collapse_neardup` /
+# `bm25_collapse_sidecar` / `cooccur_pmi` (all re-worked this round) and
+# the three entries that silently dropped out of the r03 run
+# (`claim_verdicts`, `bm25_topk_fanout`, `docs_sample_hash`) plus
+# `bm25_append_compact`.  Everything below slot 50 holds a green row
+# from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
     "rank_feature_topk": q_rank_feature_topk,
@@ -9852,13 +9855,16 @@ QUERIES = {
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
-    "events_derivative": q_events_derivative,
+    "neardup_clusters": q_neardup_clusters,
+    "bm25_collapse_neardup": q_bm25_collapse_neardup,
+    "bm25_collapse_sidecar": q_bm25_collapse_sidecar,
+    "cooccur_pmi": q_cooccur_pmi,
+    "claim_verdicts": q_claim_verdicts,
+    "bm25_topk_fanout": q_bm25_topk_fanout,
+    "docs_sample_hash": q_docs_sample_hash,
+    "bm25_append_compact": q_bm25_append_compact,
     "adjacency_matrix": q_adjacency_matrix,
     "matrix_stats": q_matrix_stats,
-    "top_metrics": q_top_metrics,
-    "rare_terms": q_rare_terms,
-    "length_ttest": q_length_ttest,
-    "link_degrees": q_link_degrees,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "ccnet_dedup": q_ccnet_dedup,
@@ -9891,7 +9897,11 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "fever_score": q_fever_score,
     "ann_recall": q_ann_recall,
-    "neardup_clusters": q_neardup_clusters,
+    "events_derivative": q_events_derivative,
+    "top_metrics": q_top_metrics,
+    "rare_terms": q_rare_terms,
+    "length_ttest": q_length_ttest,
+    "link_degrees": q_link_degrees,
     "anchor_texts": q_anchor_texts,
     "retrieval_mrr": q_retrieval_mrr,
     "url_canonical": q_url_canonical,
@@ -9912,10 +9922,6 @@ QUERIES = {
     "bm25_topk_auto": q_bm25_topk_auto,
     "hybrid_rrf": q_hybrid_rrf,
     "kmv_quantiles": q_kmv_quantiles,
-    "claim_verdicts": q_claim_verdicts,
-    "bm25_topk_fanout": q_bm25_topk_fanout,
-    "bm25_append_compact": q_bm25_append_compact,
-    "docs_sample_hash": q_docs_sample_hash,
     "phrase_topk": q_phrase_topk,
     "boolean_topk": q_boolean_topk,
     "proximity_topk": q_proximity_topk,
@@ -9932,9 +9938,6 @@ QUERIES = {
     "bm25_function_score": q_bm25_function_score,
     "bm25_decay": q_bm25_decay,
     "bm25_explain": q_bm25_explain,
-    "bm25_collapse_neardup": q_bm25_collapse_neardup,
-    "bm25_collapse_sidecar": q_bm25_collapse_sidecar,
-    "cooccur_pmi": q_cooccur_pmi,
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
     "hll_terms_per_lang": q_hll_terms_per_lang,
