@@ -6053,6 +6053,93 @@ def _span_not_sql(
 SQL_SPAN_NOT_TOPK = _span_not_sql(_SPAN_NOT_QUERIES)
 
 
+# (query_id, term, first_n) — Lucene SpanFirstQuery boundaries chosen to
+# exercise: head-of-doc hit, boundary exactly at 1, mid-doc window, an
+# absent term, and a window larger than some docs
+_SPAN_FIRST_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash", 3),
+    (1, "the", 1),     # only position-0 occurrences survive
+    (2, "data", 10),
+    (3, "zz", 4),      # absent term -> no rows
+    (4, "table", 5),
+]
+
+
+def q_span_first_topk(sf_dir: str):
+    """Lucene SpanFirstQuery (stages/phrase.span_first_search):
+    occurrences of the term within the first N token positions of the
+    doc (engine 0-based ``pos < N`` == oracle 1-based ``i <= N``),
+    ranked by the surviving-occurrence pseudo-term BM25.  Survival is a
+    single vectorized mask over the term's positional pack — absolute
+    position, no window probes."""
+    from ..stages.phrase import span_first_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    [q[0] for q in _SPAN_FIRST_QUERIES], pa.int64()
+                ),
+                "term": pa.array(
+                    [q[1] for q in _SPAN_FIRST_QUERIES], pa.string()
+                ),
+                "first_n": pa.array(
+                    [q[2] for q in _SPAN_FIRST_QUERIES], pa.int64()
+                ),
+            }
+        )
+    )
+    res = span_first_search(idx, qds, k=20, concurrency=2).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    cols = ["query_id", "rank", "doc_id", "n_occ", "score"]
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
+def _span_first_sql(
+    queries: list[tuple[int, str, int]], k: int = 10
+) -> str:
+    """Independent span-first oracle: 1-based token index ``i <= n``
+    filter over the unnested (term, position) stream, pseudo-term
+    scoring tail identical to the other span oracles."""
+    vals = ", ".join(f"({qid}, '{t}', {n})" for qid, t, n in queries)
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        f"q(query_id, term, n) AS (VALUES {vals}), "
+        "hits AS (SELECT q.query_id, t.doc_id, count(*) AS n_occ "
+        "FROM q JOIN tokpos t ON t.term = q.term WHERE t.i <= q.n "
+        "GROUP BY q.query_id, t.doc_id), "
+        "dl AS (SELECT doc_id, len(ts) AS dl FROM d), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "pdf AS (SELECT query_id, count(*) AS df FROM hits GROUP BY query_id), "
+        "scored AS (SELECT h.query_id, h.doc_id, h.n_occ, "
+        "ln(1 + (s.n_docs - pdf.df + 0.5) / (pdf.df + 0.5)) * "
+        "(h.n_occ * 2.2) / (h.n_occ + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+        "(s.total::DOUBLE / s.n_docs))) AS score "
+        "FROM hits h JOIN pdf USING (query_id) "
+        "JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN stats s) "
+        "SELECT query_id, rank, doc_id, n_occ, score FROM ("
+        "SELECT query_id, doc_id, n_occ, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_SPAN_FIRST_TOPK = _span_first_sql(_SPAN_FIRST_QUERIES)
+
+
 _BOOL_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
     # (query_id, must, should, must_not)
     (0, ["hash", "join"], ["fast"], ["slow"]),
@@ -8283,6 +8370,100 @@ def _dismax_sql(queries: list[tuple[int, list[str]]], tie: float,
 SQL_DISMAX_TOPK = _dismax_sql(_BM25_QUERIES, _DISMAX_TIE)
 
 
+# -------------------- cross_fields multi_match (term-centric blending)
+
+def q_cross_fields_topk(sf_dir: str):
+    """multi_match ``cross_fields`` over the (title, body) fielded index
+    (stages/fielded.score_cross_fields — Elasticsearch term-centric
+    blending): each TERM scores per field with the field's own tf/
+    length/avgdl but a BLENDED df = max over fields' df, and contributes
+    max over its matching fields (tie_breaker=0, the ES default); the
+    doc score sums terms.  Shares the BM25F/dismax physical index."""
+    from ..stages.fielded import (
+        build_fielded_index,
+        cross_fields_search,
+        split_fields,
+    )
+
+    idx = _tmp_index_dir(sf_dir, "idxf")
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    fds = split_fields(docs, title_len=_BM25F_TITLE_LEN)
+    build_fielded_index(fds, idx, seg_docs=max(256, n // 8), resume=True)
+    res = cross_fields_search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2,
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _cross_fields_sql(queries: list[tuple[int, list[str]]],
+                      k: int = 10) -> str:
+    """cross_fields oracle: per-(term, field) scored CTEs with the
+    BLENDED df (greatest of the field dfs), FULL OUTER JOINed per
+    (query_id, term, doc_id) and combined with greatest() (tie=0), then
+    summed per (query_id, doc_id)."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    tl = _BM25F_TITLE_LEN
+
+    def field_scored(tf2: str, lcol: str, total: str) -> str:
+        # per (query_id, term, doc_id): idf(blended df) * field quotient
+        return (
+            "(SELECT q.query_id, q.term, x.doc_id, "
+            "ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * "
+            "(x.tf * 2.2) / "
+            f"(x.tf + 1.2 * (1 - 0.75 + 0.75 * tlen.{lcol} / "
+            f"(s.{total}::DOUBLE / s.n_docs))) AS score "
+            f"FROM q JOIN {tf2} x ON q.term = x.term "
+            "JOIN dfx ON dfx.term = q.term "
+            "JOIN tlen ON tlen.doc_id = x.doc_id "
+            "CROSS JOIN stats s)"
+        )
+
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        f"fl AS (SELECT doc_id, list_slice(ts, 1, {tl}) AS tts, "
+        f"list_slice(ts, {tl + 1}, len(ts)) AS bts FROM d), "
+        "tlen AS (SELECT doc_id, len(tts) AS tl, len(bts) AS bl FROM fl), "
+        "stats AS (SELECT count(*) AS n_docs, sum(tl) AS total_t, "
+        "sum(bl) AS total_b FROM tlen), "
+        "ttf AS (SELECT doc_id, unnest(tts) AS term FROM fl), "
+        "btf AS (SELECT doc_id, unnest(bts) AS term FROM fl), "
+        "ttf2 AS (SELECT doc_id, term, count(*) AS tf FROM ttf "
+        "GROUP BY doc_id, term), "
+        "btf2 AS (SELECT doc_id, term, count(*) AS tf FROM btf "
+        "GROUP BY doc_id, term), "
+        "dft AS (SELECT term, count(*) AS df FROM ttf2 GROUP BY term), "
+        "dfb AS (SELECT term, count(*) AS df FROM btf2 GROUP BY term), "
+        "dfx AS (SELECT coalesce(t.term, b.term) AS term, "
+        "greatest(coalesce(t.df, 0), coalesce(b.df, 0)) AS df "
+        "FROM dft t FULL OUTER JOIN dfb b ON t.term = b.term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "st AS " + field_scored("ttf2", "tl", "total_t") + ", "
+        "sb AS " + field_scored("btf2", "bl", "total_b") + ", "
+        "tm AS (SELECT coalesce(t.query_id, b.query_id) AS query_id, "
+        "coalesce(t.doc_id, b.doc_id) AS doc_id, "
+        "CASE WHEN t.score IS NULL THEN b.score "
+        "WHEN b.score IS NULL THEN t.score "
+        "ELSE greatest(t.score, b.score) END AS score "
+        "FROM st t FULL OUTER JOIN sb b "
+        "ON t.query_id = b.query_id AND t.term = b.term "
+        "AND t.doc_id = b.doc_id), "
+        "scored AS (SELECT query_id, doc_id, sum(score) AS score "
+        "FROM tm GROUP BY query_id, doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_CROSS_FIELDS_TOPK = _cross_fields_sql(_BM25_QUERIES)
+
+
 # ------------------------------- doc deletes (live-docs side files)
 
 # deterministic delete set for the driver entries: doc_id % 7 == 3
@@ -9822,6 +10003,303 @@ SQL_RANK_FEATURE_TOPK = _rank_feature_sql(_BM25_QUERIES)
 SQL_HIGHLIGHT_OFFSETS = _highlight_sql(_BM25_QUERIES)
 
 
+# ----------------------- extended_stats / diversified sampler (ES aggs)
+
+def q_extended_stats(sf_dir: str):
+    """Elasticsearch extended_stats aggregation per lang over n_chars:
+    count, min, max, sum, avg, sum_of_squares, population variance,
+    std_deviation and the ±2σ bounds.  Shape: per-batch integer
+    (n, sum, sumsq, min, max) combiner -> ONE groupby(lang) exchange on
+    the 5-number summaries -> a tiny vectorized derive pass.  The
+    integer moments are exact (no float accumulation order issues);
+    only the final derived floats are rounded (round-6, both engines).
+    The same two-pass-free shape holds at 100 TB: the exchange carries
+    |langs| x |blocks| rows, never documents."""
+    from ray.data.aggregate import Max, Min
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.select(["lang", "n_chars"]).to_pandas()
+        g = df.groupby("lang")["n_chars"]
+        out = pd.DataFrame({
+            "lang": g.count().index,
+            "n_p": g.count().to_numpy().astype(np.int64),
+            "sum_p": g.sum().to_numpy().astype(np.int64),
+            "sumsq_p": g.apply(
+                lambda s: int((s.astype(np.int64) ** 2).sum())
+            ).to_numpy().astype(np.int64),
+            "min_p": g.min().to_numpy().astype(np.int64),
+            "max_p": g.max().to_numpy().astype(np.int64),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.float64)
+        s = batch["sum"].to_numpy().astype(np.float64)
+        ss = batch["sumsq"].to_numpy().astype(np.float64)
+        avg = s / n
+        var = ss / n - avg * avg  # population variance (the ES default)
+        std = np.sqrt(var)
+        return pa.table({
+            "lang": batch["lang"],
+            "n": batch["n"],
+            "min_chars": batch["min_chars"],
+            "max_chars": batch["max_chars"],
+            "sum_chars": batch["sum"],
+            "avg_chars": pa.array(np.round(avg, 6), pa.float64()),
+            "sum_of_squares": batch["sumsq"],
+            "variance": pa.array(np.round(var, 6), pa.float64()),
+            "std_deviation": pa.array(np.round(std, 6), pa.float64()),
+            "std_upper": pa.array(np.round(avg + 2.0 * std, 6), pa.float64()),
+            "std_lower": pa.array(np.round(avg - 2.0 * std, 6), pa.float64()),
+        })
+
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("sum_p", alias_name="sum"),
+            Sum("sumsq_p", alias_name="sumsq"),
+            Min("min_p", alias_name="min_chars"),
+            Max("max_p", alias_name="max_chars"),
+        )
+        .map_batches(derive, batch_format="pyarrow")
+    )
+
+
+SQL_EXTENDED_STATS = (
+    # sums cast to BIGINT: DuckDB sum(INTEGER) is HUGEINT, which fetchdf
+    # floats — the engine's exact int64 moments must stay integers on
+    # both sides
+    "SELECT lang, count(*) AS n, min(n_chars) AS min_chars, "
+    "max(n_chars) AS max_chars, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+    "round(avg(n_chars), 6) AS avg_chars, "
+    "CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_of_squares, "
+    "round(sum(n_chars * n_chars)::DOUBLE / count(*) "
+    "- (sum(n_chars)::DOUBLE / count(*)) * (sum(n_chars)::DOUBLE / count(*)), 6) AS variance, "
+    "round(sqrt(sum(n_chars * n_chars)::DOUBLE / count(*) "
+    "- (sum(n_chars)::DOUBLE / count(*)) * (sum(n_chars)::DOUBLE / count(*))), 6) AS std_deviation, "
+    "round(sum(n_chars)::DOUBLE / count(*) "
+    "+ 2 * sqrt(sum(n_chars * n_chars)::DOUBLE / count(*) "
+    "- (sum(n_chars)::DOUBLE / count(*)) * (sum(n_chars)::DOUBLE / count(*))), 6) AS std_upper, "
+    "round(sum(n_chars)::DOUBLE / count(*) "
+    "- 2 * sqrt(sum(n_chars * n_chars)::DOUBLE / count(*) "
+    "- (sum(n_chars)::DOUBLE / count(*)) * (sum(n_chars)::DOUBLE / count(*))), 6) AS std_lower "
+    "FROM documents GROUP BY lang"
+)
+
+
+_DIV_PER_KEY = 3   # diversified_sampler max_docs_per_value
+_DIV_TOTAL = 20    # sampler shard_size (global cap)
+
+
+def q_diversified_sample(sf_dir: str):
+    """Elasticsearch diversified_sampler aggregation: the global top-20
+    docs under (n_chars DESC, doc_id ASC) with AT MOST 3 docs per
+    ``source`` — de-biasing a sample that one prolific key would
+    otherwise flood.  Shape: a per-batch top-3-per-source combiner
+    (correct because a key's global top-3 is a subset of the union of
+    its per-batch top-3s) -> groupby(source).map_groups top-3 over the
+    reduced |sources| x |batches| x 3 table -> tiny global pick.  The
+    raw corpus is never sorted or shuffled whole."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.select(["source", "doc_id", "n_chars"]).to_pandas()
+        best = (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("source", sort=False)
+            .head(_DIV_PER_KEY)
+        )
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(_DIV_PER_KEY)
+            .reset_index(drop=True)[["source", "doc_id", "n_chars"]]
+        )
+
+    capped = (
+        _docs(sf_dir, ["source", "doc_id", "n_chars"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(per_key, batch_format="pandas")
+        .to_pandas()  # |sources| * 3 rows — driver-safe at any corpus size
+    )
+    picked = capped.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]
+    ).head(_DIV_TOTAL).reset_index(drop=True)
+    picked["rank"] = np.arange(1, len(picked) + 1, dtype=np.int32)
+    return picked[["rank", "source", "doc_id", "n_chars"]]
+
+
+SQL_DIVERSIFIED_SAMPLE = (
+    "WITH capped AS (SELECT source, doc_id, n_chars, "
+    "row_number() OVER (PARTITION BY source "
+    "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+    "SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) "
+    "AS INTEGER) AS rank, source, doc_id, n_chars "
+    f"FROM capped WHERE rn <= {_DIV_PER_KEY} "
+    f"ORDER BY n_chars DESC, doc_id LIMIT {_DIV_TOTAL}"
+)
+
+
+# ------------------- duplicated n-gram spans / benchmark decontamination
+
+_DUP_NGRAM_N = 8      # Lee et al. use 50-token spans at corpus scale;
+                      # 8 exercises the same machinery on 54-token docs
+_DECON_NGRAM_N = 6    # GPT-3 appendix C uses 13-gram overlap
+_DECON_MOD = 7        # eval set = doc_id % 7 == 0 (deterministic; chosen
+                      # so the sf0.01 fixture actually has contaminated
+                      # training docs — % 97 yields an empty overlap)
+
+
+def _ngram_doc_pairs(batch: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (n-gram string, doc_id) occurrence pairs for a batch:
+    chain n shifted views of the flat token stream (same device as the
+    rare_terms bigram kernel), keeping only starts whose n tokens all
+    fall in the same doc (row parent equality between the stream's two
+    ends)."""
+    terms, row_idx, _ = flatten_tokens(batch["text"])
+    t = np.asarray(terms.to_pylist(), dtype=object).astype(str)
+    if len(t) < n:
+        return np.array([], dtype=str), np.array([], dtype=np.int64)
+    same = row_idx[: 1 - n] == row_idx[n - 1:]
+    gram = t[: 1 - n].copy()
+    for j in range(1, n):
+        gram = np.char.add(np.char.add(gram, " "), t[j : len(t) - n + 1 + j])
+    gram = gram[same]
+    dids = batch["doc_id"].to_numpy(zero_copy_only=False)[row_idx[: 1 - n][same]]
+    return gram, dids
+
+
+def q_dup_ngram_spans(sf_dir: str):
+    """Cross-document duplicated n-gram detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    hash-and-count MapReduce fallback of their suffix-array method):
+    per doc, the number of DISTINCT 8-grams that also occur in at least
+    one OTHER document.  Shape: vectorized per-batch (gram, doc)
+    distinct combiner (exact: a doc never spans batches) -> ONE
+    groupby(gram) counting containing docs -> hash join of the >=2-doc
+    grams back against the pair stream -> groupby(doc).  At 100 TB the
+    gram strings would be 128-bit hashes (collision-safe, fixed-width
+    shuffle keys) and the pair stream is the dominant exchange — the
+    same bound as the paper's hash variant; within-doc repeats alone do
+    NOT mark a doc (cross-doc df is what the filter keys on)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        gram, dids = _ngram_doc_pairs(batch, _DUP_NGRAM_N)
+        tbl = pa.table({
+            "gram": pa.array(gram, pa.string()),
+            "doc_id": pa.array(dids, pa.int64()),
+        })
+        return tbl.group_by(["gram", "doc_id"]).aggregate([])
+
+    pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        part, batch_format="pyarrow"
+    ).materialize()  # consumed twice: df count + join back
+    dup = (
+        pairs.groupby("gram")
+        .aggregate(Count(alias_name="nd"))
+        .filter(expr="nd >= 2")
+        .select_columns(["gram"])
+    )
+    return (
+        pairs.join(dup, join_type="inner", on=("gram",), num_partitions=16)
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_dup_grams"))
+    )
+
+
+SQL_DUP_NGRAM_SPANS = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "g AS (SELECT doc_id, array_to_string("
+    f"ts[j:j+{_DUP_NGRAM_N - 1}], ' ') AS gram "
+    f"FROM d, unnest(range(1, len(ts) - {_DUP_NGRAM_N - 2})) t(j)), "
+    "dg AS (SELECT DISTINCT doc_id, gram FROM g), "
+    "dup AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2) "
+    "SELECT doc_id, count(*) AS n_dup_grams FROM dg JOIN dup USING (gram) "
+    "GROUP BY doc_id"
+)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the GPT-3 appendix-C recipe): flag
+    every TRAINING doc sharing at least one 6-gram with the EVAL set
+    (here the deterministic slice doc_id % 97 == 0), reporting its
+    count of distinct overlapping 6-grams.  Shape: the eval set is
+    tiny by construction (a benchmark, not a corpus), so its distinct
+    gram set collects to the driver and broadcasts once via ray.put;
+    the training pass is one streamed map_batches doing a vectorized
+    sorted-membership probe (np.isin) per batch — no shuffle at all,
+    the right side of the asymmetry a contamination filter always has.
+    The eval/train split is a vectorized Arrow mask inside map_batches
+    (Ray's filter-expression parser has no modulo operator)."""
+
+    def _mod_split(keep_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy(zero_copy_only=False) % _DECON_MOD == 0
+            return b.filter(pa.array(m if keep_eval else ~m))
+
+        return f
+
+    eval_parts = []
+    for b in (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_mod_split(True), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        g, _ = _ngram_doc_pairs(b, _DECON_NGRAM_N)
+        eval_parts.append(np.unique(g))
+    eval_grams = (
+        np.unique(np.concatenate(eval_parts))
+        if eval_parts else np.array([], dtype=str)
+    )
+    grams_ref = ray.put(eval_grams)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ev = ray.get(grams_ref)
+        gram, dids = _ngram_doc_pairs(batch, _DECON_NGRAM_N)
+        tbl = pa.table({
+            "gram": pa.array(gram, pa.string()),
+            "doc_id": pa.array(dids, pa.int64()),
+        }).group_by(["gram", "doc_id"]).aggregate([])
+        hit = np.isin(
+            np.asarray(tbl["gram"].to_pylist(), dtype=str), ev
+        )
+        dd = tbl["doc_id"].to_numpy(zero_copy_only=False)[hit]
+        u, c = np.unique(dd, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(u, pa.int64()),
+            "n_hit_p": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_mod_split(False), batch_format="pyarrow")
+        .map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_hit_p", alias_name="n_hit_grams"))
+    )
+
+
+SQL_DECONTAMINATE = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "g AS (SELECT doc_id, array_to_string("
+    f"ts[j:j+{_DECON_NGRAM_N - 1}], ' ') AS gram "
+    f"FROM d, unnest(range(1, len(ts) - {_DECON_NGRAM_N - 2})) t(j)), "
+    f"ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0), "
+    "tr AS (SELECT DISTINCT doc_id, gram FROM g "
+    f"WHERE doc_id % {_DECON_MOD} <> 0) "
+    "SELECT doc_id, count(*) AS n_hit_grams FROM tr JOIN ev USING (gram) "
+    "GROUP BY doc_id"
+)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -9837,6 +10315,12 @@ SQL_HIGHLIGHT_OFFSETS = _highlight_sql(_BM25_QUERIES)
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "span_first_topk": q_span_first_topk,
+    "cross_fields_topk": q_cross_fields_topk,
+    "extended_stats": q_extended_stats,
+    "diversified_sample": q_diversified_sample,
+    "dup_ngram_spans": q_dup_ngram_spans,
+    "decontaminate": q_decontaminate,
     "rank_feature_topk": q_rank_feature_topk,
     "events_percentile_ranks": q_events_percentile_ranks,
     "source_lang_kl": q_source_lang_kl,
@@ -10024,6 +10508,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "span_first_topk": SQL_SPAN_FIRST_TOPK,
+    "cross_fields_topk": SQL_CROSS_FIELDS_TOPK,
+    "extended_stats": SQL_EXTENDED_STATS,
+    "diversified_sample": SQL_DIVERSIFIED_SAMPLE,
+    "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
+    "decontaminate": SQL_DECONTAMINATE,
     "rank_feature_topk": SQL_RANK_FEATURE_TOPK,
     "events_percentile_ranks": SQL_EVENTS_PERCENTILE_RANKS,
     "source_lang_kl": SQL_SOURCE_LANG_KL,

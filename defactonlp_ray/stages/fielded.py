@@ -54,6 +54,10 @@ __all__ = [
     "FieldedReader",
     "score_bm25f",
     "fielded_search",
+    "score_dismax",
+    "dismax_search",
+    "score_cross_fields",
+    "cross_fields_search",
 ]
 
 
@@ -324,6 +328,152 @@ def score_dismax(
     if cand.size == 0:
         return []
     return _topk_exact(scores, cand, k)
+
+
+def score_cross_fields(
+    freader: FieldedReader, terms: list[str], k: int, tie: float = 0.0
+) -> list[tuple[float, int]]:
+    """multi_match ``cross_fields`` (Elasticsearch term-centric blending /
+    Lucene BlendedTermQuery inside a per-term DisjunctionMaxQuery): each
+    TERM is scored per field with that field's tf/length/avgdl but a
+    BLENDED document frequency — df(t) = max over fields of the field df
+    (the ES blending rule, which stops a term rare in one field from
+    dominating just because that field is sparse) — and the term's
+    contribution per doc is
+
+        max_f s_f(t, d) + tie * (Σ_f s_f(t, d) − max_f)
+
+    over the fields where the term MATCHES the doc (ES default
+    ``tie_breaker=0`` -> pure max); the doc score sums the per-term
+    combinations.  Contrast with best_fields/:func:`score_dismax`, which
+    maxes whole-QUERY field scores: cross_fields treats the field set as
+    one virtual field per term, so multi-term queries whose terms hit
+    DIFFERENT fields still accumulate every term.  ``tie`` must be an
+    exact binary float (0.0, 0.5, …) per the pinned cross-engine float
+    policy.  Accumulation order: ascending terms, fields in sorted order
+    within a term (pinned engine-wide).  Field weights are ignored, as in
+    ES (cross_fields boosts are per-field query-time multipliers ES
+    applies to tf, not implemented here)."""
+    from .deletes import live_mask
+
+    uniq = sorted(set(terms))
+    n = freader.n_docs
+    avgdl = {
+        f: float(int(freader._dl[f][1].sum())) / n for f in freader.fields
+    }
+    per_term = []
+    lo = hi = None
+    for t in uniq:
+        polys = [
+            (f, freader.term_postings(f, t)) for f in freader.fields
+        ]
+        polys = [(f, p) for f, p in polys if p is not None]
+        if not polys:
+            continue
+        df = max(int(p[0].size) for _f, p in polys)  # blended df
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        if len(polys) == 1:
+            u = polys[0][1][0]
+        else:
+            u = np.union1d(*[p[0] for _f, p in polys[:2]])
+            for _f, p in polys[2:]:
+                u = np.union1d(u, p[0])
+        best = np.full(u.size, -np.inf, dtype=np.float64)
+        total = np.zeros(u.size, dtype=np.float64)
+        for f, (d, tf) in polys:  # sorted-field order (pinned)
+            dls = freader.field_len(f, d)
+            tfs_f = tf.astype(np.float64)
+            # quotient FIRST, then idf (the pinned association order)
+            w = (tfs_f * (K1 + 1.0)) / (
+                tfs_f + K1 * (1.0 - B + B * dls / avgdl[f])
+            )
+            s = idf * w
+            pos = np.searchsorted(u, d)
+            np.maximum.at(best, pos, s)
+            total[pos] += s
+        contrib = best if tie == 0.0 else best + tie * (total - best)
+        per_term.append((u, contrib))
+        tlo, thi = int(u[0]), int(u[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if not per_term:
+        return []
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for u, contrib in per_term:  # ascending-term order (pinned)
+        idx = u - lo
+        scores[idx] += contrib
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    if freader.deleted.size:
+        cand = cand[live_mask(cand + lo, freader.deleted)]
+    if cand.size == 0:
+        return []
+    return _topk_exact(scores[cand], cand + lo, k)
+
+
+class CrossFieldsSearcherActor:
+    """Actor-pool stage: batch of (query_id, terms) -> (query_id, rank,
+    doc_id, score) under cross_fields term-centric blending."""
+
+    def __init__(self, index_dir: str, k: int = 10, tie: float = 0.0,
+                 weights: dict[str, float] | None = None):
+        self.freader = FieldedReader(index_dir, weights)
+        self.k = k
+        self.tie = tie
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted({t for ts in batch["terms"].to_pylist() for t in ts})
+        self.freader.load_terms(all_terms)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, terms in zip(
+            batch["query_id"].to_pylist(), batch["terms"].to_pylist()
+        ):
+            for rank, (score, doc_id) in enumerate(
+                score_cross_fields(
+                    self.freader, list(terms), self.k, self.tie
+                ),
+                1,
+            ):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def cross_fields_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    tie: float = 0.0,
+    weights: dict[str, float] | None = None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """cross_fields query pipeline: (query_id, terms) -> (query_id, rank,
+    doc_id, score); see :func:`score_cross_fields`."""
+    from .util import pool_size
+
+    return queries.map_batches(
+        CrossFieldsSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "tie": tie, "weights": weights,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
 
 
 class DisMaxSearcherActor:

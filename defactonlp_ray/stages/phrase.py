@@ -688,6 +688,98 @@ def span_not_search(
     )
 
 
+def score_span_first(
+    reader: IndexReader,
+    seg_ids: list[int],
+    term: str,
+    first_n: int,
+    k: int,
+) -> list[tuple[float, int, int]]:
+    """Lucene SpanFirstQuery (``end=first_n``): occurrences of ``term``
+    whose token position is within the FIRST ``first_n`` tokens of the
+    doc (0-based engine positions ``pos < first_n``, i.e. 1-based oracle
+    positions ``i <= first_n``), doc-ranked by the surviving-occurrence
+    pseudo-term BM25 — tf = surviving occurrences, df = docs with at
+    least one.  Fully vectorized: the pack's position array aligns with
+    its occurrence-key array, so survival is ONE boolean mask — no
+    per-occurrence loop and no window probe at all (position is an
+    absolute attribute, unlike span_not's relative test)."""
+    p = _pos_pack(reader, seg_ids, term)
+    if p is None:
+        return []
+    surviving = p[4][p[2] < first_n]
+    if surviving.size == 0:
+        return []
+    docs, counts = np.unique(surviving // _POS_M, return_counts=True)
+    dls = p[1][np.searchsorted(p[0], docs)]
+    return _score_pseudo(reader, docs, counts.astype(np.int64), dls, k)
+
+
+class SpanFirstSearcherActor:
+    """Actor-pool stage: batch of (query_id, term, first_n) ->
+    (query_id, rank, doc_id, n_occ, score)."""
+
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted(set(batch["term"].to_pylist()) - self.seeded)
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_c, out_s = [], [], [], [], []
+        for qid, t, n in zip(
+            batch["query_id"].to_pylist(),
+            batch["term"].to_pylist(),
+            batch["first_n"].to_pylist(),
+        ):
+            for rank, (score, doc_id, n_occ) in enumerate(
+                score_span_first(
+                    self.reader, self.seg_ids, t, int(n), self.k
+                ),
+                1,
+            ):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_c.append(n_occ)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_occ": pa.array(out_c, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def span_first_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """SpanFirst pipeline: (query_id, term, first_n) -> (query_id, rank,
+    doc_id, n_occ, score) over a ``positions=True`` index."""
+    return queries.map_batches(
+        SpanFirstSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
 # ------------------------------------------------- synonym graph (multi-word)
 
 def score_all_syngraph(

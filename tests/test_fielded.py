@@ -302,3 +302,117 @@ def test_dismax_tie_one_equals_field_sum(fidx, docs_tbl):
     got = score_dismax(fr, ["data", "merge"], k=len(ref), tie=1.0)
     for score, doc_id in got:
         assert score == pytest.approx(ref[doc_id], abs=1e-12)
+
+
+# ----------------------------------------- cross_fields (multi_match)
+
+
+def _py_cross_fields(docs: dict[int, list[str]], terms: list[str],
+                     tie: float) -> dict[int, float]:
+    """Scalar reference: per TERM, per-field BM25 quotient with the
+    field's own tf/len/avgdl but a BLENDED df = max over field dfs;
+    the term contributes max + tie * (sum - max) over its matching
+    fields; the doc sums terms."""
+    n = len(docs)
+    fields = {
+        "body": {d: t[TITLE_LEN:] for d, t in docs.items()},
+        "title": {d: t[:TITLE_LEN] for d, t in docs.items()},
+    }
+    avg = {f: sum(len(t) for t in fd.values()) / n
+           for f, fd in fields.items()}
+    out: dict[int, float] = {}
+    for t in sorted(set(terms)):
+        per_field: dict[str, dict[int, float]] = {}
+        dfs = []
+        for f in sorted(fields):
+            fd = fields[f]
+            tfs = {d: toks.count(t) for d, toks in fd.items() if t in toks}
+            if tfs:
+                dfs.append(len(tfs))
+            per_field[f] = tfs
+        if not dfs:
+            continue
+        df = max(dfs)  # blended df
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        scores: dict[int, list[float]] = {}
+        for f in sorted(fields):
+            fd = fields[f]
+            for d, c in per_field[f].items():
+                w = (c * (K1 + 1.0)) / (
+                    c + K1 * (1.0 - B + B * float(len(fd[d])) / avg[f])
+                )
+                scores.setdefault(d, []).append(idf * w)
+        for d, ss in scores.items():
+            best, total = max(ss), sum(ss)
+            # contrib FIRST, then accumulate — the engine's (and the
+            # pinned) association; `out + best + tie*(...)` re-associates
+            # and drifts a ulp
+            contrib = best + tie * (total - best)
+            out[d] = out.get(d, 0.0) + contrib
+    return out
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.5])
+def test_score_cross_fields_matches_scalar_reference(fidx, docs_tbl, tie):
+    from defactonlp_ray.stages.fielded import score_cross_fields
+
+    docs = {
+        int(d): tokenize(t)
+        for d, t in zip(
+            docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()
+        )
+    }
+    fr = FieldedReader(fidx)
+    dead = set(fr.deleted.tolist())
+    for terms in (["hash", "join"], ["scan"], ["the", "data", "query"]):
+        ref = {
+            d: s for d, s in _py_cross_fields(docs, terms, tie).items()
+            if d not in dead
+        }
+        got = score_cross_fields(fr, terms, k=len(ref) or 1, tie=tie)
+        assert len(got) == len(ref), terms
+        for score, doc_id in got:
+            assert score == pytest.approx(ref[doc_id], abs=0, rel=0), (
+                terms, doc_id,
+            )
+
+
+def test_cross_fields_accumulates_terms_across_fields(fidx, docs_tbl):
+    """The cross_fields vs best_fields distinction: the doc score is
+    TERM-additive — a doc matching the two query terms in DIFFERENT
+    fields scores the sum of the two single-term cross_fields scores
+    (best_fields/dismax instead maxes whole-query field scores)."""
+    from defactonlp_ray.stages.fielded import score_cross_fields
+
+    docs = {
+        int(d): tokenize(t)
+        for d, t in zip(
+            docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()
+        )
+    }
+    fr = FieldedReader(fidx)
+    dead = set(fr.deleted.tolist())
+    split = None
+    for d, toks in docs.items():
+        if d in dead:
+            continue
+        title, body = set(toks[:TITLE_LEN]), set(toks[TITLE_LEN:])
+        t_only = (title - body) - {""}
+        b_only = (body - title) - {""}
+        if t_only and b_only:
+            split = (d, sorted(t_only)[0], sorted(b_only)[0])
+            break
+    assert split is not None
+    d, t_term, b_term = split
+
+    def one(terms):
+        return dict(
+            (doc, s)
+            for s, doc in score_cross_fields(fr, terms, k=10**9, tie=0.0)
+        )
+
+    both, only_t, only_b = one([t_term, b_term]), one([t_term]), one([b_term])
+    ref = _py_cross_fields(docs, [t_term, b_term], 0.0)
+    assert both[d] == pytest.approx(ref[d], abs=0, rel=0)
+    assert both[d] == pytest.approx(only_t[d] + only_b[d], rel=1e-12)
+    assert only_t[d] > 0.0 and only_b[d] > 0.0

@@ -781,3 +781,47 @@ def test_span_not_self_exclusion_empty(pos_index):
 
     reader = IndexReader(pos_index)
     assert score_span_not(reader, reader.seg_ids, "table", "table", 0, 10) == []
+
+
+# --------------------------------------------------------- span_first
+
+
+def test_span_first_equals_python(pos_index, doc_tokens):
+    from defactonlp_ray.stages.phrase import score_span_first
+
+    reader = IndexReader(pos_index)
+    cases = [("hash", 3), ("the", 1), ("data", 10), ("zzz", 4),
+             ("table", 10**9)]
+    for t, n in cases:
+        ref = {}
+        for did, toks in doc_tokens.items():
+            c = sum(1 for i, w in enumerate(toks[:n]) if w == t)
+            if c:
+                ref[did] = c
+        got = {
+            doc: cnt
+            for _s, doc, cnt in score_span_first(
+                reader, reader.seg_ids, t, n, k=10**9
+            )
+        }
+        assert got == ref, (t, n)
+
+
+def test_span_first_whole_doc_equals_plain_tf(pos_index, doc_tokens):
+    """first_n >= max doc length degenerates to the plain pseudo-term
+    tf of the term (every occurrence survives)."""
+    from defactonlp_ray.stages.phrase import score_span_first
+
+    reader = IndexReader(pos_index)
+    got = {
+        doc: cnt
+        for _s, doc, cnt in score_span_first(
+            reader, reader.seg_ids, "table", 10**9, k=10**9
+        )
+    }
+    ref = {
+        did: toks.count("table")
+        for did, toks in doc_tokens.items()
+        if "table" in toks
+    }
+    assert got == ref
