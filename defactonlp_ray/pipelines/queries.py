@@ -10300,6 +10300,186 @@ SQL_DECONTAMINATE = (
 )
 
 
+# -------------------- serial_diff pipeline agg / composite pagination
+
+_SERIAL_DIFF_LAG = 7
+
+
+def q_events_serial_diff(sf_dir: str):
+    """Elasticsearch serial_diff pipeline aggregation (lag=7): the
+    week-over-week difference of the daily event count — the classic
+    seasonality-removal step before anomaly detection.  Same shape as
+    events_derivative: per-batch Arrow day-count combiner -> ONE
+    groupby(day) exchange -> the lag runs over the |days|-row series on
+    the driver.  Days without a defined lag (the first 7) emit no row,
+    the ES semantics (the diff bucket appears only once the lag window
+    is full)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        agg = pa.table({"window_start": day}).group_by(
+            "window_start"
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    lag = _SERIAL_DIFF_LAG
+    n = daily["n"].to_numpy(np.int64)
+    out = daily.iloc[lag:].copy()
+    out["diff7"] = n[lag:] - n[:-lag]
+    return out[["window_start", "n", "diff7"]].reset_index(drop=True)
+
+
+SQL_EVENTS_SERIAL_DIFF = (
+    "SELECT window_start, n, diff7 FROM ("
+    "SELECT window_start, n, "
+    f"CAST(n - lag(n, {_SERIAL_DIFF_LAG}) OVER (ORDER BY window_start) "
+    "AS BIGINT) AS diff7 "
+    "FROM (SELECT date_trunc('day', ts) AS window_start, count(*) AS n "
+    "FROM events GROUP BY 1)) WHERE diff7 IS NOT NULL"
+)
+
+
+_COMPOSITE_PAGE = 10
+
+
+def q_composite_pages(sf_dir: str):
+    """Elasticsearch composite aggregation with ``after``-key pagination:
+    doc counts bucketed by the (lang, source) pair, page size 10,
+    returning the SECOND page.  The composite contract is what matters
+    at scale: each page re-scans with the after-key pushed into the
+    scan as a tuple-compare filter, so bucket state is bounded by the
+    page size — never by the bucket count.  Page 1 here only collects
+    its LAST key (a tiny full-distinct pass); page 2 masks
+    (lang, source) > after inside map_batches BEFORE its groupby, the
+    pushdown a 10^9-bucket composite relies on."""
+    keys = (
+        _docs(sf_dir, ["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    if len(keys) <= _COMPOSITE_PAGE:
+        return keys.head(0)[["lang", "source", "n"]]
+    a_lang, a_src = keys.iloc[_COMPOSITE_PAGE - 1][["lang", "source"]]
+
+    def after_mask(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        m = (lang > a_lang) | ((lang == a_lang) & (src > a_src))
+        return batch.filter(pa.array(m))
+
+    page = (
+        _docs(sf_dir, ["lang", "source"])
+        .map_batches(after_mask, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "source"])
+        .head(_COMPOSITE_PAGE)
+        .reset_index(drop=True)
+    )
+    return page[["lang", "source", "n"]]
+
+
+SQL_COMPOSITE_PAGES = (
+    "SELECT lang, source, count(*) AS n FROM documents "
+    "GROUP BY lang, source ORDER BY lang, source "
+    f"LIMIT {_COMPOSITE_PAGE} OFFSET {_COMPOSITE_PAGE}"
+)
+
+
+# ------------------- index sorting + early termination (Lucene)
+
+# conjunctions chosen to exercise: a broad AND (early exit in segment 0),
+# a selective 3-term AND, a single common term, and an absent term
+_SORTED_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["the", "data"]),
+    (1, ["hash", "join", "table"]),
+    (2, ["table"]),
+    (3, ["zz", "the"]),
+]
+
+
+def q_index_sorted_topk(sf_dir: str):
+    """Lucene index sorting + early-terminated top-k
+    (stages/sorted_index.py): doc ids reassigned as the global rank
+    under (n_chars DESC, doc_id ASC), so a conjunctive query's first k
+    hits IN INDEX ORDER are the global top-k by n_chars — the scan
+    stops at the first segment boundary past the k-th hit and never
+    opens later segments (stronger than Lucene, which early-exits
+    per segment but visits all of them).  Original ids come back
+    through the doc-range-partitioned ``sortmap/`` sidecar."""
+    from ..stages.sorted_index import build_sorted_index, sorted_search
+
+    idx = _tmp_index_dir(sf_dir, "idxsorted")
+    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+    n = docs.count()
+    build_sorted_index(
+        docs, idx, sort_col="n_chars", seg_docs=max(256, n // 8),
+        resume=True,
+    )
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    [q[0] for q in _SORTED_QUERIES], pa.int64()
+                ),
+                "terms": pa.array(
+                    [q[1] for q in _SORTED_QUERIES],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+    )
+    res = sorted_search(idx, qds, k=10, concurrency=2).to_pandas()
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)[
+        ["query_id", "rank", "doc_id", "sort_val"]
+    ]
+
+
+def _index_sorted_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    """Conjunctive-match oracle: docs whose distinct-term hit count
+    equals the query's distinct term count, ordered by
+    (n_chars DESC, doc_id)."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in sorted(set(terms))
+    )
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, term FROM ("
+        + _TOKS_SQL
+        + ")), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "nq AS (SELECT query_id, count(*) AS n_terms FROM q "
+        "GROUP BY query_id), "
+        "hit AS (SELECT q.query_id, t.doc_id FROM q "
+        "JOIN toks t USING (term) GROUP BY q.query_id, t.doc_id "
+        "HAVING count(*) = (SELECT n_terms FROM nq "
+        "WHERE nq.query_id = q.query_id)) "
+        "SELECT query_id, rank, doc_id, sort_val FROM ("
+        "SELECT h.query_id, h.doc_id, d.n_chars AS sort_val, "
+        "CAST(row_number() OVER (PARTITION BY h.query_id "
+        "ORDER BY d.n_chars DESC, h.doc_id) AS INTEGER) AS rank "
+        "FROM hit h JOIN documents d ON d.doc_id = h.doc_id) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_INDEX_SORTED_TOPK = _index_sorted_sql(_SORTED_QUERIES)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -10315,6 +10495,9 @@ SQL_DECONTAMINATE = (
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "index_sorted_topk": q_index_sorted_topk,
+    "events_serial_diff": q_events_serial_diff,
+    "composite_pages": q_composite_pages,
     "span_first_topk": q_span_first_topk,
     "cross_fields_topk": q_cross_fields_topk,
     "extended_stats": q_extended_stats,
@@ -10508,6 +10691,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "index_sorted_topk": SQL_INDEX_SORTED_TOPK,
+    "events_serial_diff": SQL_EVENTS_SERIAL_DIFF,
+    "composite_pages": SQL_COMPOSITE_PAGES,
     "span_first_topk": SQL_SPAN_FIRST_TOPK,
     "cross_fields_topk": SQL_CROSS_FIELDS_TOPK,
     "extended_stats": SQL_EXTENDED_STATS,
