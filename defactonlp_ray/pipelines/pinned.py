@@ -756,6 +756,90 @@ def serial_bpe(sf_dir: str, n_merges: int = 40) -> tuple[pd.DataFrame, pd.DataFr
     return merges_df, counts_df
 
 
+def serial_unigram(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Independent serial unigram-LM reference (Counter-based;
+    deliberately NOT importing functions/unigram.py beyond the pinned
+    constants): seed substrings (len 1..MAX_PIECE, overlapping,
+    freq-weighted) -> min-count keep (singles always) ->
+    log(count/total) scores -> per-word max-likelihood segmentation.
+    Tie rule re-expressed equivalently: among equal-score candidates the
+    LONGER piece wins (== the engine's strict-> ascending-j loop, since
+    distinct starts mean distinct lengths).  Returns (top-50 piece
+    usage, per-doc token/piece counts)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.tokenizer import tokenize
+    from ..functions.unigram import MAX_PIECE, MIN_COUNT
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    doc_toks = {
+        did: tokenize(txt)
+        for did, txt in sorted(
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        )
+    }
+    wc: Counter = Counter()
+    for toks in doc_toks.values():
+        wc.update(toks)
+    sub: Counter = Counter()
+    for w, f in wc.items():
+        for L in range(1, min(MAX_PIECE, len(w)) + 1):
+            for j in range(len(w) - L + 1):
+                sub[w[j : j + L]] += f
+    kept = {p: c for p, c in sub.items() if c >= MIN_COUNT or len(p) == 1}
+    total = sum(kept.values())
+    logp = {p: math.log(c / total) for p, c in kept.items()}
+
+    def segment(word: str) -> list[str]:
+        n = len(word)
+        best: list[float | None] = [0.0] + [None] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            cands = []
+            for j in range(max(0, i - MAX_PIECE), i):
+                if best[j] is not None and word[j:i] in logp:
+                    cands.append((best[j] + logp[word[j:i]], i - j, j))
+            if cands:
+                s, _L, j = max(cands, key=lambda c: (c[0], c[1]))
+                best[i], back[i] = s, j
+        if best[n] is None:
+            return list(word)
+        out = []
+        i = n
+        while i > 0:
+            out.append(word[back[i] : i])
+            i = back[i]
+        return out[::-1]
+
+    seg = {w: segment(w) for w in wc}
+    usage: Counter = Counter()
+    for w, f in wc.items():
+        for p in seg[w]:
+            usage[p] += f
+    top = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    pieces_df = pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "piece": [p for p, _ in top],
+            "n_uses": np.asarray([c for _, c in top], dtype=np.int64),
+        }
+    )
+    rows = [
+        (did, len(toks), sum(len(seg[w]) for w in toks))
+        for did, toks in doc_toks.items()
+        if toks
+    ]
+    counts_df = pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "n_uni_pieces"]
+    )
+    counts_df["doc_id"] = counts_df["doc_id"].astype(np.int64)
+    counts_df["n_tokens"] = counts_df["n_tokens"].astype(np.int64)
+    counts_df["n_uni_pieces"] = counts_df["n_uni_pieces"].astype(np.int64)
+    return pieces_df, counts_df
+
+
 def serial_ann_sq8(
     sf_dir: str, *, n_queries: int = 3, k: int = 10, sample_size: int = 2048,
 ) -> pd.DataFrame:
@@ -1113,6 +1197,17 @@ def oracle_values_sql() -> dict[str, str]:
         out["bpe_merges"] = _cached("bpe_merges", sf_fp, _bpe(0))
         out["bpe_token_counts"] = _cached(
             "bpe_token_counts", sf_fp, _bpe(1)
+        )
+
+        def _uni(which: int):
+            def compute() -> str:
+                return values_sql(serial_unigram(ORACLE_SF_DIR)[which])
+
+            return compute
+
+        out["unigram_pieces"] = _cached("unigram_pieces", sf_fp, _uni(0))
+        out["unigram_token_counts"] = _cached(
+            "unigram_token_counts", sf_fp, _uni(1)
         )
         out["cms_heavy_terms"] = _cached(
             "cms_heavy_terms", sf_fp,

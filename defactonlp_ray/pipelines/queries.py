@@ -10480,6 +10480,101 @@ def _index_sorted_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_INDEX_SORTED_TOPK = _index_sorted_sql(_SORTED_QUERIES)
 
 
+# ----------------------- unigram-LM subword tokenizer (SentencePiece)
+
+_UNI_TOP = 50
+
+
+def _unigram_scores(sf_dir: str) -> dict[str, float]:
+    """Distributed unigram seed scoring (functions/unigram.py): the
+    (word, freq) vocabulary dataset maps to overlapping-substring count
+    partials -> ONE groupby(piece) exchange -> min-count filter -> the
+    bounded kept-piece table collects and scores on the driver."""
+    from ..functions.unigram import MIN_COUNT, piece_scores
+
+    vocab = (
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("cf_p", alias_name="cf"))
+    )
+
+    def part(batch: pa.Table) -> pa.Table:
+        from ..functions.unigram import substring_counts
+
+        c = substring_counts(
+            batch["term"].to_pylist(), batch["cf"].to_pylist()
+        )
+        return pa.table(
+            {
+                "piece": pa.array(list(c.keys()), pa.string()),
+                "c_p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.greater_equal(batch["c"], MIN_COUNT),
+            pc.equal(pc.utf8_length(batch["piece"]), 1),
+        )
+        return batch.filter(m)
+
+    kept = (
+        vocab.map_batches(part, batch_format="pyarrow")
+        .groupby("piece")
+        .aggregate(Sum("c_p", alias_name="c"))
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return piece_scores(dict(zip(kept["piece"], kept["c"].astype(int))))
+
+
+def q_unigram_pieces(sf_dir: str):
+    """Unigram-LM tokenizer Viterbi pass (Kudo 2018; the SentencePiece
+    ``unigram`` E-step): seed substring pieces scored log(count/total),
+    each distinct word segmented by max-likelihood DP, reporting the
+    top-50 pieces by corpus usage (freq-weighted).  Both piece-level
+    stages map over the DISTRIBUTED vocabulary, never the corpus; the
+    score table ships once via ray.put.  Oracle: pinned independent
+    serial reference (tie rules in functions/unigram.py docstring)."""
+    from ..functions.unigram import UsageCounter
+
+    scores_ref = ray.put(_unigram_scores(sf_dir))
+    vocab = (
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("cf_p", alias_name="cf"))
+    )
+    top = (
+        vocab.map_batches(UsageCounter, batch_format="pyarrow",
+                          fn_constructor_kwargs={"scores_ref": scores_ref},
+                          concurrency=2, num_cpus=1)
+        .groupby("piece")
+        .aggregate(Sum("u_p", alias_name="n_uses"))
+        .to_pandas()
+        .sort_values(["n_uses", "piece"], ascending=[False, True])
+        .head(_UNI_TOP)
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "piece", "n_uses"]]
+
+
+def q_unigram_token_counts(sf_dir: str):
+    """Unigram ENCODING as an actor-pool stage (the BPE-encoding twin):
+    per-doc whitespace-token and unigram-piece counts, scores broadcast
+    once, per-word piece-length cache persisting across batches."""
+    from ..functions.unigram import UnigramCounter
+
+    scores_ref = ray.put(_unigram_scores(sf_dir))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        UnigramCounter,
+        fn_constructor_kwargs={"scores_ref": scores_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -10495,6 +10590,8 @@ SQL_INDEX_SORTED_TOPK = _index_sorted_sql(_SORTED_QUERIES)
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "unigram_pieces": q_unigram_pieces,
+    "unigram_token_counts": q_unigram_token_counts,
     "index_sorted_topk": q_index_sorted_topk,
     "events_serial_diff": q_events_serial_diff,
     "composite_pages": q_composite_pages,
