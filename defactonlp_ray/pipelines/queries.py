@@ -10480,6 +10480,114 @@ def _index_sorted_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_INDEX_SORTED_TOPK = _index_sorted_sql(_SORTED_QUERIES)
 
 
+# ---------------------- span_containing (Lucene SpanContainingQuery)
+
+# (query_id, term_a, term_b, gap, little): containment hit, boundary
+# gap, absent little, absent big member, little == big member
+_SPAN_CONTAINING_QUERIES: list[tuple[int, str, str, int, str]] = [
+    (0, "hash", "join", 3, "the"),
+    (1, "table", "scan", 5, "data"),
+    (2, "the", "data", 2, "zz"),
+    (3, "zz", "table", 2, "the"),
+    (4, "the", "data", 4, "the"),
+]
+
+
+def q_span_containing_topk(sf_dir: str):
+    """Lucene SpanContainingQuery (stages/phrase.span_containing_search):
+    big = the unordered (term_a, term_b) pair within ``gap``
+    (|i - j| <= gap), little = an occurrence of ``little``; a big span
+    [min(i,j), max(i,j)] matches iff it contains a little position
+    (endpoints inclusive); per-doc tf = matching pair count, pseudo-term
+    BM25 rank.  Completes the span family (near/not/first/containing).
+    Fully vectorized over the fixed-radix occurrence keys — pair
+    enumeration is repeat+arange over per-anchor windows, containment
+    one searchsorted probe per pair."""
+    from ..stages.phrase import span_containing_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    [q[0] for q in _SPAN_CONTAINING_QUERIES], pa.int64()
+                ),
+                "term_a": pa.array(
+                    [q[1] for q in _SPAN_CONTAINING_QUERIES], pa.string()
+                ),
+                "term_b": pa.array(
+                    [q[2] for q in _SPAN_CONTAINING_QUERIES], pa.string()
+                ),
+                "gap": pa.array(
+                    [q[3] for q in _SPAN_CONTAINING_QUERIES], pa.int64()
+                ),
+                "little": pa.array(
+                    [q[4] for q in _SPAN_CONTAINING_QUERIES], pa.string()
+                ),
+            }
+        )
+    )
+    res = span_containing_search(idx, qds, k=20, concurrency=2).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    cols = ["query_id", "rank", "doc_id", "n_occ", "score"]
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
+def _span_containing_sql(
+    queries: list[tuple[int, str, str, int, str]], k: int = 10
+) -> str:
+    """Independent containment oracle: ordered-role (A-pos, B-pos) pairs
+    with |ia - ib| <= gap and an EXISTS little position inside the
+    closed span; pseudo-term scoring tail identical to the other span
+    oracles."""
+    vals = ", ".join(
+        f"({qid}, '{a}', '{b}', {g}, '{c}')" for qid, a, b, g, c in queries
+    )
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        f"q(query_id, ta, tb, gap, little) AS (VALUES {vals}), "
+        "pairs AS (SELECT q.query_id, a.doc_id, a.i AS ia, b.i AS ib "
+        "FROM q JOIN tokpos a ON a.term = q.ta "
+        "JOIN tokpos b ON b.term = q.tb AND b.doc_id = a.doc_id "
+        "AND abs(a.i - b.i) <= q.gap), "
+        "hitp AS (SELECT p.query_id, p.doc_id, p.ia, p.ib FROM pairs p "
+        "JOIN q ON q.query_id = p.query_id "
+        "WHERE EXISTS (SELECT 1 FROM tokpos c WHERE c.doc_id = p.doc_id "
+        "AND c.term = q.little "
+        "AND c.i BETWEEN least(p.ia, p.ib) AND greatest(p.ia, p.ib))), "
+        "hits AS (SELECT query_id, doc_id, count(*) AS n_occ FROM hitp "
+        "GROUP BY query_id, doc_id), "
+        "dl AS (SELECT doc_id, len(ts) AS dl FROM d), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "pdf AS (SELECT query_id, count(*) AS df FROM hits GROUP BY query_id), "
+        "scored AS (SELECT h.query_id, h.doc_id, h.n_occ, "
+        "ln(1 + (s.n_docs - pdf.df + 0.5) / (pdf.df + 0.5)) * "
+        "(h.n_occ * 2.2) / (h.n_occ + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+        "(s.total::DOUBLE / s.n_docs))) AS score "
+        "FROM hits h JOIN pdf USING (query_id) "
+        "JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN stats s) "
+        "SELECT query_id, rank, doc_id, n_occ, score FROM ("
+        "SELECT query_id, doc_id, n_occ, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_SPAN_CONTAINING_TOPK = _span_containing_sql(_SPAN_CONTAINING_QUERIES)
+
+
 # ----------------------- unigram-LM subword tokenizer (SentencePiece)
 
 _UNI_TOP = 50
@@ -10590,6 +10698,7 @@ def q_unigram_token_counts(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "span_containing_topk": q_span_containing_topk,
     "unigram_pieces": q_unigram_pieces,
     "unigram_token_counts": q_unigram_token_counts,
     "index_sorted_topk": q_index_sorted_topk,
@@ -10788,6 +10897,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "span_containing_topk": SQL_SPAN_CONTAINING_TOPK,
     "index_sorted_topk": SQL_INDEX_SORTED_TOPK,
     "events_serial_diff": SQL_EVENTS_SERIAL_DIFF,
     "composite_pages": SQL_COMPOSITE_PAGES,

@@ -780,6 +780,136 @@ def span_first_search(
     )
 
 
+def score_span_containing(
+    reader: IndexReader,
+    seg_ids: list[int],
+    term_a: str,
+    term_b: str,
+    gap: int,
+    little: str,
+    k: int,
+) -> list[tuple[float, int, int]]:
+    """Lucene SpanContainingQuery with ``big`` = the unordered pair
+    (term_a, term_b) within ``gap`` (``|i - j| <= gap``, i a position of
+    A, j of B, A != B) and ``little`` = an occurrence of ``little``:
+    a big span [min(i,j), max(i,j)] matches iff it CONTAINS at least one
+    little position (endpoints inclusive); per-doc tf = matching (i, j)
+    pair count, ranked by the pseudo-term BM25 tail.
+
+    Fully vectorized over the fixed-radix occurrence keys: each A
+    occurrence's B-window is two searchsorted probes; pairs flatten via
+    repeat + offset arange; containment is ONE probe of the little key
+    array per pair.  ``gap < _POS_SLACK`` keeps windows from bleeding
+    across the >= _POS_SLACK inter-doc key gaps, so no per-doc loop and
+    no doc-equality checks are needed (same guard as match_ordered)."""
+    if term_a == term_b:
+        raise ValueError("span_containing big pair must use distinct terms")
+    if gap < 0 or gap >= _POS_SLACK:
+        raise ValueError(f"gap must be in [0, {_POS_SLACK})")
+    pa_ = _pos_pack(reader, seg_ids, term_a)
+    pb = _pos_pack(reader, seg_ids, term_b)
+    pl = _pos_pack(reader, seg_ids, little)
+    if pa_ is None or pb is None or pl is None:
+        return []
+    ka, kb, kl = pa_[4], pb[4], pl[4]
+    lo = np.searchsorted(kb, ka - gap, side="left")
+    hi = np.searchsorted(kb, ka + gap, side="right")
+    cnt = hi - lo
+    m = cnt > 0
+    if not m.any():
+        return []
+    ka_m, lo_m, cnt_m = ka[m], lo[m], cnt[m]
+    # flatten the per-anchor B windows into explicit pair indices
+    pair_a = np.repeat(ka_m, cnt_m)
+    steps = np.arange(int(cnt_m.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(cnt_m)[:-1])), cnt_m
+    )
+    pair_b = kb[np.repeat(lo_m, cnt_m) + steps]
+    span_lo = np.minimum(pair_a, pair_b)
+    span_hi = np.maximum(pair_a, pair_b)
+    idx = np.searchsorted(kl, span_lo, side="left")
+    ok = idx < kl.size
+    ok[ok] &= kl[idx[ok]] <= span_hi[ok]
+    if not ok.any():
+        return []
+    docs, counts = np.unique(span_lo[ok] // _POS_M, return_counts=True)
+    dls = pa_[1][np.searchsorted(pa_[0], docs)]
+    return _score_pseudo(reader, docs, counts.astype(np.int64), dls, k)
+
+
+class SpanContainingSearcherActor:
+    """Actor-pool stage: batch of (query_id, term_a, term_b, gap,
+    little) -> (query_id, rank, doc_id, n_occ, score)."""
+
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        want = (
+            set(batch["term_a"].to_pylist())
+            | set(batch["term_b"].to_pylist())
+            | set(batch["little"].to_pylist())
+        )
+        all_terms = sorted(want - self.seeded)
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_c, out_s = [], [], [], [], []
+        for qid, a, b, g, c in zip(
+            batch["query_id"].to_pylist(),
+            batch["term_a"].to_pylist(),
+            batch["term_b"].to_pylist(),
+            batch["gap"].to_pylist(),
+            batch["little"].to_pylist(),
+        ):
+            for rank, (score, doc_id, n_occ) in enumerate(
+                score_span_containing(
+                    self.reader, self.seg_ids, a, b, int(g), c, self.k
+                ),
+                1,
+            ):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_c.append(n_occ)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_occ": pa.array(out_c, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def span_containing_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """SpanContaining pipeline: (query_id, term_a, term_b, gap, little)
+    -> (query_id, rank, doc_id, n_occ, score) over a ``positions=True``
+    index."""
+    return queries.map_batches(
+        SpanContainingSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
 # ------------------------------------------------- synonym graph (multi-word)
 
 def score_all_syngraph(

@@ -825,3 +825,51 @@ def test_span_first_whole_doc_equals_plain_tf(pos_index, doc_tokens):
         if "table" in toks
     }
     assert got == ref
+
+
+# ----------------------------------------------------- span_containing
+
+
+def test_span_containing_equals_python(pos_index, doc_tokens):
+    from defactonlp_ray.stages.phrase import score_span_containing
+
+    reader = IndexReader(pos_index)
+    cases = [
+        ("hash", "join", 3, "the"),
+        ("table", "scan", 5, "data"),
+        ("the", "data", 2, "zzqq"),
+        ("the", "data", 4, "the"),   # little == a big member
+        ("hash", "join", 0, "hash"),  # gap 0: same-position impossible
+    ]
+    for a, b, g, c in cases:
+        ref = {}
+        for did, toks in doc_tokens.items():
+            pa_pos = [i for i, t in enumerate(toks) if t == a]
+            pb_pos = [i for i, t in enumerate(toks) if t == b]
+            pc_pos = [i for i, t in enumerate(toks) if t == c]
+            n = sum(
+                1
+                for i in pa_pos
+                for j in pb_pos
+                if abs(i - j) <= g
+                and any(min(i, j) <= p <= max(i, j) for p in pc_pos)
+            )
+            if n:
+                ref[did] = n
+        got = {
+            doc: n
+            for _s, doc, n in score_span_containing(
+                reader, reader.seg_ids, a, b, g, c, k=10**9
+            )
+        }
+        assert got == ref, (a, b, g, c)
+
+
+def test_span_containing_rejects_same_big_terms(pos_index):
+    from defactonlp_ray.stages.phrase import score_span_containing
+
+    reader = IndexReader(pos_index)
+    with pytest.raises(ValueError):
+        score_span_containing(
+            reader, reader.seg_ids, "table", "table", 2, "the", 10
+        )
