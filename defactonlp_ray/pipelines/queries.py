@@ -10480,6 +10480,232 @@ def _index_sorted_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_INDEX_SORTED_TOPK = _index_sorted_sql(_SORTED_QUERIES)
 
 
+# --------------------------- boxplot agg / doc containment dedup
+
+def q_boxplot_chars(sf_dir: str):
+    """Elasticsearch boxplot aggregation per lang over n_chars, EXACT
+    (ES approximates with TDigest; the pinned rule here is
+    quantile_cont's linear interpolation — h = (n-1)q, v_lo + frac *
+    (v_hi - v_lo); quarter fractions of integer values are exact binary,
+    so both engines agree bit-for-bit before the defensive round-6).
+    Shape: per-batch (lang, n_chars) count partials -> ONE groupby on
+    the VALUE HISTOGRAM (|langs| x |distinct lengths| rows, never docs)
+    -> quantiles walked off the cumulative histogram on the driver.
+    Whiskers are the ES rule: extreme values inside the 1.5-IQR
+    fences."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = batch.select(["lang", "n_chars"]).group_by(
+            ["lang", "n_chars"]
+        ).aggregate([([], "count_all")])
+        return t.rename_columns(["lang", "n_chars", "c_p"])
+
+    hist = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("c_p", alias_name="c"))
+        .to_pandas()
+        .sort_values(["lang", "n_chars"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        v = g["n_chars"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def q_at(q: float) -> float:
+            h = (n - 1) * q
+            lo = int(np.floor(h))
+            frac = h - lo
+            v_lo = float(v[np.searchsorted(cum, lo, side="right")])
+            if frac == 0.0:
+                return v_lo
+            v_hi = float(v[np.searchsorted(cum, lo + 1, side="right")])
+            return v_lo + frac * (v_hi - v_lo)
+
+        q1, med, q3 = q_at(0.25), q_at(0.5), q_at(0.75)
+        iqr = q3 - q1
+        lo_f, hi_f = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        inside = (v >= lo_f) & (v <= hi_f)
+        rows.append(
+            (
+                lang, n, round(q1, 6), round(med, 6), round(q3, 6),
+                round(iqr, 6), int(v[inside].min()), int(v[inside].max()),
+                int(c[(v < lo_f) | (v > hi_f)].sum()),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["lang", "n", "q1", "median", "q3", "iqr", "lo_whisker",
+                 "hi_whisker", "n_outliers"],
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["lo_whisker"] = out["lo_whisker"].astype(np.int64)
+    out["hi_whisker"] = out["hi_whisker"].astype(np.int64)
+    out["n_outliers"] = out["n_outliers"].astype(np.int64)
+    return out
+
+
+SQL_BOXPLOT_CHARS = (
+    "WITH s AS (SELECT lang, count(*) AS n, "
+    "quantile_cont(n_chars, 0.25) AS q1, "
+    "quantile_cont(n_chars, 0.5) AS med, "
+    "quantile_cont(n_chars, 0.75) AS q3 FROM documents GROUP BY lang) "
+    "SELECT s.lang, s.n, round(s.q1, 6) AS q1, round(s.med, 6) AS median, "
+    "round(s.q3, 6) AS q3, round(s.q3 - s.q1, 6) AS iqr, "
+    "CAST(min(d.n_chars) FILTER (WHERE d.n_chars >= s.q1 - 1.5 * (s.q3 - s.q1)) "
+    "AS BIGINT) AS lo_whisker, "
+    "CAST(max(d.n_chars) FILTER (WHERE d.n_chars <= s.q3 + 1.5 * (s.q3 - s.q1)) "
+    "AS BIGINT) AS hi_whisker, "
+    "CAST(count(*) FILTER (WHERE d.n_chars < s.q1 - 1.5 * (s.q3 - s.q1) "
+    "OR d.n_chars > s.q3 + 1.5 * (s.q3 - s.q1)) AS BIGINT) AS n_outliers "
+    "FROM s JOIN documents d USING (lang) "
+    "GROUP BY s.lang, s.n, s.q1, s.med, s.q3"
+)
+
+
+_CONTAIN_MIN_TOK = 8  # containment dedup floor: docs under 8 tokens skip
+
+
+def q_containment_dedup(sf_dir: str):
+    """Doc-level exact-substring containment dedup (the document-
+    granular case of Lee et al. 2022's exact-substring dedup): a doc
+    (>= 8 tokens) is CONTAINED when its token sequence appears
+    contiguously inside another doc's; report (doc_id, container_id =
+    smallest qualifying container).  Exact duplicates resolve by the
+    pinned tie rule: the longer text contains the shorter; equal texts
+    contain toward the smaller doc_id.  Shape: candidates = pairs
+    sharing the contained doc's FIRST 8-gram (sound: a contiguous
+    subsequence's first 8 tokens are an 8-gram of the container), found
+    with the dup_ngram (gram, doc) machinery + one hash join; texts
+    attach to the candidate PAIR set only (never all pairs), and the
+    padded-space containment probe runs per candidate.  The corpus-
+    scale exchanges are the gram join and the two text-attach joins;
+    the corpus is never materialized — each consumer re-reads the pruned
+    2-column parquet."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def first_gram(batch: pa.Table) -> pa.Table:
+        terms, row_idx, doc_len = flatten_tokens(batch["text"])
+        t = np.asarray(terms.to_pylist(), dtype=object).astype(str)
+        n = _CONTAIN_MIN_TOK
+        starts = np.concatenate(
+            ([0], np.cumsum(doc_len)[:-1])
+        ).astype(np.int64)
+        keep = doc_len >= n
+        g = t[starts[keep, None] + np.arange(n)[None, :]]
+        gram = g[:, 0].copy()
+        for j in range(1, n):
+            gram = np.char.add(np.char.add(gram, " "), g[:, j])
+        return pa.table(
+            {
+                "gram": pa.array(gram, pa.string()),
+                "small_id": pa.array(
+                    batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def all_grams(batch: pa.Table) -> pa.Table:
+        gram, dids = _ngram_doc_pairs(batch, _CONTAIN_MIN_TOK)
+        return pa.table(
+            {
+                "gram": pa.array(gram, pa.string()),
+                "big_id": pa.array(dids, pa.int64()),
+            }
+        ).group_by(["gram", "big_id"]).aggregate([])
+
+    firsts = docs.map_batches(first_gram, batch_format="pyarrow")
+    grams = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        all_grams, batch_format="pyarrow"
+    )
+    cand = (
+        firsts.join(grams, join_type="inner", on=("gram",),
+                    num_partitions=16)
+        .map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t["small_id"], t["big_id"])
+            ).select(["small_id", "big_id"]).rename_columns(
+                ["id_a", "id_b"]
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # small candidate set; both routes consume it
+    )
+
+    def _verify_tbl(batch: pa.Table, texts_a, texts_b) -> pa.Table:
+        out_s, out_b = [], []
+        for s, b, st, bt in zip(
+            batch["id_a"].to_pylist(), batch["id_b"].to_pylist(),
+            texts_a, texts_b,
+        ):
+            if (" " + st + " ") in (" " + bt + " ") and (
+                len(bt) > len(st) or (len(bt) == len(st) and b < s)
+            ):
+                out_s.append(s)
+                out_b.append(b)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_s, pa.int64()),
+                "cont_p": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    # same auto route as the near-dup verifiers: broadcast the candidate
+    # texts under the pair limit, two hash joins above it
+    if cand.count() <= dedup.BROADCAST_PAIR_LIMIT:
+        dmap_ref = ray.put(
+            dedup.candidate_texts(cand, _docs(sf_dir, ["doc_id", "text"]))
+        )
+
+        def verify(batch: pa.Table) -> pa.Table:
+            dmap = ray.get(dmap_ref)
+            return _verify_tbl(
+                batch,
+                [dmap[int(a)] for a in batch["id_a"].to_pylist()],
+                [dmap[int(b)] for b in batch["id_b"].to_pylist()],
+            )
+
+        verified = cand.map_batches(verify, batch_format="pyarrow")
+    else:
+        withtexts = dedup.attach_pair_texts(
+            cand, _docs(sf_dir, ["doc_id", "text"])
+        )
+
+        def verify_join(batch: pa.Table) -> pa.Table:
+            return _verify_tbl(
+                batch,
+                batch["__text_a"].to_pylist(),
+                batch["__text_b"].to_pylist(),
+            )
+
+        verified = withtexts.map_batches(verify_join, batch_format="pyarrow")
+
+    from ray.data.aggregate import Min
+
+    return (
+        verified.groupby("doc_id")
+        .aggregate(Min("cont_p", alias_name="container_id"))
+    )
+
+
+SQL_CONTAINMENT_DEDUP = (
+    "WITH d AS (SELECT doc_id, text, "
+    "len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt "
+    "FROM documents) "
+    "SELECT a.doc_id, min(b.doc_id) AS container_id "
+    f"FROM d a JOIN d b ON a.doc_id <> b.doc_id AND a.nt >= {_CONTAIN_MIN_TOK} "
+    "AND position(' ' || a.text || ' ' IN ' ' || b.text || ' ') > 0 "
+    "AND (len(b.text) > len(a.text) "
+    "OR (len(b.text) = len(a.text) AND b.doc_id < a.doc_id)) "
+    "GROUP BY a.doc_id"
+)
+
+
 # ---------------------- span_containing (Lucene SpanContainingQuery)
 
 # (query_id, term_a, term_b, gap, little): containment hit, boundary
@@ -10698,6 +10924,8 @@ def q_unigram_token_counts(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "boxplot_chars": q_boxplot_chars,
+    "containment_dedup": q_containment_dedup,
     "span_containing_topk": q_span_containing_topk,
     "unigram_pieces": q_unigram_pieces,
     "unigram_token_counts": q_unigram_token_counts,
@@ -10897,6 +11125,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "boxplot_chars": SQL_BOXPLOT_CHARS,
+    "containment_dedup": SQL_CONTAINMENT_DEDUP,
     "span_containing_topk": SQL_SPAN_CONTAINING_TOPK,
     "index_sorted_topk": SQL_INDEX_SORTED_TOPK,
     "events_serial_diff": SQL_EVENTS_SERIAL_DIFF,
