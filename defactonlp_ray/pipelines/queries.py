@@ -2651,6 +2651,23 @@ SQL_GOPHER_REPETITION = (
 )
 
 
+def _unigram_nlp_ref(sf_dir: str):
+    """(sorted vocab, -ln p) arrays for the corpus unigram LM, built by
+    the term-partials combiner -> one groupby — shared by
+    q_unigram_logloss and q_ccnet_ppl_buckets; returned as a ray.put
+    ref (ships once)."""
+    tf = (
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("cf_p", alias_name="cf"))
+        .to_pandas()
+    )
+    total = float(tf["cf"].sum())
+    vocab = np.sort(tf["term"].to_numpy().astype(str))
+    cf = tf.set_index("term").loc[vocab, "cf"].to_numpy().astype(np.float64)
+    return ray.put((vocab, -np.log(cf / total)))
+
+
 def q_unigram_logloss(sf_dir: str):
     """CCNet-style quality proxy (Wenzek et al. 2019 use an LM
     perplexity; the unigram cross-entropy is its model-free analogue):
@@ -2665,17 +2682,7 @@ def q_unigram_logloss(sf_dir: str):
     above that, swap the broadcast for a hash join on ``term`` — same
     rows either way (the broadcast is the measured-faster route at every
     vocab this box can hold)."""
-    tf = (
-        _term_partials(sf_dir)
-        .groupby("term")
-        .aggregate(Sum("cf_p", alias_name="cf"))
-        .to_pandas()
-    )
-    total = float(tf["cf"].sum())
-    vocab = np.sort(tf["term"].to_numpy().astype(str))
-    cf = tf.set_index("term").loc[vocab, "cf"].to_numpy().astype(np.float64)
-    neglogp = -np.log(cf / total)
-    ref = ray.put((vocab, neglogp))
+    ref = _unigram_nlp_ref(sf_dir)
 
     def score(batch: pa.Table) -> pa.Table:
         v, nlp = ray.get(ref)
@@ -10480,6 +10487,192 @@ def _index_sorted_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_INDEX_SORTED_TOPK = _index_sorted_sql(_SORTED_QUERIES)
 
 
+# ------------- dense date histogram / ingest pipeline / CCNet buckets
+
+def q_events_dense_histogram(sf_dir: str):
+    """Elasticsearch date_histogram with ``min_doc_count=0``: the daily
+    event-count series with EMPTY buckets materialized as zero rows
+    between the observed min and max day (chart-ready output; the agg
+    families above skip empty buckets).  The corpus pass is the usual
+    day-count combiner; zero-filling runs over the |days|-row series."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        agg = pa.table({"window_start": day}).group_by(
+            "window_start"
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    full = pd.DataFrame(
+        {
+            "window_start": pd.date_range(
+                daily["window_start"].iloc[0],
+                daily["window_start"].iloc[-1],
+                freq="D",
+            )
+        }
+    )
+    out = full.merge(daily, on="window_start", how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return out
+
+
+SQL_EVENTS_DENSE_HISTOGRAM = (
+    "WITH daily AS (SELECT date_trunc('day', ts) AS window_start, "
+    "count(*) AS n FROM events GROUP BY 1), "
+    "span AS (SELECT unnest(generate_series(min(window_start), "
+    "max(window_start), INTERVAL 1 DAY)) AS window_start FROM daily) "
+    "SELECT s.window_start, CAST(coalesce(d.n, 0) AS BIGINT) AS n "
+    "FROM span s LEFT JOIN daily d USING (window_start)"
+)
+
+
+def q_ingest_pipeline(sf_dir: str):
+    """Elasticsearch ingest-pipeline processor chain as ONE vectorized
+    map_batches (the ingest-node shape: a declarative processor list
+    compiled into a single pass, applied before indexing): uppercase +
+    gsub on ``source``, split-and-keep-first on ``text``, a token-count
+    script field, and a unit-convert on ``n_chars``.  Every processor is
+    a pyarrow.compute kernel — no Python per row."""
+
+    def chain(batch: pa.Table) -> pa.Table:
+        terms, row_idx, doc_len = flatten_tokens(batch["text"])
+        first = pc.list_element(
+            pc.split_pattern(batch["text"], " ", max_splits=1), 0
+        )
+        src = pc.replace_substring(
+            pc.utf8_upper(batch["source"]), "-", "_"
+        )
+        kchars = pc.divide(
+            pc.cast(batch["n_chars"], pa.float64()), 1000.0
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source_norm": src,
+                "first_word": first,
+                "n_tokens": pa.array(doc_len.astype(np.int64), pa.int64()),
+                "kchars": pc.round(kchars, 6),
+            }
+        )
+
+    return _docs(
+        sf_dir, ["doc_id", "text", "source", "n_chars"]
+    ).map_batches(chain, batch_format="pyarrow")
+
+
+SQL_INGEST_PIPELINE = (
+    "SELECT doc_id, replace(upper(source), '-', '_') AS source_norm, "
+    "string_split(text, ' ')[1] AS first_word, "
+    "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+    "AS BIGINT) AS n_tokens, "
+    "round(n_chars / 1000.0, 6) AS kchars FROM documents"
+)
+
+
+def q_ccnet_ppl_buckets(sf_dir: str):
+    """CCNet's perplexity bucketing (Wenzek et al. 2019 split each
+    language's crawl into head/middle/tail by LM perplexity; the
+    unigram cross-entropy is the model-free analogue, and the cuts here
+    are the exact per-lang QUARTILES q1/q3 — quarter fractions keep the
+    interpolation arithmetic exact, where CCNet's thirds would not be):
+    doc counts per (lang, bucket), head = logloss <= q1 (cleanest 25%),
+    tail > q3.  Shape: the per-doc scoring pass streams with the
+    broadcast unigram model; bucket counts and the cutoffs both derive
+    from ONE per-(lang, rounded-logloss) histogram — the exchange
+    carries the histogram, never documents.  Cutoffs interpolate
+    between adjacent observed order statistics, so an engine-vs-oracle
+    ulp difference in the lerp cannot flip any doc's bucket (no doc
+    value lies strictly between the bracketing statistics)."""
+    ref = _unigram_nlp_ref(sf_dir)
+
+    def part(batch: pa.Table) -> pa.Table:
+        v, nlp = ray.get(ref)
+        terms, row_idx, doc_len = flatten_tokens(batch["text"])
+        n = len(batch)
+        n_tok = doc_len.astype(np.int64)
+        toks = terms.to_numpy(zero_copy_only=False).astype(str)
+        vals = nlp[np.searchsorted(v, toks)] if toks.size else np.empty(0)
+        s = np.bincount(row_idx, weights=vals, minlength=n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(n_tok > 0, s / n_tok, 0.0)
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "ll": pa.array(np.round(mean, 6), pa.float64()),
+            }
+        ).filter(pa.array(n_tok > 0))
+        agg = t.group_by(["lang", "ll"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "ll", "c_p"])
+
+    hist = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["lang", "ll"])
+        .aggregate(Sum("c_p", alias_name="c"))
+        .to_pandas()
+        .sort_values(["lang", "ll"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        v = g["ll"].to_numpy(np.float64)
+        c = g["c"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def q_at(q: float) -> float:
+            h = (n - 1) * q
+            lo = int(np.floor(h))
+            frac = h - lo
+            v_lo = float(v[np.searchsorted(cum, lo, side="right")])
+            if frac == 0.0:
+                return v_lo
+            v_hi = float(v[np.searchsorted(cum, lo + 1, side="right")])
+            return v_lo + frac * (v_hi - v_lo)
+
+        c1, c3 = q_at(0.25), q_at(0.75)
+        head = int(c[v <= c1].sum())
+        middle = int(c[(v > c1) & (v <= c3)].sum())
+        tail = int(c[v > c3].sum())
+        rows.extend(
+            [(lang, "head", head), (lang, "middle", middle),
+             (lang, "tail", tail)]
+        )
+    out = pd.DataFrame(rows, columns=["lang", "bucket", "n"])
+    out["n"] = out["n"].astype(np.int64)
+    return out[out["n"] > 0].reset_index(drop=True)
+
+
+SQL_CCNET_PPL_BUCKETS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "stats AS (SELECT count(*) AS total FROM toks), "
+    "tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term), "
+    "ll AS (SELECT doc_id, "
+    "round(avg(-ln(tf.c::DOUBLE / stats.total)), 6) AS ll "
+    "FROM toks JOIN tf USING (term) CROSS JOIN stats GROUP BY doc_id), "
+    "d2 AS (SELECT d.lang, l.ll FROM ll l "
+    "JOIN documents d USING (doc_id)), "
+    "cut AS (SELECT lang, quantile_cont(ll, 0.25) AS c1, "
+    "quantile_cont(ll, 0.75) AS c3 FROM d2 GROUP BY lang) "
+    "SELECT lang, bucket, n FROM (SELECT d2.lang, "
+    "CASE WHEN ll <= c1 THEN 'head' WHEN ll <= c3 THEN 'middle' "
+    "ELSE 'tail' END AS bucket, count(*) AS n "
+    "FROM d2 JOIN cut USING (lang) GROUP BY 1, 2) WHERE n > 0"
+)
+
+
 # --------------------------- boxplot agg / doc containment dedup
 
 def q_boxplot_chars(sf_dir: str):
@@ -10924,6 +11117,9 @@ def q_unigram_token_counts(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+    "ingest_pipeline": q_ingest_pipeline,
+    "events_dense_histogram": q_events_dense_histogram,
     "boxplot_chars": q_boxplot_chars,
     "containment_dedup": q_containment_dedup,
     "span_containing_topk": q_span_containing_topk,
@@ -11125,6 +11321,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ccnet_ppl_buckets": SQL_CCNET_PPL_BUCKETS,
+    "ingest_pipeline": SQL_INGEST_PIPELINE,
+    "events_dense_histogram": SQL_EVENTS_DENSE_HISTOGRAM,
     "boxplot_chars": SQL_BOXPLOT_CHARS,
     "containment_dedup": SQL_CONTAINMENT_DEDUP,
     "span_containing_topk": SQL_SPAN_CONTAINING_TOPK,
