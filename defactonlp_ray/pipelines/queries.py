@@ -10487,6 +10487,42 @@ def _index_sorted_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_INDEX_SORTED_TOPK = _index_sorted_sql(_SORTED_QUERIES)
 
 
+# ----------------------- bloom-pruned counting (segment term blooms)
+
+# common terms, a rare term, and pure-absent terms (the pruning case)
+_BLOOM_COUNT_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["the", "data"]),
+    (1, ["hash", "join"]),
+    (2, ["zzqq", "table"]),
+    (3, ["zz", "qqq"]),
+]
+
+
+def q_bm25_bloom_count(sf_dir: str):
+    """Total-hit counting behind per-segment term Bloom filters
+    (stages/bloom.py — the Lucene BloomFilteringPostingsFormat idea at
+    the segment-routing layer): a bloom "no" skips the (segment, term)
+    parquet point-read entirely, with results bit-identical to
+    mode='count' because blooms have no false negatives.  Segment
+    immutability makes the sidecars permanently valid; missing sidecars
+    degrade to the unpruned read."""
+    from ..stages.bloom import bloom_count_search, build_term_blooms
+
+    idx = _build_docs_index(sf_dir)
+    build_term_blooms(idx)
+    return (
+        bloom_count_search(
+            idx, _query_terms_ds(_BLOOM_COUNT_QUERIES), concurrency=2
+        )
+        .to_pandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_BM25_BLOOM_COUNT = _count_sql(_BLOOM_COUNT_QUERIES)
+
+
 # ------------- dense date histogram / ingest pipeline / CCNet buckets
 
 def q_events_dense_histogram(sf_dir: str):
@@ -11117,6 +11153,7 @@ def q_unigram_token_counts(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "bm25_bloom_count": q_bm25_bloom_count,
     "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "ingest_pipeline": q_ingest_pipeline,
     "events_dense_histogram": q_events_dense_histogram,
@@ -11321,6 +11358,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bm25_bloom_count": SQL_BM25_BLOOM_COUNT,
     "ccnet_ppl_buckets": SQL_CCNET_PPL_BUCKETS,
     "ingest_pipeline": SQL_INGEST_PIPELINE,
     "events_dense_histogram": SQL_EVENTS_DENSE_HISTOGRAM,
