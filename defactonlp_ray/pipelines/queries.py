@@ -10487,6 +10487,28 @@ def _index_sorted_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_INDEX_SORTED_TOPK = _index_sorted_sql(_SORTED_QUERIES)
 
 
+# ------------------------------ request cache (ES request cache)
+
+def q_bm25_cached_topk(sf_dir: str):
+    """BM25 top-k through the request-cache actor
+    (stages/search.CachedSearcherActor — the Elasticsearch request
+    cache): per-actor LRU keyed by (manifest version + deletes
+    fingerprint, mode, k, terms), so an index mutation starts a fresh
+    epoch and stale rows are unservable by construction.  Each query
+    runs TWICE (the second pass duplicates the batch) and the returned
+    rows are the second pass's — bit-identical to the uncached route,
+    which is exactly what the shared bm25 oracle checks."""
+    from ..stages.search import cached_search
+
+    idx = _build_docs_index(sf_dir)
+    qds = _query_terms_ds(_BM25_QUERIES)
+    res = cached_search(
+        idx, qds.union(qds), k=20, concurrency=2
+    ).to_pandas()
+    res = res.drop_duplicates(["query_id", "rank", "doc_id"])
+    return _rerank_rounded(res, k=10)
+
+
 # ----------------------- bloom-pruned counting (segment term blooms)
 
 # common terms, a rare term, and pure-absent terms (the pruning case)
@@ -11153,6 +11175,7 @@ def q_unigram_token_counts(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "bm25_cached_topk": q_bm25_cached_topk,
     "bm25_bloom_count": q_bm25_bloom_count,
     "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "ingest_pipeline": q_ingest_pipeline,
@@ -11358,6 +11381,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bm25_cached_topk": SQL_BM25_TOPK,
     "bm25_bloom_count": SQL_BM25_BLOOM_COUNT,
     "ccnet_ppl_buckets": SQL_CCNET_PPL_BUCKETS,
     "ingest_pipeline": SQL_INGEST_PIPELINE,

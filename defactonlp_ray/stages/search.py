@@ -2470,3 +2470,67 @@ def explain_search(
         concurrency=pool_size(concurrency),
         num_cpus=1,
     )
+
+
+class CachedSearcherActor(SearcherActor):
+    """SearcherActor with an Elasticsearch-style request cache: per-actor
+    LRU keyed by ``(cache epoch, mode, k, query terms, cursor)`` where
+    the epoch is (manifest version, deletes fingerprint) captured at
+    reader construction — the same token ES keys its request cache on
+    (shard + reader version), so an index mutation (append/compact/
+    delete) starts a fresh epoch and can never serve stale rows; the
+    reader itself is frozen at init, making every cached entry exactly
+    reproducible by the live path (pytest-asserted bit-equal).  ``hits``
+    / ``misses`` counters are the test evidence."""
+
+    def __init__(self, *args, cache_size: int = 10_000, **kwargs):
+        super().__init__(*args, **kwargs)
+        from collections import OrderedDict
+
+        d = self.reader.deleted
+        self._epoch = (
+            mf.manifest_version(self.reader.index_dir)
+            if getattr(self.reader, "index_dir", None) else 0,
+            int(d.size),
+            int(d.sum()) if d.size else 0,
+        )
+        self._qcache: "OrderedDict" = OrderedDict()
+        self._cache_size = cache_size
+        self.hits = 0
+        self.misses = 0
+
+    def _score_query(self, terms, idfs, seg_ids, after=None):
+        key = (self._epoch, self.mode, self.k, tuple(terms), after)
+        hit = self._qcache.get(key)
+        if hit is not None:
+            self._qcache.move_to_end(key)
+            self.hits += 1
+            return hit
+        self.misses += 1
+        out = super()._score_query(terms, idfs, seg_ids, after=after)
+        self._qcache[key] = out
+        if len(self._qcache) > self._cache_size:
+            self._qcache.popitem(last=False)
+        return out
+
+
+def cached_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    mode: str = "taat",
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """``search()`` through the request-cache actor (see
+    :class:`CachedSearcherActor`); results are bit-identical to the
+    uncached route on every pass."""
+    return queries.map_batches(
+        CachedSearcherActor,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )

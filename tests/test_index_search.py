@@ -218,3 +218,44 @@ def test_resume_skips_done_segments(tmp_path, corpus, index_dir, queries):
     r2 = S.search(out, _qds(queries[:5]), k=K).take_all()
     key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
     assert key(r1) == key(r2)
+
+
+# ------------------------------------------------ request cache
+
+def test_cached_searcher_hits_and_equality(index_dir):
+    import pyarrow as pa
+
+    from defactonlp_ray.stages.search import CachedSearcherActor, SearcherActor
+
+    batch = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "terms": pa.array(
+                [["the", "data"], ["hash", "join"]], pa.list_(pa.string())
+            ),
+        }
+    )
+    cached = CachedSearcherActor(index_dir=index_dir, k=10)
+    plain = SearcherActor(index_dir=index_dir, k=10)
+    first = cached(batch)
+    assert cached.misses == 2 and cached.hits == 0
+    second = cached(batch)
+    assert cached.hits == 2 and cached.misses == 2
+    assert first.equals(second)
+    assert first.equals(plain(batch))
+
+
+def test_cached_searcher_epoch_changes_on_delete(index_dir, tmp_path):
+    import shutil
+
+    import pyarrow as pa
+
+    from defactonlp_ray.stages.deletes import delete_docs
+    from defactonlp_ray.stages.search import CachedSearcherActor
+
+    idx = str(tmp_path / "epochidx")
+    shutil.copytree(index_dir, idx)
+    a = CachedSearcherActor(index_dir=idx, k=10)
+    delete_docs(idx, [0, 1, 2])
+    b = CachedSearcherActor(index_dir=idx, k=10)
+    assert a._epoch != b._epoch
