@@ -10487,6 +10487,144 @@ def _index_sorted_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_INDEX_SORTED_TOPK = _index_sorted_sql(_SORTED_QUERIES)
 
 
+# ----------------------- source formats: WARC + JSONL round trips
+
+_WARC_SHARDS = 4
+
+
+def _warc_export_dir(sf_dir: str) -> str:
+    """Deterministic WARC export of the documents table (4 shard files,
+    shard = doc_id % 4, urls doc://<id>, bodies the pinned fixture HTML
+    wrap) under a version+fingerprint-keyed /tmp dir — built once,
+    resumed by later entries."""
+    from ..sources.warc import write_warc
+
+    out = _tmp_index_dir(sf_dir, "warc")
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    shards: list[list[tuple[str, bytes]]] = [[] for _ in range(_WARC_SHARDS)]
+    for did, text in sorted(
+        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    ):
+        html = (
+            "<html><head><title></title></head><body><p>"
+            + text
+            + "</p></body></html>"
+        ).encode("utf-8")
+        shards[int(did) % _WARC_SHARDS].append((f"doc://{did}", html))
+    for s, rows in enumerate(shards):
+        write_warc(rows, os.path.join(out, f"shard-{s}.warc.gz"))
+    with open(done + ".tmp", "w") as f:
+        f.write("ok")
+    os.replace(done + ".tmp", done)
+    return out
+
+
+def q_warc_extract_stats(sf_dir: str):
+    """WARC front door (sources/warc.py — the Common Crawl container):
+    documents round-trip through a deterministic 4-shard .warc.gz export,
+    back in via the length-framed Ray reader (one task per file, the CC
+    parallel unit), through the pinned HTML->text extractor, into
+    per-shard (n_docs, total_tokens) stats.  Equality with SQL over the
+    parquet table proves the writer, the parser, and the extractor
+    compose to an exact round trip (the M5 byte-identical invariant,
+    now entering through a real crawl format)."""
+    from ..functions.extract import extract_text
+    from ..sources.warc import read_warc
+
+    out = _warc_export_dir(sf_dir)
+    paths = [
+        os.path.join(out, f"shard-{s}.warc.gz") for s in range(_WARC_SHARDS)
+    ]
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = [
+            extract_text(h) for h in batch["html"].to_pylist()
+        ]
+        dids = np.asarray(
+            [int(u.split("://", 1)[1]) for u in batch["url"].to_pylist()],
+            dtype=np.int64,
+        )
+        _terms, row_idx, doc_len = flatten_tokens(
+            pa.array(texts, pa.string())
+        )
+        t = pa.table(
+            {
+                "shard": pa.array(dids % _WARC_SHARDS, pa.int64()),
+                "n_p": pa.array(np.ones(dids.size, dtype=np.int64)),
+                "tok_p": pa.array(doc_len.astype(np.int64), pa.int64()),
+            }
+        )
+        return t
+
+    return (
+        read_warc(paths)
+        .map_batches(stats, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Sum("n_p", alias_name="n_docs"),
+            Sum("tok_p", alias_name="total_tokens"),
+        )
+    )
+
+
+SQL_WARC_EXTRACT_STATS = (
+    f"SELECT doc_id % {_WARC_SHARDS} AS shard, count(*) AS n_docs, "
+    "CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) "
+    "AS BIGINT) AS total_tokens FROM documents GROUP BY 1"
+)
+
+
+def q_jsonl_lang_counts(sf_dir: str):
+    """JSONL front door: documents round-trip through a gzipped
+    newline-delimited-JSON export (the other ubiquitous crawl/dataset
+    interchange format) and back in via ``ray.data.read_json``, then the
+    standard lang tally.  Equality with SQL over the parquet table
+    proves the lossless round trip."""
+    out = _tmp_index_dir(sf_dir, "jsonl")
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        import gzip as _gzip
+        import json as _json
+
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        rows = sorted(
+            zip(tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist())
+        )
+        half = len(rows) // 2
+        for s, chunk in enumerate((rows[:half], rows[half:])):
+            buf = "".join(
+                _json.dumps({"doc_id": d, "lang": g}) + "\n"
+                for d, g in chunk
+            ).encode("utf-8")
+            p = os.path.join(out, f"part-{s}.jsonl.gz")
+            with open(p + ".tmp", "wb") as f:
+                f.write(_gzip.compress(buf, mtime=0))
+            os.replace(p + ".tmp", p)
+        with open(done + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(done + ".tmp", done)
+
+    ds = ray.data.read_json(
+        [os.path.join(out, f"part-{s}.jsonl.gz") for s in range(2)]
+    )
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_JSONL_LANG_COUNTS = (
+    "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+)
+
+
 # ------------------------------ request cache (ES request cache)
 
 def q_bm25_cached_topk(sf_dir: str):
@@ -11175,6 +11313,8 @@ def q_unigram_token_counts(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "warc_extract_stats": q_warc_extract_stats,
+    "jsonl_lang_counts": q_jsonl_lang_counts,
     "bm25_cached_topk": q_bm25_cached_topk,
     "bm25_bloom_count": q_bm25_bloom_count,
     "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
@@ -11381,6 +11521,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "warc_extract_stats": SQL_WARC_EXTRACT_STATS,
+    "jsonl_lang_counts": SQL_JSONL_LANG_COUNTS,
     "bm25_cached_topk": SQL_BM25_TOPK,
     "bm25_bloom_count": SQL_BM25_BLOOM_COUNT,
     "ccnet_ppl_buckets": SQL_CCNET_PPL_BUCKETS,
