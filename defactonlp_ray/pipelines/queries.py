@@ -11298,6 +11298,189 @@ def q_unigram_token_counts(sf_dir: str):
     )
 
 
+# ---------------- ES aggregation batch 2: multi_terms / weighted_avg /
+# ---------------- bucket_selector+bucket_sort / range agg
+
+_BSEL_MIN = 340   # bucket_selector threshold (sf0.01 daily counts ~320-364)
+_BSEL_K = 5       # bucket_sort truncation
+_RANGE_EDGES = (150, 300, 450)
+_RANGE_LABELS = ("*-150", "150-300", "300-450", "450-*")
+
+
+def q_multi_terms_agg(sf_dir: str):
+    """Elasticsearch ``multi_terms`` aggregation: top-10 composite
+    (lang, source) buckets by doc count, ties by the key pair.  Shape:
+    per-batch Arrow group_by combiner (one row per distinct pair per
+    batch — the exchange moves bucket partials, never docs) -> ONE
+    groupby((lang, source)) Sum -> distributed sort + limit; the bucket
+    table never materializes on the driver, so a 10^9-domain composite
+    key (url-host × lang at web scale) stays out of driver memory."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["lang", "source"]).group_by(
+            ["lang", "source"]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "source", "n_p"])
+
+    return (
+        _docs(sf_dir, ["lang", "source"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .sort(["n", "lang", "source"], descending=[True, False, False])
+        .limit(10)
+    )
+
+
+SQL_MULTI_TERMS_AGG = (
+    "SELECT lang, source, count(*) AS n FROM documents "
+    "GROUP BY 1, 2 ORDER BY n DESC, lang, source LIMIT 10"
+)
+
+
+def q_weighted_avg_value(sf_dir: str):
+    """Elasticsearch ``weighted_avg`` aggregation: per event_type, the
+    mean of ``value`` weighted by a per-event weight (the deterministic
+    1 + user_id % 3 — in ES terms a weight script).  Shape: the
+    combiner keeps (sum(v*w), sum(w)) per type per batch, the exchange
+    is one row per (type, batch), and the final ratio is a map over the
+    |types|-row aggregate — the numerically standard two-accumulator
+    form that merges associatively at any cluster size."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        w = 1.0 + (
+            batch["user_id"].to_numpy(zero_copy_only=False) % 3
+        ).astype(np.float64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "vw_p": pa.array(v * w, pa.float64()),
+            "w_p": pa.array(w, pa.float64()),
+        })
+        return t.group_by("event_type").aggregate(
+            [("vw_p", "sum"), ("w_p", "sum")]
+        ).rename_columns(["event_type", "vw_p", "w_p"])
+
+    agg = (
+        read_table(sf_dir, "events", ["event_type", "user_id", "value"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("vw_p", alias_name="vw"), Sum("w_p", alias_name="w"))
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "wavg": pa.array(
+                np.round(
+                    b["vw"].to_numpy(zero_copy_only=False)
+                    / b["w"].to_numpy(zero_copy_only=False),
+                    6,
+                ),
+                pa.float64(),
+            ),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_AVG_VALUE = (
+    "SELECT event_type, round(sum(value * (1 + user_id % 3)) "
+    "/ sum(1 + user_id % 3), 6) AS wavg FROM events GROUP BY 1"
+)
+
+
+def q_bucket_selector_days(sf_dir: str):
+    """Elasticsearch ``bucket_selector`` + ``bucket_sort`` pipeline
+    aggregations over the daily date_histogram: keep only days whose
+    event count clears a threshold, order the survivors by count and
+    truncate.  Shape: the day-count combiner bounds the exchange to one
+    row per (day, batch); selector and sort run DISTRIBUTED (Ray filter
+    expression + range-partitioned sort + limit) — no driver pass at
+    all, so a years-long histogram behaves the same as 30 days."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        agg = pa.table({"window_start": day}).group_by(
+            "window_start"
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    return (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .filter(expr=f"n >= {_BSEL_MIN}")
+        .sort(["n", "window_start"], descending=[True, False])
+        .limit(_BSEL_K)
+    )
+
+
+SQL_BUCKET_SELECTOR_DAYS = (
+    "SELECT * FROM (SELECT date_trunc('day', ts) AS window_start, "
+    "count(*) AS n FROM events GROUP BY 1) "
+    f"WHERE n >= {_BSEL_MIN} ORDER BY n DESC, window_start LIMIT {_BSEL_K}"
+)
+
+
+def q_range_agg_chars(sf_dir: str):
+    """Elasticsearch ``range`` aggregation over the n_chars doc value:
+    fixed half-open buckets with per-bucket count and mean length.
+    Shape: np.digitize codes every row, np.bincount produces the
+    (count, sum) partials — each batch reduces to <= 4 rows regardless
+    of batch size, the canonical fixed-fanout combiner, then ONE
+    groupby(bucket) Sum and a 4-row ratio map."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False)
+        idx = np.digitize(x, _RANGE_EDGES)
+        cnt = np.bincount(idx, minlength=len(_RANGE_LABELS))
+        s = np.bincount(idx, weights=x, minlength=len(_RANGE_LABELS))
+        nz = cnt > 0
+        return pa.table({
+            "bucket": pa.array(
+                np.asarray(_RANGE_LABELS, dtype=object)[nz], pa.string()
+            ),
+            "n_p": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            "sum_p": pa.array(s[nz], pa.float64()),
+        })
+
+    agg = (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("sum_p", alias_name="s"))
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": b["bucket"],
+            "n": b["n"],
+            "avg_chars": pa.array(
+                np.round(b["s"].to_numpy(zero_copy_only=False) / n, 6),
+                pa.float64(),
+            ),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_RANGE_AGG_CHARS = (
+    "WITH b AS (SELECT CASE "
+    f"WHEN n_chars < {_RANGE_EDGES[0]} THEN '{_RANGE_LABELS[0]}' "
+    f"WHEN n_chars < {_RANGE_EDGES[1]} THEN '{_RANGE_LABELS[1]}' "
+    f"WHEN n_chars < {_RANGE_EDGES[2]} THEN '{_RANGE_LABELS[2]}' "
+    f"ELSE '{_RANGE_LABELS[3]}' END AS bucket, n_chars FROM documents) "
+    "SELECT bucket, count(*) AS n, "
+    "round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars "
+    "FROM b GROUP BY 1"
+)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -11313,6 +11496,10 @@ def q_unigram_token_counts(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "multi_terms_agg": q_multi_terms_agg,
+    "weighted_avg_value": q_weighted_avg_value,
+    "bucket_selector_days": q_bucket_selector_days,
+    "range_agg_chars": q_range_agg_chars,
     "warc_extract_stats": q_warc_extract_stats,
     "jsonl_lang_counts": q_jsonl_lang_counts,
     "bm25_cached_topk": q_bm25_cached_topk,
@@ -11521,6 +11708,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multi_terms_agg": SQL_MULTI_TERMS_AGG,
+    "weighted_avg_value": SQL_WEIGHTED_AVG_VALUE,
+    "bucket_selector_days": SQL_BUCKET_SELECTOR_DAYS,
+    "range_agg_chars": SQL_RANGE_AGG_CHARS,
     "warc_extract_stats": SQL_WARC_EXTRACT_STATS,
     "jsonl_lang_counts": SQL_JSONL_LANG_COUNTS,
     "bm25_cached_topk": SQL_BM25_TOPK,
