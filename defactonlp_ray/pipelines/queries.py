@@ -11481,6 +11481,139 @@ SQL_RANGE_AGG_CHARS = (
 )
 
 
+def q_string_stats_text(sf_dir: str):
+    """Elasticsearch ``string_stats`` (show_distribution shape) over the
+    full text column: doc count, min/max/avg character length and the
+    Shannon character entropy (bits) of the corpus character
+    distribution.  Shape: each batch reduces to an alphabet-sized
+    codepoint histogram (text -> utf-32 codepoint array ->
+    np.unique counts — unicode-correct and fully vectorized) plus ONE
+    length-partial row keyed cp=-1; a single groupby(cp) merges both
+    kinds (the cp=-1 group only ever holds length partials), and the
+    finish is a driver pass over the |alphabet|+1-row table.  The
+    exchange is bounded by the alphabet, never the corpus."""
+    from ray.data.aggregate import Max, Min
+
+    def part(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        joined = "".join(batch["text"].to_pylist())
+        cps = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+        u, c = np.unique(cps, return_counts=True)
+        cp = np.concatenate([u.astype(np.int64), [-1]])
+        zero = np.zeros(len(u), dtype=np.int64)
+        return pa.table({
+            "cp": pa.array(cp, pa.int64()),
+            "n_p": pa.array(np.concatenate([c.astype(np.int64), [0]])),
+            "min_p": pa.array(np.concatenate([zero, [lens.min()]])),
+            "max_p": pa.array(np.concatenate([zero, [lens.max()]])),
+            "cnt_p": pa.array(np.concatenate([zero, [len(lens)]])),
+            "sum_p": pa.array(np.concatenate([zero, [lens.sum()]])),
+        })
+
+    tbl = (
+        _docs(sf_dir, ["text"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("cp")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Min("min_p", alias_name="mn"),
+            Max("max_p", alias_name="mx"),
+            Sum("cnt_p", alias_name="cnt"),
+            Sum("sum_p", alias_name="s"),
+        )
+        .to_pandas()
+    )
+    chars = tbl[tbl["cp"] >= 0].sort_values("cp")
+    n = chars["n"].to_numpy(np.float64)
+    p = n / n.sum()
+    ent = float(-(p * np.log2(p)).sum())
+    lrow = tbl[tbl["cp"] == -1].iloc[0]
+    return pd.DataFrame({
+        "n_docs": [int(lrow["cnt"])],
+        "min_len": [int(lrow["mn"])],
+        "max_len": [int(lrow["mx"])],
+        "avg_len": [round(float(lrow["s"]) / float(lrow["cnt"]), 6)],
+        "entropy": [round(ent, 6)],
+    })
+
+
+SQL_STRING_STATS_TEXT = (
+    "WITH c AS (SELECT ch, CAST(count(*) AS DOUBLE) AS n FROM "
+    "(SELECT unnest(regexp_split_to_array(text, '')) AS ch "
+    "FROM documents) GROUP BY 1 ORDER BY ch), "
+    "t AS (SELECT sum(n) AS s FROM c), "
+    "e AS (SELECT round(-sum((n / s) * log2(n / s)), 6) AS entropy "
+    "FROM c, t), "
+    "l AS (SELECT count(*) AS n_docs, min(length(text)) AS min_len, "
+    "max(length(text)) AS max_len, "
+    "round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS avg_len "
+    "FROM documents) "
+    "SELECT n_docs, min_len, max_len, avg_len, entropy FROM l, e"
+)
+
+
+def _weighted_quantile_cont(vals: np.ndarray, counts: np.ndarray,
+                            q: float = 0.5) -> float:
+    """quantile_cont over a (value, count) table — the exact
+    interpolated median DuckDB's median()/mad() compute, without ever
+    expanding the rows.  vals must be sorted ascending."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    h = (n - 1) * q
+    lo = vals[np.searchsorted(cum, np.floor(h) + 1)]
+    hi = vals[np.searchsorted(cum, np.ceil(h) + 1)]
+    return float(lo + (hi - lo) * (h - np.floor(h)))
+
+
+def q_mad_chars(sf_dir: str):
+    """Elasticsearch ``median_absolute_deviation`` aggregation over the
+    n_chars doc value — computed EXACTLY (ES ships a TDigest
+    approximation; the exact form is the stronger contract and the SQL
+    oracle is DuckDB's native mad()).  Shape: the corpus reduces to a
+    (value -> count) table via a per-batch np.unique combiner + ONE
+    groupby(value) Sum — the only exchange, bounded by the value domain
+    (doc lengths, not docs); both medians (the raw one and the one over
+    |x - med| deviations) then run over that SAME tiny table with
+    quantile_cont interpolation, so the second median needs NO second
+    corpus pass: |v - med| is a per-distinct-value map and counts are
+    reused."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch["n_chars"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table({
+            "v": pa.array(u.astype(np.int64), pa.int64()),
+            "n_p": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    vc = (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    vals = vc["v"].to_numpy(np.float64)
+    counts = vc["n"].to_numpy(np.int64)
+    med = _weighted_quantile_cont(vals, counts)
+    dev = np.abs(vals - med)
+    order = np.argsort(dev, kind="stable")
+    mad = _weighted_quantile_cont(dev[order], counts[order])
+    return pd.DataFrame({
+        "median_chars": [round(med, 6)],
+        "mad_chars": [round(mad, 6)],
+    })
+
+
+SQL_MAD_CHARS = (
+    "SELECT round(median(n_chars), 6) AS median_chars, "
+    "round(mad(n_chars), 6) AS mad_chars FROM documents"
+)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -11496,6 +11629,8 @@ SQL_RANGE_AGG_CHARS = (
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "string_stats_text": q_string_stats_text,
+    "mad_chars": q_mad_chars,
     "multi_terms_agg": q_multi_terms_agg,
     "weighted_avg_value": q_weighted_avg_value,
     "bucket_selector_days": q_bucket_selector_days,
@@ -11708,6 +11843,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "string_stats_text": SQL_STRING_STATS_TEXT,
+    "mad_chars": SQL_MAD_CHARS,
     "multi_terms_agg": SQL_MULTI_TERMS_AGG,
     "weighted_avg_value": SQL_WEIGHTED_AVG_VALUE,
     "bucket_selector_days": SQL_BUCKET_SELECTOR_DAYS,
