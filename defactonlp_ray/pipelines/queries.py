@@ -11614,6 +11614,67 @@ SQL_MAD_CHARS = (
 )
 
 
+# ----------------------------------------------------------- terms_set
+
+_TERMS_SET_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["hash", "join", "table"]),
+    (1, ["data", "query", "scan", "agg"]),
+    (2, ["customer", "line"]),
+    (3, ["zzz", "table", "join"]),   # absent member never matches
+    (4, ["data"]),                   # single term: only required==1 docs
+]
+_TERMS_SET_MOD = 3
+
+
+def q_terms_set_topk(sf_dir: str):
+    """Elasticsearch ``terms_set`` query (stages/phrase.score_terms_set):
+    an OR over the query terms where the minimum number of matching
+    terms is a PER-DOCUMENT doc value (the pinned derived field
+    ``1 + doc_id % 3`` — the minimum_should_match_field contract),
+    survivors ranked by the exact boolean-OR BM25 sum."""
+    from ..stages.phrase import terms_set_search
+
+    idx = _build_docs_index(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table({
+            "query_id": pa.array(
+                [q[0] for q in _TERMS_SET_QUERIES], pa.int64()
+            ),
+            "terms": pa.array(
+                [q[1] for q in _TERMS_SET_QUERIES], pa.list_(pa.string())
+            ),
+        })
+    )
+    res = terms_set_search(
+        idx, qds, k=20, concurrency=2, req_mod=_TERMS_SET_MOD
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _terms_set_sql(
+    queries: list[tuple[int, list[str]]], mod: int, k: int = 10
+) -> str:
+    """terms_set oracle: candidate condition is the membership count
+    against the per-doc requirement, scoring is the shared
+    candidate-filtered exact-BM25 skeleton."""
+    cand_parts, qvals = [], []
+    for qid, terms in queries:
+        uniq = sorted(set(terms))
+        cnt = " + ".join(
+            f"list_contains(ts, '{t}')::INT" for t in uniq
+        )
+        cand_parts.append(
+            f"SELECT {qid} AS query_id, doc_id FROM d "
+            f"WHERE ({cnt}) >= 1 + doc_id % {mod}"
+        )
+        for t in uniq:
+            qvals.append(f"({qid}, '{t}')")
+    return _filtered_bm25_sql(cand_parts, qvals, k)
+
+
+SQL_TERMS_SET_TOPK = _terms_set_sql(_TERMS_SET_QUERIES, _TERMS_SET_MOD)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -11629,6 +11690,7 @@ SQL_MAD_CHARS = (
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "terms_set_topk": q_terms_set_topk,
     "string_stats_text": q_string_stats_text,
     "mad_chars": q_mad_chars,
     "multi_terms_agg": q_multi_terms_agg,
@@ -11843,6 +11905,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "terms_set_topk": SQL_TERMS_SET_TOPK,
     "string_stats_text": SQL_STRING_STATS_TEXT,
     "mad_chars": SQL_MAD_CHARS,
     "multi_terms_agg": SQL_MULTI_TERMS_AGG,

@@ -1553,3 +1553,120 @@ def boolean_search(
         concurrency=pool_size(concurrency),
         num_cpus=1,
     )
+
+
+# --------------------------------------------------------------- terms_set
+
+
+def score_terms_set(
+    reader: IndexReader,
+    seg_ids: list[int],
+    terms: list[str],
+    k: int,
+    req_mod: int = 3,
+) -> list[tuple[float, int]]:
+    """Elasticsearch ``terms_set`` query: an OR over ``terms`` whose
+    minimum_should_match is a PER-DOCUMENT doc value — here the pinned
+    derived field ``required = 1 + doc_id % req_mod`` (ES reads it via
+    ``minimum_should_match_field``; the derivation keeps the oracle
+    arithmetic).  Candidates are the posting-set union; the distinct
+    matching-term count per candidate (the same vectorized membership
+    sum as minimumShouldMatch) is compared against each candidate's OWN
+    requirement; survivors score exactly like the boolean OR — idf*w
+    summed in ascending-term order, the pinned accumulation."""
+    terms = sorted(set(terms))
+    arrs = {t: reader.term_arrays(seg_ids, t) for t in terms}
+    parts = [arrs[t][0] for t in terms if arrs[t] is not None]
+    if not parts:
+        return []
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = np.union1d(cand, p)
+    nm = np.zeros(cand.size, dtype=np.int32)
+    for t in terms:
+        if arrs[t] is not None:
+            nm += _member(arrs[t][0], cand)
+    cand = cand[nm >= 1 + (cand % req_mod)]
+    if reader.deleted.size and cand.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand, reader.deleted)]
+    if cand.size == 0:
+        return []
+    dfs = reader.dfs(terms)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in terms:  # ascending-term accumulation order (pinned)
+        if arrs[t] is None or dfs[t] == 0:
+            continue
+        docids, w = arrs[t]
+        p = np.searchsorted(docids, cand)
+        ok = p < docids.size
+        ok[ok] &= docids[p[ok]] == cand[ok]
+        scores[ok] += reader.idf(t) * w[p[ok]]
+    return _topk_exact(scores, cand, k)
+
+
+class TermsSetSearcherActor:
+    """Actor-pool stage for terms_set queries: (query_id, terms) ->
+    (query_id, rank, doc_id, score).  Index opened once per actor."""
+
+    def __init__(self, index_dir: str, k: int, packs_ref=None,
+                 req_mod: int = 3):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+        self.req_mod = req_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted(
+            {t for ts in batch["terms"].to_pylist() for t in ts}
+            - self.seeded
+        )
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, ts in zip(
+            batch["query_id"].to_pylist(), batch["terms"].to_pylist()
+        ):
+            top = score_terms_set(
+                self.reader, self.seg_ids, list(ts), self.k,
+                req_mod=self.req_mod,
+            )
+            for rank, (score, doc_id) in enumerate(top, 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def terms_set_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+    req_mod: int = 3,
+) -> "ray.data.Dataset":
+    """terms_set query pipeline (see :func:`score_terms_set`)."""
+    return queries.map_batches(
+        TermsSetSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+            "req_mod": req_mod,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )

@@ -873,3 +873,59 @@ def test_span_containing_rejects_same_big_terms(pos_index):
         score_span_containing(
             reader, reader.seg_ids, "table", "table", 2, "the", 10
         )
+
+
+# ----------------------------------------------------------- terms_set
+
+
+def _py_terms_set(doc_tokens, terms, k, mod=3):
+    """Reference: OR candidates filtered by the per-doc requirement
+    (1 + doc_id % mod distinct matching terms), boolean-OR scoring."""
+    base = _py_boolean(doc_tokens, [], terms, [], k=10**9)
+    uniq = sorted(set(terms))
+    out = []
+    for score, did in base:
+        nm = sum(t in set(doc_tokens[did]) for t in uniq)
+        if nm >= 1 + did % mod:
+            out.append((score, did))
+    return out[:k]
+
+
+TERMS_SET_CASES = [
+    ["data", "query", "fast"],
+    ["scan", "merge", "sort", "window"],
+    ["data"],                 # single term: only required==1 docs
+    ["zzz", "data", "sort"],  # absent member never counts
+    ["zzz"],                  # nothing matches at all
+]
+
+
+def test_terms_set_matches_python(pos_index, doc_tokens):
+    from defactonlp_ray.stages.phrase import score_terms_set
+
+    reader = IndexReader(pos_index)
+    for terms in TERMS_SET_CASES:
+        ref = _py_terms_set(doc_tokens, terms, k=10)
+        got = score_terms_set(reader, reader.seg_ids, terms, k=10)
+        assert got == ref, terms
+
+
+def test_terms_set_requirement_actually_gates(pos_index, doc_tokens):
+    """With req_mod=1 every candidate needs just one match (== plain OR
+    boolean); the default mod=3 must be a strict subset whenever some
+    candidate has doc_id % 3 > its match count - 1."""
+    from defactonlp_ray.stages.phrase import score_terms_set
+
+    reader = IndexReader(pos_index)
+    terms = ["data", "query", "fast"]
+    loose = dict(
+        (d, s) for s, d in score_terms_set(
+            reader, reader.seg_ids, terms, k=10**9, req_mod=1)
+    )
+    tight = dict(
+        (d, s) for s, d in score_terms_set(
+            reader, reader.seg_ids, terms, k=10**9)
+    )
+    assert set(tight) <= set(loose)
+    assert all(loose[d] == s for d, s in tight.items())
+    assert len(tight) < len(loose)
