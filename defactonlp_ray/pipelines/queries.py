@@ -11675,6 +11675,112 @@ def _terms_set_sql(
 SQL_TERMS_SET_TOPK = _terms_set_sql(_TERMS_SET_QUERIES, _TERMS_SET_MOD)
 
 
+# ----------------------------------------------------- global line dedup
+
+_LINE_W = 8          # tokens per "line" (the dedup unit)
+_LINE_SHIFT = 20     # packed key: doc_id << 20 | line_id (docs here are
+                     # <= 2^20 lines; a 100-TB deployment widens to a
+                     # two-int64 struct key, same Min aggregate)
+
+
+def q_line_dedup(sf_dir: str):
+    """C4-style GLOBAL exact line deduplication (Raffel et al. 2020
+    discard duplicate spans keeping the first occurrence; lines here
+    are the pinned 8-token windows since the synthetic corpus has no
+    newlines).  A line survives iff its (doc_id, line_id) is the
+    corpus-wide MINIMUM occurrence of that exact line text; the result
+    is the per-doc retention ledger (n_lines / n_kept / n_removed) a
+    curation pipeline keys its rewrite step on.  Shape: vectorized line
+    assembly per batch (token scatter into a (n_lines, W) matrix — no
+    per-line Python join) -> ONE groupby(line) Min over the packed
+    occurrence key -> ONE hash join back against the occurrence stream
+    -> per-doc counts.  Both exchanges move one row per LINE, never
+    tokens; the winner rule is a Min aggregate, so no whole-corpus
+    materialization anywhere."""
+
+    def lines_part(batch: pa.Table) -> pa.Table:
+        terms, row_idx, doc_len = flatten_tokens(batch["text"])
+        n = len(terms)
+        if n == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "line": pa.array([], pa.string()),
+                "mk": pa.array([], pa.int64()),
+            })
+        starts = np.zeros(doc_len.size + 1, dtype=np.int64)
+        np.cumsum(doc_len, out=starts[1:])
+        pos = np.arange(n, dtype=np.int64) - starts[row_idx]
+        line_id = pos // _LINE_W
+        pack = row_idx.astype(np.int64) * (1 << _LINE_SHIFT) + line_id
+        uniq, inv = np.unique(pack, return_inverse=True)
+        mat = np.full((uniq.size, _LINE_W), "", dtype=object)
+        mat[inv, pos % _LINE_W] = np.asarray(terms.to_pylist(), dtype=object)
+        s = mat[:, 0]
+        for j in range(1, _LINE_W):
+            more = mat[:, j] != ""
+            s = np.where(more, s + " " + mat[:, j], s)
+        rows = (uniq >> _LINE_SHIFT).astype(np.int64)
+        lids = uniq & ((1 << _LINE_SHIFT) - 1)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)[rows]
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "line": pa.array(s, pa.string()),
+            "mk": pa.array(dids * (1 << _LINE_SHIFT) + lids, pa.int64()),
+        })
+
+    from ray.data.aggregate import Min
+
+    occ = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lines_part, batch_format="pyarrow"
+    ).materialize()  # consumed twice: winner table + join back
+    win = occ.groupby("line").aggregate(Min("mk", alias_name="mk_min"))
+
+    def flag(b: pa.Table) -> pa.Table:
+        kept = (
+            b["mk"].to_numpy(zero_copy_only=False)
+            == b["mk_min"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "kept_p": pa.array(kept, pa.int64()),
+        })
+
+    return (
+        occ.join(win, join_type="inner", on=("line",), num_partitions=16)
+        .map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_lines"),
+            Sum("kept_p", alias_name="n_kept"),
+        )
+        .map_batches(
+            lambda b: b.append_column(
+                "n_removed",
+                pc.subtract(b["n_lines"], b["n_kept"]),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_LINE_DEDUP = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "lines AS (SELECT doc_id, j AS line_id, "
+    f"array_to_string(ts[j * {_LINE_W} + 1 : j * {_LINE_W} + {_LINE_W}], ' ') "
+    "AS line FROM d, unnest(range(0, CAST(ceil(len(ts) / "
+    f"{_LINE_W}.0) AS BIGINT))) t(j)), "
+    "win AS (SELECT line, "
+    f"min(doc_id * {1 << _LINE_SHIFT} + line_id) AS mk FROM lines "
+    "GROUP BY line), "
+    "f AS (SELECT l.doc_id, "
+    f"(l.doc_id * {1 << _LINE_SHIFT} + l.line_id = w.mk)::INT AS kept "
+    "FROM lines l JOIN win w USING (line)) "
+    "SELECT doc_id, count(*) AS n_lines, CAST(sum(kept) AS BIGINT) AS n_kept, "
+    "CAST(count(*) - sum(kept) AS BIGINT) AS n_removed FROM f GROUP BY doc_id"
+)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -11690,6 +11796,7 @@ SQL_TERMS_SET_TOPK = _terms_set_sql(_TERMS_SET_QUERIES, _TERMS_SET_MOD)
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "line_dedup": q_line_dedup,
     "terms_set_topk": q_terms_set_topk,
     "string_stats_text": q_string_stats_text,
     "mad_chars": q_mad_chars,
@@ -11905,6 +12012,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "line_dedup": SQL_LINE_DEDUP,
     "terms_set_topk": SQL_TERMS_SET_TOPK,
     "string_stats_text": SQL_STRING_STATS_TEXT,
     "mad_chars": SQL_MAD_CHARS,
