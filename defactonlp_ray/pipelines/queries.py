@@ -11913,6 +11913,36 @@ SQL_NB_CLASSIFY = (
 )
 
 
+def q_ann_hamming(sf_dir: str):
+    """Binary-code similarity search (stages/ann.knn_hamming): vectors
+    sign-binarized into packed uint64 words (64x under float64 — the
+    candidate-generation memory form), exact Hamming top-10 per query
+    with integer distances (no float policy).  Oracle: DuckDB counts
+    sign disagreements per dimension with a list lambda — fully
+    independent of the bit packing and the popcount LUT."""
+    q = _query_vectors(sf_dir, 3)
+    res = ann.knn_hamming(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=10
+    )
+    return res
+
+
+_ANN_DIM = 64
+
+SQL_ANN_HAMMING = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+    "FROM embeddings WHERE vec_id < 3), "
+    "d AS (SELECT q.query_id, e.vec_id, "
+    f"len(list_filter(range(1, {_ANN_DIM + 1}), "
+    "i -> (q.qv[i] >= 0) <> (e.embedding[i] >= 0))) AS hamming "
+    "FROM q CROSS JOIN embeddings e) "
+    "SELECT query_id, rank, vec_id, hamming FROM ("
+    "SELECT query_id, vec_id, hamming, "
+    "row_number() OVER (PARTITION BY query_id "
+    "ORDER BY hamming, vec_id) AS rank FROM d) WHERE rank <= 10"
+)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -11928,6 +11958,7 @@ SQL_NB_CLASSIFY = (
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "ann_hamming": q_ann_hamming,
     "nb_classify": q_nb_classify,
     "line_dedup": q_line_dedup,
     "terms_set_topk": q_terms_set_topk,
@@ -12145,6 +12176,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_hamming": SQL_ANN_HAMMING,
     "nb_classify": SQL_NB_CLASSIFY,
     "line_dedup": SQL_LINE_DEDUP,
     "terms_set_topk": SQL_TERMS_SET_TOPK,

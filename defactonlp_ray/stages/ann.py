@@ -1115,3 +1115,93 @@ def knn_ivfpq(
                   "vec_id": np.int64, "score": np.float64})
     res = pd.concat(out, ignore_index=True)
     return res[["query_id", "rank", "vec_id", "score"]]
+
+
+# ----------------------------------------------------------- binary hamming
+
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
+
+
+def binarize_signs(m: np.ndarray) -> np.ndarray:
+    """Sign-binarize float vectors into packed uint64 words (Charikar
+    2002 hyperplane-LSH codes with the identity projection basis:
+    bit i = 1 iff x[i] >= 0).  dim must be a multiple of 64; returns
+    shape (n, dim // 64) uint64."""
+    n, d = m.shape
+    if d % 64:
+        raise ValueError(f"dim {d} not a multiple of 64")
+    bits = (m >= 0).astype(np.uint8)
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    return packed.view(np.uint64).reshape(n, d // 64)
+
+
+def _hamming(words: np.ndarray, qwords: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances: (n, w) x (m, w) uint64 -> (m, n)
+    int64 via one XOR broadcast + a 256-entry popcount LUT over the
+    byte view (numpy 1.26 has no bitwise_count)."""
+    x = qwords[:, None, :] ^ words[None, :, :]
+    by = x.view(np.uint8)
+    return _POPCNT8[by].sum(axis=2, dtype=np.int64)
+
+
+def knn_hamming(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact Hamming top-k over sign-binarized vectors -> DataFrame
+    (query_id, rank, vec_id, hamming), ties (hamming asc, vec_id asc).
+    The binary codes are 64x smaller than float64 vectors — the memory
+    form a 100-TB embedding store actually serves candidate generation
+    from; distances are integers, so there is NO cross-engine float
+    policy at all.  Same shape as knn_brute: per-batch partial top-k
+    combiner, one tiny driver merge."""
+    qwords = binarize_signs(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(qwords)
+
+    class Score:
+        def __init__(self):
+            self.qw = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                })
+            ids = batch[id_col].to_numpy()
+            words = binarize_signs(_as_matrix(batch[vec_col]))
+            d = _hamming(words, self.qw)
+            nq = self.qw.shape[0]
+            kk = min(k, ids.size)
+            out_q, out_id, out_d = [], [], []
+            for qi in range(nq):  # local top-k partial (combiner)
+                order = np.lexsort((ids, d[qi]))[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_id.append(ids[order])
+                out_d.append(d[qi][order])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_d), pa.int64()),
+            })
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        Score, batch_format="pyarrow", concurrency=pool_size(2)
+    )
+    pdf = partials.to_pandas()
+    out = []
+    for _qi, g in pdf.groupby("query_id"):
+        g = g.sort_values(["hamming", "vec_id"],
+                          ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    return res[["query_id", "rank", "vec_id", "hamming"]]

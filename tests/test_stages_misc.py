@@ -122,3 +122,26 @@ def test_multimodal_strict_raises():
     with_img = multimodal.add_fake_images(base)
     with pytest.raises(Exception):
         multimodal.decode_images(with_img, strict=True).take_all()
+
+
+def test_hamming_kernel_matches_naive():
+    from defactonlp_ray.stages.ann import _hamming, binarize_signs
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((40, 128))
+    q = rng.standard_normal((5, 128))
+    words, qwords = binarize_signs(m), binarize_signs(q)
+    got = _hamming(words, qwords)
+    bits_m = m >= 0
+    bits_q = q >= 0
+    want = (bits_q[:, None, :] != bits_m[None, :, :]).sum(axis=2)
+    assert np.array_equal(got, want)
+
+
+def test_binarize_signs_rejects_ragged_dim():
+    import pytest as _pytest
+
+    from defactonlp_ray.stages.ann import binarize_signs
+
+    with _pytest.raises(ValueError):
+        binarize_signs(np.zeros((3, 70)))
