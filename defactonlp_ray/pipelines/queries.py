@@ -11943,6 +11943,72 @@ SQL_ANN_HAMMING = (
 )
 
 
+def q_csv_source_stats(sf_dir: str):
+    """CSV front door (the third interchange format next to WARC and
+    JSONL): documents round-trip through Ray Data's OWN csv sink
+    (``Dataset.write_csv`` — sharded, quoted, schema-inferring) and
+    back via ``ray.data.read_csv``, then a per-source tally including a
+    length recomputed FROM the round-tripped text — equality with SQL
+    over the original parquet proves the quote/escape cycle lossless
+    for every document body.  Write is resumable behind a _SUCCESS
+    marker kept OUTSIDE the data dir (a marker file inside would be
+    read back as data)."""
+    root = _tmp_index_dir(sf_dir, "csvsrc")
+    data = os.path.join(root, "data")
+    done = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(done):
+        import shutil as _shutil
+
+        tmp = data + ".tmp"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        _shutil.rmtree(data, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        _docs(sf_dir, ["doc_id", "source", "n_chars", "text"]).write_csv(tmp)
+        os.replace(tmp, data)
+        with open(done + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(done + ".tmp", done)
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": b["source"],
+            "nc": b["n_chars"],
+            "ln": pc.utf8_length(b["text"]),
+        })
+        agg = t.group_by("source").aggregate(
+            [("nc", "sum"), ("ln", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(["source", "nc_p", "ln_p", "n_p"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b["source"],
+            "n": b["n"],
+            "sum_chars": b["sum_chars"],
+            "sum_len": pc.cast(b["sum_len"], pa.int64()),
+        })
+
+    return (
+        ray.data.read_csv(data)
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("nc_p", alias_name="sum_chars"),
+            Sum("ln_p", alias_name="sum_len"),
+        )
+        .map_batches(fin, batch_format="pyarrow")
+    )
+
+
+SQL_CSV_SOURCE_STATS = (
+    "SELECT source, count(*) AS n, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+    "CAST(sum(length(text)) AS BIGINT) AS sum_len "
+    "FROM documents GROUP BY 1"
+)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -11958,6 +12024,7 @@ SQL_ANN_HAMMING = (
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "csv_source_stats": q_csv_source_stats,
     "ann_hamming": q_ann_hamming,
     "nb_classify": q_nb_classify,
     "line_dedup": q_line_dedup,
@@ -12176,6 +12243,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "csv_source_stats": SQL_CSV_SOURCE_STATS,
     "ann_hamming": SQL_ANN_HAMMING,
     "nb_classify": SQL_NB_CLASSIFY,
     "line_dedup": SQL_LINE_DEDUP,
