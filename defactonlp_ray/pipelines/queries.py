@@ -12009,6 +12009,337 @@ SQL_CSV_SOURCE_STATS = (
 )
 
 
+# ------------------------------------------------- geo family (functions/geo)
+
+_GEO_ZOOM = 4
+_GEO_ORIGIN = (48.8566, 2.3522)  # Paris; pinned in both engines
+_GEO_TOPK = 50
+
+
+def _synth_geo(batch: pa.Table):
+    from ..functions import geo
+
+    d = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return geo.synth_coords_e6(d)
+
+
+def q_geotile_grid(sf_dir: str):
+    """ES ``geotile_grid`` aggregation with a ``geo_centroid`` sub-agg:
+    deterministic per-doc coordinates (exact affine-mod integer synthesis,
+    functions/geo.py — the corpus has no geo columns), web-mercator tile
+    (x, y) at zoom 4, then per-tile doc count and centroid.  The shuffle
+    key is one packed int64 (x<<32|y) so the exchange is a single-column
+    groupby; tile-x is exact integer division; tile-y rides the float
+    policy; the centroid avoids floats entirely — coordinates are
+    shifted non-negative so integer floor-division == truncation on
+    both engines, giving an EXACT micro-degree centroid (n=2/4/6
+    buckets land on .5-microdegree halves where round(,6) diverges:
+    numpy banker's vs DuckDB half-away)."""
+    from ..functions import geo
+
+    def part(batch: pa.Table) -> pa.Table:
+        lat, lon = _synth_geo(batch)
+        x, y = geo.geotile_xy(lat, lon, _GEO_ZOOM)
+        key = (x << np.int64(32)) | y
+        t = pa.table({
+            "tile_key": pa.array(key, pa.int64()),
+            "lat_p": pa.array(lat + 85_000_000, pa.int64()),
+            "lon_p": pa.array(lon + 180_000_000, pa.int64()),
+        })
+        agg = t.group_by("tile_key").aggregate(
+            [("lat_p", "sum"), ("lon_p", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(["tile_key", "lat_p", "lon_p", "n_p"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        key = b["tile_key"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        slat = b["sum_lat"].to_numpy(zero_copy_only=False)
+        slon = b["sum_lon"].to_numpy(zero_copy_only=False)
+        clat = (slat // n - 85_000_000) / 1e6
+        clon = (slon // n - 180_000_000) / 1e6
+        return pa.table({
+            "tile_x": pa.array(key >> np.int64(32), pa.int64()),
+            "tile_y": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+            "n": b["n"],
+            "centroid_lat": pa.array(clat, pa.float64()),
+            "centroid_lon": pa.array(clon, pa.float64()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("tile_key")
+        .aggregate(
+            Sum("lat_p", alias_name="sum_lat"),
+            Sum("lon_p", alias_name="sum_lon"),
+            Sum("n_p", alias_name="n"),
+        )
+        .map_batches(fin, batch_format="pyarrow")
+    )
+
+
+def _sql_geo_cte() -> str:
+    from ..functions import geo
+
+    return (
+        f"g AS (SELECT doc_id, {geo.SQL_LAT_E6} AS lat_e6, "
+        f"{geo.SQL_LON_E6} AS lon_e6 FROM documents)"
+    )
+
+
+def _sql_geotile_grid() -> str:
+    from ..functions import geo
+
+    x, y = geo.sql_geotile_xy(_GEO_ZOOM)
+    return (
+        f"WITH {_sql_geo_cte()}, "
+        f"t AS (SELECT {x} AS tile_x, {y} AS tile_y, lat_e6, lon_e6 FROM g) "
+        "SELECT tile_x, tile_y, count(*) AS n, "
+        "(CAST(sum(lat_e6 + 85000000) // count(*) AS BIGINT) - 85000000) "
+        "/ 1e6 AS centroid_lat, "
+        "(CAST(sum(lon_e6 + 180000000) // count(*) AS BIGINT) - 180000000) "
+        "/ 1e6 AS centroid_lon "
+        "FROM t GROUP BY 1, 2"
+    )
+
+
+def q_geo_distance_topk(sf_dir: str):
+    """ES ``geo_distance`` sort: haversine km from every document's
+    synthetic coordinate to a pinned origin, global 50 nearest.  The
+    formula is written operation-for-operation identically in numpy and
+    the SQL oracle and distances are rounded to 1e-6 km on both sides
+    before ranking (ties then break on doc_id).  Per-batch top-k
+    combiner -> tiny driver-side merge; no global sort."""
+    from ..functions import geo
+
+    k = _GEO_TOPK
+    lat0, lon0 = _GEO_ORIGIN
+
+    def part(batch: pa.Table) -> pa.Table:
+        lat, lon = _synth_geo(batch)
+        d = np.round(geo.haversine_km(lat, lon, lat0, lon0), 6)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, d))[:k]
+        return pa.table({
+            "doc_id": pa.array(doc[order], pa.int64()),
+            "dist_km": pa.array(d[order], pa.float64()),
+        })
+
+    parts = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.sort_values(["dist_km", "doc_id"], kind="mergesort").head(k)
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out[["rank", "doc_id", "dist_km"]]
+
+
+def _sql_geo_distance_topk() -> str:
+    from ..functions import geo
+
+    lat0, lon0 = _GEO_ORIGIN
+    return (
+        f"WITH {_sql_geo_cte()}, "
+        f"d AS (SELECT doc_id, round({geo.sql_haversine_km(lat0, lon0)}, 6) "
+        "AS dist_km FROM g) "
+        "SELECT rank, doc_id, dist_km FROM ("
+        "SELECT doc_id, dist_km, CAST(row_number() OVER ("
+        "ORDER BY dist_km, doc_id) AS INTEGER) AS rank FROM d) "
+        f"WHERE rank <= {_GEO_TOPK}"
+    )
+
+
+# bbox in micro-degrees: pure integer comparisons, exact on both engines
+_GEO_BBOX = (10_000_000, 55_000_000, -30_000_000, 60_000_000)
+
+
+def q_geo_bbox_count(sf_dir: str):
+    """ES ``geo_bounding_box`` filter + terms agg: documents whose
+    synthetic coordinate falls in a pinned lat/lon box, counted per
+    source.  Every comparison is int64 micro-degrees — no float appears
+    anywhere, so the check is exact, not policy-rounded."""
+    lat_lo, lat_hi, lon_lo, lon_hi = _GEO_BBOX
+
+    def part(batch: pa.Table) -> pa.Table:
+        lat, lon = _synth_geo(batch)
+        m = (lat >= lat_lo) & (lat < lat_hi) & (lon >= lon_lo) & (lon < lon_hi)
+        t = pa.table({"source": batch["source"].filter(pa.array(m))})
+        agg = t.group_by("source").aggregate([([], "count_all")])
+        return agg.rename_columns(["source", "n_p"])
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+
+
+def _sql_geo_bbox_count() -> str:
+    lat_lo, lat_hi, lon_lo, lon_hi = _GEO_BBOX
+    return (
+        f"WITH {_sql_geo_cte()} "
+        "SELECT d.source, count(*) AS n FROM g JOIN documents d USING (doc_id) "
+        f"WHERE g.lat_e6 >= {lat_lo} AND g.lat_e6 < {lat_hi} "
+        f"AND g.lon_e6 >= {lon_lo} AND g.lon_e6 < {lon_hi} "
+        "GROUP BY 1"
+    )
+
+
+# ------------------------- has_child / terms-lookup (ES join-field queries)
+
+_CHILD_WINDOW = 8
+_CHILD_TERMS = ["hash", "join", "window"]
+_CHILD_TOPK = 20
+
+
+def q_has_child_topk(sf_dir: str):
+    """ES ``has_child`` query with ``score_mode=max``: children are the
+    8-token windows of each document (the join-field model: parent doc,
+    child passages), a child matches when it contains a query term, its
+    score is the count of DISTINCT query terms present (integer — exact,
+    no float policy), and the parent takes (max child score, number of
+    matching children).  Each parent lives entirely inside one input row,
+    so one vectorized map_batches computes final per-parent rows; only
+    the per-batch top-k survives to the driver."""
+    from ..functions.tokenizer import term_position_table
+
+    qset = pa.array(_CHILD_TERMS, pa.string())
+    k = _CHILD_TOPK
+
+    def part(batch: pa.Table) -> pa.Table:
+        occ, _dl = term_position_table(batch["text"], batch["doc_id"])
+        m = pc.is_in(occ["term"], value_set=qset)
+        hit = occ.filter(m)
+        sent = pc.cast(
+            pc.divide(pc.cast(hit["pos"], pa.int64()), _CHILD_WINDOW),
+            pa.int64(),
+        )
+        tri = pa.table(
+            {"doc_id": hit["doc_id"], "sent_id": sent, "term": hit["term"]}
+        )
+        # distinct query terms per (doc, child window)
+        dt = tri.group_by(["doc_id", "sent_id", "term"]).aggregate([])
+        cs = dt.group_by(["doc_id", "sent_id"]).aggregate([([], "count_all")])
+        par = cs.group_by("doc_id").aggregate(
+            [("count_all", "max"), ([], "count_all")]
+        ).rename_columns(["doc_id", "score", "n_children"])
+        d = par["doc_id"].to_numpy(zero_copy_only=False)
+        s = par["score"].to_numpy(zero_copy_only=False)
+        nc = par["n_children"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -nc, -s))[:k]
+        return pa.table({
+            "doc_id": pa.array(d[order], pa.int64()),
+            "score": pa.array(s[order], pa.int64()),
+            "n_children": pa.array(nc[order], pa.int64()),
+        })
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.sort_values(
+        ["score", "n_children", "doc_id"],
+        ascending=[False, False, True],
+        kind="mergesort",
+    ).head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out[["rank", "doc_id", "score", "n_children"]]
+
+
+def _sql_has_child_topk() -> str:
+    w = _CHILD_WINDOW
+    vals = ", ".join(f"('{t}')" for t in _CHILD_TERMS)
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tok AS (SELECT doc_id, unnest(ts) AS term, "
+        f"CAST((unnest(range(1, len(ts) + 1)) - 1) // {w} AS BIGINT) "
+        "AS sent_id FROM d), "
+        f"q(term) AS (VALUES {vals}), "
+        "cs AS (SELECT doc_id, sent_id, count(DISTINCT tok.term) AS s "
+        "FROM tok JOIN q ON tok.term = q.term GROUP BY 1, 2), "
+        "par AS (SELECT doc_id, max(s) AS score, count(*) AS n_children "
+        "FROM cs GROUP BY 1) "
+        "SELECT rank, doc_id, score, n_children FROM ("
+        "SELECT doc_id, score, n_children, CAST(row_number() OVER ("
+        "ORDER BY score DESC, n_children DESC, doc_id) AS INTEGER) AS rank "
+        f"FROM par) WHERE rank <= {_CHILD_TOPK}"
+    )
+
+
+_LOOKUP_DOC = 0
+_LOOKUP_TOPK = 30
+
+
+def q_terms_lookup_topk(sf_dir: str):
+    """ES terms-lookup query: the term set is fetched from a LOOKUP
+    DOCUMENT's field at query time (one pruned point-read on the
+    driver — the broadcast-small-side pattern), then every other
+    document is scored by how many distinct lookup terms it contains
+    (integer hits — exact).  Per-batch distinct-containment is one
+    Arrow group_by; only per-batch top-k reaches the driver."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    lk = pq.read_table(
+        path, columns=["doc_id", "text"],
+        filters=[("doc_id", "==", _LOOKUP_DOC)],
+    )
+    toks = [x for x in lk["text"][0].as_py().split(" ") if x]
+    qset = pa.array(sorted(set(toks)), pa.string())
+    k = _LOOKUP_TOPK
+
+    def part(batch: pa.Table) -> pa.Table:
+        terms, row_idx, _dl = flatten_tokens(batch["text"])
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = pc.is_in(terms, value_set=qset)
+        t = pa.table({
+            "doc_id": pa.array(doc[row_idx], pa.int64()),
+            "term": terms,
+        }).filter(m)
+        dt = t.group_by(["doc_id", "term"]).aggregate([])
+        hits = dt.group_by("doc_id").aggregate([([], "count_all")])
+        d = hits["doc_id"].to_numpy(zero_copy_only=False)
+        h = hits["count_all"].to_numpy(zero_copy_only=False)
+        keep = d != _LOOKUP_DOC
+        d, h = d[keep], h[keep]
+        order = np.lexsort((d, -h))[:k]
+        return pa.table({
+            "doc_id": pa.array(d[order], pa.int64()),
+            "hits": pa.array(h[order], pa.int64()),
+        })
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.sort_values(
+        ["hits", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out[["rank", "doc_id", "hits"]]
+
+
+SQL_TERMS_LOOKUP_TOPK = (
+    "WITH lk AS (SELECT DISTINCT unnest(list_filter(string_split(text, ' '), "
+    f"x -> x <> '')) AS term FROM documents WHERE doc_id = {_LOOKUP_DOC}), "
+    "tok AS (SELECT DISTINCT doc_id, term FROM ("
+    "SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS term FROM documents "
+    f"WHERE doc_id <> {_LOOKUP_DOC})), "
+    "h AS (SELECT doc_id, count(*) AS hits FROM tok "
+    "JOIN lk ON tok.term = lk.term GROUP BY 1) "
+    "SELECT rank, doc_id, hits FROM ("
+    "SELECT doc_id, hits, CAST(row_number() OVER ("
+    "ORDER BY hits DESC, doc_id) AS INTEGER) AS rank FROM h) "
+    f"WHERE rank <= {_LOOKUP_TOPK}"
+)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -12024,6 +12355,11 @@ SQL_CSV_SOURCE_STATS = (
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "geotile_grid": q_geotile_grid,
+    "geo_distance_topk": q_geo_distance_topk,
+    "geo_bbox_count": q_geo_bbox_count,
+    "has_child_topk": q_has_child_topk,
+    "terms_lookup_topk": q_terms_lookup_topk,
     "csv_source_stats": q_csv_source_stats,
     "ann_hamming": q_ann_hamming,
     "nb_classify": q_nb_classify,
@@ -12243,6 +12579,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "geotile_grid": _sql_geotile_grid(),
+    "geo_distance_topk": _sql_geo_distance_topk(),
+    "geo_bbox_count": _sql_geo_bbox_count(),
+    "has_child_topk": _sql_has_child_topk(),
+    "terms_lookup_topk": SQL_TERMS_LOOKUP_TOPK,
     "csv_source_stats": SQL_CSV_SOURCE_STATS,
     "ann_hamming": SQL_ANN_HAMMING,
     "nb_classify": SQL_NB_CLASSIFY,
