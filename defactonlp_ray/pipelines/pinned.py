@@ -964,6 +964,53 @@ def serial_semdedup(
     return df.reset_index(drop=True)
 
 
+def serial_kcenter(sf_dir: str, *, k: int = 12) -> pd.DataFrame:
+    """Serial reference for distributed greedy k-center
+    (stages/cluster.kcenter_greedy): whole-matrix Gonzalez sweep via the
+    shared fixed-point selection spec (stages/cluster.kcenter_select).
+    Equality proves the per-block argmax + driver reduce recomposes the
+    whole-matrix scan at any parallelism."""
+    import pyarrow.parquet as pq
+
+    from ..stages.cluster import _D2SCALE, kcenter_select
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    chosen = kcenter_select(ids, m, k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+        "vec_id": np.asarray([c[0] for c in chosen], dtype=np.int64),
+        "radius": np.round(
+            np.asarray([c[1] for c in chosen], dtype=np.float64) / _D2SCALE, 6
+        ),
+    })
+
+
+def serial_pca(sf_dir: str, *, n_top: int = 8) -> pd.DataFrame:
+    """Serial reference for distributed PCA (stages/cluster.pca_gram):
+    whole-matrix integer Gram under the same 2^20 quantization — integer
+    matmul is exact, so the block-partitioned partials MUST recompose to
+    these very integers; the eigen step (pca_eigen) is shared driver
+    code either way."""
+    import pyarrow.parquet as pq
+
+    from ..stages.cluster import _quantize, pca_eigen
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    q = _quantize(m)
+    n = q.shape[0]
+    sum_q = q.sum(axis=0).astype(object)
+    gram_q = (q.T @ q).astype(object)
+    return pca_eigen(n, sum_q, gram_q, n_top)
+
+
 def serial_logreg(sf_dir: str) -> pd.DataFrame:
     """Serial whole-matrix reference for the distributed logreg trainer
     (stages/logreg.fit): features via the per-doc spec function
@@ -1301,6 +1348,16 @@ def oracle_values_sql() -> dict[str, str]:
         out["semdedup"] = _cached(
             "semdedup", emb_fp + "|" + KMEANS_VERSION,
             lambda: values_sql(serial_semdedup(ORACLE_SF_DIR)),
+        )
+        from ..stages.cluster import KCENTER_VERSION, PCA_VERSION
+
+        out["kcenter_coreset"] = _cached(
+            "kcenter_coreset", emb_fp + "|" + KCENTER_VERSION,
+            lambda: values_sql(serial_kcenter(ORACLE_SF_DIR)),
+        )
+        out["pca_variance"] = _cached(
+            "pca_variance", emb_fp + "|" + PCA_VERSION,
+            lambda: values_sql(serial_pca(ORACLE_SF_DIR)),
         )
 
     fx_fp = _fixture_fp()

@@ -12597,6 +12597,38 @@ def _sql_bm25_fetch_fields() -> str:
     )
 
 
+# ------------------------------- coreset selection / PCA (pinned oracles)
+
+def q_kcenter_coreset(sf_dir: str):
+    """Greedy k-center coreset over the embedding table (diversity-
+    driven data selection, Gonzalez 1985): k streaming passes, each
+    broadcasting the chosen centers and reducing one candidate row per
+    block; selection argmax runs on fixed-point integer distances (the
+    Lloyd quantization spec) so results are parallelism-invariant.
+    Oracle: the committed whole-matrix serial sweep
+    (pipelines/pinned.serial_kcenter)."""
+    from ..stages.cluster import kcenter_greedy
+
+    return kcenter_greedy(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), k=12
+    )
+
+
+def q_pca_variance(sf_dir: str):
+    """Distributed PCA spectrum over the embedding table: per-block
+    INTEGER Gram partials under the 2^20 fixed-point spec (exact, so
+    block boundaries cannot change the answer), arbitrary-precision
+    driver reduce, one 64x64 eigvalsh.  Oracle: the committed serial
+    whole-matrix Gram (pipelines/pinned.serial_pca) — integer matmul
+    equality is exact, the eigen step is shared driver code."""
+    from ..stages.cluster import pca_eigen, pca_gram
+
+    n, sum_q, gram_q = pca_gram(
+        read_table(sf_dir, "embeddings", ["embedding"])
+    )
+    return pca_eigen(n, sum_q, gram_q, n_top=8)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -12612,6 +12644,8 @@ def _sql_bm25_fetch_fields() -> str:
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "kcenter_coreset": q_kcenter_coreset,
+    "pca_variance": q_pca_variance,
     "tpch_q6": q_tpch_q6,
     "tpch_q4": q_tpch_q4,
     "events_transitions": q_events_transitions,

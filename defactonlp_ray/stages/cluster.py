@@ -275,3 +275,190 @@ def semdedup(
     out["kept"] = out["kept"].astype(bool)
     out["dup_of"] = out["dup_of"].astype(np.int64)
     return out
+
+
+# ------------------------------------------------------------ k-center
+
+KCENTER_VERSION = "kcenter-v1"
+
+
+def kcenter_select(
+    ids: np.ndarray, vecs: np.ndarray, k: int
+) -> list[tuple[int, int]]:
+    """Greedy k-center (Gonzalez 1985) over an in-memory matrix — THE
+    spec both routes share.  Seed = smallest id; each round picks the
+    point maximizing the QUANTIZED min squared distance to the chosen
+    set (``rint(d2 * 1e6)`` int64 — same fixed-point trick as Lloyd, so
+    the argmax is an integer comparison, identical at any parallelism),
+    ties broken by smallest id.  Returns [(vec_id, d2q at selection)].
+    """
+    order = np.argsort(ids, kind="stable")
+    ids_s, v = ids[order], vecs[order]
+    n = v.shape[0]
+    chosen: list[tuple[int, int]] = [(int(ids_s[0]), 0)]
+    mind = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    cur = v[0]
+    for _ in range(1, min(k, n)):
+        d2 = _pairwise_d2(v, cur[None, :])[:, 0]
+        np.minimum(mind, np.rint(np.maximum(d2, 0.0) * _D2SCALE).astype(np.int64), out=mind)
+        best = int(np.argmax(mind))          # first max == smallest id
+        chosen.append((int(ids_s[best]), int(mind[best])))
+        cur = v[best]
+    return chosen
+
+
+def kcenter_greedy(
+    ds: "ray.data.Dataset",
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Distributed greedy k-center coreset selection (the classic
+    diversity-driven data-selection rule).  Each round broadcasts only
+    the NEWEST center; every block keeps no state — it recomputes the
+    min-distance against all chosen centers per round, emits one
+    (argmax id, d2q, winning vector) row, and the driver reduces
+    |blocks| rows.  k passes over the data, zero shuffles.
+
+    Scale note: at 10^9+ vectors the running per-point min is persisted
+    as a column between rounds (write-amortized) instead of recomputed
+    (O(k^2 N d) -> O(k N d)); the selection rule and fixed-point spec
+    (kcenter_select) are unchanged — recompute keeps this route pure
+    Dataset ops.
+
+    Returns (rank, vec_id, radius) with radius = d2q/1e6 at selection.
+    """
+    vecs_ds = ds.select_columns([id_col, vec_col])
+
+    def best_in_batch(batch: pa.Table, cref) -> pa.Table:
+        empty = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "d2q": pa.array([], pa.int64()),
+            "vec": pa.array([], pa.list_(pa.float64())),
+        })
+        if batch.num_rows == 0:
+            return empty
+        cents = ray.get(cref)
+        v = _as_matrix(batch[vec_col])
+        bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = _pairwise_d2(v, cents)
+        d2q = np.rint(np.maximum(d2, 0.0) * _D2SCALE).astype(np.int64)
+        mind = d2q.min(axis=1)
+        o = np.argsort(bids, kind="stable")
+        best = o[int(np.argmax(mind[o]))]    # max d2q, ties smallest id
+        return pa.table({
+            "vec_id": pa.array([int(bids[best])], pa.int64()),
+            "d2q": pa.array([int(mind[best])], pa.int64()),
+            "vec": pa.array([v[best].tolist()], pa.list_(pa.float64())),
+        })
+
+    # deterministic seed: the smallest id (one tiny scan for its vector)
+    seed_row = (
+        vecs_ds.map_batches(
+            lambda b: pa.table({
+                id_col: [int(b[id_col].to_numpy(zero_copy_only=False).min())]
+                if b.num_rows else pa.array([], pa.int64())
+            }),
+            batch_format="pyarrow",
+        ).to_pandas()
+    )
+    seed_id = int(seed_row[id_col].min())
+    seed_vec = np.asarray(
+        ds.filter(expr=f"{id_col} == {seed_id}").take(1)[0][vec_col],
+        dtype=np.float64,
+    )
+    chosen = [(seed_id, 0)]
+    cents = seed_vec[None, :]
+    for _ in range(1, k):
+        cref = ray.put(cents)
+        cand = vecs_ds.map_batches(
+            lambda b, cref=cref: best_in_batch(b, cref),
+            batch_format="pyarrow",
+        ).to_pandas()
+        if cand.empty:
+            break
+        cand = cand.sort_values(
+            ["d2q", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        row = cand.iloc[0]
+        chosen.append((int(row["vec_id"]), int(row["d2q"])))
+        cents = np.vstack([cents, np.asarray(row["vec"], dtype=np.float64)])
+    return pd.DataFrame({
+        "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+        "vec_id": np.array([c[0] for c in chosen], dtype=np.int64),
+        "radius": np.round(
+            np.array([c[1] for c in chosen], dtype=np.float64) / _D2SCALE, 6
+        ),
+    })
+
+
+# ------------------------------------------------------------------ PCA
+
+PCA_VERSION = "pca-v1"
+
+
+def pca_gram(
+    ds: "ray.data.Dataset",
+    *,
+    vec_col: str = "embedding",
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Distributed exact Gram accumulation for PCA: vectors are
+    quantized once to ``round(v * 2^20)`` int64 (the Lloyd fixed-point
+    spec), each block emits (n, sum_q, Q^T Q) — INTEGER partials, so
+    the reduction is exact and parallelism-invariant — and the driver
+    sums them in arbitrary-precision Python ints (int64 block partials
+    are safe to ~2^22 rows/block at d=64; the driver sum never wraps).
+
+    Returns (n, sum_q (d,) object ints, gram_q (d,d) object ints)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.int64())),
+                "g": pa.array([], pa.list_(pa.int64())),
+            })
+        q = _quantize(_as_matrix(batch[vec_col]))
+        return pa.table({
+            "n": pa.array([q.shape[0]], pa.int64()),
+            "s": pa.array([q.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            "g": pa.array([(q.T @ q).ravel().tolist()], pa.list_(pa.int64())),
+        })
+
+    parts = (
+        ds.select_columns([vec_col])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    d = len(parts["s"].iloc[0])
+    sum_q = np.zeros(d, dtype=object)
+    gram_q = np.zeros(d * d, dtype=object)
+    for s in parts["s"]:
+        sum_q += np.asarray(s, dtype=object)
+    for g in parts["g"]:
+        gram_q += np.asarray(g, dtype=object)
+    return n, sum_q, gram_q.reshape(d, d)
+
+
+def pca_eigen(n: int, sum_q: np.ndarray, gram_q: np.ndarray,
+              n_top: int) -> pd.DataFrame:
+    """Covariance eigenvalues from the exact integer Gram: cov =
+    G/(n*2^40) - mu mu^T with mu = s/(n*2^20), evaluated in float64 from
+    the EXACT integer sums (identical inputs on every route), then one
+    driver-side eigvalsh.  Returns top components' (eigenvalue, ratio),
+    both rounded 1e-6."""
+    d = gram_q.shape[0]
+    sf = np.asarray(sum_q, dtype=np.float64)
+    gf = np.asarray(gram_q, dtype=np.float64)
+    mu = sf / (n * _QSCALE)
+    cov = gf / (n * _QSCALE * _QSCALE) - np.outer(mu, mu)
+    ev = np.linalg.eigvalsh((cov + cov.T) / 2.0)[::-1]
+    total = float(ev.sum())
+    top = ev[:n_top]
+    return pd.DataFrame({
+        "component": np.arange(1, len(top) + 1, dtype=np.int32),
+        "eigenvalue": np.round(top, 6),
+        "ratio": np.round(top / total, 6),
+    })
