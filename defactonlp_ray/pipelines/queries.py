@@ -12597,6 +12597,120 @@ def _sql_bm25_fetch_fields() -> str:
     )
 
 
+# ---------------------- distance_feature / pinned (ES query components)
+
+_DF_PIVOT = 1000.0   # km
+_DF_BOOST = 2.0
+
+
+def q_bm25_distance_feature(sf_dir: str):
+    """ES ``distance_feature`` query: BM25 relevance plus a geo
+    proximity bonus ``boost * pivot / (pivot + dist)`` (dist = haversine
+    km from the document's synthetic coordinate to the pinned origin),
+    applied to MATCHING docs only.  The bonus is bounded by ``boost``,
+    so block-max pruning stays sound with the bound folded into term
+    upper bounds (the rank_feature saturation entry's rule); here the
+    match set drains through the exact scorer and the bonus folds in
+    before the rounded re-rank."""
+    from ..functions import geo
+
+    idx = _build_docs_index(sf_dir)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=1 << 30, concurrency=2
+    ).to_pandas()
+    lat0, lon0 = _GEO_ORIGIN
+    d = res["doc_id"].to_numpy()
+    lat, lon = geo.synth_coords_e6(d)
+    dist = geo.haversine_km(lat, lon, lat0, lon0)
+    res["score"] = res["score"] + _DF_BOOST * _DF_PIVOT / (_DF_PIVOT + dist)
+    return _rerank_rounded(res, k=10)
+
+
+def _sql_bm25_distance_feature(queries: list[tuple[int, list[str]]]) -> str:
+    from ..functions import geo
+
+    lat0, lon0 = _GEO_ORIGIN
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        f"geo AS (SELECT sc.query_id, sc.doc_id, sc.score + {_DF_BOOST} * "
+        f"{_DF_PIVOT} / ({_DF_PIVOT} + {geo.sql_haversine_km(lat0, lon0)}) "
+        "AS score FROM ("
+        f"SELECT query_id, s.doc_id, score, {geo.SQL_LAT_E6} AS lat_e6, "
+        f"{geo.SQL_LON_E6} AS lon_e6 FROM scored s) sc) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM geo) "
+        "WHERE rank <= 10"
+    )
+
+
+_PINNED_IDS = [3, 7]
+
+
+def q_bm25_pinned_topk(sf_dir: str):
+    """ES ``pinned`` query: editorially promoted ids occupy the first
+    ranks IN THE GIVEN ORDER regardless of relevance (display score 0 —
+    the organic scorer never runs for them), organic BM25 hits follow
+    with pinned ids excluded.  One ordinary bounded top-k pass plus a
+    constant-size driver prepend."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2).to_pandas()
+    res = res[~res["doc_id"].isin(_PINNED_IDS)]
+    organic = _rerank_rounded(res, k=10 - len(_PINNED_IDS))
+    out = []
+    for qid, _terms in _BM25_QUERIES:
+        pin = pd.DataFrame({
+            "query_id": np.full(len(_PINNED_IDS), qid, dtype=np.int64),
+            "rank": np.arange(1, len(_PINNED_IDS) + 1, dtype=np.int32),
+            "doc_id": np.array(_PINNED_IDS, dtype=np.int64),
+            "score": np.zeros(len(_PINNED_IDS)),
+        })
+        g = organic[organic["query_id"] == qid].copy()
+        g["rank"] = (g["rank"] + len(_PINNED_IDS)).astype(np.int32)
+        out.extend([pin, g])
+    return pd.concat(out, ignore_index=True)
+
+
+def _sql_bm25_pinned_topk() -> str:
+    base = _bm25_sql(_BM25_QUERIES, k=10 - len(_PINNED_IDS))
+    ids = ", ".join(str(i) for i in _PINNED_IDS)
+    pins = ", ".join(
+        f"({qid}, {r + 1}, {d})"
+        for qid, _t in _BM25_QUERIES
+        for r, d in enumerate(_PINNED_IDS)
+    )
+    return (
+        "WITH organic AS (SELECT query_id, rank, doc_id, score FROM ("
+        + _bm25_sql(_BM25_QUERIES, k=1 << 30)
+        + f") WHERE doc_id NOT IN ({ids})), "
+        "org2 AS (SELECT query_id, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY rank) "
+        f"+ {len(_PINNED_IDS)} AS INTEGER) AS rank, doc_id, score "
+        f"FROM organic), "
+        f"pins(query_id, rank, doc_id) AS (VALUES {pins}) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(rank AS INTEGER) AS rank, "
+        "CAST(doc_id AS BIGINT) AS doc_id, 0.0 AS score FROM pins "
+        "UNION ALL SELECT query_id, rank, doc_id, score FROM org2 "
+        f"WHERE rank <= 10"
+    )
+
+
 # ------------------------------- coreset selection / PCA (pinned oracles)
 
 def q_kcenter_coreset(sf_dir: str):
@@ -12644,6 +12758,8 @@ def q_pca_variance(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "bm25_distance_feature": q_bm25_distance_feature,
+    "bm25_pinned_topk": q_bm25_pinned_topk,
     "kcenter_coreset": q_kcenter_coreset,
     "pca_variance": q_pca_variance,
     "tpch_q6": q_tpch_q6,
@@ -12875,6 +12991,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bm25_distance_feature": _sql_bm25_distance_feature(_BM25_QUERIES),
+    "bm25_pinned_topk": _sql_bm25_pinned_topk(),
     "tpch_q6": SQL_TPCH_Q6,
     "tpch_q4": SQL_TPCH_Q4,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
