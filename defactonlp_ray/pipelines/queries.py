@@ -12597,6 +12597,143 @@ def _sql_bm25_fetch_fields() -> str:
     )
 
 
+# ----------------------------------------------------- Zipf-law fit
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf's-law exponent of the corpus term-frequency distribution —
+    the sanity statistic run before LM-data decisions (a truncated or
+    deduped crawl bends the tail).  Collection frequencies come from
+    the usual combiner->groupby; the log-log least-squares runs over
+    the |vocabulary|-row (rank, cf) series (vocabulary ~ sqrt-scale of
+    the corpus, driver-safe), with ranks on (cf DESC, term) and the
+    closed-form slope written identically in SQL."""
+    cf = (
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("cf_p", alias_name="cf"))
+        .to_pandas()
+    )
+    cf = cf.sort_values(["cf", "term"], ascending=[False, True], kind="mergesort")
+    n = len(cf)
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(cf["cf"].to_numpy(dtype=np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({
+        "n_terms": np.array([n], dtype=np.int64),
+        "slope": [np.round(slope, 6)],
+        "intercept": [np.round(intercept, 6)],
+    })
+
+
+SQL_ZIPF_FIT = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+    "r AS (SELECT ln(row_number() OVER (ORDER BY cf DESC, term)) AS x, "
+    "ln(cf) AS y FROM cf), "
+    "s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+    "sum(x*x) AS sxx, sum(x*y) AS sxy FROM r) "
+    "SELECT n AS n_terms, "
+    "round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope, "
+    "round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) "
+    "AS intercept FROM s"
+)
+
+
+# --------------------------------------- storage-partitioned join
+
+_BJ_NB = 8
+
+
+def q_bucketed_join(sf_dir: str):
+    """Storage-partitioned (bucketed) join — the shuffle-free join for
+    repeatedly-joined tables: documents and the derived link-edge table
+    are both written ONCE as hive ``bucket=`` layouts under the SAME
+    hash rule (key % 8), so the join runs as 8 independent bucket tasks
+    each reading exactly two co-located partitions — no exchange of
+    either side, ever.  At 100 TB this is the difference between an
+    all-to-all of the big side per join and a metadata-only plan; the
+    bucketed write is resumable behind a _SUCCESS marker like every
+    other persisted layout here.  Output: inbound link count per
+    source."""
+    import shutil as _shutil
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+    n = docs.count()
+    root = _tmp_index_dir(sf_dir, "bjoin")
+    done = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(done):
+        tmp = root + ".tmp"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+
+        def tag_docs(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.append_column("bucket", pa.array(d % _BJ_NB, pa.int64()))
+
+        docs.map_batches(tag_docs, batch_format="pyarrow").write_parquet(
+            os.path.join(tmp, "docs"), partition_cols=["bucket"]
+        )
+
+        def mk_edges(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            dsts = [(d * a + c) % n for a, c in _PR_COEFFS]
+            dst = np.concatenate(dsts) if dsts else np.array([], np.int64)
+            src = np.tile(d, len(_PR_COEFFS))
+            return pa.table({
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "bucket": pa.array(dst % _BJ_NB, pa.int64()),
+            })
+
+        docs.select_columns(["doc_id"]).map_batches(
+            mk_edges, batch_format="pyarrow"
+        ).write_parquet(os.path.join(tmp, "edges"), partition_cols=["bucket"])
+        os.replace(tmp, root)
+        with open(done + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(done + ".tmp", done)
+
+    def join_bucket(b: pa.Table) -> pa.Table:
+        out = []
+        for bk in b["bucket"].to_pylist():
+            d = pq.read_table(
+                os.path.join(root, "docs", f"bucket={bk}"),
+                columns=["doc_id", "source"],
+            )
+            e = pq.read_table(
+                os.path.join(root, "edges", f"bucket={bk}"), columns=["dst"]
+            )
+            cnt = e.group_by("dst").aggregate([([], "count_all")])
+            j = cnt.join(d, keys="dst", right_keys="doc_id", join_type="inner")
+            agg = j.group_by("source").aggregate([("count_all", "sum")])
+            out.append(agg.rename_columns(["source", "nb_p"]))
+        return pa.concat_tables(out)
+
+    return (
+        ray.data.from_items([{"bucket": i} for i in range(_BJ_NB)])
+        .map_batches(join_bucket, batch_format="pyarrow", batch_size=1)
+        .groupby("source")
+        .aggregate(Sum("nb_p", alias_name="inbound"))
+    )
+
+
+def _sql_bucketed_join() -> str:
+    nsel = "(SELECT count(*) FROM documents)"
+    e_parts = " UNION ALL ".join(
+        f"SELECT (doc_id*{a}+{c}) % {nsel} AS dst FROM documents"
+        for a, c in _PR_COEFFS
+    )
+    return (
+        f"WITH e0 AS ({e_parts}) "
+        "SELECT d.source, count(*) AS inbound FROM e0 "
+        "JOIN documents d ON d.doc_id = e0.dst GROUP BY 1"
+    )
+
+
 # ---------------------- distance_feature / pinned (ES query components)
 
 _DF_PIVOT = 1000.0   # km
@@ -12758,6 +12895,8 @@ def q_pca_variance(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "zipf_fit": q_zipf_fit,
+    "bucketed_join": q_bucketed_join,
     "bm25_distance_feature": q_bm25_distance_feature,
     "bm25_pinned_topk": q_bm25_pinned_topk,
     "kcenter_coreset": q_kcenter_coreset,
@@ -12991,6 +13130,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "zipf_fit": SQL_ZIPF_FIT,
+    "bucketed_join": _sql_bucketed_join(),
     "bm25_distance_feature": _sql_bm25_distance_feature(_BM25_QUERIES),
     "bm25_pinned_topk": _sql_bm25_pinned_topk(),
     "tpch_q6": SQL_TPCH_Q6,
