@@ -12597,6 +12597,95 @@ def _sql_bm25_fetch_fields() -> str:
     )
 
 
+# -------------------------------------- salted skew / multi-source union
+
+def q_salted_term_cf(sf_dir: str):
+    """The north rule's skew clause under the driver gate: per-term
+    collection frequency through stages/skew.salted_group_sum — the
+    occurrence stream shuffles on (term, salt) so a head term (web
+    vocabularies are Zipf: the top term can be 10% of ALL occurrences)
+    splits across 16 reducers instead of melting one; a second tiny
+    groupby merges the <=16 partials per term.  Exactness is integer-sum
+    associativity; output limited to terms with cf >= 10 to bound rows.
+    """
+    from ..stages import skew
+
+    def occ(batch: pa.Table) -> pa.Table:
+        terms, _ri, _dl = flatten_tokens(batch["text"])
+        return pa.table({
+            "term": terms,
+            "one": pa.array(np.ones(len(terms), dtype=np.int64)),
+        })
+
+    stream = _docs(sf_dir, ["text"]).map_batches(occ, batch_format="pyarrow")
+    out = skew.salted_group_sum(stream, "term", "one", salt=16, alias="cf")
+    return out.filter(expr="cf >= 10")
+
+
+SQL_SALTED_TERM_CF = (
+    f"WITH toks AS ({_TOKS_SQL}) "
+    "SELECT term, count(*) AS cf FROM toks GROUP BY term HAVING count(*) >= 10"
+)
+
+
+def q_union_source_stats(sf_dir: str):
+    """Multi-format ingestion union: the corpus arrives HALF as parquet,
+    half as a JSONL export (written once, resumable), `Dataset.union`
+    splices the two streams, and the per-source tally must equal the
+    single-table SQL — proving the union path neither drops nor
+    duplicates rows and the JSONL round-trip is lossless at the
+    row level."""
+    root = _tmp_index_dir(sf_dir, "unionsrc")
+    data = os.path.join(root, "data")
+    done = os.path.join(root, "_SUCCESS")
+    def half(rem):
+        def cut(b: pa.Table) -> pa.Table:
+            m = pc.equal(
+                pc.bit_wise_and(b["doc_id"], 1), pa.scalar(rem, pa.int64())
+            )
+            return b.filter(m)
+
+        return cut
+
+    if not os.path.exists(done):
+        import shutil as _shutil
+
+        tmp = data + ".tmp"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        _shutil.rmtree(data, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+            half(1), batch_format="pyarrow"
+        ).write_json(tmp)
+        os.replace(tmp, data)
+        with open(done + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(done + ".tmp", done)
+
+    even = _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        half(0), batch_format="pyarrow"
+    )
+    odd = ray.data.read_json(data).map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "source": b["source"],
+            "n_chars": pc.cast(b["n_chars"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return (
+        even.union(odd)
+        .groupby("source")
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
+SQL_UNION_SOURCE_STATS = (
+    "SELECT source, count(*) AS n, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1"
+)
+
+
 # ----------------------------------------------------- Zipf-law fit
 
 def q_zipf_fit(sf_dir: str):
@@ -12895,6 +12984,8 @@ def q_pca_variance(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "salted_term_cf": q_salted_term_cf,
+    "union_source_stats": q_union_source_stats,
     "zipf_fit": q_zipf_fit,
     "bucketed_join": q_bucketed_join,
     "bm25_distance_feature": q_bm25_distance_feature,
@@ -13130,6 +13221,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "salted_term_cf": SQL_SALTED_TERM_CF,
+    "union_source_stats": SQL_UNION_SOURCE_STATS,
     "zipf_fit": SQL_ZIPF_FIT,
     "bucketed_join": _sql_bucketed_join(),
     "bm25_distance_feature": _sql_bm25_distance_feature(_BM25_QUERIES),
