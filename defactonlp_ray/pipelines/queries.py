@@ -12597,6 +12597,120 @@ def _sql_bm25_fetch_fields() -> str:
     )
 
 
+# ------------------------------------------------ query clarity (QPP)
+
+def q_query_clarity(sf_dir: str):
+    """Query-performance prediction via the Clarity score
+    (Cronen-Townsend et al., SIGIR 2002): KL divergence between the
+    relevance language model (MLE mixture over the BM25 top-10) and the
+    collection LM.  High clarity = focused result set; low = ambiguous
+    query — the triage signal before spending reranker budget.  Phase 1
+    is the ordinary bounded top-k; phase 2 point-reads just the hit
+    docs' texts; the collection statistics pass streams only terms
+    OCCURRING IN HIT DOCS (a broadcast needed-term filter) — never the
+    full vocabulary."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2).to_pandas()
+    hits = _rerank_rounded(res, k=10)
+    ids = sorted(set(hits["doc_id"].tolist()))
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", ids)],
+    )
+    tf_tbl, dl = term_count_table(docs["text"], docs["doc_id"])
+    dl_map = dict(zip(docs["doc_id"].to_pylist(), dl.tolist()))
+    tf_df = tf_tbl.to_pandas()
+    needed = pa.array(sorted(set(tf_df["term"])), pa.string())
+
+    def cf_part(batch: pa.Table) -> pa.Table:
+        terms, _ri, dlens = flatten_tokens(batch["text"])
+        m = pc.is_in(terms, value_set=needed)
+        kept = pa.table({"term": terms}).filter(m)
+        agg = kept.group_by("term").aggregate([([], "count_all")])
+        agg = agg.rename_columns(["term", "cf_p"])
+        # one extra row rides the same pass to carry the batch token
+        # total (term key outside the tokenizer alphabet)
+        tot = pa.table({
+            "term": pa.array(["\x00total"], pa.string()),
+            "cf_p": pa.array([int(dlens.sum())], pa.int64()),
+        })
+        return pa.concat_tables([agg, tot])
+
+    cf = (
+        _docs(sf_dir, ["text"])
+        .map_batches(cf_part, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf_p", alias_name="cf"))
+        .to_pandas()
+    )
+    total = int(cf.loc[cf["term"] == "\x00total", "cf"].iloc[0])
+    cf = cf[cf["term"] != "\x00total"]
+    cf_map = dict(zip(cf["term"], cf["cf"].astype(np.int64)))
+
+    out = []
+    for qid, _terms in _BM25_QUERIES:
+        hd = hits[hits["query_id"] == qid]["doc_id"].tolist()
+        kq = len(hd)
+        if kq == 0:
+            out.append((qid, 0.0))
+            continue
+        sub = tf_df[tf_df["doc_id"].isin(hd)]
+        pr: dict[str, float] = {}
+        for term, g in sub.groupby("term"):
+            s = float(
+                (g["tf"].to_numpy(dtype=np.float64)
+                 / np.array([dl_map[d] for d in g["doc_id"]], dtype=np.float64)
+                 ).sum()
+            )
+            pr[term] = s / kq
+        clarity = 0.0
+        for term, p in pr.items():
+            qc = cf_map[term] / float(total)
+            clarity += p * np.log(p / qc)
+        out.append((qid, np.round(clarity, 6)))
+    return pd.DataFrame(out, columns=["query_id", "clarity"]).astype(
+        {"query_id": np.int64, "clarity": np.float64}
+    )
+
+
+def _sql_query_clarity() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "topk AS (SELECT query_id, doc_id FROM ("
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM scored) "
+        "WHERE rank <= 10), "
+        "kq AS (SELECT query_id, count(*) AS kq FROM topk GROUP BY 1), "
+        "cfx AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        "pr AS (SELECT tk.query_id, tf.term, "
+        "sum(tf.tf / CAST(dl.dl AS DOUBLE)) AS s "
+        "FROM topk tk JOIN tf ON tf.doc_id = tk.doc_id "
+        "JOIN dl ON dl.doc_id = tk.doc_id GROUP BY 1, 2), "
+        "cl AS (SELECT pr.query_id, sum((pr.s / kq.kq) * "
+        "ln((pr.s / kq.kq) / (cfx.cf / CAST(st.total AS DOUBLE)))) AS c "
+        "FROM pr JOIN kq ON kq.query_id = pr.query_id "
+        "JOIN cfx ON cfx.term = pr.term CROSS JOIN stats st GROUP BY 1) "
+        "SELECT q2.query_id, coalesce(round(cl.c, 6), 0.0) AS clarity "
+        "FROM (SELECT DISTINCT query_id FROM q) q2 "
+        "LEFT JOIN cl ON cl.query_id = q2.query_id"
+    )
+
+
 # -------------------------------------- salted skew / multi-source union
 
 def q_salted_term_cf(sf_dir: str):
@@ -12984,6 +13098,7 @@ def q_pca_variance(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "query_clarity": q_query_clarity,
     "salted_term_cf": q_salted_term_cf,
     "union_source_stats": q_union_source_stats,
     "zipf_fit": q_zipf_fit,
@@ -13221,6 +13336,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "query_clarity": _sql_query_clarity(),
     "salted_term_cf": SQL_SALTED_TERM_CF,
     "union_source_stats": SQL_UNION_SOURCE_STATS,
     "zipf_fit": SQL_ZIPF_FIT,
