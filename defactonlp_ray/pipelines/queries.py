@@ -12597,6 +12597,36 @@ def _sql_bm25_fetch_fields() -> str:
     )
 
 
+# ------------------------------------------------------- segment split
+
+def q_bm25_split_topk(sf_dir: str):
+    """Index-lifecycle completeness: SPLIT (the inverse of compact) —
+    the largest segment rewrites into two halves at its median doc id
+    (one atomic manifest transition, standard codec path), and search
+    over the split index must stay hash-identical to the unsplit
+    oracle.  Own temp index (tag 'split') so the shared one is never
+    mutated."""
+    from ..sources import manifest as mf
+    from ..stages.index_build import split_segment
+
+    idx = _tmp_index_dir(sf_dir, "split")
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    marker = os.path.join(idx, "_SPLIT_DONE")
+    build_index(docs, idx, seg_docs=max(256, n // 4), codec="varint", resume=True)
+    if not os.path.exists(marker):
+        before = len(mf.read_manifest(idx))
+        out = split_segment(idx)
+        assert out is not None
+        after = len(mf.read_manifest(idx))
+        assert after == before + 1  # two halves replace one input
+        with open(marker + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(marker + ".tmp", marker)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
 # ------------------------------------------------ query clarity (QPP)
 
 def q_query_clarity(sf_dir: str):
@@ -13098,6 +13128,7 @@ def q_pca_variance(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "bm25_split_topk": q_bm25_split_topk,
     "query_clarity": q_query_clarity,
     "salted_term_cf": q_salted_term_cf,
     "union_source_stats": q_union_source_stats,
@@ -13336,6 +13367,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bm25_split_topk": SQL_BM25_TOPK,
     "query_clarity": _sql_query_clarity(),
     "salted_term_cf": SQL_SALTED_TERM_CF,
     "union_source_stats": SQL_UNION_SOURCE_STATS,

@@ -870,6 +870,64 @@ def compact_index(
     return len(merge_groups)
 
 
+def split_segment(
+    index_dir: str, sid: Optional[int] = None, *, codec: Optional[str] = None
+) -> Optional[tuple[int, int]]:
+    """Split one segment into two at its median doc id — the inverse of
+    compaction, for when a doc range runs hot (serving parallelism per
+    segment is 1; splitting doubles it for that range).
+
+    Reuses the compaction rewrite verbatim: each half is
+    ``_merge_group([sid], new_sid, purge=<other half's doc ids>)`` —
+    decode, drop, re-encode through the standard batched codec path, so
+    split segments are byte-compatible with built ones (positions
+    included).  Crash-safe the same way: both halves are written
+    invisible, then ONE manifest append publishes them and retires the
+    input; ``live_segment_order`` keeps readers doc-ordered because the
+    halves carry disjoint (doc_lo, doc_hi).
+
+    ``sid=None`` picks the largest live segment.  Returns the two new
+    sids, or None if the chosen segment has fewer than 2 docs."""
+    import shutil
+
+    mf.gc_retired(index_dir)
+    recs = mf.read_manifest(index_dir)
+    if not recs:
+        return None
+    if sid is None:
+        sid = max(recs, key=lambda s: (recs[s]["n_docs"], -s))
+    ids = (
+        pq.read_table(
+            os.path.join(mf.segment_dir(index_dir, sid), "docstats.parquet"),
+            columns=["doc_id"],
+        )["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    if ids.size < 2:
+        return None
+    ids = np.sort(ids)
+    mid = int(ids[ids.size // 2])
+    cdc = codec or recs[sid].get("codec", "varint")
+    next_sid = max(
+        [COMPACT_SID_BASE - 1]
+        + [s for s in _all_sid_numbers(index_dir) if s >= COMPACT_SID_BASE]
+    ) + 1
+    meta_lo = _merge_group(
+        index_dir, [sid], next_sid, cdc, purge=ids[ids >= mid]
+    )
+    meta_hi = _merge_group(
+        index_dir, [sid], next_sid + 1, cdc, purge=ids[ids < mid]
+    )
+    assert meta_lo is not None and meta_hi is not None  # both halves non-empty
+    mf.append_manifest_many(
+        index_dir, [meta_lo, meta_hi, {"sid": sid, "retired": True}]
+    )
+    shutil.rmtree(mf.segment_dir(index_dir, sid), ignore_errors=True)
+    _write_stats(index_dir)
+    return next_sid, next_sid + 1
+
+
 def restore_snapshot(src_index: str, at: int, dst_index: str) -> str:
     """Snapshot RESTORE (the Elasticsearch snapshot/restore pair to
     ``search(at=)``'s point-in-time read): materialize the view pinned

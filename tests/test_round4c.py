@@ -111,3 +111,70 @@ def test_haversine_known_points():
     d1 = geo.haversine_km(lat, lon, -48.8566, -177.6478)
     # antipode of Paris -> half the circumference ~ 20015 km
     assert abs(float(d1[0]) - np.pi * geo.EARTH_R_KM) < 1.0
+
+
+def test_split_segment_preserves_search(tmp_path):
+    import pyarrow.parquet as pq
+
+    from defactonlp_ray import fixtures
+    from defactonlp_ray.sources import manifest as mf
+    from defactonlp_ray.stages import search as S
+    from defactonlp_ray.stages.index_build import build_index, split_segment
+    from defactonlp_ray.stages.fsck import fsck_index
+
+    work = str(tmp_path)
+    pages = fixtures.make_pages(600)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(600), type="int64"),
+            "text": pages["text"],
+        }),
+        f"{work}/docs.parquet",
+    )
+    idx = f"{work}/index"
+    build_index(ray.data.read_parquet(f"{work}/docs.parquet"), idx, seg_docs=300)
+    queries = fixtures.make_query_terms(4)
+    qds = pa.table({
+        "query_id": pa.array([q for q, _ in queries], type="int64"),
+        "terms": pa.array([t for _, t in queries]),
+    })
+
+    def run():
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in S.search(idx, ray.data.from_arrow(qds), k=8).take_all()
+        )
+
+    before = run()
+    n_before = len(mf.read_manifest(idx))
+    out = split_segment(idx)
+    assert out is not None
+    recs = mf.read_manifest(idx)
+    assert len(recs) == n_before + 1
+    # halves cover disjoint doc ranges in live order
+    order = mf.live_segment_order(recs)
+    los = [recs[s]["doc_lo"] for s in order]
+    his = [recs[s]["doc_hi"] for s in order]
+    assert all(h < l for h, l in zip(his, los[1:]))
+    assert run() == before
+    rep = fsck_index(idx)
+    assert int(rep["n_errors"].sum()) == 0
+    assert int(rep["n_docs"].iloc[0]) == 600
+
+
+def test_split_segment_tiny_segment_noop(tmp_path):
+    import pyarrow.parquet as pq
+
+    from defactonlp_ray.stages.index_build import build_index, split_segment
+
+    work = str(tmp_path)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0], type="int64"),
+            "text": pa.array(["one tiny doc"]),
+        }),
+        f"{work}/docs.parquet",
+    )
+    idx = f"{work}/index"
+    build_index(ray.data.read_parquet(f"{work}/docs.parquet"), idx, seg_docs=64)
+    assert split_segment(idx) is None
