@@ -12597,6 +12597,89 @@ def _sql_bm25_fetch_fields() -> str:
     )
 
 
+# --------------------------------------------------- bloom-filtered join
+
+_BLJ_LO = "1996-03-01"
+_BLJ_HI = "1996-04-01"
+_BLJ_PRI = "1-URGENT"
+
+
+def q_bloom_join(sf_dir: str):
+    """Bloom-filtered distributed join (the runtime-filter every big
+    SQL engine applies before a selective fact-dimension join): the
+    filtered orders side is tiny, so its orderkey set builds a 10-bit/key
+    bloom broadcast once via ``ray.put``; the lineitem scan drops
+    certainly-unmatched rows IN THE MAP STAGE (no false negatives =
+    no lost rows), and only the surviving sliver enters the hash join.
+    At 100 TB this turns an all-to-all of the fact table into an
+    exchange of ~|matches| rows; false positives only cost the join a
+    few extra probe rows."""
+    from ..stages.bloom import int_bloom_build, int_bloom_maybe
+
+    lo = np.datetime64(_BLJ_LO, "us")
+    hi = np.datetime64(_BLJ_HI, "us")
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(
+                        b["o_orderdate"], pa.scalar(lo, pa.timestamp("us"))
+                    ),
+                    pc.less(b["o_orderdate"], pa.scalar(hi, pa.timestamp("us"))),
+                ),
+                pc.equal(b["o_orderpriority"], _BLJ_PRI),
+            )
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    keys = orders.to_pandas()  # tiny filtered dimension side
+    bits, m = int_bloom_build(keys["o_orderkey"].to_numpy())
+    bref = ray.put((bits, m))
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bb, mm = ray.get(bref)
+        ok = int_bloom_maybe(
+            b["l_orderkey"].to_numpy(zero_copy_only=False), bb, mm
+        )
+        f = b.filter(pa.array(ok))
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(1.0, f["l_discount"])
+        )
+        return pa.table({"l_orderkey": f["l_orderkey"], "rev": rev})
+
+    line = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prefilter, batch_format="pyarrow").repartition(nparts)
+    odim = ray.data.from_pandas(keys).repartition(nparts)
+    joined = line.join(
+        odim, "inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="r"))
+        .to_pandas()
+    )
+    out["revenue"] = np.round(out["r"], 2)
+    return out[["o_orderpriority", "n_items", "revenue"]]
+
+
+SQL_BLOOM_JOIN = (
+    "SELECT o.o_orderpriority, count(*) AS n_items, "
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    f"WHERE o.o_orderdate >= TIMESTAMP '{_BLJ_LO}' "
+    f"AND o.o_orderdate < TIMESTAMP '{_BLJ_HI}' "
+    f"AND o.o_orderpriority = '{_BLJ_PRI}' "
+    "GROUP BY 1"
+)
+
+
 # ------------------------------------------------------- segment split
 
 def q_bm25_split_topk(sf_dir: str):
@@ -13128,6 +13211,7 @@ def q_pca_variance(sf_dir: str):
 # from an earlier driver round or the committed 32-cpu mirror
 # (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "bloom_join": q_bloom_join,
     "bm25_split_topk": q_bm25_split_topk,
     "query_clarity": q_query_clarity,
     "salted_term_cf": q_salted_term_cf,
@@ -13367,6 +13451,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bloom_join": SQL_BLOOM_JOIN,
     "bm25_split_topk": SQL_BM25_TOPK,
     "query_clarity": _sql_query_clarity(),
     "salted_term_cf": SQL_SALTED_TERM_CF,

@@ -218,3 +218,37 @@ def bloom_count_search(
         concurrency=pool_size(concurrency),
         num_cpus=1,
     )
+
+
+# ------------------------------------------------ generic int-key blooms
+
+def int_bloom_build(
+    keys: np.ndarray, *, bits_per_key: int = 10, n_hashes: int = 7
+) -> tuple[np.ndarray, int]:
+    """Bitset bloom over int64 keys (h1 = splitmix64(key), h2 =
+    splitmix64(h1 ^ SALT), Kirsch-Mitzenmacher probes) — the broadcast
+    side of a bloom-filtered join.  Returns (packed uint8 bits, m)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    m = max(64, bits_per_key * max(1, keys.size))
+    h1 = splitmix64(keys.astype(np.uint64))
+    h2 = splitmix64(h1 ^ _SALT)
+    pos = _positions(h1, h2, n_hashes, m)
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    flat = pos.ravel()
+    np.bitwise_or.at(bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+    return bits, m
+
+
+def int_bloom_maybe(
+    keys: np.ndarray, bits: np.ndarray, m: int, *, n_hashes: int = 7
+) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (false
+    positives possible), False = certainly absent."""
+    keys = np.asarray(keys, dtype=np.int64)
+    if keys.size == 0:
+        return np.zeros(0, dtype=bool)
+    h1 = splitmix64(keys.astype(np.uint64))
+    h2 = splitmix64(h1 ^ _SALT)
+    pos = _positions(h1, h2, n_hashes, m)
+    probe = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return probe.all(axis=1)

@@ -178,3 +178,17 @@ def test_split_segment_tiny_segment_noop(tmp_path):
     idx = f"{work}/index"
     build_index(ray.data.read_parquet(f"{work}/docs.parquet"), idx, seg_docs=64)
     assert split_segment(idx) is None
+
+
+def test_int_bloom_no_false_negatives():
+    from defactonlp_ray.stages.bloom import int_bloom_build, int_bloom_maybe
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(-(2**62), 2**62, size=500, dtype=np.int64)
+    bits, m = int_bloom_build(keys)
+    assert int_bloom_maybe(keys, bits, m).all()
+    other = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+    other = other[~np.isin(other, keys)]
+    fp = int_bloom_maybe(other, bits, m).mean()
+    assert fp < 0.02  # ~0.8% expected at 10 bits/key, 7 hashes
+    assert int_bloom_maybe(np.array([], dtype=np.int64), bits, m).size == 0
