@@ -127,6 +127,33 @@ def cmd_expunge(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .sources import manifest as mf
+    from .stages.index_build import split_segment
+
+    out = split_segment(
+        args.index, sid=args.sid, codec=args.codec or None
+    )
+    recs = mf.read_manifest(args.index)
+    print(json.dumps({
+        "index": args.index,
+        "new_sids": list(out) if out else None,
+        "segments": len(recs),
+    }))
+    return 0
+
+
+def cmd_fsck(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .stages.fsck import fsck_index
+
+    rep = fsck_index(args.index)
+    n_err = int(rep["n_errors"].sum())
+    print(rep.to_json(orient="records"))
+    return 1 if n_err else 0
+
+
 def cmd_search(args) -> int:
     _ensure_ray(args.num_cpus)
     import ray.data
@@ -202,6 +229,26 @@ def main(argv=None) -> int:
     e.add_argument("--index", required=True)
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_expunge)
+
+    sp = sub.add_parser(
+        "split",
+        help="split one segment (default: the largest) into two at its "
+             "median doc id — the inverse of compact, for hot doc ranges",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--sid", type=int, default=None)
+    sp.add_argument("--codec", default=None, choices=[None, "varint", "pfor"])
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_split)
+
+    f = sub.add_parser(
+        "fsck",
+        help="verify index invariants (per-segment parallel; exit 1 on "
+             "any error)",
+    )
+    f.add_argument("--index", required=True)
+    f.add_argument("--num-cpus", type=int, default=None)
+    f.set_defaults(fn=cmd_fsck)
 
     s = sub.add_parser("search", help="BM25 top-k over a built index")
     s.add_argument("--index", required=True)

