@@ -12597,6 +12597,92 @@ def _sql_bm25_fetch_fields() -> str:
     )
 
 
+# -------------------------------- cumulative pipeline agg / geo rings
+
+def q_events_cumulative(sf_dir: str):
+    """ES ``cumulative_sum`` pipeline aggregation: the running total
+    over the daily event-count histogram.  Corpus pass reduces to one
+    row per (day, batch); the cumulative window runs over the |days|-row
+    series — integer sums, no float policy needed."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        agg = pa.table({"window_start": day}).group_by(
+            "window_start"
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    daily["cum_n"] = daily["n"].cumsum().astype(np.int64)
+    return daily[["window_start", "n", "cum_n"]]
+
+
+SQL_EVENTS_CUMULATIVE = (
+    "SELECT window_start, n, CAST(sum(n) OVER (ORDER BY window_start "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n FROM ("
+    "SELECT date_trunc('day', ts) AS window_start, count(*) AS n "
+    "FROM events GROUP BY 1)"
+)
+
+
+_GEO_RINGS = (2000.0, 5000.0, 10000.0)
+
+
+def q_geo_distance_rings(sf_dir: str):
+    """ES ``geo_distance`` ranges aggregation: documents bucketed into
+    concentric distance rings around the pinned origin (0-2000 km,
+    2000-5000, 5000-10000, 10000+), counted per ring.  The ring edges
+    compare against the same haversine expression on both engines;
+    rounding to 1e-6 km before the edge compare pins the (measure-zero)
+    boundary cases to one side."""
+    from ..functions import geo
+
+    lat0, lon0 = _GEO_ORIGIN
+    edges = np.array(_GEO_RINGS)
+
+    def part(batch: pa.Table) -> pa.Table:
+        lat, lon = _synth_geo(batch)
+        d = np.round(geo.haversine_km(lat, lon, lat0, lon0), 6)
+        # side='left': ring = count(edges < d), so d == edge stays in the
+        # lower ring — matching the oracle's `dist <= edge` CASE arms
+        ring = np.searchsorted(edges, d, side="left")
+        t = pa.table({"ring": pa.array(ring.astype(np.int64), pa.int64())})
+        agg = t.group_by("ring").aggregate([([], "count_all")])
+        return agg.rename_columns(["ring", "n_p"])
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("ring")
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+
+
+def _sql_geo_distance_rings() -> str:
+    from ..functions import geo
+
+    lat0, lon0 = _GEO_ORIGIN
+    e = _GEO_RINGS
+    return (
+        f"WITH {_sql_geo_cte()}, "
+        f"d AS (SELECT round({geo.sql_haversine_km(lat0, lon0)}, 6) "
+        "AS dist FROM g) "
+        f"SELECT CASE WHEN dist <= {e[0]} THEN 0 "
+        f"WHEN dist <= {e[1]} THEN 1 WHEN dist <= {e[2]} THEN 2 "
+        "ELSE 3 END AS ring, count(*) AS n FROM d GROUP BY 1"
+    )
+
+
 # --------------------------------------------------- bloom-filtered join
 
 _BLJ_LO = "1996-03-01"
@@ -13212,6 +13298,8 @@ def q_pca_variance(sf_dir: str):
 # driver round or the committed 32-cpu mirror (MIRROR_r04.json;
 # scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "events_cumulative": q_events_cumulative,
+    "geo_distance_rings": q_geo_distance_rings,
     "bloom_join": q_bloom_join,
     "bm25_split_topk": q_bm25_split_topk,
     "query_clarity": q_query_clarity,
@@ -13452,6 +13540,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cumulative": SQL_EVENTS_CUMULATIVE,
+    "geo_distance_rings": _sql_geo_distance_rings(),
     "bloom_join": SQL_BLOOM_JOIN,
     "bm25_split_topk": SQL_BM25_TOPK,
     "query_clarity": _sql_query_clarity(),
