@@ -13282,6 +13282,544 @@ def q_pca_variance(sf_dir: str):
     return pca_eigen(n, sum_q, gram_q, n_top=8)
 
 
+# --------------------------- round-4 closing batch 2 (post-mirror wave)
+
+_Q10_LO = "1996-01-01"
+_Q10_HI = "1996-04-01"
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting), adapted to the driver's
+    column subset: revenue lost to returned items per customer over one
+    quarter, top 20 customers with their account/nation attributes.
+
+    Scale design: revenue reduces per ``o_custkey`` BEFORE any dimension
+    attach (per-batch Arrow combiner -> one Sum groupby over |customers
+    with returns| rows), the top-20 cut runs on the reduced table
+    (distributed sort + limit), and ``c_name``/``c_acctbal``/``n_name``
+    attach to the 20 WINNERS ONLY via a streamed ``is_in``-filtered pass
+    over customer — the classic "aggregate, cut, then decorate" shape
+    that never ships dimension columns through the fact shuffle."""
+    lo = np.datetime64(_Q10_LO, "us")
+    hi = np.datetime64(_Q10_HI, "us")
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(
+                    b["o_orderdate"], pa.scalar(lo, pa.timestamp("us"))
+                ),
+                pc.less(b["o_orderdate"], pa.scalar(hi, pa.timestamp("us"))),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def line_rev(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])
+        )
+        return pa.table({"l_orderkey": f["l_orderkey"], "rev": rev})
+
+    line = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(line_rev, batch_format="pyarrow")
+
+    orders = orders.repartition(nparts)
+    line = line.repartition(nparts)
+    joined = orders.join(
+        line, "inner", num_partitions=nparts,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def cust_part(b: pa.Table) -> pa.Table:
+        agg = b.select(["o_custkey", "rev"]).group_by("o_custkey").aggregate(
+            [("rev", "sum")]
+        )
+        return agg.rename_columns(["o_custkey", "rev_p"])
+
+    top = (
+        joined.map_batches(cust_part, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_p", alias_name="rev"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "revenue": pc.round(b["rev"], 2),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue", "o_custkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    wanted = pa.array(top["o_custkey"].tolist(), pa.int64())
+    cust = (
+        read_table(
+            sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+        )
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["c_custkey"], value_set=wanted)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    nation = read_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out = out.sort_values(
+        ["revenue", "o_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out[["rank", "c_custkey", "c_name", "c_acctbal", "n_name", "revenue"]]
+
+
+SQL_TPCH_Q10 = (
+    "WITH r AS (SELECT o_custkey, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_returnflag = 'R' "
+    f"AND o_orderdate >= TIMESTAMP '{_Q10_LO}' "
+    f"AND o_orderdate < TIMESTAMP '{_Q10_HI}' GROUP BY 1), "
+    "t AS (SELECT o_custkey, revenue, CAST(row_number() OVER ("
+    "ORDER BY revenue DESC, o_custkey) AS INTEGER) AS rank FROM r) "
+    "SELECT t.rank, c_custkey, c_name, c_acctbal, n_name, revenue "
+    "FROM t JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation ON n_nationkey = c_nationkey WHERE t.rank <= 20"
+)
+
+
+_Q14_LO = "1996-03-01"
+_Q14_HI = "1996-04-01"
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (promotion effect): percent of one month's revenue from
+    PROMO-type parts.  Scale design: the month's lineitems reduce per
+    ``l_partkey`` FIRST (per-batch combiner -> Sum groupby), so the
+    part-dimension join input is |distinct parts shipped that month|
+    rows, not |lineitems| — the join then classifies each reduced row by
+    the ``p_type LIKE 'PROMO%'`` flag and one scalar aggregate finishes."""
+    lo = np.datetime64(_Q14_LO, "us")
+    hi = np.datetime64(_Q14_HI, "us")
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    def reduce_part(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"]
+        f = b.filter(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(lo, pa.timestamp("us"))),
+                pc.less(ship, pa.scalar(hi, pa.timestamp("us"))),
+            )
+        )
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])
+        )
+        t = pa.table({"l_partkey": f["l_partkey"], "rev": rev})
+        agg = t.group_by("l_partkey").aggregate(
+            [("rev", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(["l_partkey", "rev_p", "n_p"])
+
+    reduced = (
+        read_table(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(reduce_part, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("rev_p", alias_name="rev"), Sum("n_p", alias_name="nl"))
+    )
+    flags = read_table(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "promo": pc.cast(
+                    pc.starts_with(b["p_type"], "PROMO"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    reduced = reduced.repartition(nparts)
+    flags = flags.repartition(nparts)
+    j = reduced.join(
+        flags, "inner", num_partitions=nparts,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def fin_part(b: pa.Table) -> pa.Table:
+        rev = b["rev"].to_numpy(zero_copy_only=False)
+        promo = b["promo"].to_numpy(zero_copy_only=False)
+        nl = b["nl"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo_p": pa.array([float(np.sum(rev * promo))], pa.float64()),
+            "tot_p": pa.array([float(np.sum(rev))], pa.float64()),
+            "n_p": pa.array([int(np.sum(nl))], pa.int64()),
+        })
+
+    agg = j.map_batches(fin_part, batch_format="pyarrow").aggregate(
+        Sum("promo_p", alias_name="pr"),
+        Sum("tot_p", alias_name="tr"),
+        Sum("n_p", alias_name="n"),
+    )
+    return pd.DataFrame({
+        "promo_pct": [np.round(100.0 * float(agg["pr"]) / float(agg["tr"]), 4)],
+        "n": np.array([int(agg["n"])], dtype=np.int64),
+    })
+
+
+SQL_TPCH_Q14 = (
+    "SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / "
+    "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct, "
+    "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey "
+    f"WHERE l_shipdate >= TIMESTAMP '{_Q14_LO}' "
+    f"AND l_shipdate < TIMESTAMP '{_Q14_HI}'"
+)
+
+
+# (query_id, full terms, still-being-typed prefix) — ES match_bool_prefix
+_BOOL_PREFIX_QUERIES: list[tuple[int, list[str], str]] = [
+    (0, ["data", "query"], "s"),
+    (1, ["merge"], "c"),
+    (2, ["hash", "join"], "w"),
+    (3, ["filter"], "v"),
+    (4, ["slow", "scan"], "zz"),   # no expansion -> plain BM25 ranking
+]
+_BOOL_PREFIX_CAP = 50  # ES default max_expansions
+
+
+def q_match_bool_prefix(sf_dir: str):
+    """Elasticsearch ``match_bool_prefix`` (stages/expand.py +
+    search.score_all_bool_prefix): the full terms score as BM25 should
+    clauses; the trailing prefix expands against the streamed dictionary
+    under the ``(df DESC, term)`` rewrite cap and contributes
+    CONSTANT_SCORE 1.0 once per matching doc — folded in BEFORE the
+    bounded top-k (a prefix-only doc can outrank a weak BM25 match)."""
+    from ..stages.expand import bool_prefix_search
+
+    idx = _build_docs_index(sf_dir)
+    res = bool_prefix_search(
+        idx, _BOOL_PREFIX_QUERIES, k=20,
+        max_expansions=_BOOL_PREFIX_CAP, concurrency=2,
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _sql_match_bool_prefix(
+    queries: list[tuple[int, list[str], str]], k: int = 10,
+    cap: int = _BOOL_PREFIX_CAP,
+) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in queries for t in terms
+    )
+    pvals = ", ".join(f"({qid}, '{pre}')" for qid, _, pre in queries)
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        f"p(query_id, prefix) AS (VALUES {pvals}), "
+        "exp AS (SELECT query_id, term FROM ("
+        "SELECT p.query_id, df.term, row_number() OVER ("
+        "PARTITION BY p.query_id ORDER BY df.df DESC, df.term) AS rn "
+        "FROM p JOIN df ON df.term LIKE p.prefix || '%') "
+        f"WHERE rn <= {cap}), "
+        "bm AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "bon AS (SELECT exp.query_id, tf.doc_id, 1.0 AS bonus "
+        "FROM exp JOIN tf ON tf.term = exp.term "
+        "GROUP BY exp.query_id, tf.doc_id), "
+        "u AS (SELECT coalesce(bm.query_id, bon.query_id) AS query_id, "
+        "coalesce(bm.doc_id, bon.doc_id) AS doc_id, "
+        "coalesce(bm.score, 0) + coalesce(bon.bonus, 0) AS score "
+        "FROM bm FULL OUTER JOIN bon "
+        "ON bm.query_id = bon.query_id AND bm.doc_id = bon.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM u) "
+        f"WHERE rank <= {k}"
+    )
+
+
+def q_events_rank_lag(sf_dir: str):
+    """SQL window functions (``lag`` + ``row_number`` per partition) as
+    a distributed groupby: each user's event stream orders by
+    ``(ts, event_id)``, every non-first event yields its value delta vs
+    the previous event and its 1-based position; per-user partials
+    reduce BY EVENT TYPE inside ``map_groups`` (one tiny table per user
+    leaves the group), then one |event_types|-row Sum groupby merges
+    users — user cardinality scales out, nothing driver-sized."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        if len(g) < 2:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=str),
+                "n_p": pd.Series([], dtype=np.int64),
+                "sgap_p": pd.Series([], dtype=np.float64),
+                "srn_p": pd.Series([], dtype=np.int64),
+            })
+        v = g["value"].to_numpy(np.float64)
+        d = pd.DataFrame({
+            "event_type": g["event_type"].to_numpy()[1:],
+            "gap": v[1:] - v[:-1],
+            "rn": np.arange(2, len(g) + 1, dtype=np.int64),
+        })
+        p = d.groupby("event_type", as_index=False).agg(
+            n_p=("gap", "size"), sgap_p=("gap", "sum"), srn_p=("rn", "sum")
+        )
+        p["n_p"] = p["n_p"].astype(np.int64)
+        return p
+
+    out = (
+        read_table(
+            sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        .groupby("user_id")
+        .map_groups(pairs)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_p", alias_name="n_pairs"),
+            Sum("sgap_p", alias_name="sg"),
+            Sum("srn_p", alias_name="sr"),
+        )
+        .to_pandas()
+    )
+    n = out["n_pairs"].to_numpy(np.float64)
+    out["avg_gap"] = np.round(out["sg"].to_numpy(np.float64) / n, 6)
+    out["avg_rank"] = np.round(out["sr"].to_numpy(np.float64) / n, 6)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out[["event_type", "n_pairs", "avg_gap", "avg_rank"]]
+
+
+SQL_EVENTS_RANK_LAG = (
+    "WITH w AS (SELECT event_type, "
+    "value - lag(value) OVER win AS gap, "
+    "row_number() OVER win AS rn FROM events "
+    "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT event_type, count(*) AS n_pairs, "
+    "round(sum(gap) / count(*), 6) AS avg_gap, "
+    "round(sum(rn)::DOUBLE / count(*), 6) AS avg_rank "
+    "FROM w WHERE gap IS NOT NULL GROUP BY 1"
+)
+
+
+def q_events_cum_users(sf_dir: str):
+    """ES ``cumulative_cardinality`` pipeline aggregation, EXACT: per
+    day, the running count of distinct users ever seen.  The classic
+    trick makes it one bounded exchange instead of per-day HLL unions:
+    cumulative distinct(users) at day D == count of users whose FIRST
+    event day <= D, so the corpus pass is a per-batch (user, min day)
+    combiner -> one Min groupby over |users| rows -> a |days|-row count
+    table whose running sum computes driver-side."""
+    from ray.data.aggregate import Min
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                    pa.timestamp("us")),
+            pa.int64(),
+        )
+        t = pa.table({"user_id": batch["user_id"], "day_us": day})
+        agg = t.group_by("user_id").aggregate([("day_us", "min")])
+        return agg.rename_columns(["user_id", "day_p"])
+
+    first = (
+        read_table(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day_p", alias_name="first_day"))
+    )
+
+    def day_part(b: pa.Table) -> pa.Table:
+        agg = b.select(["first_day"]).group_by("first_day").aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["first_day", "nu_p"])
+
+    daily = (
+        first.map_batches(day_part, batch_format="pyarrow")
+        .groupby("first_day")
+        .aggregate(Sum("nu_p", alias_name="new_users"))
+        .to_pandas()
+        .sort_values("first_day")
+        .reset_index(drop=True)
+    )
+    daily["window_start"] = pd.to_datetime(daily["first_day"], unit="us")
+    daily["cum_users"] = daily["new_users"].cumsum().astype(np.int64)
+    daily["new_users"] = daily["new_users"].astype(np.int64)
+    return daily[["window_start", "new_users", "cum_users"]]
+
+
+SQL_EVENTS_CUM_USERS = (
+    "WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d "
+    "FROM events GROUP BY 1), "
+    "c AS (SELECT d, count(*) AS new_users FROM f GROUP BY 1) "
+    "SELECT d AS window_start, new_users, "
+    "CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users FROM c"
+)
+
+
+def q_events_normalize(sf_dir: str):
+    """ES ``normalize`` pipeline aggregation (both built-in methods) over
+    a terms parent: per event type, its count, ``percent_of_sum`` and
+    ``rescale_0_1`` — the per-batch combiner reduces the corpus pass to
+    one row per (type, batch); normalization runs on the |types|-row
+    result (pipeline aggs are driver-small by construction)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["event_type"]).group_by("event_type").aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["event_type", "n_p"])
+
+    out = (
+        read_table(sf_dir, "events", ["event_type"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )
+    n = out["n"].to_numpy(np.float64)
+    out["pct"] = np.round(100.0 * n / n.sum(), 6)
+    span = n.max() - n.min()
+    out["rescaled"] = (
+        np.zeros(len(out)) if span == 0
+        else np.round((n - n.min()) / span, 6)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out[["event_type", "n", "pct", "rescaled"]]
+
+
+SQL_EVENTS_NORMALIZE = (
+    "WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1) "
+    "SELECT event_type, n, round(100.0 * n / sum(n) OVER (), 6) AS pct, "
+    "CASE WHEN max(n) OVER () = min(n) OVER () THEN 0.0 ELSE "
+    "round((n - min(n) OVER ())::DOUBLE / "
+    "(max(n) OVER () - min(n) OVER ()), 6) END AS rescaled FROM c"
+)
+
+
+def q_events_stats_bucket(sf_dir: str):
+    """ES ``stats_bucket`` + ``max_bucket`` sibling aggregations over a
+    date-histogram parent: one row of bucket-level stats (count, min,
+    max, exact avg, sum) plus the earliest day achieving the max (the
+    ``max_bucket`` keys rule, ties -> first key).  The corpus pass is
+    the daily-count combiner; the sibling agg runs over |days| rows."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    mx = int(n.max())
+    max_day = daily["window_start"][daily["n"] == mx].min()
+    return pd.DataFrame({
+        "n_buckets": np.array([len(daily)], np.int64),
+        "min_n": np.array([int(n.min())], np.int64),
+        "max_n": np.array([mx], np.int64),
+        "avg_n": [np.round(float(n.sum()) / len(daily), 6)],
+        "sum_n": np.array([int(n.sum())], np.int64),
+        "max_day": [max_day],
+    })
+
+
+SQL_EVENTS_STATS_BUCKET = (
+    "WITH c AS (SELECT date_trunc('day', ts) AS d, count(*) AS n "
+    "FROM events GROUP BY 1) "
+    "SELECT count(*) AS n_buckets, min(n) AS min_n, max(n) AS max_n, "
+    "round(sum(n)::DOUBLE / count(*), 6) AS avg_n, "
+    "CAST(sum(n) AS BIGINT) AS sum_n, "
+    "(SELECT min(d) FROM c WHERE n = (SELECT max(n) FROM c)) AS max_day "
+    "FROM c"
+)
+
+
+def q_events_scripted_metric(sf_dir: str):
+    """ES ``scripted_metric`` aggregation — the map/combine/reduce
+    contract as one Ray pass: the map+combine script is the per-batch
+    Arrow combiner emitting ``(n, sum, sum_sq)`` per event type, the
+    reduce script is the Sum groupby + the driver-side variance formula
+    ``s2/n - (s/n)^2`` (single-pass population variance, the textbook
+    scripted-metric example).  Variance rounds to 3 decimals: the
+    one-pass formula subtracts near-equal O(sum_sq) terms, so cross-
+    engine float reassociation noise (~1e-7 absolute at sf0.1) must stay
+    below the rounding quantum."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "v": v,
+            "v2": pc.multiply(v, v),
+        })
+        agg = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("v", "sum"), ("v2", "sum")]
+        )
+        return agg.rename_columns(["event_type", "n_p", "s_p", "s2_p"])
+
+    out = (
+        read_table(sf_dir, "events", ["event_type", "value"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("s_p", alias_name="s"),
+            Sum("s2_p", alias_name="s2"),
+        )
+        .to_pandas()
+    )
+    n = out["n"].to_numpy(np.float64)
+    s = out["s"].to_numpy(np.float64)
+    s2 = out["s2"].to_numpy(np.float64)
+    out["sum_value"] = np.round(s, 2)
+    out["var_value"] = np.round(s2 / n - (s / n) * (s / n), 3)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["event_type", "n", "sum_value", "var_value"]]
+
+
+SQL_EVENTS_SCRIPTED_METRIC = (
+    "WITH c AS (SELECT event_type, count(*) AS n, sum(value) AS s, "
+    "sum(value * value) AS s2 FROM events GROUP BY 1) "
+    "SELECT event_type, n, round(s, 2) AS sum_value, "
+    "round(s2 / n - (s / n) * (s / n), 3) AS var_value FROM c"
+)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -13298,6 +13836,14 @@ def q_pca_variance(sf_dir: str):
 # driver round or the committed 32-cpu mirror (MIRROR_r04.json;
 # scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "match_bool_prefix": q_match_bool_prefix,
+    "events_rank_lag": q_events_rank_lag,
+    "events_cum_users": q_events_cum_users,
+    "events_normalize": q_events_normalize,
+    "events_stats_bucket": q_events_stats_bucket,
+    "events_scripted_metric": q_events_scripted_metric,
     "events_cumulative": q_events_cumulative,
     "geo_distance_rings": q_geo_distance_rings,
     "bloom_join": q_bloom_join,
@@ -13540,6 +14086,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q14": SQL_TPCH_Q14,
+    "match_bool_prefix": _sql_match_bool_prefix(_BOOL_PREFIX_QUERIES),
+    "events_rank_lag": SQL_EVENTS_RANK_LAG,
+    "events_cum_users": SQL_EVENTS_CUM_USERS,
+    "events_normalize": SQL_EVENTS_NORMALIZE,
+    "events_stats_bucket": SQL_EVENTS_STATS_BUCKET,
+    "events_scripted_metric": SQL_EVENTS_SCRIPTED_METRIC,
     "events_cumulative": SQL_EVENTS_CUMULATIVE,
     "geo_distance_rings": _sql_geo_distance_rings(),
     "bloom_join": SQL_BLOOM_JOIN,

@@ -55,6 +55,7 @@ __all__ = [
     "wildcard_search",
     "fuzzy_search",
     "regex_search",
+    "bool_prefix_search",
 ]
 
 
@@ -607,4 +608,51 @@ def regex_search(
     exp = expand_regex(index_dir, patterns, max_expansions=max_expansions)
     return _search_expanded(
         index_dir, exp, k, concurrency, batch_size, packs_ref
+    )
+
+
+def bool_prefix_search(
+    index_dir: str,
+    queries: list[tuple[int, list[str], str]],
+    *,
+    k: int = 10,
+    max_expansions: int = 50,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Elasticsearch ``match_bool_prefix``: ``(query_id, full_terms,
+    prefix)`` -> ``(query_id, rank, doc_id, score)``.  The full terms
+    score as BM25 ``should`` clauses; the trailing (still-being-typed)
+    prefix expands against the dictionary — same streamed matcher and
+    ``(df DESC, term)`` rewrite cap as the wildcard query, ES default
+    ``max_expansions=50`` — and contributes CONSTANT_SCORE
+    ``search.BOOL_PREFIX_BONUS`` once per matching doc.  A doc matching
+    only the prefix clause is still a hit (score == bonus), matching the
+    bool-should semantics."""
+    from .search import search
+
+    exp = expand_wildcard(
+        index_dir,
+        [(qid, f"{pre}%") for qid, _t, pre in queries],
+        max_expansions=max_expansions,
+    )
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _, _ in queries], pa.int64()),
+            "terms": pa.array(
+                [t for _, t, _ in queries], pa.list_(pa.string())
+            ),
+            "bonus_terms": pa.array(
+                [exp.get(q, []) for q, _, _ in queries],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    return search(
+        index_dir,
+        ray.data.from_arrow(qtbl),
+        k=k,
+        mode="bool_prefix",
+        concurrency=concurrency,
+        batch_size=batch_size,
     )

@@ -1097,6 +1097,75 @@ def score_all_boosting(
     return _topk_exact(sc, cand + lo, k)
 
 
+BOOL_PREFIX_BONUS = 1.0  # constant-score prefix clause contribution
+
+
+def score_all_bool_prefix(
+    reader,
+    seg_ids: list[int],
+    terms_sorted: list[str],
+    bonus_sorted: list[str],
+    idfs: dict[str, float],
+    k: int,
+    bonus: float = BOOL_PREFIX_BONUS,
+) -> list[tuple[float, int]]:
+    """Elasticsearch ``match_bool_prefix`` scoring (pinned semantics):
+    the full terms score with the exact BM25, the trailing prefix clause
+    is CONSTANT_SCORE over its dictionary expansion — any doc matching
+    >= 1 expanded term gains a flat ``bonus`` exactly once, however many
+    expanded terms hit (Lucene's ``CONSTANT_SCORE_REWRITE`` of a
+    multi-term query inside a BooleanQuery ``should``).
+
+    Unlike the boosting query's negative clause, a doc matching ONLY the
+    prefix clause is a real candidate (score == ``bonus``), so the dense
+    accumulator spans the union of both clauses' doc ranges.  The bonus
+    union is one sorted-unique docid merge; everything else is the fused
+    :func:`score_all_taat` shape, so the bounded top-k stays per-segment
+    cheap — no post-hoc rescoring window is needed because the constant
+    is folded in BEFORE the cut (a +bonus doc outside the BM25 top-k can
+    ride into the page; applying it after a plain top-k would miss it)."""
+    per_term: list[tuple[str, np.ndarray, np.ndarray]] = []
+    lo = hi = None
+    for t in terms_sorted:
+        arrs = reader.term_arrays(seg_ids, t)
+        if arrs is None:
+            continue
+        docids, w = arrs
+        per_term.append((t, docids, w))
+        tlo, thi = int(docids[0]), int(docids[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    bonus_parts: list[np.ndarray] = []
+    for t in bonus_sorted:
+        arrs = reader.term_arrays(seg_ids, t)
+        if arrs is None:
+            continue
+        docids = arrs[0]
+        bonus_parts.append(docids)
+        tlo, thi = int(docids[0]), int(docids[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if lo is None:
+        return []
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for t, docids, w in per_term:  # ascending-term order (pinned)
+        idx = docids - lo
+        scores[idx] += idfs[t] * w
+        touched[idx] = True
+    if bonus_parts:
+        bd = np.unique(np.concatenate(bonus_parts)) - lo
+        scores[bd] += bonus
+        touched[bd] = True
+    cand = np.flatnonzero(touched)
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand + lo, reader.deleted)]
+    return _topk_exact(scores[cand], cand + lo, k)
+
+
 def score_all_lmd(
     reader,
     seg_ids: list[int],
@@ -1856,6 +1925,13 @@ class SearcherActor:
                 set(all_terms)
                 | {t for ts in batch["neg_terms"].to_pylist() for t in ts}
             )
+        if self.mode == "bool_prefix":
+            # the prefix clause's expanded terms drive the constant-score
+            # bonus union — their postings load with the full terms
+            all_terms = sorted(
+                set(all_terms)
+                | {t for ts in batch["bonus_terms"].to_pylist() for t in ts}
+            )
         dfs = self.reader.dfs(all_terms)
         idfs = {t: self.reader.idf(t) for t in all_terms}
         self._dfs = dfs
@@ -1997,6 +2073,27 @@ class SearcherActor:
                     "query_id": pa.array(out_q, pa.int64()),
                     "rank": pa.array(out_r, pa.int32()),
                     "source": pa.array(out_g, pa.string()),
+                    "doc_id": pa.array(out_d, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+        if self.mode == "bool_prefix":
+            bons_col = batch["bonus_terms"].to_pylist()
+            out_q, out_r, out_d, out_s = [], [], [], []
+            for qid, terms, bons in zip(qids, terms_col, bons_col):
+                top = score_all_bool_prefix(
+                    self.reader, self.seg_ids, sorted(set(terms)),
+                    sorted(set(bons)), idfs, self.k,
+                )
+                for rank, (score, doc_id) in enumerate(top, 1):
+                    out_q.append(qid)
+                    out_r.append(rank)
+                    out_d.append(doc_id)
+                    out_s.append(score)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "rank": pa.array(out_r, pa.int32()),
                     "doc_id": pa.array(out_d, pa.int64()),
                     "score": pa.array(out_s, pa.float64()),
                 }
