@@ -13820,6 +13820,425 @@ SQL_EVENTS_SCRIPTED_METRIC = (
 )
 
 
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution): how many customers
+    placed exactly N orders, INCLUDING the zero-order customers (the
+    left-outer part that makes this query interesting).  Scale design:
+    orders reduce per custkey first (combiner -> Sum groupby over
+    |active customers| rows), then one ``left_outer`` hash join against
+    the customer key column fills in the zeros, then a tiny second
+    groupby over |distinct counts| rows."""
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    def ord_part(b: pa.Table) -> pa.Table:
+        agg = b.select(["o_custkey"]).group_by("o_custkey").aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["o_custkey", "n_p"])
+
+    ocnt = (
+        read_table(sf_dir, "orders", ["o_custkey"])
+        .map_batches(ord_part, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_p", alias_name="n_orders"))
+    )
+    cust = read_table(sf_dir, "customer", ["c_custkey"])
+    ocnt = ocnt.repartition(nparts)
+    cust = cust.repartition(nparts)
+    j = cust.join(
+        ocnt, "left_outer", num_partitions=nparts,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def dist_part(b: pa.Table) -> pa.Table:
+        c = pc.coalesce(b["n_orders"], pa.scalar(0, pa.int64()))
+        t = pa.table({"c_count": pc.cast(c, pa.int64())})
+        agg = t.group_by("c_count").aggregate([([], "count_all")])
+        return agg.rename_columns(["c_count", "cd_p"])
+
+    return (
+        j.map_batches(dist_part, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("cd_p", alias_name="custdist"))
+        .sort(["custdist", "c_count"], descending=[True, True])
+    )
+
+
+SQL_TPCH_Q13 = (
+    "WITH o AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1), "
+    "c AS (SELECT c_custkey, coalesce(n, 0) AS c_count "
+    "FROM customer LEFT JOIN o ON o_custkey = c_custkey) "
+    "SELECT c_count, count(*) AS custdist FROM c GROUP BY 1"
+)
+
+
+_Q15_LO = "1996-01-01"
+_Q15_HI = "1996-04-01"
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarter revenue
+    equals the maximum.  Scale design: revenue reduces per suppkey
+    (combiner -> Sum groupby), the max is one scalar aggregate over the
+    reduced table, the equality filter streams the reduced table again,
+    and ``s_name`` attaches to the winner(s) only — ties all returned
+    (the view-based original's semantics, on round(.,2) revenue like
+    every cross-engine float sum)."""
+    lo = np.datetime64(_Q15_LO, "us")
+    hi = np.datetime64(_Q15_HI, "us")
+    from ray.data.aggregate import Max
+
+    def rev_part(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"]
+        f = b.filter(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(lo, pa.timestamp("us"))),
+                pc.less(ship, pa.scalar(hi, pa.timestamp("us"))),
+            )
+        )
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])
+        )
+        t = pa.table({"l_suppkey": f["l_suppkey"], "rev": rev})
+        agg = t.group_by("l_suppkey").aggregate([("rev", "sum")])
+        return agg.rename_columns(["l_suppkey", "rev_p"])
+
+    reduced = (
+        read_table(
+            sf_dir, "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(rev_part, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_p", alias_name="rev"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_suppkey": b["l_suppkey"],
+                    "total_rev": pc.round(b["rev"], 2),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    mx = float(reduced.aggregate(Max("total_rev", alias_name="m"))["m"])
+    winners = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["total_rev"], mx)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    wanted = pa.array(winners["l_suppkey"].tolist(), pa.int64())
+    supp = (
+        read_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["s_suppkey"], value_set=wanted)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.sort_values("s_suppkey").reset_index(drop=True)
+    return out[["s_suppkey", "s_name", "total_rev"]]
+
+
+SQL_TPCH_Q15 = (
+    "WITH r AS (SELECT l_suppkey, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev "
+    "FROM lineitem "
+    f"WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}' "
+    f"AND l_shipdate < TIMESTAMP '{_Q15_HI}' GROUP BY 1) "
+    "SELECT s_suppkey, s_name, total_rev FROM r "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "WHERE total_rev = (SELECT max(total_rev) FROM r)"
+)
+
+
+_Q17_BRAND = "Brand#23"
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue), adapted to the driver's
+    column subset (no ``p_container``; the brand predicate alone picks
+    the part subset): revenue lost to orders below 20% of a part's
+    average order quantity, scaled to a yearly figure.
+
+    Scale design: the brand's partkeys semi-join the fact table (hash
+    join, no broadcast), per-part (sum qty, n) reduces via the combiner,
+    and the threshold re-attaches with a second hash join — the
+    classic correlated-subquery decorrelation.  The ``0.2 * avg``
+    threshold is EXACT cross-engine: quantities are integer-valued, so
+    the per-part float sum is order-independent (every partial stays
+    under 2^53) and ``sum/n`` is bit-identical in both engines."""
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    bp = read_table(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda b: b.filter(pc.equal(b["p_brand"], _Q17_BRAND)).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    line = read_table(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    line = line.repartition(nparts)
+    bp = bp.repartition(nparts)
+    j = line.join(
+        bp, "inner", num_partitions=nparts,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def stat_part(b: pa.Table) -> pa.Table:
+        t = b.select(["l_partkey", "l_quantity"])
+        agg = t.group_by("l_partkey").aggregate(
+            [("l_quantity", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(["pk", "sq_p", "n_p"])
+
+    stats = (
+        j.map_batches(stat_part, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("sq_p", alias_name="sq"), Sum("n_p", alias_name="nq"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "pk": b["pk"],
+                    "thresh": pc.multiply(
+                        pa.scalar(0.2),
+                        pc.divide(
+                            pc.cast(b["sq"], pa.float64()),
+                            pc.cast(b["nq"], pa.float64()),
+                        ),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    j2 = j.join(
+        stats, "inner", num_partitions=nparts,
+        on=("l_partkey",), right_on=("pk",),
+    )
+
+    def fin_part(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.less(b["l_quantity"], b["thresh"]))
+        s = pc.sum(f["l_extendedprice"])
+        return pa.table({
+            "s_p": pa.array([s.as_py() or 0.0], pa.float64()),
+            "n_p": pa.array([f.num_rows], pa.int64()),
+        })
+
+    agg = j2.map_batches(fin_part, batch_format="pyarrow").aggregate(
+        Sum("s_p", alias_name="s"), Sum("n_p", alias_name="n")
+    )
+    return pd.DataFrame({
+        "avg_yearly": [np.round(float(agg["s"]) / 7.0, 2)],
+        "n": np.array([int(agg["n"])], dtype=np.int64),
+    })
+
+
+SQL_TPCH_Q17 = (
+    "WITH bp AS (SELECT p_partkey FROM part "
+    f"WHERE p_brand = '{_Q17_BRAND}'), "
+    "l AS (SELECT l_partkey, l_quantity, l_extendedprice "
+    "FROM lineitem JOIN bp ON p_partkey = l_partkey), "
+    "s AS (SELECT l_partkey AS pk, "
+    "0.2 * (sum(l_quantity) / count(*)) AS thresh FROM l GROUP BY 1) "
+    "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, "
+    "count(*) AS n FROM l JOIN s ON l.l_partkey = s.pk "
+    "WHERE l_quantity < thresh"
+)
+
+
+_Q18_QTY = 250.0
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds the threshold, top 100 by (o_totalprice DESC, o_orderdate,
+    o_orderkey), with the customer name attached to the winners only.
+
+    Scale design: quantity reduces per orderkey (combiner -> Sum
+    groupby), the HAVING filter streams the reduced table, one hash join
+    attaches the order attributes, the top-100 cut is a distributed
+    sort + limit, and c_name decorates the 100 winners via a filtered
+    pass — no float policy needed anywhere (quantities are
+    integer-valued and o_totalprice is compared raw)."""
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    def qty_part(b: pa.Table) -> pa.Table:
+        agg = b.select(["l_orderkey", "l_quantity"]).group_by(
+            "l_orderkey"
+        ).aggregate([("l_quantity", "sum")])
+        return agg.rename_columns(["l_orderkey", "q_p"])
+
+    big = (
+        read_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_part, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q_p", alias_name="sum_qty"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["sum_qty"], _Q18_QTY)),
+            batch_format="pyarrow",
+        )
+    )
+    orders = read_table(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    big = big.repartition(nparts)
+    orders = orders.repartition(nparts)
+    top = (
+        orders.join(
+            big, "inner", num_partitions=nparts,
+            on=("o_orderkey",), right_on=("l_orderkey",),
+        )
+        .sort(
+            ["o_totalprice", "o_orderdate", "o_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(100)
+        .to_pandas()
+    )
+    wanted = pa.array(sorted(set(top["o_custkey"].tolist())), pa.int64())
+    cust = (
+        read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["c_custkey"], value_set=wanted)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+    ).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out[
+        ["rank", "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+         "o_totalprice", "sum_qty"]
+    ]
+
+
+SQL_TPCH_Q18 = (
+    "WITH q AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty "
+    f"FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {_Q18_QTY}), "
+    "t AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, "
+    "sum_qty, CAST(row_number() OVER (ORDER BY o_totalprice DESC, "
+    "o_orderdate, o_orderkey) AS INTEGER) AS rank "
+    "FROM orders JOIN q ON o_orderkey = l_orderkey) "
+    "SELECT rank, c_name, c_custkey, o_orderkey, o_orderdate, "
+    "o_totalprice, sum_qty FROM t JOIN customer ON c_custkey = o_custkey "
+    "WHERE rank <= 100"
+)
+
+
+# (brand, size lo-hi, quantity lo-hi) — the three Q19 OR groups, adapted
+# to the driver's column subset (no p_container / shipmode predicates)
+_Q19_GROUPS: list[tuple[str, int, int, float, float]] = [
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#34", 1, 15, 20.0, 30.0),
+]
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 (discounted revenue, OR-of-predicate-groups), adapted
+    to the driver's column subset.  The predicate couples a lineitem
+    column (quantity) with part columns (brand, size), so a plain
+    per-partkey reduce would lose the quantity — instead the combiner
+    reduces per (partkey, quantity): quantities take ~50 distinct
+    integer values, so the exchange is bounded by 50 x |parts seen|
+    rows, never |lineitems|.  One hash join attaches (brand, size), the
+    OR mask evaluates vectorized over the REDUCED table, and a scalar
+    aggregate finishes."""
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    def reduce_pq(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table({
+            "l_partkey": b["l_partkey"],
+            "qty": b["l_quantity"],
+            "rev": rev,
+        })
+        agg = t.group_by(["l_partkey", "qty"]).aggregate(
+            [("rev", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(["l_partkey", "qty", "rev_p", "n_p"])
+
+    reduced = (
+        read_table(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(reduce_pq, batch_format="pyarrow")
+        .groupby(["l_partkey", "qty"])
+        .aggregate(Sum("rev_p", alias_name="rev"), Sum("n_p", alias_name="nl"))
+    )
+    attrs = read_table(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    reduced = reduced.repartition(nparts)
+    attrs = attrs.repartition(nparts)
+    j = reduced.join(
+        attrs, "inner", num_partitions=nparts,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def fin_part(b: pa.Table) -> pa.Table:
+        brand = b["p_brand"]
+        size = b["p_size"]
+        qty = b["qty"]
+        mask = pa.array(np.zeros(b.num_rows, dtype=bool))
+        for br, slo, shi, qlo, qhi in _Q19_GROUPS:
+            g = pc.and_(
+                pc.and_(
+                    pc.equal(brand, br),
+                    pc.and_(
+                        pc.greater_equal(size, slo), pc.less_equal(size, shi)
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(qty, qlo), pc.less_equal(qty, qhi)
+                ),
+            )
+            mask = pc.or_(mask, g)
+        f = b.filter(mask)
+        s = pc.sum(f["rev"])
+        n = pc.sum(f["nl"])
+        return pa.table({
+            "s_p": pa.array([s.as_py() or 0.0], pa.float64()),
+            "n_p": pa.array([n.as_py() or 0], pa.int64()),
+        })
+
+    agg = j.map_batches(fin_part, batch_format="pyarrow").aggregate(
+        Sum("s_p", alias_name="s"), Sum("n_p", alias_name="n")
+    )
+    return pd.DataFrame({
+        "revenue": [np.round(float(agg["s"]), 2)],
+        "n": np.array([int(agg["n"])], dtype=np.int64),
+    })
+
+
+def _sql_tpch_q19() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{br}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for br, slo, shi, qlo, qhi in _Q19_GROUPS
+    )
+    return (
+        # coalesce: an empty match (possible at tiny scale factors) is
+        # 0.0 revenue in the engine, not NULL
+        "SELECT coalesce(round(sum(l_extendedprice * (1 - l_discount)), 2), "
+        "0.0) AS revenue, count(*) AS n "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        f"WHERE {ors}"
+    )
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -13836,6 +14255,11 @@ SQL_EVENTS_SCRIPTED_METRIC = (
 # driver round or the committed 32-cpu mirror (MIRROR_r04.json;
 # scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "match_bool_prefix": q_match_bool_prefix,
@@ -14086,6 +14510,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q15": SQL_TPCH_Q15,
+    "tpch_q17": SQL_TPCH_Q17,
+    "tpch_q18": SQL_TPCH_Q18,
+    "tpch_q19": _sql_tpch_q19(),
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q14": SQL_TPCH_Q14,
     "match_bool_prefix": _sql_match_bool_prefix(_BOOL_PREFIX_QUERIES),
