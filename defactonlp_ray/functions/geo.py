@@ -82,6 +82,74 @@ def sql_geotile_xy(zoom: int) -> tuple[str, str]:
     return x, y
 
 
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_PRECISION = 4  # chars -> 20 bits (10 lon + 10 lat)
+
+
+def geohash_bits(lat_e6: np.ndarray, lon_e6: np.ndarray) -> np.ndarray:
+    """Standard geohash cell id at :data:`GEOHASH_PRECISION` as one
+    int64 (the 20-bit interleaved stream, lon bit first — the classic
+    Niemeyer layout).  Pure integer arithmetic: bin indexes are exact
+    floor divisions of the micro-degree coordinates, the interleave is
+    shifts and masks — bit-identical in any engine, mirrored verbatim
+    by :func:`sql_geohash_bits`."""
+    nbits = 5 * GEOHASH_PRECISION // 2  # 10 bits per axis
+    n = np.int64(1) << nbits
+    lonb = (lon_e6 + 180_000_000) * n // 360_000_000
+    latb = (lat_e6 + 90_000_000) * n // 180_000_000
+    g = np.zeros(len(lonb), dtype=np.int64)
+    for j in range(nbits):
+        g |= ((lonb >> np.int64(nbits - 1 - j)) & 1) << np.int64(
+            2 * nbits - 1 - 2 * j
+        )
+        g |= ((latb >> np.int64(nbits - 1 - j)) & 1) << np.int64(
+            2 * nbits - 2 - 2 * j
+        )
+    return g
+
+
+def geohash_str(g: np.ndarray) -> np.ndarray:
+    """Base32 geohash strings from the packed 20-bit cell ids."""
+    chars = np.frombuffer(GEOHASH_BASE32.encode(), dtype=np.uint8)
+    nch = GEOHASH_PRECISION
+    out = np.empty((len(g), nch), dtype=np.uint8)
+    for c in range(nch):
+        out[:, c] = chars[(g >> (5 * (nch - 1 - c))) & 31]
+    return out.view(f"S{nch}").ravel().astype(str)
+
+
+def sql_geohash_bits() -> str:
+    """DuckDB BIGINT expression over columns lat_e6 / lon_e6 computing
+    the identical packed cell id as :func:`geohash_bits`."""
+    nbits = 5 * GEOHASH_PRECISION // 2
+    n = 1 << nbits
+    lonb = f"((lon_e6 + 180000000) * {n} // 360000000)"
+    latb = f"((lat_e6 + 90000000) * {n} // 180000000)"
+    terms = []
+    for j in range(nbits):
+        terms.append(
+            f"(({lonb} // {1 << (nbits - 1 - j)}) % 2) * "
+            f"{1 << (2 * nbits - 1 - 2 * j)}"
+        )
+        terms.append(
+            f"(({latb} // {1 << (nbits - 1 - j)}) % 2) * "
+            f"{1 << (2 * nbits - 2 - 2 * j)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_geohash_str(g_col: str = "g") -> str:
+    """DuckDB expression turning the packed cell id column into the
+    base32 geohash string (same alphabet / bit groups)."""
+    parts = [
+        f"substr('{GEOHASH_BASE32}', "
+        f"CAST(({g_col} // {1 << (5 * (GEOHASH_PRECISION - 1 - c))}) "
+        f"% 32 AS INTEGER) + 1, 1)"
+        for c in range(GEOHASH_PRECISION)
+    ]
+    return " || ".join(parts)
+
+
 def haversine_km(
     lat1_e6: np.ndarray, lon1_e6: np.ndarray, lat2_deg: float, lon2_deg: float
 ) -> np.ndarray:

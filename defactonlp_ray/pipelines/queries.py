@@ -14223,6 +14223,156 @@ def q_tpch_q19(sf_dir: str):
     })
 
 
+def q_geohash_grid(sf_dir: str):
+    """ES ``geohash_grid`` aggregation (the base32 sibling of
+    ``geotile_grid``): per 4-char geohash cell, doc count and the exact
+    micro-degree centroid.  The cell id is the 20-bit lon/lat bit
+    interleave (functions/geo.geohash_bits) — pure integer arithmetic,
+    so the shuffle key is one int64 and the whole entry is float-free
+    (the centroid uses the shifted floor-division rule shared with
+    geotile_grid); the base32 string derives from the packed id AFTER
+    the groupby, in the |cells|-row finalizer."""
+    from ..functions import geo
+
+    def part(batch: pa.Table) -> pa.Table:
+        lat, lon = _synth_geo(batch)
+        g = geo.geohash_bits(lat, lon)
+        t = pa.table({
+            "g": pa.array(g, pa.int64()),
+            "lat_p": pa.array(lat + 90_000_000, pa.int64()),
+            "lon_p": pa.array(lon + 180_000_000, pa.int64()),
+        })
+        agg = t.group_by("g").aggregate(
+            [("lat_p", "sum"), ("lon_p", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(["g", "lat_p", "lon_p", "n_p"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        g = b["g"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        slat = b["sum_lat"].to_numpy(zero_copy_only=False)
+        slon = b["sum_lon"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "geohash": pa.array(geo.geohash_str(g), pa.string()),
+            "n": b["n"],
+            "centroid_lat": pa.array(
+                (slat // n - 90_000_000) / 1e6, pa.float64()
+            ),
+            "centroid_lon": pa.array(
+                (slon // n - 180_000_000) / 1e6, pa.float64()
+            ),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("lat_p", alias_name="sum_lat"),
+            Sum("lon_p", alias_name="sum_lon"),
+            Sum("n_p", alias_name="n"),
+        )
+        .map_batches(fin, batch_format="pyarrow")
+    )
+
+
+def _sql_geohash_grid() -> str:
+    from ..functions import geo
+
+    return (
+        f"WITH {_sql_geo_cte()}, "
+        f"b AS (SELECT {geo.sql_geohash_bits()} AS g, lat_e6, lon_e6 "
+        "FROM g), "
+        "c AS (SELECT g, count(*) AS n, "
+        "CAST(sum(lat_e6 + 90000000) // count(*) AS BIGINT) AS flat, "
+        "CAST(sum(lon_e6 + 180000000) // count(*) AS BIGINT) AS flon "
+        "FROM b GROUP BY 1) "
+        f"SELECT {geo.sql_geohash_str('g')} AS geohash, n, "
+        "(flat - 90000000) / 1e6 AS centroid_lat, "
+        "(flon - 180000000) / 1e6 AS centroid_lon FROM c"
+    )
+
+
+def q_events_moving_percentile(sf_dir: str):
+    """ES ``moving_percentiles`` pipeline aggregation: the trailing
+    3-day median (linear-interpolation percentile, the quantile_cont
+    rule) of the daily event count.  Same pipeline-agg shape as
+    moving_avg: the corpus pass is the daily-count combiner; the window
+    function runs over the |days|-row reduced series."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    daily["p50"] = np.round(
+        daily["n"].rolling(window=3, min_periods=1).median(), 6
+    )
+    return daily[["window_start", "n", "p50"]]
+
+
+SQL_EVENTS_MOVING_PCTL = (
+    "SELECT window_start, n, round(quantile_cont(n, 0.5) OVER ("
+    "ORDER BY window_start ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) "
+    "AS p50 FROM (SELECT date_trunc('day', ts) AS window_start, "
+    "count(*) AS n FROM events GROUP BY 1)"
+)
+
+
+def q_events_bucket_script(sf_dir: str):
+    """ES ``bucket_script`` pipeline aggregation: a per-bucket derived
+    metric over sibling aggs — here the mean event value per day
+    (``sum_value / count``) next to the raw sums.  The script runs on
+    the |days|-row reduced table; the corpus pass is one combiner."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day, "value": batch["value"]})
+        agg = t.group_by("window_start").aggregate(
+            [([], "count_all"), ("value", "sum")]
+        )
+        return agg.rename_columns(["window_start", "n_p", "sv_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts", "value"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("sv_p", alias_name="sv"))
+        .to_pandas()
+    )
+    n = daily["n"].to_numpy(np.float64)
+    sv = daily["sv"].to_numpy(np.float64)
+    daily["sum_value"] = np.round(sv, 2)
+    daily["mean_value"] = np.round(sv / n, 6)
+    daily["n"] = daily["n"].astype(np.int64)
+    return daily[["window_start", "n", "sum_value", "mean_value"]]
+
+
+SQL_EVENTS_BUCKET_SCRIPT = (
+    # round_even: the mean can land exactly on a 1e-6 midpoint (e.g.
+    # sum/32 = 54.2028125), where numpy's banker's rounding and SQL
+    # round() diverge — mirror numpy's rule explicitly
+    "SELECT date_trunc('day', ts) AS window_start, count(*) AS n, "
+    "round(sum(value), 2) AS sum_value, "
+    "round_even(sum(value) / count(*), 6) AS mean_value "
+    "FROM events GROUP BY 1"
+)
+
+
 def _sql_tpch_q19() -> str:
     ors = " OR ".join(
         f"(p_brand = '{br}' AND p_size BETWEEN {slo} AND {shi} "
@@ -14255,6 +14405,9 @@ def _sql_tpch_q19() -> str:
 # driver round or the committed 32-cpu mirror (MIRROR_r04.json;
 # scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "geohash_grid": q_geohash_grid,
+    "events_moving_percentile": q_events_moving_percentile,
+    "events_bucket_script": q_events_bucket_script,
     "tpch_q13": q_tpch_q13,
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
@@ -14510,6 +14663,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "geohash_grid": _sql_geohash_grid(),
+    "events_moving_percentile": SQL_EVENTS_MOVING_PCTL,
+    "events_bucket_script": SQL_EVENTS_BUCKET_SCRIPT,
     "tpch_q13": SQL_TPCH_Q13,
     "tpch_q15": SQL_TPCH_Q15,
     "tpch_q17": SQL_TPCH_Q17,

@@ -8,6 +8,7 @@ and can outrank a weak BM25 match — i.e. the bonus folds in BEFORE the
 bounded top-k.
 """
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -111,3 +112,45 @@ def test_bool_prefix_bonus_once_and_prefix_only_docs(tmp_path):
     }
     for pos, ((_q, d), _s) in enumerate(ordered, 1):
         assert ranks[d] == pos
+
+
+def test_geohash_matches_reference_encoder():
+    """geohash_bits/geohash_str vs an independent textbook bisection
+    encoder (Niemeyer layout, lon bit first)."""
+    from defactonlp_ray.functions import geo
+
+    def ref_geohash(lat, lon, precision):
+        alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_lo, lat_hi = -90.0, 90.0
+        lon_lo, lon_hi = -180.0, 180.0
+        bits, ch, out, even = 0, 0, [], True
+        while len(out) < precision:
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    ch = (ch << 1) | 1
+                    lon_lo = mid
+                else:
+                    ch <<= 1
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    ch = (ch << 1) | 1
+                    lat_lo = mid
+                else:
+                    ch <<= 1
+                    lat_hi = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(alphabet[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    doc_ids = np.arange(0, 4000, 37, dtype=np.int64)
+    lat, lon = geo.synth_coords_e6(doc_ids)
+    got = geo.geohash_str(geo.geohash_bits(lat, lon))
+    for i in range(len(doc_ids)):
+        want = ref_geohash(lat[i] / 1e6, lon[i] / 1e6, geo.GEOHASH_PRECISION)
+        assert got[i] == want, (doc_ids[i], lat[i], lon[i], got[i], want)
