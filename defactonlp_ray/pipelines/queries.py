@@ -14223,6 +14223,162 @@ def q_tpch_q19(sf_dir: str):
     })
 
 
+def q_retrieval_map(sf_dir: str):
+    """Mean-average-precision eval (the third member of the ranked-eval
+    family next to MRR and nDCG — ES ``rank_eval``'s
+    ``mean_average_precision`` metric): per query, AP@10 of the BM25
+    run under the shared binary relevance "doc contains EVERY query
+    term" — sum of precision@r at each relevant rank, divided by the
+    query's TOTAL relevant-doc count (0.0 when none exist).  Same scale
+    shape as nDCG: relevance streams over the corpus, totals come from
+    the keyed count, only the rel∩top10 intersection reaches the
+    driver."""
+    k = 10
+    topk = q_bm25_topk(sf_dir)
+    hit_set, n_rel = _rel_hits(sf_dir, topk)
+
+    out_q, out_a = [], []
+    for qid, _terms in _BM25_QUERIES:
+        g = topk[topk["query_id"] == qid]
+        rel_mask = np.array(
+            [(qid, d) in hit_set for d in g["doc_id"]], dtype=bool
+        )
+        ranks = np.sort(g["rank"].to_numpy()[rel_mask]).astype(np.float64)
+        nr = n_rel.get(qid, 0)
+        ap = (
+            float(np.sum(np.arange(1, ranks.size + 1) / ranks)) / nr
+            if nr > 0 else 0.0
+        )
+        out_q.append(qid)
+        out_a.append(round(ap, 6))
+    return pd.DataFrame({"query_id": out_q, "ap": out_a})
+
+
+def _map_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    return (
+        _ranked_eval_prefix_sql(queries, k) + ", "
+        "hits AS (SELECT t.query_id, t.rank FROM topk t "
+        "JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id), "
+        "prec AS (SELECT query_id, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY rank) AS DOUBLE) / rank AS p "
+        "FROM hits), "
+        "apq AS (SELECT query_id, sum(p) AS sp FROM prec GROUP BY 1), "
+        "nrel AS (SELECT query_id, count(*) AS n FROM rel GROUP BY 1) "
+        "SELECT qq.query_id, round(COALESCE(a.sp / n.n, 0), 6) AS ap "
+        "FROM (SELECT DISTINCT query_id FROM q) qq "
+        "LEFT JOIN apq a ON a.query_id = qq.query_id "
+        "LEFT JOIN nrel n ON n.query_id = qq.query_id "
+        "ORDER BY qq.query_id"
+    )
+
+
+_HYB_WINDOW = 30   # per-retriever candidate window
+_HYB_ALPHA = 0.5   # lexical weight (exact binary float)
+
+
+def q_hybrid_minmax(sf_dir: str):
+    """Hybrid lexical+dense retrieval with MIN-MAX score normalization
+    (the Elasticsearch 8.x retriever ``normalizer: minmax`` linear
+    combiner — the score-blending alternative to the rank-only RRF
+    entry): each retriever contributes its top-``_HYB_WINDOW`` window,
+    scores normalize PER QUERY to [0, 1] over that retriever's own
+    window, and the final score is ``alpha * bm25_norm + (1 - alpha) *
+    cos_norm`` with a missing-from-window side contributing 0.
+
+    Scale shape: both windows are bounded top-k runs (BM25 actors /
+    brute-cosine combiner); normalization and the union-merge happen on
+    2 x window x queries rows at the driver.  Queries pair BM25 term
+    sets 0-2 with embedding rows 0-2 (row-aligned tables)."""
+    from ..stages.search import search
+
+    idx = _build_docs_index(sf_dir)
+    lex = _rerank_rounded(
+        search(
+            idx, _query_terms_ds(_BM25_QUERIES[:3]),
+            k=2 * _HYB_WINDOW, concurrency=2,
+        ).to_pandas(),
+        k=_HYB_WINDOW,
+    )
+    q = _query_vectors(sf_dir, 3)
+    den = ann.knn_brute(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        q, k=_HYB_WINDOW,
+    ).rename(columns={"vec_id": "doc_id"})
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _qid, g in df.groupby("query_id"):
+            s = g["score"].to_numpy(np.float64)
+            span = s.max() - s.min()
+            g = g.copy()
+            g["ns"] = np.zeros(len(g)) if span == 0 else (s - s.min()) / span
+            out.append(g[["query_id", "doc_id", "ns"]])
+        return pd.concat(out, ignore_index=True)
+
+    ln = norm(lex).rename(columns={"ns": "bn"})
+    dn = norm(den).rename(columns={"ns": "cn"})
+    m = ln.merge(dn, on=["query_id", "doc_id"], how="outer").fillna(0.0)
+    m["score"] = np.round(
+        _HYB_ALPHA * m["bn"] + (1.0 - _HYB_ALPHA) * m["cn"], 6
+    )
+    return _rerank_rounded(m[["query_id", "doc_id", "score"]], k=10)
+
+
+def _sql_hybrid_minmax(k: int = 10) -> str:
+    qs = _BM25_QUERIES[:3]
+    vals = ", ".join(f"({qid}, '{t}')" for qid, terms in qs for t in terms)
+    return (
+        # lexical window: the shared exact-BM25 expression
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "lexw AS (SELECT query_id, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS rank FROM scored) "
+        f"WHERE rank <= {_HYB_WINDOW}), "
+        # dense window: brute cosine over the full embedding table
+        "qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings WHERE vec_id < 3), "
+        "cosall AS (SELECT qv.query_id, e.vec_id AS doc_id, "
+        "round(list_cosine_similarity(qv.v, e.embedding::DOUBLE[]), 6) "
+        "AS score FROM qv CROSS JOIN embeddings e), "
+        "denw AS (SELECT query_id, doc_id, score FROM ("
+        "SELECT query_id, doc_id, score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank "
+        f"FROM cosall) WHERE rank <= {_HYB_WINDOW}), "
+        # per-query min-max normalization over each retriever's window
+        "lnorm AS (SELECT query_id, doc_id, CASE WHEN max(score) OVER w "
+        "= min(score) OVER w THEN 0.0 ELSE (score - min(score) OVER w) / "
+        "(max(score) OVER w - min(score) OVER w) END AS bn FROM lexw "
+        "WINDOW w AS (PARTITION BY query_id)), "
+        "dnorm AS (SELECT query_id, doc_id, CASE WHEN max(score) OVER w "
+        "= min(score) OVER w THEN 0.0 ELSE (score - min(score) OVER w) / "
+        "(max(score) OVER w - min(score) OVER w) END AS cn FROM denw "
+        "WINDOW w AS (PARTITION BY query_id)), "
+        "u AS (SELECT coalesce(l.query_id, d.query_id) AS query_id, "
+        "coalesce(l.doc_id, d.doc_id) AS doc_id, "
+        f"round({_HYB_ALPHA} * coalesce(l.bn, 0) + "
+        f"{1.0 - _HYB_ALPHA} * coalesce(d.cn, 0), 6) AS score "
+        "FROM lnorm l FULL OUTER JOIN dnorm d "
+        "ON l.query_id = d.query_id AND l.doc_id = d.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, score, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) "
+        f"AS rank FROM u) WHERE rank <= {k}"
+    )
+
+
 def q_geohash_grid(sf_dir: str):
     """ES ``geohash_grid`` aggregation (the base32 sibling of
     ``geotile_grid``): per 4-char geohash cell, doc count and the exact
@@ -14405,6 +14561,8 @@ def _sql_tpch_q19() -> str:
 # driver round or the committed 32-cpu mirror (MIRROR_r04.json;
 # scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "retrieval_map": q_retrieval_map,
+    "hybrid_minmax": q_hybrid_minmax,
     "geohash_grid": q_geohash_grid,
     "events_moving_percentile": q_events_moving_percentile,
     "events_bucket_script": q_events_bucket_script,
@@ -14663,6 +14821,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "retrieval_map": _map_sql(_BM25_QUERIES),
+    "hybrid_minmax": _sql_hybrid_minmax(),
     "geohash_grid": _sql_geohash_grid(),
     "events_moving_percentile": SQL_EVENTS_MOVING_PCTL,
     "events_bucket_script": SQL_EVENTS_BUCKET_SCRIPT,
