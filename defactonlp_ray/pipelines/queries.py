@@ -11683,6 +11683,40 @@ _LINE_SHIFT = 20     # packed key: doc_id << 20 | line_id (docs here are
                      # two-int64 struct key, same Min aggregate)
 
 
+def _lines_part(batch: pa.Table) -> pa.Table:
+    """Vectorized 8-token line assembly: (doc_id, line, mk) rows where
+    ``mk`` packs the (doc_id, line_id) occurrence key.  Token scatter
+    into a (n_lines, W) object matrix — no per-line Python join."""
+    terms, row_idx, doc_len = flatten_tokens(batch["text"])
+    n = len(terms)
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "line": pa.array([], pa.string()),
+            "mk": pa.array([], pa.int64()),
+        })
+    starts = np.zeros(doc_len.size + 1, dtype=np.int64)
+    np.cumsum(doc_len, out=starts[1:])
+    pos = np.arange(n, dtype=np.int64) - starts[row_idx]
+    line_id = pos // _LINE_W
+    pack = row_idx.astype(np.int64) * (1 << _LINE_SHIFT) + line_id
+    uniq, inv = np.unique(pack, return_inverse=True)
+    mat = np.full((uniq.size, _LINE_W), "", dtype=object)
+    mat[inv, pos % _LINE_W] = np.asarray(terms.to_pylist(), dtype=object)
+    s = mat[:, 0]
+    for j in range(1, _LINE_W):
+        more = mat[:, j] != ""
+        s = np.where(more, s + " " + mat[:, j], s)
+    rows = (uniq >> _LINE_SHIFT).astype(np.int64)
+    lids = uniq & ((1 << _LINE_SHIFT) - 1)
+    dids = batch["doc_id"].to_numpy(zero_copy_only=False)[rows]
+    return pa.table({
+        "doc_id": pa.array(dids, pa.int64()),
+        "line": pa.array(s, pa.string()),
+        "mk": pa.array(dids * (1 << _LINE_SHIFT) + lids, pa.int64()),
+    })
+
+
 def q_line_dedup(sf_dir: str):
     """C4-style GLOBAL exact line deduplication (Raffel et al. 2020
     discard duplicate spans keeping the first occurrence; lines here
@@ -11697,36 +11731,7 @@ def q_line_dedup(sf_dir: str):
     -> per-doc counts.  Both exchanges move one row per LINE, never
     tokens; the winner rule is a Min aggregate, so no whole-corpus
     materialization anywhere."""
-
-    def lines_part(batch: pa.Table) -> pa.Table:
-        terms, row_idx, doc_len = flatten_tokens(batch["text"])
-        n = len(terms)
-        if n == 0:
-            return pa.table({
-                "doc_id": pa.array([], pa.int64()),
-                "line": pa.array([], pa.string()),
-                "mk": pa.array([], pa.int64()),
-            })
-        starts = np.zeros(doc_len.size + 1, dtype=np.int64)
-        np.cumsum(doc_len, out=starts[1:])
-        pos = np.arange(n, dtype=np.int64) - starts[row_idx]
-        line_id = pos // _LINE_W
-        pack = row_idx.astype(np.int64) * (1 << _LINE_SHIFT) + line_id
-        uniq, inv = np.unique(pack, return_inverse=True)
-        mat = np.full((uniq.size, _LINE_W), "", dtype=object)
-        mat[inv, pos % _LINE_W] = np.asarray(terms.to_pylist(), dtype=object)
-        s = mat[:, 0]
-        for j in range(1, _LINE_W):
-            more = mat[:, j] != ""
-            s = np.where(more, s + " " + mat[:, j], s)
-        rows = (uniq >> _LINE_SHIFT).astype(np.int64)
-        lids = uniq & ((1 << _LINE_SHIFT) - 1)
-        dids = batch["doc_id"].to_numpy(zero_copy_only=False)[rows]
-        return pa.table({
-            "doc_id": pa.array(dids, pa.int64()),
-            "line": pa.array(s, pa.string()),
-            "mk": pa.array(dids * (1 << _LINE_SHIFT) + lids, pa.int64()),
-        })
+    lines_part = _lines_part
 
     from ray.data.aggregate import Min
 
@@ -15043,6 +15048,239 @@ def _sql_tpch_q22() -> str:
     )
 
 
+# --------------------------------------------------- common-terms query
+
+_CT_CUTOFF = (79, 100)  # low iff df * 100 <= n_docs * 79
+_CT_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["dup", "batch"]),
+    (1, ["merge", "small", "scan"]),
+    (2, ["data", "batch", "agg"]),
+    (3, ["row", "filter", "small"]),
+    (4, ["stream", "scan", "agg", "batch"]),
+    (5, ["dup", "small", "agg"]),
+]
+
+
+def q_common_terms_topk(sf_dir: str):
+    """Lucene/ES ``common`` query (CommonTermsQuery,
+    stages/phrase.score_common_terms): query terms split at a pinned
+    document-frequency cutoff; docs must match >= 1 LOW-frequency term
+    (the selective recall driver), HIGH-frequency terms only ADD score
+    to those candidates — the stopword-robust ranking that predates
+    index-time stop lists.  The df split is exact integer arithmetic
+    recomputed from the corpus on BOTH sides, so the oracle reproduces
+    it at any sf; the all-high fallback (plain OR) is in the SQL as a
+    per-query NOT EXISTS guard."""
+    from ..stages.phrase import common_terms_search
+
+    idx = _build_docs_index(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table({
+            "query_id": pa.array([q[0] for q in _CT_QUERIES], pa.int64()),
+            "terms": pa.array(
+                [q[1] for q in _CT_QUERIES], pa.list_(pa.string())
+            ),
+        })
+    )
+    res = common_terms_search(
+        idx, qds, k=20, concurrency=2, cutoff=_CT_CUTOFF
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _common_terms_sql(
+    queries: list[tuple[int, list[str]]],
+    cutoff: tuple[int, int],
+    k: int = 10,
+) -> str:
+    """common-terms oracle: candidate = docs with >= 1 low-df term
+    (fallback: any term when the query has no low-df term in the
+    dictionary), scoring = the shared candidate-filtered exact-BM25
+    skeleton over ALL the query's terms."""
+    num, den = cutoff
+    cand_parts, qvals = [], []
+    for qid, terms in queries:
+        uniq = sorted(set(terms))
+        in_list = ", ".join(f"'{t}'" for t in uniq)
+        low_pred = f"df.df * {den} <= s.n_docs * {num}"
+        cand_parts.append(
+            f"SELECT {qid} AS query_id, tf.doc_id FROM tf "
+            "JOIN df ON df.term = tf.term CROSS JOIN stats s "
+            f"WHERE tf.term IN ({in_list}) AND ({low_pred} "
+            "OR NOT EXISTS (SELECT 1 FROM df, stats s "
+            f"WHERE df.term IN ({in_list}) AND {low_pred})) "
+            "GROUP BY tf.doc_id"
+        )
+        for t in uniq:
+            qvals.append(f"({qid}, '{t}')")
+    return _filtered_bm25_sql(cand_parts, qvals, k)
+
+
+SQL_COMMON_TERMS_TOPK = _common_terms_sql(_CT_QUERIES, _CT_CUTOFF)
+
+
+# ------------------------------------------------- rate + filters aggs
+
+def q_events_rate_weekly(sf_dir: str):
+    """ES ``rate`` aggregation inside a weekly date_histogram: event
+    count per ISO week normalized to a per-day rate (``unit: day`` —
+    the calendar interval is always 7 days, partial edge weeks
+    included, the ES rule).  Combiner-shaped: per-batch week counts
+    pre-aggregate before one |weeks|-row exchange."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(batch["ts"], unit="week")
+        t = pa.table({"week_start": pc.cast(wk, pa.timestamp("us"))})
+        agg = t.group_by("week_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["week_start", "n_p"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column(
+            "rate_per_day", pa.array(np.round(n / 7.0, 6), pa.float64())
+        )
+
+    return (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("week_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .map_batches(fin, batch_format="pyarrow")
+        .sort("week_start")
+    )
+
+
+SQL_EVENTS_RATE_WEEKLY = (
+    "SELECT date_trunc('week', ts) AS week_start, count(*) AS n, "
+    "round(count(*) / 7.0, 6) AS rate_per_day "
+    "FROM events GROUP BY 1 ORDER BY 1"
+)
+
+
+_FILTERS_AGG = [
+    ("click", "event_type", "click"),
+    ("purchase", "event_type", "purchase"),
+    ("high_value", "value_gt", 400.0),
+]
+
+
+def q_events_filters_agg(sf_dir: str):
+    """ES ``filters`` aggregation with ``other_bucket``: one named
+    bucket per filter (buckets may overlap — an event can land in
+    several) plus ``_other_`` for events matching none.  Per-batch the
+    membership masks evaluate vectorized and reduce to one row each, so
+    the exchange is |filters|+1 rows regardless of corpus size."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        val = batch["value"]
+        masks = {
+            "click": pc.equal(et, "click"),
+            "purchase": pc.equal(et, "purchase"),
+            "high_value": pc.greater(val, 400.0),
+        }
+        any_m = None
+        names, counts, sums = [], [], []
+        for name, m in masks.items():
+            names.append(name)
+            counts.append(int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0))
+            sums.append(
+                float(pc.sum(pc.if_else(m, val, 0.0)).as_py() or 0.0)
+            )
+            any_m = m if any_m is None else pc.or_(any_m, m)
+        none_m = pc.invert(any_m)
+        names.append("_other_")
+        counts.append(int(pc.sum(pc.cast(none_m, pa.int64())).as_py() or 0))
+        sums.append(
+            float(pc.sum(pc.if_else(none_m, val, 0.0)).as_py() or 0.0)
+        )
+        return pa.table({
+            "bucket": pa.array(names, pa.string()),
+            "n_p": pa.array(counts, pa.int64()),
+            "s_p": pa.array(sums, pa.float64()),
+        })
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": b["bucket"],
+            "n": b["n"],
+            "sum_value": pc.round(b["s"], 2),
+        })
+
+    return (
+        read_table(sf_dir, "events", ["event_type", "value"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("s_p", alias_name="s"))
+        .map_batches(fin, batch_format="pyarrow")
+        .sort("bucket")
+    )
+
+
+SQL_EVENTS_FILTERS_AGG = (
+    "SELECT bucket, n, sum_value FROM ("
+    "SELECT 'click' AS bucket, count(*) AS n, "
+    "round(coalesce(sum(value), 0.0), 2) AS sum_value FROM events "
+    "WHERE event_type = 'click' "
+    "UNION ALL SELECT 'purchase', count(*), "
+    "round(coalesce(sum(value), 0.0), 2) FROM events "
+    "WHERE event_type = 'purchase' "
+    "UNION ALL SELECT 'high_value', count(*), "
+    "round(coalesce(sum(value), 0.0), 2) FROM events WHERE value > 400.0 "
+    "UNION ALL SELECT '_other_', count(*), "
+    "round(coalesce(sum(value), 0.0), 2) FROM events "
+    "WHERE NOT (event_type IN ('click', 'purchase') OR value > 400.0)"
+    ") ORDER BY bucket"
+)
+
+
+def q_line_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster-size histogram over the exact 8-token lines
+    (the dedup unit of ``line_dedup``): how many distinct lines occur
+    exactly s times in the corpus — the profile a curation run reads to
+    decide whether boilerplate removal is worth a pass (a heavy tail of
+    big clusters = template spam).  Two combiner-shaped exchanges, both
+    sub-line-cardinality: per-batch line counts -> groupby(line) Sum ->
+    per-batch size histogram -> groupby(size) Sum."""
+
+    def count_lines(b: pa.Table) -> pa.Table:
+        t = pa.table({"line": b["line"]})
+        agg = t.group_by("line").aggregate([([], "count_all")])
+        return agg.rename_columns(["line", "n_p"])
+
+    per_line = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_lines_part, batch_format="pyarrow")
+        .map_batches(count_lines, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("n_p", alias_name="sz"))
+    )
+
+    def size_part(b: pa.Table) -> pa.Table:
+        t = pa.table({"sz": b["sz"]})
+        agg = t.group_by("sz").aggregate([([], "count_all")])
+        return agg.rename_columns(["sz", "n_p"])
+
+    return (
+        per_line.map_batches(size_part, batch_format="pyarrow")
+        .groupby("sz")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .sort("sz")
+    )
+
+
+SQL_LINE_CLUSTER_SIZES = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "lines AS (SELECT doc_id, j AS line_id, "
+    f"array_to_string(ts[j * {_LINE_W} + 1 : j * {_LINE_W} + {_LINE_W}], ' ') "
+    "AS line FROM d, unnest(range(0, CAST(ceil(len(ts) / "
+    f"{_LINE_W}.0) AS BIGINT))) t(j)), "
+    "per_line AS (SELECT line, count(*) AS sz FROM lines GROUP BY line) "
+    "SELECT sz, count(*) AS n FROM per_line GROUP BY sz ORDER BY sz"
+)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -15059,6 +15297,10 @@ def _sql_tpch_q22() -> str:
 # driver round or the committed 32-cpu mirror (MIRROR_r04.json;
 # scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "common_terms_topk": q_common_terms_topk,
+    "events_rate_weekly": q_events_rate_weekly,
+    "events_filters_agg": q_events_filters_agg,
+    "line_cluster_sizes": q_line_cluster_sizes,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
@@ -15323,6 +15565,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "common_terms_topk": SQL_COMMON_TERMS_TOPK,
+    "events_rate_weekly": SQL_EVENTS_RATE_WEEKLY,
+    "events_filters_agg": SQL_EVENTS_FILTERS_AGG,
+    "line_cluster_sizes": SQL_LINE_CLUSTER_SIZES,
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q8": SQL_TPCH_Q8,
     "tpch_q9": SQL_TPCH_Q9,

@@ -1670,3 +1670,118 @@ def terms_set_search(
         concurrency=pool_size(concurrency),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------- common terms
+
+def score_common_terms(
+    reader: IndexReader,
+    seg_ids: list[int],
+    terms: list[str],
+    k: int,
+    cutoff: tuple[int, int] = (79, 100),
+) -> list[tuple[float, int]]:
+    """Lucene/Elasticsearch ``common`` (CommonTermsQuery) semantics: the
+    query terms split at a document-frequency cutoff — candidate docs
+    must match at least one LOW-frequency term (the selective part of
+    the query drives recall), and HIGH-frequency terms never admit docs
+    by themselves but still ADD their BM25 contribution to candidates
+    (cutoff_frequency, low_freq_operator=or).  When every term is
+    high-frequency the query degrades to a plain boolean OR (the ES
+    fallback).  The split is exact integer arithmetic — low iff
+    ``df * den <= n_docs * num`` — so the SQL oracle reproduces it from
+    the same corpus without float ties."""
+    terms = sorted(set(terms))
+    num, den = cutoff
+    dfs = reader.dfs(terms)
+    low = [t for t in terms if dfs[t] * den <= reader.n_docs * num]
+    gate = low if low else terms
+    arrs = {t: reader.term_arrays(seg_ids, t) for t in terms}
+    parts = [arrs[t][0] for t in gate if arrs[t] is not None]
+    if not parts:
+        return []
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = np.union1d(cand, p)
+    if reader.deleted.size and cand.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand, reader.deleted)]
+    if cand.size == 0:
+        return []
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in terms:  # ascending-term accumulation order (pinned)
+        if arrs[t] is None or dfs[t] == 0:
+            continue
+        docids, w = arrs[t]
+        p = np.searchsorted(docids, cand)
+        ok = p < docids.size
+        ok[ok] &= docids[p[ok]] == cand[ok]
+        scores[ok] += reader.idf(t) * w[p[ok]]
+    return _topk_exact(scores, cand, k)
+
+
+class CommonTermsSearcherActor:
+    """Actor-pool stage for common-terms queries: (query_id, terms) ->
+    (query_id, rank, doc_id, score).  Index opened once per actor."""
+
+    def __init__(self, index_dir: str, k: int, packs_ref=None,
+                 cutoff: tuple[int, int] = (79, 100)):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+        self.cutoff = tuple(cutoff)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted(
+            {t for ts in batch["terms"].to_pylist() for t in ts}
+            - self.seeded
+        )
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, ts in zip(
+            batch["query_id"].to_pylist(), batch["terms"].to_pylist()
+        ):
+            top = score_common_terms(
+                self.reader, self.seg_ids, list(ts), self.k,
+                cutoff=self.cutoff,
+            )
+            for rank, (score, doc_id) in enumerate(top, 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def common_terms_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+    cutoff: tuple[int, int] = (79, 100),
+) -> "ray.data.Dataset":
+    """common-terms query pipeline (see :func:`score_common_terms`)."""
+    return queries.map_batches(
+        CommonTermsSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+            "cutoff": cutoff,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
