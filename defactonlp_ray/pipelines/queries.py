@@ -15281,6 +15281,233 @@ SQL_LINE_CLUSTER_SIZES = (
 )
 
 
+# ------------------------------------------------ has_parent + diversity
+
+_PARENT_TERMS = ["dup", "slow"]
+_PARENT_TOPK = 20
+
+
+def q_has_parent_topk(sf_dir: str):
+    """ES ``has_parent`` query with ``score=true``: the inverse of
+    ``has_child_topk`` under the same join-field model (parent doc,
+    child 8-token windows) — return CHILD windows whose parent matches,
+    each child carrying its parent's score.  A parent matches when it
+    contains EVERY query term; its score is the total occurrence count
+    of the query terms (integer — exact, no float policy).  Parents and
+    children live in the same input row, so one vectorized map_batches
+    emits per-child rows with a per-batch top-k combiner; only k rows
+    per batch reach the driver."""
+    from ..functions.tokenizer import term_position_table
+
+    qset = pa.array(_PARENT_TERMS, pa.string())
+    k = _PARENT_TOPK
+    w = _CHILD_WINDOW
+
+    def part(batch: pa.Table) -> pa.Table:
+        occ, dl = term_position_table(batch["text"], batch["doc_id"])
+        m = pc.is_in(occ["term"], value_set=qset)
+        hit = occ.filter(m)
+        # parent match: all query terms present; score: total tf
+        dt = hit.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        par = dt.group_by("doc_id").aggregate(
+            [([], "count_all"), ("count_all", "sum")]
+        ).rename_columns(["doc_id", "n_terms", "score"])
+        par = par.filter(pc.equal(par["n_terms"], len(_PARENT_TERMS)))
+        if par.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "sent_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+            })
+        # every child window of each matching parent
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        dl_np = np.asarray(dl, dtype=np.int64)
+        keep = np.isin(dids, par["doc_id"].to_numpy(zero_copy_only=False))
+        p_ids = dids[keep]
+        n_child = np.maximum((dl_np[keep] + w - 1) // w, 1).astype(np.int64)
+        cd = np.repeat(p_ids, n_child)
+        cs = np.concatenate(
+            [np.arange(n, dtype=np.int64) for n in n_child]
+        ) if n_child.size else np.array([], dtype=np.int64)
+        smap = dict(zip(
+            par["doc_id"].to_numpy(zero_copy_only=False),
+            par["score"].to_numpy(zero_copy_only=False),
+        ))
+        sc = np.array([smap[d] for d in cd], dtype=np.int64)
+        order = np.lexsort((cs, cd, -sc))[:k]
+        return pa.table({
+            "doc_id": pa.array(cd[order], pa.int64()),
+            "sent_id": pa.array(cs[order], pa.int64()),
+            "score": pa.array(sc[order], pa.int64()),
+        })
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.sort_values(
+        ["score", "doc_id", "sent_id"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out[["rank", "doc_id", "sent_id", "score"]]
+
+
+def _sql_has_parent_topk() -> str:
+    w = _CHILD_WINDOW
+    vals = ", ".join(f"('{t}')" for t in _PARENT_TERMS)
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tok AS (SELECT doc_id, unnest(ts) AS term FROM d), "
+        f"q(term) AS (VALUES {vals}), "
+        "par AS (SELECT doc_id, count(DISTINCT tok.term) AS nt, "
+        "count(*) AS score FROM tok JOIN q ON tok.term = q.term "
+        f"GROUP BY doc_id HAVING count(DISTINCT tok.term) = "
+        f"{len(_PARENT_TERMS)}), "
+        "ch AS (SELECT d.doc_id, j AS sent_id, p.score FROM d "
+        "JOIN par p USING (doc_id), "
+        "unnest(range(0, CAST(greatest(ceil(len(ts) / "
+        f"{w}.0), 1) AS BIGINT))) t(j)) "
+        "SELECT rank, doc_id, sent_id, score FROM ("
+        "SELECT doc_id, sent_id, score, CAST(row_number() OVER ("
+        "ORDER BY score DESC, doc_id, sent_id) AS INTEGER) AS rank "
+        f"FROM ch) WHERE rank <= {_PARENT_TOPK}"
+    )
+
+
+def q_distinct_ngrams(sf_dir: str):
+    """Corpus diversity profile (the distinct-n metric of Li et al.
+    2016, the standard repetitiveness check run before training):
+    per source and n in {1,2,3}, the total n-gram count, the DISTINCT
+    n-gram count, and their ratio.  Shape: vectorized gram assembly per
+    batch (numpy object concat over the flattened token stream — no
+    per-row Python), per-batch unique (n, source, gram) rows, ONE
+    groupby-distinct exchange bounded by distinct-gram cardinality
+    (exact by construction; at 100-TB scale the same pipeline swaps the
+    distinct count for the HLL family in functions/sketches.py), totals
+    ride a |sources|x3-row combiner."""
+
+    def gram_part(batch: pa.Table) -> pa.Table:
+        terms, row_idx, doc_len = flatten_tokens(batch["text"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        n_tok = len(terms)
+        t_np = np.asarray(terms.to_pylist(), dtype=object)
+        subtables = []
+        for n in (1, 2, 3):
+            if n_tok >= n:
+                m = n_tok - n + 1
+                same = np.ones(m, dtype=bool)
+                g = t_np[:m].copy()
+                for j in range(1, n):
+                    same &= row_idx[:m] == row_idx[j: m + j]
+                    g = g + " " + t_np[j: m + j]
+                g = g[same]
+                gs = src[row_idx[:m][same]]
+            else:
+                g = np.array([], dtype=object)
+                gs = np.array([], dtype=object)
+            pairs = pa.table({
+                "source": pa.array(gs, pa.string()),
+                "gram": pa.array(g, pa.string()),
+            }).group_by(["source", "gram"]).aggregate([])
+            sub = pa.table({
+                "n": pa.array(np.full(pairs.num_rows, n, dtype=np.int64)),
+                "source": pairs["source"],
+                "gram": pairs["gram"],
+            })
+            subtables.append(sub)
+            # marker rows carry the per-(n, source) n-gram TOTALS through
+            # the same exchange ("\x00"-prefixed gram never collides with
+            # a real token); equal partials from different batches
+            # collapse in the groupby — the downstream Count recovers the
+            # multiplicity, so total = value * cnt summed over markers
+            if gs.size:
+                u, c = np.unique(gs, return_counts=True)
+                subtables.append(pa.table({
+                    "n": pa.array(np.full(u.size, n, dtype=np.int64)),
+                    "source": pa.array(u, pa.string()),
+                    "gram": pa.array(
+                        ["\x00" + str(int(x)) for x in c], pa.string()
+                    ),
+                }))
+        return pa.concat_tables(subtables)
+
+    grams = (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(gram_part, batch_format="pyarrow")
+        .groupby(["n", "source", "gram"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+    def reduce_part(b: pa.Table) -> pa.Table:
+        is_mark = pc.starts_with(b["gram"], "\x00")
+        mark_np = is_mark.to_numpy(zero_copy_only=False)
+        vals = np.zeros(b.num_rows, dtype=np.int64)
+        if mark_np.any():
+            # markers are |sources| x 3 x batches — vocabulary rows stay
+            # vectorized, only markers parse
+            sub = pc.utf8_slice_codeunits(
+                pc.if_else(is_mark, b["gram"], "0"), 1
+            )
+            vals[mark_np] = np.array(
+                [int(x) for x in
+                 np.asarray(sub.to_numpy(zero_copy_only=False))[mark_np]],
+                dtype=np.int64,
+            )
+        return pa.table({
+            "n": b["n"],
+            "source": b["source"],
+            "d_p": pa.array((~mark_np).astype(np.int64), pa.int64()),
+            "t_p": pa.array(
+                vals * b["cnt"].to_numpy(zero_copy_only=False), pa.int64()
+            ),
+        })
+
+    out = (
+        grams.map_batches(reduce_part, batch_format="pyarrow")
+        .groupby(["n", "source"])
+        .aggregate(
+            Sum("d_p", alias_name="n_distinct"),
+            Sum("t_p", alias_name="n_grams"),
+        )
+        .to_pandas()
+    )
+    out["distinct_ratio"] = np.round(
+        out["n_distinct"] / out["n_grams"], 6
+    )
+    return (
+        out.sort_values(["n", "source"]).reset_index(drop=True)
+        [["n", "source", "n_grams", "n_distinct", "distinct_ratio"]]
+    )
+
+
+SQL_DISTINCT_NGRAMS = (
+    "WITH d AS (SELECT doc_id, source, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents), "
+    "tok AS (SELECT doc_id, source, unnest(ts) AS term, "
+    "unnest(range(0, len(ts))) AS i FROM d), "
+    "g1 AS (SELECT source, term AS gram FROM tok), "
+    "g2 AS (SELECT a.source, a.term || ' ' || b.term AS gram "
+    "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+    "g3 AS (SELECT a.source, a.term || ' ' || b.term || ' ' || c.term "
+    "AS gram FROM tok a JOIN tok b ON a.doc_id = b.doc_id "
+    "AND b.i = a.i + 1 JOIN tok c ON a.doc_id = c.doc_id "
+    "AND c.i = a.i + 2), "
+    "u AS (SELECT 1 AS n, source, count(*) AS n_grams, "
+    "count(DISTINCT gram) AS n_distinct FROM g1 GROUP BY source "
+    "UNION ALL SELECT 2, source, count(*), count(DISTINCT gram) "
+    "FROM g2 GROUP BY source "
+    "UNION ALL SELECT 3, source, count(*), count(DISTINCT gram) "
+    "FROM g3 GROUP BY source) "
+    "SELECT n, source, n_grams, n_distinct, "
+    "round(n_distinct / n_grams::DOUBLE, 6) AS distinct_ratio "
+    "FROM u ORDER BY n, source"
+)
+
+
 # ------------------------------------------------------------- registries
 
 # NOTE: the driver's correctness harness runs the FIRST 50 entries in
@@ -15297,6 +15524,8 @@ SQL_LINE_CLUSTER_SIZES = (
 # driver round or the committed 32-cpu mirror (MIRROR_r04.json;
 # scripts/driver_mirror.py reproduces it).
 QUERIES = {
+    "has_parent_topk": q_has_parent_topk,
+    "distinct_ngrams": q_distinct_ngrams,
     "common_terms_topk": q_common_terms_topk,
     "events_rate_weekly": q_events_rate_weekly,
     "events_filters_agg": q_events_filters_agg,
@@ -15565,6 +15794,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "has_parent_topk": _sql_has_parent_topk(),
+    "distinct_ngrams": SQL_DISTINCT_NGRAMS,
     "common_terms_topk": SQL_COMMON_TERMS_TOPK,
     "events_rate_weekly": SQL_EVENTS_RATE_WEEKLY,
     "events_filters_agg": SQL_EVENTS_FILTERS_AGG,
