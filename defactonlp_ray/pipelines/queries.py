@@ -3880,10 +3880,27 @@ _SCROLL_QUERIES: list[tuple[int, list[str]]] = [
 _SCROLL_PAGE = 37  # deliberately not a divisor of anything
 
 
+def _scroll_page_size(sf_dir: str) -> int:
+    """Page size for the drain: 37 at fixture scale (maximum seam
+    coverage for the boundary tests), growing with the corpus so the
+    number of actor-pool rounds — each ~0.3 s of fixed Ray overhead —
+    stays bounded (~8 pages to drain a match-everything query).  The
+    seam PROPERTY is page-size independent (the oracle is the full
+    unranked-depth ranking), so this is pure wall-clock tuning."""
+    try:
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+    except Exception:  # noqa: BLE001 — non-parquet/fixture callers
+        return _SCROLL_PAGE
+    return max(_SCROLL_PAGE, n // 8)
+
+
 def q_bm25_scroll(sf_dir: str):
     """Scroll / full match-set drain (the Elasticsearch scroll + PIT
     export shape): the ENTIRE ranking of each query is drained through
-    repeated bounded search-after pages (page size 37) — each page is
+    repeated bounded search-after pages (page size 37 at fixture scale,
+    corpus-scaled via ``_scroll_page_size``) — each page is
     one ordinary top-k actor-pool pass with the previous page's last
     (rounded score, doc_id) pushed into the candidate mask, so page N
     costs one bounded top-k, never a deep top-(N*37).  Queries drain
@@ -3899,6 +3916,7 @@ def q_bm25_scroll(sf_dir: str):
     order — no seam duplicates, no seam gaps at any page boundary."""
     from ..stages.search import build_shared_index
 
+    page_sz = _scroll_page_size(sf_dir)
     idx = _build_docs_index(sf_dir)
     shared_ref = ray.put(build_shared_index(idx))
     qmap = dict(_SCROLL_QUERIES)
@@ -3930,18 +3948,18 @@ def q_bm25_scroll(sf_dir: str):
             )
         res = search(
             idx, ray.data.from_arrow(pa.table(cols)),
-            k=2 * _SCROLL_PAGE, concurrency=2, shared_ref=shared_ref,
+            k=2 * page_sz, concurrency=2, shared_ref=shared_ref,
         ).to_pandas()
         if res.empty:
             break
-        res = _rerank_rounded(res, k=2 * _SCROLL_PAGE)
+        res = _rerank_rounded(res, k=2 * page_sz)
         for q in list(live):
             mine = res[res["query_id"] == q]
-            if len(mine) <= _SCROLL_PAGE:
+            if len(mine) <= page_sz:
                 pages.append(mine)    # the tail page; query exhausted
                 live.discard(q)
             else:
-                page = mine.head(_SCROLL_PAGE)
+                page = mine.head(page_sz)
                 pages.append(page)
                 last = page.iloc[-1]
                 cursors[q] = (float(last["score"]), int(last["doc_id"]))
