@@ -11221,6 +11221,110 @@ def _span_containing_sql(
 SQL_SPAN_CONTAINING_TOPK = _span_containing_sql(_SPAN_CONTAINING_QUERIES)
 
 
+# ---------------------------- span_within (Lucene SpanWithinQuery)
+
+# same query shapes as the containing family: enclosed hit, boundary
+# gap, absent little, absent big member, little == big member
+_SPAN_WITHIN_QUERIES: list[tuple[int, str, str, int, str]] = [
+    (0, "hash", "join", 3, "the"),
+    (1, "table", "scan", 5, "data"),
+    (2, "the", "data", 2, "zz"),
+    (3, "zz", "table", 2, "the"),
+    (4, "the", "data", 4, "the"),
+]
+
+
+def q_span_within_topk(sf_dir: str):
+    """Lucene SpanWithinQuery (stages/phrase.span_within_search) — the
+    dual of span_containing: hits are LITTLE occurrences enclosed by at
+    least one big span (the unordered (term_a, term_b) pair within
+    ``gap``), per-doc tf = count of distinct enclosed little positions,
+    pseudo-term BM25 rank.  Vectorized via span_lo-sorted running max of
+    span_hi: one searchsorted probe per little occurrence."""
+    from ..stages.phrase import span_within_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    [q[0] for q in _SPAN_WITHIN_QUERIES], pa.int64()
+                ),
+                "term_a": pa.array(
+                    [q[1] for q in _SPAN_WITHIN_QUERIES], pa.string()
+                ),
+                "term_b": pa.array(
+                    [q[2] for q in _SPAN_WITHIN_QUERIES], pa.string()
+                ),
+                "gap": pa.array(
+                    [q[3] for q in _SPAN_WITHIN_QUERIES], pa.int64()
+                ),
+                "little": pa.array(
+                    [q[4] for q in _SPAN_WITHIN_QUERIES], pa.string()
+                ),
+            }
+        )
+    )
+    res = span_within_search(idx, qds, k=20, concurrency=2).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    cols = ["query_id", "rank", "doc_id", "n_occ", "score"]
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
+def _span_within_sql(
+    queries: list[tuple[int, str, str, int, str]], k: int = 10
+) -> str:
+    """Independent enclosure oracle: a little position c.i is a hit iff
+    EXISTS an (A-pos, B-pos) pair in the same doc with |ia - ib| <= gap
+    and least(ia, ib) <= c.i <= greatest(ia, ib); tf = DISTINCT hit
+    positions per doc; pseudo-term scoring tail identical to the other
+    span oracles."""
+    vals = ", ".join(
+        f"({qid}, '{a}', '{b}', {g}, '{c}')" for qid, a, b, g, c in queries
+    )
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        f"q(query_id, ta, tb, gap, little) AS (VALUES {vals}), "
+        "hitl AS (SELECT DISTINCT q.query_id, c.doc_id, c.i "
+        "FROM q JOIN tokpos c ON c.term = q.little "
+        "WHERE EXISTS (SELECT 1 FROM tokpos a JOIN tokpos b "
+        "ON b.doc_id = a.doc_id AND b.term = q.tb "
+        "AND abs(a.i - b.i) <= q.gap "
+        "WHERE a.doc_id = c.doc_id AND a.term = q.ta "
+        "AND c.i BETWEEN least(a.i, b.i) AND greatest(a.i, b.i))), "
+        "hits AS (SELECT query_id, doc_id, count(*) AS n_occ FROM hitl "
+        "GROUP BY query_id, doc_id), "
+        "dl AS (SELECT doc_id, len(ts) AS dl FROM d), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "pdf AS (SELECT query_id, count(*) AS df FROM hits GROUP BY query_id), "
+        "scored AS (SELECT h.query_id, h.doc_id, h.n_occ, "
+        "ln(1 + (s.n_docs - pdf.df + 0.5) / (pdf.df + 0.5)) * "
+        "(h.n_occ * 2.2) / (h.n_occ + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+        "(s.total::DOUBLE / s.n_docs))) AS score "
+        "FROM hits h JOIN pdf USING (query_id) "
+        "JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN stats s) "
+        "SELECT query_id, rank, doc_id, n_occ, score FROM ("
+        "SELECT query_id, doc_id, n_occ, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_SPAN_WITHIN_TOPK = _span_within_sql(_SPAN_WITHIN_QUERIES)
+
+
 # ----------------------- unigram-LM subword tokenizer (SentencePiece)
 
 _UNI_TOP = 50
@@ -15066,6 +15170,287 @@ def _sql_tpch_q22() -> str:
     )
 
 
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+_Q12_LAG_DAYS = 90
+_Q12_YEAR = ("1997-01-01", "1998-01-01")
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 (shipping modes and order priority), adapted to the
+    driver's column subset: lineitem has no l_shipmode / l_commitdate /
+    l_receiptdate, so the mode dimension is l_returnflag and "late"
+    means the ship lag exceeded a pinned window (l_shipdate more than
+    90 days after o_orderdate) — same intent (late lines bucketed by a
+    line attribute, split by order priority), mirrored exactly in the
+    oracle.  Restricted to a pinned ship year.  Scale plan: lineitem is
+    filtered to the ship-year at the read-side map; ONE hash join ships
+    only (l_orderkey, l_returnflag, l_shipdate) against the 2-column
+    orders projection; the (flag, high, low) combiner bounds the
+    exchange at 3 rows per batch."""
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+    y0 = pa.scalar(
+        np.datetime64(_Q12_YEAR[0], "us").item(), pa.timestamp("us")
+    )
+    y1 = pa.scalar(
+        np.datetime64(_Q12_YEAR[1], "us").item(), pa.timestamp("us")
+    )
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        f = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], y0),
+                pc.less(t["l_shipdate"], y1),
+            )
+        )
+        return pa.table({
+            "l_orderkey": f["l_orderkey"],
+            "mode": f["l_returnflag"],
+            "l_shipdate": f["l_shipdate"],
+        })
+
+    line = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(line_prep, batch_format="pyarrow")
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).repartition(nparts)
+    j = line.join(
+        orders, "inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    lag_us = np.int64(_Q12_LAG_DAYS) * 86_400_000_000
+
+    def part(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"], pa.int64())
+        odate = pc.cast(b["o_orderdate"], pa.int64())
+        late = pc.greater(pc.subtract(ship, odate), pa.scalar(lag_us))
+        f = b.filter(late)
+        hi = pc.is_in(
+            f["o_orderpriority"],
+            value_set=pa.array(list(_Q12_HIGH), pa.string()),
+        )
+        hi64 = pc.cast(hi, pa.int64())
+        t = pa.table({
+            "mode": f["mode"],
+            "high_p": hi64,
+            "low_p": pc.subtract(pa.scalar(1, pa.int64()), hi64),
+        })
+        agg = t.group_by("mode").aggregate([("high_p", "sum"), ("low_p", "sum")])
+        return agg.rename_columns(["mode", "high_p", "low_p"])
+
+    out = (
+        j.map_batches(part, batch_format="pyarrow")
+        .groupby("mode")
+        .aggregate(
+            Sum("high_p", alias_name="high_line_count"),
+            Sum("low_p", alias_name="low_line_count"),
+        )
+        .to_pandas()
+    )
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return (
+        out.sort_values("mode").reset_index(drop=True)
+        [["mode", "high_line_count", "low_line_count"]]
+    )
+
+
+def _sql_tpch_q12() -> str:
+    hi = ", ".join(f"'{p}'" for p in _Q12_HIGH)
+    return (
+        "SELECT l_returnflag AS mode, "
+        f"CAST(sum(CASE WHEN o_orderpriority IN ({hi}) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS high_line_count, "
+        f"CAST(sum(CASE WHEN o_orderpriority NOT IN ({hi}) THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE l_shipdate > o_orderdate + INTERVAL {_Q12_LAG_DAYS} DAY "
+        f"AND l_shipdate >= DATE '{_Q12_YEAR[0]}' "
+        f"AND l_shipdate < DATE '{_Q12_YEAR[1]}' "
+        "GROUP BY mode ORDER BY mode"
+    )
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    driver's column subset: with no l_receiptdate / l_commitdate,
+    "late" is the same pinned ship-lag rule as the adapted Q12
+    (l_shipdate more than 90 days after o_orderdate).  A supplier
+    waits an order iff it shipped late in a finished ('F')
+    multi-supplier order in which it was the ONLY late supplier —
+    exactly the official query's EXISTS / NOT EXISTS pair, recast as
+    two combiner-shaped aggregates: (1) per (orderkey, suppkey) the
+    Max(late) over that supplier's lines, (2) per orderkey the distinct
+    supplier count and late-supplier count; the culprit rows are a hash
+    join of (1) against (2).  Scale plan: no per-order map_groups —
+    both reductions pre-aggregate inside map_batches before the keyed
+    exchange; supplier names attach to the final (suppkey, numwait)
+    rows (|suppliers| at most), top-100 by (numwait DESC, s_name)."""
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderstatus"], "F")
+        ).select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    ).repartition(nparts)
+    line = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    j = line.join(
+        orders, "inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    lag_us = np.int64(_Q12_LAG_DAYS) * 86_400_000_000
+
+    def sk_part(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"], pa.int64())
+        odate = pc.cast(b["o_orderdate"], pa.int64())
+        late = pc.cast(
+            pc.greater(pc.subtract(ship, odate), pa.scalar(lag_us)),
+            pa.int64(),
+        )
+        t = pa.table({
+            "ok": b["l_orderkey"], "sk": b["l_suppkey"], "late_p": late,
+        })
+        agg = t.group_by(["ok", "sk"]).aggregate([("late_p", "max")])
+        return agg.rename_columns(["ok", "sk", "late_p"])
+
+    from ray.data.aggregate import Max
+
+    # (1) per (order, supplier): did this supplier ship anything late?
+    per_os = (
+        j.map_batches(sk_part, batch_format="pyarrow")
+        .groupby(["ok", "sk"])
+        .aggregate(Max("late_p", alias_name="late"))
+    )
+
+    # (2) per order: distinct suppliers + late suppliers (rows of (1)
+    # are already distinct per (ok, sk), so Count/Sum over them is the
+    # distinct count — combiner-shaped again)
+    def ord_part(b: pa.Table) -> pa.Table:
+        t = pa.table({"ok": b["ok"], "late_x": b["late"]})
+        agg = t.group_by("ok").aggregate([([], "count_all"), ("late_x", "sum")])
+        return agg.rename_columns(["ok", "ns_p", "nl_p"])
+
+    per_ord = (
+        per_os.map_batches(ord_part, batch_format="pyarrow")
+        .groupby("ok")
+        .aggregate(
+            Sum("ns_p", alias_name="n_supp"), Sum("nl_p", alias_name="n_late")
+        )
+    )
+    culprits = per_os.map_batches(
+        lambda t: t.filter(pc.equal(t["late"], 1)),
+        batch_format="pyarrow",
+    ).join(
+        per_ord, "inner", num_partitions=nparts, on=("ok",), right_on=("ok",),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater(t["n_supp"], 1), pc.equal(t["n_late"], 1))
+        ).select(["sk"]),
+        batch_format="pyarrow",
+    )
+
+    def cnt_part(b: pa.Table) -> pa.Table:
+        agg = pa.table({"sk": b["sk"]}).group_by("sk").aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["sk", "nw_p"])
+
+    waits = (
+        culprits.map_batches(cnt_part, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(Sum("nw_p", alias_name="numwait"))
+        .to_pandas()
+    )
+    supp = read_table(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = waits.merge(supp, left_on="sk", right_on="s_suppkey", how="inner")
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return (
+        out.sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(100).reset_index(drop=True)[["s_name", "numwait"]]
+    )
+
+
+def _sql_tpch_q21() -> str:
+    return (
+        "WITH lines AS (SELECT l_orderkey AS ok, l_suppkey AS sk, "
+        "max(CASE WHEN l_shipdate > o_orderdate + INTERVAL "
+        f"{_Q12_LAG_DAYS} DAY THEN 1 ELSE 0 END) AS late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderstatus = 'F' GROUP BY 1, 2), "
+        "per_order AS (SELECT ok, count(*) AS n_supp, sum(late) AS n_late "
+        "FROM lines GROUP BY ok) "
+        "SELECT s_name, count(*) AS numwait "
+        "FROM lines JOIN per_order USING (ok) "
+        "JOIN supplier ON sk = s_suppkey "
+        "WHERE late = 1 AND n_supp > 1 AND n_late = 1 "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+    )
+
+
+# ------------------------------------------- categorize_text aggregation
+
+_CAT_NTOK = 4
+_CAT_TOPN = 20
+
+
+def categorize_keys(texts) -> "pa.Array":
+    """The categorize_text key kernel: lowercase, mask digit runs to
+    '#', first _CAT_NTOK space tokens rejoined.  Vectorized (4 Arrow
+    kernels); shared by the entry and its pytest digit-mask check."""
+    masked = pc.replace_substring_regex(
+        pc.utf8_lower(texts), r"[0-9]+", "#"
+    )
+    toks = pc.split_pattern(pc.utf8_trim_whitespace(masked), " ")
+    return pc.binary_join(pc.list_slice(toks, 0, _CAT_NTOK), " ")
+
+
+def q_categorize_text(sf_dir: str):
+    """ES ``categorize_text`` aggregation, deterministic variant: each
+    document's category key is its first 4 tokens after lowercasing and
+    masking every digit run to '#' (the ES categorizer's number-drain
+    step), bucket count = docs per key, top 20 by (n_docs DESC, key).
+    The ES original drains tokens through an online token-tree; this
+    pinned first-N-masked-tokens rule is order-stable, embarrassingly
+    parallel, and SQL-expressible — the masking kernel is exercised by
+    pytest on digit-bearing strings.  Scale plan: the key derivation is
+    four vectorized Arrow kernels (lower, regex-mask, split,
+    list-slice-join); per-batch partial counts bound the exchange at
+    |distinct keys per batch|; distributed sort+limit takes the top 20."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({"key": categorize_keys(b["text"])})
+        agg = t.group_by("key").aggregate([([], "count_all")])
+        return agg.rename_columns(["key", "n_p"])
+
+    out = (
+        docs.map_batches(part, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n_p", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return (
+        out.sort_values(["n_docs", "key"], ascending=[False, True])
+        .head(_CAT_TOPN).reset_index(drop=True)[["key", "n_docs"]]
+    )
+
+
+SQL_CATEGORIZE_TEXT = (
+    "SELECT key, count(*) AS n_docs FROM ("
+    "SELECT array_to_string(list_slice(string_split(trim("
+    "regexp_replace(lower(text), '[0-9]+', '#', 'g')), ' '), "
+    f"1, {_CAT_NTOK}), ' ') AS key FROM documents) "
+    f"GROUP BY key ORDER BY n_docs DESC, key LIMIT {_CAT_TOPN}"
+)
+
+
 # --------------------------------------------------- common-terms query
 
 _CT_CUTOFF = (79, 100)  # low iff df * 100 <= n_docs * 79
@@ -15594,6 +15979,11 @@ QUERIES = {
     "bucketed_join": q_bucketed_join,
     "bm25_distance_feature": q_bm25_distance_feature,
     "bm25_pinned_topk": q_bm25_pinned_topk,
+    # round-4 late additions (post-window: slots 51+)
+    "tpch_q12": q_tpch_q12,
+    "tpch_q21": q_tpch_q21,
+    "span_within_topk": q_span_within_topk,
+    "categorize_text": q_categorize_text,
     "kcenter_coreset": q_kcenter_coreset,
     "pca_variance": q_pca_variance,
     "tpch_q6": q_tpch_q6,
@@ -15856,6 +16246,10 @@ ORACLES = {
     "bucketed_join": _sql_bucketed_join(),
     "bm25_distance_feature": _sql_bm25_distance_feature(_BM25_QUERIES),
     "bm25_pinned_topk": _sql_bm25_pinned_topk(),
+    "tpch_q12": _sql_tpch_q12(),
+    "tpch_q21": _sql_tpch_q21(),
+    "span_within_topk": SQL_SPAN_WITHIN_TOPK,
+    "categorize_text": SQL_CATEGORIZE_TEXT,
     "tpch_q6": SQL_TPCH_Q6,
     "tpch_q4": SQL_TPCH_Q4,
     "events_transitions": SQL_EVENTS_TRANSITIONS,

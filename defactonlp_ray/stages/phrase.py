@@ -910,6 +910,140 @@ def span_containing_search(
     )
 
 
+def score_span_within(
+    reader: IndexReader,
+    seg_ids: list[int],
+    term_a: str,
+    term_b: str,
+    gap: int,
+    little: str,
+    k: int,
+) -> list[tuple[float, int, int]]:
+    """Lucene SpanWithinQuery — the dual of :func:`score_span_containing`:
+    ``little`` occurrences that are enclosed by at least one ``big``
+    span, where big = the unordered pair (term_a, term_b) within ``gap``
+    (``|i - j| <= gap``, A != B) and the enclosing test is endpoint-
+    inclusive.  Per-doc tf = the count of DISTINCT little positions
+    contained by any big span (each occurrence matches at most once,
+    Lucene's span-stream semantics), ranked by the pseudo-term BM25
+    tail over the little pack's doc lengths.
+
+    Vectorized dual of the containing probe: big spans are enumerated
+    exactly as in :func:`score_span_containing`, then sorted by span_lo
+    with a running max of span_hi; each little key is ONE searchsorted
+    probe against span_lo + one running-max comparison.  The
+    ``gap < _POS_SLACK`` guard keeps spans inside their doc's key range
+    (inter-doc key gaps are >= _POS_SLACK), so a running max from an
+    earlier doc can never reach a later doc's little keys and no per-doc
+    loop is needed."""
+    if term_a == term_b:
+        raise ValueError("span_within big pair must use distinct terms")
+    if gap < 0 or gap >= _POS_SLACK:
+        raise ValueError(f"gap must be in [0, {_POS_SLACK})")
+    pa_ = _pos_pack(reader, seg_ids, term_a)
+    pb = _pos_pack(reader, seg_ids, term_b)
+    pl = _pos_pack(reader, seg_ids, little)
+    if pa_ is None or pb is None or pl is None:
+        return []
+    ka, kb, kl = pa_[4], pb[4], pl[4]
+    lo = np.searchsorted(kb, ka - gap, side="left")
+    hi = np.searchsorted(kb, ka + gap, side="right")
+    cnt = hi - lo
+    m = cnt > 0
+    if not m.any():
+        return []
+    ka_m, lo_m, cnt_m = ka[m], lo[m], cnt[m]
+    pair_a = np.repeat(ka_m, cnt_m)
+    steps = np.arange(int(cnt_m.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(cnt_m)[:-1])), cnt_m
+    )
+    pair_b = kb[np.repeat(lo_m, cnt_m) + steps]
+    span_lo = np.minimum(pair_a, pair_b)
+    span_hi = np.maximum(pair_a, pair_b)
+    # little key kp is enclosed iff some span has span_lo <= kp <= span_hi:
+    # with spans sorted by span_lo, that is runmax(span_hi up to the last
+    # span starting <= kp) >= kp — one probe per little occurrence
+    order = np.argsort(span_lo, kind="stable")
+    slo = span_lo[order]
+    run_hi = np.maximum.accumulate(span_hi[order])
+    idx = np.searchsorted(slo, kl, side="right") - 1
+    ok = idx >= 0
+    ok[ok] &= run_hi[idx[ok]] >= kl[ok]
+    if not ok.any():
+        return []
+    docs, counts = np.unique(kl[ok] // _POS_M, return_counts=True)
+    dls = pl[1][np.searchsorted(pl[0], docs)]
+    return _score_pseudo(reader, docs, counts.astype(np.int64), dls, k)
+
+
+class SpanWithinSearcherActor(SpanContainingSearcherActor):
+    """Actor-pool stage: same (query_id, term_a, term_b, gap, little)
+    batch contract as SpanContainingSearcherActor, scored by
+    :func:`score_span_within` (little-side hits instead of big-side)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        want = (
+            set(batch["term_a"].to_pylist())
+            | set(batch["term_b"].to_pylist())
+            | set(batch["little"].to_pylist())
+        )
+        all_terms = sorted(want - self.seeded)
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_c, out_s = [], [], [], [], []
+        for qid, a, b, g, c in zip(
+            batch["query_id"].to_pylist(),
+            batch["term_a"].to_pylist(),
+            batch["term_b"].to_pylist(),
+            batch["gap"].to_pylist(),
+            batch["little"].to_pylist(),
+        ):
+            for rank, (score, doc_id, n_occ) in enumerate(
+                score_span_within(
+                    self.reader, self.seg_ids, a, b, int(g), c, self.k
+                ),
+                1,
+            ):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_c.append(n_occ)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_occ": pa.array(out_c, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def span_within_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """SpanWithin pipeline: (query_id, term_a, term_b, gap, little) ->
+    (query_id, rank, doc_id, n_occ, score) over a ``positions=True``
+    index; n_occ counts enclosed little occurrences."""
+    return queries.map_batches(
+        SpanWithinSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
 # ------------------------------------------------- synonym graph (multi-word)
 
 def score_all_syngraph(

@@ -875,6 +875,75 @@ def test_span_containing_rejects_same_big_terms(pos_index):
         )
 
 
+# --------------------------------------------------------- span_within
+
+
+def test_span_within_equals_python(pos_index, doc_tokens):
+    from defactonlp_ray.stages.phrase import score_span_within
+
+    reader = IndexReader(pos_index)
+    cases = [
+        ("hash", "join", 3, "the"),
+        ("table", "scan", 5, "data"),
+        ("the", "data", 2, "zzqq"),
+        ("the", "data", 4, "the"),   # little == a big member
+        ("hash", "join", 0, "hash"),  # gap 0: same-position impossible
+    ]
+    for a, b, g, c in cases:
+        ref = {}
+        for did, toks in doc_tokens.items():
+            pa_pos = [i for i, t in enumerate(toks) if t == a]
+            pb_pos = [i for i, t in enumerate(toks) if t == b]
+            pc_pos = [i for i, t in enumerate(toks) if t == c]
+            # DISTINCT little positions enclosed by >= 1 big span
+            n = sum(
+                1
+                for p in pc_pos
+                if any(
+                    abs(i - j) <= g and min(i, j) <= p <= max(i, j)
+                    for i in pa_pos
+                    for j in pb_pos
+                )
+            )
+            if n:
+                ref[did] = n
+        got = {
+            doc: n
+            for _s, doc, n in score_span_within(
+                reader, reader.seg_ids, a, b, g, c, k=10**9
+            )
+        }
+        assert got == ref, (a, b, g, c)
+
+
+def test_span_within_rejects_same_big_terms(pos_index):
+    from defactonlp_ray.stages.phrase import score_span_within
+
+    reader = IndexReader(pos_index)
+    with pytest.raises(ValueError):
+        score_span_within(
+            reader, reader.seg_ids, "table", "table", 2, "the", 10
+        )
+
+
+def test_categorize_keys_masks_digit_runs():
+    import pyarrow as pa_mod
+    from defactonlp_ray.pipelines.queries import categorize_keys
+
+    keys = categorize_keys(pa_mod.array([
+        "Error 404 at line 731 in module x",
+        "error 500 at line 9 somewhere else",
+        "one two",
+        "",
+    ])).to_pylist()
+    # digit runs of any length drain to '#': both errors share a key
+    assert keys[0] == "error # at line"
+    assert keys[1] == "error # at line"
+    # shorter than _CAT_NTOK tokens: key is what exists
+    assert keys[2] == "one two"
+    assert keys[3] == ""
+
+
 # ----------------------------------------------------------- terms_set
 
 
