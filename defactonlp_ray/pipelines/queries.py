@@ -15979,14 +15979,14 @@ QUERIES = {
     "bucketed_join": q_bucketed_join,
     "bm25_distance_feature": q_bm25_distance_feature,
     "bm25_pinned_topk": q_bm25_pinned_topk,
+    "kcenter_coreset": q_kcenter_coreset,
+    "pca_variance": q_pca_variance,
+    "tpch_q6": q_tpch_q6,
     # round-4 late additions (post-window: slots 51+)
     "tpch_q12": q_tpch_q12,
     "tpch_q21": q_tpch_q21,
     "span_within_topk": q_span_within_topk,
     "categorize_text": q_categorize_text,
-    "kcenter_coreset": q_kcenter_coreset,
-    "pca_variance": q_pca_variance,
-    "tpch_q6": q_tpch_q6,
     "tpch_q4": q_tpch_q4,
     "events_transitions": q_events_transitions,
     "label_centroid_cosine": q_label_centroid_cosine,
