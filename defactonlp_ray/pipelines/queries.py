@@ -15451,6 +15451,190 @@ SQL_CATEGORIZE_TEXT = (
 )
 
 
+# ------------------------------------------- NTILE window (per user)
+
+_NTILE_K = 4
+
+
+def q_events_ntile(sf_dir: str):
+    """SQL ``NTILE(4)`` window — per-user value quartiles aggregated by
+    event type: each user's events of one type order by ``(value,
+    event_id)`` and split into 4 rank tiles (SQL remainder rule: the
+    first ``n mod 4`` tiles get the extra row), then every (event_type,
+    tile) bucket reports its count and mean value.  Partitioning by
+    ``(user_id, event_type)`` keeps every NTILE partition a single
+    user's stream — user cardinality scales out, same shape as
+    ``events_rank_lag``; per-group partials reduce inside
+    ``map_groups`` and one |types|x4-row Sum groupby merges users."""
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_tile, out_n, out_sv = [], [], [], []
+        for et, sub in g.groupby("event_type"):
+            sub = sub.sort_values(["value", "event_id"])
+            n = len(sub)
+            base, rem = divmod(n, _NTILE_K)
+            sizes = np.full(_NTILE_K, base, dtype=np.int64)
+            sizes[:rem] += 1
+            tile = np.repeat(
+                np.arange(1, _NTILE_K + 1, dtype=np.int64), sizes
+            )
+            v = sub["value"].to_numpy(np.float64)
+            for t in np.unique(tile):
+                m = tile == t
+                out_t.append(et)
+                out_tile.append(int(t))
+                out_n.append(int(m.sum()))
+                out_sv.append(float(v[m].sum()))
+        return pd.DataFrame({
+            "event_type": pd.Series(out_t, dtype=str),
+            "tile": pd.Series(out_tile, dtype=np.int64),
+            "n_p": pd.Series(out_n, dtype=np.int64),
+            "sv_p": pd.Series(out_sv, dtype=np.float64),
+        })
+
+    out = (
+        read_table(
+            sf_dir, "events", ["event_id", "user_id", "event_type", "value"]
+        )
+        .groupby("user_id")
+        .map_groups(tiles)
+        .groupby(["event_type", "tile"])
+        .aggregate(Sum("n_p", alias_name="n"), Sum("sv_p", alias_name="sv"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["avg_value"] = np.round(
+        out["sv"].to_numpy(np.float64) / out["n"].to_numpy(np.float64), 6
+    )
+    return (
+        out.sort_values(["event_type", "tile"]).reset_index(drop=True)
+        [["event_type", "tile", "n", "avg_value"]]
+    )
+
+
+SQL_EVENTS_NTILE = (
+    "SELECT event_type, tile, CAST(count(*) AS BIGINT) AS n, "
+    "round(avg(value), 6) AS avg_value FROM ("
+    f"SELECT event_type, value, CAST(NTILE({_NTILE_K}) OVER ("
+    "PARTITION BY user_id, event_type ORDER BY value, event_id) "
+    "AS BIGINT) AS tile FROM events) "
+    "GROUP BY event_type, tile ORDER BY event_type, tile"
+)
+
+
+# ------------------------------- percentiles_bucket sibling aggregation
+
+_PCTB = (25, 50, 75, 95)
+
+
+def q_events_percentiles_bucket(sf_dir: str):
+    """ES ``percentiles_bucket`` pipeline aggregation: percentiles OF a
+    sibling aggregation's bucket values — here the daily event-count
+    date_histogram — with linear interpolation (quantile_cont /
+    numpy 'linear', the ES implementation's rule).  The corpus pass is
+    the usual day-count combiner; the percentile runs over the
+    |days|-row series on the driver (bounded, like every sibling
+    agg)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        agg = pa.table({"day": day}).group_by("day").aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["day", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )
+    vals = daily["n"].to_numpy(np.float64)
+    qs = np.quantile(vals, [p / 100.0 for p in _PCTB], method="linear")
+    return pd.DataFrame({
+        "pct": pd.Series(list(_PCTB), dtype=np.int64),
+        "value": np.round(qs, 6),
+    })
+
+
+SQL_EVENTS_PERCENTILES_BUCKET = (
+    "WITH daily AS (SELECT date_trunc('day', ts) AS day, "
+    "CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1) "
+    f"SELECT unnest({list(_PCTB)}) AS pct, "
+    "unnest([round(x, 6) FOR x IN quantile_cont(n, "
+    f"{[p / 100.0 for p in _PCTB]})]) AS value FROM daily"
+)
+
+
+# ----------------------------------------------- ROLLUP multi-level agg
+
+_ROLLUP_ALL = "_all_"
+
+
+def q_events_rollup(sf_dir: str):
+    """SQL ``GROUP BY ROLLUP(event_type, day)``: the three-level
+    aggregate lattice — (type, day), (type), grand total — with count
+    and value sum per cell, rolled-up dimensions shown as the pinned
+    ``_all_`` sentinel.  ONE corpus pass computes the finest-level
+    (type, day) partials inside ``map_batches``; the coarser levels
+    derive from the finest by two more tiny groupbys over the
+    |types|x|days| table — no second corpus scan, every exchange
+    bounded by the lattice size."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(batch["ts"], unit="day"), pa.date32()),
+            pa.string(),
+        )
+        t = pa.table({
+            "event_type": batch["event_type"], "day": day,
+            "v_p": batch["value"],
+        })
+        agg = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all"), ("v_p", "sum")]
+        )
+        return agg.rename_columns(["event_type", "day", "n_p", "sv_p"])
+
+    finest = (
+        read_table(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n_p", alias_name="n"), Sum("sv_p", alias_name="sv"))
+        .to_pandas()
+    )
+    by_type = finest.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sv=("sv", "sum")
+    )
+    by_type["day"] = _ROLLUP_ALL
+    total = pd.DataFrame({
+        "event_type": [_ROLLUP_ALL], "day": [_ROLLUP_ALL],
+        "n": [finest["n"].sum()], "sv": [finest["sv"].sum()],
+    })
+    out = pd.concat(
+        [finest, by_type, total], ignore_index=True
+    )[["event_type", "day", "n", "sv"]]
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = np.round(out["sv"].to_numpy(np.float64), 6)
+    return (
+        out.sort_values(["event_type", "day"]).reset_index(drop=True)
+        [["event_type", "day", "n", "sum_value"]]
+    )
+
+
+SQL_EVENTS_ROLLUP = (
+    "SELECT coalesce(event_type, '_all_') AS event_type, "
+    "coalesce(CAST(day AS VARCHAR), '_all_') AS day, "
+    "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value "
+    "FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
+    "value FROM events) "
+    "GROUP BY ROLLUP(event_type, day) "
+    "ORDER BY event_type, day"
+)
+
+
 # --------------------------------------------------- common-terms query
 
 _CT_CUTOFF = (79, 100)  # low iff df * 100 <= n_docs * 79
@@ -15987,6 +16171,9 @@ QUERIES = {
     "tpch_q21": q_tpch_q21,
     "span_within_topk": q_span_within_topk,
     "categorize_text": q_categorize_text,
+    "events_ntile": q_events_ntile,
+    "events_percentiles_bucket": q_events_percentiles_bucket,
+    "events_rollup": q_events_rollup,
     "tpch_q4": q_tpch_q4,
     "events_transitions": q_events_transitions,
     "label_centroid_cosine": q_label_centroid_cosine,
@@ -16250,6 +16437,9 @@ ORACLES = {
     "tpch_q21": _sql_tpch_q21(),
     "span_within_topk": SQL_SPAN_WITHIN_TOPK,
     "categorize_text": SQL_CATEGORIZE_TEXT,
+    "events_ntile": SQL_EVENTS_NTILE,
+    "events_percentiles_bucket": SQL_EVENTS_PERCENTILES_BUCKET,
+    "events_rollup": SQL_EVENTS_ROLLUP,
     "tpch_q6": SQL_TPCH_Q6,
     "tpch_q4": SQL_TPCH_Q4,
     "events_transitions": SQL_EVENTS_TRANSITIONS,

@@ -104,3 +104,35 @@ def test_common_terms_score_is_full_bm25_over_candidates(tmp_path):
     m_lo = dict(zip(low_only["doc_id"], low_only["score"]))
     for d in (1, 2):
         assert m_hi[d] > m_lo[d]
+
+
+def test_events_ntile_remainder_rule_matches_sql_ntile():
+    """The in-group tile assignment follows SQL NTILE's remainder rule:
+    n rows into k tiles gives the first (n mod k) tiles one extra row,
+    in rank order."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from defactonlp_ray.pipelines.queries import _NTILE_K
+
+    rng = range(11)  # 11 rows / 4 tiles -> sizes 3,3,3,2
+    df = pd.DataFrame({
+        "event_id": list(rng),
+        "value": [float(7 * i % 11) for i in rng],
+    })
+    # the entry's vectorized rule
+    sub = df.sort_values(["value", "event_id"])
+    base, rem = divmod(len(sub), _NTILE_K)
+    sizes = np.full(_NTILE_K, base, dtype=np.int64)
+    sizes[:rem] += 1
+    got = dict(zip(
+        sub["event_id"],
+        np.repeat(np.arange(1, _NTILE_K + 1, dtype=np.int64), sizes),
+    ))
+    ref = dict(duckdb.connect().execute(
+        f"SELECT event_id, NTILE({_NTILE_K}) OVER (ORDER BY value, event_id) "
+        "FROM df"
+    ).fetchall())
+    assert got == {k: np.int64(v) for k, v in ref.items()}
+    assert sorted(sizes, reverse=True) == [3, 3, 3, 2]
