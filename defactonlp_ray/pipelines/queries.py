@@ -3667,6 +3667,102 @@ def _lmd_sql(queries: list[tuple[int, list[str]]], k: int = 10,
 SQL_LMD_TOPK = _lmd_sql(_BM25_QUERIES)
 
 
+def q_dfr_topk(sf_dir: str):
+    """DFR InL2 ranking (Amati & van Rijsbergen, TOIS 2002 — Terrier's
+    default model; Lucene DFRSimilarity(IN, L, H2)) served from the SAME
+    segments as bm25_topk: per present term, tfn = tf*log2(1+avgdl/dl),
+    contribution (tfn/(tfn+1)) * log2((N+1)/(df+0.5)).  Third public
+    scoring model over one index (after BM25 and LM-Dirichlet)."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="dfr",
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def q_ib_spl_topk(sf_dir: str):
+    """Information-based SPL-D ranking (Clinchant & Gaussier, SIGIR
+    2010; Lucene IBSimilarity(SPL, H2)) with the pinned smoothed
+    lambda = (df+0.5)/(N+1) — strictly inside (0,1), so a term present
+    in every document still scores finitely (Lucene's LambdaDF has a
+    1/(1-1) pole there)."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="spl",
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def q_dfi_topk(sf_dir: str):
+    """Divergence-from-independence chi-squared ranking (Kocabas,
+    Dincer & Karaoglan, IR 2014; Lucene DFISimilarity): expected tf
+    under independence e = cf*dl/T; a term contributes
+    log2((tf-e)^2/e + 1) only when tf > e, and docs whose total is 0
+    (every matched term at-or-below expectation) are dropped — the
+    HAVING clause in the oracle."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="dfi",
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _simfam_sql(queries: list[tuple[int, list[str]]], model: str,
+                k: int = 10) -> str:
+    """Shared oracle scaffold for the dfr/spl/dfi similarity family.
+
+    Every transcendental is written ln-based with an explicit /ln(2),
+    mirroring stages/search.score_all_simfam operation for operation
+    (same reason the LMD oracle mirrors its kernel: the cross-engine
+    contract is round(score, 6) re-rank over bit-identical inputs).
+    ``avgdl`` is the same single int/int division the index stats file
+    stores (index_build.py collection stats)."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, terms in queries for t in terms)
+    tfn = ("(tf.tf * ln(1.0 + (s.t_total::DOUBLE / s.n_docs) / dl.dl) "
+           "/ ln(2.0))")
+    if model == "dfr":
+        body = (f"({tfn} / ({tfn} + 1.0)) * "
+                "(ln((s.n_docs + 1.0) / (df.df + 0.5)) / ln(2.0))")
+        having = ""
+    elif model == "spl":
+        lam = "((df.df + 0.5) / (s.n_docs + 1.0))"
+        body = (f"-ln((power({lam}, {tfn} / ({tfn} + 1.0)) - {lam}) "
+                f"/ (1.0 - {lam})) / ln(2.0)")
+        having = ""
+    else:  # dfi
+        e = "(cf.cf * dl.dl::DOUBLE / s.t_total)"
+        body = (f"CASE WHEN tf.tf > {e} THEN "
+                f"ln((tf.tf - {e}) * (tf.tf - {e}) / {e} + 1.0) / ln(2.0) "
+                "ELSE 0.0 END")
+        having = " HAVING sum(" + body + ") > 0"
+    joins = ("FROM qd JOIN tf ON qd.term = tf.term "
+             "JOIN df ON df.term = qd.term "
+             "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s")
+    if model == "dfi":
+        joins += " JOIN cf ON cf.term = qd.term"
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS t_total, count(DISTINCT doc_id) "
+        "AS n_docs FROM toks), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        f"scored AS (SELECT qd.query_id, tf.doc_id, sum({body}) AS score "
+        f"{joins} GROUP BY qd.query_id, tf.doc_id{having}) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_DFR_TOPK = _simfam_sql(_BM25_QUERIES, "dfr")
+SQL_IB_SPL_TOPK = _simfam_sql(_BM25_QUERIES, "spl")
+SQL_DFI_TOPK = _simfam_sql(_BM25_QUERIES, "dfi")
+
+
 # pinned synonym table for the registry entry: maps query terms to extra
 # group members — mixes present terms ("sort", "join", "dup") and an
 # absent one ("quick", df 0, must contribute nothing)
@@ -16385,6 +16481,9 @@ QUERIES = {
     "bm25_topk_pfor": q_bm25_topk_pfor,
     "tfidf_topk": q_tfidf_topk,
     "lmd_topk": q_lmd_topk,
+    "dfr_topk": q_dfr_topk,
+    "ib_spl_topk": q_ib_spl_topk,
+    "dfi_topk": q_dfi_topk,
     "synonym_topk": q_synonym_topk,
     "bm25_page2": q_bm25_page2,
     "bm25_collapse": q_bm25_collapse,
@@ -16619,6 +16718,9 @@ ORACLES = {
     "bm25_expunge_topk": SQL_BM25_EXPUNGE_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "lmd_topk": SQL_LMD_TOPK,
+    "dfr_topk": SQL_DFR_TOPK,
+    "ib_spl_topk": SQL_IB_SPL_TOPK,
+    "dfi_topk": SQL_DFI_TOPK,
     "synonym_topk": SQL_SYNONYM_TOPK,
     "bm25_page2": SQL_BM25_PAGE2,
     "bm25_collapse": SQL_BM25_COLLAPSE,

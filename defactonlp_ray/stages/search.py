@@ -28,6 +28,7 @@ that survives 10^12 docs).  ``search_fanout`` is the cluster-shape variant:
 from __future__ import annotations
 
 import json
+import math
 import os
 from typing import Optional
 
@@ -1229,6 +1230,102 @@ def score_all_lmd(
     return _topk_exact(scores[cand], cand + lo, k)
 
 
+def score_all_simfam(
+    reader,
+    seg_ids: list[int],
+    terms_sorted: list[str],
+    model: str,
+    dfs: dict[str, int],
+    cfs: dict[str, int],
+    k: int,
+) -> list[tuple[float, int]]:
+    """Three more classical similarity families served from the SAME
+    segments as BM25/LMD — per unique query term t present in doc d,
+    with N = n_docs, T = total tokens, avgdl = T/N and the shared DFR
+    H2 length normalization ``tfn = tf * log2(1 + avgdl/dl)`` (c = 1):
+
+    * ``model="dfr"`` — DFR InL2 (Amati & van Rijsbergen, TOIS 2002;
+      Terrier's default model; Lucene ``DFRSimilarity(BasicModelIN,
+      AfterEffectL, NormalizationH2)``):
+          (tfn / (tfn + 1)) * log2((N + 1) / (df + 0.5))
+    * ``model="spl"`` — information-based SPL-D (Clinchant & Gaussier,
+      SIGIR 2010; Lucene ``IBSimilarity(DistributionSPL, ..., H2)``)
+      with the PINNED smoothed lambda = (df + 0.5) / (N + 1), strictly
+      inside (0, 1) so the score is finite even for a term in every doc
+      (Lucene's LambdaDF hits a 1/(1-1) pole there):
+          -log2((lambda^(tfn/(tfn+1)) - lambda) / (1 - lambda))
+    * ``model="dfi"`` — divergence from independence, chi-squared
+      (Kocabas, Dincer & Karaoglan, IR 2014; Lucene ``DFISimilarity``):
+      expected tf under independence e = cf * dl / T, and a term only
+      contributes when observed > expected:
+          log2((tf - e)^2 / e + 1)   if tf > e else 0
+
+    Contributions sum over unique query terms; only docs containing at
+    least one query term are candidates, and (DFI) docs whose total is
+    <= 0 are dropped — both mirrored in the SQL oracles as the join +
+    HAVING clause.  Same fused dense-accumulator + round(score, 6)
+    re-rank policy as :func:`score_all_taat`."""
+    if model not in ("dfr", "spl", "dfi"):
+        raise ValueError(f"unknown similarity family {model!r}")
+    N = float(reader.n_docs)
+    T = float(reader.total_len)
+    avgdl = float(reader.avgdl)
+    ln2 = math.log(2.0)
+    per_term: list[np.ndarray] = []
+    per_docs: list[np.ndarray] = []
+    lo = hi = None
+    for t in terms_sorted:
+        if not dfs.get(t, 0):
+            continue
+        arrs = reader.term_tf_dl(seg_ids, t)
+        if arrs is None:
+            continue
+        docids, tfs, dls = arrs
+        tfs_f = tfs.astype(np.float64)
+        dls_f = dls.astype(np.float64)
+        # every transcendental below is ln-based with an explicit /ln2,
+        # matching the SQL oracle expression shape term for term so the
+        # round(score, 6) re-rank sees bit-identical inputs
+        if model == "dfi":
+            expected = cfs[t] * dls_f / T
+            gain = np.log((tfs_f - expected) ** 2 / expected + 1.0) / ln2
+            contrib = np.where(tfs_f > expected, gain, 0.0)
+        else:
+            tfn = tfs_f * np.log(1.0 + avgdl / dls_f) / ln2
+            if model == "dfr":
+                idf2 = math.log((N + 1.0) / (dfs[t] + 0.5)) / ln2
+                contrib = tfn / (tfn + 1.0) * idf2
+            else:  # spl
+                lam = (dfs[t] + 0.5) / (N + 1.0)
+                contrib = (
+                    -np.log((np.power(lam, tfn / (tfn + 1.0)) - lam)
+                            / (1.0 - lam)) / ln2
+                )
+        per_docs.append(docids)
+        per_term.append(contrib)
+        tlo, thi = int(docids[0]), int(docids[-1])
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if not per_term:
+        return []
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for docids, contrib in zip(per_docs, per_term):
+        idx = docids - lo
+        scores[idx] += contrib
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand + lo, reader.deleted)]
+    if model == "dfi":
+        # a doc can match only below-expectation terms: total 0, dropped
+        cand = cand[scores[cand] > 0.0]
+    return _topk_exact(scores[cand], cand + lo, k)
+
+
 def score_all_syn(
     reader,
     seg_ids: list[int],
@@ -1851,6 +1948,9 @@ class SearcherActor:
         if self.mode == "lmd":
             return score_all_lmd(self.reader, seg_ids, uniq, self._cfs,
                                  self.k, after=after)
+        if self.mode in ("dfr", "spl", "dfi"):
+            return score_all_simfam(self.reader, seg_ids, uniq, self.mode,
+                                    self._dfs, self._cfs, self.k)
         if self.mode == "collapse":
             if self.group_codes is None:
                 raise ValueError(
@@ -1935,7 +2035,10 @@ class SearcherActor:
         dfs = self.reader.dfs(all_terms)
         idfs = {t: self.reader.idf(t) for t in all_terms}
         self._dfs = dfs
-        self._cfs = self.reader.cfs(all_terms) if self.mode == "lmd" else {}
+        self._cfs = (
+            self.reader.cfs(all_terms)
+            if self.mode in ("lmd", "dfi") else {}
+        )
         present = [t for t in all_terms if dfs[t] > 0]
         for sid in self.seg_ids:
             self.reader.load_postings(sid, present)

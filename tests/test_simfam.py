@@ -1,0 +1,200 @@
+"""DFR InL2 / IB SPL-D / DFI chi-squared similarity family.
+
+* Each model vs an independent scalar reference (math.log over dict
+  stats): rank set + score closeness at 1e-9 — same exactness policy as
+  the LMD test (the round(score,6) DuckDB oracle in test_oracle_parity
+  is the cross-engine gate).
+* DFI's independence gate: a (term, doc) with tf <= expected contributes
+  exactly 0, and a doc whose every matched term is at-or-below
+  expectation is excluded from results entirely.
+* SPL's pinned lambda = (df+0.5)/(N+1): a term present in EVERY doc
+  (df == N, where Lucene's LambdaDF formula poles at 1/(1-1)) still
+  yields finite scores.
+* Shared-pack route == per-actor reader route bit-for-bit (same kernel,
+  same arrays).
+"""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from defactonlp_ray import fixtures
+from defactonlp_ray.functions.tokenizer import tokenize
+from defactonlp_ray.stages import search as S
+from defactonlp_ray.stages.index_build import build_index
+
+N_DOCS = 300
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages = fixtures.make_pages(N_DOCS)
+    return {i: t for i, t in enumerate(pages["text"].to_pylist())}
+
+
+def _build(tmp_path_factory, corpus, tag):
+    out = str(tmp_path_factory.mktemp(tag))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(corpus), pa.int64()),
+                "text": list(corpus.values()),
+            }
+        )
+    )
+    build_index(ds, out, seg_docs=96)
+    return out
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, corpus):
+    return _build(tmp_path_factory, corpus, "idx_simfam")
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return fixtures.make_query_terms(16)
+
+
+def _qds(queries):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _ in queries], pa.int64()),
+                "terms": pa.array(
+                    [t for _, t in queries], pa.list_(pa.string())
+                ),
+            }
+        )
+    )
+
+
+def _group(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    return out
+
+
+class _Stats:
+    def __init__(self, corpus):
+        self.doc_tf = {}
+        self.doc_len = {}
+        self.cf = Counter()
+        self.df = Counter()
+        for doc_id in sorted(corpus):
+            toks = tokenize(corpus[doc_id])
+            tf = Counter(toks)
+            self.doc_tf[doc_id] = tf
+            self.doc_len[doc_id] = len(toks)
+            for t, c in tf.items():
+                self.cf[t] += c
+                self.df[t] += 1
+        self.n_docs = len(corpus)
+        self.total_len = sum(self.doc_len.values())
+        self.avgdl = self.total_len / self.n_docs
+
+
+@pytest.fixture(scope="module")
+def stats(corpus):
+    return _Stats(corpus)
+
+
+_LN2 = math.log(2.0)
+
+
+def _reference(st: _Stats, terms, model, k):
+    N = float(st.n_docs)
+    T = float(st.total_len)
+    scores: dict[int, float] = {}
+    matched: set[int] = set()
+    for t in sorted(set(terms)):
+        df = st.df.get(t, 0)
+        if not df:
+            continue
+        for doc_id, tf in st.doc_tf.items():
+            if t not in tf:
+                continue
+            matched.add(doc_id)
+            dl = st.doc_len[doc_id]
+            if model == "dfi":
+                e = st.cf[t] * float(dl) / T
+                c = (
+                    math.log((tf[t] - e) ** 2 / e + 1.0) / _LN2
+                    if tf[t] > e
+                    else 0.0
+                )
+            else:
+                tfn = tf[t] * math.log(1.0 + st.avgdl / dl) / _LN2
+                if model == "dfr":
+                    c = tfn / (tfn + 1.0) * (
+                        math.log((N + 1.0) / (df + 0.5)) / _LN2
+                    )
+                else:  # spl
+                    lam = (df + 0.5) / (N + 1.0)
+                    c = (
+                        -math.log(
+                            (lam ** (tfn / (tfn + 1.0)) - lam) / (1.0 - lam)
+                        )
+                        / _LN2
+                    )
+            scores[doc_id] = scores.get(doc_id, 0.0) + c
+    if model == "dfi":
+        scores = {d: s for d, s in scores.items() if s > 0.0}
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("model", ["dfr", "spl", "dfi"])
+def test_simfam_matches_scalar_reference(index_dir, stats, queries, model):
+    got = _group(
+        S.search(index_dir, _qds(queries), k=K, mode=model).take_all()
+    )
+    for qid, terms in queries:
+        want = _reference(stats, terms, model, K)
+        have = got.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in want], (model, qid, terms)
+        assert np.allclose(
+            [s for _, s in have], [s for _, s in want], rtol=1e-9, atol=1e-12
+        ), (model, qid, terms)
+
+
+def test_dfi_drops_at_or_below_expectation(tmp_path_factory):
+    # "x" appears once in every doc and doc lengths are equal, so for
+    # "x": expected = cf*dl/T = N*dl/(N*dl) * ... = exactly 1.0 = tf —
+    # at expectation, contributes 0, and an x-only query returns nothing.
+    docs = {i: "x f0 f1 f2 f3" for i in range(8)}
+    # one doc where "y" is bursty (above expectation)
+    docs[3] = "x y y y f3"
+    idx = _build(tmp_path_factory, docs, "idx_dfi_gate")
+    qs = [(0, ["x"]), (1, ["y"]), (2, ["x", "y"])]
+    got = _group(S.search(idx, _qds(qs), k=5, mode="dfi").take_all())
+    assert got.get(0, []) == []  # every contribution exactly 0 -> dropped
+    assert [d for d, _ in got[1]] == [3]
+    assert [d for d, _ in got[2]] == [3]  # x adds 0, y carries doc 3
+
+
+def test_spl_finite_for_universal_term(tmp_path_factory):
+    # df == N: Lucene's LambdaDF ((df+1)/(N+1) = 1) poles; the pinned
+    # (df+0.5)/(N+1) keeps lambda < 1 and every score finite/positive.
+    docs = {i: f"u u w{i} pad pad" for i in range(6)}
+    idx = _build(tmp_path_factory, docs, "idx_spl_pole")
+    got = _group(S.search(idx, _qds([(0, ["u"])]), k=10, mode="spl").take_all())
+    rows = got.get(0, [])
+    assert len(rows) == 6
+    assert all(np.isfinite(s) and s > 0.0 for _, s in rows)
+
+
+def test_dfr_shared_route_bit_equal(index_dir, queries):
+    a = S.search(index_dir, _qds(queries), k=K, mode="dfr").take_all()
+    b = S.search(
+        index_dir, _qds(queries), k=K, mode="dfr", shared=True
+    ).take_all()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    assert key(a) == key(b)
