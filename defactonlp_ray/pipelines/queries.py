@@ -6577,6 +6577,121 @@ def _ordered_sql(
 SQL_SPAN_NEAR_TOPK = _ordered_sql(_ORDERED_QUERIES)
 
 
+_INTERVAL_QUERIES: list[tuple[int, list[str], int]] = [
+    # (query_id, terms IN ORDER, max_gaps): Lucene Intervals.maxgaps(g,
+    # Intervals.ordered(...)).  0/1 share a pair at different gap
+    # budgets; 1/5 are the same pair in both orders; 3 repeats a term
+    # (distinct positions required); 4 carries an absent term -> empty.
+    (0, ["hash", "join"], 0),
+    (1, ["hash", "join"], 3),
+    (2, ["data", "query", "fast"], 8),
+    (3, ["scan", "scan"], 5),
+    (4, ["table", "zzz"], 4),
+    (5, ["join", "hash"], 3),
+]
+
+
+def q_intervals_topk(sf_dir: str):
+    """Lucene intervals query (stages/phrase.match_intervals —
+    ``Intervals.maxgaps(g, Intervals.ordered(...))``): docs ranked by
+    their count of MINIMAL ordered intervals within the gap budget, as
+    the pseudo-term tf (the IntervalsSource freq).  Differs from
+    span_near (q_span_near_topk) exactly by minimality: span_near is a
+    boolean window filter ranked by plain term BM25; intervals COUNT
+    non-redundant occurrences and rank by them."""
+    from ..stages.phrase import intervals_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    [q[0] for q in _INTERVAL_QUERIES], pa.int64()
+                ),
+                "terms": pa.array(
+                    [q[1] for q in _INTERVAL_QUERIES], pa.list_(pa.string())
+                ),
+                "max_gaps": pa.array(
+                    [q[2] for q in _INTERVAL_QUERIES], pa.int64()
+                ),
+            }
+        )
+    )
+    res = intervals_search(idx, qds, k=20, concurrency=2).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    cols = ["query_id", "rank", "doc_id", "n_occ", "score"]
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
+def _intervals_sql(
+    queries: list[tuple[int, list[str], int]], k: int = 10
+) -> str:
+    """Independent minimal-interval oracle: per query, the backward
+    greedy chain as nested correlated ``max(i)`` subqueries (largest
+    occurrence of each earlier term strictly before the chain position),
+    minimality as ``GROUP BY (doc, start) -> min(end)`` — the exact
+    relational restatement of the engine's staircase argument — then the
+    gap filter and the shared pseudo-term BM25 tail."""
+    chain_ctes, hit_parts = [], []
+    for qid, terms, g in queries:
+        m = len(terms)
+        prev = f"q{qid}c0"
+        chain_ctes.append(
+            f"{prev} AS (SELECT doc_id, i AS e, i AS cur FROM tokpos "
+            f"WHERE term = '{terms[-1]}')"
+        )
+        for step, t in enumerate(reversed(terms[:-1]), 1):
+            name = f"q{qid}c{step}"
+            chain_ctes.append(
+                f"{name} AS (SELECT doc_id, e, "
+                f"(SELECT max(x.i) FROM tokpos x WHERE x.doc_id = c.doc_id "
+                f"AND x.term = '{t}' AND x.i < c.cur) AS cur "
+                f"FROM {prev} c WHERE c.cur IS NOT NULL)"
+            )
+            prev = name
+        chain_ctes.append(
+            f"q{qid}m AS (SELECT doc_id, cur AS s, min(e) AS e "
+            f"FROM {prev} WHERE cur IS NOT NULL GROUP BY doc_id, cur)"
+        )
+        hit_parts.append(
+            f"SELECT {qid} AS query_id, doc_id, count(*) AS n_occ "
+            f"FROM q{qid}m WHERE e - s <= {g + m - 1} GROUP BY doc_id"
+        )
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        + ", ".join(chain_ctes) + ", "
+        "hits AS (" + " UNION ALL ".join(hit_parts) + "), "
+        "dl AS (SELECT doc_id, len(ts) AS dl FROM d), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "pdf AS (SELECT query_id, count(*) AS df FROM hits GROUP BY query_id), "
+        "scored AS (SELECT h.query_id, h.doc_id, h.n_occ, "
+        "ln(1 + (s.n_docs - pdf.df + 0.5) / (pdf.df + 0.5)) * "
+        "(h.n_occ * 2.2) / (h.n_occ + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+        "(s.total::DOUBLE / s.n_docs))) AS score "
+        "FROM hits h JOIN pdf USING (query_id) "
+        "JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN stats s) "
+        "SELECT query_id, rank, doc_id, n_occ, score FROM ("
+        "SELECT query_id, doc_id, n_occ, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_INTERVALS_TOPK = _intervals_sql(_INTERVAL_QUERIES)
+
+
 # --------------------------------------------- snippets (serving stage)
 
 _SNIPPET_WIDTH = 8
@@ -6982,6 +7097,50 @@ def _ndcg_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 
 
 SQL_RETRIEVAL_NDCG = _ndcg_sql(_BM25_QUERIES)
+
+
+def q_retrieval_err(sf_dir: str):
+    """Expected reciprocal rank (Chapelle, Metlzer, Zhang & Grinspan,
+    CIKM 2009 — the cascade-model metric in ES ``rank_eval``): with the
+    shared binary relevance, the per-doc stop probability is
+    R = (2^1 - 1)/2^1 = 0.5, so ERR@10 = sum over relevant ranks r of
+    0.5^(c_r) * 0.5 / r where c_r counts relevant docs ABOVE r (the
+    cascade's survival).  Powers of 0.5 are exact in fp; the Ray side
+    walks the (bounded, k x queries) rel∩top10 intersection, identical
+    scale shape to MAP/nDCG."""
+    k = 10
+    topk = q_bm25_topk(sf_dir)
+    hit_set, _n_rel = _rel_hits(sf_dir, topk)
+
+    out_q, out_e = [], []
+    for qid, _terms in _BM25_QUERIES:
+        g = topk[topk["query_id"] == qid]
+        rel_mask = np.array(
+            [(qid, d) in hit_set for d in g["doc_id"]], dtype=bool
+        )
+        ranks = np.sort(g["rank"].to_numpy()[rel_mask]).astype(np.float64)
+        err = float(np.sum(np.power(0.5, np.arange(ranks.size)) * 0.5 / ranks))
+        out_q.append(qid)
+        out_e.append(round(err, 6))
+    return pd.DataFrame({"query_id": out_q, "err": out_e})
+
+
+def _err_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    return (
+        _ranked_eval_prefix_sql(queries, k) + ", "
+        "hits AS (SELECT t.query_id, t.rank, "
+        "CAST(row_number() OVER (PARTITION BY t.query_id "
+        "ORDER BY t.rank) - 1 AS DOUBLE) AS prior FROM topk t "
+        "JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id), "
+        "err AS (SELECT query_id, sum(power(0.5, prior) * 0.5 / rank) "
+        "AS err FROM hits GROUP BY query_id) "
+        "SELECT qq.query_id, round(COALESCE(e.err, 0), 6) AS err "
+        "FROM (SELECT DISTINCT query_id FROM q) qq "
+        "LEFT JOIN err e ON e.query_id = qq.query_id ORDER BY qq.query_id"
+    )
+
+
+SQL_RETRIEVAL_ERR = _err_sql(_BM25_QUERIES)
 
 
 # --------------------------------------- prefix autocomplete (suggester)
@@ -16380,6 +16539,7 @@ QUERIES = {
     "bm25_boosting": q_bm25_boosting,
     "bm25_histogram": q_bm25_histogram,
     "span_near_topk": q_span_near_topk,
+    "intervals_topk": q_intervals_topk,
     "bm25plus_topk": q_bm25plus_topk,
     "bm25_pruned_topk": q_bm25_pruned_topk,
     "bm25_rm3_topk": q_bm25_rm3_topk,
@@ -16434,6 +16594,7 @@ QUERIES = {
     "bm25_mmr": q_bm25_mmr,
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
+    "retrieval_err": q_retrieval_err,
     "bm25f_topk": q_bm25f_topk,
     "bm25_facets": q_bm25_facets,
     "bm25_delete_topk": q_bm25_delete_topk,
@@ -16708,10 +16869,12 @@ ORACLES = {
     "bm25_boosting": SQL_BM25_BOOSTING,
     "bm25_histogram": SQL_BM25_HISTOGRAM,
     "span_near_topk": SQL_SPAN_NEAR_TOPK,
+    "intervals_topk": SQL_INTERVALS_TOPK,
     "bm25plus_topk": SQL_BM25PLUS_TOPK,
     "bm25_pruned_topk": SQL_BM25_PRUNED_TOPK,
     "bm25_rm3_topk": SQL_BM25_RM3_TOPK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
+    "retrieval_err": SQL_RETRIEVAL_ERR,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
     "bm25_delete_topk": SQL_BM25_DELETE_TOPK,

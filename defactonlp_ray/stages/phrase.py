@@ -1520,6 +1520,159 @@ def ordered_search(
     )
 
 
+# ------------------------------------------------------- intervals
+
+def match_intervals(
+    reader: IndexReader, seg_ids: list[int], terms: list[str], max_gaps: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lucene ``IntervalsQuery`` / ``Intervals.maxgaps(g,
+    Intervals.ordered(...))`` semantics: MINIMAL ordered intervals —
+    ordered matches (p1 < p2 < ... < pm) such that no other ordered
+    match is strictly contained — filtered to total gap count
+    ``(pm - p1 + 1) - m <= max_gaps``.  Returns ``(doc_ids, n_occ,
+    dls)`` with ``n_occ`` = the doc's surviving minimal-interval count
+    (the IntervalsSource freq), doc-ascending.
+
+    The difference from :func:`match_ordered` is exactly minimality:
+    span_near asks "does any admissible window exist" per doc, while
+    intervals COUNT non-redundant occurrences — ``"a x b a b"`` has two
+    minimal (a..b) intervals but one subsumes nothing of the other.
+
+    Fully vectorized backward-greedy chain: for every occurrence of the
+    LAST term (the end), take the LARGEST occurrence of term m-1
+    strictly before it, then the largest of m-2 before that, ... — one
+    ``searchsorted(side='left') - 1`` per term over the cached
+    fixed-radix key arrays.  The greedy chain maximizes the start, so
+    every ordered match ending at e contains the greedy interval
+    (s(e), e); s(e) is non-decreasing in e, hence the minimal set is
+    exactly {(s, min e over ends sharing s)} — one ``np.unique`` with
+    ``return_index`` on the (doc-qualified) start keys.  A backward
+    step that bleeds into an earlier doc inflates the key width past
+    ``_POS_SLACK`` (positions are ``< _POS_M - _POS_SLACK``), which the
+    gap filter below keeps strictly above any admissible width, so
+    cross-doc chains can never match."""
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
+    if not terms or max_gaps < 0:
+        return empty
+    if max_gaps + len(terms) > _POS_SLACK:
+        raise ValueError(
+            f"max_gaps {max_gaps} with {len(terms)} terms exceeds the "
+            f"positional key radix headroom ({_POS_SLACK}); raise "
+            "_POS_SLACK/_POS_M"
+        )
+    packs = []
+    for t in terms:  # query order, duplicates allowed
+        p = _pos_pack(reader, seg_ids, t)
+        if p is None:
+            return empty
+        packs.append(p)
+    ends = packs[-1][4]
+    cur = ends
+    for p in reversed(packs[:-1]):
+        ki = p[4]
+        idx = np.searchsorted(ki, cur, side="left") - 1
+        keep = idx >= 0
+        ends = ends[keep]
+        cur = ki[idx[keep]]
+        if ends.size == 0:
+            return empty
+    # ends is ascending and cur (starts) is non-decreasing along it, so
+    # return_index picks the SMALLEST end per distinct start == minimal
+    starts, first_idx = np.unique(cur, return_index=True)
+    ends_min = ends[first_idx]
+    ok = ends_min - starts <= max_gaps + (len(terms) - 1)
+    if not np.any(ok):
+        return empty
+    docs, counts = np.unique(starts[ok] // _POS_M, return_counts=True)
+    d_last, dl_last = packs[-1][0], packs[-1][1]
+    dls = dl_last[np.searchsorted(d_last, docs)]
+    return docs, counts.astype(np.int64), dls
+
+
+def score_intervals(
+    reader: IndexReader,
+    seg_ids: list[int],
+    terms: list[str],
+    max_gaps: int,
+    k: int,
+) -> list[tuple[float, int, int]]:
+    """Intervals top-k: the minimal-interval count is the pseudo-term tf
+    (the Lucene IntervalsSource freq feeding its per-field similarity),
+    scored with the shared phrase/pseudo-term BM25 tail."""
+    docs, counts, dls = match_intervals(reader, seg_ids, terms, max_gaps)
+    return _score_pseudo(reader, docs, counts, dls, k)
+
+
+class IntervalsSearcherActor:
+    """Actor-pool stage: batch of (query_id, terms[in order], max_gaps)
+    -> (query_id, rank, doc_id, n_occ, score)."""
+
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted(
+            {t for ts in batch["terms"].to_pylist() for t in ts} - self.seeded
+        )
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_n, out_s = [], [], [], [], []
+        for qid, terms, g in zip(
+            batch["query_id"].to_pylist(),
+            batch["terms"].to_pylist(),
+            batch["max_gaps"].to_pylist(),
+        ):
+            top = score_intervals(
+                self.reader, self.seg_ids, list(terms), int(g), self.k
+            )
+            for rank, (score, doc_id, n_occ) in enumerate(top, 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_n.append(n_occ)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_occ": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def intervals_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """Intervals pipeline: (query_id, terms, max_gaps) -> (query_id,
+    rank, doc_id, n_occ, score) over a ``positions=True`` index.
+    ``packs_ref`` as in :func:`phrase_search`."""
+    return queries.map_batches(
+        IntervalsSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
 # -------------------------------------------------------------- boolean
 
 def score_boolean(
