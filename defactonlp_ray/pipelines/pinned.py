@@ -1114,6 +1114,67 @@ def serial_textrank(
     return out.astype({"doc_id": "int64", "rank": "int32", "score": "float64"})
 
 
+def serial_varwidth_histogram(sf_dir: str, k: int = 6) -> pd.DataFrame:
+    """Serial reference for q_varwidth_histogram: plain-Python optimal
+    weighted 1-D k-means DP (Ckmeans.1d.dp; Wang & Song 2011) over the
+    distinct ``documents.n_chars`` values — independently written (list
+    loops, strict-< first-minimum scan), sharing only the pinned
+    prefix-sum cost formula ``css - cs^2/W`` that IS the spec."""
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
+    )["n_chars"].to_numpy()
+    cnt = Counter(int(x) for x in col)
+    vals = sorted(cnt)
+    w = [cnt[x] for x in vals]
+    n = len(vals)
+    k = min(k, n)
+    cw, cs, css = [0.0], [0.0], [0.0]
+    for x, wt in zip(vals, w):
+        cw.append(cw[-1] + wt)
+        cs.append(cs[-1] + wt * x)
+        css.append(css[-1] + wt * x * x)
+    inf = float("inf")
+    D = [[inf] * (n + 1) for _ in range(k + 1)]
+    back = [[0] * (n + 1) for _ in range(k + 1)]
+    D[0][0] = 0.0
+    for j in range(1, k + 1):
+        for i in range(j, n - (k - j) + 1):
+            best, barg = inf, j - 1
+            for m in range(j - 1, i):
+                W = cw[i] - cw[m]
+                S = cs[i] - cs[m]
+                Q = css[i] - css[m]
+                c = D[j - 1][m] + Q - S * S / W
+                if c < best:
+                    best, barg = c, m
+            D[j][i] = best
+            back[j][i] = barg
+    bounds = [0] * (k + 1)
+    bounds[k] = n
+    for j in range(k, 0, -1):
+        bounds[j - 1] = back[j][bounds[j]]
+    rows = []
+    for b in range(k):
+        a, z = bounds[b], bounds[b + 1]
+        seg, segw = vals[a:z], w[a:z]
+        nn = sum(segw)
+        s = sum(x * wt for x, wt in zip(seg, segw))
+        rows.append((b, seg[0], seg[-1], nn, round(s / nn, 6)))
+    return pd.DataFrame(
+        rows, columns=["bucket", "v_min", "v_max", "n_docs", "v_avg"]
+    ).astype(
+        {
+            "bucket": "int64",
+            "v_min": "int64",
+            "v_max": "int64",
+            "n_docs": "int64",
+            "v_avg": "float64",
+        }
+    )
+
+
 def values_sql(df: pd.DataFrame) -> str:
     """Inline a small DataFrame as a typed DuckDB VALUES select."""
     cols = list(df.columns)
@@ -1259,6 +1320,10 @@ def oracle_values_sql() -> dict[str, str]:
         out["cms_heavy_terms"] = _cached(
             "cms_heavy_terms", sf_fp,
             lambda: values_sql(serial_cms(ORACLE_SF_DIR)),
+        )
+        out["varwidth_histogram"] = _cached(
+            "varwidth_histogram", sf_fp,
+            lambda: values_sql(serial_varwidth_histogram(ORACLE_SF_DIR)),
         )
 
         def _rfp() -> str:

@@ -16076,6 +16076,138 @@ SQL_EVENTS_FILTERS_AGG = (
 )
 
 
+# ES date_range agg: named, possibly-overlapping half-open [from, to)
+# ranges with open ends; pinned absolute boundaries over the generator's
+# January-2024 event span
+_DATE_RANGES: list[tuple[str, str | None, str | None]] = [
+    ("week1", None, "2024-01-08"),
+    ("mid", "2024-01-05", "2024-01-20"),
+    ("tail", "2024-01-20", None),
+]
+
+
+def q_events_date_range(sf_dir: str):
+    """ES ``date_range`` aggregation: one named bucket per range,
+    half-open ``[from, to)``, open ends allowed, buckets overlap (an
+    event can land in several — q.v. ``week1``/``mid``).  Identical
+    combiner shape to ``events_filters_agg``: membership masks evaluate
+    vectorized per batch and the exchange is |ranges| rows regardless of
+    corpus size."""
+
+    bounds = [
+        (
+            name,
+            None if lo is None else pd.Timestamp(lo).to_datetime64(),
+            None if hi is None else pd.Timestamp(hi).to_datetime64(),
+        )
+        for name, lo, hi in _DATE_RANGES
+    ]
+
+    def part(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        val = batch["value"]
+        names, counts, sums = [], [], []
+        for name, lo, hi in bounds:
+            m = None
+            if lo is not None:
+                m = pc.greater_equal(ts, pa.scalar(lo))
+            if hi is not None:
+                mh = pc.less(ts, pa.scalar(hi))
+                m = mh if m is None else pc.and_(m, mh)
+            names.append(name)
+            counts.append(int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0))
+            sums.append(
+                float(pc.sum(pc.if_else(m, val, 0.0)).as_py() or 0.0)
+            )
+        return pa.table({
+            "bucket": pa.array(names, pa.string()),
+            "n_p": pa.array(counts, pa.int64()),
+            "s_p": pa.array(sums, pa.float64()),
+        })
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": b["bucket"],
+            "n": b["n"],
+            "sum_value": pc.round(b["s"], 2),
+        })
+
+    return (
+        read_table(sf_dir, "events", ["ts", "value"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("s_p", alias_name="s"))
+        .map_batches(fin, batch_format="pyarrow")
+        .sort("bucket")
+    )
+
+
+def _date_range_sql(ranges) -> str:
+    parts = []
+    for name, lo, hi in ranges:
+        conds = []
+        if lo is not None:
+            conds.append(f"ts >= TIMESTAMP '{lo} 00:00:00'")
+        if hi is not None:
+            conds.append(f"ts < TIMESTAMP '{hi} 00:00:00'")
+        parts.append(
+            f"SELECT '{name}' AS bucket, count(*) AS n, "
+            "round(coalesce(sum(value), 0.0), 2) AS sum_value "
+            f"FROM events WHERE {' AND '.join(conds)}"
+        )
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY bucket"
+
+
+SQL_EVENTS_DATE_RANGE = _date_range_sql(_DATE_RANGES)
+
+
+_VWH_K = 6
+
+
+def q_varwidth_histogram(sf_dir: str):
+    """ES ``variable_width_histogram`` over ``documents.n_chars``,
+    with the approximation replaced by a PINNED exact rule: optimal
+    weighted 1-D k-means (Ckmeans.1d.dp — Wang & Song, R Journal 2011)
+    over the distinct-value table, k = 6.  ES's own agg is
+    order-dependent and approximate, so the deterministic optimum is
+    the only cross-engine-checkable semantics; the serial oracle runs
+    an independently-written plain-Python DP with the same prefix-sum
+    cost and first-minimum tie rule.
+
+    Scale shape: the corpus pass is a (value -> count) combiner +
+    groupby — the exchange is |distinct values| rows — and the O(k n^2)
+    DP runs on that bounded table on the driver, never on raw rows."""
+    from ..stages.cluster import ckmeans_1d
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = pa.table({"v": batch["n_chars"]})
+        agg = t.group_by("v").aggregate([([], "count_all")])
+        return agg.rename_columns(["v", "w_p"])
+
+    vw = (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("w_p", alias_name="w"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    v = vw["v"].to_numpy(np.int64)
+    w = vw["w"].to_numpy(np.int64)
+    bounds = ckmeans_1d(v, w, _VWH_K)
+    rows = []
+    for b in range(len(bounds) - 1):
+        a, z = int(bounds[b]), int(bounds[b + 1])
+        seg_v, seg_w = v[a:z], w[a:z]
+        n = int(seg_w.sum())
+        s = int((seg_v * seg_w).sum())
+        rows.append((b, int(seg_v[0]), int(seg_v[-1]), n, round(s / n, 6)))
+    return pd.DataFrame(
+        rows, columns=["bucket", "v_min", "v_max", "n_docs", "v_avg"]
+    )
+
+
 def q_line_cluster_sizes(sf_dir: str):
     """Duplicate-cluster-size histogram over the exact 8-token lines
     (the dedup unit of ``line_dedup``): how many distinct lines occur
@@ -16595,6 +16727,8 @@ QUERIES = {
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
     "retrieval_err": q_retrieval_err,
+    "events_date_range": q_events_date_range,
+    "varwidth_histogram": q_varwidth_histogram,
     "bm25f_topk": q_bm25f_topk,
     "bm25_facets": q_bm25_facets,
     "bm25_delete_topk": q_bm25_delete_topk,
@@ -16875,6 +17009,7 @@ ORACLES = {
     "bm25_rm3_topk": SQL_BM25_RM3_TOPK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "retrieval_err": SQL_RETRIEVAL_ERR,
+    "events_date_range": SQL_EVENTS_DATE_RANGE,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
     "bm25_delete_topk": SQL_BM25_DELETE_TOPK,

@@ -462,3 +462,54 @@ def pca_eigen(n: int, sum_q: np.ndarray, gram_q: np.ndarray,
         "eigenvalue": np.round(top, 6),
         "ratio": np.round(top / total, 6),
     })
+
+
+def ckmeans_1d(values: np.ndarray, weights: np.ndarray,
+               k: int) -> np.ndarray:
+    """Optimal weighted 1-D k-means by dynamic programming (Wang & Song,
+    *Ckmeans.1d.dp*, The R Journal 3(2), 2011): partition the SORTED
+    distinct ``values`` (with integer ``weights``) into ``k`` contiguous
+    clusters minimizing total weighted within-cluster SSE.  Returns the
+    ``k+1`` split indices into ``values`` (bounds[j]..bounds[j+1]-1 is
+    cluster j).  Deterministic: ties in the DP argmin take the SMALLEST
+    split index (np.argmin's first-minimum rule — the serial oracle
+    mirrors it with a strict ``<`` scan).
+
+    Cost is evaluated from prefix sums only — ``css - cs^2 / W`` — so
+    the serial reference computes bit-identical numbers.  O(k·n^2) time
+    on the DISTINCT-value table, which a driver runs on the bounded
+    output of a (value -> count) combiner groupby — never on raw rows.
+    """
+    v = np.asarray(values, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    n = v.size
+    k = min(k, n)
+    cw = np.zeros(n + 1)
+    cs = np.zeros(n + 1)
+    css = np.zeros(n + 1)
+    np.cumsum(w, out=cw[1:])
+    np.cumsum(w * v, out=cs[1:])
+    np.cumsum(w * v * v, out=css[1:])
+
+    def seg_cost(a: np.ndarray, b: int) -> np.ndarray:
+        # weighted SSE of values[a..b-1] for a vector of starts a
+        W = cw[b] - cw[a]
+        S = cs[b] - cs[a]
+        Q = css[b] - css[a]
+        return Q - S * S / W
+
+    D = np.full((k + 1, n + 1), np.inf)
+    back = np.zeros((k + 1, n + 1), dtype=np.int64)
+    D[0, 0] = 0.0
+    for j in range(1, k + 1):
+        for i in range(j, n - (k - j) + 1):
+            starts = np.arange(j - 1, i)
+            cand = D[j - 1, starts] + seg_cost(starts, i)
+            m = int(np.argmin(cand))
+            D[j, i] = cand[m]
+            back[j, i] = starts[m]
+    bounds = np.zeros(k + 1, dtype=np.int64)
+    bounds[k] = n
+    for j in range(k, 0, -1):
+        bounds[j - 1] = back[j, bounds[j]]
+    return bounds
