@@ -2535,6 +2535,15 @@ def search_fanout(
             all_terms = sorted({t for ts in batch["terms"].to_pylist() for t in ts})
             dfs = self.reader.dfs(all_terms)
             idfs = {t: self.reader.idf(t) for t in all_terms}
+            # stat-dependent modes (auto/lmd/dfr/spl/dfi) read these off
+            # the actor; the reader spans the WHOLE index, so df/cf/N/T
+            # are global and per-segment scoring + merge stays exact for
+            # every additive per-term model
+            self._dfs = dfs
+            self._cfs = (
+                self.reader.cfs(all_terms)
+                if self.mode in ("lmd", "dfi") else {}
+            )
             out_q, out_d, out_s = [], [], []
             for qid, terms, sid in zip(
                 batch["query_id"].to_pylist(),

@@ -189,6 +189,20 @@ def test_spl_finite_for_universal_term(tmp_path_factory):
     assert all(np.isfinite(s) and s > 0.0 for _, s in rows)
 
 
+@pytest.mark.parametrize("mode", ["dfr", "lmd", "dfi"])
+def test_fanout_route_equals_fused(index_dir, queries, mode):
+    # per-segment scoring with GLOBAL stats + merge == the fused route
+    # (docs live in exactly one segment; every model here is an additive
+    # per-term sum) — also covers the SegSearcher stat-wiring for the
+    # stat-dependent modes (lmd needs cfs, dfr dfs, dfi both)
+    a = S.search(index_dir, _qds(queries), k=K, mode=mode).take_all()
+    b = S.search_fanout(index_dir, _qds(queries), k=K, mode=mode).take_all()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    assert key(a) == key(b)
+
+
 def test_dfr_shared_route_bit_equal(index_dir, queries):
     a = S.search(index_dir, _qds(queries), k=K, mode="dfr").take_all()
     b = S.search(
