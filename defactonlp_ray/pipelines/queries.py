@@ -6692,6 +6692,85 @@ def _intervals_sql(
 SQL_INTERVALS_TOPK = _intervals_sql(_INTERVAL_QUERIES)
 
 
+_SPAN_OR_QUERIES: list[tuple[int, list[list[str]], int]] = [
+    # (query_id, ordered slots — each a SpanOr union of alternatives, slop)
+    (0, [["fast", "quick"], ["data"]], 2),    # "quick" absent: union degrades
+    (1, [["merge", "sort"], ["join"]], 3),
+    (2, [["hash"], ["join", "table"]], 1),
+    (3, [["zzz", "yyy"], ["data"]], 4),        # whole slot absent -> empty
+    (4, [["scan"], ["slow", "scan"]], 2),      # self-overlapping union
+]
+
+
+def q_span_or_near_topk(sf_dir: str):
+    """Lucene ``SpanNearQuery(in_order=true)`` over ``SpanOrQuery``
+    clauses (stages/phrase.match_ordered_groups): each slot matches ANY
+    of its member terms, slots in order at strictly increasing
+    positions, width <= slop + m - 1; ranked by the plain BM25 sum over
+    the distinct member terms — the positional-union combinator the
+    single-term span family can't express (q0: "fast|quick ... data")."""
+    from ..stages.phrase import span_or_near_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    [q[0] for q in _SPAN_OR_QUERIES], pa.int64()
+                ),
+                "groups": pa.array(
+                    [q[1] for q in _SPAN_OR_QUERIES],
+                    pa.list_(pa.list_(pa.string())),
+                ),
+                "slop": pa.array(
+                    [q[2] for q in _SPAN_OR_QUERIES], pa.int64()
+                ),
+            }
+        )
+    )
+    res = span_or_near_search(idx, qds, k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _span_or_near_sql(
+    queries: list[tuple[int, list[list[str]], int]], k: int = 10
+) -> str:
+    """Independent oracle: m-way self-join where each slot's positions
+    come from ``term IN (members)``, strictly increasing, width rule as
+    span_near; scoring = the shared candidate-filtered BM25 over every
+    distinct member term."""
+    cand_parts, qvals = [], []
+    for qid, groups, slop in queries:
+        aliases = [f"o{i}" for i in range(len(groups))]
+        froms = []
+        for g, a in zip(groups, aliases):
+            members = ", ".join(f"'{t}'" for t in g)
+            froms.append(
+                f"(SELECT doc_id, i FROM tokpos WHERE term IN ({members})) {a}"
+            )
+        join = froms[0]
+        for f in froms[1:]:
+            join += f" JOIN {f} USING (doc_id)"
+        increasing = " AND ".join(
+            f"{aliases[i]}.i < {aliases[i + 1]}.i"
+            for i in range(len(aliases) - 1)
+        )
+        width = (
+            f"{aliases[-1]}.i - {aliases[0]}.i <= {slop + len(groups) - 1}"
+        )
+        cond = f"{increasing} AND {width}" if len(groups) > 1 else "TRUE"
+        cand_parts.append(
+            f"SELECT DISTINCT {qid} AS query_id, {aliases[0]}.doc_id "
+            f"FROM {join} WHERE {cond}"
+        )
+        for t in sorted({t for g in groups for t in g}):
+            qvals.append(f"({qid}, '{t}')")
+    return _filtered_bm25_sql(cand_parts, qvals, k)
+
+
+SQL_SPAN_OR_NEAR_TOPK = _span_or_near_sql(_SPAN_OR_QUERIES)
+
+
 # --------------------------------------------- snippets (serving stage)
 
 _SNIPPET_WIDTH = 8
@@ -16672,6 +16751,7 @@ QUERIES = {
     "bm25_histogram": q_bm25_histogram,
     "span_near_topk": q_span_near_topk,
     "intervals_topk": q_intervals_topk,
+    "span_or_near_topk": q_span_or_near_topk,
     "bm25plus_topk": q_bm25plus_topk,
     "bm25_pruned_topk": q_bm25_pruned_topk,
     "bm25_rm3_topk": q_bm25_rm3_topk,
@@ -17004,6 +17084,7 @@ ORACLES = {
     "bm25_histogram": SQL_BM25_HISTOGRAM,
     "span_near_topk": SQL_SPAN_NEAR_TOPK,
     "intervals_topk": SQL_INTERVALS_TOPK,
+    "span_or_near_topk": SQL_SPAN_OR_NEAR_TOPK,
     "bm25plus_topk": SQL_BM25PLUS_TOPK,
     "bm25_pruned_topk": SQL_BM25_PRUNED_TOPK,
     "bm25_rm3_topk": SQL_BM25_RM3_TOPK,

@@ -1520,6 +1520,158 @@ def ordered_search(
     )
 
 
+# ----------------------------------------------- span_or within near
+
+def match_ordered_groups(
+    reader: IndexReader,
+    seg_ids: list[int],
+    groups: list[list[str]],
+    slop: int,
+) -> np.ndarray:
+    """Lucene ``SpanNearQuery(in_order=true)`` over ``SpanOrQuery``
+    clauses: each chain slot is a UNION of alternative terms — the
+    slot's occurrence set is the merged (sorted) key set of its
+    members — and the slots must match at strictly increasing positions
+    with width <= slop + m - 1, exactly :func:`match_ordered`'s rule.
+    Absent members drop out of their union; a slot whose EVERY member
+    is absent can never match.  Same vectorized greedy
+    earliest-successor chain (the merged key arrays are sorted, so one
+    ``searchsorted`` per slot still works); a (doc, pos) can hold only
+    one term, so the union never introduces duplicate keys."""
+    if not groups or slop < 0:
+        return np.empty(0, dtype=np.int64)
+    if slop + len(groups) > _POS_SLACK:
+        raise ValueError(
+            f"slop {slop} with {len(groups)} slots exceeds the positional "
+            f"key radix headroom ({_POS_SLACK}); raise _POS_SLACK/_POS_M"
+        )
+    slot_keys: list[np.ndarray] = []
+    for g in groups:
+        arrs = [
+            p[4]
+            for t in g
+            if (p := _pos_pack(reader, seg_ids, t)) is not None
+        ]
+        if not arrs:
+            return np.empty(0, dtype=np.int64)
+        keys = arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs))
+        slot_keys.append(keys)
+    anchors = slot_keys[0]
+    cur = anchors
+    for ki in slot_keys[1:]:
+        idx = np.searchsorted(ki, cur, side="right")
+        keep = idx < ki.size
+        anchors = anchors[keep]
+        cur = ki[idx[keep]]
+        if anchors.size == 0:
+            return np.empty(0, dtype=np.int64)
+    ok = cur - anchors <= slop + (len(slot_keys) - 1)
+    return np.unique(anchors[ok] // _POS_M)
+
+
+def score_ordered_groups(
+    reader: IndexReader,
+    seg_ids: list[int],
+    groups: list[list[str]],
+    slop: int,
+    k: int,
+) -> list[tuple[float, int]]:
+    """span_or-near top-k: docs passing :func:`match_ordered_groups`,
+    ranked by the plain BM25 sum over the DISTINCT member terms of all
+    slots (same composition rule as :func:`score_ordered`: positional
+    filter + the shared term ranking)."""
+    docs = match_ordered_groups(reader, seg_ids, groups, slop)
+    if reader.deleted.size and docs.size:
+        from .deletes import live_mask
+
+        docs = docs[live_mask(docs, reader.deleted)]
+    if docs.size == 0:
+        return []
+    uniq = sorted({t for g in groups for t in g})
+    reader.dfs(uniq)
+    scores = np.zeros(docs.size, dtype=np.float64)
+    for t in uniq:  # ascending-term accumulation order (pinned)
+        arrs = reader.term_arrays(seg_ids, t)
+        if arrs is None:
+            continue
+        docids, w = arrs
+        p = np.searchsorted(docids, docs)
+        ok = p < docids.size
+        ok[ok] &= docids[p[ok]] == docs[ok]
+        scores[ok] += reader.idf(t) * w[p[ok]]
+    return _topk_exact(scores, docs, k)
+
+
+class SpanOrNearSearcherActor:
+    """Actor-pool stage: batch of (query_id, groups[list<list<string>>],
+    slop) -> (query_id, rank, doc_id, score)."""
+
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted(
+            {
+                t
+                for gs in batch["groups"].to_pylist()
+                for g in gs
+                for t in g
+            }
+            - self.seeded
+        )
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, gs, slop in zip(
+            batch["query_id"].to_pylist(),
+            batch["groups"].to_pylist(),
+            batch["slop"].to_pylist(),
+        ):
+            top = score_ordered_groups(
+                self.reader, self.seg_ids, [list(g) for g in gs],
+                int(slop), self.k,
+            )
+            for rank, (score, doc_id) in enumerate(top, 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def span_or_near_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """span_or-within-near pipeline: (query_id, groups, slop) ->
+    (query_id, rank, doc_id, score) over a ``positions=True`` index."""
+    return queries.map_batches(
+        SpanOrNearSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
 # ------------------------------------------------------- intervals
 
 def match_intervals(

@@ -124,6 +124,55 @@ def test_fixture_corpus_matches_bruteforce(tmp_path_factory):
         assert got == want, (terms, g)
 
 
+def _brute_or_near(tokens, groups, slop):
+    # any member per slot, strictly increasing positions, width rule
+    pos = [
+        sorted(i for i, x in enumerate(tokens) if x in set(g))
+        for g in groups
+    ]
+    m = len(groups)
+    for combo in itertools.product(*pos):
+        if all(a < b for a, b in zip(combo, combo[1:])) and (
+            combo[-1] - combo[0] <= slop + m - 1
+        ):
+            return True
+    return False
+
+
+def test_span_or_near_matches_bruteforce(tmp_path_factory):
+    pages = fixtures.make_pages(120)
+    docs = {i: t for i, t in enumerate(pages["text"].to_pylist())}
+    idx = _build(tmp_path_factory, docs, "idx_spanor")
+    reader = IndexReader(idx)
+    cases = [
+        ([["hash", "join"], ["table"]], 2),
+        ([["data"], ["query", "fast"]], 1),
+        ([["merge", "sort"], ["merge", "sort"]], 3),  # self-union pair
+    ]
+    for groups, slop in cases:
+        got = P.match_ordered_groups(reader, reader.seg_ids, groups, slop)
+        want = sorted(
+            d
+            for d, text in docs.items()
+            if _brute_or_near(tokenize(text), groups, slop)
+        )
+        assert got.tolist() == want, (groups, slop)
+
+
+def test_span_or_singletons_equal_span_near(tmp_path_factory):
+    docs = {i: t for i, t in enumerate(
+        fixtures.make_pages(100)["text"].to_pylist()
+    )}
+    idx = _build(tmp_path_factory, docs, "idx_spanor_sn")
+    reader = IndexReader(idx)
+    for terms, slop in [(["hash", "join"], 1), (["data", "query"], 3)]:
+        a = P.match_ordered_groups(
+            reader, reader.seg_ids, [[t] for t in terms], slop
+        )
+        b = P.match_ordered(reader, reader.seg_ids, terms, slop)
+        assert a.tolist() == b.tolist()
+
+
 def test_match_set_equals_span_near(tmp_path_factory):
     # existence is unchanged by minimality: intervals(terms, g) matches
     # exactly the docs of span_near(terms, slop=g) (same width rule)
