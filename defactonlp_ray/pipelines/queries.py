@@ -6692,6 +6692,117 @@ def _intervals_sql(
 SQL_INTERVALS_TOPK = _intervals_sql(_INTERVAL_QUERIES)
 
 
+_INTERVALS_OR_QUERIES: list[tuple[int, list[list[str]], int]] = [
+    # (query_id, ordered slots — each an Intervals.or union, max_gaps)
+    (0, [["fast", "quick"], ["data"]], 3),
+    (1, [["hash"], ["join", "table"]], 2),
+    (2, [["merge", "sort"], ["merge", "sort"]], 4),  # self-union pair
+    (3, [["zzz"], ["data"]], 5),                     # absent slot -> empty
+]
+
+
+def q_intervals_or_topk(sf_dir: str):
+    """Lucene ``Intervals.maxgaps(g, Intervals.ordered(Intervals.or(...),
+    ...))`` (stages/phrase.match_intervals_groups): minimal ordered
+    intervals where each slot matches ANY of its member terms, counted
+    as the pseudo-term tf.  The union composition the singleton
+    intervals entry can't express — and distinct from span_or_near,
+    which is a boolean window filter ranked by plain term BM25."""
+    from ..stages.phrase import intervals_or_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    [q[0] for q in _INTERVALS_OR_QUERIES], pa.int64()
+                ),
+                "groups": pa.array(
+                    [q[1] for q in _INTERVALS_OR_QUERIES],
+                    pa.list_(pa.list_(pa.string())),
+                ),
+                "max_gaps": pa.array(
+                    [q[2] for q in _INTERVALS_OR_QUERIES], pa.int64()
+                ),
+            }
+        )
+    )
+    res = intervals_or_search(idx, qds, k=20, concurrency=2).to_pandas()
+    res["score"] = np.round(res["score"], 6)
+    cols = ["query_id", "rank", "doc_id", "n_occ", "score"]
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
+def _intervals_or_sql(
+    queries: list[tuple[int, list[list[str]], int]], k: int = 10
+) -> str:
+    """The _intervals_sql chain with ``term IN (members)`` per slot —
+    the union slot is the only change; minimality stays the GROUP BY
+    (doc, start) -> min(end) restatement."""
+    chain_ctes, hit_parts = [], []
+    for qid, groups, g in queries:
+        m = len(groups)
+
+        def members(grp: list[str]) -> str:
+            return ", ".join(f"'{t}'" for t in grp)
+
+        prev = f"qo{qid}c0"
+        chain_ctes.append(
+            f"{prev} AS (SELECT doc_id, i AS e, i AS cur FROM tokpos "
+            f"WHERE term IN ({members(groups[-1])}))"
+        )
+        for step, grp in enumerate(reversed(groups[:-1]), 1):
+            name = f"qo{qid}c{step}"
+            chain_ctes.append(
+                f"{name} AS (SELECT doc_id, e, "
+                f"(SELECT max(x.i) FROM tokpos x WHERE x.doc_id = c.doc_id "
+                f"AND x.term IN ({members(grp)}) AND x.i < c.cur) AS cur "
+                f"FROM {prev} c WHERE c.cur IS NOT NULL)"
+            )
+            prev = name
+        chain_ctes.append(
+            f"qo{qid}m AS (SELECT doc_id, cur AS s, min(e) AS e "
+            f"FROM {prev} WHERE cur IS NOT NULL GROUP BY doc_id, cur)"
+        )
+        hit_parts.append(
+            f"SELECT {qid} AS query_id, doc_id, count(*) AS n_occ "
+            f"FROM qo{qid}m WHERE e - s <= {g + m - 1} GROUP BY doc_id"
+        )
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        + ", ".join(chain_ctes) + ", "
+        "hits AS (" + " UNION ALL ".join(hit_parts) + "), "
+        "dl AS (SELECT doc_id, len(ts) AS dl FROM d), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "pdf AS (SELECT query_id, count(*) AS df FROM hits GROUP BY query_id), "
+        "scored AS (SELECT h.query_id, h.doc_id, h.n_occ, "
+        "ln(1 + (s.n_docs - pdf.df + 0.5) / (pdf.df + 0.5)) * "
+        "(h.n_occ * 2.2) / (h.n_occ + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+        "(s.total::DOUBLE / s.n_docs))) AS score "
+        "FROM hits h JOIN pdf USING (query_id) "
+        "JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN stats s) "
+        "SELECT query_id, rank, doc_id, n_occ, score FROM ("
+        "SELECT query_id, doc_id, n_occ, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_INTERVALS_OR_TOPK = _intervals_or_sql(_INTERVALS_OR_QUERIES)
+
+
 _SPAN_OR_QUERIES: list[tuple[int, list[list[str]], int]] = [
     # (query_id, ordered slots — each a SpanOr union of alternatives, slop)
     (0, [["fast", "quick"], ["data"]], 2),    # "quick" absent: union degrades
@@ -16752,6 +16863,7 @@ QUERIES = {
     "span_near_topk": q_span_near_topk,
     "intervals_topk": q_intervals_topk,
     "span_or_near_topk": q_span_or_near_topk,
+    "intervals_or_topk": q_intervals_or_topk,
     "bm25plus_topk": q_bm25plus_topk,
     "bm25_pruned_topk": q_bm25_pruned_topk,
     "bm25_rm3_topk": q_bm25_rm3_topk,
@@ -17085,6 +17197,7 @@ ORACLES = {
     "span_near_topk": SQL_SPAN_NEAR_TOPK,
     "intervals_topk": SQL_INTERVALS_TOPK,
     "span_or_near_topk": SQL_SPAN_OR_NEAR_TOPK,
+    "intervals_or_topk": SQL_INTERVALS_OR_TOPK,
     "bm25plus_topk": SQL_BM25PLUS_TOPK,
     "bm25_pruned_topk": SQL_BM25_PRUNED_TOPK,
     "bm25_rm3_topk": SQL_BM25_RM3_TOPK,

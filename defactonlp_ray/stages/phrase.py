@@ -1703,29 +1703,59 @@ def match_intervals(
     ``_POS_SLACK`` (positions are ``< _POS_M - _POS_SLACK``), which the
     gap filter below keeps strictly above any admissible width, so
     cross-doc chains can never match."""
+    return match_intervals_groups(
+        reader, seg_ids, [[t] for t in terms], max_gaps
+    )
+
+
+def match_intervals_groups(
+    reader: IndexReader,
+    seg_ids: list[int],
+    groups: list[list[str]],
+    max_gaps: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`match_intervals` generalized to ``Intervals.or`` slots:
+    each chain slot is a UNION of alternative terms (merged sorted key
+    set — duplicate-free, a (doc, pos) holds one term), and minimal
+    intervals are counted over the union semantics.  The backward
+    greedy chain and the staircase minimality argument only rely on
+    each slot's occurrence set being sorted, so both carry over
+    unchanged; ``match_intervals`` is the singleton-slot special
+    case."""
     empty = (
         np.empty(0, dtype=np.int64),
         np.empty(0, dtype=np.int64),
         np.empty(0, dtype=np.int64),
     )
-    if not terms or max_gaps < 0:
+    if not groups or max_gaps < 0:
         return empty
-    if max_gaps + len(terms) > _POS_SLACK:
+    if max_gaps + len(groups) > _POS_SLACK:
         raise ValueError(
-            f"max_gaps {max_gaps} with {len(terms)} terms exceeds the "
+            f"max_gaps {max_gaps} with {len(groups)} slots exceeds the "
             f"positional key radix headroom ({_POS_SLACK}); raise "
             "_POS_SLACK/_POS_M"
         )
-    packs = []
-    for t in terms:  # query order, duplicates allowed
-        p = _pos_pack(reader, seg_ids, t)
-        if p is None:
+    slot_keys: list[np.ndarray] = []
+    last_packs: list[tuple] = []
+    for gi, g in enumerate(groups):
+        packs = [
+            p
+            for t in g
+            if (p := _pos_pack(reader, seg_ids, t)) is not None
+        ]
+        if not packs:
             return empty
-        packs.append(p)
-    ends = packs[-1][4]
+        keys = (
+            packs[0][4]
+            if len(packs) == 1
+            else np.sort(np.concatenate([p[4] for p in packs]))
+        )
+        slot_keys.append(keys)
+        if gi == len(groups) - 1:
+            last_packs = packs
+    ends = slot_keys[-1]
     cur = ends
-    for p in reversed(packs[:-1]):
-        ki = p[4]
+    for ki in reversed(slot_keys[:-1]):
         idx = np.searchsorted(ki, cur, side="left") - 1
         keep = idx >= 0
         ends = ends[keep]
@@ -1736,12 +1766,21 @@ def match_intervals(
     # return_index picks the SMALLEST end per distinct start == minimal
     starts, first_idx = np.unique(cur, return_index=True)
     ends_min = ends[first_idx]
-    ok = ends_min - starts <= max_gaps + (len(terms) - 1)
+    ok = ends_min - starts <= max_gaps + (len(groups) - 1)
     if not np.any(ok):
         return empty
     docs, counts = np.unique(starts[ok] // _POS_M, return_counts=True)
-    d_last, dl_last = packs[-1][0], packs[-1][1]
-    dls = dl_last[np.searchsorted(d_last, docs)]
+    # per-doc lengths from the last slot's member packs (a matched doc
+    # has a last-slot occurrence, so one member pack covers it)
+    dd = np.concatenate([p[0] for p in last_packs])
+    ll = np.concatenate([p[1] for p in last_packs])
+    order = np.argsort(dd, kind="stable")
+    dd, ll = dd[order], ll[order]
+    keep = np.empty(dd.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = dd[1:] != dd[:-1]
+    dd, ll = dd[keep], ll[keep]
+    dls = ll[np.searchsorted(dd, docs)]
     return docs, counts.astype(np.int64), dls
 
 
@@ -1757,6 +1796,93 @@ def score_intervals(
     scored with the shared phrase/pseudo-term BM25 tail."""
     docs, counts, dls = match_intervals(reader, seg_ids, terms, max_gaps)
     return _score_pseudo(reader, docs, counts, dls, k)
+
+
+def score_intervals_groups(
+    reader: IndexReader,
+    seg_ids: list[int],
+    groups: list[list[str]],
+    max_gaps: int,
+    k: int,
+) -> list[tuple[float, int, int]]:
+    """Union-slot intervals top-k: minimal-interval count as the
+    pseudo-term tf, shared BM25 pseudo-term tail."""
+    docs, counts, dls = match_intervals_groups(
+        reader, seg_ids, groups, max_gaps
+    )
+    return _score_pseudo(reader, docs, counts, dls, k)
+
+
+class IntervalsOrSearcherActor:
+    """Actor-pool stage: batch of (query_id, groups[list<list<string>>],
+    max_gaps) -> (query_id, rank, doc_id, n_occ, score)."""
+
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted(
+            {
+                t
+                for gs in batch["groups"].to_pylist()
+                for g in gs
+                for t in g
+            }
+            - self.seeded
+        )
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_n, out_s = [], [], [], [], []
+        for qid, gs, g in zip(
+            batch["query_id"].to_pylist(),
+            batch["groups"].to_pylist(),
+            batch["max_gaps"].to_pylist(),
+        ):
+            top = score_intervals_groups(
+                self.reader, self.seg_ids, [list(x) for x in gs],
+                int(g), self.k,
+            )
+            for rank, (score, doc_id, n_occ) in enumerate(top, 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_n.append(n_occ)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_occ": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def intervals_or_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """Union-slot intervals pipeline: (query_id, groups, max_gaps) ->
+    (query_id, rank, doc_id, n_occ, score)."""
+    return queries.map_batches(
+        IntervalsOrSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
 
 
 class IntervalsSearcherActor:

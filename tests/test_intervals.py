@@ -124,6 +124,50 @@ def test_fixture_corpus_matches_bruteforce(tmp_path_factory):
         assert got == want, (terms, g)
 
 
+def _brute_minimal_groups(tokens, groups, max_gaps):
+    pos = [
+        sorted(i for i, x in enumerate(tokens) if x in set(g))
+        for g in groups
+    ]
+    matches = []
+    for combo in itertools.product(*pos):
+        if all(a < b for a, b in zip(combo, combo[1:])):
+            matches.append((combo[0], combo[-1]))
+    spans = set(matches)
+    minimal = [
+        (s, e)
+        for s, e in spans
+        if not any(
+            (s2, e2) != (s, e) and s <= s2 and e2 <= e for s2, e2 in spans
+        )
+    ]
+    m = len(groups)
+    return sum(1 for s, e in minimal if (e - s + 1) - m <= max_gaps)
+
+
+def test_union_intervals_match_bruteforce(tmp_path_factory):
+    pages = fixtures.make_pages(120)
+    docs = {i: t for i, t in enumerate(pages["text"].to_pylist())}
+    idx = _build(tmp_path_factory, docs, "idx_intervals_or")
+    reader = IndexReader(idx)
+    cases = [
+        ([["hash", "join"], ["table"]], 2),
+        ([["data"], ["query", "fast"]], 3),
+        ([["merge", "sort"], ["merge", "sort"]], 4),
+    ]
+    for groups, g in cases:
+        got_docs, got_n, _ = P.match_intervals_groups(
+            reader, reader.seg_ids, groups, g
+        )
+        got = dict(zip(got_docs.tolist(), got_n.tolist()))
+        want = {}
+        for doc_id, text in docs.items():
+            n = _brute_minimal_groups(tokenize(text), groups, g)
+            if n:
+                want[doc_id] = n
+        assert got == want, (groups, g)
+
+
 def _brute_or_near(tokens, groups, slop):
     # any member per slot, strictly increasing positions, width rule
     pos = [
