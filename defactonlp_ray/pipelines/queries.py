@@ -15,6 +15,7 @@ the pure-Python oracle instead (tests/test_index_search.py).
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 
@@ -26,7 +27,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.textstats import STOPWORDS, lang_id_batch, quality_batch
 from ..functions.tokenizer import flatten_tokens, term_count_table
@@ -13616,6 +13617,109 @@ SQL_ZIPF_FIT = (
 )
 
 
+def q_heaps_fit(sf_dir: str):
+    """Heaps'-law fit V(N) = K * N^beta of vocabulary growth — the
+    companion sanity statistic to ``zipf_fit`` (an over-deduped or
+    template-heavy crawl flattens beta).  Growth is measured at 10
+    pinned doc-id checkpoints cp_i = (max_doc_id * i) // 10.
+
+    Scale shape: vocabulary NEVER lands on the driver — pass 1 reduces
+    per-batch per-checkpoint token sums (10 rows/block); pass 2 is the
+    (term -> min doc_id) combiner->groupby, whose |vocab|-row output is
+    immediately re-combined into 10 first-occurrence-decile counts
+    (searchsorted per batch, 10 rows/block) before a second tiny
+    groupby.  The driver sees 20 rows + the closed-form OLS in log-log
+    space, written identically in the SQL."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    mx = int(docs.max("doc_id"))
+    cps = np.array([(mx * i) // 10 for i in range(1, 11)], dtype=np.int64)
+
+    def tok_part(batch: pa.Table) -> pa.Table:
+        _tf, doc_len = term_count_table(batch["text"], batch["doc_id"])
+        did = batch["doc_id"].to_numpy()
+        toks = [int(doc_len[did <= cp].sum()) for cp in cps]
+        return pa.table({
+            "i": pa.array(np.arange(1, 11, dtype=np.int64)),
+            "tok_p": pa.array(toks, pa.int64()),
+        })
+
+    tok = (
+        docs.map_batches(tok_part, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(Sum("tok_p", alias_name="n_tokens"))
+        .to_pandas()
+    )
+
+    def fd_part(batch: pa.Table) -> pa.Table:
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        g = tf.group_by("term").aggregate([("doc_id", "min")])
+        return g.rename_columns(["term", "fd_p"])
+
+    def bucket_part(batch: pa.Table) -> pa.Table:
+        fd = batch["fd"].to_numpy()
+        b = np.searchsorted(cps, fd, side="left") + 1
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({
+            "i": pa.array(u.astype(np.int64)),
+            "v_p": pa.array(c.astype(np.int64)),
+        })
+
+    vb = (
+        docs.map_batches(fd_part, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Min("fd_p", alias_name="fd"))
+        .map_batches(bucket_part, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(Sum("v_p", alias_name="v_new"))
+        .to_pandas()
+    )
+    out = tok.merge(vb, on="i", how="left").sort_values("i").reset_index(
+        drop=True
+    )
+    out["v_new"] = out["v_new"].fillna(0).astype(np.int64)
+    out["vocab"] = out["v_new"].cumsum()
+    x = np.log(out["n_tokens"].to_numpy(np.float64))
+    y = np.log(out["vocab"].to_numpy(np.float64))
+    n = len(out)
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    k_coef = math.exp((sy - beta * sx) / n)
+    return pd.DataFrame({
+        "checkpoint": out["i"].astype(np.int64),
+        "cp_doc": cps,
+        "n_tokens": out["n_tokens"].astype(np.int64),
+        "vocab": out["vocab"].astype(np.int64),
+        "beta": np.round(beta, 6),
+        "k_coef": np.round(k_coef, 6),
+    })
+
+
+SQL_HEAPS_FIT = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "mx AS (SELECT max(doc_id) AS m FROM documents), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "firstd AS (SELECT term, min(doc_id) AS fd FROM toks GROUP BY term), "
+    "cps AS (SELECT CAST(g.range AS BIGINT) AS i, (mx.m * g.range) // 10 "
+    "AS cp FROM range(1, 11) g CROSS JOIN mx), "
+    "chk AS (SELECT c.i, c.cp, "
+    "(SELECT coalesce(sum(dl.dl), 0) FROM dl WHERE dl.doc_id <= c.cp) "
+    "AS n_tokens, "
+    "(SELECT count(*) FROM firstd WHERE firstd.fd <= c.cp) AS vocab "
+    "FROM cps c), "
+    "s AS (SELECT count(*) AS n, sum(ln(n_tokens)) AS sx, "
+    "sum(ln(vocab)) AS sy, sum(ln(n_tokens)*ln(vocab)) AS sxy, "
+    "sum(ln(n_tokens)*ln(n_tokens)) AS sxx FROM chk) "
+    "SELECT chk.i AS checkpoint, chk.cp AS cp_doc, "
+    "CAST(chk.n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(chk.vocab AS BIGINT) AS vocab, "
+    "round((s.n*s.sxy - s.sx*s.sy) / (s.n*s.sxx - s.sx*s.sx), 6) AS beta, "
+    "round(exp((s.sy - (s.n*s.sxy - s.sx*s.sy) / (s.n*s.sxx - s.sx*s.sx)"
+    "*s.sx) / s.n), 6) AS k_coef "
+    "FROM chk CROSS JOIN s ORDER BY checkpoint"
+)
+
+
 # --------------------------------------- storage-partitioned join
 
 _BJ_NB = 8
@@ -16737,6 +16841,7 @@ QUERIES = {
     "salted_term_cf": q_salted_term_cf,
     "union_source_stats": q_union_source_stats,
     "zipf_fit": q_zipf_fit,
+    "heaps_fit": q_heaps_fit,
     "bucketed_join": q_bucketed_join,
     "bm25_distance_feature": q_bm25_distance_feature,
     "bm25_pinned_topk": q_bm25_pinned_topk,
@@ -17016,6 +17121,7 @@ ORACLES = {
     "salted_term_cf": SQL_SALTED_TERM_CF,
     "union_source_stats": SQL_UNION_SOURCE_STATS,
     "zipf_fit": SQL_ZIPF_FIT,
+    "heaps_fit": SQL_HEAPS_FIT,
     "bucketed_join": _sql_bucketed_join(),
     "bm25_distance_feature": _sql_bm25_distance_feature(_BM25_QUERIES),
     "bm25_pinned_topk": _sql_bm25_pinned_topk(),
