@@ -13483,6 +13483,120 @@ def _sql_query_clarity() -> str:
     )
 
 
+def q_query_wig_nqc(sf_dir: str):
+    """Two more post-retrieval query-performance predictors next to
+    Clarity: WIG (weighted information gain — Zhou & Croft, SIGIR 2007)
+    and NQC (normalized query commitment — Shtok, Kurland & Carmel,
+    TOIS 2012), in PINNED simplified forms over the BM25 top-10 rounded
+    scores: with mu = mean top-k score, s_C = sum of BM25 idf over the
+    query's PRESENT distinct terms (the corpus-score stand-in) and
+    |q| = distinct query terms (absent included),
+
+        wig = (mu - s_C) / sqrt(|q|)
+        nqc = sqrt(mean(s^2) - mu^2) / s_C
+
+    High NQC (scores spread out below a strong leader) predicts an
+    effective query; WIG compares the head of the ranking against the
+    collection-level score mass.  Scale shape: one bounded top-k, one
+    broadcast-filtered df pass (rows bounded by |query terms| per
+    batch), driver math over k x queries rows."""
+    idx = _build_docs_index(sf_dir)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    topk = _rerank_rounded(res, k=10)
+    qterms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    needed = pa.array(qterms, pa.string())
+
+    def df_part(batch: pa.Table) -> pa.Table:
+        tf, dl = term_count_table(batch["text"], batch["doc_id"])
+        kept = tf.filter(pc.is_in(tf["term"], value_set=needed))
+        agg = pa.table({"term": kept["term"]}).group_by("term").aggregate(
+            [([], "count_all")]
+        ).rename_columns(["term", "df_p"])
+        tot = pa.table({
+            "term": pa.array(["\x00ndocs"], pa.string()),
+            "df_p": pa.array([int((dl > 0).sum())], pa.int64()),
+        })
+        return pa.concat_tables([agg, tot])
+
+    dfs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(df_part, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = int(dfs.loc[dfs["term"] == "\x00ndocs", "df"].iloc[0])
+    dfmap = {
+        t: int(d)
+        for t, d in zip(dfs["term"], dfs["df"])
+        if t != "\x00ndocs"
+    }
+    out_q, out_w, out_n = [], [], []
+    for qid, terms in _BM25_QUERIES:
+        g = topk[topk["query_id"] == qid]
+        if not len(g):
+            continue
+        uniq = sorted(set(terms))
+        s_c = sum(
+            math.log(
+                1.0 + (n_docs - dfmap[t] + 0.5) / (dfmap[t] + 0.5)
+            )
+            for t in uniq
+            if t in dfmap
+        )
+        s = g["score"].to_numpy(np.float64)
+        kq = s.size
+        mu = float(s.sum()) / kq
+        var = float((s * s).sum()) / kq - mu * mu
+        sigma = math.sqrt(max(var, 0.0))
+        out_q.append(qid)
+        out_w.append(round((mu - s_c) / math.sqrt(len(uniq)), 6))
+        out_n.append(round(sigma / s_c, 6))
+    return pd.DataFrame({"query_id": out_q, "wig": out_w, "nqc": out_n})
+
+
+def _sql_query_wig_nqc() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "topk AS (SELECT query_id, round(score, 6) AS sc FROM ("
+        "SELECT query_id, score, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM scored) "
+        "WHERE rank <= 10), "
+        "idf AS (SELECT qd.query_id, "
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf "
+        "FROM (SELECT DISTINCT query_id, term FROM q) qd "
+        "JOIN df ON df.term = qd.term CROSS JOIN stats s), "
+        "sc AS (SELECT query_id, sum(idf) AS s_c FROM idf GROUP BY 1), "
+        "nt AS (SELECT query_id, count(DISTINCT term) AS nt FROM q "
+        "GROUP BY 1), "
+        "st2 AS (SELECT query_id, count(*) AS kq, sum(sc) AS ss, "
+        "sum(sc * sc) AS sss FROM topk GROUP BY 1) "
+        "SELECT st2.query_id, "
+        "round((st2.ss / st2.kq - sc.s_c) / sqrt(nt.nt), 6) AS wig, "
+        "round(sqrt(greatest(st2.sss / st2.kq - "
+        "(st2.ss / st2.kq) * (st2.ss / st2.kq), 0)) / sc.s_c, 6) AS nqc "
+        "FROM st2 JOIN sc USING (query_id) JOIN nt USING (query_id) "
+        "ORDER BY st2.query_id"
+    )
+
+
 # -------------------------------------- salted skew / multi-source union
 
 def q_salted_term_cf(sf_dir: str):
@@ -16838,6 +16952,7 @@ QUERIES = {
     "bloom_join": q_bloom_join,
     "bm25_split_topk": q_bm25_split_topk,
     "query_clarity": q_query_clarity,
+    "query_wig_nqc": q_query_wig_nqc,
     "salted_term_cf": q_salted_term_cf,
     "union_source_stats": q_union_source_stats,
     "zipf_fit": q_zipf_fit,
@@ -17118,6 +17233,7 @@ ORACLES = {
     "bloom_join": SQL_BLOOM_JOIN,
     "bm25_split_topk": SQL_BM25_TOPK,
     "query_clarity": _sql_query_clarity(),
+    "query_wig_nqc": _sql_query_wig_nqc(),
     "salted_term_cf": SQL_SALTED_TERM_CF,
     "union_source_stats": SQL_UNION_SOURCE_STATS,
     "zipf_fit": SQL_ZIPF_FIT,
