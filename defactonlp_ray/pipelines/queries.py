@@ -7334,6 +7334,147 @@ def _err_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_RETRIEVAL_ERR = _err_sql(_BM25_QUERIES)
 
 
+_RBP_P = 0.8
+
+
+def q_retrieval_rbp(sf_dir: str):
+    """Rank-biased precision (Moffat & Zobel, TOIS 2008; persistence
+    p = 0.8 pinned): RBP = (1-p) * sum over relevant ranks r of
+    p^(r-1) — the user-model metric whose weight mass is explicit
+    (top-10 truncation leaves a known residual).  Same bounded
+    rel∩top10 scale shape as MAP/nDCG/ERR."""
+    k = 10
+    topk = q_bm25_topk(sf_dir)
+    hit_set, _n_rel = _rel_hits(sf_dir, topk)
+    out_q, out_r = [], []
+    for qid, _terms in _BM25_QUERIES:
+        g = topk[topk["query_id"] == qid]
+        rel_mask = np.array(
+            [(qid, d) in hit_set for d in g["doc_id"]], dtype=bool
+        )
+        ranks = g["rank"].to_numpy(np.float64)[rel_mask]
+        rbp = float((1.0 - _RBP_P) * np.sum(np.power(_RBP_P, ranks - 1.0)))
+        out_q.append(qid)
+        out_r.append(round(rbp, 6))
+    return pd.DataFrame({"query_id": out_q, "rbp": out_r})
+
+
+def _rbp_sql(queries: list[tuple[int, list[str]]], k: int = 10,
+             p: float = _RBP_P) -> str:
+    return (
+        _ranked_eval_prefix_sql(queries, k) + ", "
+        f"rb AS (SELECT t.query_id, sum((1 - {p}) * power({p}, t.rank - 1)) "
+        "AS rbp FROM topk t JOIN rel r ON r.query_id = t.query_id "
+        "AND r.doc_id = t.doc_id GROUP BY 1) "
+        "SELECT qq.query_id, round(COALESCE(rb.rbp, 0), 6) AS rbp "
+        "FROM (SELECT DISTINCT query_id FROM q) qq "
+        "LEFT JOIN rb ON rb.query_id = qq.query_id ORDER BY qq.query_id"
+    )
+
+
+SQL_RETRIEVAL_RBP = _rbp_sql(_BM25_QUERIES)
+
+
+_RBO_P = 0.9
+
+
+def q_rank_rbo(sf_dir: str):
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010;
+    persistence p = 0.9, truncated at depth 10) between the BM25 and
+    LM-Dirichlet rankings of the SAME queries over the SAME index —
+    the top-weighted ranking-similarity diagnostic for model rollouts
+    (how much does switching similarity actually change what users
+    see?).  RBO@10 = (1-p) * sum over depths d of p^(d-1) * |A_d ∩
+    B_d| / d, with A_d/B_d the rank-<=d prefixes."""
+    k = 10
+    a = q_bm25_topk(sf_dir)
+    b = q_lmd_topk(sf_dir)
+    out_q, out_r = [], []
+    for qid, _terms in _BM25_QUERIES:
+        ra = {
+            int(d): int(r)
+            for d, r in zip(
+                a.loc[a["query_id"] == qid, "doc_id"],
+                a.loc[a["query_id"] == qid, "rank"],
+            )
+        }
+        rb = {
+            int(d): int(r)
+            for d, r in zip(
+                b.loc[b["query_id"] == qid, "doc_id"],
+                b.loc[b["query_id"] == qid, "rank"],
+            )
+        }
+        common = [
+            (ra[d], rb[d]) for d in set(ra) & set(rb)
+        ]
+        rbo = 0.0
+        for depth in range(1, k + 1):
+            ov = sum(1 for x, y in common if x <= depth and y <= depth)
+            rbo += (_RBO_P ** (depth - 1)) * ov / depth
+        rbo *= 1.0 - _RBO_P
+        out_q.append(qid)
+        out_r.append(round(rbo, 6))
+    return pd.DataFrame({"query_id": out_q, "rbo": out_r})
+
+
+def _rbo_sql(queries: list[tuple[int, list[str]]], k: int = 10,
+             p: float = _RBO_P) -> str:
+    """Both ranked lists re-derived independently (the exact-BM25 body
+    and the LMD body share only the token CTEs), joined per doc, then
+    the truncated RBO sum over an explicit depth table."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total, "
+        "sum(dl) AS t_total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "sca AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "ra AS (SELECT query_id, doc_id, rank FROM ("
+        "SELECT query_id, doc_id, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) "
+        f"AS INTEGER) AS rank FROM sca) WHERE rank <= {k}), "
+        "scb AS (SELECT qd.query_id, tf.doc_id, "
+        "sum(ln(1 + tf.tf * s.t_total::DOUBLE / (2000.0 * cf.cf)) "
+        "+ ln(2000.0 / (dl.dl + 2000.0))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN cf ON cf.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id), "
+        "rb AS (SELECT query_id, doc_id, rank FROM ("
+        "SELECT query_id, doc_id, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) "
+        f"AS INTEGER) AS rank FROM scb) WHERE rank <= {k}), "
+        "ab AS (SELECT ra.query_id, ra.rank AS x, rb.rank AS y "
+        "FROM ra JOIN rb ON rb.query_id = ra.query_id "
+        "AND rb.doc_id = ra.doc_id), "
+        f"depths AS (SELECT CAST(g.range AS INTEGER) AS d "
+        f"FROM range(1, {k} + 1) g), "
+        "ov AS (SELECT qq.query_id, depths.d, "
+        "(SELECT count(*) FROM ab b WHERE b.query_id = qq.query_id "
+        "AND b.x <= depths.d AND b.y <= depths.d) AS ov "
+        "FROM (SELECT DISTINCT query_id FROM q) qq CROSS JOIN depths) "
+        f"SELECT query_id, round((1 - {p}) * "
+        f"sum(power({p}, d - 1) * ov / d), 6) AS rbo "
+        "FROM ov GROUP BY query_id ORDER BY query_id"
+    )
+
+
+SQL_RANK_RBO = _rbo_sql(_BM25_QUERIES)
+
+
 # --------------------------------------- prefix autocomplete (suggester)
 
 _SUGGEST_PREFIXES: list[tuple[int, str]] = [
@@ -17139,6 +17280,8 @@ QUERIES = {
     "link_pagerank": q_link_pagerank,
     "retrieval_ndcg": q_retrieval_ndcg,
     "retrieval_err": q_retrieval_err,
+    "retrieval_rbp": q_retrieval_rbp,
+    "rank_rbo": q_rank_rbo,
     "events_date_range": q_events_date_range,
     "varwidth_histogram": q_varwidth_histogram,
     "bm25f_topk": q_bm25f_topk,
@@ -17425,6 +17568,8 @@ ORACLES = {
     "bm25_rm3_topk": SQL_BM25_RM3_TOPK,
     "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
     "retrieval_err": SQL_RETRIEVAL_ERR,
+    "retrieval_rbp": SQL_RETRIEVAL_RBP,
+    "rank_rbo": SQL_RANK_RBO,
     "events_date_range": SQL_EVENTS_DATE_RANGE,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
