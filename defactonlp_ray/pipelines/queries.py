@@ -6883,6 +6883,122 @@ def _span_or_near_sql(
 SQL_SPAN_OR_NEAR_TOPK = _span_or_near_sql(_SPAN_OR_QUERIES)
 
 
+_SDM_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["data", "query", "fast"]),
+    (1, ["merge", "sort"]),
+    (2, ["hash", "join", "table"]),
+    (3, ["slow", "scan"]),
+    (4, ["window"]),          # unigram-only: no pair features
+    (5, ["table", "zzz"]),    # absent second term: pair features vanish
+]
+
+
+def q_sdm_topk(sf_dir: str):
+    """Sequential dependence model retrieval (Metzler & Croft, SIGIR
+    2005 — the Indri/Galago MRF model; stages/phrase.score_sdm):
+    unigram + ordered-bigram (#1, exact adjacent phrase counts) +
+    unordered-window (#uw8 co-occurrence pair counts) features, pinned
+    weights (0.85, 0.10, 0.05), each feature in the shared pinned
+    LM-Dirichlet contribution shape with its OWN collection count.
+    The term-dependency model the independent-term scorers (BM25, LMD,
+    DFR...) cannot express — adjacency and proximity evidence move
+    docs that merely contain the words below docs that contain the
+    phrase."""
+    from ..stages.phrase import sdm_search
+
+    idx = _build_docs_index_pos(sf_dir)
+    res = sdm_search(
+        idx, _query_terms_ds(_SDM_QUERIES), k=20, concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _sdm_sql(queries: list[tuple[int, list[str]]], k: int = 10,
+             mu: str = "2000.0", window: int = 8) -> str:
+    """Independent SDM oracle: unigram contributions from the LMD-body
+    joins; per-(query, adjacent-pair) bigram counts via the positional
+    list probe (ts[i]/ts[i+1]) and window-8 pair counts via the
+    |i-j| <= 7 positional self-join, each with its collection total as
+    a scalar subquery; all contribution rows UNION ALL -> sum per
+    (query, doc) -> round-6 rank."""
+    lt, lo_, lu = "0.85", "0.10", "0.05"
+    w1 = window - 1
+    uvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in queries
+        for t in sorted(set(terms))
+    )
+    ctes, parts = [], []
+    parts.append(
+        "SELECT qd.query_id, tf.doc_id, "
+        f"{lt} * (ln(1 + tf.tf * s.t_total::DOUBLE / ({mu} * cf.cf)) "
+        f"+ ln({mu} / (dl.dl + {mu}))) AS c "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN cf ON cf.term = qd.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s"
+    )
+    for qid, terms in queries:
+        for pi, (a, b) in enumerate(zip(terms, terms[1:])):
+            hb = f"q{qid}b{pi}"
+            ctes.append(
+                f"{hb} AS (SELECT tok.doc_id, count(*) AS n FROM tok "
+                f"WHERE tok.ts[i] = '{a}' AND tok.ts[i+1] = '{b}' "
+                "GROUP BY tok.doc_id)"
+            )
+            parts.append(
+                f"SELECT {qid} AS query_id, h.doc_id, "
+                f"{lo_} * (ln(1 + h.n * s.t_total::DOUBLE / "
+                f"({mu} * (SELECT sum(n) FROM {hb}))) "
+                f"+ ln({mu} / (dl.dl + {mu}))) AS c "
+                f"FROM {hb} h JOIN dl ON dl.doc_id = h.doc_id "
+                "CROSS JOIN stats s"
+            )
+            hw = f"q{qid}w{pi}"
+            same = " AND a.i <> b.i" if a == b else ""
+            ctes.append(
+                f"{hw} AS (SELECT a.doc_id, count(*) AS n FROM tokpos a "
+                f"JOIN tokpos b ON b.doc_id = a.doc_id AND b.term = '{b}' "
+                f"AND abs(a.i - b.i) <= {w1}{same} "
+                f"WHERE a.term = '{a}' GROUP BY a.doc_id)"
+            )
+            parts.append(
+                f"SELECT {qid} AS query_id, h.doc_id, "
+                f"{lu} * (ln(1 + h.n * s.t_total::DOUBLE / "
+                f"({mu} * (SELECT sum(n) FROM {hw}))) "
+                f"+ ln({mu} / (dl.dl + {mu}))) AS c "
+                f"FROM {hw} h JOIN dl ON dl.doc_id = h.doc_id "
+                "CROSS JOIN stats s"
+            )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tok AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i "
+        "FROM d), "
+        "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT sum(dl) AS t_total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {uvals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        + ", ".join(ctes) + ", "
+        "contrib AS (" + " UNION ALL ".join(parts) + "), "
+        "scored AS (SELECT query_id, doc_id, sum(c) AS score "
+        "FROM contrib GROUP BY query_id, doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_SDM_TOPK = _sdm_sql(_SDM_QUERIES)
+
+
 # --------------------------------------------- snippets (serving stage)
 
 _SNIPPET_WIDTH = 8
@@ -17224,6 +17340,7 @@ QUERIES = {
     "span_near_topk": q_span_near_topk,
     "intervals_topk": q_intervals_topk,
     "span_or_near_topk": q_span_or_near_topk,
+    "sdm_topk": q_sdm_topk,
     "intervals_or_topk": q_intervals_or_topk,
     "bm25plus_topk": q_bm25plus_topk,
     "bm25_pruned_topk": q_bm25_pruned_topk,
@@ -17562,6 +17679,7 @@ ORACLES = {
     "span_near_topk": SQL_SPAN_NEAR_TOPK,
     "intervals_topk": SQL_INTERVALS_TOPK,
     "span_or_near_topk": SQL_SPAN_OR_NEAR_TOPK,
+    "sdm_topk": SQL_SDM_TOPK,
     "intervals_or_topk": SQL_INTERVALS_OR_TOPK,
     "bm25plus_topk": SQL_BM25PLUS_TOPK,
     "bm25_pruned_topk": SQL_BM25_PRUNED_TOPK,

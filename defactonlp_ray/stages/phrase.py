@@ -1520,6 +1520,192 @@ def ordered_search(
     )
 
 
+# ---------------------------------- sequential dependence model (SDM)
+
+SDM_MU = 2000.0
+SDM_WINDOW = 8
+SDM_LAMBDAS = (0.85, 0.10, 0.05)
+
+
+def pair_window_counts(
+    reader: IndexReader, seg_ids: list[int], ta: str, tb: str, window: int
+) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+    """Per-doc count of (occurrence-of-``ta``, occurrence-of-``tb``)
+    index pairs with ``|pos_a - pos_b| <= window - 1`` (the SDM #uwN
+    co-occurrence statistic; every (i, j) combination counts once, and
+    for ``ta == tb`` the self-pair is excluded).  Returns ``(docids,
+    counts, dls, corpus_total)`` over docs with count > 0, or None when
+    either term is absent.  Two searchsorteds per ``ta`` occurrence over
+    the cached fused key arrays + one ``reduceat`` per doc — the key
+    radix (positions < _POS_M - _POS_SLACK, window <= _POS_SLACK) makes
+    cross-doc pairs impossible, so the corpus-wide arrays need no
+    per-doc loop."""
+    if window < 1 or window > _POS_SLACK:
+        raise ValueError(
+            f"window {window} outside [1, {_POS_SLACK}] "
+            "(positional key radix headroom)"
+        )
+    p_a = _pos_pack(reader, seg_ids, ta)
+    p_b = _pos_pack(reader, seg_ids, tb)
+    if p_a is None or p_b is None:
+        return None
+    ka, kb = p_a[4], p_b[4]
+    lo = np.searchsorted(kb, ka - (window - 1), side="left")
+    hi = np.searchsorted(kb, ka + (window - 1), side="right")
+    cnt = (hi - lo).astype(np.int64)
+    if ta == tb:
+        cnt -= 1  # each ta occurrence found itself in kb
+    docs_occ = ka // _POS_M
+    change = np.empty(docs_occ.size, dtype=bool)
+    change[0] = True
+    change[1:] = docs_occ[1:] != docs_occ[:-1]
+    starts = np.flatnonzero(change)
+    docs = docs_occ[starts]
+    sums = np.add.reduceat(cnt, starts)
+    keep = sums > 0
+    docs, sums = docs[keep], sums[keep]
+    if docs.size == 0:
+        return None
+    dls = p_a[1][np.searchsorted(p_a[0], docs)]
+    return docs, sums, dls, int(sums.sum())
+
+
+def score_sdm(
+    reader: IndexReader,
+    seg_ids: list[int],
+    terms: list[str],
+    k: int,
+    *,
+    mu: float = SDM_MU,
+    window: int = SDM_WINDOW,
+    lambdas: tuple[float, float, float] = SDM_LAMBDAS,
+) -> list[tuple[float, int]]:
+    """Sequential dependence model (Metzler & Croft, SIGIR 2005 — the
+    Indri/Galago MRF retrieval model): three feature families combined
+    with pinned weights (0.85, 0.10, 0.05) —
+
+    * unigram: every DISTINCT query term,
+    * ordered bigram (#1): every ADJACENT query-term pair's exact
+      phrase count (:func:`match_phrase`),
+    * unordered window (#uw8): the same pairs' within-8 co-occurrence
+      pair counts (:func:`pair_window_counts`),
+
+    each feature scored with the SAME pinned LM-Dirichlet contribution
+    shape as ``score_all_lmd`` — ln(1 + tf*T/(mu*cf_x)) +
+    ln(mu/(dl+mu)), where cf_x is the feature's own collection count
+    (bigram/window collection counts come for free from the fused
+    corpus-wide arrays) and T is the corpus token total — summed over
+    PRESENT features only (the join semantics every oracle shares).
+    Candidate docs are the union of any present feature's docs."""
+    T = float(reader.total_len)
+    lam_t, lam_o, lam_u = lambdas
+    per_docs: list[np.ndarray] = []
+    per_contrib: list[np.ndarray] = []
+
+    def add(docids, tfs, dls, cf_x: int, lam: float) -> None:
+        if docids.size == 0:
+            return
+        contrib = lam * (
+            np.log(1.0 + tfs.astype(np.float64) * T / (mu * float(cf_x)))
+            + np.log(mu / (dls.astype(np.float64) + mu))
+        )
+        per_docs.append(docids)
+        per_contrib.append(contrib)
+
+    uniq = sorted(set(terms))
+    cfs = reader.cfs(uniq)
+    for t in uniq:
+        if not cfs.get(t, 0):
+            continue
+        arrs = reader.term_tf_dl(seg_ids, t)
+        if arrs is not None:
+            add(arrs[0], arrs[1], arrs[2], cfs[t], lam_t)
+    for ta, tb in zip(terms, terms[1:]):  # query order, as written
+        docs, counts, dls = match_phrase(reader, seg_ids, [ta, tb])
+        cf_o = int(counts.sum())
+        if cf_o:
+            add(docs, counts, dls, cf_o, lam_o)
+        pw = pair_window_counts(reader, seg_ids, ta, tb, window)
+        if pw is not None:
+            add(pw[0], pw[1], pw[2], pw[3], lam_u)
+    if not per_contrib:
+        return []
+    lo = min(int(d[0]) for d in per_docs)
+    hi = max(int(d[-1]) for d in per_docs)
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for docids, contrib in zip(per_docs, per_contrib):
+        idx = docids - lo
+        scores[idx] += contrib
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        cand = cand[live_mask(cand + lo, reader.deleted)]
+    return _topk_exact(scores[cand], cand + lo, k)
+
+
+class SdmSearcherActor:
+    """Actor-pool stage: batch of (query_id, terms[in order]) ->
+    (query_id, rank, doc_id, score) under the SDM scorer."""
+
+    def __init__(self, index_dir: str, k: int = 10, packs_ref=None):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.seg_ids = self.reader.seg_ids
+        self.seeded = _get_and_seed(self.reader, packs_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_terms = sorted(
+            {t for ts in batch["terms"].to_pylist() for t in ts} - self.seeded
+        )
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, all_terms)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, terms in zip(
+            batch["query_id"].to_pylist(), batch["terms"].to_pylist()
+        ):
+            top = score_sdm(self.reader, self.seg_ids, list(terms), self.k)
+            for rank, (score, doc_id) in enumerate(top, 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def sdm_search(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    packs_ref=None,
+) -> "ray.data.Dataset":
+    """SDM pipeline: (query_id, terms) -> (query_id, rank, doc_id,
+    score) over a ``positions=True`` index."""
+    return queries.map_batches(
+        SdmSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "packs_ref": packs_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
 # ----------------------------------------------- span_or within near
 
 def match_ordered_groups(
