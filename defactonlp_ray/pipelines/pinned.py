@@ -1114,6 +1114,63 @@ def serial_textrank(
     return out.astype({"doc_id": "int64", "rank": "int32", "score": "float64"})
 
 
+def serial_bm25_pm2(
+    sf_dir: str,
+    queries: list[tuple[int, list[str]]],
+    *,
+    window: int = 20,
+    k: int = 10,
+) -> pd.DataFrame:
+    """Single-process reference for PM-2 diversification (Dang &
+    Croft, WSDM 2012): BM25 window from the pure-Python oracle index,
+    aspect labels straight from the parquet ``source`` column, the
+    shared pinned :func:`stages.ann.pm2_select` kernel (the mmr_select
+    precedent: one kernel IS the spec)."""
+    import pyarrow.parquet as pq
+
+    from ..oracle import OracleIndex
+    from ..stages.ann import pm2_select
+
+    docs_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    docs = {
+        int(d): t
+        for d, t in zip(
+            docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()
+        )
+    }
+    amap = {
+        int(d): str(s)
+        for d, s in zip(
+            docs_tbl["doc_id"].to_pylist(), docs_tbl["source"].to_pylist()
+        )
+    }
+    idx = OracleIndex(docs)
+    rows = []
+    for qid, terms in queries:
+        ranked = [
+            (round(s, 6), d)
+            for d, s in idx.bm25_topk(list(terms), 10 * window)
+        ]
+        ranked.sort(key=lambda t: (-t[0], t[1]))
+        win = ranked[:window]
+        for rank, d, a, obj in pm2_select(win, amap, k):
+            rows.append((qid, rank, d, a, obj))
+    out = pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "source", "obj"]
+    )
+    return out.astype(
+        {
+            "query_id": "int64",
+            "rank": "int32",
+            "doc_id": "int64",
+            "obj": "float64",
+        }
+    )
+
+
 def serial_varwidth_histogram(sf_dir: str, k: int = 6) -> pd.DataFrame:
     """Serial reference for q_varwidth_histogram: plain-Python optimal
     weighted 1-D k-means DP (Ckmeans.1d.dp; Wang & Song 2011) over the

@@ -8203,6 +8203,61 @@ def q_bm25_mmr(sf_dir: str):
     return res[["query_id", "rank", "doc_id", "score"]]
 
 
+_PM2_WINDOW = 20
+
+
+def q_bm25_pm2(sf_dir: str):
+    """PM-2 proportional diversification (Dang & Croft, WSDM 2012 —
+    the seat-allocation diversifier, the proportionality-based
+    counterpart to MMR's similarity penalty): the BM25 top-20 window
+    re-ordered so result slots are apportioned across the docs'
+    ``source`` aspects by Sainte-Laguë quotients (stages/ann.pm2_select
+    — the shared pinned kernel; lam = 0.7, uniform aspect popularity,
+    binary single-aspect membership).  Window doc-ids broadcast; the
+    documents table streams one ``is_in``-filtered pass for the aspect
+    column.  Oracle: committed output of the single-process reference
+    (pinned.serial_bm25_pm2: pure-Python oracle-index BM25 window,
+    same kernel)."""
+    from ..stages.ann import pm2_select
+    from ..stages.search import search
+
+    idx = _build_docs_index(sf_dir)
+    prim = _rerank_rounded(
+        search(
+            idx, _query_terms_ds(_BM25_QUERIES[:4]),
+            k=2 * _PM2_WINDOW, concurrency=2,
+        ).to_pandas(),
+        k=_PM2_WINDOW,
+    )
+    wanted = pa.array(sorted(set(prim["doc_id"].tolist())), pa.int64())
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=wanted))
+
+    src = (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    amap = {int(d): str(s) for d, s in zip(src["doc_id"], src["source"])}
+    out = []
+    for qid, g in prim.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+        win = [(float(r.score), int(r.doc_id)) for r in g.itertuples()]
+        for rank, d, a, obj in pm2_select(win, amap, 10):
+            out.append({
+                "query_id": int(qid), "rank": rank, "doc_id": d,
+                "source": a, "obj": obj,
+            })
+    res = pd.DataFrame(
+        out, columns=["query_id", "rank", "doc_id", "source", "obj"]
+    )
+    res["query_id"] = res["query_id"].astype(np.int64)
+    res["rank"] = res["rank"].astype(np.int32)
+    res["doc_id"] = res["doc_id"].astype(np.int64)
+    return res
+
+
 # -------------------------------------- sort-by-field retrieval (dl)
 
 
@@ -17341,6 +17396,7 @@ QUERIES = {
     "intervals_topk": q_intervals_topk,
     "span_or_near_topk": q_span_or_near_topk,
     "sdm_topk": q_sdm_topk,
+    "bm25_pm2": q_bm25_pm2,
     "intervals_or_topk": q_intervals_or_topk,
     "bm25plus_topk": q_bm25plus_topk,
     "bm25_pruned_topk": q_bm25_pruned_topk,
@@ -17768,6 +17824,23 @@ def pinned_oracles() -> dict[str, str]:
         lambda: pinned.values_sql(pinned.serial_bm25_mmr(
             pinned.ORACLE_SF_DIR, _BM25_QUERIES[:3],
             window=_MMR_WINDOW, k=_MMR_K, lam=_MMR_LAMBDA,
+        )),
+    )
+    try:
+        fp_pm2 = (
+            pinned._file_fingerprint(
+                os.path.join(pinned.ORACLE_SF_DIR, "documents.parquet")
+            )
+            + f"|pm2-0.7-{_PM2_WINDOW}|"
+            + pinned.PINNED_VERSION
+        )
+    except OSError:
+        return out
+    out["bm25_pm2"] = pinned._cached(
+        "bm25_pm2", fp_pm2,
+        lambda: pinned.values_sql(pinned.serial_bm25_pm2(
+            pinned.ORACLE_SF_DIR, _BM25_QUERIES[:4],
+            window=_PM2_WINDOW, k=10,
         )),
     )
     return out

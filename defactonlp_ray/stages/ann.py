@@ -1205,3 +1205,56 @@ def knn_hamming(
         out.append(g)
     res = pd.concat(out, ignore_index=True)
     return res[["query_id", "rank", "vec_id", "hamming"]]
+
+
+def pm2_select(
+    window: list[tuple[float, int]],
+    aspects: dict[int, str],
+    k: int,
+    lam: float = 0.7,
+) -> list[tuple[int, int, str, float]]:
+    """Greedy PM-2 proportional diversification (Dang & Croft, WSDM
+    2012) — the pinned kernel shared by the engine entry and the
+    single-process reference, like :func:`mmr_select`.  ``window`` is
+    the round-6 (relevance, doc_id) candidate list; ``aspects`` maps
+    doc -> its single aspect label (binary membership).
+
+    Pinned simplifications that ARE the spec here: aspect popularity is
+    UNIFORM over the aspects present in the window (v_i = 1/|A|);
+    P(d|i) = rel(d)/max_rel if aspect(d) == i else 0; and with binary
+    single-aspect membership the canonical seat update
+    ``s_j += qt_j P(d*|j) / sum_l qt_l P(d*|l)`` collapses to
+    ``s_{aspect(d*)} += 1`` (the chosen doc's whole seat goes to its
+    own aspect).  Per round: quotient qt_i = v_i / (2 s_i + 1); the
+    seat aspect i* is argmax qt (ties: lexicographically smallest
+    aspect); the doc maximizes ``lam*qt_{i*}*P(d|i*) +
+    (1-lam)*sum_{j != i*} qt_j*P(d|j)`` — for single-aspect docs,
+    ``(lam if aspect(d) == i* else 1-lam) * qt_{aspect(d)} * P(d)`` —
+    with ties (objective DESC, doc_id ASC).  Returns
+    ``[(rank, doc_id, aspect, round(obj, 6))]``."""
+    if not window:
+        return []
+    asp = sorted({aspects[d] for _s, d in window})
+    v = 1.0 / len(asp)
+    seats = {a: 0.0 for a in asp}
+    max_rel = max(s for s, _d in window)
+    if max_rel <= 0:
+        max_rel = 1.0
+    remaining = list(window)
+    out: list[tuple[int, int, str, float]] = []
+    while remaining and len(out) < k:
+        qt = {a: v / (2.0 * seats[a] + 1.0) for a in asp}
+        istar = sorted(asp, key=lambda a: (-qt[a], a))[0]
+        best = None
+        for s, d in remaining:
+            a = aspects[d]
+            p = s / max_rel
+            obj = (lam if a == istar else 1.0 - lam) * qt[a] * p
+            key = (-obj, d)
+            if best is None or key < best[0]:
+                best = (key, s, d, a, obj)
+        _key, s, d, a, obj = best
+        seats[a] += 1.0
+        remaining.remove((s, d))
+        out.append((len(out) + 1, d, a, round(obj, 6)))
+    return out

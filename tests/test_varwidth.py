@@ -102,3 +102,36 @@ def test_k_at_least_n_gives_singletons():
     v = np.array([3, 7, 9], dtype=np.int64)
     w = np.array([2, 1, 5], dtype=np.int64)
     assert ckmeans_1d(v, w, 6).tolist() == [0, 1, 2, 3]
+
+
+# ------------------------- PM-2 kernel (rides this no-Ray test module)
+
+from defactonlp_ray.stages.ann import pm2_select
+
+
+def test_pm2_alternates_aspects_at_equal_relevance():
+    # 6 docs, two aspects, identical relevance: Sainte-Lague quotients
+    # force strict alternation regardless of doc ids
+    window = [(1.0, d) for d in range(6)]
+    aspects = {0: "a", 1: "a", 2: "a", 3: "b", 4: "b", 5: "b"}
+    picks = pm2_select(window, aspects, 6)
+    seq = [a for _r, _d, a, _o in picks]
+    assert seq == ["a", "b", "a", "b", "a", "b"]
+    # within an aspect, equal relevance ties break by doc_id ascending
+    assert [d for _r, d, a, _o in picks if a == "a"] == [0, 1, 2]
+
+
+def test_pm2_relevance_still_matters_within_aspect():
+    window = [(10.0, 7), (1.0, 1), (9.0, 8), (2.0, 2)]
+    aspects = {7: "x", 8: "x", 1: "y", 2: "y"}
+    picks = pm2_select(window, aspects, 4)
+    xs = [d for _r, d, a, _o in picks if a == "x"]
+    ys = [d for _r, d, a, _o in picks if a == "y"]
+    assert xs == [7, 8] and ys == [2, 1]  # by relevance, not doc_id
+
+
+def test_pm2_single_aspect_degenerates_to_relevance_order():
+    window = [(3.0, 5), (5.0, 9), (4.0, 1)]
+    aspects = {5: "only", 9: "only", 1: "only"}
+    picks = pm2_select(window, aspects, 3)
+    assert [d for _r, d, _a, _o in picks] == [9, 1, 5]
