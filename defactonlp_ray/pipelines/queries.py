@@ -13909,6 +13909,108 @@ def _sql_query_wig_nqc() -> str:
     )
 
 
+def q_query_preqpp(sf_dir: str):
+    """PRE-retrieval query-performance predictors (no search needed —
+    the stats triage that runs before any scoring budget is spent),
+    completing the QPP family next to Clarity/WIG/NQC: per query over
+    its PRESENT distinct terms,
+
+        avg_idf = mean BM25 idf            (He & Ounis, ECIR 2004)
+        scq     = sum (1 + ln(cf)) * idf   (Zhao, Scholer & Tsegay 2008)
+        ictf    = mean ln(T / cf)          (inverse collection term freq)
+
+    One broadcast-filtered stats pass (df AND cf partials for just the
+    query vocabulary — rows bounded by |query terms| per batch, plus
+    two sentinel rows carrying N and T); queries whose every term is
+    absent drop (join semantics)."""
+    qterms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    needed = pa.array(qterms, pa.string())
+
+    def stat_part(batch: pa.Table) -> pa.Table:
+        tf, dl = term_count_table(batch["text"], batch["doc_id"])
+        kept = tf.filter(pc.is_in(tf["term"], value_set=needed))
+        agg = kept.group_by("term").aggregate(
+            [("doc_id", "count"), ("tf", "sum")]
+        ).rename_columns(["term", "df_p", "cf_p"])
+        sent = pa.table({
+            "term": pa.array(["\x00ndocs", "\x00total"], pa.string()),
+            "df_p": pa.array([int((dl > 0).sum()), 0], pa.int64()),
+            "cf_p": pa.array([0, int(dl.sum())], pa.int64()),
+        })
+        return pa.concat_tables([
+            pa.table({
+                "term": agg["term"],
+                "df_p": pc.cast(agg["df_p"], pa.int64()),
+                "cf_p": pc.cast(agg["cf_p"], pa.int64()),
+            }),
+            sent,
+        ])
+
+    st = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(stat_part, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
+        .to_pandas()
+    )
+    n_docs = int(st.loc[st["term"] == "\x00ndocs", "df"].iloc[0])
+    total = int(st.loc[st["term"] == "\x00total", "cf"].iloc[0])
+    dfmap = {
+        t: (int(d), int(c))
+        for t, d, c in zip(st["term"], st["df"], st["cf"])
+        if not t.startswith("\x00")
+    }
+    out_q, out_a, out_s, out_i = [], [], [], []
+    for qid, terms in _BM25_QUERIES:
+        present = [t for t in sorted(set(terms)) if t in dfmap]
+        if not present:
+            continue
+        idfs = [
+            math.log(1.0 + (n_docs - dfmap[t][0] + 0.5) / (dfmap[t][0] + 0.5))
+            for t in present
+        ]
+        scq = sum(
+            (1.0 + math.log(dfmap[t][1])) * i
+            for t, i in zip(present, idfs)
+        )
+        ictf = sum(math.log(total / dfmap[t][1]) for t in present) / len(
+            present
+        )
+        out_q.append(qid)
+        out_a.append(round(sum(idfs) / len(idfs), 6))
+        out_s.append(round(scq, 6))
+        out_i.append(round(ictf, 6))
+    return pd.DataFrame({
+        "query_id": out_q, "avg_idf": out_a, "scq": out_s, "ictf": out_i,
+    })
+
+
+def _sql_query_preqpp() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf "
+        "GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "pt AS (SELECT qd.query_id, "
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf, "
+        "(1 + ln(df.cf)) * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) "
+        "AS scq_t, ln(s.total::DOUBLE / df.cf) AS ictf_t "
+        "FROM qd JOIN df ON df.term = qd.term CROSS JOIN stats s) "
+        "SELECT query_id, round(sum(idf) / count(*), 6) AS avg_idf, "
+        "round(sum(scq_t), 6) AS scq, "
+        "round(sum(ictf_t) / count(*), 6) AS ictf "
+        "FROM pt GROUP BY query_id ORDER BY query_id"
+    )
+
+
 # -------------------------------------- salted skew / multi-source union
 
 def q_salted_term_cf(sf_dir: str):
@@ -17265,6 +17367,7 @@ QUERIES = {
     "bm25_split_topk": q_bm25_split_topk,
     "query_clarity": q_query_clarity,
     "query_wig_nqc": q_query_wig_nqc,
+    "query_preqpp": q_query_preqpp,
     "salted_term_cf": q_salted_term_cf,
     "union_source_stats": q_union_source_stats,
     "zipf_fit": q_zipf_fit,
@@ -17550,6 +17653,7 @@ ORACLES = {
     "bm25_split_topk": SQL_BM25_TOPK,
     "query_clarity": _sql_query_clarity(),
     "query_wig_nqc": _sql_query_wig_nqc(),
+    "query_preqpp": _sql_query_preqpp(),
     "salted_term_cf": SQL_SALTED_TERM_CF,
     "union_source_stats": SQL_UNION_SOURCE_STATS,
     "zipf_fit": SQL_ZIPF_FIT,
