@@ -13909,6 +13909,142 @@ def _sql_query_wig_nqc() -> str:
     )
 
 
+_REDDE_SHARDS = 4
+_REDDE_SAMPLE_MOD = 8
+_REDDE_N = 20
+
+
+def q_federated_redde(sf_dir: str):
+    """ReDDE resource selection for federated search (Si & Callan,
+    SIGIR 2003): rank SHARDS (not documents) by estimated relevant-
+    document mass, the step before fanning a query out to a subset of
+    a partitioned corpus.  Pinned layout: 4 doc-id-range shards
+    (shard = doc_id * 4 // (max_doc_id + 1)); the central sample index
+    (CSI) is the deterministic 1-in-8 slice doc_id % 8 == 0, indexed
+    as its OWN small index (sample-local df/stats, exactly how a real
+    CSI behaves).  Per query: BM25 top-20 over the CSI, then each
+    sampled hit votes its shard's inverse sampling weight
+    |shard| / |sampled(shard)|; shards rank by (estimate DESC, shard).
+
+    Scale shape: the CSI build + search is 1/8th-corpus work; shard
+    sizes come from one combiner groupby; everything else is
+    k x queries rows on the driver."""
+    # shard geometry from the full corpus
+    docs_ids = _docs(sf_dir, ["doc_id"])
+    mx = int(docs_ids.max("doc_id"))
+
+    def shard_part(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        sh = did * _REDDE_SHARDS // (mx + 1)
+        samp = (did % _REDDE_SAMPLE_MOD == 0).astype(np.int64)
+        t = pa.table({
+            "shard": pa.array(sh.astype(np.int64)),
+            "n_p": pa.array(np.ones(did.size, dtype=np.int64)),
+            "s_p": pa.array(samp),
+        })
+        return t.group_by("shard").aggregate(
+            [("n_p", "sum"), ("s_p", "sum")]
+        ).rename_columns(["shard", "n_p", "s_p"])
+
+    geom = (
+        docs_ids.map_batches(shard_part, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("s_p", alias_name="ns"))
+        .to_pandas()
+    )
+    weight = {
+        int(r.shard): float(r.n) / float(r.ns)
+        for r in geom.itertuples()
+        if r.ns > 0
+    }
+    # CSI: its own index over the 1-in-8 slice
+    idx = _tmp_index_dir(sf_dir, "idxcsi")
+
+    def csi_filter(batch: pa.Table) -> pa.Table:
+        # doc_id % 8 == 0 via the power-of-two mask (Arrow has no mod)
+        return batch.filter(
+            pc.equal(
+                pc.bit_wise_and(batch["doc_id"], _REDDE_SAMPLE_MOD - 1), 0
+            )
+        )
+
+    sample = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        csi_filter, batch_format="pyarrow"
+    )
+    build_index(sample, idx, seg_docs=256, resume=True)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=2 * _REDDE_N, concurrency=2
+    ).to_pandas()
+    topn = _rerank_rounded(res, k=_REDDE_N)
+    rows = []
+    for qid, g in topn.groupby("query_id"):
+        est: dict[int, float] = {}
+        hits: dict[int, int] = {}
+        for d in g["doc_id"]:
+            sh = int(d) * _REDDE_SHARDS // (mx + 1)
+            est[sh] = est.get(sh, 0.0) + weight[sh]
+            hits[sh] = hits.get(sh, 0) + 1
+        ranked = sorted(est, key=lambda s: (-round(est[s], 6), s))
+        for rank, sh in enumerate(ranked, 1):
+            rows.append((
+                int(qid), rank, sh, round(est[sh], 6), hits[sh],
+            ))
+    return pd.DataFrame(
+        rows,
+        columns=["query_id", "rank", "shard", "estimate", "n_sample_hits"],
+    ).astype({
+        "query_id": "int64", "rank": "int64", "shard": "int64",
+        "estimate": "float64", "n_sample_hits": "int64",
+    })
+
+
+def _sql_federated_redde() -> str:
+    """Independent oracle: the exact-BM25 body restricted to the CSI
+    slice (sample-local df/dl/N — its own WITH chain over
+    ``doc_id % 8 = 0``), top-20 per query, shard vote with the
+    |shard| / |sampled(shard)| weight from full-corpus counts."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    m, s_mod, n = _REDDE_SHARDS, _REDDE_SAMPLE_MOD, _REDDE_N
+    return (
+        "WITH mx AS (SELECT max(doc_id) AS m FROM documents), "
+        "geom AS (SELECT doc_id * "
+        f"{m} // (mx.m + 1) AS shard, "
+        f"count(*) AS n, sum(CASE WHEN doc_id % {s_mod} = 0 THEN 1 "
+        "ELSE 0 END) AS ns FROM documents CROSS JOIN mx GROUP BY 1), "
+        "stoks AS (SELECT doc_id, unnest(list_filter(string_split(text, "
+        f"' '), x -> x <> '')) AS term FROM documents WHERE doc_id % {s_mod} "
+        "= 0), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM stoks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "topn AS (SELECT query_id, doc_id FROM ("
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM scored) "
+        f"WHERE rank <= {n}), "
+        "votes AS (SELECT t.query_id, "
+        f"t.doc_id * {m} // (mx.m + 1) AS shard "
+        "FROM topn t CROSS JOIN mx), "
+        "est AS (SELECT v.query_id, v.shard, "
+        "sum(g.n::DOUBLE / g.ns) AS estimate, count(*) AS n_sample_hits "
+        "FROM votes v JOIN geom g ON g.shard = v.shard GROUP BY 1, 2) "
+        "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(estimate, 6) DESC, shard) AS BIGINT) AS rank, "
+        "shard, round(estimate, 6) AS estimate, n_sample_hits "
+        "FROM est ORDER BY query_id, rank"
+    )
+
+
 def q_query_preqpp(sf_dir: str):
     """PRE-retrieval query-performance predictors (no search needed —
     the stats triage that runs before any scoring budget is spent),
@@ -17368,6 +17504,7 @@ QUERIES = {
     "query_clarity": q_query_clarity,
     "query_wig_nqc": q_query_wig_nqc,
     "query_preqpp": q_query_preqpp,
+    "federated_redde": q_federated_redde,
     "salted_term_cf": q_salted_term_cf,
     "union_source_stats": q_union_source_stats,
     "zipf_fit": q_zipf_fit,
@@ -17654,6 +17791,7 @@ ORACLES = {
     "query_clarity": _sql_query_clarity(),
     "query_wig_nqc": _sql_query_wig_nqc(),
     "query_preqpp": _sql_query_preqpp(),
+    "federated_redde": _sql_federated_redde(),
     "salted_term_cf": SQL_SALTED_TERM_CF,
     "union_source_stats": SQL_UNION_SOURCE_STATS,
     "zipf_fit": SQL_ZIPF_FIT,
