@@ -17505,6 +17505,11 @@ QUERIES = {
     "query_wig_nqc": q_query_wig_nqc,
     "query_preqpp": q_query_preqpp,
     "federated_redde": q_federated_redde,
+    # round-4 continuation flagships: the three headline retrieval
+    # additions of this session, surfaced inside the driver window
+    "sdm_topk": q_sdm_topk,
+    "intervals_topk": q_intervals_topk,
+    "dfr_topk": q_dfr_topk,
     "salted_term_cf": q_salted_term_cf,
     "union_source_stats": q_union_source_stats,
     "zipf_fit": q_zipf_fit,
@@ -17633,9 +17638,7 @@ QUERIES = {
     "bm25_boosting": q_bm25_boosting,
     "bm25_histogram": q_bm25_histogram,
     "span_near_topk": q_span_near_topk,
-    "intervals_topk": q_intervals_topk,
     "span_or_near_topk": q_span_or_near_topk,
-    "sdm_topk": q_sdm_topk,
     "bm25_pm2": q_bm25_pm2,
     "intervals_or_topk": q_intervals_or_topk,
     "bm25plus_topk": q_bm25plus_topk,
@@ -17744,7 +17747,6 @@ QUERIES = {
     "bm25_topk_pfor": q_bm25_topk_pfor,
     "tfidf_topk": q_tfidf_topk,
     "lmd_topk": q_lmd_topk,
-    "dfr_topk": q_dfr_topk,
     "ib_spl_topk": q_ib_spl_topk,
     "dfi_topk": q_dfi_topk,
     "synonym_topk": q_synonym_topk,
