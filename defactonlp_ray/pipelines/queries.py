@@ -14045,6 +14045,181 @@ def _sql_federated_redde() -> str:
     )
 
 
+_SEL_SHARDS = 2
+
+
+def q_selective_search_topk(sf_dir: str):
+    """Selective search (Kulkarni & Callan, CIKM 2010 / TOIS 2015):
+    the full architecture — topical/range shards + ReDDE resource
+    selection + query fan-out to ONLY the selected shards — composed
+    from this engine's own pieces: the 4 doc-id-range shards are built
+    as a routed index (stages/routing.py, one bounded partition per
+    shard with SHARD-LOCAL stats, the routing entry's semantics), the
+    CSI/vote step is q_federated_redde's (shared pinned geometry and
+    the resumable 1-in-8 CSI index), each query fans out to its TOP-2
+    shards only, and the two shard result lists merge on the usual
+    (round(score, 6) DESC, doc_id) policy — shards are disjoint, so
+    the merge is collision-free.  At 10^12 docs this is the shape that
+    answers a query while opening 2/4 (generally O(1)/O(shards)) of
+    the corpus."""
+    from ..stages.routing import build_routed_index, routed_search
+
+    docs_ids = _docs(sf_dir, ["doc_id"])
+    mx = int(docs_ids.max("doc_id"))
+
+    def shard_part(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        sh = did * _REDDE_SHARDS // (mx + 1)
+        samp = (did % _REDDE_SAMPLE_MOD == 0).astype(np.int64)
+        t = pa.table({
+            "shard": pa.array(sh.astype(np.int64)),
+            "n_p": pa.array(np.ones(did.size, dtype=np.int64)),
+            "s_p": pa.array(samp),
+        })
+        return t.group_by("shard").aggregate(
+            [("n_p", "sum"), ("s_p", "sum")]
+        ).rename_columns(["shard", "n_p", "s_p"])
+
+    geom = (
+        docs_ids.map_batches(shard_part, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("s_p", alias_name="ns"))
+        .to_pandas()
+    )
+    weight = {
+        int(r.shard): float(r.n) / float(r.ns)
+        for r in geom.itertuples()
+        if r.ns > 0
+    }
+    idx = _tmp_index_dir(sf_dir, "idxcsi")
+
+    def csi_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(
+                pc.bit_wise_and(batch["doc_id"], _REDDE_SAMPLE_MOD - 1), 0
+            )
+        )
+
+    sample = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        csi_filter, batch_format="pyarrow"
+    )
+    build_index(sample, idx, seg_docs=256, resume=True)
+    topn = _rerank_rounded(
+        search(
+            idx, _query_terms_ds(_BM25_QUERIES), k=2 * _REDDE_N,
+            concurrency=2,
+        ).to_pandas(),
+        k=_REDDE_N,
+    )
+    sel: dict[int, list[int]] = {}
+    for qid, g in topn.groupby("query_id"):
+        est: dict[int, float] = {}
+        for d in g["doc_id"]:
+            sh = int(d) * _REDDE_SHARDS // (mx + 1)
+            est[sh] = est.get(sh, 0.0) + weight[sh]
+        ranked = sorted(est, key=lambda s: (-round(est[s], 6), s))
+        sel[int(qid)] = ranked[:_SEL_SHARDS]
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        sh = did * _REDDE_SHARDS // (mx + 1)
+        lab = np.char.add("s", sh.astype(np.int64).astype(str))
+        return batch.append_column("shard", pa.array(lab))
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_shard, batch_format="pyarrow"
+    )
+    root = _tmp_index_dir(sf_dir, "idxselsearch")
+    build_routed_index(
+        docs, root, route_col="shard",
+        routes=[f"s{i}" for i in range(_REDDE_SHARDS)], seg_docs=256,
+    )
+    qids, terms_col, routes = [], [], []
+    for qid, terms in _BM25_QUERIES:
+        for sh in sel.get(qid, []):
+            qids.append(qid)
+            terms_col.append(terms)
+            routes.append(f"s{sh}")
+    qt = pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "terms": pa.array(terms_col, pa.list_(pa.string())),
+        "route": pa.array(routes, pa.string()),
+    })
+    res = routed_search(
+        root, ray.data.from_arrow(qt), k=20, concurrency=2
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _sql_selective_search() -> str:
+    """Independent oracle: the ReDDE selection re-derived over the CSI
+    slice, then the exact-BM25 body with SHARD-LOCAL stats restricted
+    to each query's top-2 shards, merged by the shared round-6 rank."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    m, s_mod, n = _REDDE_SHARDS, _REDDE_SAMPLE_MOD, _REDDE_N
+    return (
+        "WITH mx AS (SELECT max(doc_id) AS m FROM documents), "
+        f"geom AS (SELECT doc_id * {m} // (mx.m + 1) AS shard, "
+        f"count(*) AS n, sum(CASE WHEN doc_id % {s_mod} = 0 THEN 1 "
+        "ELSE 0 END) AS ns FROM documents CROSS JOIN mx GROUP BY 1), "
+        "stoks AS (SELECT doc_id, unnest(list_filter(string_split(text, "
+        f"' '), x -> x <> '')) AS term FROM documents WHERE doc_id % {s_mod} "
+        "= 0), "
+        "sdl AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY doc_id), "
+        "sstats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM sdl), "
+        "stf AS (SELECT doc_id, term, count(*) AS tf FROM stoks "
+        "GROUP BY doc_id, term), "
+        "sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "cscored AS (SELECT q.query_id, stf.doc_id, "
+        "sum(ln(1 + (s.n_docs - sdf.df + 0.5) / (sdf.df + 0.5)) * (stf.tf * 2.2) / "
+        "(stf.tf + 1.2 * (1 - 0.75 + 0.75 * sdl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN stf ON q.term = stf.term "
+        "JOIN sdf ON sdf.term = q.term JOIN sdl ON sdl.doc_id = stf.doc_id "
+        "CROSS JOIN sstats s GROUP BY q.query_id, stf.doc_id), "
+        "topn AS (SELECT query_id, doc_id FROM ("
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM cscored) "
+        f"WHERE rank <= {n}), "
+        f"votes AS (SELECT t.query_id, t.doc_id * {m} // (mx.m + 1) "
+        "AS shard FROM topn t CROSS JOIN mx), "
+        "est AS (SELECT v.query_id, v.shard, "
+        "sum(g.n::DOUBLE / g.ns) AS estimate FROM votes v "
+        "JOIN geom g ON g.shard = v.shard GROUP BY 1, 2), "
+        "sel AS (SELECT query_id, shard FROM ("
+        "SELECT query_id, shard, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(estimate, 6) DESC, shard) AS rk FROM est) "
+        f"WHERE rk <= {_SEL_SHARDS}), "
+        "ftoks AS (SELECT doc_id, doc_id * "
+        f"{m} // (mx.m + 1) AS shard, "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term "
+        "FROM documents CROSS JOIN mx), "
+        "fdl AS (SELECT doc_id, shard, count(*) AS dl FROM ftoks "
+        "GROUP BY 1, 2), "
+        "fstats AS (SELECT shard, count(*) AS n_docs, sum(dl) AS total "
+        "FROM fdl GROUP BY shard), "
+        "ftf AS (SELECT doc_id, shard, term, count(*) AS tf FROM ftoks "
+        "GROUP BY 1, 2, 3), "
+        "fdf AS (SELECT shard, term, count(*) AS df FROM ftf GROUP BY 1, 2), "
+        "fscored AS (SELECT q.query_id, ftf.doc_id, "
+        "sum(ln(1 + (s.n_docs - fdf.df + 0.5) / (fdf.df + 0.5)) * (ftf.tf * 2.2) / "
+        "(ftf.tf + 1.2 * (1 - 0.75 + 0.75 * fdl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN ftf ON q.term = ftf.term "
+        "JOIN sel ON sel.query_id = q.query_id AND sel.shard = ftf.shard "
+        "JOIN fdf ON fdf.term = q.term AND fdf.shard = ftf.shard "
+        "JOIN fdl ON fdl.doc_id = ftf.doc_id AND fdl.shard = ftf.shard "
+        "JOIN fstats s ON s.shard = ftf.shard "
+        "GROUP BY q.query_id, ftf.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM fscored) "
+        "WHERE rank <= 10"
+    )
+
+
 def q_query_preqpp(sf_dir: str):
     """PRE-retrieval query-performance predictors (no search needed —
     the stats triage that runs before any scoring budget is spent),
@@ -17505,6 +17680,7 @@ QUERIES = {
     "query_wig_nqc": q_query_wig_nqc,
     "query_preqpp": q_query_preqpp,
     "federated_redde": q_federated_redde,
+    "selective_search_topk": q_selective_search_topk,
     # round-4 continuation flagships: the three headline retrieval
     # additions of this session, surfaced inside the driver window
     "sdm_topk": q_sdm_topk,
@@ -17794,6 +17970,7 @@ ORACLES = {
     "query_wig_nqc": _sql_query_wig_nqc(),
     "query_preqpp": _sql_query_preqpp(),
     "federated_redde": _sql_federated_redde(),
+    "selective_search_topk": _sql_selective_search(),
     "salted_term_cf": SQL_SALTED_TERM_CF,
     "union_source_stats": SQL_UNION_SOURCE_STATS,
     "zipf_fit": SQL_ZIPF_FIT,
