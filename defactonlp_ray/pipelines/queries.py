@@ -3764,6 +3764,48 @@ SQL_IB_SPL_TOPK = _simfam_sql(_BM25_QUERIES, "spl")
 SQL_DFI_TOPK = _simfam_sql(_BM25_QUERIES, "dfi")
 
 
+def q_lmjm_topk(sf_dir: str):
+    """LM with Jelinek-Mercer smoothing (Zhai & Lafferty, SIGIR 2001;
+    Lucene LMJelinekMercerSimilarity; pinned lambda = 0.1, the
+    short-query setting): the linear-interpolation counterpart to the
+    Dirichlet entry — the mixture weight is CONSTANT instead of
+    length-adaptive, so long documents are not shrunk toward the
+    collection model the way lmd_topk shrinks them.  Served from the
+    same segments via the simfam kernel."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="lmjm",
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _lmjm_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, terms in queries for t in terms)
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS t_total FROM toks), "
+        "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "scored AS (SELECT qd.query_id, tf.doc_id, "
+        "sum(ln(1.0 + ((1.0 - 0.1) * tf.tf / dl.dl) / "
+        "(0.1 * cf.cf / s.t_total::DOUBLE))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN cf ON cf.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_LMJM_TOPK = _lmjm_sql(_BM25_QUERIES)
+
+
 # pinned synonym table for the registry entry: maps query terms to extra
 # group members — mixes present terms ("sort", "join", "dup") and an
 # absent one ("quick", df 0, must contribute nothing)
@@ -17924,6 +17966,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "lmd_topk": q_lmd_topk,
     "ib_spl_topk": q_ib_spl_topk,
+    "lmjm_topk": q_lmjm_topk,
     "dfi_topk": q_dfi_topk,
     "synonym_topk": q_synonym_topk,
     "bm25_page2": q_bm25_page2,
@@ -18175,6 +18218,7 @@ ORACLES = {
     "dfr_topk": SQL_DFR_TOPK,
     "ib_spl_topk": SQL_IB_SPL_TOPK,
     "dfi_topk": SQL_DFI_TOPK,
+    "lmjm_topk": SQL_LMJM_TOPK,
     "synonym_topk": SQL_SYNONYM_TOPK,
     "bm25_page2": SQL_BM25_PAGE2,
     "bm25_collapse": SQL_BM25_COLLAPSE,

@@ -1259,13 +1259,17 @@ def score_all_simfam(
       expected tf under independence e = cf * dl / T, and a term only
       contributes when observed > expected:
           log2((tf - e)^2 / e + 1)   if tf > e else 0
+    * ``model="lmjm"`` — LM with Jelinek-Mercer smoothing (Zhai &
+      Lafferty, SIGIR 2001; Lucene ``LMJelinekMercerSimilarity``),
+      pinned lambda = 0.1 (the short-query setting):
+          ln(1 + ((1 - lambda) * tf / dl) / (lambda * cf / T))
 
     Contributions sum over unique query terms; only docs containing at
     least one query term are candidates, and (DFI) docs whose total is
     <= 0 are dropped — both mirrored in the SQL oracles as the join +
     HAVING clause.  Same fused dense-accumulator + round(score, 6)
     re-rank policy as :func:`score_all_taat`."""
-    if model not in ("dfr", "spl", "dfi"):
+    if model not in ("dfr", "spl", "dfi", "lmjm"):
         raise ValueError(f"unknown similarity family {model!r}")
     N = float(reader.n_docs)
     T = float(reader.total_len)
@@ -1290,6 +1294,13 @@ def score_all_simfam(
             expected = cfs[t] * dls_f / T
             gain = np.log((tfs_f - expected) ** 2 / expected + 1.0) / ln2
             contrib = np.where(tfs_f > expected, gain, 0.0)
+        elif model == "lmjm":
+            lam_jm = 0.1
+            contrib = np.log(
+                1.0
+                + ((1.0 - lam_jm) * tfs_f / dls_f)
+                / (lam_jm * cfs[t] / T)
+            )
         else:
             tfn = tfs_f * np.log(1.0 + avgdl / dls_f) / ln2
             if model == "dfr":
@@ -1948,7 +1959,7 @@ class SearcherActor:
         if self.mode == "lmd":
             return score_all_lmd(self.reader, seg_ids, uniq, self._cfs,
                                  self.k, after=after)
-        if self.mode in ("dfr", "spl", "dfi"):
+        if self.mode in ("dfr", "spl", "dfi", "lmjm"):
             return score_all_simfam(self.reader, seg_ids, uniq, self.mode,
                                     self._dfs, self._cfs, self.k)
         if self.mode == "collapse":
@@ -2037,7 +2048,7 @@ class SearcherActor:
         self._dfs = dfs
         self._cfs = (
             self.reader.cfs(all_terms)
-            if self.mode in ("lmd", "dfi") else {}
+            if self.mode in ("lmd", "dfi", "lmjm") else {}
         )
         present = [t for t in all_terms if dfs[t] > 0]
         for sid in self.seg_ids:
@@ -2542,7 +2553,7 @@ def search_fanout(
             self._dfs = dfs
             self._cfs = (
                 self.reader.cfs(all_terms)
-                if self.mode in ("lmd", "dfi") else {}
+                if self.mode in ("lmd", "dfi", "lmjm") else {}
             )
             out_q, out_d, out_s = [], [], []
             for qid, terms, sid in zip(

@@ -129,6 +129,10 @@ def _reference(st: _Stats, terms, model, k):
                     if tf[t] > e
                     else 0.0
                 )
+            elif model == "lmjm":
+                c = math.log(
+                    1.0 + ((1.0 - 0.1) * tf[t] / dl) / (0.1 * st.cf[t] / T)
+                )
             else:
                 tfn = tf[t] * math.log(1.0 + st.avgdl / dl) / _LN2
                 if model == "dfr":
@@ -149,7 +153,7 @@ def _reference(st: _Stats, terms, model, k):
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
 
-@pytest.mark.parametrize("model", ["dfr", "spl", "dfi"])
+@pytest.mark.parametrize("model", ["dfr", "spl", "dfi", "lmjm"])
 def test_simfam_matches_scalar_reference(index_dir, stats, queries, model):
     got = _group(
         S.search(index_dir, _qds(queries), k=K, mode=model).take_all()
