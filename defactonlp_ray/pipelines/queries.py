@@ -14087,6 +14087,146 @@ def _sql_federated_redde() -> str:
     )
 
 
+def q_federated_cori(sf_dir: str):
+    """CORI resource ranking (Callan, Lu & Croft, SIGIR 1995) — the
+    inference-network alternative to ReDDE's sample-vote: shards rank
+    by df-based belief, no central sample index at all.  Same pinned
+    4-shard doc-id-range geometry; per shard s and query term t,
+
+        T = df / (df + 50 + 150 * cw_s / avg_cw)
+        I = ln((|S| + 0.5) / R_t) / ln(|S| + 1.0)
+        p(t|s) = 0.4 + 0.6 * T * I
+
+    with cw_s = shard token count, R_t = shards containing t; the
+    query's shard score is the MEAN p over its distinct terms with
+    R_t > 0 (an everywhere-absent term carries no signal; a query with
+    no present terms drops).  One broadcast-filtered combiner pass
+    carries (shard, term) df partials for the query vocabulary plus a
+    per-shard token-total sentinel — |shards| x |query terms| rows
+    total, no sampling, no search."""
+    qterms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    needed = pa.array(qterms, pa.string())
+    docs_ids = _docs(sf_dir, ["doc_id"])
+    mx = int(docs_ids.max("doc_id"))
+
+    def part(batch: pa.Table) -> pa.Table:
+        tf, dl = term_count_table(batch["text"], batch["doc_id"])
+        did_all = batch["doc_id"].to_numpy()
+        sh_all = did_all * _REDDE_SHARDS // (mx + 1)
+        kept = tf.filter(pc.is_in(tf["term"], value_set=needed))
+        did = kept["doc_id"].to_numpy()
+        sh = (did * _REDDE_SHARDS // (mx + 1)).astype(np.int64)
+        t1 = pa.table({
+            "shard": pa.array(sh),
+            "term": kept["term"],
+        }).group_by(["shard", "term"]).aggregate([([], "count_all")])
+        t1 = t1.rename_columns(["shard", "term", "df_p"])
+        # per-shard token totals ride as sentinel term rows
+        t2 = pa.table({
+            "shard": pa.array(np.arange(_REDDE_SHARDS, dtype=np.int64)),
+            "term": pa.array(["\x00cw"] * _REDDE_SHARDS, pa.string()),
+            "df_p": pa.array(
+                [
+                    int(dl[sh_all == s].sum())
+                    for s in range(_REDDE_SHARDS)
+                ],
+                pa.int64(),
+            ),
+        })
+        return pa.concat_tables([
+            pa.table({
+                "shard": t1["shard"],
+                "term": t1["term"],
+                "df_p": pc.cast(t1["df_p"], pa.int64()),
+            }),
+            t2,
+        ])
+
+    st = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["shard", "term"])
+        .aggregate(Sum("df_p", alias_name="df"))
+        .to_pandas()
+    )
+    cw = {
+        int(r.shard): int(r.df)
+        for r in st[st["term"] == "\x00cw"].itertuples()
+    }
+    avg_cw = sum(cw.values()) / len(cw)
+    dfst = {
+        (int(r.shard), r.term): int(r.df)
+        for r in st[st["term"] != "\x00cw"].itertuples()
+    }
+    n_shards = _REDDE_SHARDS
+    r_t = {
+        t: sum(1 for s in range(n_shards) if (s, t) in dfst)
+        for t in qterms
+    }
+    rows = []
+    for qid, terms in _BM25_QUERIES:
+        present = [t for t in sorted(set(terms)) if r_t.get(t, 0) > 0]
+        if not present:
+            continue
+        scores = {}
+        for s in range(n_shards):
+            ps = []
+            for t in present:
+                df = dfst.get((s, t), 0)
+                tt = df / (df + 50.0 + 150.0 * cw[s] / avg_cw)
+                ii = math.log((n_shards + 0.5) / r_t[t]) / math.log(
+                    n_shards + 1.0
+                )
+                ps.append(0.4 + 0.6 * tt * ii)
+            scores[s] = sum(ps) / len(ps)
+        ranked = sorted(scores, key=lambda s: (-round(scores[s], 6), s))
+        for rank, s in enumerate(ranked, 1):
+            rows.append((qid, rank, s, round(scores[s], 6)))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "shard", "belief"]
+    ).astype({
+        "query_id": "int64", "rank": "int64", "shard": "int64",
+        "belief": "float64",
+    })
+
+
+def _sql_federated_cori() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    m = _REDDE_SHARDS
+    return (
+        "WITH mx AS (SELECT max(doc_id) AS m FROM documents), "
+        "toks AS (SELECT doc_id, unnest(list_filter(string_split(text, "
+        "' '), x -> x <> '')) AS term FROM documents), "
+        f"sh AS (SELECT doc_id, doc_id * {m} // (mx.m + 1) AS shard "
+        "FROM documents CROSS JOIN mx), "
+        "cw AS (SELECT sh.shard, count(*) AS cw FROM toks "
+        "JOIN sh ON sh.doc_id = toks.doc_id GROUP BY 1), "
+        "acw AS (SELECT avg(cw) AS avg_cw FROM cw), "
+        "tfd AS (SELECT sh.shard, toks.term, toks.doc_id FROM toks "
+        "JOIN sh ON sh.doc_id = toks.doc_id GROUP BY 1, 2, 3), "
+        "dfs AS (SELECT shard, term, count(*) AS df FROM tfd "
+        "GROUP BY 1, 2), "
+        "rt AS (SELECT term, count(*) AS r FROM dfs GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "shards AS (SELECT DISTINCT shard FROM sh), "
+        "p AS (SELECT qd.query_id, shards.shard, "
+        "0.4 + 0.6 * (coalesce(dfs.df, 0) / (coalesce(dfs.df, 0) + 50.0 "
+        "+ 150.0 * cw.cw / acw.avg_cw)) * "
+        f"(ln(({m} + 0.5) / rt.r) / ln({m} + 1.0)) AS p "
+        "FROM qd JOIN rt ON rt.term = qd.term CROSS JOIN shards "
+        "LEFT JOIN dfs ON dfs.shard = shards.shard AND dfs.term = qd.term "
+        "JOIN cw ON cw.shard = shards.shard CROSS JOIN acw), "
+        "belief AS (SELECT query_id, shard, sum(p) / count(*) AS b "
+        "FROM p GROUP BY 1, 2) "
+        "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(b, 6) DESC, shard) AS BIGINT) AS rank, shard, "
+        "round(b, 6) AS belief FROM belief ORDER BY query_id, rank"
+    )
+
+
 _SEL_SHARDS = 2
 
 
@@ -17723,6 +17863,7 @@ QUERIES = {
     "query_preqpp": q_query_preqpp,
     "federated_redde": q_federated_redde,
     "selective_search_topk": q_selective_search_topk,
+    "federated_cori": q_federated_cori,
     # round-4 continuation flagships: the three headline retrieval
     # additions of this session, surfaced inside the driver window
     "sdm_topk": q_sdm_topk,
@@ -18014,6 +18155,7 @@ ORACLES = {
     "query_preqpp": _sql_query_preqpp(),
     "federated_redde": _sql_federated_redde(),
     "selective_search_topk": _sql_selective_search(),
+    "federated_cori": _sql_federated_cori(),
     "salted_term_cf": SQL_SALTED_TERM_CF,
     "union_source_stats": SQL_UNION_SOURCE_STATS,
     "zipf_fit": SQL_ZIPF_FIT,
