@@ -3764,6 +3764,70 @@ SQL_IB_SPL_TOPK = _simfam_sql(_BM25_QUERIES, "spl")
 SQL_DFI_TOPK = _simfam_sql(_BM25_QUERIES, "dfi")
 
 
+def q_saat_topk(sf_dir: str):
+    """Score-at-a-time serving over quantized impacts (Anh & Moffat,
+    SIGIR 2005; the JASS anytime engine shape, Lin & Trotman ICTIR
+    2015; stages/search.score_all_saat): every posting's exact BM25
+    contribution quantizes to floor(c/wmax*255)+1 with wmax pinned per
+    query, postings process in decreasing-impact order, and scores are
+    INTEGER impact sums — the serving strategy whose work is bounded
+    by a postings budget rather than by candidate sets (run here at
+    budget 1.0: the exact quantized ranking; the anytime property is
+    pytest-proven).  Scores are integer-valued, so no float rounding
+    policy is involved anywhere."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=10, mode="saat",
+                 concurrency=2).to_pandas()
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g.head(10))
+    cols = ["query_id", "rank", "doc_id", "score"]
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
+def _saat_sql(queries: list[tuple[int, list[str]]], k: int = 10,
+              n_bins: int = 255) -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, terms in queries for t in terms)
+    c_expr = (
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+        "(s.total::DOUBLE / s.n_docs)))"
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        f"pc AS (SELECT qd.query_id, tf.doc_id, {c_expr} AS c "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN df ON df.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s), "
+        "wm AS (SELECT query_id, max(c) AS wmax FROM pc GROUP BY 1), "
+        "imp AS (SELECT p.query_id, p.doc_id, "
+        f"CAST(floor(p.c / w.wmax * {n_bins}) AS BIGINT) + 1 AS imp "
+        "FROM pc p JOIN wm w USING (query_id)), "
+        "sc AS (SELECT query_id, doc_id, sum(imp) AS score FROM imp "
+        "GROUP BY 1, 2) "
+        "SELECT query_id, rank, doc_id, CAST(score AS DOUBLE) AS score "
+        "FROM (SELECT query_id, doc_id, score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "score DESC, doc_id) AS INTEGER) AS rank FROM sc) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_SAAT_TOPK = _saat_sql(_BM25_QUERIES)
+
+
 def q_lmjm_topk(sf_dir: str):
     """LM with Jelinek-Mercer smoothing (Zhai & Lafferty, SIGIR 2001;
     Lucene LMJelinekMercerSimilarity; pinned lambda = 0.1, the
@@ -18108,6 +18172,7 @@ QUERIES = {
     "lmd_topk": q_lmd_topk,
     "ib_spl_topk": q_ib_spl_topk,
     "lmjm_topk": q_lmjm_topk,
+    "saat_topk": q_saat_topk,
     "dfi_topk": q_dfi_topk,
     "synonym_topk": q_synonym_topk,
     "bm25_page2": q_bm25_page2,
@@ -18361,6 +18426,7 @@ ORACLES = {
     "ib_spl_topk": SQL_IB_SPL_TOPK,
     "dfi_topk": SQL_DFI_TOPK,
     "lmjm_topk": SQL_LMJM_TOPK,
+    "saat_topk": SQL_SAAT_TOPK,
     "synonym_topk": SQL_SYNONYM_TOPK,
     "bm25_page2": SQL_BM25_PAGE2,
     "bm25_collapse": SQL_BM25_COLLAPSE,

@@ -1337,6 +1337,77 @@ def score_all_simfam(
     return _topk_exact(scores[cand], cand + lo, k)
 
 
+def score_all_saat(
+    reader,
+    seg_ids: list[int],
+    terms_sorted: list[str],
+    idfs: dict[str, float],
+    k: int,
+    budget_frac: float = 1.0,
+    n_bins: int = 255,
+) -> tuple[list[tuple[int, int]], int, int]:
+    """Score-at-a-time serving over quantized impacts (Anh & Moffat,
+    SIGIR 2005 "Simplified similarity scoring using term ranks"; the
+    JASS anytime engine of Lin & Trotman, ICTIR 2015): every posting's
+    exact BM25 contribution c quantizes to an integer impact
+    ``floor(c / wmax * 255) + 1`` — wmax pinned PER QUERY as the max
+    contribution over the query's present terms (the scale every
+    scored posting shares) — and postings are processed in DECREASING
+    impact order under a postings budget: ``budget_frac`` of the total
+    postings, largest impacts first (ties: doc ascending, then the
+    query's term order — pinned).  With budget 1.0 the result is the
+    EXACT quantized ranking (integer scores, no float rounding policy
+    needed); smaller budgets trade rank quality for bounded work — the
+    anytime property the DAAT family (TAAT/WAND/MaxScore) cannot
+    offer, because those must touch every candidate's full posting
+    set.
+
+    Returns ``(ranked [(score, doc_id)], postings_processed,
+    postings_total)``."""
+    per_docs: list[np.ndarray] = []
+    per_c: list[np.ndarray] = []
+    per_tix: list[np.ndarray] = []
+    for tix, t in enumerate(terms_sorted):
+        arrs = reader.term_arrays(seg_ids, t)
+        if arrs is None:
+            continue
+        docids, w = arrs
+        if docids.size == 0:
+            continue
+        per_docs.append(docids)
+        per_c.append(idfs[t] * w)
+        per_tix.append(np.full(docids.size, tix, dtype=np.int64))
+    if not per_c:
+        return [], 0, 0
+    docs = np.concatenate(per_docs)
+    c = np.concatenate(per_c)
+    tix = np.concatenate(per_tix)
+    wmax = float(c.max())
+    impacts = np.floor(c / wmax * n_bins).astype(np.int64) + 1
+    total = int(impacts.size)
+    order = np.lexsort((tix, docs, -impacts))
+    take = total if budget_frac >= 1.0 else int(
+        math.ceil(budget_frac * total)
+    )
+    sel = order[:take]
+    sdocs = docs[sel]
+    simp = impacts[sel]
+    uniq, inv = np.unique(sdocs, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(sums, inv, simp)
+    if reader.deleted.size:
+        from .deletes import live_mask
+
+        m = live_mask(uniq, reader.deleted)
+        uniq, sums = uniq[m], sums[m]
+    order2 = np.lexsort((uniq, -sums))[:k]
+    return (
+        [(int(sums[i]), int(uniq[i])) for i in order2],
+        take,
+        total,
+    )
+
+
 def score_all_syn(
     reader,
     seg_ids: list[int],
@@ -1962,6 +2033,12 @@ class SearcherActor:
         if self.mode in ("dfr", "spl", "dfi", "lmjm"):
             return score_all_simfam(self.reader, seg_ids, uniq, self.mode,
                                     self._dfs, self._cfs, self.k)
+        if self.mode == "saat":
+            top, _done, _total = score_all_saat(
+                self.reader, seg_ids, uniq, idfs, self.k
+            )
+            # integer impacts ride the float score column exactly
+            return [(float(s), d) for s, d in top]
         if self.mode == "collapse":
             if self.group_codes is None:
                 raise ValueError(

@@ -216,3 +216,45 @@ def test_dfr_shared_route_bit_equal(index_dir, queries):
         (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
     )
     assert key(a) == key(b)
+
+
+# ------------------------------- SAAT anytime serving (same fixtures)
+
+def test_saat_full_budget_is_exact_and_anytime_monotone(index_dir, queries):
+    from defactonlp_ray.stages.search import IndexReader, score_all_saat
+
+    reader = IndexReader(index_dir)
+    for _qid, terms in queries[:8]:
+        uniq = sorted(set(terms))
+        dfs = reader.dfs(uniq)
+        idfs = {t: reader.idf(t) for t in uniq}
+        for sid in reader.seg_ids:
+            reader.load_postings(sid, [t for t in uniq if dfs[t] > 0])
+        full, done_f, total = score_all_saat(
+            reader, reader.seg_ids, uniq, idfs, 10, budget_frac=1.0
+        )
+        if not full:
+            continue
+        assert done_f == total
+        # integer scores, exact quantized ranking at full budget
+        assert all(isinstance(s, int) and s >= 1 for s, _d in full)
+        prev_done = 0
+        full_scores = dict((d, s) for s, d in full)
+        for frac in (0.25, 0.5, 0.75, 1.0):
+            part, done, tot = score_all_saat(
+                reader, reader.seg_ids, uniq, idfs, 10, budget_frac=frac
+            )
+            assert tot == total
+            assert done >= prev_done  # budget monotone in work
+            prev_done = done
+            # the anytime invariant: a partial budget processes a
+            # SUBSET of postings, so every reported score is a lower
+            # bound on the doc's full quantized score
+            for s, d in part:
+                if d in full_scores:
+                    assert s <= full_scores[d], (terms, frac, d)
+        # at budget 1.0 the set and scores are exactly the full ranking
+        last, done_l, _ = score_all_saat(
+            reader, reader.seg_ids, uniq, idfs, 10, budget_frac=1.0
+        )
+        assert last == full and done_l == total
