@@ -3794,9 +3794,11 @@ def _saat_sql(queries: list[tuple[int, list[str]]], k: int = 10,
               n_bins: int = 255) -> str:
     vals = ", ".join(f"({qid}, '{t}')" for qid, terms in queries for t in terms)
     c_expr = (
-        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        # engine association: idf * (num / den) — NOT (idf*num)/den;
+        # quantization floors are bin-boundary-sensitive to the ulp
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * ((tf.tf * 2.2) / "
         "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
-        "(s.total::DOUBLE / s.n_docs)))"
+        "(s.total::DOUBLE / s.n_docs))))"
     )
     return (
         f"WITH toks AS ({_TOKS_SQL}), "
@@ -3826,6 +3828,82 @@ def _saat_sql(queries: list[tuple[int, list[str]]], k: int = 10,
 
 
 SQL_SAAT_TOPK = _saat_sql(_BM25_QUERIES)
+
+
+def q_saat_stored_topk(sf_dir: str):
+    """The STORED impact-ordered layout (stages/impacts.py — the real
+    Anh-Moffat/JASS index, not query-time quantization): two streamed
+    dictionary passes derive a build-time GLOBAL wmax and write
+    ``(term, impact, docids)`` groups in decreasing-impact order as
+    term-hash-bucketed parquet; serving actors read only their query
+    terms' buckets and process impact groups under a postings budget
+    (budget 1.0 here: the exact stored-quantized ranking).  Differs
+    from ``saat_topk`` exactly by the scale pin — a stored layout must
+    quantize once against the corpus-wide max contribution, which the
+    oracle recomputes over ALL (term, doc) contributions."""
+    from ..stages.impacts import build_impact_index, saat_stored_search
+
+    idx = _build_docs_index(sf_dir)
+    imp_dir = _tmp_index_dir(sf_dir, "idximpact")
+    build_impact_index(idx, imp_dir, concurrency=2)
+    res = saat_stored_search(
+        imp_dir, _query_terms_ds(_BM25_QUERIES), k=10, concurrency=2
+    ).to_pandas()
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g.head(10))
+    cols = ["query_id", "rank", "doc_id", "score"]
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
+def _saat_stored_sql(queries: list[tuple[int, list[str]]], k: int = 10,
+                     n_bins: int = 255) -> str:
+    """Global-wmax variant of the SAAT oracle: wmax = max contribution
+    over EVERY (term, doc) pair in the corpus (the build-time scale),
+    not per query."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, terms in queries for t in terms)
+    c_expr = (
+        # engine association: idf * (num / den), as in the saat oracle
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (({tf} * 2.2) / "
+        "({tf} + 1.2 * (1 - 0.75 + 0.75 * {dl} / "
+        "(s.total::DOUBLE / s.n_docs))))"
+    )
+    c_all = c_expr.format(tf="tf.tf", dl="dl.dl")
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"wm AS (SELECT max({c_all}) AS wmax FROM tf "
+        "JOIN df ON df.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        f"pc AS (SELECT qd.query_id, tf.doc_id, {c_all} AS c "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN df ON df.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s), "
+        "imp AS (SELECT p.query_id, p.doc_id, "
+        f"CAST(floor(p.c / w.wmax * {n_bins}) AS BIGINT) + 1 AS imp "
+        "FROM pc p CROSS JOIN wm w), "
+        "sc AS (SELECT query_id, doc_id, sum(imp) AS score FROM imp "
+        "GROUP BY 1, 2) "
+        "SELECT query_id, rank, doc_id, CAST(score AS DOUBLE) AS score "
+        "FROM (SELECT query_id, doc_id, score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "score DESC, doc_id) AS INTEGER) AS rank FROM sc) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_SAAT_STORED_TOPK = _saat_stored_sql(_BM25_QUERIES)
 
 
 def q_lmjm_topk(sf_dir: str):
@@ -18173,6 +18251,7 @@ QUERIES = {
     "ib_spl_topk": q_ib_spl_topk,
     "lmjm_topk": q_lmjm_topk,
     "saat_topk": q_saat_topk,
+    "saat_stored_topk": q_saat_stored_topk,
     "dfi_topk": q_dfi_topk,
     "synonym_topk": q_synonym_topk,
     "bm25_page2": q_bm25_page2,
@@ -18427,6 +18506,7 @@ ORACLES = {
     "dfi_topk": SQL_DFI_TOPK,
     "lmjm_topk": SQL_LMJM_TOPK,
     "saat_topk": SQL_SAAT_TOPK,
+    "saat_stored_topk": SQL_SAAT_STORED_TOPK,
     "synonym_topk": SQL_SYNONYM_TOPK,
     "bm25_page2": SQL_BM25_PAGE2,
     "bm25_collapse": SQL_BM25_COLLAPSE,

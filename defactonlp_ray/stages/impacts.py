@@ -1,0 +1,311 @@
+"""Stored impact-ordered posting layout + anytime SAAT serving
+(fulltext_index tier; the model is the quantized impact-sorted indexes
+of Anh & Moffat, SIGIR 2005 and the JASS anytime engine of Lin &
+Trotman, ICTIR 2015 — the layout that lets a query STOP after a
+postings budget because the highest-scoring evidence is physically
+first).
+
+Two build passes over the finished segment index, both streamed
+``map_batches`` over the term dictionary (``stats/term_df``) with an
+actor-held :class:`~.search.IndexReader` doing the same ``term IN``
+row-group-pruned point reads the searcher actors use:
+
+1. *scale pass* — per dictionary batch, ``max(idf(t) * w(t, d))``; one
+   tiny per-batch row; the driver max is the BUILD-TIME GLOBAL ``wmax``
+   (persisted in ``meta.json``).  Query-time and stored impacts agree
+   exactly because both quantize against this one stored scale —
+   unlike the per-query scale of the ``saat_topk`` entry, a stored
+   layout must pin its scale once.
+2. *quantize pass* — per term, ``impact = floor(c / wmax * 255) + 1``,
+   postings grouped by impact value into ``(term, impact,
+   docids list<int64>)`` rows (docids ascending within a group — the
+   pinned tie order), written as hive-partitioned parquet bucketed by
+   term hash (``bucket = fnv64(term) % 64``) so a query's serving
+   actor reads ONLY its terms' buckets with a ``term IN`` filter —
+   the trgm/ANN sidecar access pattern.
+
+Serving (:func:`saat_stored_search`) is an ordinary actor-pool
+``map_batches``: flatten the terms' impact groups, process in
+decreasing-impact order (ties: doc ascending, then ascending-term
+order — bit-identical to ``search.score_all_saat``) under
+``budget_frac``, accumulate INTEGER scores, top-k on (score DESC,
+doc_id).  Equivalence to the in-memory kernel at the same ``wmax`` is
+pytest-enforced.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..functions.hashing import hash_str_array
+from .search import IndexReader
+from .util import pool_size
+
+__all__ = [
+    "build_impact_index",
+    "saat_stored_search",
+    "IMPACT_VERSION",
+    "N_BINS",
+    "N_BUCKETS",
+]
+
+IMPACT_VERSION = "impact-v1"
+N_BINS = 255
+N_BUCKETS = 64
+
+
+def _meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "meta.json")
+
+
+class _TermPass:
+    """Shared actor shape for both build passes: a reader opened once,
+    per-batch ``load_postings`` for exactly the batch's terms."""
+
+    def __init__(self, index_dir: str):
+        self.reader = IndexReader(index_dir)
+        self.seg_ids = self.reader.seg_ids
+
+    def _arrays(self, term: str):
+        return self.reader.term_arrays(self.seg_ids, term)
+
+    def _load(self, terms: list[str]) -> None:
+        # dfs() populates the df cache idf() reads — without it idf
+        # silently evaluates at df = 0
+        self.reader.dfs(terms)
+        for sid in self.seg_ids:
+            self.reader.load_postings(sid, terms)
+
+
+class _ScalePass(_TermPass):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        self._load(terms)
+        mx = 0.0
+        for t in terms:
+            arrs = self._arrays(t)
+            if arrs is None or arrs[0].size == 0:
+                continue
+            mx = max(mx, float(self.reader.idf(t)) * float(arrs[1].max()))
+        return pa.table({"wmax_p": pa.array([mx], pa.float64())})
+
+
+class _QuantizePass(_TermPass):
+    def __init__(self, index_dir: str, wmax: float):
+        super().__init__(index_dir)
+        self.wmax = wmax
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        self._load(terms)
+        out_t, out_i, out_d = [], [], []
+        for t in terms:
+            arrs = self._arrays(t)
+            if arrs is None or arrs[0].size == 0:
+                continue
+            docids, w = arrs
+            c = self.reader.idf(t) * w
+            imp = np.floor(c / self.wmax * N_BINS).astype(np.int64) + 1
+            # group by impact, docids ascending inside each group
+            # (docids are already ascending; a stable sort on -imp
+            # keeps them so)
+            order = np.argsort(-imp, kind="stable")
+            simp = imp[order]
+            sdoc = docids[order]
+            change = np.empty(simp.size, dtype=bool)
+            change[0] = True
+            change[1:] = simp[1:] != simp[:-1]
+            starts = np.flatnonzero(change)
+            bounds = np.append(starts, simp.size)
+            for i in range(starts.size):
+                a, z = bounds[i], bounds[i + 1]
+                out_t.append(t)
+                out_i.append(int(simp[a]))
+                out_d.append(sdoc[a:z].tolist())
+        if not out_t:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "impact": pa.array([], pa.int64()),
+                "docids": pa.array([], pa.list_(pa.int64())),
+                "bucket": pa.array([], pa.int64()),
+            })
+        tcol = pa.array(out_t, pa.string())
+        bucket = pa.array(
+            (hash_str_array(tcol) % np.uint64(N_BUCKETS)).astype(np.int64)
+        )
+        return pa.table({
+            "term": tcol,
+            "impact": pa.array(out_i, pa.int64()),
+            "docids": pa.array(out_d, pa.list_(pa.int64())),
+            "bucket": bucket,
+        })
+
+
+def build_impact_index(
+    index_dir: str, out_dir: str, *, concurrency: int = 4,
+    batch_size: int = 512,
+) -> float:
+    """Build the stored impact layout from a finished segment index;
+    idempotent (meta.json present -> returns the stored wmax).  Returns
+    the build-time global ``wmax``."""
+    if os.path.exists(_meta_path(out_dir)):
+        with open(_meta_path(out_dir), encoding="utf-8") as f:
+            return float(json.load(f)["wmax"])
+    dict_path = os.path.join(index_dir, "stats", "term_df")
+    terms_ds = ray.data.read_parquet(dict_path, columns=["term"])
+    scale = (
+        terms_ds.map_batches(
+            _ScalePass,
+            fn_constructor_kwargs={"index_dir": index_dir},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool_size(concurrency),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    wmax = float(scale["wmax_p"].max())
+    if wmax <= 0.0:
+        raise ValueError("empty index: no positive contribution found")
+    rows = terms_ds.map_batches(
+        _QuantizePass,
+        fn_constructor_kwargs={"index_dir": index_dir, "wmax": wmax},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+    tmp = out_dir + ".tmp"
+    rows.write_parquet(tmp, partition_cols=["bucket"])
+    os.replace(tmp, out_dir)
+    with open(_meta_path(out_dir), "w", encoding="utf-8") as f:
+        json.dump(
+            {"wmax": wmax, "n_bins": N_BINS, "n_buckets": N_BUCKETS,
+             "version": IMPACT_VERSION, "source": os.path.abspath(index_dir)},
+            f,
+        )
+    return wmax
+
+
+class SaatStoredActor:
+    """Actor-pool stage: (query_id, terms) -> (query_id, rank, doc_id,
+    score[int-valued float]) from the stored impact layout, under a
+    postings budget."""
+
+    def __init__(self, impact_dir: str, k: int = 10,
+                 budget_frac: float = 1.0):
+        with open(_meta_path(impact_dir), encoding="utf-8") as f:
+            self.meta = json.load(f)
+        self.dir = impact_dir
+        self.k = k
+        self.budget = budget_frac
+        self.cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _term_postings(self, terms: list[str]):
+        """Load (impacts, docids) flat arrays for each term, cached per
+        actor; one filtered read over only the terms' hash buckets."""
+        missing = [t for t in terms if t not in self.cache]
+        if missing:
+            tcol = pa.array(missing, pa.string())
+            buckets = sorted(
+                set((hash_str_array(tcol) % np.uint64(N_BUCKETS)).astype(np.int64).tolist())
+            )
+            import glob as _glob
+
+            files: list[str] = []
+            for b in buckets:
+                files.extend(sorted(_glob.glob(
+                    os.path.join(self.dir, f"bucket={b}", "*.parquet")
+                )))
+            for t in missing:
+                self.cache[t] = (
+                    np.empty(0, np.int64), np.empty(0, np.int64)
+                )
+            if files:
+                tbl = pq.ParquetDataset(
+                    files, filters=[("term", "in", missing)]
+                ).read(columns=["term", "impact", "docids"])
+                for t in set(tbl["term"].to_pylist()):
+                    sub = tbl.filter(pa.compute.equal(tbl["term"], t))
+                    imp_g = sub["impact"].to_numpy()
+                    lists = sub["docids"]
+                    lens = np.asarray(
+                        [len(lists[i]) for i in range(len(lists))],
+                        dtype=np.int64,
+                    )
+                    flat = np.concatenate(
+                        [np.asarray(lists[i].as_py(), dtype=np.int64)
+                         for i in range(len(lists))]
+                    ) if len(lists) else np.empty(0, np.int64)
+                    self.cache[t] = (np.repeat(imp_g, lens), flat)
+        return [self.cache[t] for t in terms]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, terms in zip(
+            batch["query_id"].to_pylist(), batch["terms"].to_pylist()
+        ):
+            uniq = sorted(set(terms))
+            packs = self._term_postings(uniq)
+            per_i, per_d, per_t = [], [], []
+            for tix, (imp, docs) in enumerate(packs):
+                if imp.size:
+                    per_i.append(imp)
+                    per_d.append(docs)
+                    per_t.append(np.full(imp.size, tix, dtype=np.int64))
+            if not per_i:
+                continue
+            impacts = np.concatenate(per_i)
+            docs = np.concatenate(per_d)
+            tix = np.concatenate(per_t)
+            total = impacts.size
+            order = np.lexsort((tix, docs, -impacts))
+            take = total if self.budget >= 1.0 else int(
+                math.ceil(self.budget * total)
+            )
+            sel = order[:take]
+            uniq_d, inv = np.unique(docs[sel], return_inverse=True)
+            sums = np.zeros(uniq_d.size, dtype=np.int64)
+            np.add.at(sums, inv, impacts[sel])
+            top = np.lexsort((uniq_d, -sums))[: self.k]
+            for rank, i in enumerate(top, 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(int(uniq_d[i]))
+                out_s.append(float(sums[i]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def saat_stored_search(
+    impact_dir: str,
+    queries: "ray.data.Dataset",
+    *,
+    k: int = 10,
+    budget_frac: float = 1.0,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Anytime SAAT pipeline over the stored impact layout."""
+    return queries.map_batches(
+        SaatStoredActor,
+        fn_constructor_kwargs={
+            "impact_dir": impact_dir, "k": k, "budget_frac": budget_frac,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )

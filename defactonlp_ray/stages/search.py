@@ -1345,6 +1345,7 @@ def score_all_saat(
     k: int,
     budget_frac: float = 1.0,
     n_bins: int = 255,
+    wmax: Optional[float] = None,
 ) -> tuple[list[tuple[int, int]], int, int]:
     """Score-at-a-time serving over quantized impacts (Anh & Moffat,
     SIGIR 2005 "Simplified similarity scoring using term ranks"; the
@@ -1382,7 +1383,11 @@ def score_all_saat(
     docs = np.concatenate(per_docs)
     c = np.concatenate(per_c)
     tix = np.concatenate(per_tix)
-    wmax = float(c.max())
+    if wmax is None:
+        # per-query scale (the default, the saat_topk entry's pinned
+        # rule); a stored impact index passes its BUILD-time global
+        # wmax instead so query-time and stored impacts agree
+        wmax = float(c.max())
     impacts = np.floor(c / wmax * n_bins).astype(np.int64) + 1
     total = int(impacts.size)
     order = np.lexsort((tix, docs, -impacts))

@@ -258,3 +258,62 @@ def test_saat_full_budget_is_exact_and_anytime_monotone(index_dir, queries):
             reader, reader.seg_ids, uniq, idfs, 10, budget_frac=1.0
         )
         assert last == full and done_l == total
+
+
+def test_saat_stored_equals_kernel_at_stored_scale(
+    index_dir, queries, tmp_path_factory
+):
+    # the stored impact layout replays the in-memory kernel exactly
+    # when the kernel quantizes against the stored global wmax
+    import ray.data as rd
+
+    from defactonlp_ray.stages.impacts import (
+        build_impact_index, saat_stored_search,
+    )
+    from defactonlp_ray.stages.search import IndexReader, score_all_saat
+
+    out = str(tmp_path_factory.mktemp("impacts")) + "/idx"
+    wmax = build_impact_index(index_dir, out, concurrency=2)
+    assert wmax > 0
+    res = saat_stored_search(out, _qds(queries), k=K, concurrency=2).take_all()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append(
+            (int(r["score"]), r["doc_id"])
+        )
+    reader = IndexReader(index_dir)
+    for qid, terms in queries:
+        uniq = sorted(set(terms))
+        dfs = reader.dfs(uniq)
+        idfs = {t: reader.idf(t) for t in uniq}
+        for sid in reader.seg_ids:
+            reader.load_postings(sid, [t for t in uniq if dfs[t] > 0])
+        want, _d, _t = score_all_saat(
+            reader, reader.seg_ids, uniq, idfs, K, wmax=wmax
+        )
+        assert got.get(qid, []) == want, (qid, terms)
+
+
+def test_saat_stored_budget_is_bounded_lower_estimate(
+    index_dir, queries, tmp_path_factory
+):
+    from defactonlp_ray.stages.impacts import (
+        build_impact_index, saat_stored_search,
+    )
+
+    out = str(tmp_path_factory.mktemp("impacts_b")) + "/idx"
+    build_impact_index(index_dir, out, concurrency=2)
+    full = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in saat_stored_search(
+            out, _qds(queries), k=K, concurrency=2
+        ).take_all()
+    }
+    part = saat_stored_search(
+        out, _qds(queries), k=K, budget_frac=0.5, concurrency=2
+    ).take_all()
+    assert part  # budgeted serving still answers
+    for r in part:
+        key = (r["query_id"], r["doc_id"])
+        if key in full:
+            assert r["score"] <= full[key]
