@@ -66,6 +66,29 @@ def _meta_path(out_dir: str) -> str:
     return os.path.join(out_dir, "meta.json")
 
 
+def _source_fingerprint(index_dir: str) -> str:
+    """Cheap staleness signal (the trgm fix shape, ADVICE r03):
+    append/compact/expunge rewrite ``stats/term_df``, so its sorted
+    (name, size, mtime_ns) plus IMPACT_VERSION changes on any index
+    mutation — a stale fingerprint forces a rebuild instead of serving
+    impacts that predate newly ingested postings."""
+    root = os.path.join(index_dir, "stats", "term_df")
+    entries = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        entries.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+    else:
+        for dirpath, _, names in os.walk(root):
+            for n in sorted(names):
+                if n.startswith("_") or n.startswith("."):
+                    continue
+                st = os.stat(os.path.join(dirpath, n))
+                rel = os.path.relpath(os.path.join(dirpath, n), root)
+                entries.append((rel, st.st_size, st.st_mtime_ns))
+    entries.sort()
+    return json.dumps({"version": IMPACT_VERSION, "files": entries})
+
+
 class _TermPass:
     """Shared actor shape for both build passes: a reader opened once,
     per-batch ``load_postings`` for exactly the batch's terms."""
@@ -156,9 +179,16 @@ def build_impact_index(
     """Build the stored impact layout from a finished segment index;
     idempotent (meta.json present -> returns the stored wmax).  Returns
     the build-time global ``wmax``."""
+    fp = _source_fingerprint(index_dir)
     if os.path.exists(_meta_path(out_dir)):
         with open(_meta_path(out_dir), encoding="utf-8") as f:
-            return float(json.load(f)["wmax"])
+            meta = json.load(f)
+        if meta.get("fingerprint") == fp:
+            return float(meta["wmax"])
+        # the source index changed under us (append/compact): rebuild
+        import shutil
+
+        shutil.rmtree(out_dir)
     dict_path = os.path.join(index_dir, "stats", "term_df")
     terms_ds = ray.data.read_parquet(dict_path, columns=["term"])
     scale = (
@@ -189,7 +219,8 @@ def build_impact_index(
     with open(_meta_path(out_dir), "w", encoding="utf-8") as f:
         json.dump(
             {"wmax": wmax, "n_bins": N_BINS, "n_buckets": N_BUCKETS,
-             "version": IMPACT_VERSION, "source": os.path.abspath(index_dir)},
+             "version": IMPACT_VERSION, "source": os.path.abspath(index_dir),
+             "fingerprint": fp},
             f,
         )
     return wmax

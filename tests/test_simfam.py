@@ -317,3 +317,35 @@ def test_saat_stored_budget_is_bounded_lower_estimate(
         key = (r["query_id"], r["doc_id"])
         if key in full:
             assert r["score"] <= full[key]
+
+
+def test_impact_index_staleness_rebuild(index_dir, tmp_path_factory):
+    # the trgm-fix shape (ADVICE r03): a mutated source dictionary
+    # (what append/compact does) must force a rebuild, not serve stale
+    # impacts
+    import glob
+    import json
+    import os
+    import time
+
+    from defactonlp_ray.stages.impacts import _meta_path, build_impact_index
+
+    out = str(tmp_path_factory.mktemp("impacts_stale")) + "/idx"
+    w1 = build_impact_index(index_dir, out, concurrency=2)
+    m1 = json.load(open(_meta_path(out)))
+    assert build_impact_index(index_dir, out, concurrency=2) == w1  # idempotent
+    root = os.path.join(index_dir, "stats", "term_df")
+    files = (
+        [root]
+        if os.path.isfile(root)
+        else [
+            p
+            for p in glob.glob(os.path.join(root, "**", "*"), recursive=True)
+            if os.path.isfile(p)
+        ]
+    )
+    os.utime(files[0], ns=(time.time_ns(), time.time_ns() + 1))
+    w2 = build_impact_index(index_dir, out, concurrency=2)
+    m2 = json.load(open(_meta_path(out)))
+    assert m2["fingerprint"] != m1["fingerprint"]
+    assert w2 == w1  # same content -> same scale after the rebuild
