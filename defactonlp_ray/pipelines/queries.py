@@ -18011,6 +18011,7 @@ QUERIES = {
     "sdm_topk": q_sdm_topk,
     "intervals_topk": q_intervals_topk,
     "dfr_topk": q_dfr_topk,
+    "saat_stored_topk": q_saat_stored_topk,
     "salted_term_cf": q_salted_term_cf,
     "union_source_stats": q_union_source_stats,
     "zipf_fit": q_zipf_fit,
@@ -18251,7 +18252,6 @@ QUERIES = {
     "ib_spl_topk": q_ib_spl_topk,
     "lmjm_topk": q_lmjm_topk,
     "saat_topk": q_saat_topk,
-    "saat_stored_topk": q_saat_stored_topk,
     "dfi_topk": q_dfi_topk,
     "synonym_topk": q_synonym_topk,
     "bm25_page2": q_bm25_page2,
