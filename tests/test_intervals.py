@@ -217,6 +217,41 @@ def test_span_or_singletons_equal_span_near(tmp_path_factory):
         assert a.tolist() == b.tolist()
 
 
+def test_random_corpora_match_bruteforce(tmp_path_factory):
+    # seeded random mini-corpora over a 4-letter alphabet: high
+    # repetition density stresses the staircase minimality and the
+    # duplicate-term chain far beyond the fixture corpus
+    import random
+
+    rng = random.Random(1234)
+    alpha = ["a", "b", "c", "d"]
+    docs = {
+        i: " ".join(rng.choice(alpha) for _ in range(rng.randint(3, 24)))
+        for i in range(40)
+    }
+    idx = _build(tmp_path_factory, docs, "idx_intervals_rand")
+    reader = IndexReader(idx)
+    cases = [
+        (["a", "b"], 0),
+        (["a", "b"], 2),
+        (["b", "a", "c"], 3),
+        (["a", "a"], 1),
+        (["d", "d", "d"], 4),
+        (["c", "b", "a"], 99),
+    ]
+    for terms, g in cases:
+        got_docs, got_n, _ = P.match_intervals(
+            reader, reader.seg_ids, terms, g
+        )
+        got = dict(zip(got_docs.tolist(), got_n.tolist()))
+        want = {}
+        for doc_id, text in docs.items():
+            n = _brute_minimal(tokenize(text), terms, g)
+            if n:
+                want[doc_id] = n
+        assert got == want, (terms, g)
+
+
 def test_match_set_equals_span_near(tmp_path_factory):
     # existence is unchanged by minimality: intervals(terms, g) matches
     # exactly the docs of span_near(terms, slop=g) (same width rule)
