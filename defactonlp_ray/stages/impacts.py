@@ -189,6 +189,13 @@ def build_impact_index(
         import shutil
 
         shutil.rmtree(out_dir)
+    elif os.path.isdir(out_dir):
+        # a crash between the directory rename and the meta write left
+        # a meta-less layout: treat as absent (os.replace cannot land
+        # on a non-empty target)
+        import shutil
+
+        shutil.rmtree(out_dir)
     dict_path = os.path.join(index_dir, "stats", "term_df")
     terms_ds = ray.data.read_parquet(dict_path, columns=["term"])
     scale = (
@@ -214,6 +221,10 @@ def build_impact_index(
         num_cpus=1,
     )
     tmp = out_dir + ".tmp"
+    if os.path.isdir(tmp):  # crashed prior attempt: never mix files
+        import shutil
+
+        shutil.rmtree(tmp)
     rows.write_parquet(tmp, partition_cols=["bucket"])
     os.replace(tmp, out_dir)
     with open(_meta_path(out_dir), "w", encoding="utf-8") as f:

@@ -349,3 +349,27 @@ def test_impact_index_staleness_rebuild(index_dir, tmp_path_factory):
     m2 = json.load(open(_meta_path(out)))
     assert m2["fingerprint"] != m1["fingerprint"]
     assert w2 == w1  # same content -> same scale after the rebuild
+
+
+def test_impact_index_crash_resume(index_dir, tmp_path_factory):
+    # meta-less leftover dir (crash between rename and meta write) and
+    # a stale .tmp must both be cleared, not mixed into the new build
+    import json
+    import os
+    import shutil
+
+    from defactonlp_ray.stages.impacts import _meta_path, build_impact_index
+
+    out = str(tmp_path_factory.mktemp("impacts_crash")) + "/idx"
+    w1 = build_impact_index(index_dir, out, concurrency=2)
+    # simulate the crash: drop meta, plant a bogus tmp
+    os.remove(_meta_path(out))
+    os.makedirs(out + ".tmp/bucket=0", exist_ok=True)
+    with open(out + ".tmp/bucket=0/junk.parquet", "w") as f:
+        f.write("not parquet")
+    w2 = build_impact_index(index_dir, out, concurrency=2)
+    assert w2 == w1
+    assert os.path.exists(_meta_path(out))
+    assert not os.path.exists(out + ".tmp")
+    meta = json.load(open(_meta_path(out)))
+    assert meta["wmax"] == w1
