@@ -57,7 +57,7 @@ __all__ = [
     "N_BUCKETS",
 ]
 
-IMPACT_VERSION = "impact-v1"
+IMPACT_VERSION = "impact-v2"
 N_BINS = 255
 N_BUCKETS = 64
 
@@ -153,10 +153,13 @@ class _QuantizePass(_TermPass):
                 out_t.append(t)
                 out_i.append(int(simp[a]))
                 out_d.append(sdoc[a:z].tolist())
+            # group sizes ride as their own column so budgeted serving
+            # can plan levels from a docids-free metadata read
         if not out_t:
             return pa.table({
                 "term": pa.array([], pa.string()),
                 "impact": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
                 "docids": pa.array([], pa.list_(pa.int64())),
                 "bucket": pa.array([], pa.int64()),
             })
@@ -167,6 +170,7 @@ class _QuantizePass(_TermPass):
         return pa.table({
             "term": tcol,
             "impact": pa.array(out_i, pa.int64()),
+            "n": pa.array([len(d) for d in out_d], pa.int64()),
             "docids": pa.array(out_d, pa.list_(pa.int64())),
             "bucket": bucket,
         })
@@ -250,23 +254,33 @@ class SaatStoredActor:
         self.k = k
         self.budget = budget_frac
         self.cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self.meta_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self.group_cache: dict[tuple[str, int], np.ndarray] = {}
+
+    def _files_for(self, terms: list[str]) -> list[str]:
+        tcol = pa.array(terms, pa.string())
+        buckets = sorted(
+            set(
+                (hash_str_array(tcol) % np.uint64(N_BUCKETS))
+                .astype(np.int64)
+                .tolist()
+            )
+        )
+        import glob as _glob
+
+        files: list[str] = []
+        for b in buckets:
+            files.extend(sorted(_glob.glob(
+                os.path.join(self.dir, f"bucket={b}", "*.parquet")
+            )))
+        return files
 
     def _term_postings(self, terms: list[str]):
         """Load (impacts, docids) flat arrays for each term, cached per
         actor; one filtered read over only the terms' hash buckets."""
         missing = [t for t in terms if t not in self.cache]
         if missing:
-            tcol = pa.array(missing, pa.string())
-            buckets = sorted(
-                set((hash_str_array(tcol) % np.uint64(N_BUCKETS)).astype(np.int64).tolist())
-            )
-            import glob as _glob
-
-            files: list[str] = []
-            for b in buckets:
-                files.extend(sorted(_glob.glob(
-                    os.path.join(self.dir, f"bucket={b}", "*.parquet")
-                )))
+            files = self._files_for(missing)
             for t in missing:
                 self.cache[t] = (
                     np.empty(0, np.int64), np.empty(0, np.int64)
@@ -290,12 +304,146 @@ class SaatStoredActor:
                     self.cache[t] = (np.repeat(imp_g, lens), flat)
         return [self.cache[t] for t in terms]
 
+    def _meta_for(self, terms: list[str]):
+        """Per-term (impacts, group sizes) from the docids-free
+        metadata columns, cached per actor."""
+        missing = [t for t in terms if t not in self.meta_cache]
+        if missing:
+            for t in missing:
+                self.meta_cache[t] = (
+                    np.empty(0, np.int64), np.empty(0, np.int64)
+                )
+            files = self._files_for(missing)
+            if files:
+                meta = pq.ParquetDataset(
+                    files, filters=[("term", "in", missing)]
+                ).read(columns=["term", "impact", "n"])
+                mt = meta["term"].to_pylist()
+                mi = meta["impact"].to_numpy()
+                mn = meta["n"].to_numpy()
+                for t in set(mt):
+                    mask = np.asarray([x == t for x in mt])
+                    self.meta_cache[t] = (
+                        mi[mask].astype(np.int64),
+                        mn[mask].astype(np.int64),
+                    )
+        return [self.meta_cache[t] for t in terms]
+
+    def _groups_for(self, needed: list[tuple[str, int]]):
+        """docid arrays for specific (term, impact) groups, cached per
+        actor; one filtered fetch for the missing ones."""
+        miss = [k for k in needed if k not in self.group_cache]
+        if miss:
+            terms = sorted({t for t, _ in miss})
+            min_imp = min(i for _, i in miss)
+            files = self._files_for(terms)
+            if files:
+                tbl = pq.ParquetDataset(
+                    files,
+                    filters=[
+                        ("term", "in", terms), ("impact", ">=", min_imp),
+                    ],
+                ).read(columns=["term", "impact", "docids"])
+                g_terms = tbl["term"].to_pylist()
+                g_imp = tbl["impact"].to_numpy()
+                lists = tbl["docids"]
+                for gi in range(tbl.num_rows):
+                    key = (g_terms[gi], int(g_imp[gi]))
+                    if key not in self.group_cache:
+                        self.group_cache[key] = np.asarray(
+                            lists[gi].as_py(), dtype=np.int64
+                        )
+            for k in miss:
+                self.group_cache.setdefault(
+                    k, np.empty(0, np.int64)
+                )
+        return [self.group_cache[k] for k in needed]
+
+    def _prefix_select(self, terms: list[str]):
+        """Budgeted two-phase read — the JASS scale path made literal:
+        phase 1 plans which impact LEVELS the budget covers from the
+        docids-free metadata (cached per actor); phase 2 fetches docid
+        groups only down to the boundary level (group-cached).  Within
+        the boundary level the partial slice takes the (doc,
+        term-order) smallest postings — exactly ``score_all_saat``'s
+        global (impact DESC, doc, tix) prefix, so this route is
+        bit-equal to the kernel at the same budget and stored scale
+        (tested).  Returns ``(docs, impacts)`` or None."""
+        metas = self._meta_for(terms)
+        m_i = np.concatenate([m[0] for m in metas]) if metas else \
+            np.empty(0, np.int64)
+        if m_i.size == 0:
+            return None
+        m_n = np.concatenate([m[1] for m in metas])
+        total = int(m_n.sum())
+        take = int(math.ceil(self.budget * total))
+        levels = np.unique(m_i)[::-1]
+        level_n = np.array(
+            [int(m_n[m_i == lv].sum()) for lv in levels], dtype=np.int64
+        )
+        cum = np.cumsum(level_n)
+        nfull = int(np.searchsorted(cum, take, side="right"))
+        rem = take - (int(cum[nfull - 1]) if nfull else 0)
+        if nfull >= levels.size:
+            cut_level, rem = None, 0
+            min_imp = int(levels[-1])
+        elif rem > 0:
+            cut_level = int(levels[nfull])
+            min_imp = cut_level
+        else:
+            cut_level = None
+            min_imp = int(levels[nfull - 1])
+        needed: list[tuple[str, int]] = []
+        kinds: list[tuple[int, int]] = []  # (tix, impact)
+        for tix, (t, (mi, _mn)) in enumerate(zip(terms, metas)):
+            for imp in mi[mi >= min_imp]:
+                needed.append((t, int(imp)))
+                kinds.append((tix, int(imp)))
+        groups = self._groups_for(needed)
+        f_d, f_i = [], []
+        b_d, b_i, b_t = [], [], []
+        for (tix, imp), docs_g in zip(kinds, groups):
+            if cut_level is not None and imp == cut_level:
+                b_d.append(docs_g)
+                b_i.append(np.full(docs_g.size, imp, dtype=np.int64))
+                b_t.append(np.full(docs_g.size, tix, dtype=np.int64))
+            else:
+                f_d.append(docs_g)
+                f_i.append(np.full(docs_g.size, imp, dtype=np.int64))
+        sel_d = [np.concatenate(f_d)] if f_d else []
+        sel_i = [np.concatenate(f_i)] if f_i else []
+        if rem > 0 and b_d:
+            bd = np.concatenate(b_d)
+            bi = np.concatenate(b_i)
+            bt = np.concatenate(b_t)
+            order = np.lexsort((bt, bd))[:rem]
+            sel_d.append(bd[order])
+            sel_i.append(bi[order])
+        if not sel_d:
+            return None
+        return np.concatenate(sel_d), np.concatenate(sel_i)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_r, out_d, out_s = [], [], [], []
         for qid, terms in zip(
             batch["query_id"].to_pylist(), batch["terms"].to_pylist()
         ):
             uniq = sorted(set(terms))
+            if self.budget < 1.0:
+                sel = self._prefix_select(uniq)
+                if sel is None:
+                    continue
+                sdocs, simp = sel
+                uniq_d, inv = np.unique(sdocs, return_inverse=True)
+                sums = np.zeros(uniq_d.size, dtype=np.int64)
+                np.add.at(sums, inv, simp)
+                top = np.lexsort((uniq_d, -sums))[: self.k]
+                for rank, i in enumerate(top, 1):
+                    out_q.append(qid)
+                    out_r.append(rank)
+                    out_d.append(int(uniq_d[i]))
+                    out_s.append(float(sums[i]))
+                continue
             packs = self._term_postings(uniq)
             per_i, per_d, per_t = [], [], []
             for tix, (imp, docs) in enumerate(packs):

@@ -373,3 +373,38 @@ def test_impact_index_crash_resume(index_dir, tmp_path_factory):
     assert not os.path.exists(out + ".tmp")
     meta = json.load(open(_meta_path(out)))
     assert meta["wmax"] == w1
+
+
+@pytest.mark.parametrize("budget", [0.3, 0.6])
+def test_saat_stored_budget_equals_kernel(
+    index_dir, queries, tmp_path_factory, budget
+):
+    # the two-phase prefix read (metadata plan + impact>=cut fetch) is
+    # bit-equal to the in-memory kernel at the same budget and scale
+    from defactonlp_ray.stages.impacts import (
+        build_impact_index, saat_stored_search,
+    )
+    from defactonlp_ray.stages.search import IndexReader, score_all_saat
+
+    out = str(tmp_path_factory.mktemp(f"impacts_pb{int(budget*10)}")) + "/idx"
+    wmax = build_impact_index(index_dir, out, concurrency=2)
+    res = saat_stored_search(
+        out, _qds(queries), k=K, budget_frac=budget, concurrency=2
+    ).take_all()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append(
+            (int(r["score"]), r["doc_id"])
+        )
+    reader = IndexReader(index_dir)
+    for qid, terms in queries:
+        uniq = sorted(set(terms))
+        dfs = reader.dfs(uniq)
+        idfs = {t: reader.idf(t) for t in uniq}
+        for sid in reader.seg_ids:
+            reader.load_postings(sid, [t for t in uniq if dfs[t] > 0])
+        want, _d, _t = score_all_saat(
+            reader, reader.seg_ids, uniq, idfs, K,
+            budget_frac=budget, wmax=wmax,
+        )
+        assert got.get(qid, []) == want, (qid, terms, budget)
