@@ -8442,6 +8442,105 @@ def q_bm25_pm2(sf_dir: str):
     return res
 
 
+_ALPHA_NDCG = 0.5
+
+
+def q_diversity_eval(sf_dir: str):
+    """Intent-aware diversity evaluation of the BM25 run (the metrics
+    the PM-2 entry exists to move): per query over the top-10 with
+    aspect = the doc's ``source``,
+
+    * ``s_recall`` — subtopic recall@10 (Zhai, Cohen & Lafferty, SIGIR
+      2003): distinct aspects retrieved / distinct aspects in the
+      corpus;
+    * ``alpha_ndcg`` — alpha-nDCG@10 (Clarke et al., SIGIR 2008;
+      alpha = 0.5): gain at rank r is (1-alpha)^(same-aspect docs
+      above r), discounted by log2(r+1), normalized by the PINNED
+      ideal of round-robin aspect rotation with unlimited docs per
+      aspect (ideal gain at rank r = (1-alpha)^floor((r-1)/A)) — the
+      deterministic ideal the cross-engine gate needs (the true
+      greedy ideal depends on per-aspect availability).
+
+    One bounded top-k + one is_in-filtered aspect attach; A comes from
+    a tiny distinct aggregate."""
+    topk = q_bm25_topk(sf_dir)
+    wanted = pa.array(sorted(set(topk["doc_id"].tolist())), pa.int64())
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=wanted))
+
+    src = (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    amap = {int(d): str(s) for d, s in zip(src["doc_id"], src["source"])}
+    n_aspects = int(
+        _docs(sf_dir, ["source"]).groupby("source").count().count()
+    )
+    out_q, out_s, out_a = [], [], []
+    a1 = 1.0 - _ALPHA_NDCG
+    for qid, g in topk.groupby("query_id"):
+        g = g.sort_values("rank")
+        seen: dict[str, int] = {}
+        dcg = 0.0
+        idcg = 0.0
+        aspects = set()
+        for r, d in zip(g["rank"], g["doc_id"]):
+            a = amap[int(d)]
+            prior = seen.get(a, 0)
+            seen[a] = prior + 1
+            aspects.add(a)
+            dcg += (a1 ** prior) / math.log2(r + 1)
+            idcg += (a1 ** ((r - 1) // n_aspects)) / math.log2(r + 1)
+        out_q.append(int(qid))
+        out_s.append(round(len(aspects) / n_aspects, 6))
+        out_a.append(round(dcg / idcg, 6) if idcg > 0 else 0.0)
+    return pd.DataFrame({
+        "query_id": out_q, "s_recall": out_s, "alpha_ndcg": out_a,
+    })
+
+
+def _sql_diversity_eval(k: int = 10) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    a1 = 1.0 - _ALPHA_NDCG
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "na AS (SELECT count(DISTINCT source) AS a FROM documents), "
+        "topk AS (SELECT query_id, doc_id, rank FROM ("
+        "SELECT query_id, doc_id, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) "
+        f"AS INTEGER) AS rank FROM scored) WHERE rank <= {k}), "
+        "tka AS (SELECT t.query_id, t.rank, d.source, "
+        "CAST(row_number() OVER (PARTITION BY t.query_id, d.source "
+        "ORDER BY t.rank) - 1 AS DOUBLE) AS prior "
+        "FROM topk t JOIN documents d ON d.doc_id = t.doc_id), "
+        "ev AS (SELECT tka.query_id, "
+        f"sum(power({a1}, prior) / log2(rank + 1)) AS dcg, "
+        f"sum(power({a1}, floor((rank - 1.0) / na.a)) / log2(rank + 1)) "
+        "AS idcg, count(DISTINCT source) AS n_src "
+        "FROM tka CROSS JOIN na GROUP BY 1) "
+        "SELECT ev.query_id, "
+        "round(ev.n_src::DOUBLE / na.a, 6) AS s_recall, "
+        "round(ev.dcg / ev.idcg, 6) AS alpha_ndcg "
+        "FROM ev CROSS JOIN na ORDER BY ev.query_id"
+    )
+
+
 # -------------------------------------- sort-by-field retrieval (dl)
 
 
@@ -18142,6 +18241,7 @@ QUERIES = {
     "span_near_topk": q_span_near_topk,
     "span_or_near_topk": q_span_or_near_topk,
     "bm25_pm2": q_bm25_pm2,
+    "diversity_eval": q_diversity_eval,
     "intervals_or_topk": q_intervals_or_topk,
     "bm25plus_topk": q_bm25plus_topk,
     "bm25_pruned_topk": q_bm25_pruned_topk,
@@ -18297,6 +18397,7 @@ ORACLES = {
     "query_clarity": _sql_query_clarity(),
     "query_wig_nqc": _sql_query_wig_nqc(),
     "query_preqpp": _sql_query_preqpp(),
+    "diversity_eval": _sql_diversity_eval(),
     "federated_redde": _sql_federated_redde(),
     "selective_search_topk": _sql_selective_search(),
     "federated_cori": _sql_federated_cori(),
