@@ -3948,6 +3948,48 @@ def _lmjm_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_LMJM_TOPK = _lmjm_sql(_BM25_QUERIES)
 
 
+def q_f2exp_topk(sf_dir: str):
+    """Axiomatic F2EXP ranking (Fang & Zhai, SIGIR 2005 — the
+    constraint-derived similarity; Lucene AxiomaticF2EXP; s = 0.5,
+    k = 0.35): (tf/(tf + s + s*dl/avgdl)) * (N/df)^k per present term.
+    The seventh scoring model served from one set of segments (BM25,
+    LMD, LMJM, DFR InL2, IB SPL, DFI, F2EXP — plus tf-idf and the
+    quantized SAAT route)."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="f2exp",
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _f2exp_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, terms in queries for t in terms)
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "scored AS (SELECT qd.query_id, tf.doc_id, "
+        "sum((tf.tf / (tf.tf + 0.5 + 0.5 * dl.dl / "
+        "(s.total::DOUBLE / s.n_docs))) * "
+        "power(s.n_docs::DOUBLE / df.df, 0.35)) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN df ON df.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+SQL_F2EXP_TOPK = _f2exp_sql(_BM25_QUERIES)
+
+
 # pinned synonym table for the registry entry: maps query terms to extra
 # group members — mixes present terms ("sort", "join", "dup") and an
 # absent one ("quick", df 0, must contribute nothing)
@@ -18502,6 +18544,7 @@ QUERIES = {
     "lmd_topk": q_lmd_topk,
     "ib_spl_topk": q_ib_spl_topk,
     "lmjm_topk": q_lmjm_topk,
+    "f2exp_topk": q_f2exp_topk,
     "saat_topk": q_saat_topk,
     "dfi_topk": q_dfi_topk,
     "synonym_topk": q_synonym_topk,
@@ -18758,6 +18801,7 @@ ORACLES = {
     "ib_spl_topk": SQL_IB_SPL_TOPK,
     "dfi_topk": SQL_DFI_TOPK,
     "lmjm_topk": SQL_LMJM_TOPK,
+    "f2exp_topk": SQL_F2EXP_TOPK,
     "saat_topk": SQL_SAAT_TOPK,
     "saat_stored_topk": SQL_SAAT_STORED_TOPK,
     "synonym_topk": SQL_SYNONYM_TOPK,

@@ -1263,13 +1263,16 @@ def score_all_simfam(
       Lafferty, SIGIR 2001; Lucene ``LMJelinekMercerSimilarity``),
       pinned lambda = 0.1 (the short-query setting):
           ln(1 + ((1 - lambda) * tf / dl) / (lambda * cf / T))
+    * ``model="f2exp"`` — axiomatic F2EXP (Fang & Zhai, SIGIR 2005;
+      Lucene ``AxiomaticF2EXP``; s = 0.5, k = 0.35):
+          (tf / (tf + s + s * dl / avgdl)) * (N / df)^k
 
     Contributions sum over unique query terms; only docs containing at
     least one query term are candidates, and (DFI) docs whose total is
     <= 0 are dropped — both mirrored in the SQL oracles as the join +
     HAVING clause.  Same fused dense-accumulator + round(score, 6)
     re-rank policy as :func:`score_all_taat`."""
-    if model not in ("dfr", "spl", "dfi", "lmjm"):
+    if model not in ("dfr", "spl", "dfi", "lmjm", "f2exp"):
         raise ValueError(f"unknown similarity family {model!r}")
     N = float(reader.n_docs)
     T = float(reader.total_len)
@@ -1301,6 +1304,10 @@ def score_all_simfam(
                 + ((1.0 - lam_jm) * tfs_f / dls_f)
                 / (lam_jm * cfs[t] / T)
             )
+        elif model == "f2exp":
+            contrib = (
+                tfs_f / (tfs_f + 0.5 + 0.5 * dls_f / avgdl)
+            ) * math.pow(N / dfs[t], 0.35)
         else:
             tfn = tfs_f * np.log(1.0 + avgdl / dls_f) / ln2
             if model == "dfr":
@@ -2035,7 +2042,7 @@ class SearcherActor:
         if self.mode == "lmd":
             return score_all_lmd(self.reader, seg_ids, uniq, self._cfs,
                                  self.k, after=after)
-        if self.mode in ("dfr", "spl", "dfi", "lmjm"):
+        if self.mode in ("dfr", "spl", "dfi", "lmjm", "f2exp"):
             return score_all_simfam(self.reader, seg_ids, uniq, self.mode,
                                     self._dfs, self._cfs, self.k)
         if self.mode == "saat":

@@ -133,6 +133,10 @@ def _reference(st: _Stats, terms, model, k):
                 c = math.log(
                     1.0 + ((1.0 - 0.1) * tf[t] / dl) / (0.1 * st.cf[t] / T)
                 )
+            elif model == "f2exp":
+                c = (
+                    tf[t] / (tf[t] + 0.5 + 0.5 * dl / st.avgdl)
+                ) * math.pow(N / df, 0.35)
             else:
                 tfn = tf[t] * math.log(1.0 + st.avgdl / dl) / _LN2
                 if model == "dfr":
@@ -153,7 +157,7 @@ def _reference(st: _Stats, terms, model, k):
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
 
-@pytest.mark.parametrize("model", ["dfr", "spl", "dfi", "lmjm"])
+@pytest.mark.parametrize("model", ["dfr", "spl", "dfi", "lmjm", "f2exp"])
 def test_simfam_matches_scalar_reference(index_dir, stats, queries, model):
     got = _group(
         S.search(index_dir, _qds(queries), k=K, mode=model).take_all()
