@@ -9033,6 +9033,158 @@ SQL_BM25_BO1_TOPK = (
 )
 
 
+def q_bm25_kld_topk(sf_dir: str):
+    """KLD pseudo-relevance expansion (Carpineto & Romano's
+    Kullback-Leibler term scoring — Terrier's KLCorrect model; the
+    third PRF next to RM3 and Bo1): feedback weight
+
+        fw(q, t) = p_x * log2(p_x / Pn)
+
+    with p_x = tfx / (total tokens of the query's top-10 docs) — the
+    elite-set language model — and Pn = cf/T the collection prior;
+    terms MORE probable in the elite set than the collection score
+    high.  Same bounded two-pass shape and 0.4-boost re-query as Bo1;
+    elite token totals ride the same merge (no extra pass)."""
+    from ..stages.search import boosted_search
+
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20,
+                 concurrency=2).to_pandas()
+    top1 = _rerank_rounded(res, k=_BO1_FB_DOCS)
+    wanted = pa.array(sorted(set(top1["doc_id"].tolist())), pa.int64())
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=wanted))
+
+    fb_docs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    tf_tbl, doc_len = term_count_table(
+        pa.array(fb_docs["text"]), pa.array(fb_docs["doc_id"], pa.int64())
+    )
+    dl_map = dict(zip(fb_docs["doc_id"], (int(x) for x in doc_len)))
+    tf_pd = tf_tbl.to_pandas()
+    merged = tf_pd.merge(top1[["query_id", "doc_id"]], on="doc_id")
+    tfx = merged.groupby(["query_id", "term"], as_index=False)["tf"].sum()
+    elite_tok = {
+        int(qid): sum(dl_map[int(d)] for d in g["doc_id"])
+        for qid, g in top1.groupby("query_id")
+    }
+    needed = pa.array(sorted(set(tfx["term"])), pa.string())
+
+    def cf_part(batch: pa.Table) -> pa.Table:
+        tf, dl = term_count_table(batch["text"], batch["doc_id"])
+        kept = tf.filter(pc.is_in(tf["term"], value_set=needed))
+        agg = pa.table({
+            "term": kept["term"],
+            "cf_p": pc.cast(kept["tf"], pa.int64()),
+        }).group_by("term").aggregate([("cf_p", "sum")])
+        agg = agg.rename_columns(["term", "cf_p"])
+        tot = pa.table({
+            "term": pa.array(["\x00total"], pa.string()),
+            "cf_p": pa.array([int(dl.sum())], pa.int64()),
+        })
+        return pa.concat_tables([agg, tot])
+
+    cfd = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(cf_part, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf_p", alias_name="cf"))
+        .to_pandas()
+    )
+    total = int(cfd.loc[cfd["term"] == "\x00total", "cf"].iloc[0])
+    cfmap = {
+        t: int(c) for t, c in zip(cfd["term"], cfd["cf"])
+        if t != "\x00total"
+    }
+    ln2 = math.log(2.0)
+    rows = []
+    for r in tfx.itertuples():
+        px = r.tf / elite_tok[int(r.query_id)]
+        pn = cfmap[r.term] / total
+        fwv = px * (math.log(px / pn) / ln2)
+        rows.append((r.query_id, r.term, round(fwv, 6)))
+    fw = pd.DataFrame(rows, columns=["query_id", "term", "fw"])
+    orig = {qid: set(ts) for qid, ts in _BM25_QUERIES}
+    fw = fw[~fw.apply(lambda r: r["term"] in orig[r["query_id"]], axis=1)]
+    fw = fw.sort_values(["query_id", "fw", "term"],
+                        ascending=[True, False, True])
+    exp_map = (
+        fw.groupby("query_id").head(_BO1_FB_TERMS)
+        .groupby("query_id")["term"].apply(list).to_dict()
+    )
+    qids, terms2, boosts2 = [], [], []
+    for qid, ts in _BM25_QUERIES:
+        e = exp_map.get(qid, [])
+        qids.append(qid)
+        terms2.append(list(ts) + e)
+        boosts2.append([1.0] * len(ts) + [_BO1_BOOST] * len(e))
+    q2 = ray.data.from_arrow(pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "terms": pa.array(terms2, pa.list_(pa.string())),
+        "boosts": pa.array(boosts2, pa.list_(pa.float64())),
+    }))
+    res2 = boosted_search(idx, q2, k=20, concurrency=2).to_pandas()
+    return _rerank_rounded(res2, k=10)
+
+
+SQL_BM25_KLD_TOPK = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "cfx AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+    + "), "
+    "scored1 AS (SELECT q.query_id, tf.doc_id, "
+    "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+    ") AS score FROM q JOIN tf ON q.term = tf.term "
+    "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+    "top1 AS (SELECT query_id, doc_id FROM ("
+    "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored1) "
+    f"WHERE rn <= {_BO1_FB_DOCS}), "
+    "etok AS (SELECT t1.query_id, sum(dl.dl) AS etok FROM top1 t1 "
+    "JOIN dl ON dl.doc_id = t1.doc_id GROUP BY 1), "
+    "tfx AS (SELECT t1.query_id, tf.term, sum(tf.tf) AS tfx "
+    "FROM top1 t1 JOIN tf ON tf.doc_id = t1.doc_id "
+    "GROUP BY t1.query_id, tf.term), "
+    "fw AS (SELECT tfx.query_id, tfx.term, "
+    "round((tfx.tfx / et.etok::DOUBLE) * "
+    "(ln((tfx.tfx / et.etok::DOUBLE) / (cfx.cf / st.total::DOUBLE)) "
+    "/ ln(2.0)), 6) AS fw "
+    "FROM tfx JOIN etok et ON et.query_id = tfx.query_id "
+    "JOIN cfx ON cfx.term = tfx.term CROSS JOIN stats st), "
+    "exp AS (SELECT query_id, term FROM ("
+    "SELECT f.query_id, f.term, row_number() OVER ("
+    "PARTITION BY f.query_id ORDER BY f.fw DESC, f.term) AS rn FROM fw f "
+    "WHERE NOT EXISTS (SELECT 1 FROM q WHERE q.query_id = f.query_id "
+    f"AND q.term = f.term)) WHERE rn <= {_BO1_FB_TERMS}), "
+    "q2(query_id, term, boost) AS ("
+    "SELECT query_id, term, 1.0 FROM q "
+    f"UNION ALL SELECT query_id, term, {_BO1_BOOST} FROM exp), "
+    "scored2 AS (SELECT q2.query_id, tf.doc_id, "
+    "sum(q2.boost * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * "
+    "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / "
+    "(s.total::DOUBLE / s.n_docs)))) AS score "
+    "FROM q2 JOIN tf ON q2.term = tf.term "
+    "JOIN df ON df.term = q2.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s GROUP BY q2.query_id, tf.doc_id) "
+    "SELECT query_id, rank, doc_id, score FROM ("
+    "SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored2) "
+    "WHERE rank <= 10"
+)
+
+
 _PRUNE_N = 24
 
 
@@ -18435,6 +18587,7 @@ QUERIES = {
     "bm25_pm2": q_bm25_pm2,
     "diversity_eval": q_diversity_eval,
     "bm25_bo1_topk": q_bm25_bo1_topk,
+    "bm25_kld_topk": q_bm25_kld_topk,
     "intervals_or_topk": q_intervals_or_topk,
     "bm25plus_topk": q_bm25plus_topk,
     "bm25_pruned_topk": q_bm25_pruned_topk,
@@ -18593,6 +18746,7 @@ ORACLES = {
     "query_preqpp": _sql_query_preqpp(),
     "diversity_eval": _sql_diversity_eval(),
     "bm25_bo1_topk": SQL_BM25_BO1_TOPK,
+    "bm25_kld_topk": SQL_BM25_KLD_TOPK,
     "federated_redde": _sql_federated_redde(),
     "selective_search_topk": _sql_selective_search(),
     "federated_cori": _sql_federated_cori(),
