@@ -299,6 +299,46 @@ def run_bench() -> dict:
     p95_ms = float(np.percentile(np.array(lat) * 1000.0, 95))
     timings["bm25_p95_ms"] = p95_ms
 
+    # stored impact layout + SAAT serving (round-4 continuation): build
+    # the impact index from the finished segments (two dictionary
+    # passes), then the same 500-query batch through the budgeted
+    # serving actors at budget 1.0 (exact quantized ranking) and 0.25
+    from defactonlp_ray.stages.impacts import (
+        build_impact_index, saat_stored_search,
+    )
+
+    imp_dir = index_dir + "_impacts"
+    t0 = time.perf_counter()
+    build_impact_index(index_dir, imp_dir, concurrency=num_cpus // 2 or 1)
+    timings["saat_build"] = time.perf_counter() - t0
+    saat_qs = ray.data.from_arrow(pa.table({
+        "query_id": pa.array(
+            [q for q, _ in queries[:500]], pa.int64()
+        ),
+        "terms": pa.array(
+            [t for _, t in queries[:500]], pa.list_(pa.string())
+        ),
+    }))
+    t0 = time.perf_counter()
+    saat_stored_search(
+        imp_dir, saat_qs, k=10, concurrency=num_cpus // 2 or 1
+    ).take_all()
+    timings["saat_batch_500q"] = time.perf_counter() - t0
+    saat_qs2 = ray.data.from_arrow(pa.table({
+        "query_id": pa.array(
+            [q for q, _ in queries[:500]], pa.int64()
+        ),
+        "terms": pa.array(
+            [t for _, t in queries[:500]], pa.list_(pa.string())
+        ),
+    }))
+    t0 = time.perf_counter()
+    saat_stored_search(
+        imp_dir, saat_qs2, k=10, budget_frac=0.25,
+        concurrency=num_cpus // 2 or 1,
+    ).take_all()
+    timings["saat_batch_500q_budget25"] = time.perf_counter() - t0
+
     # WAND vs TAAT on a selective (rare+head) query mix — the workload
     # block-max skipping exists for.  At this 50k-page corpus TAAT's
     # dense scatter is near-free so WAND sits within ~2x; at 1.4M docs
