@@ -7817,6 +7817,86 @@ def _rbo_sql(queries: list[tuple[int, list[str]]], k: int = 10,
 SQL_RANK_RBO = _rbo_sql(_BM25_QUERIES)
 
 
+def q_judgment_pool(sf_dir: str):
+    """TREC-style judgment pooling (Sparck Jones & van Rijsbergen's
+    pooling method — the assessment-budget primitive behind every TREC
+    collection): the depth-10 pool over THREE runs of the same queries
+    from the same index (BM25, LM-Dirichlet, DFR InL2), one row per
+    pooled (query, doc) with ``n_runs`` = how many runs retrieved it —
+    the overlap profile that tells an evaluator how much unique work
+    each system contributes to assessment cost."""
+    runs = [q_bm25_topk(sf_dir), q_lmd_topk(sf_dir), q_dfr_topk(sf_dir)]
+    pool: dict[tuple[int, int], int] = {}
+    for run in runs:
+        for qid, d in zip(run["query_id"], run["doc_id"]):
+            pool[(int(qid), int(d))] = pool.get((int(qid), int(d)), 0) + 1
+    rows = sorted((q, d, n) for (q, d), n in pool.items())
+    return pd.DataFrame(
+        rows, columns=["query_id", "doc_id", "n_runs"]
+    ).astype({"query_id": "int64", "doc_id": "int64", "n_runs": "int64"})
+
+
+def _sql_judgment_pool(k: int = 10) -> str:
+    """Union of the three ranked bodies' top-k (each re-derived
+    independently), counted per (query, doc)."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    rank_tail = (
+        "SELECT query_id, doc_id FROM (SELECT query_id, doc_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS rn FROM {body}) "
+        f"WHERE rn <= {k}"
+    )
+    bm25 = (
+        "(SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id)"
+    )
+    lmd = (
+        "(SELECT qd.query_id, tf.doc_id, "
+        "sum(ln(1 + tf.tf * s.total::DOUBLE / (2000.0 * cf.cf)) "
+        "+ ln(2000.0 / (dl.dl + 2000.0))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN cf ON cf.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id)"
+    )
+    tfn = ("(tf.tf * ln(1.0 + (s.total::DOUBLE / s.n_docs) / dl.dl) "
+           "/ ln(2.0))")
+    dfr = (
+        "(SELECT qd.query_id, tf.doc_id, "
+        f"sum(({tfn} / ({tfn} + 1.0)) * "
+        "(ln((s.n_docs + 1.0) / (df.df + 0.5)) / ln(2.0))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN df ON df.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id)"
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "pool AS ("
+        + rank_tail.format(body=bm25)
+        + " UNION ALL " + rank_tail.format(body=lmd)
+        + " UNION ALL " + rank_tail.format(body=dfr)
+        + ") "
+        "SELECT query_id, doc_id, count(*) AS n_runs FROM pool "
+        "GROUP BY 1, 2 ORDER BY query_id, doc_id"
+    )
+
+
+SQL_JUDGMENT_POOL = _sql_judgment_pool()
+
+
 # --------------------------------------- prefix autocomplete (suggester)
 
 _SUGGEST_PREFIXES: list[tuple[int, str]] = [
@@ -18646,6 +18726,7 @@ QUERIES = {
     "retrieval_err": q_retrieval_err,
     "retrieval_rbp": q_retrieval_rbp,
     "rank_rbo": q_rank_rbo,
+    "judgment_pool": q_judgment_pool,
     "events_date_range": q_events_date_range,
     "varwidth_histogram": q_varwidth_histogram,
     "bm25f_topk": q_bm25f_topk,
@@ -18944,6 +19025,7 @@ ORACLES = {
     "retrieval_err": SQL_RETRIEVAL_ERR,
     "retrieval_rbp": SQL_RETRIEVAL_RBP,
     "rank_rbo": SQL_RANK_RBO,
+    "judgment_pool": SQL_JUDGMENT_POOL,
     "events_date_range": SQL_EVENTS_DATE_RANGE,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
