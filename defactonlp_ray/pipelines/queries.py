@@ -7897,6 +7897,103 @@ def _sql_judgment_pool(k: int = 10) -> str:
 SQL_JUDGMENT_POOL = _sql_judgment_pool()
 
 
+def q_fusion_borda(sf_dir: str):
+    """Borda-count metasearch fusion (Aslam & Montague, SIGIR 2001 —
+    the voting-theory baseline next to RRF and min-max): each run
+    (BM25, LM-Dirichlet, DFR InL2; depth 10) awards a doc
+    ``k - rank + 1`` points, absent docs get 0; fused ranking by
+    (points DESC, doc_id), top-10 per query.  Integer scores — no
+    float policy anywhere."""
+    k = 10
+    runs = [q_bm25_topk(sf_dir), q_lmd_topk(sf_dir), q_dfr_topk(sf_dir)]
+    pts: dict[tuple[int, int], int] = {}
+    for run in runs:
+        for qid, d, r in zip(run["query_id"], run["doc_id"], run["rank"]):
+            key = (int(qid), int(d))
+            pts[key] = pts.get(key, 0) + (k - int(r) + 1)
+    rows = []
+    for qid in sorted({q for q, _ in pts}):
+        cand = sorted(
+            ((p, d) for (q, d), p in pts.items() if q == qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rank, (p, d) in enumerate(cand, 1):
+            rows.append((qid, rank, d, p))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "points"]
+    ).astype({
+        "query_id": "int64", "rank": "int64", "doc_id": "int64",
+        "points": "int64",
+    })
+
+
+def _sql_fusion_borda(k: int = 10) -> str:
+    """The judgment-pool CTE chain with ranks carried through, then the
+    Borda point sum."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    rank_tail = (
+        "SELECT query_id, doc_id, rn FROM (SELECT query_id, doc_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS rn FROM {body}) "
+        f"WHERE rn <= {k}"
+    )
+    bm25 = (
+        "(SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id)"
+    )
+    lmd = (
+        "(SELECT qd.query_id, tf.doc_id, "
+        "sum(ln(1 + tf.tf * s.total::DOUBLE / (2000.0 * cf.cf)) "
+        "+ ln(2000.0 / (dl.dl + 2000.0))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN cf ON cf.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id)"
+    )
+    tfn = ("(tf.tf * ln(1.0 + (s.total::DOUBLE / s.n_docs) / dl.dl) "
+           "/ ln(2.0))")
+    dfr = (
+        "(SELECT qd.query_id, tf.doc_id, "
+        f"sum(({tfn} / ({tfn} + 1.0)) * "
+        "(ln((s.n_docs + 1.0) / (df.df + 0.5)) / ln(2.0))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN df ON df.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id)"
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "pool AS ("
+        + rank_tail.format(body=bm25)
+        + " UNION ALL " + rank_tail.format(body=lmd)
+        + " UNION ALL " + rank_tail.format(body=dfr)
+        + "), "
+        f"pts AS (SELECT query_id, doc_id, "
+        f"CAST(sum({k} - rn + 1) AS BIGINT) AS points "
+        "FROM pool GROUP BY 1, 2) "
+        "SELECT query_id, rank, doc_id, points FROM ("
+        "SELECT query_id, doc_id, points, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "points DESC, doc_id) AS BIGINT) AS rank FROM pts) "
+        f"WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
+SQL_FUSION_BORDA = _sql_fusion_borda()
+
+
 # --------------------------------------- prefix autocomplete (suggester)
 
 _SUGGEST_PREFIXES: list[tuple[int, str]] = [
@@ -18727,6 +18824,7 @@ QUERIES = {
     "retrieval_rbp": q_retrieval_rbp,
     "rank_rbo": q_rank_rbo,
     "judgment_pool": q_judgment_pool,
+    "fusion_borda": q_fusion_borda,
     "events_date_range": q_events_date_range,
     "varwidth_histogram": q_varwidth_histogram,
     "bm25f_topk": q_bm25f_topk,
@@ -19026,6 +19124,7 @@ ORACLES = {
     "retrieval_rbp": SQL_RETRIEVAL_RBP,
     "rank_rbo": SQL_RANK_RBO,
     "judgment_pool": SQL_JUDGMENT_POOL,
+    "fusion_borda": SQL_FUSION_BORDA,
     "events_date_range": SQL_EVENTS_DATE_RANGE,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
