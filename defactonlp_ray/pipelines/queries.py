@@ -7994,6 +7994,144 @@ def _sql_fusion_borda(k: int = 10) -> str:
 SQL_FUSION_BORDA = _sql_fusion_borda()
 
 
+def q_fusion_condorcet(sf_dir: str):
+    """Condorcet-fuse (Montague & Aslam, CIKM 2002) in the pinned
+    Copeland form: over the 3-run depth-10 pool, candidate a BEATS b
+    when the majority of runs rank a above b (a doc absent from a run
+    ranks at k+1 — the pinned completion); the fused score is the
+    Copeland count of candidates beaten, ranked (wins DESC, doc_id),
+    top-10.  The pairwise-majority member of the fusion family —
+    unlike Borda it ignores rank MAGNITUDES entirely, so one run's
+    outlier placement cannot drag a doc down."""
+    k = 10
+    runs = [q_bm25_topk(sf_dir), q_lmd_topk(sf_dir), q_dfr_topk(sf_dir)]
+    rankmaps: list[dict[tuple[int, int], int]] = []
+    for run in runs:
+        rankmaps.append({
+            (int(q), int(d)): int(r)
+            for q, d, r in zip(run["query_id"], run["doc_id"], run["rank"])
+        })
+    cand: dict[int, set[int]] = {}
+    for rm in rankmaps:
+        for (q, d) in rm:
+            cand.setdefault(q, set()).add(d)
+    rows = []
+    for qid in sorted(cand):
+        docs = sorted(cand[qid])
+        wins = {d: 0 for d in docs}
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                votes_a = sum(
+                    1
+                    for rm in rankmaps
+                    if rm.get((qid, a), k + 1) < rm.get((qid, b), k + 1)
+                )
+                votes_b = sum(
+                    1
+                    for rm in rankmaps
+                    if rm.get((qid, b), k + 1) < rm.get((qid, a), k + 1)
+                )
+                if votes_a > votes_b:
+                    wins[a] += 1
+                elif votes_b > votes_a:
+                    wins[b] += 1
+        ranked = sorted(docs, key=lambda d: (-wins[d], d))[:k]
+        for rank, d in enumerate(ranked, 1):
+            rows.append((qid, rank, d, wins[d]))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "wins"]
+    ).astype({
+        "query_id": "int64", "rank": "int64", "doc_id": "int64",
+        "wins": "int64",
+    })
+
+
+def _sql_fusion_condorcet(k: int = 10) -> str:
+    """Pool with per-run ranks (absent -> k+1 via full outer completion
+    over the pool), pairwise majority, Copeland count."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    rank_tail = (
+        "SELECT query_id, doc_id, rn FROM (SELECT query_id, doc_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS rn FROM {body}) "
+        f"WHERE rn <= {k}"
+    )
+    bm25 = (
+        "(SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id)"
+    )
+    lmd = (
+        "(SELECT qd.query_id, tf.doc_id, "
+        "sum(ln(1 + tf.tf * s.total::DOUBLE / (2000.0 * cf.cf)) "
+        "+ ln(2000.0 / (dl.dl + 2000.0))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN cf ON cf.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id)"
+    )
+    tfn = ("(tf.tf * ln(1.0 + (s.total::DOUBLE / s.n_docs) / dl.dl) "
+           "/ ln(2.0))")
+    dfr = (
+        "(SELECT qd.query_id, tf.doc_id, "
+        f"sum(({tfn} / ({tfn} + 1.0)) * "
+        "(ln((s.n_docs + 1.0) / (df.df + 0.5)) / ln(2.0))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN df ON df.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id)"
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "r1 AS (" + rank_tail.format(body=bm25) + "), "
+        "r2 AS (" + rank_tail.format(body=lmd) + "), "
+        "r3 AS (" + rank_tail.format(body=dfr) + "), "
+        "pool AS (SELECT DISTINCT query_id, doc_id FROM ("
+        "SELECT query_id, doc_id FROM r1 UNION ALL "
+        "SELECT query_id, doc_id FROM r2 UNION ALL "
+        "SELECT query_id, doc_id FROM r3)), "
+        # per-pool-candidate per-run rank, absent -> k+1
+        "pr AS (SELECT p.query_id, p.doc_id, "
+        f"coalesce(r1.rn, {k + 1}) AS k1, "
+        f"coalesce(r2.rn, {k + 1}) AS k2, "
+        f"coalesce(r3.rn, {k + 1}) AS k3 "
+        "FROM pool p "
+        "LEFT JOIN r1 ON r1.query_id = p.query_id AND r1.doc_id = p.doc_id "
+        "LEFT JOIN r2 ON r2.query_id = p.query_id AND r2.doc_id = p.doc_id "
+        "LEFT JOIN r3 ON r3.query_id = p.query_id AND r3.doc_id = p.doc_id), "
+        "duel AS (SELECT a.query_id, a.doc_id, "
+        "CAST(sum(CASE WHEN "
+        "(CASE WHEN a.k1 < b.k1 THEN 1 ELSE 0 END + "
+        "CASE WHEN a.k2 < b.k2 THEN 1 ELSE 0 END + "
+        "CASE WHEN a.k3 < b.k3 THEN 1 ELSE 0 END) > "
+        "(CASE WHEN b.k1 < a.k1 THEN 1 ELSE 0 END + "
+        "CASE WHEN b.k2 < a.k2 THEN 1 ELSE 0 END + "
+        "CASE WHEN b.k3 < a.k3 THEN 1 ELSE 0 END) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS wins "
+        "FROM pr a JOIN pr b ON b.query_id = a.query_id "
+        "AND b.doc_id <> a.doc_id GROUP BY 1, 2) "
+        "SELECT query_id, rank, doc_id, wins FROM ("
+        "SELECT query_id, doc_id, wins, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "wins DESC, doc_id) AS BIGINT) AS rank FROM duel) "
+        f"WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
+SQL_FUSION_CONDORCET = _sql_fusion_condorcet()
+
+
 # --------------------------------------- prefix autocomplete (suggester)
 
 _SUGGEST_PREFIXES: list[tuple[int, str]] = [
@@ -18825,6 +18963,7 @@ QUERIES = {
     "rank_rbo": q_rank_rbo,
     "judgment_pool": q_judgment_pool,
     "fusion_borda": q_fusion_borda,
+    "fusion_condorcet": q_fusion_condorcet,
     "events_date_range": q_events_date_range,
     "varwidth_histogram": q_varwidth_histogram,
     "bm25f_topk": q_bm25f_topk,
@@ -19125,6 +19264,7 @@ ORACLES = {
     "rank_rbo": SQL_RANK_RBO,
     "judgment_pool": SQL_JUDGMENT_POOL,
     "fusion_borda": SQL_FUSION_BORDA,
+    "fusion_condorcet": SQL_FUSION_CONDORCET,
     "events_date_range": SQL_EVENTS_DATE_RANGE,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
