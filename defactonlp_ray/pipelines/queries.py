@@ -8132,6 +8132,143 @@ def _sql_fusion_condorcet(k: int = 10) -> str:
 SQL_FUSION_CONDORCET = _sql_fusion_condorcet()
 
 
+def q_run_sign_test(sf_dir: str):
+    """Exact paired sign test between two systems (the classic IR
+    significance test — van Rijsbergen ch.7): per query, nDCG@10 of
+    the BM25 run vs the LM-Dirichlet run under the shared binary
+    relevance; ties drop, and the two-sided exact binomial p-value is
+    2 * sum_{i<=min(pos,neg)} C(n,i) / 2^n (capped at 1).  Output: one
+    row with the win/loss/tie counts and the p-value — the
+    deterministic go/no-go statistic before shipping a similarity
+    swap.  Both metric vectors reuse the bounded rel∩top10 machinery;
+    everything past the two top-k runs is exact integer/binomial
+    arithmetic on 8 rows."""
+    k = 10
+
+    def _ndcg_of(topk: pd.DataFrame) -> dict[int, float]:
+        hit_set, n_rel = _rel_hits(sf_dir, topk)
+        out = {}
+        for qid, _terms in _BM25_QUERIES:
+            g = topk[topk["query_id"] == qid]
+            rel_mask = np.array(
+                [(qid, d) in hit_set for d in g["doc_id"]], dtype=bool
+            )
+            dcg = float(
+                np.sum(1.0 / np.log2(g["rank"].to_numpy()[rel_mask] + 1.0))
+            )
+            nr = min(n_rel.get(qid, 0), k)
+            idcg = float(np.sum(1.0 / np.log2(np.arange(1, nr + 1) + 1.0)))
+            out[qid] = round(dcg / idcg, 6) if idcg > 0 else 0.0
+        return out
+
+    a = _ndcg_of(q_bm25_topk(sf_dir))
+    b = _ndcg_of(q_lmd_topk(sf_dir))
+    pos = sum(1 for q in a if a[q] > b[q])
+    neg = sum(1 for q in a if a[q] < b[q])
+    ties = len(a) - pos - neg
+    n = pos + neg
+    if n == 0:
+        p = 1.0
+    else:
+        m = min(pos, neg)
+        tail = sum(math.comb(n, i) for i in range(m + 1))
+        p = min(1.0, 2.0 * tail / (2 ** n))
+    return pd.DataFrame({
+        "wins_bm25": [pos], "wins_lmd": [neg], "ties": [ties],
+        "p_value": [round(p, 6)],
+    }).astype({
+        "wins_bm25": "int64", "wins_lmd": "int64", "ties": "int64",
+        "p_value": "float64",
+    })
+
+
+def _sql_run_sign_test(k: int = 10) -> str:
+    """Both runs' nDCG re-derived (the _ndcg_sql machinery with the
+    BM25 body and the LMD body), sign counts, and the exact binomial
+    tail via a factorial-free Pascal recurrence over n <= 8 (a
+    recursive CTE on C(n, i))."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    def ndcg_block(tag: str, body: str) -> str:
+        return (
+            f"top{tag} AS (SELECT query_id, doc_id, rank FROM ("
+            "SELECT query_id, doc_id, CAST(row_number() OVER ("
+            "PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) "
+            f"AS INTEGER) AS rank FROM {body}) WHERE rank <= {k}), "
+            f"dcg{tag} AS (SELECT t.query_id, "
+            "COALESCE(sum(CASE WHEN r.doc_id IS NOT NULL "
+            f"THEN 1.0 / log2(t.rank + 1) END), 0) AS dcg FROM top{tag} t "
+            "LEFT JOIN rel r ON r.query_id = t.query_id "
+            "AND r.doc_id = t.doc_id GROUP BY t.query_id), "
+            f"nd{tag} AS (SELECT qq.query_id, "
+            f"round(COALESCE(d.dcg / i.idcg, 0), 6) AS nd "
+            "FROM (SELECT DISTINCT query_id FROM q) qq "
+            f"LEFT JOIN dcg{tag} d ON d.query_id = qq.query_id "
+            "LEFT JOIN idcg i ON i.query_id = qq.query_id)"
+        )
+    bm25_body = "sca"
+    lmd_body = "scb"
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "qt AS (SELECT query_id, count(DISTINCT term) AS nt FROM q "
+        "GROUP BY query_id), "
+        "relc AS (SELECT q.query_id, tf.doc_id, "
+        "count(DISTINCT tf.term) AS c FROM q JOIN tf ON tf.term = q.term "
+        "GROUP BY q.query_id, tf.doc_id), "
+        "rel AS (SELECT relc.query_id, relc.doc_id FROM relc "
+        "JOIN qt ON qt.query_id = relc.query_id AND relc.c = qt.nt), "
+        "nrel AS (SELECT query_id, count(*) AS n FROM rel GROUP BY 1), "
+        f"idcg AS (SELECT nrel.query_id, sum(1.0 / log2(g.x + 1)) AS idcg "
+        f"FROM nrel JOIN range(1, {k} + 1) g(x) "
+        f"ON g.x <= least(nrel.n, {k}) GROUP BY nrel.query_id), "
+        "sca AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "scb AS (SELECT qd.query_id, tf.doc_id, "
+        "sum(ln(1 + tf.tf * s.total::DOUBLE / (2000.0 * cf.cf)) "
+        "+ ln(2000.0 / (dl.dl + 2000.0))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN cf ON cf.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id), "
+        + ndcg_block("a", bm25_body) + ", "
+        + ndcg_block("b", lmd_body) + ", "
+        "signs AS (SELECT "
+        "CAST(sum(CASE WHEN na.nd > nb.nd THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS pos, "
+        "CAST(sum(CASE WHEN na.nd < nb.nd THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS neg, "
+        "CAST(sum(CASE WHEN na.nd = nb.nd THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS ties FROM nda na JOIN ndb nb ON nb.query_id = na.query_id), "
+        "binom AS (WITH RECURSIVE c(n, i, v) AS ("
+        "SELECT 0, 0, CAST(1 AS BIGINT) UNION ALL "
+        "SELECT CASE WHEN i < n THEN n ELSE n + 1 END, "
+        "CASE WHEN i < n THEN i + 1 ELSE 0 END, "
+        "CASE WHEN i < n THEN "
+        "CAST(v * (n - i) / (i + 1) AS BIGINT) ELSE CAST(1 AS BIGINT) END "
+        "FROM c WHERE n < 9) SELECT n, i, v FROM c) "
+        "SELECT s.pos AS wins_bm25, s.neg AS wins_lmd, s.ties, "
+        "round(CASE WHEN s.pos + s.neg = 0 THEN 1.0 ELSE "
+        "least(1.0, 2.0 * (SELECT sum(v) FROM binom WHERE "
+        "n = s.pos + s.neg AND i <= least(s.pos, s.neg))::DOUBLE "
+        "/ power(2.0, s.pos + s.neg)) END, 6) AS p_value FROM signs s"
+    )
+
+
+SQL_RUN_SIGN_TEST = _sql_run_sign_test()
+
+
 # --------------------------------------- prefix autocomplete (suggester)
 
 _SUGGEST_PREFIXES: list[tuple[int, str]] = [
@@ -18964,6 +19101,7 @@ QUERIES = {
     "judgment_pool": q_judgment_pool,
     "fusion_borda": q_fusion_borda,
     "fusion_condorcet": q_fusion_condorcet,
+    "run_sign_test": q_run_sign_test,
     "events_date_range": q_events_date_range,
     "varwidth_histogram": q_varwidth_histogram,
     "bm25f_topk": q_bm25f_topk,
@@ -19265,6 +19403,7 @@ ORACLES = {
     "judgment_pool": SQL_JUDGMENT_POOL,
     "fusion_borda": SQL_FUSION_BORDA,
     "fusion_condorcet": SQL_FUSION_CONDORCET,
+    "run_sign_test": SQL_RUN_SIGN_TEST,
     "events_date_range": SQL_EVENTS_DATE_RANGE,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
