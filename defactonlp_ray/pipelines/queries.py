@@ -3705,6 +3705,34 @@ def q_dfi_topk(sf_dir: str):
     return _rerank_rounded(res, k=10)
 
 
+def q_pl2_topk(sf_dir: str):
+    """DFR PL2 ranking (Amati & van Rijsbergen, TOIS 2002 — Terrier's
+    PL2, c = 1): Poisson basic model, Laplace after-effect, H2 length
+    normalization.  Per present term with mean rate lambda = cf/N and
+    tfn = tf*log2(1+avgdl/dl), contribution
+    (1/(tfn+1)) * (tfn*log2(tfn/lambda) + (lambda + 1/(12*tfn) -
+    tfn)*log2(e) + 0.5*log2(2*pi*tfn)) — the second classic DFR model
+    beside InL2, served from the SAME segments via the simfam
+    kernel."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="pl2",
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def q_dph_topk(sf_dir: str):
+    """DPH ranking (Amati's hypergeometric divergence — Terrier's DPH,
+    the PARAMETER-FREE DFR model: no c, no k1, nothing to tune): with
+    f = tf/dl and norm = (1-f)^2/(tf+1), contribution
+    norm * (tf*log2((tf*avgdl/dl)*(N/cf)) + 0.5*log2(2*pi*tf*(1-f))).
+    Pinned pole rule: a tf >= dl posting (single-term document, f = 1)
+    contributes exactly 0.0 — the CASE guard in the oracle."""
+    idx = _build_docs_index(sf_dir)
+    res = search(idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="dph",
+                 concurrency=2).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
 def _simfam_sql(queries: list[tuple[int, list[str]]], model: str,
                 k: int = 10) -> str:
     """Shared oracle scaffold for the dfr/spl/dfi similarity family.
@@ -3727,6 +3755,25 @@ def _simfam_sql(queries: list[tuple[int, list[str]]], model: str,
         body = (f"-ln((power({lam}, {tfn} / ({tfn} + 1.0)) - {lam}) "
                 f"/ (1.0 - {lam})) / ln(2.0)")
         having = ""
+    elif model == "pl2":
+        lam = "(cf.cf::DOUBLE / s.n_docs)"
+        body = (f"(1.0 / ({tfn} + 1.0)) * "
+                f"({tfn} * ln({tfn} / {lam}) / ln(2.0) "
+                f"+ ({lam} + 1.0 / (12.0 * {tfn}) - {tfn}) / ln(2.0) "
+                f"+ 0.5 * ln(2.0 * pi() * {tfn}) / ln(2.0))")
+        having = ""
+    elif model == "dph":
+        frac = "(tf.tf::DOUBLE / dl.dl)"
+        av = "(s.t_total::DOUBLE / s.n_docs)"
+        body = (
+            "CASE WHEN tf.tf < dl.dl THEN "
+            f"((1.0 - {frac}) * (1.0 - {frac}) / (tf.tf + 1.0)) * "
+            f"(tf.tf * ln((tf.tf * {av} / dl.dl) * "
+            "(s.n_docs::DOUBLE / cf.cf)) / ln(2.0) "
+            f"+ 0.5 * ln(2.0 * pi() * tf.tf * (1.0 - {frac})) / ln(2.0)) "
+            "ELSE 0.0 END"
+        )
+        having = ""
     else:  # dfi
         e = "(cf.cf * dl.dl::DOUBLE / s.t_total)"
         body = (f"CASE WHEN tf.tf > {e} THEN "
@@ -3736,7 +3783,7 @@ def _simfam_sql(queries: list[tuple[int, list[str]]], model: str,
     joins = ("FROM qd JOIN tf ON qd.term = tf.term "
              "JOIN df ON df.term = qd.term "
              "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s")
-    if model == "dfi":
+    if model in ("dfi", "pl2", "dph"):
         joins += " JOIN cf ON cf.term = qd.term"
     return (
         f"WITH toks AS ({_TOKS_SQL}), "
@@ -3762,6 +3809,8 @@ def _simfam_sql(queries: list[tuple[int, list[str]]], model: str,
 SQL_DFR_TOPK = _simfam_sql(_BM25_QUERIES, "dfr")
 SQL_IB_SPL_TOPK = _simfam_sql(_BM25_QUERIES, "spl")
 SQL_DFI_TOPK = _simfam_sql(_BM25_QUERIES, "dfi")
+SQL_PL2_TOPK = _simfam_sql(_BM25_QUERIES, "pl2")
+SQL_DPH_TOPK = _simfam_sql(_BM25_QUERIES, "dph")
 
 
 def q_saat_topk(sf_dir: str):
@@ -19154,6 +19203,8 @@ QUERIES = {
     "ib_spl_topk": q_ib_spl_topk,
     "lmjm_topk": q_lmjm_topk,
     "f2exp_topk": q_f2exp_topk,
+    "pl2_topk": q_pl2_topk,
+    "dph_topk": q_dph_topk,
     "saat_topk": q_saat_topk,
     "dfi_topk": q_dfi_topk,
     "synonym_topk": q_synonym_topk,
@@ -19416,6 +19467,8 @@ ORACLES = {
     "dfi_topk": SQL_DFI_TOPK,
     "lmjm_topk": SQL_LMJM_TOPK,
     "f2exp_topk": SQL_F2EXP_TOPK,
+    "pl2_topk": SQL_PL2_TOPK,
+    "dph_topk": SQL_DPH_TOPK,
     "saat_topk": SQL_SAAT_TOPK,
     "saat_stored_topk": SQL_SAAT_STORED_TOPK,
     "synonym_topk": SQL_SYNONYM_TOPK,

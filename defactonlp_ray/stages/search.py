@@ -1266,13 +1266,27 @@ def score_all_simfam(
     * ``model="f2exp"`` — axiomatic F2EXP (Fang & Zhai, SIGIR 2005;
       Lucene ``AxiomaticF2EXP``; s = 0.5, k = 0.35):
           (tf / (tf + s + s * dl / avgdl)) * (N / df)^k
+    * ``model="pl2"`` — DFR PL2 (Amati & van Rijsbergen, TOIS 2002;
+      Terrier ``PL2``, c = 1), Poisson model with Laplace after-effect
+      and H2 normalization; mean rate lambda = cf / N:
+          (1/(tfn+1)) * (tfn*log2(tfn/lambda)
+                         + (lambda + 1/(12*tfn) - tfn)*log2(e)
+                         + 0.5*log2(2*pi*tfn))
+    * ``model="dph"`` — DPH hypergeometric (Amati's parameter-free
+      DFR; Terrier ``DPH``), f = tf/dl, norm = (1-f)^2/(tf+1):
+          norm * (tf*log2((tf*avgdl/dl) * (N/cf))
+                  + 0.5*log2(2*pi*tf*(1-f)))
+      with the PINNED pole rule: a posting with tf >= dl (a document
+      that is nothing but the term — f = 1 makes the log term -inf
+      while norm is 0) contributes exactly 0.0, mirrored as the CASE
+      guard in the SQL oracle.
 
     Contributions sum over unique query terms; only docs containing at
     least one query term are candidates, and (DFI) docs whose total is
     <= 0 are dropped — both mirrored in the SQL oracles as the join +
     HAVING clause.  Same fused dense-accumulator + round(score, 6)
     re-rank policy as :func:`score_all_taat`."""
-    if model not in ("dfr", "spl", "dfi", "lmjm", "f2exp"):
+    if model not in ("dfr", "spl", "dfi", "lmjm", "f2exp", "pl2", "dph"):
         raise ValueError(f"unknown similarity family {model!r}")
     N = float(reader.n_docs)
     T = float(reader.total_len)
@@ -1308,6 +1322,26 @@ def score_all_simfam(
             contrib = (
                 tfs_f / (tfs_f + 0.5 + 0.5 * dls_f / avgdl)
             ) * math.pow(N / dfs[t], 0.35)
+        elif model == "pl2":
+            lam_pl2 = cfs[t] / N
+            tfn = tfs_f * np.log(1.0 + avgdl / dls_f) / ln2
+            contrib = (1.0 / (tfn + 1.0)) * (
+                tfn * np.log(tfn / lam_pl2) / ln2
+                + (lam_pl2 + 1.0 / (12.0 * tfn) - tfn) / ln2
+                + 0.5 * np.log(2.0 * math.pi * tfn) / ln2
+            )
+        elif model == "dph":
+            frac = tfs_f / dls_f
+            norm = (1.0 - frac) * (1.0 - frac) / (tfs_f + 1.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                gain = norm * (
+                    tfs_f
+                    * np.log((tfs_f * avgdl / dls_f) * (N / cfs[t]))
+                    / ln2
+                    + 0.5 * np.log(2.0 * math.pi * tfs_f * (1.0 - frac))
+                    / ln2
+                )
+            contrib = np.where(tfs_f < dls_f, gain, 0.0)
         else:
             tfn = tfs_f * np.log(1.0 + avgdl / dls_f) / ln2
             if model == "dfr":
@@ -2042,7 +2076,8 @@ class SearcherActor:
         if self.mode == "lmd":
             return score_all_lmd(self.reader, seg_ids, uniq, self._cfs,
                                  self.k, after=after)
-        if self.mode in ("dfr", "spl", "dfi", "lmjm", "f2exp"):
+        if self.mode in ("dfr", "spl", "dfi", "lmjm", "f2exp", "pl2",
+                         "dph"):
             return score_all_simfam(self.reader, seg_ids, uniq, self.mode,
                                     self._dfs, self._cfs, self.k)
         if self.mode == "saat":
@@ -2137,7 +2172,8 @@ class SearcherActor:
         self._dfs = dfs
         self._cfs = (
             self.reader.cfs(all_terms)
-            if self.mode in ("lmd", "dfi", "lmjm") else {}
+            if self.mode in ("lmd", "dfi", "lmjm", "pl2", "dph")
+            else {}
         )
         present = [t for t in all_terms if dfs[t] > 0]
         for sid in self.seg_ids:
@@ -2642,7 +2678,8 @@ def search_fanout(
             self._dfs = dfs
             self._cfs = (
                 self.reader.cfs(all_terms)
-                if self.mode in ("lmd", "dfi", "lmjm") else {}
+                if self.mode in ("lmd", "dfi", "lmjm", "pl2", "dph")
+                else {}
             )
             out_q, out_d, out_s = [], [], []
             for qid, terms, sid in zip(

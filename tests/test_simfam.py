@@ -137,6 +137,29 @@ def _reference(st: _Stats, terms, model, k):
                 c = (
                     tf[t] / (tf[t] + 0.5 + 0.5 * dl / st.avgdl)
                 ) * math.pow(N / df, 0.35)
+            elif model == "pl2":
+                lam = st.cf[t] / N
+                tfn = tf[t] * math.log(1.0 + st.avgdl / dl) / _LN2
+                c = (1.0 / (tfn + 1.0)) * (
+                    tfn * math.log(tfn / lam) / _LN2
+                    + (lam + 1.0 / (12.0 * tfn) - tfn) / _LN2
+                    + 0.5 * math.log(2.0 * math.pi * tfn) / _LN2
+                )
+            elif model == "dph":
+                if tf[t] >= dl:
+                    c = 0.0
+                else:
+                    f = tf[t] / dl
+                    c = ((1.0 - f) * (1.0 - f) / (tf[t] + 1.0)) * (
+                        tf[t]
+                        * math.log(
+                            (tf[t] * st.avgdl / dl) * (N / st.cf[t])
+                        )
+                        / _LN2
+                        + 0.5
+                        * math.log(2.0 * math.pi * tf[t] * (1.0 - f))
+                        / _LN2
+                    )
             else:
                 tfn = tf[t] * math.log(1.0 + st.avgdl / dl) / _LN2
                 if model == "dfr":
@@ -157,7 +180,9 @@ def _reference(st: _Stats, terms, model, k):
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
 
-@pytest.mark.parametrize("model", ["dfr", "spl", "dfi", "lmjm", "f2exp"])
+@pytest.mark.parametrize(
+    "model", ["dfr", "spl", "dfi", "lmjm", "f2exp", "pl2", "dph"]
+)
 def test_simfam_matches_scalar_reference(index_dir, stats, queries, model):
     got = _group(
         S.search(index_dir, _qds(queries), k=K, mode=model).take_all()
