@@ -8181,6 +8181,141 @@ def _sql_fusion_condorcet(k: int = 10) -> str:
 SQL_FUSION_CONDORCET = _sql_fusion_condorcet()
 
 
+def q_fusion_combmnz(sf_dir: str):
+    """CombMNZ metasearch fusion (Fox & Shaw, TREC-2 1994 — the
+    score-based classic beside the rank-only Borda/Condorcet members):
+    each run's top-10 scores min-max normalize PER QUERY over that
+    run's own retrieved window ((s - min) / (max - min); a zero-span
+    window contributes 0.0), and a doc's fused score is
+    ``n_runs_containing * (bm25_n + lmd_n + dfr_n)`` in that pinned
+    run order, absent sides contributing 0.0 — the MNZ multiplier is
+    what separates it from CombSUM.  Fusion operates on the PUBLISHED
+    run scores (the round(score, 6) values the run entries return), so
+    both engines fuse bit-identical inputs.  Top-10 per query by
+    (round(fused, 6) DESC, doc_id)."""
+    k = 10
+    runs = [q_bm25_topk(sf_dir), q_lmd_topk(sf_dir), q_dfr_topk(sf_dir)]
+    acc: dict[tuple[int, int], list] = {}
+    for ri, run in enumerate(runs):
+        for qid, g in run.groupby("query_id"):
+            s = g["score"].to_numpy(np.float64)
+            mn = float(s.min())
+            span = float(s.max()) - mn
+            for d, sc in zip(g["doc_id"].to_numpy(), s):
+                slot = acc.setdefault(
+                    (int(qid), int(d)), [0.0, 0.0, 0.0, 0]
+                )
+                slot[ri] = 0.0 if span == 0.0 else (float(sc) - mn) / span
+                slot[3] += 1
+    rows = []
+    for qid in sorted({q for q, _ in acc}):
+        cand = []
+        for (q, d), (nb, nl, nd, nz) in acc.items():
+            if q != qid:
+                continue
+            fused = float(np.round(nz * (nb + nl + nd), 6))
+            cand.append((-fused, d, fused, nz))
+        cand.sort()
+        for rank, (_negf, d, fused, nz) in enumerate(cand[:k], 1):
+            rows.append((qid, rank, d, fused, nz))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "score", "n_runs"]
+    ).astype({
+        "query_id": "int64", "rank": "int64", "doc_id": "int64",
+        "score": "float64", "n_runs": "int64",
+    })
+
+
+def _sql_fusion_combmnz(k: int = 10) -> str:
+    """The three ranked bodies re-derived independently, each window
+    min-max normalized per query over its ROUNDED published scores,
+    outer-merged in pinned run order with the MNZ multiplier."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    run_tail = (
+        "SELECT query_id, doc_id, round(score, 6) AS s FROM ("
+        "SELECT query_id, doc_id, score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id"
+        ") AS rn FROM {body}) "
+        f"WHERE rn <= {k}"
+    )
+    norm_tail = (
+        "SELECT query_id, doc_id, CASE WHEN mx = mn THEN 0.0 "
+        "ELSE (s - mn) / (mx - mn) END AS n FROM ("
+        "SELECT query_id, doc_id, s, "
+        "min(s) OVER (PARTITION BY query_id) AS mn, "
+        "max(s) OVER (PARTITION BY query_id) AS mx FROM {run})"
+    )
+    bm25 = (
+        "(SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id)"
+    )
+    lmd = (
+        "(SELECT qd.query_id, tf.doc_id, "
+        "sum(ln(1 + tf.tf * s.total::DOUBLE / (2000.0 * cf.cf)) "
+        "+ ln(2000.0 / (dl.dl + 2000.0))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN cf ON cf.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id)"
+    )
+    tfn = ("(tf.tf * ln(1.0 + (s.total::DOUBLE / s.n_docs) / dl.dl) "
+           "/ ln(2.0))")
+    dfr = (
+        "(SELECT qd.query_id, tf.doc_id, "
+        f"sum(({tfn} / ({tfn} + 1.0)) * "
+        "(ln((s.n_docs + 1.0) / (df.df + 0.5)) / ln(2.0))) AS score "
+        "FROM qd JOIN tf ON qd.term = tf.term "
+        "JOIN df ON df.term = qd.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY qd.query_id, tf.doc_id)"
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "rb AS (" + run_tail.format(body=bm25) + "), "
+        "rl AS (" + run_tail.format(body=lmd) + "), "
+        "rd AS (" + run_tail.format(body=dfr) + "), "
+        "nb AS (" + norm_tail.format(run="rb") + "), "
+        "nl AS (" + norm_tail.format(run="rl") + "), "
+        "nd AS (" + norm_tail.format(run="rd") + "), "
+        "alld AS (SELECT query_id, doc_id FROM rb UNION "
+        "SELECT query_id, doc_id FROM rl UNION "
+        "SELECT query_id, doc_id FROM rd), "
+        "fused AS (SELECT a.query_id, a.doc_id, "
+        "CAST((CASE WHEN b.n IS NULL THEN 0 ELSE 1 END) "
+        "+ (CASE WHEN l.n IS NULL THEN 0 ELSE 1 END) "
+        "+ (CASE WHEN d.n IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_runs, "
+        "round(((CASE WHEN b.n IS NULL THEN 0 ELSE 1 END) "
+        "+ (CASE WHEN l.n IS NULL THEN 0 ELSE 1 END) "
+        "+ (CASE WHEN d.n IS NULL THEN 0 ELSE 1 END)) "
+        "* (COALESCE(b.n, 0.0) + COALESCE(l.n, 0.0) + COALESCE(d.n, 0.0)), 6"
+        ") AS score "
+        "FROM alld a "
+        "LEFT JOIN nb b ON b.query_id = a.query_id AND b.doc_id = a.doc_id "
+        "LEFT JOIN nl l ON l.query_id = a.query_id AND l.doc_id = a.doc_id "
+        "LEFT JOIN nd d ON d.query_id = a.query_id AND d.doc_id = a.doc_id) "
+        "SELECT query_id, rank, doc_id, score, n_runs FROM ("
+        "SELECT query_id, doc_id, score, n_runs, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "score DESC, doc_id) AS BIGINT) AS rank FROM fused) "
+        f"WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
+SQL_FUSION_COMBMNZ = _sql_fusion_combmnz()
+
+
 def q_run_sign_test(sf_dir: str):
     """Exact paired sign test between two systems (the classic IR
     significance test — van Rijsbergen ch.7): per query, nDCG@10 of
@@ -19150,6 +19285,7 @@ QUERIES = {
     "judgment_pool": q_judgment_pool,
     "fusion_borda": q_fusion_borda,
     "fusion_condorcet": q_fusion_condorcet,
+    "fusion_combmnz": q_fusion_combmnz,
     "run_sign_test": q_run_sign_test,
     "events_date_range": q_events_date_range,
     "varwidth_histogram": q_varwidth_histogram,
@@ -19454,6 +19590,7 @@ ORACLES = {
     "judgment_pool": SQL_JUDGMENT_POOL,
     "fusion_borda": SQL_FUSION_BORDA,
     "fusion_condorcet": SQL_FUSION_CONDORCET,
+    "fusion_combmnz": SQL_FUSION_COMBMNZ,
     "run_sign_test": SQL_RUN_SIGN_TEST,
     "events_date_range": SQL_EVENTS_DATE_RANGE,
     "bm25f_topk": SQL_BM25F_TOPK,
