@@ -7681,6 +7681,67 @@ def _ndcg_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_RETRIEVAL_NDCG = _ndcg_sql(_BM25_QUERIES)
 
 
+def q_retrieval_bpref(sf_dir: str):
+    """bpref eval (Buckley & Voorhees, SIGIR 2004 — the judgment-robust
+    metric trec_eval reports as ``bpref``): with R = relevant count, N
+    = nonrelevant count (here every corpus doc is judged, so N =
+    n_docs - R), for each relevant doc retrieved in the top-10 the
+    penalty is the number of NONrelevant docs ranked above it —
+    ``bpref = (1/R) * sum_r (1 - min(nonrel_above_r, R) / min(R, N))``,
+    0.0 when R = 0.  nonrel_above at rank i is ``i - relidx`` where
+    relidx is the doc's 1-based index among retrieved relevant docs.
+    Shares the streamed relevance machinery with nDCG/MAP/MRR
+    (_rel_hits); only rel∩top10 plus two counts reach the driver."""
+    topk = q_bm25_topk(sf_dir)
+    hit_set, n_rel = _rel_hits(sf_dir, topk)
+    n_docs = int(_docs(sf_dir, ["doc_id"]).count())
+
+    out_q, out_b = [], []
+    for qid, _terms in _BM25_QUERIES:
+        g = topk[topk["query_id"] == qid]
+        rel_mask = np.array(
+            [(qid, d) in hit_set for d in g["doc_id"]], dtype=bool
+        )
+        ranks = np.sort(g["rank"].to_numpy()[rel_mask]).astype(np.int64)
+        R = n_rel.get(qid, 0)
+        N = n_docs - R
+        if R == 0 or ranks.size == 0:
+            out_q.append(qid)
+            out_b.append(0.0)
+            continue
+        relidx = np.arange(1, ranks.size + 1)
+        nonrel_above = ranks - relidx
+        contrib = 1.0 - np.minimum(nonrel_above, R) / min(R, N)
+        out_q.append(qid)
+        out_b.append(round(float(np.sum(contrib)) / R, 6))
+    return pd.DataFrame({"query_id": out_q, "bpref": out_b})
+
+
+def _bpref_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    return (
+        _ranked_eval_prefix_sql(queries, k) + ", "
+        "hits AS (SELECT t.query_id, t.rank, "
+        "CAST(row_number() OVER (PARTITION BY t.query_id "
+        "ORDER BY t.rank) AS BIGINT) AS relidx FROM topk t "
+        "JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id), "
+        "nrel AS (SELECT query_id, count(*) AS n FROM rel GROUP BY 1), "
+        "bp AS (SELECT h.query_id, sum(1.0 - "
+        "least(h.rank - h.relidx, nrel.n)::DOUBLE / "
+        "least(nrel.n, (SELECT n_docs FROM stats) - nrel.n)) AS s "
+        "FROM hits h JOIN nrel ON nrel.query_id = h.query_id "
+        "GROUP BY h.query_id) "
+        "SELECT qq.query_id, "
+        "round(COALESCE(b.s / n.n, 0), 6) AS bpref "
+        "FROM (SELECT DISTINCT query_id FROM q) qq "
+        "LEFT JOIN bp b ON b.query_id = qq.query_id "
+        "LEFT JOIN nrel n ON n.query_id = qq.query_id "
+        "ORDER BY qq.query_id"
+    )
+
+
+SQL_RETRIEVAL_BPREF = _bpref_sql(_BM25_QUERIES)
+
+
 def q_retrieval_err(sf_dir: str):
     """Expected reciprocal rank (Chapelle, Metlzer, Zhang & Grinspan,
     CIKM 2009 — the cascade-model metric in ES ``rank_eval``): with the
@@ -19058,6 +19119,7 @@ QUERIES = {
     "tpch_q9": q_tpch_q9,
     "tpch_q22": q_tpch_q22,
     "retrieval_map": q_retrieval_map,
+    "retrieval_bpref": q_retrieval_bpref,
     "hybrid_minmax": q_hybrid_minmax,
     "geohash_grid": q_geohash_grid,
     "events_moving_percentile": q_events_moving_percentile,
@@ -19363,6 +19425,7 @@ ORACLES = {
     "tpch_q9": SQL_TPCH_Q9,
     "tpch_q22": _sql_tpch_q22(),
     "retrieval_map": _map_sql(_BM25_QUERIES),
+    "retrieval_bpref": SQL_RETRIEVAL_BPREF,
     "hybrid_minmax": _sql_hybrid_minmax(),
     "geohash_grid": _sql_geohash_grid(),
     "events_moving_percentile": SQL_EVENTS_MOVING_PCTL,
