@@ -7742,6 +7742,28 @@ def _bpref_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_RETRIEVAL_BPREF = _bpref_sql(_BM25_QUERIES)
 
 
+def q_retrieval_gmap(sf_dir: str):
+    """GMAP — geometric-mean average precision (the TREC Robust track's
+    headline metric; trec_eval ``gm_map``): ``exp(mean(ln(max(ap,
+    1e-5))))`` over the per-query APs, the floor pinning the
+    zero-relevant queries the arithmetic MAP hides.  Operates on the
+    PUBLISHED per-query AP values (the round(ap, 6) outputs of
+    retrieval_map), mirrored in the oracle by wrapping the same MAP
+    body.  One summary row: (gmap, n_queries)."""
+    aps = q_retrieval_map(sf_dir)["ap"].to_numpy(np.float64)
+    g = math.exp(
+        sum(math.log(max(float(a), 1e-5)) for a in aps) / aps.size
+    )
+    return pd.DataFrame({
+        "gmap": [round(g, 6)],
+        "n_queries": np.array([aps.size], dtype=np.int64),
+    })
+
+
+# SQL_RETRIEVAL_GMAP is defined beside _map_sql (later in the file) —
+# it wraps the MAP oracle body, which doesn't exist yet at this point.
+
+
 def q_retrieval_err(sf_dir: str):
     """Expected reciprocal rank (Chapelle, Metlzer, Zhang & Grinspan,
     CIKM 2009 — the cascade-model metric in ES ``rank_eval``): with the
@@ -17251,6 +17273,14 @@ def _map_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
     )
 
 
+SQL_RETRIEVAL_GMAP = (
+    "SELECT round(exp(avg(ln(greatest(ap, 0.00001)))), 6) AS gmap, "
+    "count(*) AS n_queries FROM ("
+    + _map_sql(_BM25_QUERIES)
+    + ")"
+)
+
+
 _HYB_WINDOW = 30   # per-retriever candidate window
 _HYB_ALPHA = 0.5   # lexical weight (exact binary float)
 
@@ -19120,6 +19150,7 @@ QUERIES = {
     "tpch_q22": q_tpch_q22,
     "retrieval_map": q_retrieval_map,
     "retrieval_bpref": q_retrieval_bpref,
+    "retrieval_gmap": q_retrieval_gmap,
     "hybrid_minmax": q_hybrid_minmax,
     "geohash_grid": q_geohash_grid,
     "events_moving_percentile": q_events_moving_percentile,
@@ -19426,6 +19457,7 @@ ORACLES = {
     "tpch_q22": _sql_tpch_q22(),
     "retrieval_map": _map_sql(_BM25_QUERIES),
     "retrieval_bpref": SQL_RETRIEVAL_BPREF,
+    "retrieval_gmap": SQL_RETRIEVAL_GMAP,
     "hybrid_minmax": _sql_hybrid_minmax(),
     "geohash_grid": _sql_geohash_grid(),
     "events_moving_percentile": SQL_EVENTS_MOVING_PCTL,
