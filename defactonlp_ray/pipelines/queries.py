@@ -8399,18 +8399,10 @@ def _sql_fusion_combmnz(k: int = 10) -> str:
 SQL_FUSION_COMBMNZ = _sql_fusion_combmnz()
 
 
-def q_run_sign_test(sf_dir: str):
-    """Exact paired sign test between two systems (the classic IR
-    significance test — van Rijsbergen ch.7): per query, nDCG@10 of
-    the BM25 run vs the LM-Dirichlet run under the shared binary
-    relevance; ties drop, and the two-sided exact binomial p-value is
-    2 * sum_{i<=min(pos,neg)} C(n,i) / 2^n (capped at 1).  Output: one
-    row with the win/loss/tie counts and the p-value — the
-    deterministic go/no-go statistic before shipping a similarity
-    swap.  Both metric vectors reuse the bounded rel∩top10 machinery;
-    everything past the two top-k runs is exact integer/binomial
-    arithmetic on 8 rows."""
-    k = 10
+def _paired_ndcg(sf_dir: str, k: int = 10):
+    """Per-query nDCG@k of the BM25 run and the LM-Dirichlet run under
+    the shared binary relevance — the paired metric vectors both the
+    sign test and the randomization test consume."""
 
     def _ndcg_of(topk: pd.DataFrame) -> dict[int, float]:
         hit_set, n_rel = _rel_hits(sf_dir, topk)
@@ -8428,8 +8420,21 @@ def q_run_sign_test(sf_dir: str):
             out[qid] = round(dcg / idcg, 6) if idcg > 0 else 0.0
         return out
 
-    a = _ndcg_of(q_bm25_topk(sf_dir))
-    b = _ndcg_of(q_lmd_topk(sf_dir))
+    return _ndcg_of(q_bm25_topk(sf_dir)), _ndcg_of(q_lmd_topk(sf_dir))
+
+
+def q_run_sign_test(sf_dir: str):
+    """Exact paired sign test between two systems (the classic IR
+    significance test — van Rijsbergen ch.7): per query, nDCG@10 of
+    the BM25 run vs the LM-Dirichlet run under the shared binary
+    relevance; ties drop, and the two-sided exact binomial p-value is
+    2 * sum_{i<=min(pos,neg)} C(n,i) / 2^n (capped at 1).  Output: one
+    row with the win/loss/tie counts and the p-value — the
+    deterministic go/no-go statistic before shipping a similarity
+    swap.  Both metric vectors reuse the bounded rel∩top10 machinery;
+    everything past the two top-k runs is exact integer/binomial
+    arithmetic on 8 rows."""
+    a, b = _paired_ndcg(sf_dir)
     pos = sum(1 for q in a if a[q] > b[q])
     neg = sum(1 for q in a if a[q] < b[q])
     ties = len(a) - pos - neg
@@ -8534,6 +8539,76 @@ def _sql_run_sign_test(k: int = 10) -> str:
 
 
 SQL_RUN_SIGN_TEST = _sql_run_sign_test()
+
+
+def q_run_randomization_test(sf_dir: str):
+    """Exact Fisher randomization (permutation) test between the same
+    two systems as the sign test (Smucker, Allan & Carterette, CIKM
+    2007 — the test they recommend over sign/Wilcoxon for IR): under
+    the null, each query's paired nDCG@10 delta is symmetric around 0,
+    so ALL 2^n sign assignments are enumerated (n = 8 queries -> 256,
+    exhaustive — no sampling, no RNG) and the two-sided p-value is the
+    fraction whose |sum of signed deltas| >= |observed|.  Deltas are
+    EXACT INTEGERS in micro-nDCG units (the published values are
+    round(x, 6), so scaling by 1e6 is lossless) — every subset sum
+    compares exactly, immune to float association order on both
+    engines.  Output: (n_queries, t_obs in micro-units, n_ge,
+    p_value)."""
+    a, b = _paired_ndcg(sf_dir)
+    qids = sorted(a)
+    di = np.array(
+        [
+            int(round(a[q] * 1e6)) - int(round(b[q] * 1e6))
+            for q in qids
+        ],
+        dtype=np.int64,
+    )
+    n = di.size
+    t_obs = abs(int(di.sum()))
+    masks = np.arange(1 << n, dtype=np.int64)
+    signs = np.where(
+        (masks[:, None] >> np.arange(n)) & 1 == 1, -1, 1
+    ).astype(np.int64)
+    sums = signs @ di
+    n_ge = int(np.count_nonzero(np.abs(sums) >= t_obs))
+    return pd.DataFrame({
+        "n_queries": [n], "t_obs": [t_obs], "n_ge": [n_ge],
+        "p_value": [round(n_ge / (1 << n), 6)],
+    }).astype({
+        "n_queries": "int64", "t_obs": "int64", "n_ge": "int64",
+        "p_value": "float64",
+    })
+
+
+def _sql_run_randomization_test(k: int = 10) -> str:
+    """The sign-test scaffold's paired nDCG vectors, scaled to exact
+    micro-unit integers, then an exhaustive 2^n sign-assignment sweep
+    via range() x bit tests."""
+    base = _sql_run_sign_test(k)
+    # reuse everything up to (and including) the ndb CTE; replace the
+    # signs/binom tail with the permutation sweep
+    prefix = base[: base.index(", signs AS")]
+    nq = len(_BM25_QUERIES)
+    return (
+        prefix + ", "
+        "dvec AS (SELECT CAST(round(na.nd * 1000000) AS BIGINT) "
+        "- CAST(round(nb.nd * 1000000) AS BIGINT) AS di, "
+        "CAST(row_number() OVER (ORDER BY na.query_id) - 1 AS BIGINT) "
+        "AS ix FROM nda na JOIN ndb nb ON nb.query_id = na.query_id), "
+        "tobs AS (SELECT CAST(abs(sum(di)) AS BIGINT) AS t, "
+        "count(*) AS n FROM dvec), "
+        f"perms AS (SELECT g.m, sum(CASE WHEN ((g.m >> d.ix) & 1) = 1 "
+        f"THEN -d.di ELSE d.di END) AS s "
+        f"FROM range(0, {1 << nq}) g(m) CROSS JOIN dvec d GROUP BY g.m) "
+        "SELECT (SELECT n FROM tobs) AS n_queries, "
+        "(SELECT t FROM tobs) AS t_obs, "
+        "CAST(count(*) AS BIGINT) AS n_ge, "
+        f"round(count(*)::DOUBLE / {1 << nq}, 6) AS p_value "
+        "FROM perms WHERE abs(s) >= (SELECT t FROM tobs)"
+    )
+
+
+SQL_RUN_RANDOMIZATION_TEST = _sql_run_randomization_test()
 
 
 # --------------------------------------- prefix autocomplete (suggester)
@@ -19380,6 +19455,7 @@ QUERIES = {
     "fusion_condorcet": q_fusion_condorcet,
     "fusion_combmnz": q_fusion_combmnz,
     "run_sign_test": q_run_sign_test,
+    "run_randomization_test": q_run_randomization_test,
     "events_date_range": q_events_date_range,
     "varwidth_histogram": q_varwidth_histogram,
     "bm25f_topk": q_bm25f_topk,
@@ -19687,6 +19763,7 @@ ORACLES = {
     "fusion_condorcet": SQL_FUSION_CONDORCET,
     "fusion_combmnz": SQL_FUSION_COMBMNZ,
     "run_sign_test": SQL_RUN_SIGN_TEST,
+    "run_randomization_test": SQL_RUN_RANDOMIZATION_TEST,
     "events_date_range": SQL_EVENTS_DATE_RANGE,
     "bm25f_topk": SQL_BM25F_TOPK,
     "bm25_facets": SQL_BM25_FACETS,
