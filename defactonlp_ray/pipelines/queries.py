@@ -13639,6 +13639,86 @@ SQL_MULTI_TERMS_AGG = (
 )
 
 
+_ADJ_FILTERS: list[tuple[str, str]] = [
+    ("a_data", "data"),
+    ("b_query", "query"),
+    ("c_merge", "merge"),
+    ("d_stream", "stream"),
+]
+
+
+def q_adjacency_matrix(sf_dir: str):
+    """Elasticsearch ``adjacency_matrix`` aggregation: given named
+    filters (here term-presence filters over the pinned tokenizer),
+    one bucket per filter plus one per pairwise intersection keyed
+    ``nameA&nameB`` (ES's separator; names are prefixed so lexical
+    order equals filter order), empty buckets omitted.  Shape: each
+    batch reduces to at most F + F*(F-1)/2 partial-count rows (F = 4)
+    via vectorized membership on the per-batch tf table, then ONE
+    groupby(key) Sum — the exchange moves bucket partials, never
+    docs, so the matrix scales by filter count alone."""
+    name_of = dict((t, n) for n, t in _ADJ_FILTERS)
+
+    def part(batch: pa.Table) -> pa.Table:
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        tdf = tf.to_pandas()
+        sub = tdf[tdf["term"].isin(name_of)]
+        per: list[np.ndarray] = []
+        for _n, t in _ADJ_FILTERS:
+            per.append(
+                np.unique(
+                    sub.loc[sub["term"] == t, "doc_id"].to_numpy(np.int64)
+                )
+            )
+        keys, ns = [], []
+        for i, (ni, _t) in enumerate(_ADJ_FILTERS):
+            if per[i].size:
+                keys.append(ni)
+                ns.append(per[i].size)
+            for j in range(i + 1, len(_ADJ_FILTERS)):
+                c = np.intersect1d(
+                    per[i], per[j], assume_unique=True
+                ).size
+                if c:
+                    keys.append(f"{ni}&{_ADJ_FILTERS[j][0]}")
+                    ns.append(c)
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "n_p": pa.array(ns, pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n_p", alias_name="doc_count"))
+        .sort("key")
+    )
+
+
+def _sql_adjacency_matrix() -> str:
+    fvals = ", ".join(f"('{n}', '{t}')" for n, t in _ADJ_FILTERS)
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "p AS (SELECT DISTINCT doc_id, term FROM toks WHERE term IN ("
+        + ", ".join(f"'{t}'" for _n, t in _ADJ_FILTERS)
+        + ")), "
+        f"f(name, term) AS (VALUES {fvals}), "
+        "m AS (SELECT f.name, p.doc_id FROM f JOIN p ON p.term = f.term), "
+        "singles AS (SELECT name AS key, count(*) AS doc_count "
+        "FROM m GROUP BY 1), "
+        "pairs AS (SELECT a.name || '&' || b.name AS key, "
+        "count(*) AS doc_count FROM m a "
+        "JOIN m b ON b.doc_id = a.doc_id AND a.name < b.name GROUP BY 1) "
+        "SELECT key, doc_count FROM ("
+        "SELECT * FROM singles UNION ALL SELECT * FROM pairs) "
+        "WHERE doc_count > 0 ORDER BY key"
+    )
+
+
+SQL_ADJACENCY_MATRIX = _sql_adjacency_matrix()
+
+
 def q_weighted_avg_value(sf_dir: str):
     """Elasticsearch ``weighted_avg`` aggregation: per event_type, the
     mean of ``value`` weighted by a per-event weight (the deterministic
@@ -19294,6 +19374,7 @@ QUERIES = {
     "string_stats_text": q_string_stats_text,
     "mad_chars": q_mad_chars,
     "multi_terms_agg": q_multi_terms_agg,
+    "adjacency_matrix": q_adjacency_matrix,
     "weighted_avg_value": q_weighted_avg_value,
     "bucket_selector_days": q_bucket_selector_days,
     "range_agg_chars": q_range_agg_chars,
@@ -19596,6 +19677,7 @@ ORACLES = {
     "string_stats_text": SQL_STRING_STATS_TEXT,
     "mad_chars": SQL_MAD_CHARS,
     "multi_terms_agg": SQL_MULTI_TERMS_AGG,
+    "adjacency_matrix": SQL_ADJACENCY_MATRIX,
     "weighted_avg_value": SQL_WEIGHTED_AVG_VALUE,
     "bucket_selector_days": SQL_BUCKET_SELECTOR_DAYS,
     "range_agg_chars": SQL_RANGE_AGG_CHARS,
