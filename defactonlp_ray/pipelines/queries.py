@@ -13639,84 +13639,124 @@ SQL_MULTI_TERMS_AGG = (
 )
 
 
-_ADJ_FILTERS: list[tuple[str, str]] = [
-    ("a_data", "data"),
-    ("b_query", "query"),
-    ("c_merge", "merge"),
-    ("d_stream", "stream"),
-]
+_FIS_ITEMS = ["data", "hash", "merge", "query", "sort", "stream"]
+_FIS_MIN_SUPPORT = 0.05   # fraction of docs; count threshold = ceil(s*N)
 
 
-def q_adjacency_matrix(sf_dir: str):
-    """Elasticsearch ``adjacency_matrix`` aggregation: given named
-    filters (here term-presence filters over the pinned tokenizer),
-    one bucket per filter plus one per pairwise intersection keyed
-    ``nameA&nameB`` (ES's separator; names are prefixed so lexical
-    order equals filter order), empty buckets omitted.  Shape: each
-    batch reduces to at most F + F*(F-1)/2 partial-count rows (F = 4)
-    via vectorized membership on the per-batch tf table, then ONE
-    groupby(key) Sum — the exchange moves bucket partials, never
-    docs, so the matrix scales by filter count alone."""
-    name_of = dict((t, n) for n, t in _ADJ_FILTERS)
+def q_frequent_item_sets(sf_dir: str):
+    """Elasticsearch ``frequent_item_sets`` aggregation (the Apriori
+    family): itemsets of size 2-3 over a pinned 6-term item vocabulary
+    (presence under the pinned tokenizer), kept when their doc count
+    clears ``ceil(min_support * N)`` and CLOSED within the candidate
+    universe (ES returns only closed sets — a set is dropped when a
+    strict superset has the SAME support).  Output: (items =
+    comma-joined sorted terms, set_size, doc_count, support), ordered
+    by (doc_count DESC, items).
+
+    Shape: the candidate universe is fixed (C(6,2)+C(6,3) = 35 sets),
+    so each batch reduces to <= 35 partial-count rows via a vectorized
+    presence matrix; one groupby(items) Sum; threshold + closedness run
+    on the <= 35-row driver table.  At web scale the item vocabulary is
+    what you pin (the ES agg does the same via ``fields``), so the
+    exchange stays bounded by |candidates|, never by docs."""
+    from itertools import combinations
+
+    items = _FIS_ITEMS
+    cands = [
+        c for r in (2, 3) for c in combinations(range(len(items)), r)
+    ]
+    item_set = set(items)
 
     def part(batch: pa.Table) -> pa.Table:
         tf, _ = term_count_table(batch["text"], batch["doc_id"])
         tdf = tf.to_pandas()
-        sub = tdf[tdf["term"].isin(name_of)]
-        per: list[np.ndarray] = []
-        for _n, t in _ADJ_FILTERS:
-            per.append(
-                np.unique(
-                    sub.loc[sub["term"] == t, "doc_id"].to_numpy(np.int64)
-                )
+        sub = tdf[tdf["term"].isin(item_set)]
+        docs = np.unique(sub["doc_id"].to_numpy(np.int64))
+        pres = np.zeros((docs.size, len(items)), dtype=bool)
+        for i, t in enumerate(items):
+            d = np.unique(
+                sub.loc[sub["term"] == t, "doc_id"].to_numpy(np.int64)
             )
+            pres[np.searchsorted(docs, d), i] = True
         keys, ns = [], []
-        for i, (ni, _t) in enumerate(_ADJ_FILTERS):
-            if per[i].size:
-                keys.append(ni)
-                ns.append(per[i].size)
-            for j in range(i + 1, len(_ADJ_FILTERS)):
-                c = np.intersect1d(
-                    per[i], per[j], assume_unique=True
-                ).size
-                if c:
-                    keys.append(f"{ni}&{_ADJ_FILTERS[j][0]}")
-                    ns.append(c)
+        for c in cands:
+            m = pres[:, c[0]]
+            for ix in c[1:]:
+                m = m & pres[:, ix]
+            cnt = int(np.count_nonzero(m))
+            if cnt:
+                keys.append(",".join(items[i] for i in c))
+                ns.append(cnt)
         return pa.table({
-            "key": pa.array(keys, pa.string()),
+            "items": pa.array(keys, pa.string()),
             "n_p": pa.array(ns, pa.int64()),
         })
 
-    return (
+    counts = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(part, batch_format="pyarrow")
-        .groupby("key")
+        .groupby("items")
         .aggregate(Sum("n_p", alias_name="doc_count"))
-        .sort("key")
+        .to_pandas()
     )
+    n_docs = int(_docs(sf_dir, ["doc_id"]).count())
+    thresh = math.ceil(_FIS_MIN_SUPPORT * n_docs)
+    counts = counts[counts["doc_count"] >= thresh]
+    by_set = {
+        frozenset(r["items"].split(",")): int(r["doc_count"])
+        for _, r in counts.iterrows()
+    }
+    rows = []
+    for s, c in by_set.items():
+        closed = not any(
+            s < s2 and c2 == c for s2, c2 in by_set.items()
+        )
+        if closed:
+            rows.append((
+                ",".join(sorted(s)), len(s), c, round(c / n_docs, 6)
+            ))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return pd.DataFrame(
+        rows, columns=["items", "set_size", "doc_count", "support"]
+    ).astype({
+        "set_size": "int64", "doc_count": "int64", "support": "float64",
+    })
 
 
-def _sql_adjacency_matrix() -> str:
-    fvals = ", ".join(f"('{n}', '{t}')" for n, t in _ADJ_FILTERS)
+def _sql_frequent_item_sets() -> str:
+    inlist = ", ".join(f"'{t}'" for t in _FIS_ITEMS)
+    s = _FIS_MIN_SUPPORT
     return (
         f"WITH toks AS ({_TOKS_SQL}), "
-        "p AS (SELECT DISTINCT doc_id, term FROM toks WHERE term IN ("
-        + ", ".join(f"'{t}'" for _n, t in _ADJ_FILTERS)
-        + ")), "
-        f"f(name, term) AS (VALUES {fvals}), "
-        "m AS (SELECT f.name, p.doc_id FROM f JOIN p ON p.term = f.term), "
-        "singles AS (SELECT name AS key, count(*) AS doc_count "
-        "FROM m GROUP BY 1), "
-        "pairs AS (SELECT a.name || '&' || b.name AS key, "
-        "count(*) AS doc_count FROM m a "
-        "JOIN m b ON b.doc_id = a.doc_id AND a.name < b.name GROUP BY 1) "
-        "SELECT key, doc_count FROM ("
-        "SELECT * FROM singles UNION ALL SELECT * FROM pairs) "
-        "WHERE doc_count > 0 ORDER BY key"
+        "p AS (SELECT DISTINCT doc_id, term FROM toks "
+        f"WHERE term IN ({inlist})), "
+        "nn AS (SELECT count(*) AS n FROM documents), "
+        "p2 AS (SELECT a.term AS t1, b.term AS t2, count(*) AS c "
+        "FROM p a JOIN p b ON b.doc_id = a.doc_id AND a.term < b.term "
+        "GROUP BY 1, 2), "
+        "p3 AS (SELECT a.term AS t1, b.term AS t2, c3.term AS t3, "
+        "count(*) AS c FROM p a "
+        "JOIN p b ON b.doc_id = a.doc_id AND a.term < b.term "
+        "JOIN p c3 ON c3.doc_id = a.doc_id AND b.term < c3.term "
+        "GROUP BY 1, 2, 3), "
+        "k2 AS (SELECT t1 || ',' || t2 AS items, "
+        "CAST(2 AS BIGINT) AS set_size, c AS doc_count, "
+        "round(c::DOUBLE / nn.n, 6) AS support FROM p2 CROSS JOIN nn "
+        f"WHERE c >= ceil({s} * nn.n) AND NOT EXISTS ("
+        "SELECT 1 FROM p3 WHERE p3.c = p2.c "
+        "AND p2.t1 IN (p3.t1, p3.t2, p3.t3) "
+        "AND p2.t2 IN (p3.t1, p3.t2, p3.t3))), "
+        "k3 AS (SELECT t1 || ',' || t2 || ',' || t3 AS items, "
+        "CAST(3 AS BIGINT) AS set_size, c AS doc_count, "
+        "round(c::DOUBLE / nn.n, 6) AS support FROM p3 CROSS JOIN nn "
+        f"WHERE c >= ceil({s} * nn.n)) "
+        "SELECT items, set_size, doc_count, support FROM ("
+        "SELECT * FROM k2 UNION ALL SELECT * FROM k3) "
+        "ORDER BY doc_count DESC, items"
     )
 
 
-SQL_ADJACENCY_MATRIX = _sql_adjacency_matrix()
+SQL_FREQUENT_ITEM_SETS = _sql_frequent_item_sets()
 
 
 def q_weighted_avg_value(sf_dir: str):
@@ -19374,7 +19414,7 @@ QUERIES = {
     "string_stats_text": q_string_stats_text,
     "mad_chars": q_mad_chars,
     "multi_terms_agg": q_multi_terms_agg,
-    "adjacency_matrix": q_adjacency_matrix,
+    "frequent_item_sets": q_frequent_item_sets,
     "weighted_avg_value": q_weighted_avg_value,
     "bucket_selector_days": q_bucket_selector_days,
     "range_agg_chars": q_range_agg_chars,
@@ -19677,7 +19717,7 @@ ORACLES = {
     "string_stats_text": SQL_STRING_STATS_TEXT,
     "mad_chars": SQL_MAD_CHARS,
     "multi_terms_agg": SQL_MULTI_TERMS_AGG,
-    "adjacency_matrix": SQL_ADJACENCY_MATRIX,
+    "frequent_item_sets": SQL_FREQUENT_ITEM_SETS,
     "weighted_avg_value": SQL_WEIGHTED_AVG_VALUE,
     "bucket_selector_days": SQL_BUCKET_SELECTOR_DAYS,
     "range_agg_chars": SQL_RANGE_AGG_CHARS,
