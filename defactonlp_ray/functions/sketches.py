@@ -282,3 +282,23 @@ def cms_term_counts(ds, terms: list[str], *, text_col: str = "text",
     return pd.DataFrame(
         {"term": terms, "est_count": ests.astype(np.int64)}
     ).sort_values("term").reset_index(drop=True)
+
+
+def mg_reduce(
+    terms: "np.ndarray", counts: "np.ndarray", k: int
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Misra-Gries summary reduction (Misra & Gries 1982; the
+    SpaceSaving/mergeable-summaries form of Agarwal et al., TODS
+    2013): collapse exact (term, count) pairs to at most ``k``
+    counters by subtracting the (k+1)-th largest count from every
+    counter and dropping the non-positive ones — the closed form of
+    the classic decrement loop.  Guarantee: every term with true
+    count > N/(k+1) survives, and surviving counters UNDERESTIMATE by
+    at most N/(k+1); summing per-partition summaries and reducing
+    again preserves the bound (mergeability), which is what makes the
+    two-pass exact heavy-hitters pipeline shuffle only sketch rows."""
+    if counts.size <= k:
+        return terms, counts
+    d = np.partition(counts, counts.size - k - 1)[counts.size - k - 1]
+    keep = counts > d
+    return terms[keep], counts[keep] - d

@@ -5581,6 +5581,98 @@ def q_cms_heavy_terms(sf_dir: str):
     return cms_term_counts(_docs(sf_dir, ["text"]), _CMS_TERMS)
 
 
+_MG_K = 30   # counters per summary; vocab is 31 at test SFs, so the
+             # sketch genuinely prunes while 25 terms clear N/(k+1)
+
+
+def q_mg_heavy_terms(sf_dir: str):
+    """TWO-PASS EXACT heavy hitters via mergeable Misra-Gries
+    summaries (Misra & Gries 1982; Agarwal et al., TODS 2013) — the
+    deterministic counter-based sibling of the probabilistic CMS
+    entry: pass 1 reduces each batch's exact term counts to a <= k
+    counter summary (functions/sketches.mg_reduce), sums summaries
+    with ONE groupby(term) over sketch rows only, and re-reduces the
+    merged counters; mergeability guarantees every term with true
+    count > N/(k+1) survives.  Pass 2 re-reads the corpus counting
+    ONLY the surviving candidates (broadcast set) and keeps terms
+    whose EXACT count clears the integer threshold ``count*(k+1) >
+    N`` — so the output equals the exact heavy-hitter set no matter
+    how blocks were split, which is why the oracle is a plain HAVING
+    over true counts.  The exchange moves <= k+1 rows per batch in
+    pass 1 and |candidates| rows per batch in pass 2 — never the
+    corpus."""
+    from ..functions.sketches import mg_reduce
+
+    k = _MG_K
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        agg = tf.group_by("term").aggregate([("tf", "sum")])
+        terms = np.asarray(agg["term"].to_pylist(), dtype=object)
+        counts = agg["tf_sum"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_batch = int(counts.sum())
+        st, sc = mg_reduce(terms, counts, k)
+        return pa.table({
+            "term": pa.array(
+                np.concatenate([st, np.array(["\x00total"], object)])
+            ),
+            "c": pa.array(
+                np.concatenate([sc, np.array([n_batch])]), pa.int64()
+            ),
+        })
+
+    merged = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(sketch, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    total = int(merged.loc[merged["term"] == "\x00total", "c"].iloc[0])
+    cand = merged[merged["term"] != "\x00total"]
+    ct, _cc = mg_reduce(
+        cand["term"].to_numpy(object), cand["c"].to_numpy(np.int64), k
+    )
+    cand_set = set(ct.tolist())
+
+    def exact(batch: pa.Table) -> pa.Table:
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        tdf = tf.to_pandas()
+        sub = tdf[tdf["term"].isin(cand_set)]
+        agg = sub.groupby("term", as_index=False)["tf"].sum()
+        return pa.table({
+            "term": pa.array(agg["term"], pa.string()),
+            "c": pa.array(agg["tf"].to_numpy(np.int64), pa.int64()),
+        })
+
+    counts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(exact, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = counts[counts["cnt"] * (k + 1) > total].copy()
+    out["share"] = np.round(out["cnt"].to_numpy(np.float64) / total, 6)
+    out = out.sort_values(
+        ["cnt", "term"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return out.astype({"cnt": "int64"})[["term", "cnt", "share"]]
+
+
+SQL_MG_HEAVY_TERMS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "nn AS (SELECT count(*) AS n FROM toks) "
+    "SELECT term, CAST(count(*) AS BIGINT) AS cnt, "
+    "round(count(*)::DOUBLE / (SELECT n FROM nn), 6) AS share "
+    "FROM toks GROUP BY term "
+    f"HAVING count(*) * {_MG_K + 1} > (SELECT n FROM nn) "
+    "ORDER BY cnt DESC, term"
+)
+
+
 def q_retrieval_eval(sf_dir: str):
     """Entry point C over the pinned fixture: flagship retrieval scored
     against its own nested gold evidence (J3+G5).  Deterministic, fixture-
@@ -19542,6 +19634,7 @@ QUERIES = {
     "ann_ivfpq": q_ann_ivfpq,
     "hll_terms_per_lang": q_hll_terms_per_lang,
     "cms_heavy_terms": q_cms_heavy_terms,
+    "mg_heavy_terms": q_mg_heavy_terms,
     "docs_weighted_sample": q_docs_weighted_sample,
     "gopher_repetition": q_gopher_repetition,
     "unigram_logloss": q_unigram_logloss,
@@ -19718,6 +19811,7 @@ ORACLES = {
     "mad_chars": SQL_MAD_CHARS,
     "multi_terms_agg": SQL_MULTI_TERMS_AGG,
     "frequent_item_sets": SQL_FREQUENT_ITEM_SETS,
+    "mg_heavy_terms": SQL_MG_HEAVY_TERMS,
     "weighted_avg_value": SQL_WEIGHTED_AVG_VALUE,
     "bucket_selector_days": SQL_BUCKET_SELECTOR_DAYS,
     "range_agg_chars": SQL_RANGE_AGG_CHARS,

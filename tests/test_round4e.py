@@ -136,3 +136,45 @@ def test_events_ntile_remainder_rule_matches_sql_ntile():
     ).fetchall())
     assert got == {k: np.int64(v) for k, v in ref.items()}
     assert sorted(sizes, reverse=True) == [3, 3, 3, 2]
+
+
+def test_mg_reduce_mergeable_survival_guarantee():
+    """Misra-Gries mergeability: for random streams split into random
+    partitions, summing per-partition k-counter summaries and reducing
+    again must keep every term with true count > N/(k+1), and the
+    two-pass exact filter must equal the exact heavy-hitter set."""
+    import numpy as np
+    import pandas as pd
+
+    from defactonlp_ray.functions.sketches import mg_reduce
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        k = int(rng.integers(2, 12))
+        vocab = np.array([f"t{i}" for i in range(int(rng.integers(5, 40)))])
+        # skewed stream
+        weights = rng.pareto(1.0, vocab.size) + 0.01
+        stream = rng.choice(vocab, size=2000, p=weights / weights.sum())
+        n = stream.size
+        true = pd.Series(stream).value_counts()
+        heavy = set(true.index[true.to_numpy() * (k + 1) > n])
+        # random partitioning
+        parts = np.sort(rng.integers(0, 5, size=n))
+        merged: dict[str, int] = {}
+        for p in range(5):
+            seg = stream[parts == p]
+            if not seg.size:
+                continue
+            c = pd.Series(seg).value_counts()
+            st, sc = mg_reduce(
+                c.index.to_numpy(object), c.to_numpy(np.int64), k
+            )
+            for t, v in zip(st, sc):
+                merged[t] = merged.get(t, 0) + int(v)
+        mt = np.array(list(merged), dtype=object)
+        mc = np.array([merged[t] for t in mt], dtype=np.int64)
+        ct, _ = mg_reduce(mt, mc, k)
+        cand = set(ct.tolist())
+        assert heavy <= cand, (trial, k, heavy - cand)
+        exact = {t for t in cand if true.get(t, 0) * (k + 1) > n}
+        assert exact == heavy
