@@ -1381,6 +1381,141 @@ SQL_EVENTS_MOVING_AVG = (
 )
 
 
+_EWMA_ALPHA = 0.3   # ES moving_fn MovingFunctions.ewma default-ish,
+                    # pinned; the recurrence literal is (1.0 - 0.3) on
+                    # BOTH engines so the IEEE constant is identical
+
+
+def q_events_ewma(sf_dir: str):
+    """Exponentially-weighted moving average over the daily series
+    (the Elasticsearch ``moving_fn`` ``MovingFunctions.ewma`` shape,
+    run as a recurrence over the whole history rather than a window):
+    s_1 = n_1, s_t = alpha*n_t + (1-alpha)*s_{t-1}, alpha = 0.3.  The
+    corpus pass reduces to one row per (day, batch) via the Arrow
+    combiner; the recurrence runs over the |days|-row reduced series
+    (driver-small by design — same argument as moving_avg), mirrored
+    in the oracle as a recursive CTE with the identical literal
+    arithmetic."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    s = np.empty(len(daily), dtype=np.float64)
+    prev = 0.0
+    for i, n in enumerate(daily["n"].to_numpy(np.int64)):
+        prev = (
+            float(n) if i == 0
+            else _EWMA_ALPHA * n + (1.0 - _EWMA_ALPHA) * prev
+        )
+        s[i] = prev
+    daily["ewma"] = np.round(s, 6)
+    return daily[["window_start", "n", "ewma"]]
+
+
+SQL_EVENTS_EWMA = (
+    "WITH RECURSIVE "
+    "d AS (SELECT date_trunc('day', ts) AS window_start, "
+    "count(*) AS n FROM events GROUP BY 1), "
+    "ix AS (SELECT window_start, n, CAST(row_number() OVER ("
+    "ORDER BY window_start) AS BIGINT) AS i FROM d), "
+    "e AS (SELECT i, window_start, n, n::DOUBLE AS s FROM ix "
+    "WHERE i = 1 UNION ALL "
+    f"SELECT ix.i, ix.window_start, ix.n, "
+    f"{_EWMA_ALPHA} * ix.n + (1.0 - {_EWMA_ALPHA}) * e.s "
+    "FROM e JOIN ix ON ix.i = e.i + 1) "
+    "SELECT window_start, n, round(s, 6) AS ewma FROM e "
+    "ORDER BY window_start"
+)
+
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+def q_events_holt(sf_dir: str):
+    """Holt linear-trend double exponential smoothing over the daily
+    series (Holt 1957; the Elasticsearch ``moving_fn``
+    ``MovingFunctions.holt`` shape): level s_1 = n_1, trend b_1 =
+    n_2 - n_1 (0 for a length-1 series), then
+    s_t = alpha*n_t + (1-alpha)*(s_{t-1} + b_{t-1}) and
+    b_t = beta*(s_t - s_{t-1}) + (1-beta)*b_{t-1}; the one-step
+    forecast is s_t + b_t.  alpha = 0.3, beta = 0.1 pinned; the
+    oracle's recursive CTE repeats the level expression inside the
+    trend update (same double, SQL can't name an alias in-row).
+    Same driver-small reduced-series shape as ewma/moving_avg."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    lev = np.empty(n.size, np.float64)
+    tre = np.empty(n.size, np.float64)
+    s = float(n[0])
+    b = float(n[1] - n[0]) if n.size > 1 else 0.0
+    lev[0], tre[0] = s, b
+    for t in range(1, n.size):
+        s_new = _HOLT_ALPHA * n[t] + (1.0 - _HOLT_ALPHA) * (s + b)
+        b = _HOLT_BETA * (s_new - s) + (1.0 - _HOLT_BETA) * b
+        s = s_new
+        lev[t], tre[t] = s, b
+    daily["level"] = np.round(lev, 6)
+    daily["trend"] = np.round(tre, 6)
+    daily["forecast"] = np.round(lev + tre, 6)
+    return daily[["window_start", "n", "level", "trend", "forecast"]]
+
+
+def _sql_events_holt() -> str:
+    a, be = _HOLT_ALPHA, _HOLT_BETA
+    s_new = f"({a} * ix.n + (1.0 - {a}) * (e.s + e.b))"
+    return (
+        "WITH RECURSIVE "
+        "d AS (SELECT date_trunc('day', ts) AS window_start, "
+        "count(*) AS n FROM events GROUP BY 1), "
+        "ix AS (SELECT window_start, n, CAST(row_number() OVER ("
+        "ORDER BY window_start) AS BIGINT) AS i FROM d), "
+        "e AS (SELECT i, window_start, n, n::DOUBLE AS s, "
+        "(COALESCE((SELECT n FROM ix WHERE i = 2), n) - n)::DOUBLE AS b "
+        "FROM ix WHERE i = 1 UNION ALL "
+        f"SELECT ix.i, ix.window_start, ix.n, {s_new}, "
+        f"{be} * ({s_new} - e.s) + (1.0 - {be}) * e.b "
+        "FROM e JOIN ix ON ix.i = e.i + 1) "
+        "SELECT window_start, n, round(s, 6) AS level, "
+        "round(b, 6) AS trend, round(s + b, 6) AS forecast FROM e "
+        "ORDER BY window_start"
+    )
+
+
+SQL_EVENTS_HOLT = _sql_events_holt()
+
+
 def q_curriculum_buckets(sf_dir: str):
     """Curriculum bucketing for training order (length-based difficulty
     tiers, the 'short-to-long' curriculum recipe): every doc gets its
@@ -19570,6 +19705,8 @@ QUERIES = {
     "bigram_logloss": q_bigram_logloss,
     "events_top_types_daily": q_events_top_types_daily,
     "events_moving_avg": q_events_moving_avg,
+    "events_ewma": q_events_ewma,
+    "events_holt": q_events_holt,
     "curriculum_buckets": q_curriculum_buckets,
     "quality_logreg": q_quality_logreg,
     "link_triangles": q_link_triangles,
@@ -19874,6 +20011,8 @@ ORACLES = {
     "bigram_logloss": SQL_BIGRAM_LOGLOSS,
     "events_top_types_daily": SQL_EVENTS_TOP_TYPES_DAILY,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+    "events_ewma": SQL_EVENTS_EWMA,
+    "events_holt": SQL_EVENTS_HOLT,
     "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
     "link_triangles": SQL_LINK_TRIANGLES,
     "bm25_scroll": SQL_BM25_SCROLL,
