@@ -7969,6 +7969,76 @@ def _bpref_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_RETRIEVAL_BPREF = _bpref_sql(_BM25_QUERIES)
 
 
+def q_retrieval_iprec(sf_dir: str):
+    """11-point interpolated precision-recall curve (trec_eval's
+    ``iprec_at_recall_0.00 .. 1.00`` — the classic PR-curve summary
+    every TREC overview plots): per query, at recall level r the
+    interpolated precision is max{prec@i : recall@i >= r} over the
+    BM25 top-10 (0 when unreachable), averaged over ALL queries
+    (zero-relevant queries contribute 0 at every level).  recall@i
+    and prec@i come from the same relidx/rank arithmetic as bpref;
+    levels are i/10.0 on both engines.  Output: 11 rows
+    (recall_level, iprec)."""
+    topk = q_bm25_topk(sf_dir)
+    hit_set, n_rel = _rel_hits(sf_dir, topk)
+
+    per_query: list[np.ndarray] = []
+    for qid, _terms in _BM25_QUERIES:
+        g = topk[topk["query_id"] == qid]
+        rel_mask = np.array(
+            [(qid, d) in hit_set for d in g["doc_id"]], dtype=bool
+        )
+        ranks = np.sort(g["rank"].to_numpy()[rel_mask]).astype(np.float64)
+        R = n_rel.get(qid, 0)
+        ip = np.zeros(11, dtype=np.float64)
+        if R > 0 and ranks.size:
+            relidx = np.arange(1, ranks.size + 1, dtype=np.float64)
+            prec = relidx / ranks
+            rec = relidx / R
+            for li in range(11):
+                lvl = li / 10.0
+                m = rec >= lvl
+                ip[li] = float(prec[m].max()) if m.any() else 0.0
+        per_query.append(ip)
+    nq = len(per_query)
+    mean = np.array([
+        sum(ip[li] for ip in per_query) / nq for li in range(11)
+    ])
+    return pd.DataFrame({
+        "recall_level": np.arange(11, dtype=np.float64) / 10.0,
+        "iprec": np.round(mean, 6),
+    })
+
+
+def _iprec_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    nq = len(queries)
+    return (
+        _ranked_eval_prefix_sql(queries, k) + ", "
+        "hits AS (SELECT t.query_id, t.rank, "
+        "CAST(row_number() OVER (PARTITION BY t.query_id "
+        "ORDER BY t.rank) AS BIGINT) AS relidx FROM topk t "
+        "JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id), "
+        "nrel AS (SELECT query_id, count(*) AS n FROM rel GROUP BY 1), "
+        "pts AS (SELECT h.query_id, "
+        "h.relidx::DOUBLE / h.rank AS p, "
+        "h.relidx::DOUBLE / nrel.n AS r "
+        "FROM hits h JOIN nrel ON nrel.query_id = h.query_id), "
+        "lv AS (SELECT CAST(g.x AS DOUBLE) / 10.0 AS lvl FROM "
+        "range(0, 11) g(x)), "
+        "qq AS (SELECT DISTINCT query_id FROM q), "
+        "iq AS (SELECT qq.query_id, lv.lvl, "
+        "COALESCE(max(p.p) FILTER (p.r >= lv.lvl), 0.0) AS ip "
+        "FROM qq CROSS JOIN lv "
+        "LEFT JOIN pts p ON p.query_id = qq.query_id "
+        "GROUP BY qq.query_id, lv.lvl) "
+        f"SELECT lvl AS recall_level, round(sum(ip) / {nq}, 6) AS iprec "
+        "FROM iq GROUP BY lvl ORDER BY lvl"
+    )
+
+
+SQL_RETRIEVAL_IPREC = _iprec_sql(_BM25_QUERIES)
+
+
 def q_retrieval_gmap(sf_dir: str):
     """GMAP — geometric-mean average precision (the TREC Robust track's
     headline metric; trec_eval ``gm_map``): ``exp(mean(ln(max(ap,
@@ -19573,6 +19643,7 @@ QUERIES = {
     "retrieval_map": q_retrieval_map,
     "retrieval_bpref": q_retrieval_bpref,
     "retrieval_gmap": q_retrieval_gmap,
+    "retrieval_iprec": q_retrieval_iprec,
     "hybrid_minmax": q_hybrid_minmax,
     "geohash_grid": q_geohash_grid,
     "events_moving_percentile": q_events_moving_percentile,
@@ -19885,6 +19956,7 @@ ORACLES = {
     "retrieval_map": _map_sql(_BM25_QUERIES),
     "retrieval_bpref": SQL_RETRIEVAL_BPREF,
     "retrieval_gmap": SQL_RETRIEVAL_GMAP,
+    "retrieval_iprec": SQL_RETRIEVAL_IPREC,
     "hybrid_minmax": _sql_hybrid_minmax(),
     "geohash_grid": _sql_geohash_grid(),
     "events_moving_percentile": SQL_EVENTS_MOVING_PCTL,
