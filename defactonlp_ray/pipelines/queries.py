@@ -2974,6 +2974,146 @@ SQL_BIGRAM_LOGLOSS = (
 )
 
 
+def q_bigram_llr(sf_dir: str):
+    """Log-likelihood-ratio collocation scoring (Dunning, CL 1993 —
+    the significance test Manning & Schütze ch.5 and NLTK's
+    ``BigramAssocMeasures.likelihood_ratio`` standardize on): for each
+    adjacent bigram, the 2x2 contingency table (k11 = c(w1 w2), k12 =
+    c1-k11, k21 = c2-k11, k22 = N-c1-c2+k11 with first/second-slot
+    marginals c1/c2 over N total bigrams) scores
+    ``2 * sum_cells k*ln(k*N/(row*col))`` (0-count cells contribute 0,
+    cells summed in the pinned 11,12,21,22 order).  Top-20 by
+    (round(llr, 6) DESC, w1, w2).
+
+    FULLY DISTRIBUTED shape: per-batch adjacent-pair combiner -> ONE
+    groupby((w1, w2)); both marginals derive from the reduced pair
+    table (two groupbys over pair rows, never tokens); they re-attach
+    via two hash JOINS on w1 / w2 (not a broadcast — the |V| marginal
+    table is the thing that outgrows driver memory at web scale); LLR
+    is a vectorized map over joined pair rows and the top-20 is a
+    distributed sort + limit."""
+    import ray as _ray
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_part(batch: pa.Table) -> pa.Table:
+        terms, row_idx, _ = flatten_tokens(batch["text"])
+        if len(terms) < 2:
+            return pa.table({
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "c_p": pa.array([], pa.int64()),
+            })
+        mask = pa.array(row_idx[1:] == row_idx[:-1])
+        pairs = pa.table({
+            "w1": terms.slice(0, len(terms) - 1),
+            "w2": terms.slice(1),
+        }).filter(mask)
+        agg = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["w1", "w2", "c_p"]).set_column(
+            2, "c_p", pc.cast(agg["count_all"], pa.int64())
+        )
+
+    bc = (
+        docs.map_batches(bigram_part, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c_p", alias_name="n"))
+    ).materialize()
+    nb = float(bc.sum("n"))
+    n_cpu = int(_ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    def rename_m1(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["w1", "c1"])
+
+    def rename_m2(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["w2", "c2"])
+
+    m1 = bc.groupby("w1").aggregate(Sum("n", alias_name="c1")).map_batches(
+        rename_m1, batch_format="pyarrow"
+    )
+    m2 = bc.groupby("w2").aggregate(Sum("n", alias_name="c2")).map_batches(
+        rename_m2, batch_format="pyarrow"
+    )
+    j = bc.join(m1, "inner", num_partitions=nparts, on=("w1",)).join(
+        m2, "inner", num_partitions=nparts, on=("w2",)
+    )
+
+    def llr(batch: pa.Table) -> pa.Table:
+        k11 = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = batch["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k12 = c1 - k11
+        k21 = c2 - k11
+        k22 = nb - c1 - c2 + k11
+        r2 = nb - c1
+        s2 = nb - c2
+
+        def cell(k, r, c):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = k * np.log(k * nb / (r * c))
+            return np.where(k > 0, v, 0.0)
+
+        val = 2.0 * (
+            cell(k11, c1, c2) + cell(k12, c1, s2)
+            + cell(k21, r2, c2) + cell(k22, r2, s2)
+        )
+        return pa.table({
+            "w1": batch["w1"],
+            "w2": batch["w2"],
+            "n": batch["n"],
+            "llr": pa.array(np.round(val, 6), pa.float64()),
+        })
+
+    return (
+        j.map_batches(llr, batch_format="pyarrow")
+        .sort(["llr", "w1", "w2"], descending=[True, False, False])
+        .limit(20)
+    )
+
+
+def _sql_bigram_llr(k: int = 20) -> str:
+    cells = []
+    for kk, rr, cc in (
+        ("bc.n::DOUBLE", "m1.c1::DOUBLE", "m2.c2::DOUBLE"),
+        ("m1.c1::DOUBLE - bc.n", "m1.c1::DOUBLE",
+         "nn.nb::DOUBLE - m2.c2"),
+        ("m2.c2::DOUBLE - bc.n", "nn.nb::DOUBLE - m1.c1",
+         "m2.c2::DOUBLE"),
+        ("nn.nb::DOUBLE - m1.c1 - m2.c2 + bc.n",
+         "nn.nb::DOUBLE - m1.c1", "nn.nb::DOUBLE - m2.c2"),
+    ):
+        cells.append(
+            f"CASE WHEN ({kk}) > 0 THEN ({kk}) * "
+            f"ln(({kk}) * nn.nb / (({rr}) * ({cc}))) ELSE 0.0 END"
+        )
+    body = " + ".join(cells)
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS ts FROM documents), "
+        "tokpos AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS i FROM d), "
+        "big AS (SELECT a.term AS w1, b.term AS w2 FROM tokpos a "
+        "JOIN tokpos b ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+        "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n "
+        "FROM big GROUP BY 1, 2), "
+        "m1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM bc "
+        "GROUP BY 1), "
+        "m2 AS (SELECT w2, CAST(sum(n) AS BIGINT) AS c2 FROM bc "
+        "GROUP BY 1), "
+        "nn AS (SELECT CAST(sum(n) AS DOUBLE) AS nb FROM bc) "
+        "SELECT w1, w2, n, llr FROM ("
+        "SELECT bc.w1, bc.w2, bc.n, "
+        f"round(2.0 * ({body}), 6) AS llr "
+        "FROM bc JOIN m1 ON m1.w1 = bc.w1 JOIN m2 ON m2.w2 = bc.w2 "
+        "CROSS JOIN nn) "
+        f"ORDER BY llr DESC, w1, w2 LIMIT {k}"
+    )
+
+
+SQL_BIGRAM_LLR = _sql_bigram_llr()
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 "Data
     Selection for Language Models via Importance Resampling") in the
@@ -19774,6 +19914,7 @@ QUERIES = {
     "bm25_routed_topk": q_bm25_routed_topk,
     "bm25_retention_topk": q_bm25_retention_topk,
     "bigram_logloss": q_bigram_logloss,
+    "bigram_llr": q_bigram_llr,
     "events_top_types_daily": q_events_top_types_daily,
     "events_moving_avg": q_events_moving_avg,
     "events_ewma": q_events_ewma,
@@ -20081,6 +20222,7 @@ ORACLES = {
     "bm25_routed_topk": SQL_BM25_ROUTED_TOPK,
     "bm25_retention_topk": SQL_BM25_RETENTION_TOPK,
     "bigram_logloss": SQL_BIGRAM_LOGLOSS,
+    "bigram_llr": SQL_BIGRAM_LLR,
     "events_top_types_daily": SQL_EVENTS_TOP_TYPES_DAILY,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "events_ewma": SQL_EVENTS_EWMA,
