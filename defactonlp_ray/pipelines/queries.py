@@ -8109,6 +8109,129 @@ def _bpref_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_RETRIEVAL_BPREF = _bpref_sql(_BM25_QUERIES)
 
 
+_LTR_WINDOW = 50
+_LTR_W = (0.6, -0.1, 0.25, 0.5)   # (bm25, ln(1+dl), ln(1+tf_sum), frac)
+
+
+def q_ltr_rerank(sf_dir: str):
+    """Linear learning-to-rank re-ranking (the ES LTR / Solr LTR
+    two-phase serving shape: cheap first-phase BM25 window, feature
+    extraction on the window, model re-scoring): over each query's
+    published top-50 BM25 window, features f1 = bm25 score (rounded,
+    as published), f2 = ln(1+dl), f3 = ln(1+sum of query-term tf),
+    f4 = matched-terms fraction, combined with the PINNED weight
+    vector (0.6, -0.1, 0.25, 0.5) in that order; re-rank to top-10 by
+    (round(score, 6) DESC, doc_id).  Feature extraction streams the
+    corpus once with the candidate pair set broadcast (bounded k x
+    n_queries rows reach the driver — in production the window rides
+    the searcher actors, same rows)."""
+    res = search(
+        _build_docs_index(sf_dir), _query_terms_ds(_BM25_QUERIES),
+        k=2 * _LTR_WINDOW, concurrency=2,
+    ).to_pandas()
+    win = _rerank_rounded(res, k=_LTR_WINDOW)
+    q_terms = {qid: set(ts) for qid, ts in _BM25_QUERIES}
+    nt = {qid: len(ts) for qid, ts in q_terms.items()}
+    cand: dict[int, set[int]] = {}
+    for qid, d in zip(win["query_id"], win["doc_id"]):
+        cand.setdefault(int(qid), set()).add(int(d))
+    all_cand_docs = set().union(*cand.values()) if cand else set()
+
+    def feats(batch: pa.Table) -> pa.Table:
+        tf, doc_len = term_count_table(batch["text"], batch["doc_id"])
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        dl_of = dict(zip(dids.tolist(), doc_len.tolist()))
+        tdf = tf.to_pandas()
+        tdf = tdf[tdf["doc_id"].isin(all_cand_docs)]
+        out_q, out_d, out_ts, out_nm, out_dl = [], [], [], [], []
+        for qid, terms in q_terms.items():
+            sub = tdf[
+                tdf["term"].isin(terms)
+                & tdf["doc_id"].isin(cand[qid])
+            ]
+            if not len(sub):
+                continue
+            g = sub.groupby("doc_id")["tf"].agg(["sum", "count"])
+            out_q.extend([qid] * len(g))
+            out_d.extend(g.index.tolist())
+            out_ts.extend(g["sum"].tolist())
+            out_nm.extend(g["count"].tolist())
+            out_dl.extend(int(dl_of[d]) for d in g.index)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "tf_sum": pa.array(out_ts, pa.int64()),
+            "n_match": pa.array(out_nm, pa.int64()),
+            "dl": pa.array(out_dl, pa.int64()),
+        })
+
+    fdf = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(feats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = win.merge(fdf, on=["query_id", "doc_id"], how="inner")
+    w0, w1, w2, w3 = _LTR_W
+    m["score"] = (
+        w0 * m["score"].to_numpy(np.float64)
+        + w1 * np.log(1.0 + m["dl"].to_numpy(np.float64))
+        + w2 * np.log(1.0 + m["tf_sum"].to_numpy(np.float64))
+        + w3 * (
+            m["n_match"].to_numpy(np.float64)
+            / np.array([nt[q] for q in m["query_id"]], np.float64)
+        )
+    )
+    return _rerank_rounded(m[["query_id", "doc_id", "score"]], k=10)
+
+
+def _sql_ltr_rerank(k: int = 10) -> str:
+    w0, w1, w2, w3 = _LTR_W
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qt AS (SELECT query_id, count(DISTINCT term) AS nt FROM q "
+        "GROUP BY query_id), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "win AS (SELECT query_id, doc_id, s FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS s, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS rn FROM scored) "
+        f"WHERE rn <= {_LTR_WINDOW}), "
+        "f AS (SELECT q.query_id, tf.doc_id, sum(tf.tf) AS tf_sum, "
+        "count(DISTINCT tf.term) AS nm FROM q JOIN tf ON tf.term = q.term "
+        "GROUP BY 1, 2), "
+        "ltr AS (SELECT w.query_id, w.doc_id, "
+        f"round({w0} * w.s + ({w1}) * ln(1.0 + dl.dl) "
+        f"+ {w2} * ln(1.0 + f.tf_sum) "
+        f"+ {w3} * (f.nm::DOUBLE / qt.nt), 6) AS score "
+        "FROM win w JOIN f ON f.query_id = w.query_id "
+        "AND f.doc_id = w.doc_id "
+        "JOIN dl ON dl.doc_id = w.doc_id "
+        "JOIN qt ON qt.query_id = w.query_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, score, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) "
+        "AS rank FROM ltr) "
+        f"WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
+SQL_LTR_RERANK = _sql_ltr_rerank()
+
+
 def q_retrieval_iprec(sf_dir: str):
     """11-point interpolated precision-recall curve (trec_eval's
     ``iprec_at_recall_0.00 .. 1.00`` — the classic PR-curve summary
@@ -19784,6 +19907,7 @@ QUERIES = {
     "retrieval_bpref": q_retrieval_bpref,
     "retrieval_gmap": q_retrieval_gmap,
     "retrieval_iprec": q_retrieval_iprec,
+    "ltr_rerank": q_ltr_rerank,
     "hybrid_minmax": q_hybrid_minmax,
     "geohash_grid": q_geohash_grid,
     "events_moving_percentile": q_events_moving_percentile,
@@ -20098,6 +20222,7 @@ ORACLES = {
     "retrieval_bpref": SQL_RETRIEVAL_BPREF,
     "retrieval_gmap": SQL_RETRIEVAL_GMAP,
     "retrieval_iprec": SQL_RETRIEVAL_IPREC,
+    "ltr_rerank": SQL_LTR_RERANK,
     "hybrid_minmax": _sql_hybrid_minmax(),
     "geohash_grid": _sql_geohash_grid(),
     "events_moving_percentile": SQL_EVENTS_MOVING_PCTL,
