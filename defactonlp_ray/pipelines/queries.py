@@ -623,6 +623,122 @@ SQL_LINK_TRIANGLES = (
 )
 
 
+def q_link_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction (Adamic & Adar 2003 — with common
+    neighbors and neighbor-Jaccard THE classic local link-prediction
+    index; Liben-Nowell & Kleinberg 2007): for non-adjacent pairs
+    x < y of the undirected link graph, ``score = sum over common
+    neighbors z of 1 / ln(deg(z))`` (a common neighbor has deg >= 2,
+    so the log is never 0); top-20 by (round(score, 6) DESC, x, y).
+
+    FULLY DISTRIBUTED plan: canonical u<v edges (global dedup) ->
+    both-direction adjacency -> wedge self-join on the apex z (x < y
+    keeps each candidate once) -> hash-join deg(z) and Sum the
+    1/ln(deg) weights per pair -> LEFT ANTI join against the edge set
+    drops adjacent pairs -> distributed sort + limit.  Same
+    apex-bounded wedge argument as link_triangles."""
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    def mk_und(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        us, vs = [], []
+        for a, b in _PR_COEFFS:
+            d = (did * a + b) % n
+            keep = d != did
+            s, t = did[keep], d[keep]
+            us.append(np.minimum(s, t))
+            vs.append(np.maximum(s, t))
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        _, idx = np.unique(u * np.int64(n) + v, return_index=True)
+        return pa.table({
+            "u": pa.array(u[idx], pa.int64()),
+            "v": pa.array(v[idx], pa.int64()),
+        })
+
+    edges = (
+        docs.map_batches(mk_und, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="__m"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    def fwd(b: pa.Table) -> pa.Table:
+        return pa.table({"z": b["u"], "nb": b["v"]})
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"z": b["v"], "nb": b["u"]})
+
+    adj = edges.map_batches(fwd, batch_format="pyarrow").union(
+        edges.map_batches(rev, batch_format="pyarrow")
+    ).materialize()
+    deg = adj.groupby("z").aggregate(Count(alias_name="d"))
+
+    right = adj.map_batches(
+        lambda b: pa.table({"z": b["z"], "y": b["nb"]}),
+        batch_format="pyarrow",
+    )
+    wedges = adj.join(
+        right, "inner", num_partitions=nparts, on=("z",), right_on=("z",)
+    ).filter(expr="nb < y")
+    weighted = wedges.join(
+        deg, "inner", num_partitions=nparts, on=("z",), right_on=("z",)
+    )
+
+    def w_of(b: pa.Table) -> pa.Table:
+        d = b["d"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "x": b["nb"], "y": b["y"],
+            "w": pa.array(1.0 / np.log(d), pa.float64()),
+        })
+
+    scored = (
+        weighted.map_batches(w_of, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("w", alias_name="s"))
+    )
+    non_adj = scored.join(
+        edges, "left_anti", num_partitions=nparts,
+        on=("x", "y"), right_on=("u", "v"),
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": b["x"], "doc_b": b["y"],
+            "score": pa.array(
+                np.round(
+                    b["s"].to_numpy(zero_copy_only=False), 6
+                ),
+                pa.float64(),
+            ),
+        })
+
+    return (
+        non_adj.map_batches(fin, batch_format="pyarrow")
+        .sort(["score", "doc_a", "doc_b"], descending=[True, False, False])
+        .limit(20)
+    )
+
+
+SQL_LINK_ADAMIC_ADAR = (
+    f"WITH und AS ({_edges_sql()}), "
+    "adj AS (SELECT u AS z, v AS nb FROM und "
+    "UNION ALL SELECT v, u FROM und), "
+    "deg AS (SELECT z, count(*) AS d FROM adj GROUP BY 1), "
+    "sc AS (SELECT a.nb AS x, b.nb AS y, sum(1.0 / ln(deg.d)) AS s "
+    "FROM adj a JOIN adj b ON b.z = a.z AND a.nb < b.nb "
+    "JOIN deg ON deg.z = a.z GROUP BY 1, 2) "
+    "SELECT x AS doc_a, y AS doc_b, round(s, 6) AS score FROM sc "
+    "WHERE NOT EXISTS (SELECT 1 FROM und "
+    "WHERE und.u = sc.x AND und.v = sc.y) "
+    "ORDER BY score DESC, doc_a, doc_b LIMIT 20"
+)
+
+
 # --------------------------------------- rank_feature (static signal)
 
 _RF_BOOST = 2.0
@@ -20069,6 +20185,7 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "corpus_curation": q_corpus_curation,
     "link_hits": q_link_hits,
+    "link_adamic_adar": q_link_adamic_adar,
     "bm25_range_filter": q_bm25_range_filter,
     "bm25_boosting": q_bm25_boosting,
     "bm25_histogram": q_bm25_histogram,
@@ -20437,6 +20554,7 @@ ORACLES = {
     "token_entropy": SQL_TOKEN_ENTROPY,
     "corpus_curation": SQL_CORPUS_CURATION,
     "link_hits": SQL_LINK_HITS,
+    "link_adamic_adar": SQL_LINK_ADAMIC_ADAR,
     "bm25_range_filter": SQL_BM25_RANGE_FILTER,
     "bm25_boosting": SQL_BM25_BOOSTING,
     "bm25_histogram": SQL_BM25_HISTOGRAM,
