@@ -1780,6 +1780,112 @@ def q_events_asof(sf_dir: str):
     return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
 
 
+_RJ_WINDOW_US = 2 * 3600 * 1_000_000   # 2-hour incident window
+_RJ_BUCKET_US = 3600 * 1_000_000       # 1-hour join buckets
+
+
+def q_events_range_join(sf_dir: str):
+    """Distributed INTERVAL-CONTAINMENT (range) join — the operator
+    Ray Data has no native form for, built from the standard
+    bucket-replication recipe every distributed engine uses: for each
+    'error' event the window is [ts, ts + 2h); count same-user
+    'click' events inside it (0 kept via the left side).  The window
+    side flat-maps to its covering 1-hour buckets (<= 3 replicas per
+    window — replication is bounded by window/bucket ratio, the knob
+    you tune at scale); the probe side maps to its SINGLE bucket, so
+    after the (user, bucket) hash join each qualifying pair appears
+    exactly once and the precise containment filter needs no dedup.
+    Oracle: the plain BETWEEN-style LEFT JOIN + count."""
+    ev = read_table(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]
+    )
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    def windows(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], "error")
+        b = batch.filter(m)
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        b0 = ts // _RJ_BUCKET_US
+        b1 = (ts + _RJ_WINDOW_US - 1) // _RJ_BUCKET_US
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(eid.size), reps)
+        off = np.concatenate(
+            [np.arange(r) for r in reps]
+        ) if reps.size else np.array([], np.int64)
+        return pa.table({
+            "user_id": pa.array(uid[idx], pa.int64()),
+            "bucket": pa.array(b0[idx] + off, pa.int64()),
+            "err_id": pa.array(eid[idx], pa.int64()),
+            "err_ts": pa.array(ts[idx], pa.int64()),
+        })
+
+    def probes(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], "click")
+        b = batch.filter(m)
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False), pa.int64()
+            ),
+            "bucket": pa.array(ts // _RJ_BUCKET_US, pa.int64()),
+            "clk_ts": pa.array(ts, pa.int64()),
+        })
+
+    win = ev.map_batches(windows, batch_format="pyarrow")
+    prb = ev.map_batches(probes, batch_format="pyarrow")
+    def contains(b: pa.Table) -> pa.Table:
+        clk = b["clk_ts"].to_numpy(zero_copy_only=False)
+        err = b["err_ts"].to_numpy(zero_copy_only=False)
+        return b.filter(
+            pa.array((clk >= err) & (clk < err + _RJ_WINDOW_US))
+        )
+
+    j = win.join(
+        prb, "inner", num_partitions=nparts, on=("user_id", "bucket")
+    ).map_batches(contains, batch_format="pyarrow")
+    counts = j.groupby("err_id").aggregate(Count(alias_name="n_clicks"))
+
+    def err_ids(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], "error")
+        return pa.table({
+            "err_id": batch.filter(m)["event_id"],
+        })
+
+    all_err = ev.map_batches(err_ids, batch_format="pyarrow")
+    out = all_err.join(
+        counts, "left_outer", num_partitions=nparts, on=("err_id",)
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["err_id"],
+            "n_clicks": pc.cast(
+                pc.fill_null(b["n_clicks"], 0), pa.int64()
+            ),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("event_id")
+
+
+SQL_EVENTS_RANGE_JOIN = (
+    "SELECT e.event_id, CAST(count(c.ts) AS BIGINT) AS n_clicks "
+    "FROM (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'error') e "
+    "LEFT JOIN (SELECT user_id, ts FROM events "
+    "WHERE event_type = 'click') c "
+    "ON c.user_id = e.user_id AND c.ts >= e.ts "
+    "AND c.ts < e.ts + INTERVAL 2 HOUR "
+    "GROUP BY e.event_id ORDER BY e.event_id"
+)
+
+
 SQL_EVENTS_ASOF = (
     "SELECT e.event_id, p.event_id AS prior_event_id "
     "FROM (SELECT * FROM events WHERE event_type = 'error') e "
@@ -20287,6 +20393,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "events_sliding": q_events_sliding,
     "events_quantiles": q_events_quantiles,
     "tpch_q1": q_tpch_q1,
@@ -20493,6 +20600,7 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "tpch_q1": SQL_TPCH_Q1,
