@@ -1558,6 +1558,68 @@ SQL_EVENTS_EWMA = (
 )
 
 
+def q_events_cusum(sf_dir: str):
+    """One-sided upper CUSUM change detection over the daily series
+    (Page 1954 — the sequential change-point chart ES's ML jobs and
+    every monitoring stack descend from): with reference mean mu =
+    total/days, slack 0.1*mu and decision threshold h = 2*mu,
+    ``s_0 = 0, s_t = max(0, s_{t-1} + (n_t - mu - 0.1*mu))``, alarm
+    when the UNrounded s_t > h.  Same driver-small reduced-series
+    recurrence shape as ewma/holt; the oracle's recursive CTE
+    references the mean via scalar subqueries with identical literal
+    arithmetic."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    mu = int(n.sum()) / n.size
+    s = 0.0
+    cs = np.empty(n.size, np.float64)
+    alarm = np.empty(n.size, dtype=bool)
+    for t in range(n.size):
+        s = max(0.0, s + (n[t] - mu - 0.1 * mu))
+        cs[t] = s
+        alarm[t] = s > 2.0 * mu
+    daily["cusum"] = np.round(cs, 6)
+    daily["alarm"] = alarm
+    return daily[["window_start", "n", "cusum", "alarm"]]
+
+
+SQL_EVENTS_CUSUM = (
+    "WITH RECURSIVE "
+    "d AS (SELECT date_trunc('day', ts) AS window_start, "
+    "count(*) AS n FROM events GROUP BY 1), "
+    "m AS (SELECT sum(n)::DOUBLE / count(*) AS mu FROM d), "
+    "ix AS (SELECT window_start, n, CAST(row_number() OVER ("
+    "ORDER BY window_start) AS BIGINT) AS i FROM d), "
+    "e AS (SELECT i, window_start, n, "
+    "greatest(0.0, 0.0 + (n - (SELECT mu FROM m) "
+    "- 0.1 * (SELECT mu FROM m))) AS s FROM ix WHERE i = 1 "
+    "UNION ALL SELECT ix.i, ix.window_start, ix.n, "
+    "greatest(0.0, e.s + (ix.n - (SELECT mu FROM m) "
+    "- 0.1 * (SELECT mu FROM m))) "
+    "FROM e JOIN ix ON ix.i = e.i + 1) "
+    "SELECT window_start, n, round(s, 6) AS cusum, "
+    "s > 2.0 * (SELECT mu FROM m) AS alarm FROM e "
+    "ORDER BY window_start"
+)
+
+
 _HOLT_ALPHA = 0.3
 _HOLT_BETA = 0.1
 
@@ -20265,6 +20327,7 @@ QUERIES = {
     "events_moving_avg": q_events_moving_avg,
     "events_ewma": q_events_ewma,
     "events_holt": q_events_holt,
+    "events_cusum": q_events_cusum,
     "curriculum_buckets": q_curriculum_buckets,
     "quality_logreg": q_quality_logreg,
     "link_triangles": q_link_triangles,
@@ -20576,6 +20639,7 @@ ORACLES = {
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "events_ewma": SQL_EVENTS_EWMA,
     "events_holt": SQL_EVENTS_HOLT,
+    "events_cusum": SQL_EVENTS_CUSUM,
     "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
     "link_triangles": SQL_LINK_TRIANGLES,
     "bm25_scroll": SQL_BM25_SCROLL,
