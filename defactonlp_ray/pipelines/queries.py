@@ -5360,6 +5360,121 @@ SQL_KMV_QUANTILES = (
 )
 
 
+_THETA_K = 128
+
+
+def q_theta_sketch_ops(sf_dir: str):
+    """Theta-sketch set operations (the Apache DataSketches
+    theta/KMV family — Dasgupta et al., "Theta-Sketch Framework"):
+    distinct-count ESTIMATES for two doc populations (A = lang='en',
+    B = the doc_id%3=0 shard slice), their union, intersection and
+    Jaccard, from k=128 bottom-k md5 sketches — the mergeable way to
+    answer audience-overlap questions without ever co-shuffling the
+    sets.  Pinned rules: per set, theta = (k-th smallest normalized
+    hash) and est = (k-1)/theta when the sketch is full, else exact
+    count; union = bottom-k of the deduped hash union (same rule);
+    intersection counts shared hashes STRICTLY below min(theta_A,
+    theta_B) and divides by it; jaccard = inter_est/union_est from
+    the unrounded estimates.  Each batch reduces to <= k sketch rows
+    per set (same mergeable-bottom-k argument as kmv_sample); the
+    driver merge touches k x blocks rows.  md5-of-doc_id-string
+    hashes make the DuckDB oracle bit-identical."""
+    import hashlib
+
+    k = _THETA_K
+    space = float(16 ** 15)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        is_en = pc.equal(batch["lang"], "en").to_numpy(
+            zero_copy_only=False
+        )
+        out_h, out_s = [], []
+        for tag, sel in (
+            ("a", dids[is_en]),
+            ("b", dids[dids % 3 == 0]),
+        ):
+            hs = sorted(
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                for i in sel
+            )[:k]
+            out_h.extend(hs)
+            out_s.extend([tag] * len(hs))
+        return pa.table({
+            "s": pa.array(out_s, pa.string()),
+            "h": pa.array(out_h, pa.int64()),
+        })
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ha = sorted(parts.loc[parts["s"] == "a", "h"].tolist())[:k]
+    hb = sorted(parts.loc[parts["s"] == "b", "h"].tolist())[:k]
+
+    def est_of(hs: list[int]) -> tuple[float, float]:
+        if len(hs) < k:
+            return 1.0, float(len(hs))
+        theta = hs[k - 1] / space
+        return theta, (k - 1) / theta
+
+    theta_a, est_a = est_of(ha)
+    theta_b, est_b = est_of(hb)
+    hu = sorted(set(ha) | set(hb))[:k]
+    _, est_u = est_of(hu)
+    theta_i = min(theta_a, theta_b)
+    c = sum(1 for h in set(ha) & set(hb) if h / space < theta_i)
+    est_i = c / theta_i
+    jac = est_i / est_u
+    return pd.DataFrame({
+        "n_a_est": [round(est_a, 6)],
+        "n_b_est": [round(est_b, 6)],
+        "union_est": [round(est_u, 6)],
+        "inter_est": [round(est_i, 6)],
+        "jaccard_est": [round(jac, 6)],
+    })
+
+
+def _sql_theta_sketch_ops() -> str:
+    k = _THETA_K
+    h = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    sp = "power(16.0, 15)"
+    est = (
+        "CASE WHEN {t}.c < {k} THEN {t}.c::DOUBLE "
+        "ELSE ({k} - 1) / ({t}.mx / {sp}) END"
+    )
+    return (
+        f"WITH ha AS (SELECT {h} AS h FROM documents WHERE lang = 'en' "
+        f"ORDER BY h LIMIT {k}), "
+        f"hb AS (SELECT {h} AS h FROM documents WHERE doc_id % 3 = 0 "
+        f"ORDER BY h LIMIT {k}), "
+        f"hu AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) "
+        f"ORDER BY h LIMIT {k}), "
+        "ta AS (SELECT count(*) AS c, max(h) AS mx FROM ha), "
+        "tb AS (SELECT count(*) AS c, max(h) AS mx FROM hb), "
+        "tu AS (SELECT count(*) AS c, max(h) AS mx FROM hu), "
+        "th AS (SELECT least("
+        f"CASE WHEN ta.c < {k} THEN 1.0 ELSE ta.mx / {sp} END, "
+        f"CASE WHEN tb.c < {k} THEN 1.0 ELSE tb.mx / {sp} END) AS ti "
+        "FROM ta, tb), "
+        "ci AS (SELECT count(*) AS c FROM "
+        "(SELECT h FROM ha INTERSECT SELECT h FROM hb) x, th "
+        f"WHERE x.h / {sp} < th.ti), "
+        "ests AS (SELECT "
+        + est.format(t="ta", k=k, sp=sp) + " AS ea, "
+        + est.format(t="tb", k=k, sp=sp) + " AS eb, "
+        + est.format(t="tu", k=k, sp=sp) + " AS eu, "
+        "ci.c / th.ti AS ei FROM ta, tb, tu, ci, th) "
+        "SELECT round(ea, 6) AS n_a_est, round(eb, 6) AS n_b_est, "
+        "round(eu, 6) AS union_est, round(ei, 6) AS inter_est, "
+        "round(ei / eu, 6) AS jaccard_est FROM ests"
+    )
+
+
+SQL_THETA_SKETCH_OPS = _sql_theta_sketch_ops()
+
+
 _RRF_K = 60
 _RRF_DEPTH = 20
 
@@ -20394,6 +20509,7 @@ QUERIES = {
     "hll_terms_per_lang": q_hll_terms_per_lang,
     "cms_heavy_terms": q_cms_heavy_terms,
     "mg_heavy_terms": q_mg_heavy_terms,
+    "theta_sketch_ops": q_theta_sketch_ops,
     "docs_weighted_sample": q_docs_weighted_sample,
     "gopher_repetition": q_gopher_repetition,
     "unigram_logloss": q_unigram_logloss,
@@ -20574,6 +20690,7 @@ ORACLES = {
     "multi_terms_agg": SQL_MULTI_TERMS_AGG,
     "frequent_item_sets": SQL_FREQUENT_ITEM_SETS,
     "mg_heavy_terms": SQL_MG_HEAVY_TERMS,
+    "theta_sketch_ops": SQL_THETA_SKETCH_OPS,
     "weighted_avg_value": SQL_WEIGHTED_AVG_VALUE,
     "bucket_selector_days": SQL_BUCKET_SELECTOR_DAYS,
     "range_agg_chars": SQL_RANGE_AGG_CHARS,
