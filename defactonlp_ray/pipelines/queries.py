@@ -14511,6 +14511,147 @@ def _unigram_scores(sf_dir: str) -> dict[str, float]:
     return piece_scores(dict(zip(kept["piece"], kept["c"].astype(int))))
 
 
+_WP_TOPGRAMS = 200   # char-2/3-gram vocab budget (freq DESC, piece cut)
+_WP_TOP = 50
+
+
+def q_wordpiece_pieces(sf_dir: str):
+    """WordPiece tokenization (Devlin et al. 2019's BERT tokenizer
+    inference: GREEDY LONGEST-MATCH-FIRST segmentation) — the third
+    classic subword tokenizer beside the BPE and Unigram entries, and
+    the only one of the three with a full SQL oracle: the piece vocab
+    is SQL-derivable (all single characters, plus the top-200 char
+    2/3-grams by cf-weighted occurrence count over the word table, cut
+    at (freq DESC, piece)), and greedy matching tries the 3-char then
+    2-char then 1-char prefix at each position (single chars guarantee
+    progress).  Reports the top-50 pieces by cf-weighted usage.
+
+    Scale shape: gram counting, vocab ranking and encoding ALL map
+    over the DISTRIBUTED distinct-word table (never the corpus; same
+    argument as unigram_pieces); the vocab set ships once via
+    ray.put.  The oracle mirrors the greedy loop as a recursive CTE
+    whose step advances by the matched piece's length."""
+    words = (
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("cf_p", alias_name="cf"))
+        .materialize()
+    )
+
+    def gram_part(batch: pa.Table) -> pa.Table:
+        acc: dict[str, int] = {}
+        for term, cf in zip(
+            batch["term"].to_pylist(), batch["cf"].to_pylist()
+        ):
+            for n_ in (2, 3):
+                for i in range(len(term) - n_ + 1):
+                    g = term[i:i + n_]
+                    acc[g] = acc.get(g, 0) + cf
+        return pa.table({
+            "piece": pa.array(list(acc), pa.string()),
+            "f_p": pa.array(list(acc.values()), pa.int64()),
+        })
+
+    top = (
+        words.map_batches(gram_part, batch_format="pyarrow")
+        .groupby("piece")
+        .aggregate(Sum("f_p", alias_name="f"))
+        .sort(["f", "piece"], descending=[True, False])
+        .limit(_WP_TOPGRAMS)
+        .to_pandas()
+    )
+
+    def char_part(batch: pa.Table) -> pa.Table:
+        cs = sorted({
+            c for term in batch["term"].to_pylist() for c in term
+        })
+        return pa.table({"piece": pa.array(cs, pa.string())})
+
+    chars = (
+        words.map_batches(char_part, batch_format="pyarrow")
+        .groupby("piece")
+        .aggregate(Count(alias_name="__c"))
+        .to_pandas()
+    )
+    vocab = set(top["piece"]) | set(chars["piece"])
+    vref = ray.put(vocab)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        vb = ray.get(vref)
+        usage: dict[str, int] = {}
+        for term, cf in zip(
+            batch["term"].to_pylist(), batch["cf"].to_pylist()
+        ):
+            pos = 0
+            while pos < len(term):
+                for ln in (3, 2, 1):
+                    cand = term[pos:pos + ln]
+                    if cand and cand in vb:
+                        usage[cand] = usage.get(cand, 0) + cf
+                        pos += len(cand)
+                        break
+        return pa.table({
+            "piece": pa.array(list(usage), pa.string()),
+            "u_p": pa.array(list(usage.values()), pa.int64()),
+        })
+
+    out = (
+        words.map_batches(enc, batch_format="pyarrow")
+        .groupby("piece")
+        .aggregate(Sum("u_p", alias_name="n_uses"))
+        .to_pandas()
+        .sort_values(["n_uses", "piece"], ascending=[False, True])
+        .head(_WP_TOP)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "piece", "n_uses"]].astype({"n_uses": "int64"})
+
+
+def _sql_wordpiece_pieces() -> str:
+    pick = (
+        "CASE WHEN substr(term, CAST(pos AS INT), 3) IN "
+        "(SELECT piece FROM vocab) THEN substr(term, CAST(pos AS INT), 3) "
+        "WHEN substr(term, CAST(pos AS INT), 2) IN "
+        "(SELECT piece FROM vocab) THEN substr(term, CAST(pos AS INT), 2) "
+        "ELSE substr(term, CAST(pos AS INT), 1) END"
+    )
+    return (
+        "WITH RECURSIVE "
+        f"toks AS ({_TOKS_SQL}), "
+        "words AS (SELECT term, count(*) AS cf FROM toks GROUP BY term), "
+        "g2 AS (SELECT substr(term, CAST(i AS INT), 2) AS piece, "
+        "sum(cf) AS f FROM (SELECT term, cf, "
+        "unnest(range(1, length(term))) AS i FROM words) GROUP BY 1), "
+        "g3 AS (SELECT substr(term, CAST(i AS INT), 3) AS piece, "
+        "sum(cf) AS f FROM (SELECT term, cf, "
+        "unnest(range(1, length(term) - 1)) AS i FROM words) "
+        "GROUP BY 1), "
+        "top AS (SELECT piece FROM ("
+        "SELECT * FROM g2 UNION ALL SELECT * FROM g3) "
+        f"ORDER BY f DESC, piece LIMIT {_WP_TOPGRAMS}), "
+        "chars AS (SELECT DISTINCT substr(term, CAST(i AS INT), 1) "
+        "AS piece FROM (SELECT term, "
+        "unnest(range(1, length(term) + 1)) AS i FROM words)), "
+        "vocab AS (SELECT piece FROM top UNION SELECT piece FROM chars), "
+        "s(term, cf, pos) AS ("
+        "SELECT term, cf, CAST(1 AS BIGINT) FROM words "
+        "UNION ALL "
+        f"SELECT term, cf, pos + length({pick}) FROM s "
+        "WHERE pos <= length(term)), "
+        f"uses AS (SELECT {pick} AS piece, cf FROM s "
+        "WHERE pos <= length(term)), "
+        "agg AS (SELECT piece, CAST(sum(cf) AS BIGINT) AS n_uses "
+        "FROM uses GROUP BY 1) "
+        "SELECT CAST(row_number() OVER (ORDER BY n_uses DESC, piece) "
+        "AS BIGINT) AS rank, piece, n_uses FROM agg "
+        f"ORDER BY n_uses DESC, piece LIMIT {_WP_TOP}"
+    )
+
+
+SQL_WORDPIECE_PIECES = _sql_wordpiece_pieces()
+
+
 def q_unigram_pieces(sf_dir: str):
     """Unigram-LM tokenizer Viterbi pass (Kudo 2018; the SentencePiece
     ``unigram`` E-step): seed substring pieces scored log(count/total),
@@ -20390,6 +20531,7 @@ QUERIES = {
     "containment_dedup": q_containment_dedup,
     "span_containing_topk": q_span_containing_topk,
     "unigram_pieces": q_unigram_pieces,
+    "wordpiece_pieces": q_wordpiece_pieces,
     "unigram_token_counts": q_unigram_token_counts,
     "index_sorted_topk": q_index_sorted_topk,
     "events_serial_diff": q_events_serial_diff,
@@ -20752,6 +20894,7 @@ ORACLES = {
     "bm25_retention_topk": SQL_BM25_RETENTION_TOPK,
     "bigram_logloss": SQL_BIGRAM_LOGLOSS,
     "bigram_llr": SQL_BIGRAM_LLR,
+    "wordpiece_pieces": SQL_WORDPIECE_PIECES,
     "events_top_types_daily": SQL_EVENTS_TOP_TYPES_DAILY,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "events_ewma": SQL_EVENTS_EWMA,
