@@ -3845,6 +3845,117 @@ def q_ann_topk(sf_dir: str):
     return res
 
 
+_MAXSIM_GROUP = 4    # consecutive vec_ids forming one multi-vector doc
+_MAXSIM_NQVEC = 2    # query vectors per multi-vector query
+
+
+def q_ann_maxsim(sf_dir: str):
+    """ColBERT-style late-interaction MaxSim retrieval (Khattab &
+    Zaharia, SIGIR 2020): multi-vector docs (groups of 4 consecutive
+    vec_ids — the passage-token analogue) scored against multi-vector
+    queries (vec_id pairs 0-1, 2-3, 4-5) as ``sum over query vectors
+    of max over doc vectors of cos`` — the interaction that single-
+    vector ANN cannot express.  Per-pair cosines round to 6 BEFORE the
+    max (pin: max over published precisions, immune to 1e-16 kernel
+    noise), maxes sum per (query, group), final round 6, top-10 by
+    (score DESC, group).
+
+    Shape: the query matrix broadcasts once; each batch emits partial
+    (query, qvec, group) maxes (groups can straddle block boundaries,
+    so a Max groupby merges partials); the qvec maxes then Sum per
+    (query, group) and the top-k runs per query inside map_groups —
+    every exchange is bounded by groups x query-vectors, never by
+    vectors."""
+    from ray.data.aggregate import Max
+
+    q = _query_vectors(sf_dir, _MAXSIM_NQVEC * 3)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    qref = ray.put((q, qn))
+
+    def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "qvec": pa.array([], pa.int64()),
+                "grp": pa.array([], pa.int64()),
+                "mx_p": pa.array([], pa.float64()),
+            })
+        qm, qnorm = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.stack(
+            batch["embedding"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        cos = np.round(
+            (qm @ m.T) / qnorm[:, None] / mn[None, :], 6
+        )
+        grp = ids // _MAXSIM_GROUP
+        ug, inv = np.unique(grp, return_inverse=True)
+        out_q, out_v, out_g, out_m = [], [], [], []
+        for qi in range(qm.shape[0]):
+            mx = np.full(ug.size, -np.inf)
+            np.maximum.at(mx, inv, cos[qi])
+            out_q.append(np.full(ug.size, qi // _MAXSIM_NQVEC, np.int64))
+            out_v.append(np.full(ug.size, qi, np.int64))
+            out_g.append(ug)
+            out_m.append(mx)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "qvec": pa.array(np.concatenate(out_v), pa.int64()),
+            "grp": pa.array(np.concatenate(out_g), pa.int64()),
+            "mx_p": pa.array(np.concatenate(out_m), pa.float64()),
+        })
+
+    maxes = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["query_id", "qvec", "grp"])
+        .aggregate(Max("mx_p", alias_name="mx"))
+        .groupby(["query_id", "grp"])
+        .aggregate(Sum("mx", alias_name="s"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = np.round(g["s"], 6)
+        g = g.sort_values(
+            ["score", "grp"], ascending=[False, True]
+        ).head(10).reset_index(drop=True)
+        return pd.DataFrame({
+            "query_id": g["query_id"].astype(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "group_id": g["grp"].astype(np.int64),
+            "score": g["score"].astype(np.float64),
+        })
+
+    return (
+        maxes.groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_ANN_MAXSIM = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+    f"vec_id // {_MAXSIM_GROUP} AS grp FROM embeddings), "
+    f"q AS (SELECT vec_id // {_MAXSIM_NQVEC} AS query_id, "
+    f"vec_id AS qid, v FROM e WHERE vec_id < {_MAXSIM_NQVEC * 3}), "
+    "m AS (SELECT q.query_id, q.qid, e.grp, "
+    "max(round(list_cosine_similarity(q.v, e.v), 6)) AS mx "
+    "FROM q CROSS JOIN e GROUP BY 1, 2, 3), "
+    "s AS (SELECT query_id, grp, round(sum(mx), 6) AS score "
+    "FROM m GROUP BY 1, 2) "
+    "SELECT query_id, rank, grp AS group_id, score FROM ("
+    "SELECT query_id, grp, score, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY score DESC, grp) AS BIGINT) AS rank "
+    "FROM s) WHERE rank <= 10 ORDER BY query_id, rank"
+)
+
+
 SQL_ANN_TOPK = (
     "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
     "FROM embeddings WHERE vec_id < 3) "
@@ -20725,6 +20836,7 @@ QUERIES = {
     "rolling_fingerprints": q_rolling_fingerprints,
     "langid_predictions": q_langid_predictions,
     "ann_topk": q_ann_topk,
+    "ann_maxsim": q_ann_maxsim,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
@@ -20933,6 +21045,7 @@ ORACLES = {
     "quality": SQL_QUALITY,
     "fingerprints": SQL_FINGERPRINTS,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_maxsim": SQL_ANN_MAXSIM,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "bm25_topk": SQL_BM25_TOPK,
     # WAND is pruning-only (pytest: ≡ exhaustive) and pfor is a storage
