@@ -20559,6 +20559,18 @@ QUERIES = {
     "retrieval_gmap": q_retrieval_gmap,
     "retrieval_iprec": q_retrieval_iprec,
     "ltr_rerank": q_ltr_rerank,
+    "pl2_topk": q_pl2_topk,
+    "dph_topk": q_dph_topk,
+    "fusion_combmnz": q_fusion_combmnz,
+    "run_randomization_test": q_run_randomization_test,
+    "frequent_item_sets": q_frequent_item_sets,
+    "mg_heavy_terms": q_mg_heavy_terms,
+    "theta_sketch_ops": q_theta_sketch_ops,
+    "bigram_llr": q_bigram_llr,
+    "wordpiece_pieces": q_wordpiece_pieces,
+    "link_adamic_adar": q_link_adamic_adar,
+    "events_range_join": q_events_range_join,
+    "ann_maxsim": q_ann_maxsim,
     "hybrid_minmax": q_hybrid_minmax,
     "geohash_grid": q_geohash_grid,
     "events_moving_percentile": q_events_moving_percentile,
@@ -20627,7 +20639,6 @@ QUERIES = {
     "string_stats_text": q_string_stats_text,
     "mad_chars": q_mad_chars,
     "multi_terms_agg": q_multi_terms_agg,
-    "frequent_item_sets": q_frequent_item_sets,
     "weighted_avg_value": q_weighted_avg_value,
     "bucket_selector_days": q_bucket_selector_days,
     "range_agg_chars": q_range_agg_chars,
@@ -20642,7 +20653,6 @@ QUERIES = {
     "containment_dedup": q_containment_dedup,
     "span_containing_topk": q_span_containing_topk,
     "unigram_pieces": q_unigram_pieces,
-    "wordpiece_pieces": q_wordpiece_pieces,
     "unigram_token_counts": q_unigram_token_counts,
     "index_sorted_topk": q_index_sorted_topk,
     "events_serial_diff": q_events_serial_diff,
@@ -20690,7 +20700,6 @@ QUERIES = {
     "bm25_routed_topk": q_bm25_routed_topk,
     "bm25_retention_topk": q_bm25_retention_topk,
     "bigram_logloss": q_bigram_logloss,
-    "bigram_llr": q_bigram_llr,
     "events_top_types_daily": q_events_top_types_daily,
     "events_moving_avg": q_events_moving_avg,
     "events_ewma": q_events_ewma,
@@ -20722,7 +20731,6 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "corpus_curation": q_corpus_curation,
     "link_hits": q_link_hits,
-    "link_adamic_adar": q_link_adamic_adar,
     "bm25_range_filter": q_bm25_range_filter,
     "bm25_boosting": q_bm25_boosting,
     "bm25_histogram": q_bm25_histogram,
@@ -20761,8 +20769,6 @@ QUERIES = {
     "ann_ivfpq": q_ann_ivfpq,
     "hll_terms_per_lang": q_hll_terms_per_lang,
     "cms_heavy_terms": q_cms_heavy_terms,
-    "mg_heavy_terms": q_mg_heavy_terms,
-    "theta_sketch_ops": q_theta_sketch_ops,
     "docs_weighted_sample": q_docs_weighted_sample,
     "gopher_repetition": q_gopher_repetition,
     "unigram_logloss": q_unigram_logloss,
@@ -20795,9 +20801,7 @@ QUERIES = {
     "judgment_pool": q_judgment_pool,
     "fusion_borda": q_fusion_borda,
     "fusion_condorcet": q_fusion_condorcet,
-    "fusion_combmnz": q_fusion_combmnz,
     "run_sign_test": q_run_sign_test,
-    "run_randomization_test": q_run_randomization_test,
     "events_date_range": q_events_date_range,
     "varwidth_histogram": q_varwidth_histogram,
     "bm25f_topk": q_bm25f_topk,
@@ -20825,7 +20829,6 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
-    "events_range_join": q_events_range_join,
     "events_sliding": q_events_sliding,
     "events_quantiles": q_events_quantiles,
     "tpch_q1": q_tpch_q1,
@@ -20836,7 +20839,6 @@ QUERIES = {
     "rolling_fingerprints": q_rolling_fingerprints,
     "langid_predictions": q_langid_predictions,
     "ann_topk": q_ann_topk,
-    "ann_maxsim": q_ann_maxsim,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
@@ -20852,8 +20854,6 @@ QUERIES = {
     "ib_spl_topk": q_ib_spl_topk,
     "lmjm_topk": q_lmjm_topk,
     "f2exp_topk": q_f2exp_topk,
-    "pl2_topk": q_pl2_topk,
-    "dph_topk": q_dph_topk,
     "saat_topk": q_saat_topk,
     "dfi_topk": q_dfi_topk,
     "synonym_topk": q_synonym_topk,
