@@ -1558,6 +1558,85 @@ SQL_EVENTS_EWMA = (
 )
 
 
+_SAX_W = 8            # PAA segments
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)   # N(0,1) quartiles -> a/b/c/d
+
+
+def q_events_sax(sf_dir: str):
+    """SAX symbolic representation of the daily series (Lin, Keogh,
+    Lonardi & Chiu, DMKD 2003 — THE symbolic time-series encoding
+    behind motif/anomaly mining): z-normalize the day counts
+    (population std), PAA-average into 8 contiguous segments
+    (row k -> segment k*w//N), and map each segment mean to the 4-
+    letter alphabet at the pinned N(0,1) quartile breakpoints.  The
+    symbol comes from the ROUNDED (6dp) PAA value so both engines
+    compare identical doubles.  Same reduced-series shape as the
+    other recurrence entries.  Output: (segment, paa, symbol)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    nn = n.size
+    mu = int(n.sum()) / nn
+    sd = math.sqrt(float(np.sum((n - mu) ** 2)) / nn)
+    z = (n - mu) / sd
+    seg = (np.arange(nn, dtype=np.int64) * _SAX_W) // nn
+    b1, b2, b3 = _SAX_BREAKS
+    rows = []
+    for s in range(_SAX_W):
+        m = z[seg == s]
+        if not m.size:
+            continue
+        paa = round(float(np.mean(m)), 6)
+        sym = (
+            "a" if paa < b1 else "b" if paa < b2
+            else "c" if paa < b3 else "d"
+        )
+        rows.append((s, paa, sym))
+    return pd.DataFrame(
+        rows, columns=["segment", "paa", "symbol"]
+    ).astype({"segment": "int64", "paa": "float64"})
+
+
+def _sql_events_sax() -> str:
+    b1, b2, b3 = _SAX_BREAKS
+    w = _SAX_W
+    return (
+        "WITH d AS (SELECT date_trunc('day', ts) AS window_start, "
+        "count(*) AS n FROM events GROUP BY 1), "
+        "st AS (SELECT sum(n)::DOUBLE / count(*) AS mu, count(*) AS nn "
+        "FROM d), "
+        "sd AS (SELECT sqrt(sum((d.n - st.mu) * (d.n - st.mu)) / st.nn) "
+        "AS s FROM d, st GROUP BY st.nn), "
+        "z AS (SELECT (row_number() OVER (ORDER BY window_start) - 1) "
+        "AS k, (n - st.mu) / sd.s AS z FROM d, st, sd), "
+        f"p AS (SELECT (k * {w}) // (SELECT nn FROM st) AS segment, "
+        "round(avg(z), 6) AS paa FROM z GROUP BY 1) "
+        "SELECT CAST(segment AS BIGINT) AS segment, paa, "
+        f"CASE WHEN paa < {b1} THEN 'a' WHEN paa < {b2} THEN 'b' "
+        f"WHEN paa < {b3} THEN 'c' ELSE 'd' END AS symbol FROM p "
+        "ORDER BY segment"
+    )
+
+
+SQL_EVENTS_SAX = _sql_events_sax()
+
+
 def q_events_cusum(sf_dir: str):
     """One-sided upper CUSUM change detection over the daily series
     (Page 1954 — the sequential change-point chart ES's ML jobs and
@@ -12182,6 +12261,64 @@ _SC_SPAN = 3    # masked-span length (tokens)
 _SC_PERIOD = 5  # every doc masks the span groups g with g % 5 == doc_id % 5
 
 
+def q_fim_transform(sf_dir: str):
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    arXiv:2207.14255 "Efficient Training of Language Models to Fill in
+    the Middle" — the PSM reordering OpenAI/code models train with):
+    each doc splits at the deterministic character thirds c1 =
+    len//3, c2 = (2*len)//3 and reorders to
+    ``<PRE>prefix<SUF>suffix<MID>middle``.  Per doc: the three span
+    lengths and the md5 of the transformed string (content proof, not
+    just lengths).  Vectorized char slicing (pandas str.slice mirrors
+    SQL substr's character semantics); md5 per row is the pinned
+    oracle-parity hash as elsewhere."""
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        text = batch["text"].astype(str)
+        n = text.str.len().to_numpy(np.int64)
+        c1 = n // 3
+        c2 = (2 * n) // 3
+        pre = pd.Series(
+            [t[:a] for t, a in zip(text, c1)], index=text.index
+        )
+        mid = pd.Series(
+            [t[a:b] for t, a, b in zip(text, c1, c2)], index=text.index
+        )
+        suf = pd.Series(
+            [t[b:] for t, b in zip(text, c2)], index=text.index
+        )
+        fim = "<PRE>" + pre + "<SUF>" + suf + "<MID>" + mid
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype(np.int64),
+            "pre_len": c1,
+            "mid_len": c2 - c1,
+            "suf_len": n - c2,
+            "fim_md5": [
+                hashlib.md5(s.encode()).hexdigest() for s in fim
+            ],
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        part, batch_format="pandas"
+    )
+
+
+SQL_FIM_TRANSFORM = (
+    "SELECT doc_id, "
+    "CAST(length(text) // 3 AS BIGINT) AS pre_len, "
+    "CAST((2 * length(text)) // 3 - length(text) // 3 AS BIGINT) "
+    "AS mid_len, "
+    "CAST(length(text) - (2 * length(text)) // 3 AS BIGINT) AS suf_len, "
+    "md5('<PRE>' || substr(text, 1, length(text) // 3) || '<SUF>' || "
+    "substr(text, (2 * length(text)) // 3 + 1) || '<MID>' || "
+    "substr(text, length(text) // 3 + 1, "
+    "(2 * length(text)) // 3 - length(text) // 3)) AS fim_md5 "
+    "FROM documents"
+)
+
+
 def q_span_corruption(sf_dir: str):
     """T5-style span-corruption accounting (Raffel et al. 2020 §3.1.4
     denoising objective): tokens are tiled into length-3 groups and a
@@ -20673,6 +20810,7 @@ QUERIES = {
     "doc_termvectors": q_doc_termvectors,
     "events_anomaly": q_events_anomaly,
     "span_corruption": q_span_corruption,
+    "fim_transform": q_fim_transform,
     "events_props_extract": q_events_props_extract,
     "events_auto_histogram": q_events_auto_histogram,
     "highlight_offsets": q_highlight_offsets,
@@ -20705,6 +20843,7 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "events_holt": q_events_holt,
     "events_cusum": q_events_cusum,
+    "events_sax": q_events_sax,
     "curriculum_buckets": q_curriculum_buckets,
     "quality_logreg": q_quality_logreg,
     "link_triangles": q_link_triangles,
@@ -20976,6 +21115,7 @@ ORACLES = {
     "doc_termvectors": SQL_DOC_TERMVECTORS,
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "span_corruption": SQL_SPAN_CORRUPTION,
+    "fim_transform": SQL_FIM_TRANSFORM,
     "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
     "events_auto_histogram": SQL_EVENTS_AUTO_HISTOGRAM,
     "highlight_offsets": SQL_HIGHLIGHT_OFFSETS,
@@ -21012,6 +21152,7 @@ ORACLES = {
     "events_ewma": SQL_EVENTS_EWMA,
     "events_holt": SQL_EVENTS_HOLT,
     "events_cusum": SQL_EVENTS_CUSUM,
+    "events_sax": SQL_EVENTS_SAX,
     "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
     "link_triangles": SQL_LINK_TRIANGLES,
     "bm25_scroll": SQL_BM25_SCROLL,
