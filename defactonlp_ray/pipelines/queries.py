@@ -1558,6 +1558,72 @@ SQL_EVENTS_EWMA = (
 )
 
 
+def q_events_decompose(sf_dir: str):
+    """Classical additive seasonal decomposition of the daily series
+    (the Makridakis/Cleveland textbook method behind
+    statsmodels.seasonal_decompose): trend = centered 7-day moving
+    average (full windows only), weekly seasonal = per-day-of-week
+    mean of the detrended series re-centered to sum to zero, residual
+    = n - trend - seasonal.  Only full-window rows are emitted.  Same
+    bounded reduced-series shape as the other time-series entries;
+    the oracle mirrors the window arithmetic with a frame-counted
+    window average."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    trend = daily["n"].rolling(7, center=True, min_periods=7).mean()
+    dow = daily["window_start"].dt.dayofweek
+    detr = daily["n"] - trend
+    ok = trend.notna()
+    s_raw = detr[ok].groupby(dow[ok]).mean()
+    s_cent = s_raw - s_raw.mean()
+    seasonal = dow.map(s_cent)
+    out = daily[ok].copy()
+    out["trend"] = np.round(trend[ok], 6)
+    out["seasonal"] = np.round(seasonal[ok], 6)
+    out["resid"] = np.round(
+        daily["n"][ok] - trend[ok] - seasonal[ok], 6
+    )
+    return out[
+        ["window_start", "n", "trend", "seasonal", "resid"]
+    ].reset_index(drop=True)
+
+
+SQL_EVENTS_DECOMPOSE = (
+    "WITH d AS (SELECT date_trunc('day', ts) AS window_start, "
+    "count(*) AS n FROM events GROUP BY 1), "
+    "ix AS (SELECT window_start, n, dayofweek(window_start) AS dow, "
+    "row_number() OVER (ORDER BY window_start) AS rn FROM d), "
+    "tr AS (SELECT *, avg(n) OVER (ORDER BY rn ROWS BETWEEN 3 "
+    "PRECEDING AND 3 FOLLOWING) AS trend, count(*) OVER ("
+    "ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt "
+    "FROM ix), "
+    "td AS (SELECT * FROM tr WHERE cnt = 7), "
+    "sr AS (SELECT dow, avg(n - trend) AS s FROM td GROUP BY dow), "
+    "sm AS (SELECT avg(s) AS m FROM sr), "
+    "sc AS (SELECT dow, s - (SELECT m FROM sm) AS s FROM sr) "
+    "SELECT td.window_start, td.n, round(td.trend, 6) AS trend, "
+    "round(sc.s, 6) AS seasonal, "
+    "round(td.n - td.trend - sc.s, 6) AS resid "
+    "FROM td JOIN sc ON sc.dow = td.dow ORDER BY td.window_start"
+)
+
+
 _SAX_W = 8            # PAA segments
 _SAX_BREAKS = (-0.6745, 0.0, 0.6745)   # N(0,1) quartiles -> a/b/c/d
 
@@ -20844,6 +20910,7 @@ QUERIES = {
     "events_holt": q_events_holt,
     "events_cusum": q_events_cusum,
     "events_sax": q_events_sax,
+    "events_decompose": q_events_decompose,
     "curriculum_buckets": q_curriculum_buckets,
     "quality_logreg": q_quality_logreg,
     "link_triangles": q_link_triangles,
@@ -21153,6 +21220,7 @@ ORACLES = {
     "events_holt": SQL_EVENTS_HOLT,
     "events_cusum": SQL_EVENTS_CUSUM,
     "events_sax": SQL_EVENTS_SAX,
+    "events_decompose": SQL_EVENTS_DECOMPOSE,
     "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
     "link_triangles": SQL_LINK_TRIANGLES,
     "bm25_scroll": SQL_BM25_SCROLL,
