@@ -1558,6 +1558,101 @@ SQL_EVENTS_EWMA = (
 )
 
 
+def q_events_grouping_sets(sf_dir: str):
+    """GROUPING SETS / CUBE over (event_type, day) — the OLAP rollup
+    ES exposes as composite + top-level aggs and warehouses as CUBE:
+    counts at all four grouping levels in ONE corpus pass.  The
+    (type, day) base table reduces via the per-batch combiner +
+    groupby; the three coarser levels derive FROM the reduced base
+    (classic rollup-from-finest optimization — the corpus streams
+    once, the rollups aggregate bucket rows).  Absent keys use pinned
+    sentinels ('' / epoch) rather than NULLs so cross-engine hashing
+    is total-ordered."""
+    epoch = np.datetime64("1970-01-01T00:00:00", "us")
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({
+            "event_type": batch["event_type"], "window_start": day,
+        })
+        agg = t.group_by(["event_type", "window_start"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["event_type", "window_start", "n_p"])
+
+    base = (
+        read_table(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .materialize()
+    )
+
+    def lvl_type_day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "level": pa.array(["type_day"] * b.num_rows, pa.string()),
+            "event_type": b["event_type"],
+            "window_start": b["window_start"],
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    by_type = base.groupby("event_type").aggregate(
+        Sum("n", alias_name="n")
+    )
+    by_day = base.groupby("window_start").aggregate(
+        Sum("n", alias_name="n")
+    )
+    total = int(base.sum("n"))
+
+    def lvl_type(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "level": pa.array(["type"] * b.num_rows, pa.string()),
+            "event_type": b["event_type"],
+            "window_start": pa.array(
+                np.full(b.num_rows, epoch), pa.timestamp("us")
+            ),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    def lvl_day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "level": pa.array(["day"] * b.num_rows, pa.string()),
+            "event_type": pa.array([""] * b.num_rows, pa.string()),
+            "window_start": b["window_start"],
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    tot_tbl = ray.data.from_arrow(pa.table({
+        "level": pa.array(["total"], pa.string()),
+        "event_type": pa.array([""], pa.string()),
+        "window_start": pa.array([epoch], pa.timestamp("us")),
+        "n": pa.array([total], pa.int64()),
+    }))
+    return (
+        base.map_batches(lvl_type_day, batch_format="pyarrow")
+        .union(by_type.map_batches(lvl_type, batch_format="pyarrow"))
+        .union(by_day.map_batches(lvl_day, batch_format="pyarrow"))
+        .union(tot_tbl)
+    )
+
+
+SQL_EVENTS_GROUPING_SETS = (
+    "WITH base AS (SELECT event_type, date_trunc('day', ts) AS "
+    "window_start, CAST(count(*) AS BIGINT) AS n FROM events "
+    "GROUP BY 1, 2) "
+    "SELECT 'type_day' AS level, event_type, window_start, n FROM base "
+    "UNION ALL SELECT 'type', event_type, "
+    "TIMESTAMP '1970-01-01', CAST(sum(n) AS BIGINT) FROM base "
+    "GROUP BY event_type "
+    "UNION ALL SELECT 'day', '', window_start, "
+    "CAST(sum(n) AS BIGINT) FROM base GROUP BY window_start "
+    "UNION ALL SELECT 'total', '', TIMESTAMP '1970-01-01', "
+    "CAST(sum(n) AS BIGINT) FROM base"
+)
+
+
 def q_events_decompose(sf_dir: str):
     """Classical additive seasonal decomposition of the daily series
     (the Makridakis/Cleveland textbook method behind
@@ -20911,6 +21006,7 @@ QUERIES = {
     "events_cusum": q_events_cusum,
     "events_sax": q_events_sax,
     "events_decompose": q_events_decompose,
+    "events_grouping_sets": q_events_grouping_sets,
     "curriculum_buckets": q_curriculum_buckets,
     "quality_logreg": q_quality_logreg,
     "link_triangles": q_link_triangles,
@@ -21221,6 +21317,7 @@ ORACLES = {
     "events_cusum": SQL_EVENTS_CUSUM,
     "events_sax": SQL_EVENTS_SAX,
     "events_decompose": SQL_EVENTS_DECOMPOSE,
+    "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
     "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
     "link_triangles": SQL_LINK_TRIANGLES,
     "bm25_scroll": SQL_BM25_SCROLL,
