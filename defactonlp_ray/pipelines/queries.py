@@ -14920,6 +14920,88 @@ def _unigram_scores(sf_dir: str) -> dict[str, float]:
     return piece_scores(dict(zip(kept["piece"], kept["c"].astype(int))))
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Per-language lexical-diversity profile (the corpus-linguistics
+    health panel: type-token ratio + hapax legomena share — Baayen's
+    LNRE diagnostics; a skewed hapax share is the classic crawl-noise
+    tell): per lang, token total, type count, TTR, hapax count (terms
+    with per-lang cf = 1) and hapax/type share.  One corpus pass: the
+    (lang, term) tf combiner -> groupby((lang, term)) -> per-lang
+    aggregates DERIVE from the reduced vocabulary table (types, not
+    tokens, cross the second exchange)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lang_of = dict(zip(dids.tolist(), batch["lang"].to_pylist()))
+        tdf = tf.to_pandas()
+        tdf["lang"] = tdf["doc_id"].map(lang_of)
+        agg = tdf.groupby(["lang", "term"], as_index=False)["tf"].sum()
+        return pa.table({
+            "lang": pa.array(agg["lang"], pa.string()),
+            "term": pa.array(agg["term"], pa.string()),
+            "cf_p": pa.array(agg["tf"].to_numpy(np.int64), pa.int64()),
+        })
+
+    vocab = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("cf_p", alias_name="cf"))
+    )
+
+    def per_lang(b: pa.Table) -> pa.Table:
+        cf = b["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "lang": b["lang"],
+            "tok_p": pa.array(cf, pa.int64()),
+            "typ_p": pa.array(np.ones(cf.size, np.int64), pa.int64()),
+            "hap_p": pa.array((cf == 1).astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        vocab.map_batches(per_lang, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("tok_p", alias_name="n_tokens"),
+            Sum("typ_p", alias_name="n_types"),
+            Sum("hap_p", alias_name="n_hapax"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    agg["ttr"] = np.round(
+        agg["n_types"].to_numpy(np.float64)
+        / agg["n_tokens"].to_numpy(np.float64), 6
+    )
+    agg["hapax_share"] = np.round(
+        agg["n_hapax"].to_numpy(np.float64)
+        / agg["n_types"].to_numpy(np.float64), 6
+    )
+    return agg[
+        ["lang", "n_tokens", "n_types", "n_hapax", "ttr", "hapax_share"]
+    ].astype({
+        "n_tokens": "int64", "n_types": "int64", "n_hapax": "int64",
+    })
+
+
+SQL_LEXICAL_DIVERSITY = (
+    "WITH toks AS (SELECT d.doc_id, d.lang, "
+    "unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) "
+    "AS term FROM documents d), "
+    "v AS (SELECT lang, term, count(*) AS cf FROM toks GROUP BY 1, 2) "
+    "SELECT lang, CAST(sum(cf) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) AS BIGINT) AS n_types, "
+    "CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_hapax, "
+    "round(count(*)::DOUBLE / sum(cf), 6) AS ttr, "
+    "round(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END)::DOUBLE "
+    "/ count(*), 6) AS hapax_share "
+    "FROM v GROUP BY lang ORDER BY lang"
+)
+
+
 _WP_TOPGRAMS = 200   # char-2/3-gram vocab budget (freq DESC, piece cut)
 _WP_TOP = 50
 
@@ -20866,6 +20948,7 @@ QUERIES = {
     "theta_sketch_ops": q_theta_sketch_ops,
     "bigram_llr": q_bigram_llr,
     "wordpiece_pieces": q_wordpiece_pieces,
+    "lexical_diversity": q_lexical_diversity,
     "link_adamic_adar": q_link_adamic_adar,
     "events_range_join": q_events_range_join,
     "ann_maxsim": q_ann_maxsim,
@@ -21310,6 +21393,7 @@ ORACLES = {
     "bigram_logloss": SQL_BIGRAM_LOGLOSS,
     "bigram_llr": SQL_BIGRAM_LLR,
     "wordpiece_pieces": SQL_WORDPIECE_PIECES,
+    "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "events_top_types_daily": SQL_EVENTS_TOP_TYPES_DAILY,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "events_ewma": SQL_EVENTS_EWMA,
