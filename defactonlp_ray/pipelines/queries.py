@@ -1798,6 +1798,107 @@ def _sql_events_sax() -> str:
 SQL_EVENTS_SAX = _sql_events_sax()
 
 
+_HW_ALPHA = 0.3
+_HW_BETA = 0.1
+_HW_GAMMA = 0.2
+_HW_P = 7   # weekly season
+
+
+def q_events_holt_winters(sf_dir: str):
+    """Holt-Winters ADDITIVE triple exponential smoothing (Winters
+    1960; the seasonal completion of the ewma/holt family) with weekly
+    period 7 and the classic two-week initialization (Hyndman fpp):
+    level_0 = mean(week 1), trend_0 = (mean(week 2) - mean(week 1))/7,
+    seasonal_i = n_i - level_0 for the first week; then for t >= 8
+    ``lev = a*(n - s[t-7]) + (1-a)*(lev' + tr')``,
+    ``tr = b*(lev - lev') + (1-b)*tr'``,
+    ``s_t = g*(n - lev) + (1-g)*s[t-7]`` with a=0.3, b=0.1, g=0.2.
+    Output rows t >= 8: (window_start, n, level, trend, seasonal).
+    The oracle carries the rolling 7-slot seasonal state as a DOUBLE[]
+    LIST column through the recursive CTE (shift + append per step) —
+    state machines as first-class SQL.  Requires >= 14 days (the
+    events span ~30)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    p = _HW_P
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    m1 = int(n[:p].sum()) / p
+    m2 = int(n[p:2 * p].sum()) / p
+    lev = m1
+    tr = (m2 - m1) / p
+    state = [float(x) - m1 for x in n[:p]]
+    rows = []
+    for t in range(p, n.size):
+        s_old = state[0]
+        lev_new = a * (n[t] - s_old) + (1.0 - a) * (lev + tr)
+        tr = b * (lev_new - lev) + (1.0 - b) * tr
+        s_new = g * (n[t] - lev_new) + (1.0 - g) * s_old
+        lev = lev_new
+        state = state[1:] + [s_new]
+        rows.append((
+            daily["window_start"].iloc[t], int(n[t]),
+            round(lev, 6), round(tr, 6), round(s_new, 6),
+        ))
+    return pd.DataFrame(
+        rows, columns=["window_start", "n", "level", "trend", "seasonal"]
+    ).astype({"n": "int64"})
+
+
+def _sql_events_holt_winters() -> str:
+    a, b, g, p = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_P
+    lev_new = (
+        f"({a} * (ix.n - e.S[1]) + (1.0 - {a}) * (e.lev + e.tr))"
+    )
+    return (
+        "WITH RECURSIVE "
+        "d AS (SELECT date_trunc('day', ts) AS window_start, "
+        "count(*) AS n FROM events GROUP BY 1), "
+        "ix AS (SELECT window_start, n, CAST(row_number() OVER ("
+        "ORDER BY window_start) AS BIGINT) AS i FROM d), "
+        f"m1 AS (SELECT avg(n) AS m FROM ix WHERE i <= {p}), "
+        f"m2 AS (SELECT avg(n) AS m FROM ix WHERE i > {p} "
+        f"AND i <= {2 * p}), "
+        "e(i, window_start, n, lev, tr, S) AS ("
+        f"SELECT CAST({p} AS BIGINT), "
+        f"(SELECT window_start FROM ix WHERE i = {p}), "
+        f"(SELECT n FROM ix WHERE i = {p}), "
+        "(SELECT m FROM m1), "
+        f"((SELECT m FROM m2) - (SELECT m FROM m1)) / {p}, "
+        "(SELECT list(n - (SELECT m FROM m1) ORDER BY i) FROM ix "
+        f"WHERE i <= {p}) "
+        "UNION ALL "
+        f"SELECT ix.i, ix.window_start, ix.n, {lev_new}, "
+        f"{b} * ({lev_new} - e.lev) + (1.0 - {b}) * e.tr, "
+        f"list_append(e.S[2:{p}], "
+        f"{g} * (ix.n - {lev_new}) + (1.0 - {g}) * e.S[1]) "
+        "FROM e JOIN ix ON ix.i = e.i + 1) "
+        "SELECT window_start, n, round(lev, 6) AS level, "
+        "round(tr, 6) AS trend, "
+        f"round(S[{p}], 6) AS seasonal FROM e WHERE i > {p} "
+        "ORDER BY window_start"
+    )
+
+
+SQL_EVENTS_HOLT_WINTERS = _sql_events_holt_winters()
+
+
 def q_events_cusum(sf_dir: str):
     """One-sided upper CUSUM change detection over the daily series
     (Page 1954 — the sequential change-point chart ES's ML jobs and
@@ -21087,6 +21188,7 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "events_holt": q_events_holt,
     "events_cusum": q_events_cusum,
+    "events_holt_winters": q_events_holt_winters,
     "events_sax": q_events_sax,
     "events_decompose": q_events_decompose,
     "events_grouping_sets": q_events_grouping_sets,
@@ -21399,6 +21501,7 @@ ORACLES = {
     "events_ewma": SQL_EVENTS_EWMA,
     "events_holt": SQL_EVENTS_HOLT,
     "events_cusum": SQL_EVENTS_CUSUM,
+    "events_holt_winters": SQL_EVENTS_HOLT_WINTERS,
     "events_sax": SQL_EVENTS_SAX,
     "events_decompose": SQL_EVENTS_DECOMPOSE,
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
