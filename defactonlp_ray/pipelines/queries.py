@@ -8960,6 +8960,56 @@ def _bpref_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_RETRIEVAL_BPREF = _bpref_sql(_BM25_QUERIES)
 
 
+def q_retrieval_success(sf_dir: str):
+    """Success@k (trec_eval ``success_1,5,10``; the QA-track "did any
+    relevant doc make the cut" rates): the fraction of queries whose
+    BM25 run places at least one relevant doc in the top 1 / 5 / 10.
+    One summary row; rates are exact small rationals rounded to 6.
+    Shares the _rel_hits machinery."""
+    topk = q_bm25_topk(sf_dir)
+    hit_set, _ = _rel_hits(sf_dir, topk)
+    best: dict[int, int] = {}
+    for qid, _terms in _BM25_QUERIES:
+        g = topk[topk["query_id"] == qid]
+        rel = [
+            int(r) for r, d in zip(g["rank"], g["doc_id"])
+            if (qid, d) in hit_set
+        ]
+        if rel:
+            best[qid] = min(rel)
+    nq = len(_BM25_QUERIES)
+    out = {
+        f"success_{k}": [
+            round(sum(1 for r in best.values() if r <= k) / nq, 6)
+        ]
+        for k in (1, 5, 10)
+    }
+    out["n_queries"] = [nq]
+    df = pd.DataFrame(out)
+    return df.astype({"n_queries": "int64"})
+
+
+def _success_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    nq = len(queries)
+    return (
+        _ranked_eval_prefix_sql(queries, k) + ", "
+        "best AS (SELECT t.query_id, min(t.rank) AS r FROM topk t "
+        "JOIN rel ON rel.query_id = t.query_id "
+        "AND rel.doc_id = t.doc_id GROUP BY t.query_id) "
+        "SELECT "
+        f"round(sum(CASE WHEN r <= 1 THEN 1 ELSE 0 END)::DOUBLE / {nq}, 6) "
+        "AS success_1, "
+        f"round(sum(CASE WHEN r <= 5 THEN 1 ELSE 0 END)::DOUBLE / {nq}, 6) "
+        "AS success_5, "
+        f"round(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END)::DOUBLE / {nq}, 6) "
+        "AS success_10, "
+        f"CAST({nq} AS BIGINT) AS n_queries FROM best"
+    )
+
+
+SQL_RETRIEVAL_SUCCESS = _success_sql(_BM25_QUERIES)
+
+
 _LTR_WINDOW = 50
 _LTR_W = (0.6, -0.1, 0.25, 0.5)   # (bm25, ln(1+dl), ln(1+tf_sum), frac)
 
@@ -21039,6 +21089,7 @@ QUERIES = {
     "retrieval_bpref": q_retrieval_bpref,
     "retrieval_gmap": q_retrieval_gmap,
     "retrieval_iprec": q_retrieval_iprec,
+    "retrieval_success": q_retrieval_success,
     "ltr_rerank": q_ltr_rerank,
     "pl2_topk": q_pl2_topk,
     "dph_topk": q_dph_topk,
@@ -21366,6 +21417,7 @@ ORACLES = {
     "retrieval_bpref": SQL_RETRIEVAL_BPREF,
     "retrieval_gmap": SQL_RETRIEVAL_GMAP,
     "retrieval_iprec": SQL_RETRIEVAL_IPREC,
+    "retrieval_success": SQL_RETRIEVAL_SUCCESS,
     "ltr_rerank": SQL_LTR_RERANK,
     "hybrid_minmax": _sql_hybrid_minmax(),
     "geohash_grid": _sql_geohash_grid(),
