@@ -16324,6 +16324,64 @@ def _sql_geo_distance_topk() -> str:
 _GEO_BBOX = (10_000_000, 55_000_000, -30_000_000, 60_000_000)
 
 
+_GEO_POLY = (   # convex CCW pentagon, micro-degrees (lon, lat)
+    (-60_000_000, -20_000_000),
+    (20_000_000, -60_000_000),
+    (80_000_000, 0),
+    (40_000_000, 55_000_000),
+    (-40_000_000, 45_000_000),
+)
+
+
+def q_geo_polygon_count(sf_dir: str):
+    """ES ``geo_polygon`` filter: documents whose synthetic coordinate
+    lies inside a pinned CONVEX CCW pentagon, counted per lang.  The
+    containment test is the all-edges cross-product sign check
+    ``(x2-x1)*(py-y1) - (y2-y1)*(px-x1) >= 0`` in pure int64
+    micro-degrees (products < 2^63) — exact on both engines, no float
+    anywhere; boundary points count as inside (>= 0 pinned)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        lat, lon = _synth_geo(batch)
+        inside = np.ones(lat.size, dtype=bool)
+        n = len(_GEO_POLY)
+        for i in range(n):
+            x1, y1 = _GEO_POLY[i]
+            x2, y2 = _GEO_POLY[(i + 1) % n]
+            inside &= (
+                (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)
+            ) >= 0
+        t = pa.table({"lang": batch["lang"].filter(pa.array(inside))})
+        agg = t.group_by("lang").aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "n_p"])
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .sort("lang")
+    )
+
+
+def _sql_geo_polygon_count() -> str:
+    n = len(_GEO_POLY)
+    conds = []
+    for i in range(n):
+        x1, y1 = _GEO_POLY[i]
+        x2, y2 = _GEO_POLY[(i + 1) % n]
+        conds.append(
+            f"({x2} - {x1}) * (g.lat_e6 - {y1}) "
+            f"- ({y2} - {y1}) * (g.lon_e6 - {x1}) >= 0"
+        )
+    return (
+        f"WITH {_sql_geo_cte()} "
+        "SELECT d.lang, count(*) AS n FROM g "
+        "JOIN documents d USING (doc_id) "
+        "WHERE " + " AND ".join(conds) + " GROUP BY 1 ORDER BY 1"
+    )
+
+
 def q_geo_bbox_count(sf_dir: str):
     """ES ``geo_bounding_box`` filter + terms agg: documents whose
     synthetic coordinate falls in a pinned lat/lon box, counted per
@@ -21162,6 +21220,7 @@ QUERIES = {
     "geotile_grid": q_geotile_grid,
     "geo_distance_topk": q_geo_distance_topk,
     "geo_bbox_count": q_geo_bbox_count,
+    "geo_polygon_count": q_geo_polygon_count,
     "has_child_topk": q_has_child_topk,
     "terms_lookup_topk": q_terms_lookup_topk,
     "csv_source_stats": q_csv_source_stats,
@@ -21471,6 +21530,7 @@ ORACLES = {
     "geotile_grid": _sql_geotile_grid(),
     "geo_distance_topk": _sql_geo_distance_topk(),
     "geo_bbox_count": _sql_geo_bbox_count(),
+    "geo_polygon_count": _sql_geo_polygon_count(),
     "has_child_topk": _sql_has_child_topk(),
     "terms_lookup_topk": SQL_TERMS_LOOKUP_TOPK,
     "csv_source_stats": SQL_CSV_SOURCE_STATS,
