@@ -8960,6 +8960,130 @@ def _bpref_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_RETRIEVAL_BPREF = _bpref_sql(_BM25_QUERIES)
 
 
+def q_rsj_feedback_topk(sf_dir: str):
+    """Robertson-Sparck-Jones relevance-weight ranking (RSJ 1976 —
+    the binary-independence ancestor of BM25, with TRUE relevance
+    feedback): with N docs, per-term df n, per-query relevant count R
+    and r = relevant docs containing the term, each query term weighs
+    ``w = ln(((r+0.5)*(N-n-R+r+0.5)) / ((n-r+0.5)*(R-r+0.5)))`` and a
+    doc scores the sum of w over the query terms it CONTAINS
+    (presence, not tf — the BIM).  Under the shared all-terms
+    relevance rule r = R by construction (every relevant doc contains
+    every query term), which the oracle mirrors.  Top-10 by
+    (round(score, 6) DESC, doc_id).
+
+    Shape: df via the term-partials combiner; R from the streamed
+    relevance pass; the tiny (query, term) weight table broadcasts
+    into a per-batch presence scorer with local top-k partials —
+    docs never shuffle."""
+    k = 10
+    n_docs = int(_docs(sf_dir, ["doc_id"]).count())
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"))
+        .take_all()
+    }
+    # R per query: count the full streamed relevance set
+    dummy = pd.DataFrame({
+        "query_id": pd.Series([], dtype=np.int64),
+        "doc_id": pd.Series([], dtype=np.int64),
+        "rank": pd.Series([], dtype=np.int64),
+    })
+    _hits, n_rel = _rel_hits(sf_dir, dummy)
+    weights: dict[tuple[int, str], float] = {}
+    for qid, terms in _BM25_QUERIES:
+        R = n_rel.get(qid, 0)
+        for t in set(terms):
+            n = dfs.get(t, 0)
+            r = R
+            weights[(qid, t)] = math.log(
+                ((r + 0.5) * (n_docs - n - R + r + 0.5))
+                / ((n - r + 0.5) * (R - r + 0.5))
+            )
+    wref = ray.put(weights)
+    q_terms = {qid: sorted(set(ts)) for qid, ts in _BM25_QUERIES}
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        tdf = tf.to_pandas()
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in q_terms.items():
+            sub = tdf[tdf["term"].isin(terms)]
+            if not len(sub):
+                continue
+            # presence: distinct (doc, term); sum weights in sorted
+            # term order (ascending), the pinned accumulation order
+            pres = sub.drop_duplicates(["doc_id", "term"]).sort_values(
+                ["doc_id", "term"]
+            )
+            for did, g in pres.groupby("doc_id"):
+                s = 0.0
+                for t in g["term"]:
+                    s += w[(qid, t)]
+                out_q.append(qid)
+                out_d.append(int(did))
+                out_s.append(s)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    res = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return _rerank_rounded(res, k=k)
+
+
+def _sql_rsj_feedback(k: int = 10) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    w = (
+        "ln(((nr.n + 0.5) * (s.n_docs - df.df - nr.n + nr.n + 0.5)) "
+        "/ ((df.df - nr.n + 0.5) * (nr.n - nr.n + 0.5)))"
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "s AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qd AS (SELECT DISTINCT query_id, term FROM q), "
+        "qt AS (SELECT query_id, count(DISTINCT term) AS nt FROM q "
+        "GROUP BY query_id), "
+        "relc AS (SELECT q.query_id, tf.doc_id, "
+        "count(DISTINCT tf.term) AS c FROM q JOIN tf ON tf.term = q.term "
+        "GROUP BY q.query_id, tf.doc_id), "
+        "rel AS (SELECT relc.query_id, relc.doc_id FROM relc "
+        "JOIN qt ON qt.query_id = relc.query_id AND relc.c = qt.nt), "
+        "nr AS (SELECT qq.query_id, "
+        "COALESCE(r.n, 0) AS n FROM (SELECT DISTINCT query_id FROM q) qq "
+        "LEFT JOIN (SELECT query_id, count(*) AS n FROM rel "
+        "GROUP BY 1) r ON r.query_id = qq.query_id), "
+        "scored AS (SELECT qd.query_id, tf.doc_id, "
+        f"sum({w}) AS score "
+        "FROM qd JOIN tf ON tf.term = qd.term "
+        "JOIN df ON df.term = qd.term "
+        "JOIN nr ON nr.query_id = qd.query_id CROSS JOIN s "
+        "GROUP BY qd.query_id, tf.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM scored) "
+        f"WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
+SQL_RSJ_FEEDBACK_TOPK = _sql_rsj_feedback()
+
+
 def q_retrieval_success(sf_dir: str):
     """Success@k (trec_eval ``success_1,5,10``; the QA-track "did any
     relevant doc make the cut" rates): the fraction of queries whose
@@ -21148,6 +21272,7 @@ QUERIES = {
     "retrieval_gmap": q_retrieval_gmap,
     "retrieval_iprec": q_retrieval_iprec,
     "retrieval_success": q_retrieval_success,
+    "rsj_feedback_topk": q_rsj_feedback_topk,
     "ltr_rerank": q_ltr_rerank,
     "pl2_topk": q_pl2_topk,
     "dph_topk": q_dph_topk,
@@ -21477,6 +21602,7 @@ ORACLES = {
     "retrieval_gmap": SQL_RETRIEVAL_GMAP,
     "retrieval_iprec": SQL_RETRIEVAL_IPREC,
     "retrieval_success": SQL_RETRIEVAL_SUCCESS,
+    "rsj_feedback_topk": SQL_RSJ_FEEDBACK_TOPK,
     "ltr_rerank": SQL_LTR_RERANK,
     "hybrid_minmax": _sql_hybrid_minmax(),
     "geohash_grid": _sql_geohash_grid(),
