@@ -8960,6 +8960,83 @@ def _bpref_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_RETRIEVAL_BPREF = _bpref_sql(_BM25_QUERIES)
 
 
+_FC_BLOCK = 8   # dictionary terms per front-coding block
+
+
+def q_dict_front_coding(sf_dir: str):
+    """Front-coded term dictionary (Witten, Moffat & Bell, "Managing
+    Gigabytes" §4 — the blocked shared-prefix layout every on-disk
+    lexicon from Lucene's terms dict onward descends from): the
+    sorted vocabulary splits into blocks of 8; each block head stores
+    the full term, every other term stores (lcp with its PREDECESSOR,
+    suffix).  Output per term: (rank, term, block_id, is_head, lcp,
+    suffix) — the oracle re-derives the layout with a window lag and
+    a prefix-equality list_filter, so the decode proof is the hash
+    match itself.  In the real index this coding runs per segment
+    inside the build actor over its own sorted term run (the
+    dictionary here is corpus-small; the layout rule is what's being
+    pinned)."""
+    vocab = sorted(
+        r["term"]
+        for r in _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .take_all()
+    )
+    rows = []
+    prev = None
+    for i, t in enumerate(vocab):
+        rank = i + 1
+        block_id = i // _FC_BLOCK
+        is_head = 1 if i % _FC_BLOCK == 0 else 0
+        if is_head:
+            lcp = 0
+            suffix = t
+        else:
+            lcp = 0
+            for a, b in zip(t, prev):
+                if a != b:
+                    break
+                lcp += 1
+            suffix = t[lcp:]
+        rows.append((rank, t, block_id, is_head, lcp, suffix))
+        prev = t
+    return pd.DataFrame(
+        rows,
+        columns=["rank", "term", "block_id", "is_head", "lcp", "suffix"],
+    ).astype({
+        "rank": "int64", "block_id": "int64", "is_head": "int64",
+        "lcp": "int64",
+    })
+
+
+def _sql_dict_front_coding() -> str:
+    lcp = (
+        "len(list_filter(range(1, least(length(term), length(prev)) + 1), "
+        "i -> substr(term, 1, CAST(i AS INT)) "
+        "= substr(prev, 1, CAST(i AS INT))))"
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        "v AS (SELECT term FROM toks GROUP BY term), "
+        "r AS (SELECT term, CAST(row_number() OVER (ORDER BY term) "
+        "AS BIGINT) AS rank FROM v), "
+        f"b AS (SELECT term, rank, (rank - 1) // {_FC_BLOCK} AS block_id, "
+        "lag(term) OVER (PARTITION BY (rank - 1) // "
+        f"{_FC_BLOCK} ORDER BY rank) AS prev FROM r), "
+        "c AS (SELECT term, rank, block_id, "
+        "CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_head, "
+        f"CASE WHEN prev IS NULL THEN 0 ELSE {lcp} END AS lcp FROM b) "
+        "SELECT rank, term, CAST(block_id AS BIGINT) AS block_id, "
+        "CAST(is_head AS BIGINT) AS is_head, CAST(lcp AS BIGINT) AS lcp, "
+        "substr(term, CAST(lcp AS INT) + 1) AS suffix FROM c "
+        "ORDER BY rank"
+    )
+
+
+SQL_DICT_FRONT_CODING = _sql_dict_front_coding()
+
+
 def q_rsj_feedback_topk(sf_dir: str):
     """Robertson-Sparck-Jones relevance-weight ranking (RSJ 1976 —
     the binary-independence ancestor of BM25, with TRUE relevance
@@ -21273,6 +21350,7 @@ QUERIES = {
     "retrieval_iprec": q_retrieval_iprec,
     "retrieval_success": q_retrieval_success,
     "rsj_feedback_topk": q_rsj_feedback_topk,
+    "dict_front_coding": q_dict_front_coding,
     "ltr_rerank": q_ltr_rerank,
     "pl2_topk": q_pl2_topk,
     "dph_topk": q_dph_topk,
@@ -21603,6 +21681,7 @@ ORACLES = {
     "retrieval_iprec": SQL_RETRIEVAL_IPREC,
     "retrieval_success": SQL_RETRIEVAL_SUCCESS,
     "rsj_feedback_topk": SQL_RSJ_FEEDBACK_TOPK,
+    "dict_front_coding": SQL_DICT_FRONT_CODING,
     "ltr_rerank": SQL_LTR_RERANK,
     "hybrid_minmax": _sql_hybrid_minmax(),
     "geohash_grid": _sql_geohash_grid(),
