@@ -8960,6 +8960,184 @@ def _bpref_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_RETRIEVAL_BPREF = _bpref_sql(_BM25_QUERIES)
 
 
+_SWEEP_GRID = ((0.9, 0.4), (1.2, 0.75), (2.0, 0.9))
+
+
+def q_bm25_param_sweep(sf_dir: str):
+    """BM25 (k1, b) parameter sweep scored by mean nDCG@10 — the
+    tuning loop every search team runs before committing similarity
+    settings (Trotman et al., ADCS 2014 showed the defaults are
+    rarely optimal): THREE pinned configs score in ONE corpus pass
+    (per-batch vectorized contributions for all configs and queries
+    simultaneously, local top-k combiners per (config, query) — a doc
+    lives in one batch, so partials merge by simple concat), then
+    each config's run evaluates against the shared binary relevance.
+    Output: (k1, b, mean_ndcg), mean over per-query round-6 nDCG.
+    The oracle unrolls the identical three scorers as parametrized
+    CTE chains over one shared stats prefix."""
+    k = 10
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"))
+        .take_all()
+    }
+    cf_total = 0
+    n_docs = 0
+    for r in (
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("cf_p", alias_name="cf"))
+        .take_all()
+    ):
+        cf_total += int(r["cf"])
+    n_docs = int(_docs(sf_dir, ["doc_id"]).count())
+    avgdl = cf_total / n_docs
+    idfs = {
+        t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for t, df in dfs.items()
+    }
+    iref = ray.put(idfs)
+    q_terms = {qid: sorted(set(ts)) for qid, ts in _BM25_QUERIES}
+    grid = _SWEEP_GRID
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf = ray.get(iref)
+        tf, doc_len = term_count_table(batch["text"], batch["doc_id"])
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        dl_of = dict(zip(dids.tolist(), doc_len.tolist()))
+        tdf = tf.to_pandas()
+        out = {"cfg": [], "query_id": [], "doc_id": [], "score": []}
+        for qid, terms in q_terms.items():
+            sub = tdf[tdf["term"].isin(terms)]
+            if not len(sub):
+                continue
+            tfs = sub["tf"].to_numpy(np.float64)
+            dls = np.array(
+                [dl_of[d] for d in sub["doc_id"]], np.float64
+            )
+            w_idf = np.array([idf[t] for t in sub["term"]], np.float64)
+            for ci, (k1, b) in enumerate(grid):
+                contrib = w_idf * (tfs * (k1 + 1.0)) / (
+                    tfs + k1 * (1.0 - b + b * dls / avgdl)
+                )
+                s = pd.DataFrame({
+                    "doc_id": sub["doc_id"].to_numpy(),
+                    "c": contrib,
+                }).groupby("doc_id", sort=True)["c"].sum()
+                sc = np.round(s.to_numpy(np.float64), 6)
+                order = np.lexsort((s.index.to_numpy(), -sc))[:2 * k]
+                out["cfg"].extend([ci] * order.size)
+                out["query_id"].extend([qid] * order.size)
+                out["doc_id"].extend(s.index.to_numpy()[order])
+                out["score"].extend(sc[order])
+        return pa.table({
+            "cfg": pa.array(out["cfg"], pa.int64()),
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        })
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # union of every config's window feeds ONE relevance pass
+    allw = parts[["query_id", "doc_id"]].drop_duplicates()
+    allw = allw.assign(rank=1)
+    hit_set, n_rel = _rel_hits(sf_dir, allw)
+
+    rows = []
+    for ci, (k1, b) in enumerate(grid):
+        nds = []
+        for qid, _terms in _BM25_QUERIES:
+            g = parts[(parts["cfg"] == ci) & (parts["query_id"] == qid)]
+            g = g.sort_values(
+                ["score", "doc_id"], ascending=[False, True]
+            ).head(k)
+            ranks = np.arange(1, len(g) + 1, dtype=np.float64)
+            rel = np.array(
+                [(qid, d) in hit_set for d in g["doc_id"]], dtype=bool
+            )
+            dcg = float(np.sum(1.0 / np.log2(ranks[rel] + 1.0)))
+            nr = min(n_rel.get(qid, 0), k)
+            idcg = float(
+                np.sum(1.0 / np.log2(np.arange(1, nr + 1) + 1.0))
+            )
+            nds.append(round(dcg / idcg, 6) if idcg > 0 else 0.0)
+        rows.append((k1, b, round(sum(nds) / len(nds), 6)))
+    return pd.DataFrame(rows, columns=["k1", "b", "mean_ndcg"])
+
+
+def _sql_bm25_param_sweep(k: int = 10) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    parts = [
+        f"toks AS ({_TOKS_SQL})",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)",
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl)",
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term)",
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)",
+        f"q(query_id, term) AS (VALUES {vals})",
+        "qt AS (SELECT query_id, count(DISTINCT term) AS nt FROM q "
+        "GROUP BY query_id)",
+        "relc AS (SELECT q.query_id, tf.doc_id, "
+        "count(DISTINCT tf.term) AS c FROM q JOIN tf ON tf.term = q.term "
+        "GROUP BY q.query_id, tf.doc_id)",
+        "rel AS (SELECT relc.query_id, relc.doc_id FROM relc "
+        "JOIN qt ON qt.query_id = relc.query_id AND relc.c = qt.nt)",
+        "nrel AS (SELECT query_id, count(*) AS n FROM rel GROUP BY 1)",
+        f"idcg AS (SELECT nrel.query_id, sum(1.0 / log2(g.x + 1)) "
+        f"AS idcg FROM nrel JOIN range(1, {k} + 1) g(x) "
+        f"ON g.x <= least(nrel.n, {k}) GROUP BY nrel.query_id)",
+    ]
+    sels = []
+    for ci, (k1, b) in enumerate(_SWEEP_GRID):
+        body = (
+            f"(SELECT q.query_id, tf.doc_id, "
+            "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * "
+            f"(tf.tf * ({k1} + 1.0)) / "
+            f"(tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / "
+            "(s.total::DOUBLE / s.n_docs)))) AS score "
+            "FROM q JOIN tf ON q.term = tf.term "
+            "JOIN df ON df.term = q.term "
+            "JOIN dl ON dl.doc_id = tf.doc_id "
+            "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id)"
+        )
+        parts.append(
+            f"top{ci} AS (SELECT query_id, doc_id, rank FROM ("
+            "SELECT query_id, doc_id, CAST(row_number() OVER ("
+            "PARTITION BY query_id ORDER BY round(score, 6) DESC, "
+            f"doc_id) AS INTEGER) AS rank FROM {body}) WHERE rank <= {k})"
+        )
+        parts.append(
+            f"dcg{ci} AS (SELECT t.query_id, "
+            "COALESCE(sum(CASE WHEN r.doc_id IS NOT NULL "
+            f"THEN 1.0 / log2(t.rank + 1) END), 0) AS dcg FROM top{ci} t "
+            "LEFT JOIN rel r ON r.query_id = t.query_id "
+            "AND r.doc_id = t.doc_id GROUP BY t.query_id)"
+        )
+        parts.append(
+            f"nd{ci} AS (SELECT qq.query_id, "
+            "round(COALESCE(d.dcg / i.idcg, 0), 6) AS nd "
+            "FROM (SELECT DISTINCT query_id FROM q) qq "
+            f"LEFT JOIN dcg{ci} d ON d.query_id = qq.query_id "
+            "LEFT JOIN idcg i ON i.query_id = qq.query_id)"
+        )
+        sels.append(
+            f"SELECT {k1} AS k1, {b} AS b, "
+            f"round(avg(nd), 6) AS mean_ndcg FROM nd{ci}"
+        )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sels)
+
+
+SQL_BM25_PARAM_SWEEP = _sql_bm25_param_sweep()
+
+
 _FC_BLOCK = 8   # dictionary terms per front-coding block
 
 
@@ -21351,6 +21529,7 @@ QUERIES = {
     "retrieval_success": q_retrieval_success,
     "rsj_feedback_topk": q_rsj_feedback_topk,
     "dict_front_coding": q_dict_front_coding,
+    "bm25_param_sweep": q_bm25_param_sweep,
     "ltr_rerank": q_ltr_rerank,
     "pl2_topk": q_pl2_topk,
     "dph_topk": q_dph_topk,
@@ -21682,6 +21861,7 @@ ORACLES = {
     "retrieval_success": SQL_RETRIEVAL_SUCCESS,
     "rsj_feedback_topk": SQL_RSJ_FEEDBACK_TOPK,
     "dict_front_coding": SQL_DICT_FRONT_CODING,
+    "bm25_param_sweep": SQL_BM25_PARAM_SWEEP,
     "ltr_rerank": SQL_LTR_RERANK,
     "hybrid_minmax": _sql_hybrid_minmax(),
     "geohash_grid": _sql_geohash_grid(),
