@@ -8960,6 +8960,89 @@ def _bpref_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
 SQL_RETRIEVAL_BPREF = _bpref_sql(_BM25_QUERIES)
 
 
+def q_postings_size_stats(sf_dir: str):
+    """Postings-list size accounting — the capacity-planning question
+    a 100 TB index team answers before choosing a codec (Witten,
+    Moffat & Bell ch.3): for the top-20 terms by df, the REAL varint
+    codec's encoded byte count over the delta-gap stream (gaps =
+    [d0+1] + strict diffs; stages/codec.varint_encode — the entry
+    measures the engine's actual encoder, the oracle mirrors its
+    closed form: bytes(g) = (floor(log2(g)) + 7) // 7), and the
+    closed-form Golomb-Rice budget with the classic parameter k =
+    floor(log2(mean gap)) (Rice bits per value v = g-1:
+    (v >> k) + 1 + k).  Output: (term, df, varint_bytes, rice_k,
+    rice_bits, varint_bits_per_posting, rice_bits_per_posting).
+
+    Shape: gaps derive per term from the reduced (term, doc_id)
+    presence table inside map_groups — postings never leave their
+    group; only 20 one-row summaries reach the driver."""
+    from ..stages.codec import varint_encode
+
+    def pres(batch: pa.Table) -> pa.Table:
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        return tf.select(["term", "doc_id"])
+
+    pres_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pres, batch_format="pyarrow")
+    )
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].to_numpy(np.int64))
+        gaps = np.empty(d.size, np.int64)
+        gaps[0] = d[0] + 1
+        gaps[1:] = np.diff(d)
+        vb = len(varint_encode(gaps.astype(np.uint64)))
+        m = int(gaps.sum()) // gaps.size
+        k = 0 if m <= 1 else int(math.floor(math.log2(m)))
+        v = gaps - 1
+        rice_bits = int(np.sum(v >> k)) + gaps.size * (1 + k)
+        df_ = gaps.size
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "df": np.array([df_], np.int64),
+            "varint_bytes": np.array([vb], np.int64),
+            "rice_k": np.array([k], np.int64),
+            "rice_bits": np.array([rice_bits], np.int64),
+            "varint_bpp": [round(8.0 * vb / df_, 6)],
+            "rice_bpp": [round(rice_bits / df_, 6)],
+        })
+
+    out = (
+        pres_ds.groupby("term")
+        .map_groups(per_term, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["df", "term"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+SQL_POSTINGS_SIZE_STATS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "p AS (SELECT DISTINCT term, doc_id FROM toks), "
+    "gp AS (SELECT term, CASE WHEN lag(doc_id) OVER w IS NULL "
+    "THEN doc_id + 1 ELSE doc_id - lag(doc_id) OVER w END AS g "
+    "FROM p WINDOW w AS (PARTITION BY term ORDER BY doc_id)), "
+    "kk AS (SELECT term, CAST(count(*) AS BIGINT) AS df, "
+    "CASE WHEN sum(g) // count(*) <= 1 THEN 0 "
+    "ELSE CAST(floor(log2(sum(g) // count(*))) AS BIGINT) END AS k "
+    "FROM gp GROUP BY term), "
+    "sz AS (SELECT gp.term, kk.df, kk.k, "
+    "CAST(sum((CAST(floor(log2(gp.g)) AS BIGINT) + 7) // 7) AS BIGINT) "
+    "AS varint_bytes, "
+    "CAST(sum((gp.g - 1) // (1 << kk.k)) + kk.df * (1 + kk.k) "
+    "AS BIGINT) AS rice_bits "
+    "FROM gp JOIN kk ON kk.term = gp.term "
+    "GROUP BY gp.term, kk.df, kk.k) "
+    "SELECT term, df, varint_bytes, k AS rice_k, rice_bits, "
+    "round(8.0 * varint_bytes / df, 6) AS varint_bpp, "
+    "round(rice_bits::DOUBLE / df, 6) AS rice_bpp FROM sz "
+    "ORDER BY df DESC, term LIMIT 20"
+)
+
+
 _SWEEP_GRID = ((0.9, 0.4), (1.2, 0.75), (2.0, 0.9))
 
 
@@ -21530,6 +21613,7 @@ QUERIES = {
     "rsj_feedback_topk": q_rsj_feedback_topk,
     "dict_front_coding": q_dict_front_coding,
     "bm25_param_sweep": q_bm25_param_sweep,
+    "postings_size_stats": q_postings_size_stats,
     "ltr_rerank": q_ltr_rerank,
     "pl2_topk": q_pl2_topk,
     "dph_topk": q_dph_topk,
@@ -21862,6 +21946,7 @@ ORACLES = {
     "rsj_feedback_topk": SQL_RSJ_FEEDBACK_TOPK,
     "dict_front_coding": SQL_DICT_FRONT_CODING,
     "bm25_param_sweep": SQL_BM25_PARAM_SWEEP,
+    "postings_size_stats": SQL_POSTINGS_SIZE_STATS,
     "ltr_rerank": SQL_LTR_RERANK,
     "hybrid_minmax": _sql_hybrid_minmax(),
     "geohash_grid": _sql_geohash_grid(),
