@@ -133,3 +133,37 @@ def test_wordpiece_greedy_matches_reference():
                         pos += len(cand)
                         break
         assert got == want, (word, sorted(vocab))
+
+
+def test_front_coding_roundtrip_decodes_exactly():
+    """Decoding the (lcp, suffix) stream block by block must rebuild
+    the exact sorted vocabulary for random word lists."""
+    rng = np.random.default_rng(9)
+    chars = list("abcdxyz")
+    for _ in range(15):
+        vocab = sorted({
+            "".join(rng.choice(chars, size=int(rng.integers(1, 10))))
+            for _ in range(int(rng.integers(2, 60)))
+        })
+        block = 8
+        coded = []
+        prev = None
+        for i, t in enumerate(vocab):
+            if i % block == 0:
+                coded.append((0, t))
+            else:
+                lcp = 0
+                for a, b in zip(t, prev):
+                    if a != b:
+                        break
+                    lcp += 1
+                coded.append((lcp, t[lcp:]))
+            prev = t
+        # decode
+        out = []
+        for i, (lcp, suf) in enumerate(coded):
+            if i % block == 0:
+                out.append(suf)
+            else:
+                out.append(out[-1][:lcp] + suf)
+        assert out == vocab
