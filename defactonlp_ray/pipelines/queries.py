@@ -14411,6 +14411,142 @@ SQL_DUP_NGRAM_SPANS = (
 )
 
 
+_CANARIES = ["slow scan", "hash join table", "query fast", "zzqx"]
+
+
+def q_canary_scan(sf_dir: str):
+    """Canary-string scan (the big-bench canary / Carlini et al.
+    memorization probe every lab runs over training corpora): exact
+    NON-OVERLAPPING occurrence counts of pinned marker strings, per
+    source, plus the number of distinct docs hit.  Vectorized
+    ``str.count`` with escaped literals; the oracle uses the
+    replace-length identity ``(len(t) - len(replace(t, p, ''))) /
+    len(p)`` — both sides count greedy left-to-right non-overlapping
+    matches, so the parity is exact.  Rows only for (source, canary)
+    pairs with >= 1 hit."""
+    import re as _re
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for c in _CANARIES:
+            cnt = batch["text"].str.count(_re.escape(c))
+            hit = cnt > 0
+            if not hit.any():
+                continue
+            g = pd.DataFrame({
+                "source": batch["source"][hit],
+                "n_p": cnt[hit].astype(np.int64),
+            }).groupby("source", as_index=False).agg(
+                n_p=("n_p", "sum"), d_p=("n_p", "size")
+            )
+            g.insert(0, "canary", c)
+            out.append(g)
+        if not out:
+            return pd.DataFrame({
+                "canary": pd.Series([], dtype=object),
+                "source": pd.Series([], dtype=object),
+                "n_p": pd.Series([], dtype=np.int64),
+                "d_p": pd.Series([], dtype=np.int64),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(part, batch_format="pandas")
+        .groupby(["canary", "source"])
+        .aggregate(
+            Sum("n_p", alias_name="n_hits"),
+            Sum("d_p", alias_name="n_docs"),
+        )
+        .sort(["canary", "source"])
+    )
+
+
+def _sql_canary_scan() -> str:
+    sels = []
+    for c in _CANARIES:
+        cnt = (
+            f"(length(text) - length(replace(text, '{c}', ''))) "
+            f"/ {len(c)}"
+        )
+        sels.append(
+            f"SELECT '{c}' AS canary, source, "
+            f"CAST(sum({cnt}) AS BIGINT) AS n_hits, "
+            f"CAST(count(*) AS BIGINT) AS n_docs "
+            f"FROM documents WHERE {cnt} > 0 GROUP BY source"
+        )
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(sels) + ") "
+        "ORDER BY canary, source"
+    )
+
+
+SQL_CANARY_SCAN = _sql_canary_scan()
+
+
+def q_corpus_checksum(sf_dir: str):
+    """ORDER-INVARIANT corpus content checksum per source (the
+    ingestion-integrity fence a 100 TB pipeline re-computes after
+    every stage move: commutative sum of per-doc content hashes, so
+    any repartition/shuffle of the same rows verifies equal and any
+    corruption, drop, or duplicate shifts it): per source, doc count,
+    token total, and ``sum(md5-prefix-int % M) % M`` with the
+    Mersenne modulus M = 2^31-1 — per-doc hashes reduce below 2^31
+    BEFORE summing, so the distributed int64 Sum stays exact up to
+    ~4x10^9 docs per source (beyond that, insert one tree-mod
+    combine level; the commutativity that makes the check
+    repartition-proof is unchanged)."""
+    import hashlib
+
+    mod = (1 << 31) - 1
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % mod
+                for t in batch["text"]
+            ],
+            dtype=np.int64,
+        )
+        nt = batch["text"].str.split().str.len().to_numpy(np.int64)
+        g = pd.DataFrame({
+            "source": batch["source"], "h": h, "nt": nt,
+        }).groupby("source", as_index=False).agg(
+            h_p=("h", "sum"), nt_p=("nt", "sum"), d_p=("h", "size")
+        )
+        return g
+
+    agg = (
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(part, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("h_p", alias_name="hsum"),
+            Sum("nt_p", alias_name="n_tokens"),
+            Sum("d_p", alias_name="n_docs"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    agg["checksum"] = (
+        agg["hsum"].astype(object).map(lambda v: int(v) % mod)
+    ).astype(np.int64)
+    return agg[["source", "n_docs", "n_tokens", "checksum"]].astype({
+        "n_docs": "int64", "n_tokens": "int64",
+    })
+
+
+SQL_CORPUS_CHECKSUM = (
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(len(list_filter(string_split(text, ' '), "
+    "x -> x <> ''))) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) "
+    f"% {(1 << 31) - 1}) % {(1 << 31) - 1} AS BIGINT) AS checksum "
+    "FROM documents GROUP BY source ORDER BY source"
+)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (the GPT-3 appendix-C recipe): flag
     every TRAINING doc sharing at least one 6-gram with the EVAL set
@@ -21732,6 +21868,8 @@ QUERIES = {
     "diversified_sample": q_diversified_sample,
     "dup_ngram_spans": q_dup_ngram_spans,
     "decontaminate": q_decontaminate,
+    "canary_scan": q_canary_scan,
+    "corpus_checksum": q_corpus_checksum,
     "rank_feature_topk": q_rank_feature_topk,
     "events_percentile_ranks": q_events_percentile_ranks,
     "source_lang_kl": q_source_lang_kl,
@@ -22039,6 +22177,8 @@ ORACLES = {
     "diversified_sample": SQL_DIVERSIFIED_SAMPLE,
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "decontaminate": SQL_DECONTAMINATE,
+    "canary_scan": SQL_CANARY_SCAN,
+    "corpus_checksum": SQL_CORPUS_CHECKSUM,
     "rank_feature_topk": SQL_RANK_FEATURE_TOPK,
     "events_percentile_ranks": SQL_EVENTS_PERCENTILE_RANKS,
     "source_lang_kl": SQL_SOURCE_LANG_KL,
