@@ -14411,6 +14411,64 @@ SQL_DUP_NGRAM_SPANS = (
 )
 
 
+_NULLPROF_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_null_profile(sf_dir: str):
+    """Data-contract null profile (the Great-Expectations /
+    dbt-test-style completeness check an ingestion pipeline gates
+    on): per declared column of ``documents``, row count, null
+    count and null fraction.  Per-batch vectorized null counting
+    reduces each block to |columns| partial rows before one
+    groupby — the check is one streaming pass regardless of corpus
+    width."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        cols, nn, nr = [], [], []
+        for c in _NULLPROF_COLS:
+            cols.append(c)
+            nn.append(batch[c].null_count)
+            nr.append(batch.num_rows)
+        return pa.table({
+            "column": pa.array(cols, pa.string()),
+            "null_p": pa.array(nn, pa.int64()),
+            "rows_p": pa.array(nr, pa.int64()),
+        })
+
+    agg = (
+        _docs(sf_dir, _NULLPROF_COLS)
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(
+            Sum("null_p", alias_name="n_null"),
+            Sum("rows_p", alias_name="n_rows"),
+        )
+        .to_pandas()
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+    agg["frac_null"] = np.round(
+        agg["n_null"].to_numpy(np.float64)
+        / agg["n_rows"].to_numpy(np.float64), 6
+    )
+    return agg[["column", "n_rows", "n_null", "frac_null"]].astype({
+        "n_rows": "int64", "n_null": "int64",
+    })
+
+
+SQL_NULL_PROFILE = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+        f"round((count(*) - count({c}))::DOUBLE / count(*), 6) "
+        "AS frac_null FROM documents"
+        for c in _NULLPROF_COLS
+    )
+    + ") ORDER BY \"column\""
+)
+
+
 _CANARIES = ["slow scan", "hash join table", "query fast", "zzqx"]
 
 
@@ -21870,6 +21928,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "canary_scan": q_canary_scan,
     "corpus_checksum": q_corpus_checksum,
+    "null_profile": q_null_profile,
     "rank_feature_topk": q_rank_feature_topk,
     "events_percentile_ranks": q_events_percentile_ranks,
     "source_lang_kl": q_source_lang_kl,
@@ -22179,6 +22238,7 @@ ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "canary_scan": SQL_CANARY_SCAN,
     "corpus_checksum": SQL_CORPUS_CHECKSUM,
+    "null_profile": SQL_NULL_PROFILE,
     "rank_feature_topk": SQL_RANK_FEATURE_TOPK,
     "events_percentile_ranks": SQL_EVENTS_PERCENTILE_RANKS,
     "source_lang_kl": SQL_SOURCE_LANG_KL,
