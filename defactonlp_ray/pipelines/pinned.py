@@ -606,6 +606,39 @@ def serial_ann_recall(
     return df
 
 
+def serial_ann_recall_lsh(
+    sf_dir: str, *, n_queries: int = 3, k: int = 10
+) -> pd.DataFrame:
+    """Serial mirror of q_ann_recall_lsh: numpy full-scan brute cosine
+    truth vs the serial LSH reference (same bucket spec as the
+    partitioned route) — recall@k per query for the OTHER pruned ANN
+    family beside IVF."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    qsel = np.argsort(ids[:n_queries], kind="stable")
+    q = m[:n_queries][qsel]
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    mn = np.linalg.norm(m, axis=1)
+    mn[mn == 0] = 1.0
+    lsh = serial_ann_lsh(sf_dir, n_queries=n_queries, k=k)
+    rows = []
+    for qi in range(q.shape[0]):
+        cos = np.round((m @ q[qi]) / mn / qn[qi], 6)
+        truth = set(ids[np.lexsort((ids, -cos))[:k]].tolist())
+        got = set(lsh[lsh["query_id"] == qi]["vec_id"])
+        rows.append((qi, round(len(truth & got) / len(truth), 6)))
+    df = pd.DataFrame(rows, columns=["query_id", "recall"])
+    df["query_id"] = df["query_id"].astype(np.int64)
+    return df
+
+
 def serial_ann_ivfpq(
     sf_dir: str, *, n_queries: int = 3, k: int = 10, n_lists: int = 16,
     n_probe: int = 4, sample_size: int = 2048,
@@ -1444,6 +1477,10 @@ def oracle_values_sql() -> dict[str, str]:
         out["ann_recall"] = _cached(
             "ann_recall", emb_fp,
             lambda: values_sql(serial_ann_recall(ORACLE_SF_DIR)),
+        )
+        out["ann_recall_lsh"] = _cached(
+            "ann_recall_lsh", emb_fp,
+            lambda: values_sql(serial_ann_recall_lsh(ORACLE_SF_DIR)),
         )
         from ..stages.ann import SQ8_VERSION
 

@@ -4331,6 +4331,27 @@ def q_ann_recall(sf_dir: str):
     return out.sort_values("query_id").reset_index(drop=True)
 
 
+def q_ann_recall_lsh(sf_dir: str):
+    """ANN quality evaluation for the LSH route — recall@10 of the
+    bucket-partitioned pruned-read serving against exact brute-force
+    cosine, per query (the acceptance metric for the OTHER pruned
+    family beside the IVF entry).  Oracle: the independent serial
+    mirror (pinned.serial_ann_recall_lsh — numpy full-scan brute +
+    the serial same-bucket-spec LSH reference)."""
+    lsh = q_ann_lsh(sf_dir)
+    brute = q_ann_topk(sf_dir)
+    if hasattr(lsh, "to_pandas"):
+        lsh = lsh.to_pandas()
+    rows = []
+    for qid, g in brute.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(lsh[lsh["query_id"] == qid]["vec_id"])
+        rows.append((int(qid), round(len(truth & got) / len(truth), 6)))
+    out = pd.DataFrame(rows, columns=["query_id", "recall"])
+    out["query_id"] = out["query_id"].astype(np.int64)
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search (the vector-DB metadata-predicate kNN —
     Elasticsearch knn ``filter`` / pgvector ``WHERE``): brute cosine
@@ -22105,6 +22126,7 @@ QUERIES = {
     "langid_predictions": q_langid_predictions,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_recall_lsh": q_ann_recall_lsh,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "video_frames": q_video_frames,
