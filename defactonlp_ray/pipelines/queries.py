@@ -14432,6 +14432,107 @@ SQL_DUP_NGRAM_SPANS = (
 )
 
 
+_PSI_EDGES = (100, 200, 300, 400, 500)   # n_chars bucket boundaries
+
+
+def q_drift_psi(sf_dir: str):
+    """Population Stability Index drift check (the credit-scoring /
+    ML-monitoring standard: PSI < 0.1 stable, > 0.25 drifted) between
+    two corpus slices (sources src0-9 as the reference population,
+    src10-19 as the current one) over pinned n_chars buckets:
+    ``PSI = sum_i (p_i - q_i) * ln(p_i / q_i)`` with add-one
+    (Laplace) smoothed bucket shares so empty buckets stay finite.
+    One pass: per-batch (side, bucket) count partials -> one tiny
+    groupby; the PSI fold runs over the 6-row reduced table.  Output:
+    one row per bucket with the EXACT integer counts (shares are
+    intentionally not emitted: at power-of-two corpus sizes the
+    smoothed share lands exactly on a 5e-7 tie, where numpy's
+    half-even and DuckDB's half-away round() disagree — counts are
+    tie-free and the psi terms are transcendental) plus psi_term and
+    the total riding every row."""
+    edges = np.array(_PSI_EDGES, dtype=np.int64)
+    nb = edges.size + 1
+
+    def part(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        src = np.array(
+            [int(s[3:]) for s in batch["source"].to_pylist()],
+            dtype=np.int64,
+        )
+        side = (src < 10).astype(np.int64)   # 1 = reference (src0-9)
+        # side="left" -> #{edges < nc}: nc == edge lands in the LOWER
+        # bucket, matching the oracle's `n_chars <= edge` CASE chain
+        b = np.searchsorted(edges, nc, side="left").astype(np.int64)
+        key = side * np.int64(nb) + b
+        cnt = np.bincount(key, minlength=2 * nb).astype(np.int64)
+        ks = np.arange(2 * nb, dtype=np.int64)
+        return pa.table({
+            "side": pa.array(ks // nb, pa.int64()),
+            "bucket": pa.array(ks % nb, pa.int64()),
+            "n_p": pa.array(cnt, pa.int64()),
+        })
+
+    agg = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["side", "bucket"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )
+    p_cnt = np.zeros(nb, np.int64)
+    q_cnt = np.zeros(nb, np.int64)
+    for _, r in agg.iterrows():
+        (p_cnt if r["side"] == 1 else q_cnt)[int(r["bucket"])] += int(
+            r["n"]
+        )
+    p_tot = int(p_cnt.sum())
+    q_tot = int(q_cnt.sum())
+    p = (p_cnt + 1) / (p_tot + nb)
+    q = (q_cnt + 1) / (q_tot + nb)
+    terms = (p - q) * np.log(p / q)
+    psi = round(float(np.sum(terms)), 6)
+    return pd.DataFrame({
+        "bucket": np.arange(nb, dtype=np.int64),
+        "p_count": p_cnt,
+        "q_count": q_cnt,
+        "psi_term": np.round(terms, 6),
+        "psi_total": np.full(nb, psi),
+    }).astype({"p_count": "int64", "q_count": "int64"})
+
+
+def _sql_drift_psi() -> str:
+    edges = _PSI_EDGES
+    nb = len(edges) + 1
+    bucket = "CASE "
+    for i, e in enumerate(edges):
+        bucket += f"WHEN n_chars <= {e} THEN {i} "
+    bucket += f"ELSE {len(edges)} END"
+    return (
+        f"WITH d AS (SELECT CAST(substr(source, 4) AS INT) < 10 AS ref, "
+        f"{bucket} AS bucket FROM documents), "
+        "c AS (SELECT bucket, "
+        "sum(CASE WHEN ref THEN 1 ELSE 0 END) AS pc, "
+        "sum(CASE WHEN ref THEN 0 ELSE 1 END) AS qc FROM d GROUP BY 1), "
+        f"b AS (SELECT g.x AS bucket, COALESCE(c.pc, 0) AS pc, "
+        f"COALESCE(c.qc, 0) AS qc FROM range(0, {nb}) g(x) "
+        "LEFT JOIN c ON c.bucket = g.x), "
+        "t AS (SELECT sum(pc) AS pt, sum(qc) AS qt FROM b), "
+        f"s AS (SELECT b.bucket, b.pc, b.qc, "
+        f"(b.pc + 1) / (t.pt + {nb}) AS p, "
+        f"(b.qc + 1) / (t.qt + {nb}) AS q FROM b, t), "
+        "f AS (SELECT bucket, pc, qc, (p - q) * ln(p / q) AS term "
+        "FROM s) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, "
+        "CAST(pc AS BIGINT) AS p_count, CAST(qc AS BIGINT) AS q_count, "
+        "round(term, 6) AS psi_term, "
+        "round((SELECT sum(term) FROM f), 6) AS psi_total FROM f "
+        "ORDER BY bucket"
+    )
+
+
+SQL_DRIFT_PSI = _sql_drift_psi()
+
+
 _NULLPROF_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
@@ -21950,6 +22051,7 @@ QUERIES = {
     "canary_scan": q_canary_scan,
     "corpus_checksum": q_corpus_checksum,
     "null_profile": q_null_profile,
+    "drift_psi": q_drift_psi,
     "rank_feature_topk": q_rank_feature_topk,
     "events_percentile_ranks": q_events_percentile_ranks,
     "source_lang_kl": q_source_lang_kl,
@@ -22261,6 +22363,7 @@ ORACLES = {
     "canary_scan": SQL_CANARY_SCAN,
     "corpus_checksum": SQL_CORPUS_CHECKSUM,
     "null_profile": SQL_NULL_PROFILE,
+    "drift_psi": SQL_DRIFT_PSI,
     "rank_feature_topk": SQL_RANK_FEATURE_TOPK,
     "events_percentile_ranks": SQL_EVENTS_PERCENTILE_RANKS,
     "source_lang_kl": SQL_SOURCE_LANG_KL,
