@@ -22251,6 +22251,46 @@ QUERIES = {
     "export_shards": q_export_shards,
 }
 
+# --- driver CORRECTNESS window rotation (VERDICT r04, next-round #1) ---
+# The driver's per-round CORRECTNESS gate is count-limited to the FIRST
+# ~50 keys of queries() in insertion order.  Round-5 policy: keep the 8
+# flagship-identity pins in slots 0-7, then fill the remaining slots with
+# entries that have NEVER earned a driver row in rounds 1-4 (union of
+# CORRECTNESS_r0{1..4}.json keys), prioritising the scale-critical
+# families the judge named: the dedup chain, partitioned ANN,
+# contamination/curation, tokenizer training, fielded/federated/stored
+# search, and index-maintenance (delete/expunge/snapshot/rollover).
+# Every other entry keeps its original definition order after the window,
+# so over rounds the whole registry converges to driver-verified.
+_DRIVER_WINDOW: list[str] = [
+    # slots 0-7: flagship core (engine identity), pinned every round
+    "bm25_topk", "bm25_topk_wand", "lang_counts", "term_stats",
+    "dedup_docs", "minhash_neardup", "ann_topk", "url_dedup",
+    # VERDICT-r04-named scale-critical, never driver-verified
+    "substring_dedup", "incremental_neardup", "ann_ivfpq", "ann_pq",
+    "eval_contamination", "bpe_merges", "corpus_curation", "bm25f_topk",
+    "federated_topk", "saat_stored_topk", "bm25_delete_topk",
+    "bm25_expunge_topk",
+    # dedup / curation chain, never driver-verified
+    "ccnet_dedup", "containment_dedup", "dedup_keep_best", "line_dedup",
+    "semdedup", "dup_ngram_spans", "domain_cap", "c4_filters",
+    "gopher_repetition", "decontaminate", "quality_prune",
+    # ANN family, never driver-verified
+    "ann_sq8", "ann_recall", "kmeans_clusters",
+    # index maintenance + layouts, never driver-verified
+    "bm25_snapshot_topk", "bm25_rollover_topk", "bm25_routed_topk",
+    "index_sorted_topk",
+    # tokenizer training, never driver-verified
+    "unigram_pieces", "bpe_token_counts",
+    # search / ranking family, never driver-verified
+    "phrase_topk", "proximity_topk", "sdm_topk", "boolean_topk",
+    "hybrid_rrf", "retrieval_ndcg", "fever_score", "link_pagerank",
+]
+
+QUERIES = {k: QUERIES[k] for k in _DRIVER_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_DRIVER_WINDOW)
+}
+
 ORACLES = {
     "has_parent_topk": _sql_has_parent_topk(),
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,
