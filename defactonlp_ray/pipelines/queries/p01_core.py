@@ -1,0 +1,2406 @@
+# Part 01/11 of the former single-module pipelines/queries.py
+# (mechanical split, round 5 — VERDICT r04 next-round #6).  Parts share
+# ONE late-bound namespace via _nsacc: globals are seeded from the
+# accumulator before this body runs (preserving original top-level
+# execution order) and the final merged namespace is injected back into
+# every part by __init__, so call-time forward references behave exactly
+# as in the single file.  Original lines 1-2387.
+from __future__ import annotations
+
+from ._nsacc import NS as _ns_seed
+
+globals().update(_ns_seed)
+del _ns_seed
+
+"""Driver-contract query registry (SURVEY.md §2 coverage -> queries() /
+oracle_sql() pairs in /root/repo/__ray_entry__.py).
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / DataFrame /
+Table; ``ORACLES[name]`` is the equivalent DuckDB SQL over the driver's
+pre-registered views.  Column names and types match the SQL exactly (the
+driver hash-compares after sorting columns by name).
+
+Float policy for cross-engine checks: sums of doubles are rounded to a
+fixed precision ON BOTH SIDES (the underlying values are exact to ~1e-10,
+so rounding is stable); BM25 scores are ranked by (round(score,6) DESC,
+doc_id) on both sides.  Bit-exact float checking lives in pytest against
+the pure-Python oracle instead (tests/test_index_search.py).
+"""
+
+
+import math
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ...functions.textstats import STOPWORDS, lang_id_batch, quality_batch
+from ...functions.tokenizer import flatten_tokens, term_count_table
+from ...sources.readers import read_table
+from ...stages import ann, dedup, multimodal
+from ...stages.codec import CODEC_VERSION
+from ...stages.index_build import build_index
+from ...stages.search import search
+from ...functions.tokenizer import TOKENIZER_VERSION
+
+# temp index dirs are tagged with the engine versions so indexes built by
+# older code are never resumed into (driver runs span code revisions)
+_VTAG = f"{TOKENIZER_VERSION}-{CODEC_VERSION}".replace("+", "_")
+
+# ---------------------------------------------------------------- helpers
+
+_TOKS_SQL = (
+    "SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS term FROM documents"
+)
+
+
+def _docs(sf_dir, columns=None):
+    return read_table(sf_dir, "documents", columns)
+
+
+def _data_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Cheap content fingerprint (size + mtime of the parquet file) baked
+    into resumable temp-index dir names: a regenerated table at the same
+    path must never resume into segments built from the old data."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        return f"{st.st_size}-{st.st_mtime_ns}"
+    except OSError:
+        return "na"
+
+
+def _tmp_index_dir(sf_dir: str, tag: str = "idx", table: str = "documents") -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        "dfr_{}_{}_{}_{}".format(
+            tag,
+            os.path.basename(os.path.normpath(sf_dir)),
+            _data_fingerprint(sf_dir, table),
+            _VTAG,
+        ),
+    )
+
+
+def _build_docs_index(sf_dir: str, *, codec: str = "varint") -> str:
+    """Build (or resume) the shared segment index over ``documents`` used
+    by the BM25/WAND/tf-idf registry entries."""
+    tag = "idx" if codec == "varint" else f"idx{codec}"
+    idx = _tmp_index_dir(sf_dir, tag)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    build_index(docs, idx, seg_docs=max(256, n // 8), codec=codec, resume=True)
+    return idx
+
+
+def _query_terms_ds(queries: list[tuple[int, list[str]]]):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _ in queries], pa.int64()),
+                "terms": pa.array([t for _, t in queries], pa.list_(pa.string())),
+            }
+        )
+    )
+
+
+def _rerank_rounded(res: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """Cross-engine float policy: re-rank on (round(score,6) DESC, doc_id)
+    — identical to the SQL oracles' row_number ordering."""
+    res = res.copy()
+    res["score"] = np.round(res["score"], 6)
+    out = []
+    for _qid, g in res.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)[["query_id", "rank", "doc_id", "score"]]
+
+
+# ------------------------------------------------------- M6/G5 lang counts
+
+def q_lang_counts(sf_dir: str):
+    """Vectorized groupby count over the pruned (lang) column."""
+    return (
+        _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+# ------------------------------------------------------ G2 doc length stats
+
+def q_doc_length_stats(sf_dir: str):
+    ds = _docs(sf_dir, ["n_chars"])
+    agg = ds.aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    n, total = int(agg["n_docs"]), int(agg["total_chars"])
+    return pd.DataFrame(
+        {"n_docs": [n], "total_chars": [total], "avg_chars": [total / n]}
+    )
+
+
+SQL_DOC_LENGTH_STATS = (
+    "SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+    "sum(n_chars)::DOUBLE / count(*) AS avg_chars FROM documents"
+)
+
+
+# ------------------------------------------------- G1/G4 term df + cf stats
+
+def _term_partials(sf_dir):
+    """Per-batch (term, df=1-per-doc, cf=tf) partials — the combiner before
+    the groupby shuffle (ray_guide.md:154-158)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        return pa.table(
+            {
+                "term": tf["term"],
+                "df_p": pa.array(np.ones(tf.num_rows, dtype=np.int64)),
+                "cf_p": pc.cast(tf["tf"], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+
+def q_term_stats(sf_dir: str):
+    return (
+        _term_partials(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
+    )
+
+
+SQL_TERM_STATS = (
+    f"WITH toks AS ({_TOKS_SQL}) "
+    "SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
+    "FROM toks GROUP BY term"
+)
+
+
+def q_top20_terms(sf_dir: str):
+    """Distributed top-k: Ray sort (range-partitioned shuffle) + limit —
+    the vocabulary never materializes on the driver."""
+    return (
+        q_term_stats(sf_dir)
+        .sort(["df", "term"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_TOP20_TERMS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "s AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
+    "FROM toks GROUP BY term) "
+    "SELECT term, df, cf FROM s ORDER BY df DESC, term LIMIT 20"
+)
+
+
+_SHARD_TERMS_N = 4       # fixed doc-range shards (deterministic)
+_SHARD_TERMS_SIZE = 15   # per-shard shard_size
+_SHARD_TERMS_K = 10
+
+
+def q_sharded_terms(sf_dir: str):
+    """The distributed approximate terms aggregation WITH its error
+    accounting (the Elasticsearch terms-agg shard_size semantics,
+    made deterministic by pinned doc-range shards): each of 4 shards
+    returns only its local top-15 terms by doc count; the coordinator
+    sums the counts it actually SAW and reports, per merged term, the
+    doc_count_error_upper_bound = the sum of the cutoff (smallest
+    returned count) of every shard that did NOT return the term — the
+    exact bound Elasticsearch publishes.  This is the honest distributed
+    top-k trade: bounded per-shard state and one small merge instead of
+    a full vocabulary shuffle, with the approximation QUANTIFIED rather
+    than hidden.  Engine: per-batch (shard, term) df combiner -> one
+    groupby -> per-shard top lists via 4-group map_groups -> tiny
+    driver merge; oracle mirrors the identical shard rule in SQL."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+
+    def part(batch: pa.Table) -> pa.Table:
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        shard = (
+            tf["doc_id"].to_numpy(zero_copy_only=False)
+            * _SHARD_TERMS_N // n
+        )
+        t = pa.table({
+            "shard": pa.array(shard, pa.int64()),
+            "term": tf["term"],
+        })
+        agg = t.group_by(["shard", "term"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["shard", "term", "df_p"])
+
+    sdf = (
+        docs.map_batches(part, batch_format="pyarrow")
+        .groupby(["shard", "term"])
+        .aggregate(Sum("df_p", alias_name="df"))
+    )
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "term"], ascending=[False, True]).head(
+            _SHARD_TERMS_SIZE
+        )
+        return g[["shard", "term", "df"]]
+
+    kept = (
+        sdf.groupby("shard").map_groups(shard_top, batch_format="pandas")
+        .to_pandas()
+    )
+    cutoff = kept.groupby("shard")["df"].min()
+    est: dict[str, int] = {}
+    err: dict[str, int] = {}
+    seen = {
+        s: dict(zip(g["term"], g["df"])) for s, g in kept.groupby("shard")
+    }
+    for term in sorted(set(kept["term"])):
+        e = b = 0
+        for s in range(_SHARD_TERMS_N):
+            if term in seen.get(s, {}):
+                e += int(seen[s][term])
+            else:
+                b += int(cutoff.get(s, 0))
+        est[term], err[term] = e, b
+    out = pd.DataFrame({
+        "term": sorted(est),
+        "doc_count": np.array([est[t] for t in sorted(est)], np.int64),
+        "doc_count_error_upper_bound": np.array(
+            [err[t] for t in sorted(est)], np.int64
+        ),
+    }).sort_values(
+        ["doc_count", "term"], ascending=[False, True]
+    ).head(_SHARD_TERMS_K).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out[["rank", "term", "doc_count", "doc_count_error_upper_bound"]]
+
+
+SQL_SHARDED_TERMS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "nn AS (SELECT count(*) AS c FROM documents), "
+    "tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term), "
+    f"sdf AS (SELECT (doc_id * {_SHARD_TERMS_N}) // nn.c AS shard, term, "
+    "count(*) AS df FROM tf CROSS JOIN nn GROUP BY 1, 2), "
+    "top AS (SELECT shard, term, df, row_number() OVER (PARTITION BY "
+    "shard ORDER BY df DESC, term) AS r FROM sdf), "
+    f"kept AS (SELECT * FROM top WHERE r <= {_SHARD_TERMS_SIZE}), "
+    "cut AS (SELECT shard, min(df) AS cutoff FROM kept GROUP BY shard), "
+    "cand AS (SELECT DISTINCT term FROM kept), "
+    "est AS (SELECT cand.term, "
+    "CAST(sum(COALESCE(k.df, 0)) AS BIGINT) AS doc_count, "
+    "CAST(sum(CASE WHEN k.term IS NULL THEN cut.cutoff ELSE 0 END) "
+    "AS BIGINT) AS doc_count_error_upper_bound "
+    "FROM cand CROSS JOIN cut LEFT JOIN kept k "
+    "ON k.shard = cut.shard AND k.term = cand.term GROUP BY cand.term) "
+    "SELECT rank, term, doc_count, doc_count_error_upper_bound FROM ("
+    "SELECT *, CAST(row_number() OVER (ORDER BY doc_count DESC, term) "
+    "AS INTEGER) AS rank FROM est) "
+    f"WHERE rank <= {_SHARD_TERMS_K}"
+)
+
+
+def q_distinct_terms(sf_dir: str):
+    n = q_term_stats(sf_dir).count()
+    return pd.DataFrame({"n_terms": [n]})
+
+
+SQL_DISTINCT_TERMS = (
+    f"WITH toks AS ({_TOKS_SQL}) SELECT count(DISTINCT term) AS n_terms FROM toks"
+)
+
+
+# ------------------------------------------------------ G2' collection stats
+
+def q_collection_stats(sf_dir: str):
+    def tok_len(batch: pa.Table) -> pa.Table:
+        _, _, doc_len = flatten_tokens(batch["text"])
+        return pa.table({"dl": pa.array(doc_len.astype(np.int64))})
+
+    ds = _docs(sf_dir, ["text"]).map_batches(tok_len, batch_format="pyarrow")
+    agg = ds.aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="total_tokens"))
+    n, total = int(agg["n_docs"]), int(agg["total_tokens"])
+    return pd.DataFrame(
+        {"n_docs": [n], "total_tokens": [total], "avgdl": [total / n]}
+    )
+
+
+SQL_COLLECTION_STATS = (
+    f"WITH toks AS ({_TOKS_SQL}), dl AS "
+    "(SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) "
+    "SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens, "
+    "sum(dl)::DOUBLE / count(*) AS avgdl FROM dl"
+)
+
+
+# ------------------------------------------- G8 term co-occurrence + PMI
+
+# pairing universe guards, pinned IDENTICALLY in SQL_COOCCUR_PMI:
+# * df ceiling — a term in more than 80% of the corpus is stopword-class;
+#   excluding it kills the dominant quadratic blowup (stopword×stopword
+#   pairs appear in nearly every document).  Kept as an exact integer
+#   predicate (df * 5 <= n_docs * 4) so Ray and DuckDB agree bit-for-bit.
+# * per-doc distinct-term cap — bounds emitted pairs per document at
+#   CAP*(CAP-1)/2 regardless of document vocabulary (a 10k-distinct-term
+#   page would otherwise emit ~50M pair rows before any reduction).  The
+#   kept prefix is the first CAP terms in sorted order (deterministic,
+#   mirrored with a row_number() window in the oracle).
+_PMI_DOC_TERM_CAP = 2000
+
+
+def q_cooccur_pmi(sf_dir: str):
+    """Top-20 co-occurring term pairs by document co-occurrence count,
+    with pointwise mutual information ``ln(n_ab * N / (df_a * df_b))``.
+
+    Scale shape: the pairing universe is guarded FIRST — terms above the
+    df ceiling (df*5 > n_docs*4, i.e. df > 0.8N; stopword-class) are dropped before any
+    pair is formed, and each document contributes at most
+    ``_PMI_DOC_TERM_CAP`` distinct terms (sorted prefix), so emitted
+    pairs per doc are bounded by CAP²/2 instead of vocabulary².  The
+    excluded high-df term set is TINY by construction (at most
+    total_postings / (n_docs/2) terms can exceed the ceiling) and ships
+    once via ``ray.put``.  Per-batch pair partials are then
+    pre-aggregated with ONE Arrow ``group_by`` before the keyed shuffle
+    (combiner pattern); the global count is a vectorized ``Sum`` groupby
+    on the pair key; the top-20 is a distributed sort+limit (pair space
+    never lands on the driver); PMI attaches AFTER the cut, so only the
+    20 winners ever need df lookups (a filtered read of the term-stats
+    aggregate, not a vocab broadcast).  PMI uses the UNFILTERED df of
+    the winning terms.
+    """
+    import ray as _ray
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    # terms over the df ceiling: small set, broadcast once
+    stats = q_term_stats(sf_dir)
+    hi = stats.map_batches(
+        lambda b: b.filter(
+            pc.greater(
+                pc.multiply(pc.cast(b["df"], pa.int64()), 5), n_docs * 4
+            )
+        ),
+        batch_format="pyarrow",
+    ).select_columns(["term"]).to_pandas()
+    # an EMPTY filtered dataset can come back with no columns at all
+    hi_terms = (
+        hi["term"].to_numpy(dtype=object).astype(str)
+        if "term" in hi.columns else np.array([], dtype=str)
+    )
+    excl_ref = _ray.put(np.sort(hi_terms))
+    cap = _PMI_DOC_TERM_CAP
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "n_p": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        tf, _ = term_count_table(batch["text"], batch["doc_id"])
+        srt = tf.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+        terms = srt["term"].to_numpy(zero_copy_only=False)
+        dids = srt["doc_id"].to_numpy()
+        excl = _ray.get(excl_ref)
+        if excl.size and terms.size:
+            keep = ~np.isin(terms.astype(str), excl)
+            terms, dids = terms[keep], dids[keep]
+        if dids.size == 0:
+            return empty
+        bounds = np.flatnonzero(np.r_[True, dids[1:] != dids[:-1], True])
+        parts_a, parts_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n_t = min(e - s, cap)  # sorted prefix: terms are term-sorted per doc
+            if n_t < 2:
+                continue
+            ia, ib = np.triu_indices(n_t, k=1)
+            parts_a.append(terms[s + ia])
+            parts_b.append(terms[s + ib])
+        if not parts_a:
+            return empty
+        t = pa.table({
+            "term_a": pa.array(np.concatenate(parts_a)),
+            "term_b": pa.array(np.concatenate(parts_b)),
+        })
+        agg = t.group_by(["term_a", "term_b"]).aggregate([("term_a", "count")])
+        agg = agg.rename_columns(["term_a", "term_b", "n_p"])
+        return agg.set_column(2, "n_p", pc.cast(agg["n_p"], pa.int64()))
+
+    top = (
+        docs.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n_p", alias_name="n_ab"))
+        .sort(["n_ab", "term_a", "term_b"], descending=[True, False, False])
+        .limit(20)
+        .to_pandas()
+    )
+    if len(top) == 0:
+        return pd.DataFrame({
+            "term_a": pd.Series([], dtype=str),
+            "term_b": pd.Series([], dtype=str),
+            "n_ab": pd.Series([], dtype=np.int64),
+            "pmi": pd.Series([], dtype=np.float64),
+        })
+    need = pa.array(sorted(set(top["term_a"]) | set(top["term_b"])), pa.string())
+    dfs = (
+        q_term_stats(sf_dir)
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["term"], value_set=need)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["term", "df"])
+        .to_pandas()
+    )
+    dmap = dict(zip(dfs["term"], dfs["df"]))
+    da = top["term_a"].map(dmap).to_numpy(dtype=np.float64)
+    db = top["term_b"].map(dmap).to_numpy(dtype=np.float64)
+    top["pmi"] = np.round(
+        np.log(top["n_ab"].to_numpy(dtype=np.float64) * n_docs / (da * db)), 6
+    )
+    return top[["term_a", "term_b", "n_ab", "pmi"]]
+
+
+SQL_COOCCUR_PMI = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "dt AS (SELECT DISTINCT doc_id, term FROM toks), "
+    "df AS (SELECT term, count(*) AS df FROM dt GROUP BY term), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    # df ceiling: identical integer predicate to the Ray path
+    "kept AS (SELECT dt.doc_id, dt.term FROM dt "
+    "JOIN df USING (term) CROSS JOIN n WHERE df.df * 5 <= n.n_docs * 4), "
+    # per-doc sorted-prefix cap: identical to the Ray path's slice
+    "capped AS (SELECT doc_id, term FROM (SELECT doc_id, term, "
+    "row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn "
+    f"FROM kept) WHERE rn <= {_PMI_DOC_TERM_CAP}), "
+    "pairs AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab "
+    "FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.term < b.term "
+    "GROUP BY 1, 2), "
+    "top AS (SELECT term_a, term_b, n_ab FROM pairs "
+    "ORDER BY n_ab DESC, term_a, term_b LIMIT 20) "
+    "SELECT t.term_a, t.term_b, t.n_ab, "
+    "round(ln(t.n_ab::DOUBLE * n.n_docs / (da.df * db.df)), 6) AS pmi "
+    "FROM top t JOIN df da ON da.term = t.term_a "
+    "JOIN df db ON db.term = t.term_b CROSS JOIN n "
+    "ORDER BY t.n_ab DESC, t.term_a, t.term_b"
+)
+
+
+# ------------------------------------------- link-graph PageRank (BSP)
+
+# derived deterministic web graph over documents: doc i links to
+# (a*i + b) mod N for each coefficient pair (self-links dropped,
+# multi-edges deduped) — same derive-from-documents trick as the crawl
+# table, so the oracle can rebuild the identical graph in SQL
+_PR_COEFFS = ((7, 1), (13, 2), (31, 5))
+_PR_DAMPING = 0.85
+_PR_ITERS = 10
+
+
+def q_link_pagerank(sf_dir: str):
+    """Fixed-iteration distributed PageRank (stages/linkgraph.pagerank —
+    per round ONE rank-shipping hash join + a vectorized Sum groupby,
+    in-link-less nodes kept alive by a zero-contribution union instead
+    of an outer join) over the derived deterministic link graph.  The
+    oracle unrolls the same 10 iterations as chained SQL CTEs."""
+    from ...stages.linkgraph import pagerank
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        srcs, dsts = [], []
+        for a, b in _PR_COEFFS:
+            d = (did * a + b) % n
+            keep = d != did
+            srcs.append(did[keep])
+            dsts.append(d[keep])
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        # every edge of src i is generated in i's row, so per-batch pair
+        # dedup IS global dedup
+        _, idx = np.unique(src * np.int64(n) + dst, return_index=True)
+        return pa.table({
+            "src": pa.array(src[idx], pa.int64()),
+            "dst": pa.array(dst[idx], pa.int64()),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    nodes = docs.rename_columns({"doc_id": "node"})
+    ranks = pagerank(
+        edges, nodes, damping=_PR_DAMPING, iters=_PR_ITERS
+    ).to_pandas()
+    ranks["rank"] = np.round(ranks["rank"], 6)
+    ranks = ranks.rename(columns={"node": "doc_id"})
+    return ranks.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "rank"]
+    ]
+
+
+def q_link_triangles(sf_dir: str):
+    """Distributed triangle counting over the (undirected) link graph —
+    the graph-structure health metric of web-spam/community analysis.
+    The classic two-join plan (the MapReduce triangle recipe): canonical
+    u<v edges -> wedges by joining the edge set with itself on the apex
+    (v<w keeps each wedge once) -> semi-join the (v,w) closing pair back
+    against the edge set.  Both joins are hash-partitioned Dataset.joins
+    — never an adjacency broadcast; at web scale the wedge stage is
+    bounded by emitting from the LOWER-degree endpoint (documented
+    standard mitigation; this graph's out-degree is a constant 3 so the
+    plain apex join is already balanced).  Oracle: the identical
+    arithmetic edge derivation + 3-way self-join in SQL."""
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    def mk_und(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        us, vs = [], []
+        for a, b in _PR_COEFFS:
+            d = (did * a + b) % n
+            keep = d != did
+            s, t = did[keep], d[keep]
+            us.append(np.minimum(s, t))
+            vs.append(np.maximum(s, t))
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        _, idx = np.unique(u * np.int64(n) + v, return_index=True)
+        return pa.table({
+            "u": pa.array(u[idx], pa.int64()),
+            "v": pa.array(v[idx], pa.int64()),
+        })
+
+    # canonical-pair dedup must be GLOBAL (u<v pairs from two different
+    # source docs can coincide), so one Count groupby after the combiner
+    edges = (
+        docs.map_batches(mk_und, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="__m"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+    n_edges = edges.count()
+    right = edges.rename_columns({"v": "w"})
+    wedges = edges.join(
+        right, "inner", num_partitions=nparts, on=("u",), right_on=("u",)
+    ).filter(expr="v < w")
+    n_wedges = wedges.count()
+    closed = wedges.join(
+        edges, "inner", num_partitions=nparts,
+        on=("v", "w"), right_on=("u", "v"),
+    )
+    n_tri = closed.count()
+    return pd.DataFrame({
+        "n_nodes": np.array([n], dtype=np.int64),
+        "n_edges": np.array([n_edges], dtype=np.int64),
+        "n_wedges": np.array([n_wedges], dtype=np.int64),
+        "n_triangles": np.array([n_tri], dtype=np.int64),
+    })
+
+
+def _edges_sql() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % "
+        "(SELECT count(*) FROM documents) AS dst FROM documents"
+        for a, b in _PR_COEFFS
+    )
+    return (
+        f"SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        f"FROM ({parts}) WHERE src <> dst"
+    )
+
+
+SQL_LINK_TRIANGLES = (
+    f"WITH und AS ({_edges_sql()}) "
+    "SELECT (SELECT count(*) FROM documents) AS n_nodes, "
+    "(SELECT count(*) FROM und) AS n_edges, "
+    "(SELECT count(*) FROM und a JOIN und b "
+    "ON a.u = b.u AND a.v < b.v) AS n_wedges, "
+    "(SELECT count(*) FROM und a JOIN und b ON a.u = b.u AND a.v < b.v "
+    "JOIN und c ON c.u = a.v AND c.v = b.v) AS n_triangles"
+)
+
+
+def q_link_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction (Adamic & Adar 2003 — with common
+    neighbors and neighbor-Jaccard THE classic local link-prediction
+    index; Liben-Nowell & Kleinberg 2007): for non-adjacent pairs
+    x < y of the undirected link graph, ``score = sum over common
+    neighbors z of 1 / ln(deg(z))`` (a common neighbor has deg >= 2,
+    so the log is never 0); top-20 by (round(score, 6) DESC, x, y).
+
+    FULLY DISTRIBUTED plan: canonical u<v edges (global dedup) ->
+    both-direction adjacency -> wedge self-join on the apex z (x < y
+    keeps each candidate once) -> hash-join deg(z) and Sum the
+    1/ln(deg) weights per pair -> LEFT ANTI join against the edge set
+    drops adjacent pairs -> distributed sort + limit.  Same
+    apex-bounded wedge argument as link_triangles."""
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    def mk_und(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        us, vs = [], []
+        for a, b in _PR_COEFFS:
+            d = (did * a + b) % n
+            keep = d != did
+            s, t = did[keep], d[keep]
+            us.append(np.minimum(s, t))
+            vs.append(np.maximum(s, t))
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        _, idx = np.unique(u * np.int64(n) + v, return_index=True)
+        return pa.table({
+            "u": pa.array(u[idx], pa.int64()),
+            "v": pa.array(v[idx], pa.int64()),
+        })
+
+    edges = (
+        docs.map_batches(mk_und, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="__m"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    def fwd(b: pa.Table) -> pa.Table:
+        return pa.table({"z": b["u"], "nb": b["v"]})
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"z": b["v"], "nb": b["u"]})
+
+    adj = edges.map_batches(fwd, batch_format="pyarrow").union(
+        edges.map_batches(rev, batch_format="pyarrow")
+    ).materialize()
+    deg = adj.groupby("z").aggregate(Count(alias_name="d"))
+
+    right = adj.map_batches(
+        lambda b: pa.table({"z": b["z"], "y": b["nb"]}),
+        batch_format="pyarrow",
+    )
+    wedges = adj.join(
+        right, "inner", num_partitions=nparts, on=("z",), right_on=("z",)
+    ).filter(expr="nb < y")
+    weighted = wedges.join(
+        deg, "inner", num_partitions=nparts, on=("z",), right_on=("z",)
+    )
+
+    def w_of(b: pa.Table) -> pa.Table:
+        d = b["d"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "x": b["nb"], "y": b["y"],
+            "w": pa.array(1.0 / np.log(d), pa.float64()),
+        })
+
+    scored = (
+        weighted.map_batches(w_of, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("w", alias_name="s"))
+    )
+    non_adj = scored.join(
+        edges, "left_anti", num_partitions=nparts,
+        on=("x", "y"), right_on=("u", "v"),
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": b["x"], "doc_b": b["y"],
+            "score": pa.array(
+                np.round(
+                    b["s"].to_numpy(zero_copy_only=False), 6
+                ),
+                pa.float64(),
+            ),
+        })
+
+    return (
+        non_adj.map_batches(fin, batch_format="pyarrow")
+        .sort(["score", "doc_a", "doc_b"], descending=[True, False, False])
+        .limit(20)
+    )
+
+
+SQL_LINK_ADAMIC_ADAR = (
+    f"WITH und AS ({_edges_sql()}), "
+    "adj AS (SELECT u AS z, v AS nb FROM und "
+    "UNION ALL SELECT v, u FROM und), "
+    "deg AS (SELECT z, count(*) AS d FROM adj GROUP BY 1), "
+    "sc AS (SELECT a.nb AS x, b.nb AS y, sum(1.0 / ln(deg.d)) AS s "
+    "FROM adj a JOIN adj b ON b.z = a.z AND a.nb < b.nb "
+    "JOIN deg ON deg.z = a.z GROUP BY 1, 2) "
+    "SELECT x AS doc_a, y AS doc_b, round(s, 6) AS score FROM sc "
+    "WHERE NOT EXISTS (SELECT 1 FROM und "
+    "WHERE und.u = sc.x AND und.v = sc.y) "
+    "ORDER BY score DESC, doc_a, doc_b LIMIT 20"
+)
+
+
+# --------------------------------------- rank_feature (static signal)
+
+_RF_BOOST = 2.0
+
+
+def q_rank_feature_topk(sf_dir: str):
+    """Elasticsearch rank_feature query (saturation) over a static
+    PageRank signal: ``final = BM25 + boost * pr / (pr + pivot)`` with
+    ``pivot = 1/n_docs`` (the mean rank — ES's default pivot heuristic).
+    The ranks stream from the distributed PageRank straight into a
+    doc-range-partitioned FLOAT doc-value sidecar (stages/features.py,
+    the same at-scale shape as the collapse sidecar — never a
+    driver-broadcast dense array); the scorer folds the additive bonus
+    in BEFORE the bounded top-k (a high-PageRank doc outside the plain
+    BM25 page must ride in).  Oracle: the unrolled PageRank CTEs joined
+    into the shared exact-BM25 body with the identical saturation."""
+    from ...stages.features import build_feature_map
+    from ...stages.linkgraph import pagerank
+
+    idx = _build_docs_index(sf_dir)
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    feat_dir = _tmp_index_dir(sf_dir, "rfeat")
+    if not os.path.exists(os.path.join(feat_dir, "_SUCCESS")):
+
+        def mk_edges(batch: pa.Table) -> pa.Table:
+            did = batch["doc_id"].to_numpy()
+            srcs, dsts = [], []
+            for a, b in _PR_COEFFS:
+                d = (did * a + b) % n
+                keep = d != did
+                srcs.append(did[keep])
+                dsts.append(d[keep])
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
+            _, idx2 = np.unique(src * np.int64(n) + dst, return_index=True)
+            return pa.table({
+                "src": pa.array(src[idx2], pa.int64()),
+                "dst": pa.array(dst[idx2], pa.int64()),
+            })
+
+        edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+        nodes = docs.rename_columns({"doc_id": "node"})
+        ranks = pagerank(
+            edges, nodes, damping=_PR_DAMPING, iters=_PR_ITERS
+        ).map_batches(
+            # round-6 is the cross-engine float policy for the FEATURE
+            # VALUE itself (both engines saturate the same rounded rank)
+            lambda b: pa.table({
+                "doc_id": b["node"],
+                "feature": pa.array(
+                    np.round(b["rank"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        build_feature_map(ranks, feat_dir)
+    res = search(
+        idx, _query_terms_ds(_BM25_QUERIES), k=20, mode="rank_feature",
+        feature_dir=feat_dir, rf_boost=_RF_BOOST, rf_pivot=1.0 / n,
+        concurrency=2,
+    ).to_pandas()
+    return _rerank_rounded(res, k=10)
+
+
+def _rank_feature_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    return (
+        "WITH " + ", ".join(_pagerank_parts()) + ", "
+        f"toks AS ({_TOKS_SQL}), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total::DOUBLE / s.n_docs)))"
+        ") AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        f"feat AS (SELECT node AS doc_id, round(r, 6) AS f FROM pr{_PR_ITERS}), "
+        f"rf AS (SELECT sc.query_id, sc.doc_id, sc.score + {_RF_BOOST} * "
+        "(ft.f / (ft.f + 1.0 / (SELECT n FROM nn))) AS score "
+        "FROM scored sc JOIN feat ft ON ft.doc_id = sc.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        "round(score, 6) DESC, doc_id) AS INTEGER) AS rank FROM rf) "
+        f"WHERE rank <= {k}"
+    )
+
+
+# (SQL_RANK_FEATURE_TOPK is materialized next to the registries — the
+# shared _BM25_QUERIES set is defined later in the file)
+
+
+# ------------------------------------------------- anchor-text aggregation
+
+
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text aggregation — the classic web-index target signal
+    (Brin & Page 1998 §2.2: anchor words describe the TARGET page, not
+    the source).  A deterministic page corpus is rendered per doc
+    (three ``<a href="d<dst>">word_k</a>`` links via the PageRank
+    coefficient rule; anchor k = the k-th space-token of the SOURCE
+    text, sanitized of ``<>"``), the REAL vectorized extractor
+    (stages/linkgraph.extract_anchors) re-parses the html, and the
+    per-target aggregate runs as a per-batch (dst, anchor) Arrow
+    pre-count -> groupby(dst) top-anchor pick — the shuffle moves one
+    counted row per distinct (dst, anchor) per batch, never raw links.
+
+    The oracle never sees the html: it regenerates the (dst, anchor)
+    rows arithmetically from ``documents``, so a hash match proves the
+    html render -> href/anchor extraction round trip is lossless."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+
+    def mk_pages(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        toks = pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        html = np.full(len(did), "<html><body><p>", dtype=object)
+        for k, (a, b) in enumerate(_PR_COEFFS):
+            dst = (did * a + b) % n
+            has = lens > k
+            anchor = np.full(len(did), "", dtype=object)
+            if has.any():
+                tok_k = pc.list_element(
+                    pc.filter(toks, pa.array(has)), k
+                )
+                for ch in ('<', '>', '"'):
+                    tok_k = pc.replace_substring(tok_k, ch, "")
+                anchor[has] = tok_k.to_numpy(zero_copy_only=False)
+            link = (
+                '<a href="d' + dst.astype("U20").astype(object) + '">'
+                + anchor + "</a> "
+            )
+            html = html + np.where(dst != did, link, "")
+        html = html + "</p></body></html>"
+        return pa.table({
+            "url": pc.binary_join_element_wise(
+                pa.scalar("d"),
+                pa.array(did.astype("U20"), pa.string()),
+                pa.scalar(""),
+            ),
+            "html": pa.array(html, pa.string()),
+        })
+
+    from ...stages.linkgraph import extract_anchors
+
+    rows = extract_anchors(
+        docs.map_batches(mk_pages, batch_format="pyarrow")
+    )
+
+    def precount(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "dst": pa.array([], pa.string()),
+                "anchor": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        t = batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        g = t.group_by(["dst", "anchor"]).aggregate([("one", "sum")])
+        return g.rename_columns(["dst", "anchor", "cnt"])
+
+    partial = rows.map_batches(precount, batch_format="pyarrow")
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        cnt = group.groupby("anchor", as_index=False)["cnt"].sum()
+        top = cnt.sort_values(
+            ["cnt", "anchor"], ascending=[False, True]
+        ).iloc[0]["anchor"]
+        return pd.DataFrame({
+            "dst": [group["dst"].iloc[0]],
+            "n_links": np.array([cnt["cnt"].sum()], dtype=np.int64),
+            "n_anchors": np.array([len(cnt)], dtype=np.int64),
+            "top_anchor": [top],
+        })
+
+    out = (
+        partial.groupby("dst")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("dst").reset_index(drop=True)[
+        ["dst", "n_links", "n_anchors", "top_anchor"]
+    ]
+
+
+def _anchor_sql() -> str:
+    selects = []
+    for k, (a, b) in enumerate(_PR_COEFFS):
+        tok = f"split_part(text, ' ', {k + 1})"
+        clean = (
+            "replace(replace(replace(" + tok + ", '<', ''), '>', ''), "
+            "'\"', '')"
+        )
+        selects.append(
+            f"SELECT (doc_id * {a} + {b}) % nn.n AS dst, {clean} AS anchor "
+            f"FROM documents, nn WHERE (doc_id * {a} + {b}) % nn.n <> doc_id"
+        )
+    pairs = " UNION ALL ".join(selects)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+pairs AS ({pairs}),
+counts AS (SELECT dst, anchor, count(*) AS cnt FROM pairs GROUP BY dst, anchor),
+ranked AS (
+  SELECT dst, anchor, cnt,
+         row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS rn,
+         CAST(sum(cnt) OVER (PARTITION BY dst) AS BIGINT) AS n_links,
+         CAST(count(*) OVER (PARTITION BY dst) AS BIGINT) AS n_anchors
+  FROM counts)
+SELECT 'd' || CAST(dst AS VARCHAR) AS dst, n_links, n_anchors,
+       anchor AS top_anchor
+FROM ranked WHERE rn = 1 ORDER BY dst
+"""
+
+
+SQL_ANCHOR_TEXTS = _anchor_sql()
+
+
+def _pagerank_parts() -> list[str]:
+    """The unrolled 10-iteration PageRank as reusable WITH parts
+    (``pr{_PR_ITERS}`` holds the final ranks) — shared by the
+    link_pagerank oracle and the rank_feature scoring oracle."""
+    nsel = "(SELECT n FROM nn)"
+    e_parts = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{a}+{b}) % {nsel} AS dst FROM documents"
+        for a, b in _PR_COEFFS
+    )
+    parts = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        f"e0 AS ({e_parts})",
+        "edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT node, 1.0/{nsel} AS r FROM nodes)",
+    ]
+    base = f"{1.0 - _PR_DAMPING}/{nsel}"
+    for i in range(_PR_ITERS):
+        parts.append(
+            f"pr{i + 1} AS (SELECT n.node, {base} + {_PR_DAMPING}*"
+            "COALESCE(s.c, 0) AS r FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst, sum(p.r / d.outdeg) AS c FROM pr{i} p "
+            "JOIN edges e ON e.src = p.node JOIN deg d ON d.src = e.src "
+            "GROUP BY e.dst) s ON s.dst = n.node)"
+        )
+    return parts
+
+
+def _pagerank_sql() -> str:
+    return (
+        "WITH " + ", ".join(_pagerank_parts()) +
+        f" SELECT node AS doc_id, round(r, 6) AS rank FROM pr{_PR_ITERS} "
+        "ORDER BY doc_id"
+    )
+
+
+SQL_LINK_PAGERANK = _pagerank_sql()
+
+
+_HITS_ITERS = 5
+
+
+def q_link_hits(sf_dir: str):
+    """Kleinberg HITS hubs/authorities (stages/linkgraph.hits — the
+    edges-stay-distributed broadcast route: two shuffle-free bincount
+    passes per round, L2-normalized on the driver) over the same
+    derived deterministic link graph as `link_pagerank`.  The oracle
+    unrolls the identical 5 mutual-reinforcement rounds as chained SQL
+    CTEs with matching sqrt-sum normalizations."""
+    from ...stages.linkgraph import hits
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        srcs, dsts = [], []
+        for a, b in _PR_COEFFS:
+            d = (did * a + b) % n
+            keep = d != did
+            srcs.append(did[keep])
+            dsts.append(d[keep])
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        _, idx = np.unique(src * np.int64(n) + dst, return_index=True)
+        return pa.table({
+            "src": pa.array(src[idx], pa.int64()),
+            "dst": pa.array(dst[idx], pa.int64()),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    nodes = docs.rename_columns({"doc_id": "node"})
+    out = hits(edges, nodes, iters=_HITS_ITERS).to_pandas()
+    out["authority"] = np.round(out["authority"], 6)
+    out["hub"] = np.round(out["hub"], 6)
+    out = out.rename(columns={"node": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "authority", "hub"]
+    ]
+
+
+def _hits_sql() -> str:
+    nsel = "(SELECT n FROM nn)"
+    e_parts = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{a}+{b}) % {nsel} AS dst FROM documents"
+        for a, b in _PR_COEFFS
+    )
+    # every CTE is MATERIALIZED: the norm scalar subqueries reference
+    # each level twice, and plain CTE inlining would expand the chain
+    # exponentially (observed as "Too many open files" on the documents
+    # parquet at 5 unrolled rounds)
+    parts = [
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM documents)",
+        "nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents)",
+        f"e0 AS MATERIALIZED ({e_parts})",
+        "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM nodes)",
+    ]
+    for i in range(_HITS_ITERS):
+        parts.append(
+            f"ar{i + 1} AS MATERIALIZED (SELECT n.node, COALESCE(s.c, 0) AS a "
+            "FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst, sum(h.h) AS c FROM h{i} h "
+            "JOIN edges e ON e.src = h.node GROUP BY e.dst) s "
+            "ON s.dst = n.node)"
+        )
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT node, a / NULLIF(sqrt(("
+            f"SELECT sum(a*a) FROM ar{i + 1})), 0) AS a FROM ar{i + 1})"
+        )
+        parts.append(
+            f"hr{i + 1} AS MATERIALIZED (SELECT n.node, COALESCE(s.c, 0) AS h "
+            "FROM nodes n LEFT JOIN ("
+            f"SELECT e.src, sum(a.a) AS c FROM a{i + 1} a "
+            "JOIN edges e ON e.dst = a.node GROUP BY e.src) s "
+            "ON s.src = n.node)"
+        )
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT node, h / NULLIF(sqrt(("
+            f"SELECT sum(h*h) FROM hr{i + 1})), 0) AS h FROM hr{i + 1})"
+        )
+    return (
+        "WITH " + ", ".join(parts) +
+        f" SELECT a.node AS doc_id, round(a.a, 6) AS authority, "
+        f"round(h.h, 6) AS hub FROM a{_HITS_ITERS} a "
+        f"JOIN h{_HITS_ITERS} h ON h.node = a.node ORDER BY doc_id"
+    )
+
+
+SQL_LINK_HITS = _hits_sql()
+
+
+# ----------------------------------------------------------- D1 exact dedup
+
+def q_dedup_docs(sf_dir: str):
+    out = dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(["doc_id"])
+
+
+SQL_DEDUP_DOCS = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+# --------------------------------------------------------- G5 source stats
+
+def q_source_stats(sf_dir: str):
+    return (
+        _docs(sf_dir, ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+SQL_SOURCE_STATS = (
+    "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY source"
+)
+
+
+# ------------------------------------------------- K2 per-group top-n (window)
+
+def q_top5_longest_per_lang(sf_dir: str):
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(5)
+        g = g.reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        _docs(sf_dir, ["lang", "doc_id", "n_chars"])
+        .groupby("lang")
+        .map_groups(topn, batch_format="pandas")
+    )
+
+
+SQL_TOP5_LONGEST_PER_LANG = (
+    "SELECT lang, doc_id, n_chars, rn FROM ("
+    "SELECT lang, doc_id, n_chars, row_number() OVER "
+    "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+    "WHERE rn <= 5"
+)
+
+
+# ----------------------------------------------------- per-domain quota cap
+
+_DOMAIN_CAP = 3
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-domain document quota — the C4 / RefinedWeb anti-head-domain
+    sampling step: keep at most K docs per registered domain (lowest
+    doc_id wins, the deterministic tie of "first crawled").  Scale
+    shape: a per-batch combiner prunes each block to its own K smallest
+    doc_ids per domain BEFORE the shuffle (the exchange then moves at
+    most K x domains x blocks rows, independent of corpus size), and a
+    keyed map_groups applies the global cap.  Oracle: row_number()
+    window over the same derived domain."""
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        dom = "site-" + (did % 23).astype("U8").astype(object) + ".example"
+        g = (
+            pd.DataFrame({"domain": dom, "doc_id": did})
+            .sort_values("doc_id")
+            .groupby("domain", as_index=False)
+            .head(_DOMAIN_CAP)
+        )
+        return pa.table({
+            "domain": pa.array(g["domain"], pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+        })
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(_DOMAIN_CAP)
+
+    out = (
+        docs.map_batches(prune, batch_format="pyarrow")
+        .groupby("domain")
+        .map_groups(cap, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["domain", "doc_id"]).reset_index(drop=True)
+
+
+SQL_DOMAIN_CAP = f"""
+SELECT domain, doc_id FROM (
+  SELECT 'site-' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS domain,
+         doc_id,
+         row_number() OVER (PARTITION BY doc_id % 23 ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= {_DOMAIN_CAP} ORDER BY domain, doc_id
+"""
+
+
+# --------------------------------------------- composed curation pipeline
+
+
+def q_corpus_curation(sf_dir: str):
+    """The composed training-corpus curation pipeline — the end-to-end
+    chain a 100 TB web-corpus run would execute, as ONE entry so the
+    oracle pins the whole composition, not just the steps:
+
+      1. quality gate: n_tokens >= 5 AND token entropy >= 1.0
+         (both computed per-batch, shuffle-free)
+      2. exact dedup: min doc_id per md5(text) (per-batch combiner ->
+         keyed map_groups)
+      3. per-domain quota: keep the 3 lowest doc_ids per derived domain
+      4. per-lang corpus stats of the survivors
+
+    Steps reuse the pinned rules of `token_entropy`, `dedup_docs` and
+    `domain_cap`; the oracle mirrors the identical order as one CTE
+    chain (filter -> dedup -> cap -> aggregate)."""
+    import hashlib
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "md5": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "domain": pa.array([], pa.string()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        from ...functions.textstats import doc_entropy_batch
+
+        ids, n_toks, ent = doc_entropy_batch(
+            batch["text"], batch["doc_id"]
+        )
+        if not len(ids):
+            return empty
+        agg = pd.DataFrame({"n_tokens": n_toks}, index=ids)
+        keep = set(agg.index[(agg["n_tokens"] >= 5) & (ent >= 1.0)])
+        bdf = batch.select(["doc_id", "lang", "text"]).to_pandas()
+        bdf = bdf[bdf["doc_id"].isin(keep)]
+        if not len(bdf):
+            return empty
+        bdf["md5"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in bdf["text"]
+        ]
+        bdf["n_tokens"] = agg.loc[bdf["doc_id"], "n_tokens"].to_numpy(np.int64)
+        did = bdf["doc_id"].to_numpy()
+        bdf["domain"] = (
+            "site-" + (did % 23).astype("U8").astype(object) + ".example"
+        )
+        # batch-local dedup combiner: only each hash's local min survives
+        bdf = bdf.sort_values("doc_id").drop_duplicates("md5", keep="first")
+        return pa.table({
+            "doc_id": pa.array(bdf["doc_id"].to_numpy(np.int64)),
+            "lang": pa.array(bdf["lang"], pa.string()),
+            "md5": pa.array(bdf["md5"], pa.string()),
+            "n_tokens": pa.array(bdf["n_tokens"].to_numpy(np.int64)),
+            "domain": pa.array(bdf["domain"], pa.string()),
+        })
+
+    def pick_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(_DOMAIN_CAP)
+
+    out = (
+        docs.map_batches(stage1, batch_format="pyarrow")
+        .groupby("md5")
+        .map_groups(pick_min, batch_format="pandas")
+        .groupby("domain")
+        .map_groups(cap, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)[
+        ["lang", "n_docs", "n_tokens"]
+    ]
+
+
+SQL_CORPUS_CURATION = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+    "GROUP BY doc_id, term), "
+    "st AS (SELECT doc_id, sum(tf) AS n_tokens FROM tf GROUP BY doc_id), "
+    "ent AS (SELECT tf.doc_id, round(-sum((tf.tf::DOUBLE / st.n_tokens) * "
+    "ln(tf.tf::DOUBLE / st.n_tokens)), 6) AS entropy "
+    "FROM tf JOIN st USING (doc_id) GROUP BY tf.doc_id), "
+    "kept AS (SELECT d.doc_id, d.lang, d.text, st.n_tokens "
+    "FROM documents d JOIN st USING (doc_id) JOIN ent USING (doc_id) "
+    "WHERE st.n_tokens >= 5 AND ent.entropy >= 1.0), "
+    "dedup AS (SELECT doc_id, lang, n_tokens FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY md5(text) "
+    "ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1), "
+    "capd AS (SELECT doc_id, lang, n_tokens FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY doc_id % 23 "
+    f"ORDER BY doc_id) AS rn2 FROM dedup) WHERE rn2 <= {_DOMAIN_CAP}) "
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) "
+    "AS n_tokens FROM capd GROUP BY lang ORDER BY lang"
+)
+
+
+# ------------------------------------------------- J1-shape term-match join
+
+_MATCH_TERMS = ["data", "spark", "query", "merge", "window"]
+
+
+def q_term_match_join(sf_dir: str):
+    """Broadcast small side (the term list) + vectorized containment —
+    the broadcast-join pattern (ray_guide.md:135-139)."""
+    terms = pa.array(_MATCH_TERMS)
+
+    def match(batch: pa.Table) -> pa.Table:
+        toks = flatten_tokens(batch["text"])
+        flat_terms, row_idx, _ = toks
+        hit = pc.is_in(flat_terms, value_set=terms)
+        hit_terms = pc.filter(flat_terms, hit).to_pylist()
+        hit_rows = row_idx[hit.to_numpy(zero_copy_only=False)]
+        # distinct (term, doc) within batch
+        doc_ids = batch["doc_id"].to_numpy()
+        seen = {(t, int(doc_ids[r])) for t, r in zip(hit_terms, hit_rows)}
+        if not seen:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "one": pa.array([], pa.int64())})
+        tt, _dd = zip(*seen)
+        return pa.table(
+            {"term": pa.array(list(tt), pa.string()),
+             "one": pa.array(np.ones(len(tt), dtype=np.int64))}
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        match, batch_format="pyarrow"
+    )
+    return partials.groupby("term").aggregate(Sum("one", alias_name="n_docs"))
+
+
+SQL_TERM_MATCH_JOIN = (
+    "WITH v(term) AS (VALUES "
+    + ", ".join(f"('{t}')" for t in _MATCH_TERMS)
+    + ") SELECT v.term, count(*) AS n_docs FROM documents d "
+    "JOIN v ON list_contains(string_split(d.text, ' '), v.term) GROUP BY v.term"
+)
+
+
+def q_docs_without_terms(sf_dir: str):
+    """J4 anti-join shape: docs containing NONE of the terms."""
+    terms = pa.array(_MATCH_TERMS)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        flat_terms, row_idx, _ = flatten_tokens(batch["text"])
+        hit = pc.is_in(flat_terms, value_set=terms).to_numpy(zero_copy_only=False)
+        bad_rows = np.unique(row_idx[hit])
+        mask = np.ones(batch.num_rows, dtype=bool)
+        mask[bad_rows] = False
+        return pa.table({"n_p": pa.array([int(mask.sum())], pa.int64())})
+
+    partials = _docs(sf_dir, ["text"]).map_batches(anti, batch_format="pyarrow")
+    return pd.DataFrame({"n": [int(partials.aggregate(Sum("n_p", alias_name="s"))["s"])]})
+
+
+SQL_DOCS_WITHOUT_TERMS = (
+    "SELECT count(*) AS n FROM documents WHERE NOT list_has_any("
+    "string_split(text, ' '), ["
+    + ", ".join(f"'{t}'" for t in _MATCH_TERMS)
+    + "])"
+)
+
+
+# ----------------------------------------------------- events: window + agg
+
+def q_events_hourly(sf_dir: str):
+    def bucket(batch: pa.Table) -> pa.Table:
+        win = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="hour"), pa.timestamp("us")
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": win,
+                "value": batch["value"],
+            }
+        )
+
+    ds = read_table(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        bucket, batch_format="pyarrow"
+    )
+    out = (
+        ds.groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sv"))
+        .to_pandas()
+    )
+    out["sum_value"] = np.round(out["sv"], 2)
+    return out[["event_type", "window_start", "n", "sum_value"]]
+
+
+SQL_EVENTS_HOURLY = (
+    "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+    "count(*) AS n, round(sum(value), 2) AS sum_value "
+    "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+)
+
+
+def q_events_top_types_daily(sf_dir: str):
+    """Composite aggregation (the Elasticsearch date_histogram + terms
+    sub-aggregation): per DAY bucket, the top-2 event types by count
+    (ties by type name) with their count and value sum.  Shape: the
+    per-batch (day, type) combiner bounds the exchange to one row per
+    (day, type, batch); the per-day top-k then runs over the
+    already-reduced table via ``groupby(day).map_groups`` — at 100 TB
+    the map_groups input is |days|x|types| rows, not events."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({
+            "window_start": day,
+            "event_type": batch["event_type"],
+            "value": batch["value"],
+        })
+        agg = t.group_by(["window_start", "event_type"]).aggregate(
+            [([], "count_all"), ("value", "sum")]
+        )
+        return agg.rename_columns(
+            ["window_start", "event_type", "n_p", "sv_p"]
+        )
+
+    reduced = (
+        read_table(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_p", alias_name="n"), Sum("sv_p", alias_name="sv"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n", "event_type"], ascending=[False, True]
+        ).head(2).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["sum_value"] = np.round(g["sv"], 2)
+        return g[["window_start", "rank", "event_type", "n", "sum_value"]]
+
+    return reduced.groupby("window_start").map_groups(
+        topk, batch_format="pandas"
+    )
+
+
+def q_events_moving_avg(sf_dir: str):
+    """Pipeline aggregation (the Elasticsearch moving_fn / moving-avg
+    sub-agg): daily event counts smoothed with a TRAILING 3-day window
+    (current + 2 preceding; shorter at the series head).  The corpus
+    pass reduces to one row per (day, batch) via the Arrow combiner;
+    the window function then runs over the reduced |days|-row series —
+    inherently driver-small no matter the corpus size, which is the
+    whole design point of pipeline aggs over bucketed parents."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    daily["mavg"] = np.round(
+        daily["n"].rolling(window=3, min_periods=1).mean(), 6
+    )
+    return daily[["window_start", "n", "mavg"]]
+
+
+SQL_EVENTS_MOVING_AVG = (
+    "SELECT window_start, n, round(avg(n) OVER (ORDER BY window_start "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg FROM ("
+    "SELECT date_trunc('day', ts) AS window_start, count(*) AS n "
+    "FROM events GROUP BY 1)"
+)
+
+
+_EWMA_ALPHA = 0.3   # ES moving_fn MovingFunctions.ewma default-ish,
+                    # pinned; the recurrence literal is (1.0 - 0.3) on
+                    # BOTH engines so the IEEE constant is identical
+
+
+def q_events_ewma(sf_dir: str):
+    """Exponentially-weighted moving average over the daily series
+    (the Elasticsearch ``moving_fn`` ``MovingFunctions.ewma`` shape,
+    run as a recurrence over the whole history rather than a window):
+    s_1 = n_1, s_t = alpha*n_t + (1-alpha)*s_{t-1}, alpha = 0.3.  The
+    corpus pass reduces to one row per (day, batch) via the Arrow
+    combiner; the recurrence runs over the |days|-row reduced series
+    (driver-small by design — same argument as moving_avg), mirrored
+    in the oracle as a recursive CTE with the identical literal
+    arithmetic."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    s = np.empty(len(daily), dtype=np.float64)
+    prev = 0.0
+    for i, n in enumerate(daily["n"].to_numpy(np.int64)):
+        prev = (
+            float(n) if i == 0
+            else _EWMA_ALPHA * n + (1.0 - _EWMA_ALPHA) * prev
+        )
+        s[i] = prev
+    daily["ewma"] = np.round(s, 6)
+    return daily[["window_start", "n", "ewma"]]
+
+
+SQL_EVENTS_EWMA = (
+    "WITH RECURSIVE "
+    "d AS (SELECT date_trunc('day', ts) AS window_start, "
+    "count(*) AS n FROM events GROUP BY 1), "
+    "ix AS (SELECT window_start, n, CAST(row_number() OVER ("
+    "ORDER BY window_start) AS BIGINT) AS i FROM d), "
+    "e AS (SELECT i, window_start, n, n::DOUBLE AS s FROM ix "
+    "WHERE i = 1 UNION ALL "
+    f"SELECT ix.i, ix.window_start, ix.n, "
+    f"{_EWMA_ALPHA} * ix.n + (1.0 - {_EWMA_ALPHA}) * e.s "
+    "FROM e JOIN ix ON ix.i = e.i + 1) "
+    "SELECT window_start, n, round(s, 6) AS ewma FROM e "
+    "ORDER BY window_start"
+)
+
+
+def q_events_grouping_sets(sf_dir: str):
+    """GROUPING SETS / CUBE over (event_type, day) — the OLAP rollup
+    ES exposes as composite + top-level aggs and warehouses as CUBE:
+    counts at all four grouping levels in ONE corpus pass.  The
+    (type, day) base table reduces via the per-batch combiner +
+    groupby; the three coarser levels derive FROM the reduced base
+    (classic rollup-from-finest optimization — the corpus streams
+    once, the rollups aggregate bucket rows).  Absent keys use pinned
+    sentinels ('' / epoch) rather than NULLs so cross-engine hashing
+    is total-ordered."""
+    epoch = np.datetime64("1970-01-01T00:00:00", "us")
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({
+            "event_type": batch["event_type"], "window_start": day,
+        })
+        agg = t.group_by(["event_type", "window_start"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["event_type", "window_start", "n_p"])
+
+    base = (
+        read_table(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .materialize()
+    )
+
+    def lvl_type_day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "level": pa.array(["type_day"] * b.num_rows, pa.string()),
+            "event_type": b["event_type"],
+            "window_start": b["window_start"],
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    by_type = base.groupby("event_type").aggregate(
+        Sum("n", alias_name="n")
+    )
+    by_day = base.groupby("window_start").aggregate(
+        Sum("n", alias_name="n")
+    )
+    total = int(base.sum("n"))
+
+    def lvl_type(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "level": pa.array(["type"] * b.num_rows, pa.string()),
+            "event_type": b["event_type"],
+            "window_start": pa.array(
+                np.full(b.num_rows, epoch), pa.timestamp("us")
+            ),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    def lvl_day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "level": pa.array(["day"] * b.num_rows, pa.string()),
+            "event_type": pa.array([""] * b.num_rows, pa.string()),
+            "window_start": b["window_start"],
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    tot_tbl = ray.data.from_arrow(pa.table({
+        "level": pa.array(["total"], pa.string()),
+        "event_type": pa.array([""], pa.string()),
+        "window_start": pa.array([epoch], pa.timestamp("us")),
+        "n": pa.array([total], pa.int64()),
+    }))
+    return (
+        base.map_batches(lvl_type_day, batch_format="pyarrow")
+        .union(by_type.map_batches(lvl_type, batch_format="pyarrow"))
+        .union(by_day.map_batches(lvl_day, batch_format="pyarrow"))
+        .union(tot_tbl)
+    )
+
+
+SQL_EVENTS_GROUPING_SETS = (
+    "WITH base AS (SELECT event_type, date_trunc('day', ts) AS "
+    "window_start, CAST(count(*) AS BIGINT) AS n FROM events "
+    "GROUP BY 1, 2) "
+    "SELECT 'type_day' AS level, event_type, window_start, n FROM base "
+    "UNION ALL SELECT 'type', event_type, "
+    "TIMESTAMP '1970-01-01', CAST(sum(n) AS BIGINT) FROM base "
+    "GROUP BY event_type "
+    "UNION ALL SELECT 'day', '', window_start, "
+    "CAST(sum(n) AS BIGINT) FROM base GROUP BY window_start "
+    "UNION ALL SELECT 'total', '', TIMESTAMP '1970-01-01', "
+    "CAST(sum(n) AS BIGINT) FROM base"
+)
+
+
+def q_events_decompose(sf_dir: str):
+    """Classical additive seasonal decomposition of the daily series
+    (the Makridakis/Cleveland textbook method behind
+    statsmodels.seasonal_decompose): trend = centered 7-day moving
+    average (full windows only), weekly seasonal = per-day-of-week
+    mean of the detrended series re-centered to sum to zero, residual
+    = n - trend - seasonal.  Only full-window rows are emitted.  Same
+    bounded reduced-series shape as the other time-series entries;
+    the oracle mirrors the window arithmetic with a frame-counted
+    window average."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    trend = daily["n"].rolling(7, center=True, min_periods=7).mean()
+    dow = daily["window_start"].dt.dayofweek
+    detr = daily["n"] - trend
+    ok = trend.notna()
+    s_raw = detr[ok].groupby(dow[ok]).mean()
+    s_cent = s_raw - s_raw.mean()
+    seasonal = dow.map(s_cent)
+    out = daily[ok].copy()
+    out["trend"] = np.round(trend[ok], 6)
+    out["seasonal"] = np.round(seasonal[ok], 6)
+    out["resid"] = np.round(
+        daily["n"][ok] - trend[ok] - seasonal[ok], 6
+    )
+    return out[
+        ["window_start", "n", "trend", "seasonal", "resid"]
+    ].reset_index(drop=True)
+
+
+SQL_EVENTS_DECOMPOSE = (
+    "WITH d AS (SELECT date_trunc('day', ts) AS window_start, "
+    "count(*) AS n FROM events GROUP BY 1), "
+    "ix AS (SELECT window_start, n, dayofweek(window_start) AS dow, "
+    "row_number() OVER (ORDER BY window_start) AS rn FROM d), "
+    "tr AS (SELECT *, avg(n) OVER (ORDER BY rn ROWS BETWEEN 3 "
+    "PRECEDING AND 3 FOLLOWING) AS trend, count(*) OVER ("
+    "ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt "
+    "FROM ix), "
+    "td AS (SELECT * FROM tr WHERE cnt = 7), "
+    "sr AS (SELECT dow, avg(n - trend) AS s FROM td GROUP BY dow), "
+    "sm AS (SELECT avg(s) AS m FROM sr), "
+    "sc AS (SELECT dow, s - (SELECT m FROM sm) AS s FROM sr) "
+    "SELECT td.window_start, td.n, round(td.trend, 6) AS trend, "
+    "round(sc.s, 6) AS seasonal, "
+    "round(td.n - td.trend - sc.s, 6) AS resid "
+    "FROM td JOIN sc ON sc.dow = td.dow ORDER BY td.window_start"
+)
+
+
+_SAX_W = 8            # PAA segments
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)   # N(0,1) quartiles -> a/b/c/d
+
+
+def q_events_sax(sf_dir: str):
+    """SAX symbolic representation of the daily series (Lin, Keogh,
+    Lonardi & Chiu, DMKD 2003 — THE symbolic time-series encoding
+    behind motif/anomaly mining): z-normalize the day counts
+    (population std), PAA-average into 8 contiguous segments
+    (row k -> segment k*w//N), and map each segment mean to the 4-
+    letter alphabet at the pinned N(0,1) quartile breakpoints.  The
+    symbol comes from the ROUNDED (6dp) PAA value so both engines
+    compare identical doubles.  Same reduced-series shape as the
+    other recurrence entries.  Output: (segment, paa, symbol)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    nn = n.size
+    mu = int(n.sum()) / nn
+    sd = math.sqrt(float(np.sum((n - mu) ** 2)) / nn)
+    z = (n - mu) / sd
+    seg = (np.arange(nn, dtype=np.int64) * _SAX_W) // nn
+    b1, b2, b3 = _SAX_BREAKS
+    rows = []
+    for s in range(_SAX_W):
+        m = z[seg == s]
+        if not m.size:
+            continue
+        paa = round(float(np.mean(m)), 6)
+        sym = (
+            "a" if paa < b1 else "b" if paa < b2
+            else "c" if paa < b3 else "d"
+        )
+        rows.append((s, paa, sym))
+    return pd.DataFrame(
+        rows, columns=["segment", "paa", "symbol"]
+    ).astype({"segment": "int64", "paa": "float64"})
+
+
+def _sql_events_sax() -> str:
+    b1, b2, b3 = _SAX_BREAKS
+    w = _SAX_W
+    return (
+        "WITH d AS (SELECT date_trunc('day', ts) AS window_start, "
+        "count(*) AS n FROM events GROUP BY 1), "
+        "st AS (SELECT sum(n)::DOUBLE / count(*) AS mu, count(*) AS nn "
+        "FROM d), "
+        "sd AS (SELECT sqrt(sum((d.n - st.mu) * (d.n - st.mu)) / st.nn) "
+        "AS s FROM d, st GROUP BY st.nn), "
+        "z AS (SELECT (row_number() OVER (ORDER BY window_start) - 1) "
+        "AS k, (n - st.mu) / sd.s AS z FROM d, st, sd), "
+        f"p AS (SELECT (k * {w}) // (SELECT nn FROM st) AS segment, "
+        "round(avg(z), 6) AS paa FROM z GROUP BY 1) "
+        "SELECT CAST(segment AS BIGINT) AS segment, paa, "
+        f"CASE WHEN paa < {b1} THEN 'a' WHEN paa < {b2} THEN 'b' "
+        f"WHEN paa < {b3} THEN 'c' ELSE 'd' END AS symbol FROM p "
+        "ORDER BY segment"
+    )
+
+
+SQL_EVENTS_SAX = _sql_events_sax()
+
+
+_HW_ALPHA = 0.3
+_HW_BETA = 0.1
+_HW_GAMMA = 0.2
+_HW_P = 7   # weekly season
+
+
+def q_events_holt_winters(sf_dir: str):
+    """Holt-Winters ADDITIVE triple exponential smoothing (Winters
+    1960; the seasonal completion of the ewma/holt family) with weekly
+    period 7 and the classic two-week initialization (Hyndman fpp):
+    level_0 = mean(week 1), trend_0 = (mean(week 2) - mean(week 1))/7,
+    seasonal_i = n_i - level_0 for the first week; then for t >= 8
+    ``lev = a*(n - s[t-7]) + (1-a)*(lev' + tr')``,
+    ``tr = b*(lev - lev') + (1-b)*tr'``,
+    ``s_t = g*(n - lev) + (1-g)*s[t-7]`` with a=0.3, b=0.1, g=0.2.
+    Output rows t >= 8: (window_start, n, level, trend, seasonal).
+    The oracle carries the rolling 7-slot seasonal state as a DOUBLE[]
+    LIST column through the recursive CTE (shift + append per step) —
+    state machines as first-class SQL.  Requires >= 14 days (the
+    events span ~30)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    p = _HW_P
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    m1 = int(n[:p].sum()) / p
+    m2 = int(n[p:2 * p].sum()) / p
+    lev = m1
+    tr = (m2 - m1) / p
+    state = [float(x) - m1 for x in n[:p]]
+    rows = []
+    for t in range(p, n.size):
+        s_old = state[0]
+        lev_new = a * (n[t] - s_old) + (1.0 - a) * (lev + tr)
+        tr = b * (lev_new - lev) + (1.0 - b) * tr
+        s_new = g * (n[t] - lev_new) + (1.0 - g) * s_old
+        lev = lev_new
+        state = state[1:] + [s_new]
+        rows.append((
+            daily["window_start"].iloc[t], int(n[t]),
+            round(lev, 6), round(tr, 6), round(s_new, 6),
+        ))
+    return pd.DataFrame(
+        rows, columns=["window_start", "n", "level", "trend", "seasonal"]
+    ).astype({"n": "int64"})
+
+
+def _sql_events_holt_winters() -> str:
+    a, b, g, p = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_P
+    lev_new = (
+        f"({a} * (ix.n - e.S[1]) + (1.0 - {a}) * (e.lev + e.tr))"
+    )
+    return (
+        "WITH RECURSIVE "
+        "d AS (SELECT date_trunc('day', ts) AS window_start, "
+        "count(*) AS n FROM events GROUP BY 1), "
+        "ix AS (SELECT window_start, n, CAST(row_number() OVER ("
+        "ORDER BY window_start) AS BIGINT) AS i FROM d), "
+        f"m1 AS (SELECT avg(n) AS m FROM ix WHERE i <= {p}), "
+        f"m2 AS (SELECT avg(n) AS m FROM ix WHERE i > {p} "
+        f"AND i <= {2 * p}), "
+        "e(i, window_start, n, lev, tr, S) AS ("
+        f"SELECT CAST({p} AS BIGINT), "
+        f"(SELECT window_start FROM ix WHERE i = {p}), "
+        f"(SELECT n FROM ix WHERE i = {p}), "
+        "(SELECT m FROM m1), "
+        f"((SELECT m FROM m2) - (SELECT m FROM m1)) / {p}, "
+        "(SELECT list(n - (SELECT m FROM m1) ORDER BY i) FROM ix "
+        f"WHERE i <= {p}) "
+        "UNION ALL "
+        f"SELECT ix.i, ix.window_start, ix.n, {lev_new}, "
+        f"{b} * ({lev_new} - e.lev) + (1.0 - {b}) * e.tr, "
+        f"list_append(e.S[2:{p}], "
+        f"{g} * (ix.n - {lev_new}) + (1.0 - {g}) * e.S[1]) "
+        "FROM e JOIN ix ON ix.i = e.i + 1) "
+        "SELECT window_start, n, round(lev, 6) AS level, "
+        "round(tr, 6) AS trend, "
+        f"round(S[{p}], 6) AS seasonal FROM e WHERE i > {p} "
+        "ORDER BY window_start"
+    )
+
+
+SQL_EVENTS_HOLT_WINTERS = _sql_events_holt_winters()
+
+
+def q_events_cusum(sf_dir: str):
+    """One-sided upper CUSUM change detection over the daily series
+    (Page 1954 — the sequential change-point chart ES's ML jobs and
+    every monitoring stack descend from): with reference mean mu =
+    total/days, slack 0.1*mu and decision threshold h = 2*mu,
+    ``s_0 = 0, s_t = max(0, s_{t-1} + (n_t - mu - 0.1*mu))``, alarm
+    when the UNrounded s_t > h.  Same driver-small reduced-series
+    recurrence shape as ewma/holt; the oracle's recursive CTE
+    references the mean via scalar subqueries with identical literal
+    arithmetic."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    mu = int(n.sum()) / n.size
+    s = 0.0
+    cs = np.empty(n.size, np.float64)
+    alarm = np.empty(n.size, dtype=bool)
+    for t in range(n.size):
+        s = max(0.0, s + (n[t] - mu - 0.1 * mu))
+        cs[t] = s
+        alarm[t] = s > 2.0 * mu
+    daily["cusum"] = np.round(cs, 6)
+    daily["alarm"] = alarm
+    return daily[["window_start", "n", "cusum", "alarm"]]
+
+
+SQL_EVENTS_CUSUM = (
+    "WITH RECURSIVE "
+    "d AS (SELECT date_trunc('day', ts) AS window_start, "
+    "count(*) AS n FROM events GROUP BY 1), "
+    "m AS (SELECT sum(n)::DOUBLE / count(*) AS mu FROM d), "
+    "ix AS (SELECT window_start, n, CAST(row_number() OVER ("
+    "ORDER BY window_start) AS BIGINT) AS i FROM d), "
+    "e AS (SELECT i, window_start, n, "
+    "greatest(0.0, 0.0 + (n - (SELECT mu FROM m) "
+    "- 0.1 * (SELECT mu FROM m))) AS s FROM ix WHERE i = 1 "
+    "UNION ALL SELECT ix.i, ix.window_start, ix.n, "
+    "greatest(0.0, e.s + (ix.n - (SELECT mu FROM m) "
+    "- 0.1 * (SELECT mu FROM m))) "
+    "FROM e JOIN ix ON ix.i = e.i + 1) "
+    "SELECT window_start, n, round(s, 6) AS cusum, "
+    "s > 2.0 * (SELECT mu FROM m) AS alarm FROM e "
+    "ORDER BY window_start"
+)
+
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+def q_events_holt(sf_dir: str):
+    """Holt linear-trend double exponential smoothing over the daily
+    series (Holt 1957; the Elasticsearch ``moving_fn``
+    ``MovingFunctions.holt`` shape): level s_1 = n_1, trend b_1 =
+    n_2 - n_1 (0 for a length-1 series), then
+    s_t = alpha*n_t + (1-alpha)*(s_{t-1} + b_{t-1}) and
+    b_t = beta*(s_t - s_{t-1}) + (1-beta)*b_{t-1}; the one-step
+    forecast is s_t + b_t.  alpha = 0.3, beta = 0.1 pinned; the
+    oracle's recursive CTE repeats the level expression inside the
+    trend update (same double, SQL can't name an alias in-row).
+    Same driver-small reduced-series shape as ewma/moving_avg."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": day})
+        agg = t.group_by("window_start").aggregate([([], "count_all")])
+        return agg.rename_columns(["window_start", "n_p"])
+
+    daily = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    lev = np.empty(n.size, np.float64)
+    tre = np.empty(n.size, np.float64)
+    s = float(n[0])
+    b = float(n[1] - n[0]) if n.size > 1 else 0.0
+    lev[0], tre[0] = s, b
+    for t in range(1, n.size):
+        s_new = _HOLT_ALPHA * n[t] + (1.0 - _HOLT_ALPHA) * (s + b)
+        b = _HOLT_BETA * (s_new - s) + (1.0 - _HOLT_BETA) * b
+        s = s_new
+        lev[t], tre[t] = s, b
+    daily["level"] = np.round(lev, 6)
+    daily["trend"] = np.round(tre, 6)
+    daily["forecast"] = np.round(lev + tre, 6)
+    return daily[["window_start", "n", "level", "trend", "forecast"]]
+
+
+def _sql_events_holt() -> str:
+    a, be = _HOLT_ALPHA, _HOLT_BETA
+    s_new = f"({a} * ix.n + (1.0 - {a}) * (e.s + e.b))"
+    return (
+        "WITH RECURSIVE "
+        "d AS (SELECT date_trunc('day', ts) AS window_start, "
+        "count(*) AS n FROM events GROUP BY 1), "
+        "ix AS (SELECT window_start, n, CAST(row_number() OVER ("
+        "ORDER BY window_start) AS BIGINT) AS i FROM d), "
+        "e AS (SELECT i, window_start, n, n::DOUBLE AS s, "
+        "(COALESCE((SELECT n FROM ix WHERE i = 2), n) - n)::DOUBLE AS b "
+        "FROM ix WHERE i = 1 UNION ALL "
+        f"SELECT ix.i, ix.window_start, ix.n, {s_new}, "
+        f"{be} * ({s_new} - e.s) + (1.0 - {be}) * e.b "
+        "FROM e JOIN ix ON ix.i = e.i + 1) "
+        "SELECT window_start, n, round(s, 6) AS level, "
+        "round(b, 6) AS trend, round(s + b, 6) AS forecast FROM e "
+        "ORDER BY window_start"
+    )
+
+
+SQL_EVENTS_HOLT = _sql_events_holt()
+
+
+def q_curriculum_buckets(sf_dir: str):
+    """Curriculum bucketing for training order (length-based difficulty
+    tiers, the 'short-to-long' curriculum recipe): every doc gets its
+    GLOBAL rank under (n_tokens, doc_id) and an exact ntile(4) bucket.
+    The rank is distributed — stages/docids.assign_doc_ids' range-
+    partitioned sort + O(blocks) prefix-sum stamp over a fixed-width
+    composite sort key — never a driver-side argsort; the ntile split
+    (leading buckets absorb the remainder) is a closed-form vectorized
+    function of the rank.  Zero-token docs participate (length 0 sorts
+    first), mirrored by the oracle's LEFT JOIN."""
+    from ...stages.docids import assign_doc_ids
+
+    def counts(batch: pa.Table) -> pa.Table:
+        _, _, doc_len = flatten_tokens(batch["text"])
+        nt = doc_len.astype(np.int64)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        key = np.char.add(
+            np.char.zfill(nt.astype(str), 12),
+            np.char.zfill(dids.astype(str), 12),
+        )
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(nt),
+            "curr_key": pa.array(key),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    ranked = assign_doc_ids(ds, key="curr_key", col="rank0")
+    n = ranked.count()
+    k = 4
+    base, rem = n // k, n % k
+    cut = rem * (base + 1)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        r = batch["rank0"].to_numpy(zero_copy_only=False)
+        if base == 0:
+            b = np.minimum(r, k - 1)
+        else:
+            b = np.where(r < cut, r // (base + 1), rem + (r - cut) // base)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["n_tokens"],
+            "rank": pa.array(r + 1, pa.int64()),
+            "bucket": pa.array(b + 1, pa.int64()),
+        })
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
+SQL_CURRICULUM_BUCKETS = (
+    f"WITH toks AS ({_TOKS_SQL}), "
+    "tc AS (SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens "
+    "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks "
+    "GROUP BY doc_id) t ON d.doc_id = t.doc_id) "
+    "SELECT doc_id, n_tokens, "
+    "CAST(row_number() OVER w AS BIGINT) AS rank, "
+    "CAST(ntile(4) OVER w AS BIGINT) AS bucket FROM tc "
+    "WINDOW w AS (ORDER BY n_tokens, doc_id)"
+)
+
+
+def q_quality_logreg(sf_dir: str):
+    """Distributed classifier training for data curation
+    (stages/logreg.py — the CCNet/fastText-style quality/domain filter
+    is a linear model over cheap text statistics): full-batch logistic
+    regression, 15 GD iterations, y = (lang == 'en'), features =
+    [bias, n_tokens/100, distinct ratio, mean token length/10].  Each
+    iteration is ONE streaming map_batches pass over the tiny
+    materialized feature table emitting d+1 int64 gradient partials per
+    block — per-doc contributions quantized at 2^24 so the integer
+    reduce is exact and the trained weights are parallelism-invariant
+    (the same fixed-point device as kmeans).  Oracle = pinned serial
+    whole-matrix GD of the identical spec as VALUES."""
+    from ...stages import logreg
+
+    feats = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        logreg.featurize_batch, batch_format="pyarrow"
+    )
+    _, summary = logreg.fit(feats)
+    return summary
+
+
+SQL_EVENTS_TOP_TYPES_DAILY = (
+    "SELECT window_start, rank, event_type, n, sum_value FROM ("
+    "SELECT date_trunc('day', ts) AS window_start, event_type, "
+    "count(*) AS n, round(sum(value), 2) AS sum_value, "
+    "CAST(row_number() OVER (PARTITION BY date_trunc('day', ts) "
+    "ORDER BY count(*) DESC, event_type) AS INTEGER) AS rank "
+    "FROM events GROUP BY 1, 2) WHERE rank <= 2"
+)
+
+
+def q_events_sessions(sf_dir: str):
+    """Streaming-shaped sessionization (SURVEY.md §2.9 pattern): 30-min
+    inactivity gap, per-user counts via sorted map_groups."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    return (
+        read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_SESSIONS = (
+    "SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM ("
+    "SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR "
+    "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "GROUP BY user_id"
+)
+
+
+def q_events_asof(sf_dir: str):
+    """As-of join (ray_guide.md:147-148 pattern): for each 'error' event,
+    the latest STRICTLY-earlier 'click' event of the same user —
+    pd.merge_asof inside per-user map_groups over ts-sorted groups."""
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        err = g[g["event_type"] == "error"].sort_values("ts")
+        clk = g[g["event_type"] == "click"].sort_values("ts")
+        if err.empty or clk.empty:
+            return pd.DataFrame({"event_id": [], "prior_event_id": []}).astype(np.int64)
+        m = pd.merge_asof(
+            err[["event_id", "ts"]],
+            clk[["event_id", "ts"]].rename(columns={"event_id": "prior_event_id"}),
+            on="ts", direction="backward", allow_exact_matches=False,
+        )
+        m = m.dropna(subset=["prior_event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype(np.int64),
+                "prior_event_id": m["prior_event_id"].astype(np.int64),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+_RJ_WINDOW_US = 2 * 3600 * 1_000_000   # 2-hour incident window
+_RJ_BUCKET_US = 3600 * 1_000_000       # 1-hour join buckets
+
+
+def q_events_range_join(sf_dir: str):
+    """Distributed INTERVAL-CONTAINMENT (range) join — the operator
+    Ray Data has no native form for, built from the standard
+    bucket-replication recipe every distributed engine uses: for each
+    'error' event the window is [ts, ts + 2h); count same-user
+    'click' events inside it (0 kept via the left side).  The window
+    side flat-maps to its covering 1-hour buckets (<= 3 replicas per
+    window — replication is bounded by window/bucket ratio, the knob
+    you tune at scale); the probe side maps to its SINGLE bucket, so
+    after the (user, bucket) hash join each qualifying pair appears
+    exactly once and the precise containment filter needs no dedup.
+    Oracle: the plain BETWEEN-style LEFT JOIN + count."""
+    ev = read_table(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]
+    )
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, n_cpu // 2))
+
+    def windows(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], "error")
+        b = batch.filter(m)
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        b0 = ts // _RJ_BUCKET_US
+        b1 = (ts + _RJ_WINDOW_US - 1) // _RJ_BUCKET_US
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(eid.size), reps)
+        off = np.concatenate(
+            [np.arange(r) for r in reps]
+        ) if reps.size else np.array([], np.int64)
+        return pa.table({
+            "user_id": pa.array(uid[idx], pa.int64()),
+            "bucket": pa.array(b0[idx] + off, pa.int64()),
+            "err_id": pa.array(eid[idx], pa.int64()),
+            "err_ts": pa.array(ts[idx], pa.int64()),
+        })
+
+    def probes(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], "click")
+        b = batch.filter(m)
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False), pa.int64()
+            ),
+            "bucket": pa.array(ts // _RJ_BUCKET_US, pa.int64()),
+            "clk_ts": pa.array(ts, pa.int64()),
+        })
+
+    win = ev.map_batches(windows, batch_format="pyarrow")
+    prb = ev.map_batches(probes, batch_format="pyarrow")
+    def contains(b: pa.Table) -> pa.Table:
+        clk = b["clk_ts"].to_numpy(zero_copy_only=False)
+        err = b["err_ts"].to_numpy(zero_copy_only=False)
+        return b.filter(
+            pa.array((clk >= err) & (clk < err + _RJ_WINDOW_US))
+        )
+
+    j = win.join(
+        prb, "inner", num_partitions=nparts, on=("user_id", "bucket")
+    ).map_batches(contains, batch_format="pyarrow")
+    counts = j.groupby("err_id").aggregate(Count(alias_name="n_clicks"))
+
+    def err_ids(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], "error")
+        return pa.table({
+            "err_id": batch.filter(m)["event_id"],
+        })
+
+    all_err = ev.map_batches(err_ids, batch_format="pyarrow")
+    out = all_err.join(
+        counts, "left_outer", num_partitions=nparts, on=("err_id",)
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["err_id"],
+            "n_clicks": pc.cast(
+                pc.fill_null(b["n_clicks"], 0), pa.int64()
+            ),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("event_id")
+
+
+SQL_EVENTS_RANGE_JOIN = (
+    "SELECT e.event_id, CAST(count(c.ts) AS BIGINT) AS n_clicks "
+    "FROM (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'error') e "
+    "LEFT JOIN (SELECT user_id, ts FROM events "
+    "WHERE event_type = 'click') c "
+    "ON c.user_id = e.user_id AND c.ts >= e.ts "
+    "AND c.ts < e.ts + INTERVAL 2 HOUR "
+    "GROUP BY e.event_id ORDER BY e.event_id"
+)
+
+
+SQL_EVENTS_ASOF = (
+    "SELECT e.event_id, p.event_id AS prior_event_id "
+    "FROM (SELECT * FROM events WHERE event_type = 'error') e "
+    "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') p "
+    "ON e.user_id = p.user_id AND e.ts > p.ts"
+)
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding window (SURVEY.md §2.9 pattern beyond the tumbling hourly):
+    1-hour windows advancing every 30 minutes — each event lands in two
+    windows, expressed as a vectorized 2-way explode before the groupby
+    (the standard sliding = k-fold-tumbling decomposition)."""
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        half = 1_800_000_000  # 30 min in us
+        out = []
+        for k in (0, 1):
+            start = pc.multiply(
+                pc.subtract(
+                    pc.cast(pc.divide(ts_us, pa.scalar(half, pa.int64())), pa.int64()),
+                    pa.scalar(k, pa.int64()),
+                ),
+                pa.scalar(half, pa.int64()),
+            )
+            out.append(
+                pa.table(
+                    {
+                        "event_type": batch["event_type"],
+                        "window_start": pc.cast(start, pa.timestamp("us")),
+                        "value": batch["value"],
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    got = (
+        read_table(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sv"))
+        .to_pandas()
+    )
+    got["sum_value"] = np.round(got["sv"], 2)
+    return got[["event_type", "window_start", "n", "sum_value"]]
+
+
+SQL_EVENTS_SLIDING = (
+    "WITH w AS (SELECT event_type, value, "
+    "make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000) "
+    "AS window_start "
+    "FROM events CROSS JOIN (VALUES (0), (1)) AS g(k)) "
+    "SELECT event_type, window_start, count(*) AS n, "
+    "round(sum(value), 2) AS sum_value FROM w "
+    "GROUP BY event_type, window_start"
+)
+
+
+def q_events_quantiles(sf_dir: str):
+    """Exact per-group quantiles (G-family breadth): p50/p95 of ``value``
+    per event_type with a PINNED discrete definition — sorted_values[
+    floor(q * (n-1))] — identical on both engines (no interpolation
+    ambiguity)."""
+
+    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = v.size
+        pick = lambda q: float(v[int(np.floor(q * (n - 1)))])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [np.int64(n)],
+                "p50": [round(pick(0.5), 6)],
+                "p95": [round(pick(0.95), 6)],
+            }
+        )
+
+    return (
+        read_table(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(qtile, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_QUANTILES = (
+    "WITH r AS (SELECT event_type, value, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, "
+    "count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+    "SELECT event_type, CAST(max(n) AS BIGINT) AS n, "
+    "round(max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 "
+    "THEN value END), 6) AS p50, "
+    "round(max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 "
+    "THEN value END), 6) AS p95 "
+    "FROM r GROUP BY event_type"
+)
+
+
+from ._nsacc import export as _ns_export
+
+_ns_export(globals())
+del _ns_export
