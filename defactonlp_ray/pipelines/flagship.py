@@ -28,24 +28,53 @@ from ..stages.index_build import build_index
 from ..stages.util import pool_size
 
 
+# validate_extraction="sample" checks rows whose 2-hex md5(url) prefix is
+# <= this threshold: "06" -> 7/256 ~ 2.7% of rows, deterministic and
+# parallelism/partitioning-invariant (same rule as docs_sample_hash /
+# stages.export.stratified_sample).
+VALIDATE_SAMPLE_MAX = "06"
+
+
 def prepare_docs(
     pages: "ray.data.Dataset", *, lang: str | None = "en",
-    validate_extraction: bool = True, content_dedup: bool = False,
+    validate_extraction: bool | str = "sample", content_dedup: bool = False,
 ) -> "ray.data.Dataset":
     """pages(url, warc_ts, html, text, lang) -> docs(doc_id, url, text,
     title_norm).  Drops ``html`` immediately after the extraction check
-    (wide binary rows — SURVEY.md §7.6.5)."""
+    (wide binary rows — SURVEY.md §7.6.5).
+
+    ``validate_extraction``: the BASELINE.json input_hint invariant
+    (extract_text(html) byte-identical to the text column per url).
+    ``"sample"`` (the at-scale default) re-extracts only the
+    deterministic md5-prefix row sample — recomputing extraction for
+    EVERY document at 100 TB roughly doubles ingest CPU for a check
+    that is a corpus invariant, not a per-row transform.  ``True``
+    validates every row (tests/fixtures); ``False`` skips."""
 
     def extract_check(batch: pa.Table) -> pa.Table:
         if validate_extraction:
-            for h, t in zip(batch["html"].to_pylist(), batch["text"].to_pylist()):
-                got = extract_text(h)
-                if got != t:
-                    raise ValueError(
-                        "extraction invariant violated (BASELINE.json "
-                        f"input_hint): extractor produced {got[:80]!r}... "
-                        f"but text column holds {t[:80]!r}..."
-                    )
+            if validate_extraction == "sample":
+                from ..stages.export import md5_prefix
+
+                pref = md5_prefix(batch["url"].to_pylist())
+                idxs = [i for i, p in enumerate(pref)
+                        if p <= VALIDATE_SAMPLE_MAX]
+                check = batch.select(["url", "html", "text"]).take(idxs) \
+                    if idxs else None
+            else:
+                check = batch.select(["url", "html", "text"])
+            if check is not None:
+                for u, h, t in zip(check["url"].to_pylist(),
+                                   check["html"].to_pylist(),
+                                   check["text"].to_pylist()):
+                    got = extract_text(h)
+                    if got != t:
+                        raise ValueError(
+                            "extraction invariant violated (BASELINE.json "
+                            f"input_hint) at url={u!r}: extractor produced "
+                            f"{got[:80]!r}... but text column holds "
+                            f"{t[:80]!r}..."
+                        )
         batch = batch.drop_columns(["html"])
         title = pc.list_element(pc.split_pattern(batch["text"], "\n"), 0)
         return batch.append_column("title_norm", norm_match_key_column(title))
@@ -77,9 +106,10 @@ def prepare_docs(
 def build_pages_index(
     pages: "ray.data.Dataset", index_dir: str, *, seg_docs: int = 8192,
     lang: str | None = "en", resume: bool = True, positions: bool = False,
+    validate_extraction: bool | str = "sample",
 ) -> tuple[str, "ray.data.Dataset"]:
     """Full build entry point A (SURVEY.md §3.1). Returns (index_dir, docs)."""
-    docs = prepare_docs(pages, lang=lang)
+    docs = prepare_docs(pages, lang=lang, validate_extraction=validate_extraction)
     # assign_doc_ids leaves docs materialized in doc_id order with dense
     # ids -> the zero-shuffle sorted build layout applies
     build_index(
