@@ -639,6 +639,98 @@ def serial_ann_recall_lsh(
     return df
 
 
+def serial_ann_nsw(
+    sf_dir: str, *, n_queries: int = 3, k: int = 10, n_lists: int = 8,
+    m: int = 12, ef_construction: int = 64, n_probe: int = 4,
+    ef_search: int = 96, sample_size: int = 2048,
+) -> pd.DataFrame:
+    """Serial reference for the partitioned small-world-graph route: the
+    same coarse-quantizer spec (kmeans_centroids + ivf_assign) splits the
+    corpus into lists, the same deterministic graph kernels
+    (stages/ann.nsw_build_adjacency / nsw_search_partition ARE the spec)
+    build and beam-search each probed list — no Ray, no hive partitions,
+    no path pruning.  Equality proves the distributed map_groups build
+    produced the identical per-partition graphs and the pruned-read
+    serving searched every probed one."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        nsw_build_adjacency,
+        nsw_search_partition,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    mvec = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    sel = np.argsort(ids[:sample_size], kind="stable")
+    cent = kmeans_centroids(mvec[:sample_size][sel], n_lists)
+    assign = ivf_assign(mvec, cent)
+    # per-list graphs, insertion order = ascending vec_id (the spec)
+    graphs: dict[int, tuple[np.ndarray, np.ndarray, list[list[int]]]] = {}
+    for lid in sorted(set(int(a) for a in assign)):
+        rows_l = np.flatnonzero(assign == lid)
+        order = np.argsort(ids[rows_l], kind="stable")
+        lids = ids[rows_l][order]
+        lvec = mvec[rows_l][order]
+        graphs[lid] = (lids, lvec, nsw_build_adjacency(
+            lids, lvec, m=m, ef_construction=ef_construction))
+    qsel = np.argsort(ids[:n_queries], kind="stable")
+    q = mvec[:n_queries][qsel]
+    d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    rows = []
+    for qi in range(q.shape[0]):
+        merged: list[tuple[int, float]] = []
+        for lid in probes[qi]:
+            if int(lid) not in graphs:
+                continue
+            lids, lvec, nbrs = graphs[int(lid)]
+            merged.extend(nsw_search_partition(
+                lids, lvec, nbrs, q[qi], k=k, ef_search=ef_search))
+        merged.sort(key=lambda t2: (-t2[1], t2[0]))
+        for rank, (vid, s) in enumerate(merged[:k], 1):
+            rows.append((qi, rank, vid, s))
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "score"])
+    df["rank"] = df["rank"].astype(np.int32)
+    return df
+
+
+def serial_ann_recall_nsw(
+    sf_dir: str, *, n_queries: int = 3, k: int = 10
+) -> pd.DataFrame:
+    """Serial mirror of q_ann_recall_hnsw: numpy full-scan brute cosine
+    truth vs the serial small-world-graph reference — recall@k per query
+    (the graph family's acceptance metric beside the IVF/LSH ones)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    qsel = np.argsort(ids[:n_queries], kind="stable")
+    q = m[:n_queries][qsel]
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    mn = np.linalg.norm(m, axis=1)
+    mn[mn == 0] = 1.0
+    nsw = serial_ann_nsw(sf_dir, n_queries=n_queries, k=k)
+    rows = []
+    for qi in range(q.shape[0]):
+        cos = np.round((m @ q[qi]) / mn / qn[qi], 6)
+        truth = set(ids[np.lexsort((ids, -cos))[:k]].tolist())
+        got = set(nsw[nsw["query_id"] == qi]["vec_id"])
+        rows.append((qi, round(len(truth & got) / len(truth), 6)))
+    df = pd.DataFrame(rows, columns=["query_id", "recall"])
+    df["query_id"] = df["query_id"].astype(np.int64)
+    return df
+
+
 def serial_ann_ivfpq(
     sf_dir: str, *, n_queries: int = 3, k: int = 10, n_lists: int = 16,
     n_probe: int = 4, sample_size: int = 2048,
@@ -1481,6 +1573,16 @@ def oracle_values_sql() -> dict[str, str]:
         out["ann_recall_lsh"] = _cached(
             "ann_recall_lsh", emb_fp,
             lambda: values_sql(serial_ann_recall_lsh(ORACLE_SF_DIR)),
+        )
+        from ..stages.ann import NSW_VERSION
+
+        out["ann_hnsw"] = _cached(
+            "ann_hnsw", emb_fp + "|" + NSW_VERSION,
+            lambda: values_sql(serial_ann_nsw(ORACLE_SF_DIR)),
+        )
+        out["ann_recall_hnsw"] = _cached(
+            "ann_recall_hnsw", emb_fp + "|" + NSW_VERSION,
+            lambda: values_sql(serial_ann_recall_nsw(ORACLE_SF_DIR)),
         )
         from ..stages.ann import SQ8_VERSION
 

@@ -1979,6 +1979,49 @@ def q_ann_recall_lsh(sf_dir: str):
     return out.sort_values("query_id").reset_index(drop=True)
 
 
+def q_ann_hnsw(sf_dir: str):
+    """Graph ANN (HNSW/Vamana class — Malkov & Yashunin 2018; the
+    high-recall low-latency serving family, VERDICT r04 missing #4) as
+    the SPANN/DiskANN-sharded composition: IVF coarse quantizer routes
+    vectors to hive list partitions, a deterministic single-layer NSW
+    graph is built PER PARTITION in groupby(list_id).map_groups, and a
+    query beam-searches only its n_probe nearest partitions' stored
+    graphs (path-pruned read) instead of scanning them.  Oracle = the
+    pinned serial replay of the identical quantizer + graph spec
+    (pipelines/pinned.serial_ann_nsw); recall vs brute is the
+    ann_recall_hnsw entry + pytest."""
+    q = _query_vectors(sf_dir, 3)
+    idx = _tmp_index_dir(
+        sf_dir, f"annnsw-{ann.ANN_VERSION}-{ann.NSW_VERSION}",
+        table="embeddings",
+    )
+    ann.build_nsw_index(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        idx, n_lists=8, m=12, ef_construction=64,
+    )
+    return ann.knn_nsw(idx, q, k=10, n_probe=4, ef_search=96)
+
+
+def q_ann_recall_hnsw(sf_dir: str):
+    """ANN quality evaluation for the graph route — recall@10 of the
+    partitioned small-world beam search against exact brute-force
+    cosine, per query.  Oracle: the independent serial mirror
+    (pinned.serial_ann_recall_nsw — numpy full-scan brute + the serial
+    same-spec graph reference)."""
+    nsw = q_ann_hnsw(sf_dir)
+    brute = q_ann_topk(sf_dir)
+    if hasattr(nsw, "to_pandas"):
+        nsw = nsw.to_pandas()
+    rows = []
+    for qid, g in brute.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(nsw[nsw["query_id"] == qid]["vec_id"])
+        rows.append((int(qid), round(len(truth & got) / len(truth), 6)))
+    out = pd.DataFrame(rows, columns=["query_id", "recall"])
+    out["query_id"] = out["query_id"].astype(np.int64)
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search (the vector-DB metadata-predicate kNN —
     Elasticsearch knn ``filter`` / pgvector ``WHERE``): brute cosine

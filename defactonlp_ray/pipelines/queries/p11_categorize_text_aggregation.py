@@ -1078,6 +1078,8 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "fever_score": q_fever_score,
     "ann_recall": q_ann_recall,
+    "ann_hnsw": q_ann_hnsw,
+    "ann_recall_hnsw": q_ann_recall_hnsw,
     "events_derivative": q_events_derivative,
     "top_metrics": q_top_metrics,
     "rare_terms": q_rare_terms,
@@ -1242,7 +1244,8 @@ _DRIVER_WINDOW: list[str] = [
     "semdedup", "dup_ngram_spans", "domain_cap", "c4_filters",
     "gopher_repetition", "decontaminate", "quality_prune",
     # ANN family, never driver-verified
-    "ann_sq8", "ann_recall", "kmeans_clusters",
+    "ann_sq8", "ann_recall", "kmeans_clusters", "ann_hnsw",
+    "ann_recall_hnsw",
     # index maintenance + layouts, never driver-verified
     "bm25_snapshot_topk", "bm25_rollover_topk", "bm25_routed_topk",
     "index_sorted_topk",

@@ -1258,3 +1258,279 @@ def pm2_select(
         remaining.remove((s, d))
         out.append((len(out) + 1, d, a, round(obj, 6)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Graph ANN: partitioned small-world graph (HNSW/Vamana class)
+# ---------------------------------------------------------------------------
+# The graph-traversal index family (Malkov & Yashunin 2018, HNSW; Subramanya
+# et al. 2019, DiskANN) is awkward as pure dataflow — a global graph build is
+# inherently sequential.  The at-scale composition used here is the SPANN /
+# DiskANN-sharded shape: an IVF coarse quantizer partitions the corpus into
+# lists (hive dirs), a deterministic single-layer NSW graph is built PER
+# PARTITION inside groupby(list_id).map_groups (each partition's build is
+# independent and memory-bounded by the partition), and a query beam-searches
+# only its n_probe nearest partitions' graphs instead of scanning them.
+# Partitioning assumption: a partition's vectors + adjacency fit one worker
+# (same contract as the IVF/IVF-PQ entries); visits per probe are
+# ~ef·degree·log|list| vs the full-list scan of knn_ivf.
+
+# bumped when the graph-construction/beam spec changes (pinned goldens
+# carry it in their fingerprint)
+NSW_VERSION = "nsw-v1"
+
+
+def _nsw_beam(
+    norm: np.ndarray,
+    ids: np.ndarray,
+    adj: list[list[int]],
+    q: np.ndarray,
+    *,
+    limit: int,
+    ef: int,
+) -> list[int]:
+    """Deterministic best-first beam search over the row-index graph
+    ``adj`` restricted to rows ``< limit``, entry row 0.  Returns up to
+    ``ef`` row indices ordered by (-cosine, vec_id).  Ties break on
+    vec_id everywhere, so build and search are partitioning- and
+    run-order-invariant."""
+    import heapq
+
+    if limit <= 0:
+        return []
+    s0 = float(norm[0] @ q)
+    visited = {0}
+    cand = [(-s0, int(ids[0]), 0)]
+    best: list[tuple[float, int, int]] = [(s0, int(ids[0]), 0)]
+
+    def worst() -> float:
+        return best[-1][0]
+
+    while cand:
+        negs, _tid, u = heapq.heappop(cand)
+        if len(best) >= ef and -negs < worst():
+            break
+        for v in adj[u]:
+            if v >= limit or v in visited:
+                continue
+            visited.add(v)
+            sv = float(norm[v] @ q)
+            if len(best) < ef or sv > worst() or (
+                sv == worst() and int(ids[v]) < best[-1][1]
+            ):
+                heapq.heappush(cand, (-sv, int(ids[v]), v))
+                best.append((sv, int(ids[v]), v))
+                best.sort(key=lambda t: (-t[0], t[1]))
+                del best[ef:]
+    return [v for _s, _i, v in best]
+
+
+def nsw_build_adjacency(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    *,
+    m: int = 8,
+    ef_construction: int = 32,
+) -> list[list[int]]:
+    """Build one partition's deterministic NSW adjacency (ids ascending =
+    insertion order).  Each inserted node links to its ``m`` nearest
+    beam-found predecessors; back-links prune to ``2m`` nearest.  Returns
+    neighbor VEC IDS per row (aligned to ``ids`` order) — this function
+    IS the spec the serial pinned mirror replays."""
+    n = len(ids)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    norm = vecs / norms[:, None]
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        found = _nsw_beam(norm, ids, adj, norm[i], limit=i,
+                          ef=max(ef_construction, m))
+        nbrs = found[:m]
+        adj[i] = list(nbrs)
+        for u in nbrs:
+            adj[u].append(i)
+            if len(adj[u]) > 2 * m:
+                cand = np.array(adj[u], dtype=np.int64)
+                sims = norm[cand] @ norm[u]
+                keep = np.lexsort((ids[cand], -np.round(sims, 9)))[: 2 * m]
+                adj[u] = [int(cand[j]) for j in keep]
+    return [[int(ids[v]) for v in row] for row in adj]
+
+
+def nsw_search_partition(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    neighbors: list[list[int]],
+    q: np.ndarray,
+    *,
+    k: int,
+    ef_search: int = 48,
+) -> list[tuple[int, float]]:
+    """Beam-search ONE partition's stored graph for one query: returns up
+    to ``k`` (vec_id, rounded cosine) by (-cos, vec_id).  ``neighbors``
+    holds vec ids (the stored layout); they are remapped to row indices
+    against the partition's ascending id order."""
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    vecs = vecs[order]
+    pos = {int(i): j for j, i in enumerate(ids)}
+    adj = [[pos[int(v)] for v in neighbors[o]] for o in order]
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    norm = vecs / norms[:, None]
+    qn = float(np.linalg.norm(q))
+    qv = q / (qn if qn else 1.0)
+    rows = _nsw_beam(norm, ids, adj, qv, limit=len(ids),
+                     ef=max(ef_search, k))
+    scored = [(int(ids[v]), float(np.round(norm[v] @ qv, 6))) for v in rows]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+def build_nsw_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    n_lists: int = 8,
+    m: int = 8,
+    ef_construction: int = 32,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Partitioned small-world graph index: IVF coarse quantizer (same
+    spec as :func:`build_ivf_index`) routes each vector to one list dir;
+    a deterministic NSW graph is built per list inside
+    ``groupby(list_id).map_groups`` (independent, memory-bounded by the
+    partition) and stored as hive-partitioned parquet rows
+    (vec_id, embedding, neighbors list<int64>) + centroids.npy."""
+    import os
+
+    done = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return index_dir
+    sample_rows = ds.select_columns([id_col, vec_col]).take(sample_size)
+    sample_rows.sort(key=lambda r: r[id_col])
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = kmeans_centroids(sample, n_lists)
+    cref = ray.put(cent)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("list_id", pa.array([], pa.int64()))
+        c = ray.get(cref)
+        vecs = _as_matrix(batch[vec_col])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "list_id": pa.array(ivf_assign(vecs, c)),
+            }
+        )
+
+    def build_graph(group: pa.Table) -> pa.Table:
+        order = np.argsort(group[id_col].to_numpy(), kind="stable")
+        ids = group[id_col].to_numpy()[order]
+        vecs = _as_matrix(group[vec_col])[order]
+        nbrs = nsw_build_adjacency(ids, vecs, m=m,
+                                   ef_construction=ef_construction)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                vec_col: pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+                "neighbors": pa.array(nbrs, pa.list_(pa.int64())),
+                "list_id": group["list_id"].take(
+                    pa.array(order, pa.int64())),
+            }
+        )
+
+    tagged = ds.select_columns([id_col, vec_col]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+    graphed = tagged.groupby("list_id").map_groups(
+        build_graph, batch_format="pyarrow"
+    )
+    graphed.write_parquet(index_dir, partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def knn_nsw(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    ef_search: int = 48,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate cosine top-k over a :func:`build_nsw_index` directory:
+    per query pick the ``n_probe`` nearest lists, path-pruned read of
+    ONLY those partitions, then ``groupby(list_id).map_groups`` runs the
+    beam search per partition graph for the queries probing it (visits
+    ~ef·degree·log|list| nodes instead of scanning the list); the
+    k-bounded partials merge on the driver."""
+    import os
+
+    import ray.data as rd
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    q = np.asarray(queries, dtype=np.float64)
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    wanted = {int(c) for row in probes for c in row}
+
+    def keep(partitions: dict) -> bool:
+        return "list_id" in partitions and int(partitions["list_id"]) in wanted
+
+    cand = rd.read_parquet(
+        index_dir,
+        partition_filter=PathPartitionFilter.of(keep),
+        file_extensions=["parquet"],
+    )
+    probe_sets = [set(int(c) for c in row) for row in probes]
+    qref = ray.put((q, probe_sets))
+
+    def search_group(group: pa.Table) -> pa.Table:
+        qm, psets = ray.get(qref)
+        lid = int(group["list_id"][0].as_py())
+        ids = group[id_col].to_numpy()
+        vecs = _as_matrix(group["embedding"])
+        nbrs = group["neighbors"].to_pylist()
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            if lid not in psets[qi]:
+                continue
+            for vid, s in nsw_search_partition(
+                ids, vecs, nbrs, qm[qi], k=k, ef_search=ef_search
+            ):
+                out_q.append(qi)
+                out_id.append(vid)
+                out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = cand.groupby("list_id").map_groups(
+        search_group, batch_format="pyarrow"
+    )
+    pdf = partials.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "score"])
+    out = []
+    for qi, g in pdf.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)[
+        ["query_id", "rank", "vec_id", "score"]]

