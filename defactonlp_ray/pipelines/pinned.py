@@ -639,6 +639,43 @@ def serial_ann_recall_lsh(
     return df
 
 
+def serial_cjk_tokens(sf_dir: str) -> pd.DataFrame:
+    """Serial mirror of q_cjk_tokens: zh-labeled docs transliterated by
+    the same pinned leaf (cjk_transliterate), tokenized by the
+    pure-Python mixed-script tokenizer (CJK bigram semantics), then df
+    (docs containing) / cf (total occurrences) per term, top-30 by
+    (df desc, cf desc, term)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ..functions.tokenizer import cjk_transliterate, tokenize_mixed
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    df_c: Counter = Counter()
+    cf_c: Counter = Counter()
+    for did, text, lang in sorted(
+        zip(t["doc_id"].to_pylist(), t["text"].to_pylist(),
+            t["lang"].to_pylist())
+    ):
+        if lang != "zh":
+            continue
+        toks = tokenize_mixed(cjk_transliterate(text))
+        cf_c.update(toks)
+        df_c.update(set(toks))
+    rows = sorted(
+        ((term, df_c[term], cf_c[term]) for term in df_c),
+        key=lambda r: (-r[1], -r[2], r[0]),
+    )[:30]
+    out = pd.DataFrame(rows, columns=["term", "df", "cf"])
+    out["df"] = out["df"].astype(np.int64)
+    out["cf"] = out["cf"].astype(np.int64)
+    return out
+
+
 def serial_ann_nsw(
     sf_dir: str, *, n_queries: int = 3, k: int = 10, n_lists: int = 8,
     m: int = 12, ef_construction: int = 64, n_probe: int = 4,
@@ -1455,6 +1492,12 @@ def oracle_values_sql() -> dict[str, str]:
     out: dict[str, str] = {}
 
     if sf_fp is not None:
+        from ..functions.tokenizer import CJK_TOKENIZER_VERSION
+
+        out["cjk_tokens"] = _cached(
+            "cjk_tokens", sf_fp + "|" + CJK_TOKENIZER_VERSION,
+            lambda: values_sql(serial_cjk_tokens(ORACLE_SF_DIR)),
+        )
         out["simhash_neardup"] = _cached(
             "simhash_neardup", sf_fp,
             lambda: values_sql(serial_simhash_pairs(_sf_docs())),

@@ -1080,6 +1080,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "ann_hnsw": q_ann_hnsw,
     "ann_recall_hnsw": q_ann_recall_hnsw,
+    "cjk_tokens": q_cjk_tokens,
     "events_derivative": q_events_derivative,
     "top_metrics": q_top_metrics,
     "rare_terms": q_rare_terms,
@@ -1249,8 +1250,8 @@ _DRIVER_WINDOW: list[str] = [
     # index maintenance + layouts, never driver-verified
     "bm25_snapshot_topk", "bm25_rollover_topk", "bm25_routed_topk",
     "index_sorted_topk",
-    # tokenizer training, never driver-verified
-    "unigram_pieces", "bpe_token_counts",
+    # tokenizer training + CJK analysis, never driver-verified
+    "unigram_pieces", "bpe_token_counts", "cjk_tokens",
     # search / ranking family, never driver-verified
     "phrase_topk", "proximity_topk", "sdm_topk", "boolean_topk",
     "hybrid_rrf", "retrieval_ndcg", "fever_score", "link_pagerank",

