@@ -40,3 +40,28 @@ for _m in _mods:
 
 globals().update(_nsacc.NS)
 del _m, _mods
+
+
+# Preserve single-module WRITE semantics too: setting an attribute on
+# this package (tests monkeypatch knobs like _PMI_DOC_TERM_CAP) must
+# reach the part module whose function globals actually read the name.
+# PEP 562-style: swap the package's module class for one whose
+# __setattr__ forwards every write to all parts + the accumulator.
+import sys as _sys
+import types as _types
+
+
+class _SharedNamespaceModule(_types.ModuleType):
+    def __setattr__(self, name, value):
+        super().__setattr__(name, value)
+        if name.startswith("__"):
+            return
+        _nsacc.NS[name] = value
+        for _pm in _PART_MODULES:
+            _pm.__dict__[name] = value
+
+
+_PART_MODULES = [
+    _sys.modules[__name__ + "." + _p] for _p in _PARTS
+]
+_sys.modules[__name__].__class__ = _SharedNamespaceModule

@@ -514,7 +514,15 @@ def banded_rows(
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
-        mh = np.array(batch["minhash"].to_pylist(), dtype=np.uint64)
+        mh_col = batch["minhash"]
+        if isinstance(mh_col, pa.ChunkedArray):
+            mh_col = mh_col.combine_chunks()
+        # zero-copy list<int64> -> (n, n_perms) uint64 bit view (the
+        # to_pylist round-trip here cost more than the signatures)
+        mh = (
+            mh_col.flatten().to_numpy(zero_copy_only=False)
+            .view(np.uint64).reshape(len(ids), -1)
+        )
         out_id, out_band, out_hash = [], [], []
         for b in range(bands):
             seg = mh[:, b * rows_per_band : (b + 1) * rows_per_band]
@@ -536,6 +544,33 @@ def banded_rows(
     return sigs.map_batches(explode, batch_format="pyarrow")
 
 
+def _multi_member_buckets(
+    ds: "ray.data.Dataset", keys: list[str]
+) -> "ray.data.Dataset":
+    """Bucket-size prefilter for candidate generation: keep only rows
+    whose bucket has >= 2 members.  At corpus scale the overwhelming
+    majority of LSH/chunk buckets are singletons; running the per-group
+    pair kernel over them means one Python call per DOCUMENT (measured:
+    the map_groups pass was 30x the signature cost at 200k docs).  A
+    vectorized Count aggregate + left_semi hash join drops them in
+    Arrow, so map_groups only ever sees buckets that can produce pairs
+    — both passes shuffle on the same bucket key."""
+    from ray.data.aggregate import Count
+
+    multi = (
+        ds.groupby(keys)
+        .aggregate(Count(alias_name="__bn"))
+        .filter(expr="__bn >= 2")
+        .drop_columns(["__bn"])
+    )
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(32, n_cpu))
+    return ds.join(
+        multi, "left_semi", num_partitions=nparts,
+        on=tuple(keys), right_on=tuple(keys),
+    )
+
+
 def minhash_lsh_candidates(
     ds: "ray.data.Dataset",
     *,
@@ -553,40 +588,98 @@ def minhash_lsh_candidates(
     dedup.  The only shuffles key on (band_id, band_hash) — skew-bounded
     because identical-band groups ARE the near-dup clusters.
     """
+    from ray.data.aggregate import Count, Min
+
     banded = banded_rows(
         ds, text_col=text_col, id_col=id_col, bands=bands,
         n_perms=n_perms, shingle_k=shingle_k, concurrency=concurrency,
     )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        if ids.size > 1000:
-            # Mega-bucket (N near-identical docs is exactly the heavy-dup
-            # case): all-pairs would be O(N^2), but DROPPING the bucket
-            # would silently miss the most-duplicated content.  Emit star
-            # pairs against the min-id canonical instead — O(N) rows that
-            # still link every member to one cluster representative.
-            _log.warning(
-                "LSH bucket with %d members: emitting %d star pairs "
-                "against canonical id %d instead of all-pairs",
-                ids.size, ids.size - 1, int(ids[0]),
-            )
-            return pd.DataFrame(
-                {"id_a": np.full(ids.size - 1, ids[0]), "id_b": ids[1:]}
-            )
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    # One fused int64 bucket key instead of (band_id, band_hash): every
+    # downstream exchange (count, semi-join, self-join) keys on a single
+    # column.  A 64-bit fused-key collision can only ADD a candidate
+    # pair, which the exact-Jaccard verify stage removes — equal buckets
+    # always fuse equal, so recall is unchanged.
+    def fuse(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy().view(np.uint64)
+        bid = batch["band_id"].to_numpy().view(np.uint64)
+        key = splitmix64(bh ^ splitmix64(bid)).view(np.int64)
+        return pa.table(
+            {id_col: batch[id_col], "bkey": pa.array(key, pa.int64())}
+        )
 
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    # materialized because three passes read it (bucket counts, the two
+    # semi-joins); 16 B/row in the object store.  The persisted
+    # equivalent for repeated/streaming use is build_band_index's hive
+    # layout — this is the one-shot route.
+    fused = banded.map_batches(fuse, batch_format="pyarrow").materialize()
+    nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 4))))
+
+    # Bucket-size pass: singleton buckets (the overwhelming majority at
+    # corpus scale) are dropped HERE, in one vectorized keyed count —
+    # running any per-bucket kernel over them would cost one call per
+    # document.  Mega-buckets (N near-identical docs, exactly the
+    # heavy-dup case) switch to O(N) star pairs against the min-id
+    # canonical: all-pairs would be O(N^2), dropping them would silently
+    # miss the most-duplicated content.
+    star_cap = 1000
+    counts = (
+        fused.groupby("bkey").aggregate(Count(alias_name="__bn"))
+        .materialize()
     )
+    small_keys = (
+        counts.filter(expr="__bn >= 2").filter(expr=f"__bn <= {star_cap}")
+        .drop_columns(["__bn"])
+    )
+    mega_keys = counts.filter(expr=f"__bn > {star_cap}").drop_columns(["__bn"])
+
+    surv = fused.join(
+        small_keys, "left_semi", num_partitions=nparts, on=("bkey",)
+    )
+
+    # pair generation as a hash SELF-JOIN on the bucket key + vectorized
+    # (id_a < id_b) filter — no per-group Python at all (the map_groups
+    # route paid ~one pandas call per multi-member bucket)
+    def to_right(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, "bkey"]).rename_columns(["id_b", "bkey"])
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.less(batch[id_col], batch["id_b"]))
+        return pa.table({"id_a": kept[id_col], "id_b": kept["id_b"]})
+
+    cand = surv.join(
+        surv.map_batches(to_right, batch_format="pyarrow"),
+        "inner", num_partitions=nparts, on=("bkey",),
+    ).map_batches(ordered, batch_format="pyarrow")
+
+    n_mega = mega_keys.count()
+    if n_mega:
+        _log.warning(
+            "%d LSH mega-buckets (>%d members): emitting star pairs "
+            "against each bucket's min id instead of all-pairs",
+            n_mega, star_cap,
+        )
+        mega_surv = fused.join(
+            mega_keys, "left_semi", num_partitions=nparts, on=("bkey",)
+        )
+        mins = mega_surv.groupby("bkey").aggregate(
+            Min(id_col, alias_name="__min")
+        )
+
+        def star(batch: pa.Table) -> pa.Table:
+            kept = batch.filter(
+                pc.not_equal(batch[id_col], batch["__min"])
+            )
+            return pa.table({"id_a": kept["__min"], "id_b": kept[id_col]})
+
+        cand = cand.union(
+            mega_surv.join(
+                mins, "inner", num_partitions=nparts, on=("bkey",)
+            ).map_batches(star, batch_format="pyarrow")
+        )
 
     # global pair dedup as a vectorized keyed aggregate (a per-group
     # Python call here would run once per candidate pair at scale)
-    from ray.data.aggregate import Count
-
     return arrow_project(
         cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__n")),
         ["id_a", "id_b"],
@@ -893,9 +986,9 @@ def simhash_neardup_pairs(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]}
         )
 
-    cand = chunked.groupby(["chunk_id", "chunk_val"]).map_groups(
-        pairs, batch_format="pandas"
-    )
+    cand = _multi_member_buckets(chunked, ["chunk_id", "chunk_val"]).groupby(
+        ["chunk_id", "chunk_val"]
+    ).map_groups(pairs, batch_format="pandas")
     # duplicate pairs across chunk tables carry the same hamming value:
     # Min is a vectorized "keep one" (no per-group Python)
     from ray.data.aggregate import Min
@@ -1052,7 +1145,9 @@ def embedding_neardup_lsh(
             {"id_a": ids[ri], "id_b": ids[cj], "cosine": cos[ri, cj]}
         )
 
-    cand = tagged.groupby(["tbl", "bucket"]).map_groups(pairs, batch_format="pandas")
+    cand = _multi_member_buckets(tagged, ["tbl", "bucket"]).groupby(
+        ["tbl", "bucket"]
+    ).map_groups(pairs, batch_format="pandas")
     # duplicate pairs across tables carry the same cosine: Min is a
     # vectorized "keep one" (no per-group Python)
     from ray.data.aggregate import Min
