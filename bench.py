@@ -78,6 +78,69 @@ def _pages_path(n: int) -> str:
     return path
 
 
+def _embeddings_path(n: int, dim: int = 64) -> str:
+    """Deterministic bench embedding corpus (vec_id, embedding
+    float32[dim]), generated once and cached.  Values are a pure
+    function of (vec_id, j) via splitmix64 -> uniform [-0.5, 0.5), so
+    chunked parallel generation concatenates identically across runs
+    and CPU counts."""
+    path = f"/tmp/dfr_bench_embs_{n}_{dim}"
+    if os.path.exists(path):
+        return path
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(
+            address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+    @ray.remote
+    def gen_chunk(start: int, end: int, out: str) -> str:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from defactonlp_ray.functions.hashing import splitmix64
+
+        ids = np.arange(start, end, dtype=np.uint64)
+        grid = ids[:, None] * np.uint64(dim) + np.arange(dim, dtype=np.uint64)
+        vals = (
+            splitmix64(grid.reshape(-1)).astype(np.float64) / 2.0**64 - 0.5
+        ).astype(np.float32)
+        flat = pa.array(vals, pa.float32())
+        offs = pa.array(
+            np.arange(0, (end - start + 1) * dim, dim, dtype=np.int32)
+        )
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "embedding": pa.ListArray.from_arrays(offs, flat),
+            }
+        )
+        pq.write_table(tbl, out)
+        return out
+
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    chunk = 100_000
+    refs = [
+        gen_chunk.remote(s, min(s + chunk, n),
+                         os.path.join(tmp, f"part-{s:010d}.parquet"))
+        for s in range(0, n, chunk)
+    ]
+    import ray as _ray
+
+    _ray.get(refs)
+    os.rename(tmp, path)
+    if owns_ray:
+        ray.shutdown()
+    return path
+
+
 def machine_calibration() -> float:
     """Fixed single-core probe (seeded codec encode/decode rounds, the
     same kernels the build uses) — a host-speed denominator for
@@ -650,12 +713,289 @@ def run_scaling_codec() -> dict:
     }
 
 
+def run_llmops() -> dict:
+    """LLM-data-pipeline ops at bench scale (VERDICT r04 next-round #2):
+    the dedup chain (minhash candidates -> exact-Jaccard verify ->
+    connected-component clusters) over DFR_LLMOPS_PAGES web pages and
+    the partitioned IVF-PQ ANN (build + probe) over DFR_LLMOPS_VECS
+    deterministic embeddings.  One JSON line, same calibration fields as
+    the main bench.  DFR_LLMOPS_DEDUP_ONLY=1 restricts to the dedup
+    chain (the scaling criterion's single job)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("DFR_LLMOPS_PAGES", "400000"))
+    n_vecs = int(os.environ.get("DFR_LLMOPS_VECS", "1600000"))
+    dedup_only = os.environ.get("DFR_LLMOPS_DEDUP_ONLY") == "1"
+    calib_sec = machine_calibration()
+    pages_path = _pages_path(n_pages)
+    embs_path = None if dedup_only else _embeddings_path(n_vecs)
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from defactonlp_ray.stages import dedup
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    # ---- dedup chain: candidates -> verify -> clusters ----
+    t0 = time.perf_counter()
+    pages = ray.data.read_parquet(
+        pages_path, columns=["warc_ts", "text"],
+        override_num_blocks=4 * num_cpus,
+    )
+
+    def addid(b: pa.Table) -> pa.Table:
+        # dense unique doc id: the fixture encodes the row index in
+        # warc_ts (epoch + i seconds), unique even across url-duplicate
+        # rows — vectorized, partitioning-invariant
+        ids = pc.divide(
+            pc.cast(pc.cast(b["warc_ts"], pa.timestamp("us")), pa.int64()),
+            1_000_000,
+        )
+        return pa.table({"doc_id": ids, "text": b["text"]})
+
+    docs = pages.map_batches(addid, batch_format="pyarrow").materialize()
+    timings["dedup_docs_prep"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cand = dedup.minhash_lsh_candidates(
+        docs, concurrency=min(16, num_cpus)
+    ).materialize()
+    timings["minhash_candidates"] = time.perf_counter() - t0
+    counts["n_candidates"] = cand.count()
+
+    t0 = time.perf_counter()
+    ver = dedup.verify_jaccard_pairs(cand, docs, threshold=0.8).materialize()
+    timings["minhash_verify"] = time.perf_counter() - t0
+    counts["n_verified_pairs"] = ver.count()
+
+    t0 = time.perf_counter()
+    cc = dedup.connected_components(
+        ver.select_columns(["id_a", "id_b"])
+    ).materialize()
+    timings["neardup_clusters_bsp"] = time.perf_counter() - t0
+    counts["n_clustered_docs"] = cc.count()
+    dedup_total = sum(
+        timings[k] for k in
+        ("minhash_candidates", "minhash_verify", "neardup_clusters_bsp")
+    )
+    timings["dedup_chain"] = dedup_total
+
+    # ---- partitioned ANN: IVF-PQ build + probe ----
+    if not dedup_only:
+        from defactonlp_ray.stages import ann
+
+        idx = f"/tmp/dfr_bench_ivfpq_{n_vecs}_{num_cpus}"
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        emb = ray.data.read_parquet(
+            embs_path, override_num_blocks=4 * num_cpus
+        )
+        ann.build_ivfpq_index(emb, idx, n_lists=64, m=8, ks=16)
+        timings["ivfpq_build"] = time.perf_counter() - t0
+        rng = np.random.default_rng(42)
+        q = (rng.random((100, 64)) - 0.5).astype(np.float64)
+        t0 = time.perf_counter()
+        res = ann.knn_ivfpq(idx, q, k=10, n_probe=8)
+        timings["ivfpq_query_100q"] = time.perf_counter() - t0
+        counts["n_ann_results"] = len(res)
+
+    ray.shutdown()
+    return {
+        "metric": "LLM-ops: dedup chain + IVF-PQ ANN wall time",
+        "value": round(dedup_total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "llmops_pages": n_pages,
+        "llmops_vecs": None if dedup_only else n_vecs,
+        "num_cpus": num_cpus,
+        **counts,
+        "calib_sec": round(calib_sec, 3),
+        **_calib_ratio_fields(calib_sec),
+    }
+
+
+def run_scaling_llmops() -> dict:
+    """Two-parallelism-level scaling of the dedup chain (the north-rule
+    protocol applied to the LLM-ops family — VERDICT r04 #2): fresh
+    child processes at DFR_SCALING_CPUS (default "2,8": both levels
+    under this box's >=16-worker memory-bandwidth wall, the multi-node-
+    honest pair per BASELINE.md), interleaved repeats, median
+    efficiency + per-run host calibration."""
+    n = int(os.environ.get("DFR_LLMOPS_SCALING_PAGES", "100000"))
+    repeats = int(os.environ.get("DFR_SCALING_REPEATS", "3"))
+    _pages_path(n)
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), DFR_LLMOPS_PAGES=str(n),
+            DFR_LLMOPS_DEDUP_ONLY="1",
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--llmops"],
+            env=env, capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"llmops scaling child (cpus={ncpu}) exited "
+                f"{proc.returncode}: " + proc.stderr[-2000:]
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    cpus = os.environ.get("DFR_SCALING_CPUS", "2,8").split(",")
+    n_lo, n_hi = int(cpus[0]), int(cpus[1])
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(run(n_lo))
+        hi_runs.append(run(n_hi))
+
+    def med(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else 0.5 * (xs[m - 1] + xs[m])
+
+    c_lo = [r["queries"]["dedup_chain"] for r in lo_runs]
+    c_hi = [r["queries"]["dedup_chain"] for r in hi_runs]
+    calibs = [
+        r.get("calib_sec") for r in lo_runs + hi_runs if r.get("calib_sec")
+    ]
+    stationary = bool(calibs) and max(calibs) / min(calibs) <= 1.3
+    ratio = n_hi / n_lo
+    eff_pairs = [(a / b) / ratio for a, b in zip(c_lo, c_hi)]
+    return {
+        "probe": "dedup chain (minhash candidates -> verify -> clusters)",
+        "llmops_pages": n,
+        "cpus": [n_lo, n_hi],
+        "repeats": repeats,
+        "chain_sec_lo_runs": [round(x, 2) for x in c_lo],
+        "chain_sec_hi_runs": [round(x, 2) for x in c_hi],
+        "chain_sec_lo": round(med(c_lo), 3),
+        "chain_sec_hi": round(med(c_hi), 3),
+        "scaling_efficiency": round((med(c_lo) / med(c_hi)) / ratio, 3),
+        "scaling_efficiency_spread": [
+            round(min(eff_pairs), 3), round(max(eff_pairs), 3)
+        ],
+        "calib_sec_runs": [round(c, 3) for c in calibs],
+        "window_stationary": stationary,
+    }
+
+
+def run_spill_build() -> dict:
+    """Spill-tier build measurement (VERDICT r04 next-round #3): the
+    full pages->index build at DFR_SPILL_PAGES with the object store
+    deliberately undersized (DFR_OBJECT_STORE_GB, 0 = Ray default) so
+    the working set exceeds plasma and Ray spills blocks to disk —
+    the regime a 100 TB single-tenant run hits when the corpus
+    outgrows the cluster's aggregate object store.  DFR_SPILL_LAYOUT
+    picks the build path: "grouped" (groupby exchange, any input
+    layout — the spill-tier route) or "sorted" (zero-shuffle slice
+    path over the materialized ordered corpus).  Run pairs of these
+    and record both in BASELINE.md."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n = int(os.environ.get("DFR_SPILL_PAGES", "3200000"))
+    layout = os.environ.get("DFR_SPILL_LAYOUT", "grouped")
+    store_gb = float(os.environ.get("DFR_OBJECT_STORE_GB", "4"))
+    calib_sec = machine_calibration()
+    pages_path = _pages_path(n)
+
+    import ray
+
+    kwargs = {}
+    if store_gb > 0:
+        kwargs["object_store_memory"] = int(store_gb * (1 << 30))
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR", **kwargs,
+    )
+    import pyarrow.compute as _pc
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from defactonlp_ray.pipelines import flagship
+    from defactonlp_ray.sources import manifest as mf
+    from defactonlp_ray.stages.index_build import build_index
+
+    idx = f"/tmp/dfr_spill_idx_{n}_{num_cpus}_{layout}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    pages = ray.data.read_parquet(
+        pages_path, filter=(_pc.field("lang") == "en"),
+        override_num_blocks=4 * num_cpus,
+    )
+    docs = flagship.prepare_docs(pages, lang=None)
+    build_index(
+        docs, idx, url_col="url", seg_docs=16384, resume=False,
+        layout=layout,
+    )
+    build_sec = time.perf_counter() - t0
+    n_docs = sum(r["n_docs"] for r in mf.read_manifest(idx).values())
+    # spilled bytes: sum the session's ray_spilled_objects_* dirs (the
+    # gRPC memory_summary API is unavailable in this build)
+    try:
+        import glob as _glob
+
+        sess = ray._private.worker._global_node.get_session_dir_path()
+        spilled_bytes = sum(
+            os.path.getsize(f)
+            for d in _glob.glob(os.path.join(sess, "ray_spilled_objects*"))
+            for f in _glob.glob(os.path.join(d, "*"))
+        )
+        spilled = f"{spilled_bytes >> 20} MiB"
+    except Exception:
+        spilled = "unavailable"
+    ray.shutdown()
+    return {
+        "metric": f"spill-tier index build ({layout} layout)",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "spill_pages": n,
+        "layout": layout,
+        "object_store_gb": store_gb,
+        "num_cpus": num_cpus,
+        "n_docs_indexed": n_docs,
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "spilled": spilled,
+        "calib_sec": round(calib_sec, 3),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling-codec" in sys.argv:
         print(json.dumps(run_scaling_codec()))
     elif "--codec-probe" in sys.argv:
         print(json.dumps(run_codec_probe()))
+    elif "--spill-build" in sys.argv:
+        print(json.dumps(run_spill_build()))
+    elif "--scaling-llmops" in sys.argv:
+        print(json.dumps(run_scaling_llmops()))
+    elif "--llmops" in sys.argv:
+        print(json.dumps(run_llmops()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        out = run_bench()
+        if os.environ.get("DFR_SKIP_LLMOPS") != "1":
+            # LLM-ops fields (VERDICT r04 #2) ride along in the plain
+            # run: dedup chain at DFR_LLMOPS_PAGES (default 400k; the
+            # 1.6M rows live in BASELINE.md) + IVF-PQ at 1.6M vectors
+            ll = run_llmops()
+            out["queries"].update(ll["queries"])
+            for k in ("llmops_pages", "llmops_vecs", "n_candidates",
+                      "n_verified_pairs", "n_clustered_docs",
+                      "n_ann_results"):
+                if k in ll:
+                    out[k] = ll[k]
+        print(json.dumps(out))

@@ -906,14 +906,23 @@ def _claim_pipeline(want_urls: bool = False):
     )
     out = vc.classify_labels(entailed, sorted(claim_text))
     out["entail_score"] = np.round(out["entail_score"], 6)
-    url_of_doc = (
-        {
+    if want_urls:
+        # urls are only consumed for the RETRIEVED docs (k-bounded per
+        # claim), so the driver dict is bounded by the result set, never
+        # corpus-sized — the filter runs vectorized over the stream
+        wanted = pa.array(all_docs, pa.int64())
+
+        def keep_retrieved(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["doc_id"], value_set=wanted))
+
+        url_of_doc = {
             r["doc_id"]: r["url"]
-            for r in docs.select_columns(["doc_id", "url"]).take_all()
+            for r in docs.select_columns(["doc_id", "url"])
+            .map_batches(keep_retrieved, batch_format="pyarrow")
+            .take_all()
         }
-        if want_urls
-        else None
-    )
+    else:
+        url_of_doc = None
     return out, doc_lists, url_of_doc, claims_tbl
 
 

@@ -56,6 +56,21 @@ def _as_matrix(col) -> np.ndarray:
     return flat.reshape(n, flat.size // n)
 
 
+def _codes_matrix(raw: pa.Array, n_rows: int, width: int) -> np.ndarray:
+    """binary codes column -> (n_rows, width) uint8, zero-copy from the
+    Arrow data buffer when the values are contiguous fixed-width (always
+    true for encoder output); falls back to a Python join otherwise."""
+    offs_buf, data_buf = raw.buffers()[1], raw.buffers()[2]
+    offs = np.frombuffer(offs_buf, dtype=np.int32)[
+        raw.offset : raw.offset + n_rows + 1
+    ]
+    if int(offs[-1] - offs[0]) == n_rows * width:
+        flat = np.frombuffer(data_buf, dtype=np.uint8)[offs[0] : offs[-1]]
+    else:
+        flat = np.frombuffer(b"".join(raw.to_pylist()), dtype=np.uint8)
+    return flat.reshape(n_rows, width)
+
+
 def _empty_partial() -> pa.Table:
     return pa.table(
         {
@@ -114,7 +129,7 @@ def knn_brute(
             )
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        Score, batch_format="pyarrow", concurrency=pool_size(2)
+        Score, batch_format="pyarrow", concurrency=pool_size(8)
     )
     pdf = partials.to_pandas()  # k rows per (query, batch): tiny
     out = []
@@ -293,7 +308,7 @@ def knn_lsh_indexed(
                 }
             )
 
-    partials = cand.map_batches(Score, batch_format="pyarrow", concurrency=pool_size(2))
+    partials = cand.map_batches(Score, batch_format="pyarrow", concurrency=pool_size(8))
     pdf = partials.to_pandas()
     if pdf.empty:
         return pd.DataFrame(columns=["query_id", "rank", "vec_id", "score"])
@@ -466,7 +481,7 @@ def knn_ivf(
                 }
             )
 
-    partials = cand.map_batches(Score, batch_format="pyarrow", concurrency=pool_size(2))
+    partials = cand.map_batches(Score, batch_format="pyarrow", concurrency=pool_size(8))
     pdf = partials.to_pandas()
     if pdf.empty:
         return pd.DataFrame(columns=["query_id", "rank", "vec_id", "score"])
@@ -543,7 +558,7 @@ def knn_lsh(
             )
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        BucketScore, batch_format="pyarrow", concurrency=pool_size(2)
+        BucketScore, batch_format="pyarrow", concurrency=pool_size(8)
     )
     pdf = partials.to_pandas()
     if pdf.empty:
@@ -713,8 +728,7 @@ def knn_sq8(
             ids = batch[id_col].to_numpy()
             raw = batch["codes"].combine_chunks()
             dim = self.mins.size
-            flat = np.frombuffer(b"".join(raw.to_pylist()), dtype=np.uint8)
-            codes = flat.reshape(ids.size, dim)
+            codes = _codes_matrix(raw, ids.size, dim)
             m = sq8_decode(codes, self.mins, self.scales)
             mn = np.linalg.norm(m, axis=1)
             mn[mn == 0] = 1.0
@@ -738,7 +752,7 @@ def knn_sq8(
 
     partials = rd.read_parquet(
         index_dir, file_extensions=["parquet"]
-    ).map_batches(Score, batch_format="pyarrow", concurrency=pool_size(2))
+    ).map_batches(Score, batch_format="pyarrow", concurrency=pool_size(8))
     pdf = partials.to_pandas()
     out = []
     for qi, g in pdf.groupby("query_id"):
@@ -886,8 +900,7 @@ def knn_pq(
             ids = batch[id_col].to_numpy()
             raw = batch["codes"].combine_chunks()
             mm = self.norm_t.shape[0]
-            flat = np.frombuffer(b"".join(raw.to_pylist()), dtype=np.uint8)
-            codes = flat.reshape(ids.size, mm)
+            codes = _codes_matrix(raw, ids.size, mm)
             nq = self.dot_t.shape[0]
             dot = np.zeros((nq, ids.size), dtype=np.float64)
             nrm2 = np.zeros(ids.size, dtype=np.float64)
@@ -917,7 +930,7 @@ def knn_pq(
 
     partials = rd.read_parquet(
         index_dir, file_extensions=["parquet"]
-    ).map_batches(Score, batch_format="pyarrow", concurrency=pool_size(2))
+    ).map_batches(Score, batch_format="pyarrow", concurrency=pool_size(8))
     pdf = partials.to_pandas()
     out = []
     for qi, g in pdf.groupby("query_id"):
@@ -1058,8 +1071,7 @@ def knn_ivfpq(
             lists = batch["list_id"].to_numpy().astype(np.int64)
             mm = self.res_norm2.shape[0]
             raw = batch["codes"].combine_chunks()
-            flat = np.frombuffer(b"".join(raw.to_pylist()), dtype=np.uint8)
-            codes = flat.reshape(ids.size, mm)
+            codes = _codes_matrix(raw, ids.size, mm)
             nq = self.q_dot_res.shape[0]
             res_dot_q = np.zeros((nq, ids.size))
             nrm2 = self.cent_norm2[lists].copy()
@@ -1100,7 +1112,7 @@ def knn_ivfpq(
         index_dir,
         partition_filter=PathPartitionFilter.of(keep),
         file_extensions=["parquet"],
-    ).map_batches(Score, batch_format="pyarrow", concurrency=pool_size(2))
+    ).map_batches(Score, batch_format="pyarrow", concurrency=pool_size(8))
     pdf = partials.to_pandas()
     out = []
     for qi, g in pdf.groupby("query_id"):
@@ -1193,7 +1205,7 @@ def knn_hamming(
             })
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        Score, batch_format="pyarrow", concurrency=pool_size(2)
+        Score, batch_format="pyarrow", concurrency=pool_size(8)
     )
     pdf = partials.to_pandas()
     out = []

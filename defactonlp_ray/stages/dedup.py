@@ -544,6 +544,58 @@ def banded_rows(
     return sigs.map_batches(explode, batch_format="pyarrow")
 
 
+# multi-member bucket keys broadcast as one is_in value set below this
+# count (they are tiny vs the band rows they filter, and the broadcast
+# route avoids a second shuffle of the big side — plus Ray's hash-join
+# was observed to fail sporadically on sparse right sides whose empty
+# partition blocks lose their schema); above it the filter falls back
+# to a distributed left_semi hash join, whose partitions are non-empty
+# in exactly that regime.
+BROADCAST_BUCKET_LIMIT = 10_000_000
+
+
+def _fuse_key_columns(batch: pa.Table, keys: list[str],
+                      out: str = "___bk") -> pa.Table:
+    """Fuse N int64 key columns into ONE splitmix64 int64 column.  A
+    64-bit fused-key collision can only merge two buckets in the
+    PREFILTER (letting extra rows through); downstream kernels group by
+    the ORIGINAL key columns and verify exactly, so output is
+    unchanged."""
+    acc = np.full(batch.num_rows, 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for k in keys:
+        col = batch[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False).view(np.uint64)
+        acc = splitmix64(acc ^ splitmix64(v))
+    return batch.append_column(
+        out, pa.array(acc.view(np.int64), pa.int64()))
+
+
+def _rows_with_keys(
+    ds: "ray.data.Dataset", key_col: str,
+    keys_ds: "ray.data.Dataset", n_keys: int,
+) -> "ray.data.Dataset":
+    """Keep rows of ``ds`` whose ``key_col`` appears in ``keys_ds`` —
+    broadcast is_in under BROADCAST_BUCKET_LIMIT, left_semi join above."""
+    if n_keys <= BROADCAST_BUCKET_LIMIT:
+        vals = pa.array(
+            keys_ds.to_pandas()[key_col].to_numpy(), pa.int64()
+        )
+        ref = ray.put(vals)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            vs = ray.get(ref)
+            return batch.filter(pc.is_in(batch[key_col], value_set=vs))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+    nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 4))))
+    return ds.join(
+        keys_ds, "left_semi", num_partitions=nparts, on=(key_col,),
+    )
+
+
 def _multi_member_buckets(
     ds: "ray.data.Dataset", keys: list[str]
 ) -> "ray.data.Dataset":
@@ -551,24 +603,26 @@ def _multi_member_buckets(
     whose bucket has >= 2 members.  At corpus scale the overwhelming
     majority of LSH/chunk buckets are singletons; running the per-group
     pair kernel over them means one Python call per DOCUMENT (measured:
-    the map_groups pass was 30x the signature cost at 200k docs).  A
-    vectorized Count aggregate + left_semi hash join drops them in
-    Arrow, so map_groups only ever sees buckets that can produce pairs
-    — both passes shuffle on the same bucket key."""
+    the map_groups pass was 30x the signature cost at 200k docs).  The
+    keys fuse into one int64 (single-column exchanges), a vectorized
+    keyed Count finds the multi-member buckets, and the survivors come
+    back via :func:`_rows_with_keys`; downstream kernels still group by
+    the ORIGINAL key columns and verify exactly, so fused-key
+    collisions cannot change output."""
     from ray.data.aggregate import Count
 
+    fused = ds.map_batches(
+        lambda b: _fuse_key_columns(b, keys), batch_format="pyarrow"
+    ).materialize()
     multi = (
-        ds.groupby(keys)
+        fused.groupby("___bk")
         .aggregate(Count(alias_name="__bn"))
         .filter(expr="__bn >= 2")
         .drop_columns(["__bn"])
+        .materialize()
     )
-    n_cpu = int(ray.cluster_resources().get("CPU", 4))
-    nparts = max(2, min(32, n_cpu))
-    return ds.join(
-        multi, "left_semi", num_partitions=nparts,
-        on=tuple(keys), right_on=tuple(keys),
-    )
+    out = _rows_with_keys(fused, "___bk", multi, multi.count())
+    return out.drop_columns(["___bk"])
 
 
 def minhash_lsh_candidates(
@@ -629,13 +683,11 @@ def minhash_lsh_candidates(
     )
     small_keys = (
         counts.filter(expr="__bn >= 2").filter(expr=f"__bn <= {star_cap}")
-        .drop_columns(["__bn"])
+        .drop_columns(["__bn"]).materialize()
     )
     mega_keys = counts.filter(expr=f"__bn > {star_cap}").drop_columns(["__bn"])
 
-    surv = fused.join(
-        small_keys, "left_semi", num_partitions=nparts, on=("bkey",)
-    )
+    surv = _rows_with_keys(fused, "bkey", small_keys, small_keys.count())
 
     # pair generation as a hash SELF-JOIN on the bucket key + vectorized
     # (id_a < id_b) filter — no per-group Python at all (the map_groups
@@ -659,8 +711,8 @@ def minhash_lsh_candidates(
             "against each bucket's min id instead of all-pairs",
             n_mega, star_cap,
         )
-        mega_surv = fused.join(
-            mega_keys, "left_semi", num_partitions=nparts, on=("bkey",)
+        mega_surv = _rows_with_keys(
+            fused, "bkey", mega_keys.materialize(), n_mega
         )
         mins = mega_surv.groupby("bkey").aggregate(
             Min(id_col, alias_name="__min")
