@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import hash_str_array, splitmix64
-from .util import arrow_project, ensure_arrow
+from .util import arrow_project, cut_lineage as _cut_lineage, ensure_arrow
 from .util import pool_size
 from ..functions.tokenizer import tokenize
 
@@ -1319,7 +1319,7 @@ def _cc_star_contract(
 
     prev = fingerprint(E)
     for _round in range(max_rounds):
-        E = small_star(large_star(E)).materialize()
+        E = _cut_lineage(small_star(large_star(E)).materialize())
         cur = fingerprint(E)
         if cur == prev:
             break
@@ -1432,9 +1432,9 @@ def connected_components(
         # (for star-contracted input the edge set IS stars rooted at
         # the component minima, so this single pass reads labels off)
         labels = e.groupby("src").aggregate(Min("dst", alias_name="label"))
-        labels = labels.map_batches(
+        labels = _cut_lineage(labels.map_batches(
             clip_self, batch_format="pyarrow"
-        ).materialize()
+        ).materialize())
         prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         for _round in range(rounds):
             msgs = arrow_project(
@@ -1444,11 +1444,11 @@ def connected_components(
                 ),
                 ["dst", "label"], {"dst": "node"},
             )
-            new_labels = ensure_arrow(
+            new_labels = _cut_lineage(ensure_arrow(
                 msgs.union(labels)
                 .groupby("node")
                 .aggregate(Min("label", alias_name="label"))
-            ).materialize()
+            ).materialize())
             if exact_convergence:
                 # wrap-proof: labels only decrease, so changed <=> new < old
                 j = new_labels.join(

@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from .util import arrow_project
+from .util import cut_lineage, arrow_project
 
 __all__ = ["extract_links", "extract_anchors", "pagerank", "hits"]
 
@@ -266,7 +266,10 @@ def pagerank(
             .groupby("node")
             .aggregate(Sum("c", alias_name="c"))
         )
-        ranks = contrib.map_batches(
+        # per-round lineage checkpoint (stages/util.cut_lineage): the
+        # iterative join/union DAG otherwise makes Ray's stats
+        # summarization quadratic-to-exponential in rounds
+        ranks = cut_lineage(contrib.map_batches(
             lambda b: pa.table({
                 "node": b["node"],
                 "rank": pc.add(
@@ -275,7 +278,7 @@ def pagerank(
                 ),
             }),
             batch_format="pyarrow",
-        ).materialize()
+        ).materialize())
     return ranks
 
 
