@@ -579,6 +579,12 @@ def _rows_with_keys(
 ) -> "ray.data.Dataset":
     """Keep rows of ``ds`` whose ``key_col`` appears in ``keys_ds`` —
     broadcast is_in under BROADCAST_BUCKET_LIMIT, left_semi join above."""
+    if n_keys == 0:
+        # empty key set (e.g. every bucket routed mega): keep schema,
+        # drop every row — an empty to_pandas() has no columns to read
+        return ds.map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow"
+        )
     if n_keys <= BROADCAST_BUCKET_LIMIT:
         vals = pa.array(
             keys_ds.to_pandas()[key_col].to_numpy(), pa.int64()
@@ -687,11 +693,13 @@ def minhash_lsh_candidates(
     )
     mega_keys = counts.filter(expr=f"__bn > {star_cap}").drop_columns(["__bn"])
 
-    surv = _rows_with_keys(fused, "bkey", small_keys, small_keys.count())
+    n_small = small_keys.count()
 
     # pair generation as a hash SELF-JOIN on the bucket key + vectorized
     # (id_a < id_b) filter — no per-group Python at all (the map_groups
-    # route paid ~one pandas call per multi-member bucket)
+    # route paid ~one pandas call per multi-member bucket).  Skipped
+    # entirely when no small bucket exists: an all-empty join side's
+    # blocks lose their schema inside Ray's hash shuffle.
     def to_right(batch: pa.Table) -> pa.Table:
         return batch.select([id_col, "bkey"]).rename_columns(["id_b", "bkey"])
 
@@ -699,10 +707,17 @@ def minhash_lsh_candidates(
         kept = batch.filter(pc.less(batch[id_col], batch["id_b"]))
         return pa.table({"id_a": kept[id_col], "id_b": kept["id_b"]})
 
-    cand = surv.join(
-        surv.map_batches(to_right, batch_format="pyarrow"),
-        "inner", num_partitions=nparts, on=("bkey",),
-    ).map_batches(ordered, batch_format="pyarrow")
+    if n_small:
+        surv = _rows_with_keys(fused, "bkey", small_keys, n_small)
+        cand = surv.join(
+            surv.map_batches(to_right, batch_format="pyarrow"),
+            "inner", num_partitions=nparts, on=("bkey",),
+        ).map_batches(ordered, batch_format="pyarrow")
+    else:
+        cand = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+        }))
 
     n_mega = mega_keys.count()
     if n_mega:
@@ -716,18 +731,30 @@ def minhash_lsh_candidates(
         )
         mins = mega_surv.groupby("bkey").aggregate(
             Min(id_col, alias_name="__min")
-        )
+        ).to_pandas()
+        # one row per mega bucket (<= n_docs/star_cap by construction):
+        # broadcast the bkey -> min-id map and attach it with a
+        # vectorized searchsorted — every mega_surv row's bkey is in the
+        # map by construction of _rows_with_keys
+        order = np.argsort(mins["bkey"].to_numpy(), kind="stable")
+        mref = ray.put((mins["bkey"].to_numpy()[order],
+                        mins["__min"].to_numpy()[order]))
 
         def star(batch: pa.Table) -> pa.Table:
-            kept = batch.filter(
-                pc.not_equal(batch[id_col], batch["__min"])
+            ks, vs = ray.get(mref)
+            bk = batch["bkey"].to_numpy()
+            ids = batch[id_col].to_numpy()
+            mn = vs[np.searchsorted(ks, bk)]
+            keep = ids != mn
+            return pa.table(
+                {
+                    "id_a": pa.array(mn[keep], pa.int64()),
+                    "id_b": pa.array(ids[keep], pa.int64()),
+                }
             )
-            return pa.table({"id_a": kept["__min"], "id_b": kept[id_col]})
 
         cand = cand.union(
-            mega_surv.join(
-                mins, "inner", num_partitions=nparts, on=("bkey",)
-            ).map_batches(star, batch_format="pyarrow")
+            mega_surv.map_batches(star, batch_format="pyarrow")
         )
 
     # global pair dedup as a vectorized keyed aggregate (a per-group
