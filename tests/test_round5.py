@@ -179,6 +179,46 @@ def test_cjk_tokens_entry_matches_serial():
     assert got.equals(want)
 
 
+def test_rows_with_keys_join_route_equals_broadcast(monkeypatch):
+    """The bucket prefilter's two physical routes (broadcast is_in under
+    BROADCAST_BUCKET_LIMIT, left_semi hash join above) must agree."""
+    import numpy as np
+
+    from defactonlp_ray.stages import dedup as D
+
+    rng = np.random.default_rng(11)
+    rows = pa.table({
+        "doc_id": pa.array(np.arange(4000), pa.int64()),
+        "bkey": pa.array(rng.integers(0, 500, 4000), pa.int64()),
+    })
+    keys = pa.table({"bkey": pa.array(np.arange(0, 500, 3), pa.int64())})
+    ds = ray.data.from_arrow(rows)
+    kds = ray.data.from_arrow(keys)
+    a = (
+        D._rows_with_keys(ds, "bkey", kds, keys.num_rows)
+        .to_pandas().sort_values(["doc_id"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(D, "BROADCAST_BUCKET_LIMIT", 1)
+    b = (
+        D._rows_with_keys(ds, "bkey", kds, keys.num_rows)
+        .to_pandas().sort_values(["doc_id"]).reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_cut_lineage_preserves_rows():
+    from defactonlp_ray.stages.util import cut_lineage
+
+    t = pa.table({"x": pa.array(range(1000), pa.int64())})
+    mat = ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+    cut = cut_lineage(mat)
+    assert cut.count() == 1000
+    assert sorted(r["x"] for r in cut.take_all()) == list(range(1000))
+
+
 def test_validate_modes_same_output_on_clean_corpus():
     pages = fixtures.make_pages(200)
     out = {}
